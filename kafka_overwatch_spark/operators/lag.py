@@ -1,0 +1,116 @@
+"""Consumer-lag pipeline and the ``groups_df`` analytic frame.
+
+Reference semantics (SURVEY §2 J1/J2/A8/P11):
+
+- J1 — committed offsets join topics by name, inner: offsets on unknown
+  topics are dropped ("Not monitored topic",
+  `kafka_resources/groups.py:185-212`).
+- J2 — lag per (group, topic, partition):
+  ``lag = partition.end_offset - committed_offset``
+  (`overwatch_resources/groups.py:98-144`).
+- P11 — two skip rules inside the reference's partition loop
+  (`groups.py:111-130`):
+  (a) a partition with ``total_messages == 0`` is skipped (continue);
+  (b) a partition with ``committed_offset < 0`` *breaks out of the whole
+  topic* — partitions after it (in partition-id order) are not measured.
+  Replicated relationally: the first bad partition id per (group, topic)
+  is computed with a min-agg, then partitions >= it are filtered out.
+- A8 — ``overall_lag`` = Σ of per-topic totals (`groups.py:95,136-141`).
+
+Scale notes: group_offsets × partition_offsets(final scan) is an equi-join
+on (topic, partition_id). Committed-offset cardinality is
+O(groups × partitions) — at 100 TB-scale metadata this is still ≤ 1e9
+rows/scan; the join partitions cleanly by its key, no skew (a topic has
+bounded partitions), and the "first bad partition" agg reuses the same
+(group_id, topic) shuffle partitioning, so Catalyst plans a single
+exchange. The dims joined afterwards are broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .usage import FINAL_SCAN, is_active_group
+
+
+def lag_per_partition(snaps: dict[str, DataFrame]) -> DataFrame:
+    """Valid measured lag rows: group_id, topic, partition_id, lag."""
+    po_final = (
+        snaps["partition_offsets"]
+        .filter(F.col("scan_id") == FINAL_SCAN)
+        .select("topic", "partition_id", "start_offset", "end_offset")
+    )
+    go = snaps["group_offsets"].select(
+        "group_id", "topic", "partition_id", "committed_offset"
+    )
+    valid = go.join(po_final, ["topic", "partition_id"])  # J1: inner
+    first_bad = (
+        valid.filter(F.col("committed_offset") < 0)
+        .groupBy("group_id", "topic")
+        .agg(F.min("partition_id").alias("first_bad"))
+    )
+    return (
+        valid.join(first_bad, ["group_id", "topic"], "left")
+        .filter(
+            F.col("first_bad").isNull()
+            | (F.col("partition_id") < F.col("first_bad"))
+        )
+        .filter((F.col("end_offset") - F.col("start_offset")) > 0)
+        .select(
+            "group_id",
+            "topic",
+            "partition_id",
+            (F.col("end_offset") - F.col("committed_offset")).alias("lag"),
+        )
+    )
+
+
+def lag_per_topic(snaps: dict[str, DataFrame]) -> DataFrame:
+    """Per-(group, topic) lag totals — the reference's nested
+    ``{topic: {total, partitions}}`` dict (`groups.py:103-141`) kept flat."""
+    return (
+        lag_per_partition(snaps)
+        .groupBy("group_id", "topic")
+        .agg(
+            F.sum("lag").alias("total_lag"),
+            F.count("*").alias("partitions_measured"),
+        )
+    )
+
+
+def build_groups_df(snaps: dict[str, DataFrame]) -> DataFrame:
+    """The per-group analytic frame (`clusters.py:332-342`,
+    `groups.py:88-96`): name, members, state, eval_elapsed_time,
+    overall_lag. eval_elapsed_time is the cluster-level scan window
+    (final scan ts − baseline ts) — deterministic stand-in for the
+    reference's utcnow()−init_ts."""
+    po = snaps["partition_offsets"]
+    elapsed = (
+        po.groupBy("scan_id")
+        .agg(F.max("ts").alias("ts"))
+        .agg(
+            (
+                F.max(F.when(F.col("scan_id") == FINAL_SCAN, F.unix_timestamp("ts")))
+                - F.max(F.when(F.col("scan_id") == 0, F.unix_timestamp("ts")))
+            ).alias("eval_elapsed_time")
+        )
+    )
+    overall = (
+        lag_per_partition(snaps)
+        .groupBy("group_id")
+        .agg(F.sum("lag").alias("overall_lag"))
+    )
+    return (
+        is_active_group(snaps["consumer_groups"])
+        .join(F.broadcast(overall), "group_id", "left")
+        .crossJoin(F.broadcast(elapsed))
+        .select(
+            F.col("group_id").alias("name"),
+            "members",
+            "state",
+            "eval_elapsed_time",
+            F.coalesce("overall_lag", F.lit(0)).alias("overall_lag"),
+            "is_active",
+        )
+    )

@@ -1,0 +1,164 @@
+"""Cluster usage report assembly — the reference's top analytical query
+(SURVEY §3.2), producing the nested ``ClusterReport`` shape of
+`specs/report.py:10-143` / `specs/report.json`.
+
+Spark-first shape: the component frames (topics_df, waste categories,
+most-active, governance, SR) are all computed as DataFrames; the nested
+struct is assembled with ``struct``/``map_from_entries`` aggregations into
+a SINGLE nested row, then serialized via ``to_json`` — no driver-side
+loops over collect() except the final 1-row fetch.
+
+Scale: every input to the struct assembly is already topic-/group-grain
+(small); the struct agg is a single-partition reduce of dim-sized data.
+The heavy lifting (fact-table scans) happened upstream in topics_df.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import governance as gov
+from . import schema_registry as sr
+from . import usage
+
+
+def _topics_map(df: DataFrame) -> F.Column:
+    """name → partitions map (A11: ``.set_index('name').to_dict()``,
+    `reporting/topics.py:24-28`)."""
+    return F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct("name", "partitions")))
+    )
+
+
+def build_cluster_report(
+    snaps: dict[str, DataFrame], cluster_name: str = "primary"
+) -> DataFrame:
+    """One nested row mirroring ClusterReport: statistics, estimated_waste
+    (3 topic categories), governance, schema_registry."""
+    topics_df = usage.build_topics_df(snaps).cache()
+    total = topics_df.count()
+
+    # estimated_waste.topic_categories — one struct per category
+    cat_structs = []
+    descriptions = {
+        "no_messages": "All the topics with no messages.",
+        "no_messages_topics_with_multiple_partitions": (
+            "Topics with no messages, no active consumer group, "
+            "and more than one partition"
+        ),
+        "no_cgs_and_no_new_messages": (
+            "Topics with messages, but no active consumer group and no "
+            "messages produced during the evaluation period"
+        ),
+    }
+    for name, pred in usage.WASTE_PREDICATES.items():
+        cat = topics_df.filter(pred).agg(
+            _topics_map(topics_df.filter(pred)).alias("topics"),
+            F.count("name").alias("topics_count"),
+            F.coalesce(F.sum("partitions"), F.lit(0)).alias(
+                "topic_partitions_sum"
+            ),
+            F.floor((F.count("name").cast("double") / F.lit(total)) * 100).alias(
+                "cluster_percentage"
+            ),
+        )
+        cat_structs.append(
+            cat.select(
+                F.struct(
+                    "topics",
+                    "topics_count",
+                    "topic_partitions_sum",
+                    "cluster_percentage",
+                    F.lit(descriptions[name]).alias("description"),
+                ).alias(name)
+            )
+        )
+
+    # statistics — topic/partition counts + most_active_topics detail map
+    most_active = usage.most_active_topics(topics_df)
+    stats = topics_df.agg(
+        F.count("name").alias("topics"),
+        F.coalesce(F.sum("partitions"), F.lit(0)).alias("partitions"),
+    ).crossJoin(
+        most_active.agg(
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "name",
+                            F.struct(
+                                "partitions",
+                                "total_messages",
+                                "new_messages",
+                                "active_groups",
+                            ).alias("detail"),
+                        )
+                    )
+                )
+            ).alias("most_active_topics")
+        )
+    )
+
+    # governance
+    gov_summary = gov.naming_convention_summary(gov.governance_topics(snaps))
+
+    # schema registry
+    sr_summary = sr.registry_summary(snaps)
+
+    report = (
+        stats.select(F.struct("topics", "partitions", "most_active_topics").alias("statistics"))
+        .crossJoin(
+            cat_structs[0]
+            .crossJoin(cat_structs[1])
+            .crossJoin(cat_structs[2])
+            .select(
+                F.struct(
+                    F.lit(0).alias("topics"),
+                    F.lit(0).alias("partitions"),
+                    F.struct(
+                        *[F.col(n).alias(n) for n in usage.WASTE_PREDICATES]
+                    ).alias("topic_categories"),
+                ).alias("estimated_waste")
+            )
+        )
+        .crossJoin(
+            gov_summary.select(
+                F.struct(
+                    F.struct(
+                        "total",
+                        "total_ignored",
+                        "total_measured",
+                        "non_compliant_count",
+                        "compliant_percentage",
+                    ).alias("topic_naming_convention")
+                ).alias("governance")
+            )
+        )
+        .crossJoin(
+            sr_summary.select(
+                F.struct(
+                    "subjects_count",
+                    "schemas_count",
+                    "versions_count",
+                    "unused_subjects_count",
+                ).alias("schema_registry")
+            )
+        )
+        .select(
+            F.lit(cluster_name).alias("cluster_name"),
+            "statistics",
+            "estimated_waste",
+            "governance",
+            "schema_registry",
+        )
+    )
+    return report
+
+
+def report_json(snaps: dict[str, DataFrame], cluster_name: str = "primary") -> str:
+    """K1: the report as a JSON document (single-row collect)."""
+    row = build_cluster_report(snaps, cluster_name).select(
+        F.to_json(F.struct("*"), {"ignoreNullFields": "false"}).alias("js")
+    ).collect()[0]
+    return row["js"]

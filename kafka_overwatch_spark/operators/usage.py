@@ -1,0 +1,199 @@
+"""Topic-usage analytics — the reference's headline queries.
+
+Re-expresses, Spark-first:
+
+- ``topics_df`` assembly — `overwatch_resources/clusters.py:315-329` +
+  `overwatch_resources/topics.py:158-172` (SURVEY §2 A6/A7/A9/A10, J3)
+- waste categories — `reporting/topics.py:17-111` (P4/P5/P6 + A1/A2/A4)
+- most-active topics — `reporting/__init__.py:30-52` (A3 exact percentile
+  + P7; pandas ``quantile(0.75)`` == Spark ``percentile`` linear
+  interpolation, NOT ``approx_percentile``)
+
+Scale notes (100 TB / 1000 executors):
+
+- ``partition_offsets`` is the only large input. The final/baseline scan
+  join is per (topic, partition_id) — co-partitioned by construction when
+  the physical table is bucketed by topic, so AQE turns it into a local
+  shuffle-free join; otherwise it is one shuffle of two filtered scans,
+  both pruned to exactly two scan_ids (partition pruning on the scan_id
+  partition column in a real layout).
+- Everything after the first groupBy("topic") is topic-cardinality
+  (~1e5 rows) — broadcast territory. The group-count join is marked
+  broadcast explicitly.
+- The percentile threshold is a 2-value scalar — computed with one tiny
+  agg and crossJoin(broadcast(...)), never a re-scan of the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FINAL_SCAN = 3
+
+# Active-group predicate per `overwatch_resources/groups.py:79-85`:
+# state not in (DEAD, EMPTY) and members nonempty.
+INACTIVE_STATES = ("DEAD", "EMPTY")
+
+
+def is_active_group(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "is_active",
+        (~F.col("state").isin(*INACTIVE_STATES)) & (F.col("members") > 0),
+    )
+
+
+def build_topics_df(snaps: dict[str, DataFrame]) -> DataFrame:
+    """The per-topic analytic frame (`clusters.py:315-329`).
+
+    Columns: name, partitions, total_messages, new_messages,
+    eval_elapsed_time, consumer_groups, active_groups,
+    messages_per_seconds.
+
+    - total_messages = Σ_partitions (end - start) at the final scan
+      (`topics.py:102-106`: end_offset - first_offset)
+    - new_messages   = Σ_partitions (end@final - end@scan0)
+      (`topics.py:108-115`: measured against the service-start baseline)
+    - eval_elapsed_time = partition 0's ts delta (`topics.py:210-212`
+      uses partition 0's timestamps, not min/max — replicated)
+    - messages_per_seconds = int(new/elapsed), NaN→0
+      (`clusters.py:322-327`; int() truncates → floor for non-negatives)
+    """
+    po = snaps["partition_offsets"]
+    final = po.filter(F.col("scan_id") == FINAL_SCAN)
+    base = po.filter(F.col("scan_id") == 0).select(
+        "topic",
+        "partition_id",
+        F.col("end_offset").alias("end0"),
+        F.col("ts").alias("ts0"),
+    )
+    per_topic = (
+        final.join(base, ["topic", "partition_id"])
+        .groupBy("topic")
+        .agg(
+            F.count("*").alias("partitions"),
+            F.sum(F.col("end_offset") - F.col("start_offset")).alias(
+                "total_messages"
+            ),
+            F.sum(F.col("end_offset") - F.col("end0")).alias("new_messages"),
+            F.max(
+                F.when(
+                    F.col("partition_id") == 0,
+                    F.unix_timestamp("ts") - F.unix_timestamp("ts0"),
+                )
+            ).alias("eval_elapsed_time"),
+        )
+    )
+
+    # J3: per-topic consumer-group counts (`kafka_resources/groups.py:209-212`,
+    # consumed at `overwatch_resources/topics.py:168-171`). Inner join on
+    # group_id — the dims are small → broadcast.
+    cg = is_active_group(snaps["consumer_groups"]).select("group_id", "is_active")
+    gcounts = (
+        snaps["group_offsets"]
+        .select("group_id", "topic")
+        .distinct()
+        .join(F.broadcast(cg), "group_id")
+        .groupBy("topic")
+        .agg(
+            F.count("*").alias("consumer_groups"),
+            F.sum(F.when(F.col("is_active"), 1).otherwise(0)).alias(
+                "active_groups"
+            ),
+        )
+    )
+
+    return (
+        per_topic.join(F.broadcast(gcounts), "topic", "left")
+        .select(
+            F.col("topic").alias("name"),
+            "partitions",
+            "total_messages",
+            "new_messages",
+            "eval_elapsed_time",
+            F.coalesce("consumer_groups", F.lit(0)).alias("consumer_groups"),
+            F.coalesce("active_groups", F.lit(0)).alias("active_groups"),
+            F.coalesce(
+                F.floor(
+                    F.try_divide(F.col("new_messages"), F.col("eval_elapsed_time"))
+                ),
+                F.lit(0),
+            ).alias("messages_per_seconds"),
+        )
+    )
+
+
+# --- waste categories (`reporting/topics.py`) -------------------------------
+
+# SQL condition strings (shared verbatim with the DuckDB oracle):
+WASTE_PREDICATES = {
+    # P4 `reporting/topics.py:23`
+    "no_messages": "total_messages = 0",
+    # P5 `reporting/topics.py:43-47`
+    "no_messages_topics_with_multiple_partitions": (
+        "total_messages = 0 AND partitions > 1 AND active_groups = 0"
+    ),
+    # P6 `reporting/topics.py:83-87`
+    "no_cgs_and_no_new_messages": (
+        "total_messages > 0 AND new_messages = 0 AND active_groups = 0"
+    ),
+}
+
+
+def waste_category_topics(topics_df: DataFrame, category: str) -> DataFrame:
+    """P1: the (name, partitions) projection for one waste category."""
+    return topics_df.filter(WASTE_PREDICATES[category]).select("name", "partitions")
+
+
+def waste_summary(topics_df: DataFrame) -> DataFrame:
+    """One row per waste category: topics_count, topic_partitions_sum,
+    cluster_percentage — `reporting/topics.py:30-38` etc.
+    cluster_percentage = int((count/total)*100): float math then truncation,
+    replicated exactly (floor of the same double expression)."""
+    total = topics_df.count()  # len(topics_df) — scalar, tiny frame
+    parts = []
+    for name, pred in WASTE_PREDICATES.items():
+        parts.append(
+            topics_df.filter(pred).agg(
+                F.lit(name).alias("category"),
+                F.count("name").alias("topics_count"),
+                F.coalesce(F.sum("partitions"), F.lit(0)).alias(
+                    "topic_partitions_sum"
+                ),
+                F.floor(
+                    (F.count("name").cast("double") / F.lit(total)) * 100
+                ).alias("cluster_percentage"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def most_active_topics(topics_df: DataFrame) -> DataFrame:
+    """A3 + P7 (`reporting/__init__.py:37-52`): exact p75 thresholds on
+    new_messages / total_messages, strict >, and active_groups > 0."""
+    q = topics_df.agg(
+        F.expr("percentile(new_messages, 0.75)").alias("q_new"),
+        F.expr("percentile(total_messages, 0.75)").alias("q_total"),
+    )
+    return (
+        topics_df.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("new_messages") > F.col("q_new"))
+            & (F.col("total_messages") > F.col("q_total"))
+            & (F.col("active_groups") > 0)
+        )
+        .select(
+            "name", "partitions", "total_messages", "new_messages", "active_groups"
+        )
+    )
+
+
+def cluster_statistics(topics_df: DataFrame) -> DataFrame:
+    """A1/A2 scalars (`reporting/__init__.py:46-47`)."""
+    return topics_df.agg(
+        F.count("name").alias("topics"),
+        F.coalesce(F.sum("partitions"), F.lit(0)).alias("partitions"),
+    )

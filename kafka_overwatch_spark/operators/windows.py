@@ -1,0 +1,116 @@
+"""Time-series / window operators over the offset-sample fact table
+(SURVEY §2.6 W1/W2/W3).
+
+Reference semantics:
+
+- W1 — per-(topic, partition) delta vs the *previous* scan: the
+  ``end_offset`` setter observes ``new_end - previous_end``
+  (`overwatch_resources/topics.py:93-100`).
+- W2 — delta vs the *baseline* (service start): "new messages" is always
+  measured against the scan-0 end offset (`topics.py:108-115`), not the
+  previous interval.
+- W3 — first-offset evolution: the broker low watermark advances under
+  retention (`topics.py:77-87`, update at `kafka_resources/topics.py:207-208`).
+
+Scale: all three are ``WINDOW PARTITION BY (topic, partition_id) ORDER BY
+scan_id`` — a single hash exchange on the natural key of the fact table.
+With the physical table bucketed/sorted by (topic, partition_id, scan_id)
+the sort inside each window is a no-op and the exchange disappears. The
+window never spans more than the scan-range read, so memory per partition
+is bounded by scans-per-partition, not table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+def _w():
+    # built lazily — Window construction needs an active SparkContext
+    return Window.partitionBy("topic", "partition_id").orderBy("scan_id")
+
+
+def offset_delta_per_scan(snaps: dict[str, DataFrame]) -> DataFrame:
+    """W1: per-interval new messages; scan 0 delta is 0 (no prior sample)."""
+    po = snaps["partition_offsets"]
+    return po.select(
+        "topic",
+        "partition_id",
+        "scan_id",
+        (
+            F.col("end_offset")
+            - F.coalesce(F.lag("end_offset").over(_w()), F.col("end_offset"))
+        ).alias("delta_messages"),
+    )
+
+
+def new_messages_since_baseline(snaps: dict[str, DataFrame]) -> DataFrame:
+    """W2: end_offset minus the scan-0 baseline, per scan."""
+    po = snaps["partition_offsets"]
+    return po.select(
+        "topic",
+        "partition_id",
+        "scan_id",
+        (
+            F.col("end_offset")
+            - F.first("end_offset").over(
+                _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        ).alias("new_messages"),
+    )
+
+
+def first_offset_evolution(snaps: dict[str, DataFrame]) -> DataFrame:
+    """W3: partitions whose low watermark moved (retention kicked in),
+    with the total drift."""
+    po = snaps["partition_offsets"]
+    return (
+        po.groupBy("topic", "partition_id")
+        .agg(
+            (F.max("start_offset") - F.min("start_offset")).alias(
+                "retention_drift"
+            )
+        )
+        .filter(F.col("retention_drift") > 0)
+    )
+
+
+def topic_throughput_timeseries(snaps: dict[str, DataFrame]) -> DataFrame:
+    """Per-topic, per-scan message rate — the W1 deltas rolled up to topic
+    grain with the scan wall-clock delta (extension: the reference only
+    tracks this as a Prometheus Summary, K4)."""
+    po = snaps["partition_offsets"]
+    deltas = po.select(
+        "topic",
+        "partition_id",
+        "scan_id",
+        "ts",
+        (
+            F.col("end_offset")
+            - F.coalesce(F.lag("end_offset").over(_w()), F.col("end_offset"))
+        ).alias("delta"),
+        (
+            F.unix_timestamp("ts")
+            - F.coalesce(
+                F.unix_timestamp(F.lag("ts").over(_w())), F.unix_timestamp("ts")
+            )
+        ).alias("elapsed_sec"),
+    )
+    return (
+        deltas.groupBy("topic", "scan_id")
+        .agg(
+            F.sum("delta").alias("new_messages"),
+            F.max("elapsed_sec").alias("elapsed_sec"),
+        )
+        .select(
+            "topic",
+            "scan_id",
+            "new_messages",
+            "elapsed_sec",
+            F.coalesce(
+                F.floor(F.try_divide(F.col("new_messages"), F.col("elapsed_sec"))),
+                F.lit(0),
+            ).alias("messages_per_seconds"),
+        )
+    )

@@ -1,0 +1,345 @@
+"""DuckDB oracle SQL for every registered query (the driver's t2 gate).
+
+Each entry is a standalone DuckDB statement over the raw testdata views
+(region/nation/.../documents/embeddings). Queries over the Kafka snapshot
+model embed the snapshot CTE chain (rendered for DuckDB from the same
+common-dialect source the Spark side executes — see ``snapshot.py``), so
+the oracle and the engine agree on the *inputs* and the comparison tests
+the *query semantics*.
+
+Oracle-parity conventions (see SURVEY §7 "hard parts"):
+- every integer aggregated/derived column CAST to BIGINT (DuckDB widens
+  SUM to HUGEINT; Spark stays LONG)
+- double columns rounded to ≤6 decimals on both sides
+- int-truncation (`int()` in the reference) expressed as floor() of the
+  same double expression on both sides — never a bare CAST (DuckDB CAST
+  rounds, Spark CAST truncates)
+- timestamps exported as epoch seconds (BIGINT)
+- exact percentile: pandas quantile(0.75) == Spark percentile() ==
+  DuckDB quantile_cont()
+"""
+
+from __future__ import annotations
+
+from .snapshot import duckdb_with_prefix
+
+
+def _snap(body: str) -> str:
+    return f"WITH {duckdb_with_prefix()},\n{body}"
+
+
+def _snap_plain(select: str) -> str:
+    return f"WITH {duckdb_with_prefix()}\n{select}"
+
+
+# Shared derived-frame CTEs (duckdb dialect), appended after the snapshot
+# chain by queries that need them.
+TOPICS_DF_CTE = """
+po_final_scan AS (
+  SELECT * FROM partition_offsets WHERE scan_id = 3
+),
+po_base AS (
+  SELECT topic, partition_id, end_offset AS end0, ts AS ts0
+  FROM partition_offsets WHERE scan_id = 0
+),
+per_topic AS (
+  SELECT f.topic,
+    CAST(count(*) AS BIGINT) AS partitions,
+    CAST(sum(f.end_offset - f.start_offset) AS BIGINT) AS total_messages,
+    CAST(sum(f.end_offset - b.end0) AS BIGINT) AS new_messages,
+    CAST(max(CASE WHEN f.partition_id = 0
+             THEN date_diff('second', b.ts0, f.ts) END) AS BIGINT)
+      AS eval_elapsed_time
+  FROM po_final_scan f
+  JOIN po_base b ON f.topic = b.topic AND f.partition_id = b.partition_id
+  GROUP BY f.topic
+),
+cg_active AS (
+  SELECT group_id,
+    (state NOT IN ('DEAD','EMPTY') AND members > 0) AS is_active
+  FROM consumer_groups
+),
+gcounts AS (
+  SELECT topic,
+    CAST(count(*) AS BIGINT) AS consumer_groups,
+    CAST(sum(CASE WHEN is_active THEN 1 ELSE 0 END) AS BIGINT)
+      AS active_groups
+  FROM (SELECT DISTINCT group_id, topic FROM group_offsets) go
+  JOIN cg_active USING (group_id)
+  GROUP BY topic
+),
+topics_df AS (
+  SELECT p.topic AS name, p.partitions, p.total_messages, p.new_messages,
+    p.eval_elapsed_time,
+    CAST(coalesce(g.consumer_groups, 0) AS BIGINT) AS consumer_groups,
+    CAST(coalesce(g.active_groups, 0) AS BIGINT) AS active_groups,
+    CAST(coalesce(floor(p.new_messages / p.eval_elapsed_time), 0) AS BIGINT)
+      AS messages_per_seconds
+  FROM per_topic p LEFT JOIN gcounts g ON p.topic = g.topic
+)
+"""
+
+LAG_CTE = """
+po_final_scan AS (
+  SELECT topic, partition_id, start_offset, end_offset
+  FROM partition_offsets WHERE scan_id = 3
+),
+go_valid AS (
+  SELECT g.group_id, g.topic, g.partition_id, g.committed_offset,
+         p.start_offset, p.end_offset
+  FROM group_offsets g
+  JOIN po_final_scan p
+    ON g.topic = p.topic AND g.partition_id = p.partition_id
+),
+first_bad AS (
+  SELECT group_id, topic, min(partition_id) AS first_bad
+  FROM go_valid WHERE committed_offset < 0
+  GROUP BY group_id, topic
+),
+lag_rows AS (
+  SELECT v.group_id, v.topic, v.partition_id,
+    CAST(v.end_offset - v.committed_offset AS BIGINT) AS lag
+  FROM go_valid v
+  LEFT JOIN first_bad fb ON v.group_id = fb.group_id AND v.topic = fb.topic
+  WHERE (fb.first_bad IS NULL OR v.partition_id < fb.first_bad)
+    AND (v.end_offset - v.start_offset) > 0
+)
+"""
+
+# Shared verbatim with the Spark side (operators/usage.py).
+from .operators.usage import WASTE_PREDICATES as WASTE_FILTERS  # noqa: E402
+
+
+def oracle_queries() -> dict[str, str]:
+    q: dict[str, str] = {}
+
+    # --- snapshot passthroughs (fixture-parity sanity) ---
+    q["snapshot_partition_offsets"] = _snap_plain(
+        """
+SELECT cluster, topic, partition_id, scan_id, start_offset, end_offset,
+  CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS BIGINT)
+    AS ts_sec
+FROM partition_offsets"""
+    )
+    q["snapshot_topics"] = _snap_plain(
+        "SELECT cluster, name, partitions, retention_ms, cleanup_policy FROM topics"
+    )
+    q["snapshot_consumer_groups"] = _snap_plain(
+        "SELECT cluster, group_id, state, members FROM consumer_groups"
+    )
+    q["snapshot_group_offsets"] = _snap_plain(
+        "SELECT cluster, group_id, topic, partition_id, committed_offset "
+        "FROM group_offsets"
+    )
+    q["snapshot_subjects"] = _snap_plain("SELECT registry, subject FROM subjects")
+    q["snapshot_subject_versions"] = _snap_plain(
+        "SELECT registry, subject, version, schema_id FROM subject_versions"
+    )
+    q["snapshot_schemas"] = _snap_plain(
+        "SELECT registry, schema_id, schema_type, schema_string FROM schemas"
+    )
+
+    # --- topics_df and derived reports ---
+    q["topics_df"] = _snap(TOPICS_DF_CTE + "\nSELECT * FROM topics_df")
+
+    for cat, flt in WASTE_FILTERS.items():
+        q[f"waste_{cat}"] = _snap(
+            TOPICS_DF_CTE
+            + f"\nSELECT name, partitions FROM topics_df WHERE {flt}"
+        )
+
+    q["waste_summary"] = _snap(
+        TOPICS_DF_CTE
+        + ",\ntot AS (SELECT count(*) AS total FROM topics_df)\n"
+        + "\nUNION ALL\n".join(
+            f"""
+SELECT '{cat}' AS category,
+  CAST(count(name) AS BIGINT) AS topics_count,
+  CAST(coalesce(sum(partitions), 0) AS BIGINT) AS topic_partitions_sum,
+  CAST(floor((CAST(count(name) AS DOUBLE) / (SELECT total FROM tot)) * 100)
+    AS BIGINT) AS cluster_percentage
+FROM topics_df WHERE {flt}"""
+            for cat, flt in WASTE_FILTERS.items()
+        )
+    )
+
+    q["most_active_topics"] = _snap(
+        TOPICS_DF_CTE
+        + """,
+thresholds AS (
+  SELECT quantile_cont(new_messages, 0.75) AS q_new,
+         quantile_cont(total_messages, 0.75) AS q_total
+  FROM topics_df
+)
+SELECT name, partitions, total_messages, new_messages, active_groups
+FROM topics_df, thresholds
+WHERE new_messages > q_new AND total_messages > q_total
+  AND active_groups > 0"""
+    )
+
+    q["cluster_statistics"] = _snap(
+        TOPICS_DF_CTE
+        + """
+SELECT CAST(count(name) AS BIGINT) AS topics,
+       CAST(coalesce(sum(partitions), 0) AS BIGINT) AS partitions
+FROM topics_df"""
+    )
+
+    # --- lag / groups_df ---
+    q["lag_per_partition"] = _snap(
+        LAG_CTE + "\nSELECT group_id, topic, partition_id, lag FROM lag_rows"
+    )
+    q["lag_per_topic"] = _snap(
+        LAG_CTE
+        + """
+SELECT group_id, topic, CAST(sum(lag) AS BIGINT) AS total_lag,
+  CAST(count(*) AS BIGINT) AS partitions_measured
+FROM lag_rows GROUP BY group_id, topic"""
+    )
+    q["groups_df"] = _snap(
+        LAG_CTE
+        + """,
+elapsed AS (
+  SELECT CAST(date_diff('second',
+    (SELECT ts FROM scan_ts WHERE scan_id = 0),
+    (SELECT ts FROM scan_ts WHERE scan_id = 3)) AS BIGINT)
+    AS eval_elapsed_time
+),
+overall AS (
+  SELECT group_id, CAST(sum(lag) AS BIGINT) AS overall_lag
+  FROM lag_rows GROUP BY group_id
+)
+SELECT cg.group_id AS name, cg.members, cg.state, e.eval_elapsed_time,
+  CAST(coalesce(o.overall_lag, 0) AS BIGINT) AS overall_lag,
+  (cg.state NOT IN ('DEAD','EMPTY') AND cg.members > 0) AS is_active
+FROM consumer_groups cg
+LEFT JOIN overall o ON cg.group_id = o.group_id
+CROSS JOIN elapsed e"""
+    )
+
+    # --- governance ---
+    gov_topics = """
+gov AS (
+  SELECT name,
+    regexp_matches(name, '^_.*$') AS excluded_name,
+    regexp_matches(name, '^[a-z]+\\.[a-z]+\\..*$') AS compliant_name
+  FROM topics
+)"""
+    q["governance_topics"] = _snap(gov_topics + "\nSELECT * FROM gov")
+    q["governance_groups"] = _snap(
+        """
+gov AS (
+  SELECT group_id AS name,
+    regexp_matches(group_id, '^_.*$') AS excluded_name,
+    regexp_matches(group_id, '^cg-[0-9]+$') AS compliant_name
+  FROM consumer_groups
+)
+SELECT * FROM gov"""
+    )
+    q["governance_summary"] = _snap(
+        gov_topics
+        + """
+SELECT
+  CAST(count(*) AS BIGINT) AS total,
+  CAST(sum(CASE WHEN excluded_name THEN 1 ELSE 0 END) AS BIGINT)
+    AS total_ignored,
+  CAST(count(*) - sum(CASE WHEN excluded_name THEN 1 ELSE 0 END) AS BIGINT)
+    AS total_measured,
+  CAST(sum(CASE WHEN NOT compliant_name AND NOT excluded_name THEN 1 ELSE 0
+      END) AS BIGINT) AS non_compliant_count,
+  round(100 - (CAST(sum(CASE WHEN NOT compliant_name AND NOT excluded_name
+      THEN 1 ELSE 0 END) AS DOUBLE) * 100)
+    / (count(*) - sum(CASE WHEN excluded_name THEN 1 ELSE 0 END)), 6)
+    AS compliant_percentage
+FROM gov"""
+    )
+
+    # --- schema registry ---
+    q["sr_unused_subjects"] = _snap_plain(
+        """
+SELECT registry, subject FROM subjects
+WHERE replace(replace(subject, '-value', ''), '-key', '')
+      NOT IN (SELECT name FROM topics)"""
+    )
+    q["sr_summary"] = _snap_plain(
+        """
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM subjects) AS subjects_count,
+  (SELECT CAST(count(*) AS BIGINT) FROM schemas) AS schemas_count,
+  (SELECT CAST(count(*) AS BIGINT) FROM subject_versions) AS versions_count,
+  (SELECT CAST(count(*) AS BIGINT) FROM subjects
+   WHERE replace(replace(subject, '-value', ''), '-key', '')
+         NOT IN (SELECT name FROM topics)) AS unused_subjects_count"""
+    )
+    q["sr_schema_type_breakdown"] = _snap_plain(
+        """
+SELECT schema_type, CAST(count(*) AS BIGINT) AS schemas_count
+FROM schemas GROUP BY schema_type"""
+    )
+    q["sr_backup_index"] = _snap_plain(
+        """
+SELECT sv.registry, sv.subject, sv.version, sv.schema_id, s.schema_type,
+  concat(sv.subject, '::', CAST(sv.version AS STRING), '::', s.schema_type,
+         '::', CAST(sv.schema_id AS STRING), '.txt') AS backup_file,
+  s.schema_string
+FROM subject_versions sv JOIN schemas s ON sv.schema_id = s.schema_id"""
+    )
+
+    # --- window / time-series ---
+    q["w1_offset_deltas"] = _snap_plain(
+        """
+SELECT topic, partition_id, scan_id,
+  CAST(end_offset - coalesce(lag(end_offset) OVER w, end_offset) AS BIGINT)
+    AS delta_messages
+FROM partition_offsets
+WINDOW w AS (PARTITION BY topic, partition_id ORDER BY scan_id)"""
+    )
+    q["w2_new_since_baseline"] = _snap_plain(
+        """
+SELECT topic, partition_id, scan_id,
+  CAST(end_offset - first_value(end_offset) OVER w AS BIGINT) AS new_messages
+FROM partition_offsets
+WINDOW w AS (PARTITION BY topic, partition_id ORDER BY scan_id)"""
+    )
+    q["w3_first_offset_evolution"] = _snap_plain(
+        """
+SELECT topic, partition_id,
+  CAST(max(start_offset) - min(start_offset) AS BIGINT) AS retention_drift
+FROM partition_offsets
+GROUP BY topic, partition_id
+HAVING max(start_offset) - min(start_offset) > 0"""
+    )
+    q["topic_throughput_timeseries"] = _snap_plain(
+        """
+SELECT topic, scan_id,
+  CAST(sum(delta) AS BIGINT) AS new_messages,
+  CAST(max(elapsed_sec) AS BIGINT) AS elapsed_sec,
+  CAST(coalesce(floor(sum(delta) / max(elapsed_sec)), 0) AS BIGINT)
+    AS messages_per_seconds
+FROM (
+  SELECT topic, partition_id, scan_id,
+    end_offset - coalesce(lag(end_offset) OVER w, end_offset) AS delta,
+    date_diff('second', coalesce(lag(ts) OVER w, ts), ts) AS elapsed_sec
+  FROM partition_offsets
+  WINDOW w AS (PARTITION BY topic, partition_id ORDER BY scan_id)
+) d
+GROUP BY topic, scan_id"""
+    )
+
+    # --- sinks expressed as queries ---
+    q["restore_commands"] = _snap_plain(
+        """
+SELECT name,
+  concat('kafka-topics.sh --create --topic ', name,
+    ' --partitions ', CAST(partitions AS STRING),
+    ' --replication-factor 3',
+    CASE WHEN retention_ms IS NOT NULL
+         THEN concat(' --config retention.ms=', CAST(retention_ms AS STRING))
+         ELSE '' END,
+    CASE WHEN cleanup_policy IS NOT NULL
+         THEN concat(' --config cleanup.policy=', cleanup_policy)
+         ELSE '' END) AS command
+FROM topics"""
+    )
+
+    return q

@@ -1,0 +1,312 @@
+"""Deduplication operators over the `documents` table — the LLM-data-
+pipeline surface (BASELINE.json north star): exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Design for 100 TB:
+
+- **Exact** is a hash-groupBy: one shuffle on a 128-bit fingerprint,
+  perfectly partitionable, no skew beyond true duplicate clusters.
+- **MinHash+LSH** is the scale path for near-dup: signature computation is
+  a narrow map (md5-based, JVM built-ins, no Python); candidate
+  generation shuffles on (band_id, band_key) — duplicate clusters hash to
+  the same bucket, everything else spreads uniformly. The quadratic
+  verify runs only inside buckets. Giant buckets (boilerplate docs) are
+  the skew risk: cap bucket size / salt in a real deployment (noted
+  below, enforced via ``max_bucket`` here).
+- **SimHash** pairs via the pigeonhole trick: hamming ≤ k ⇒ two
+  fingerprints share one of k+1 byte-chunks ⇒ equi-join on (chunk_id,
+  chunk_value), then verify with ``bit_count(xor)``.
+- **Brute-force n-gram Jaccard / embedding cosine** are the *verifier*
+  baselines — quadratic within blocks; at scale they only ever run on
+  LSH-bucketed candidates.
+
+Determinism: all hashes are md5-derived (bit-identical in the DuckDB
+oracle); cosine is computed in double precision with a fixed fold order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# MinHash-LSH parameters: 12 hashes = 4 bands × 3 rows ⇒ s-curve threshold
+# ≈ (1/4)^(1/3) ≈ 0.63; verify threshold below keeps borderline pairs.
+NUM_HASHES = 12
+NUM_BANDS = 4
+ROWS_PER_BAND = 3
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 3
+COSINE_THRESHOLD = 0.4
+
+
+def _norm_text() -> F.Column:
+    return F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+
+
+def _hash64(col: F.Column) -> F.Column:
+    """60-bit non-negative integer hash, identical in DuckDB (see
+    dialect.py @HASH64)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Exact dedup groups: md5 of normalized text, groups with >1 doc.
+    Returns fingerprint, keeper (min doc_id), dup_count."""
+    return (
+        documents.select(
+            "doc_id", F.md5(_norm_text()).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count("*").alias("dup_count"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def exact_dedup_keep(documents: DataFrame) -> DataFrame:
+    """The kept rows after exact dedup (first doc_id per fingerprint) —
+    the standard `dropDuplicates`-with-deterministic-winner shape."""
+    fp = documents.select("doc_id", F.md5(_norm_text()).alias("fingerprint"))
+    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    return keep.select("doc_id", "fingerprint")
+
+
+def _shingles() -> F.Column:
+    """Distinct SHINGLE_K-token shingles of the normalized text."""
+    toks = F.split(_norm_text(), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(F.size(toks) - SHINGLE_K, F.lit(0))
+            ),
+            lambda i: F.array_join(F.slice(toks, i + 1, SHINGLE_K), " "),
+        )
+    )
+
+
+def _jaccard(sa: F.Column, sb: F.Column) -> F.Column:
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    return F.round(inter / (F.size(sa) + F.size(sb) - inter), 6)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified by true shingle
+    Jaccard ≥ threshold. Output: doc_a, doc_b, jaccard.
+
+    MinHash permutations are salted md5 string-minima (lexicographic min
+    of ``md5('<h>:<shingle>')``) — cross-engine deterministic without any
+    integer-hash dependency.
+    """
+    docs = documents.select("doc_id", _shingles().alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    sig = docs.select(
+        "doc_id",
+        "sh",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
+            lambda h: F.array_min(
+                F.transform(
+                    F.col("sh"),
+                    lambda s: F.md5(
+                        F.concat(h.cast("string"), F.lit(":"), s)
+                    ),
+                )
+            ),
+        ).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(NUM_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.md5(
+                        F.array_join(
+                            F.slice(
+                                F.col("sig"),
+                                b * ROWS_PER_BAND + 1,
+                                ROWS_PER_BAND,
+                            ),
+                            "|",
+                        )
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+    # skew guard: drop degenerate buckets (boilerplate clusters) — at real
+    # scale these are handled by a dedicated exact-dup pre-pass
+    sized = bands.withColumn(
+        "bucket_n",
+        F.count("*").over(Window.partitionBy("band_id", "band_key")),
+    ).filter(F.col("bucket_n") <= max_bucket)
+
+    left = sized.select(
+        F.col("doc_id").alias("doc_a"), "band_id", "band_key"
+    )
+    right = sized.select(
+        F.col("doc_id").alias("doc_b"), "band_id", "band_key"
+    )
+    cand = (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select("doc_a", "doc_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.35
+) -> DataFrame:
+    """Brute-force shingle-Jaccard near-dup pairs, blocked by `lang`
+    (quadratic verifier baseline; LSH above is the scale path)."""
+    docs = documents.select("doc_id", "lang", _shingles().alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    a = docs.select(
+        F.col("lang"), F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = docs.select(
+        F.col("lang"), F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    return (
+        a.join(b, "lang")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "lang",
+            "doc_a",
+            "doc_b",
+            _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(documents: DataFrame) -> DataFrame:
+    """32-bit SimHash per document: per bit, sum ±1 over token hash bits
+    (token multiplicity = natural weighting); bit set iff the sum > 0."""
+    toks = documents.select(
+        "doc_id", F.explode(F.split(_norm_text(), " ")).alias("token")
+    ).withColumn("h", _hash64(F.col("token")))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("h") / F.lit(2**b)).cast("long") % 2 == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return bit_sums.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    documents: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming via the
+    pigeonhole chunk join (hamming ≤ 3 ⇒ some 8-bit chunk of the 32-bit
+    fingerprint matches exactly)."""
+    fps = simhash_fingerprints(documents)
+    chunks = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "c -> struct(c AS chunk_id, "
+                "CAST(simhash DIV CAST(pow(2, 8 * c) AS BIGINT) % 256 AS BIGINT)"
+                " AS chunk_val))"
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("fp_a"),
+        "chunk_id",
+        "chunk_val",
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("fp_b"),
+        "chunk_id",
+        "chunk_val",
+    )
+    return (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(fp_a ^ fp_b)").cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    """Double-precision cosine with a fixed left-to-right fold (bit-stable
+    across engines)."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(da, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(db, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = COSINE_THRESHOLD
+) -> DataFrame:
+    """Brute-force embedding-cosine near-dup pairs (a < b, cosine ≥
+    threshold). Quadratic — the LSH-bucketed variant in similarity.py is
+    the scale path; this is its verifier."""
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,144 @@
+"""Text analysis operators for the `documents` table — the training-data
+pipeline surface beyond the reference (BASELINE.json north star): language
+ID, quality scoring, token counting, document fingerprinting.
+
+All operators are pure built-in column expressions (JVM-side, whole-stage
+codegen) — no Python UDFs anywhere. At 100 TB these are narrow maps over
+the documents scan: no shuffle, pushdown-friendly, and the parquet reader
+prunes to (doc_id, text) only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic mini stopword lists per language for the n-gram/stopword
+# language-ID heuristic. (A real deployment plugs in fastText/CLD3 via a
+# pandas UDF; the heuristic keeps this container dependency-free and the
+# oracle checkable.)
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "to", "and", "is"),
+    "es": ("el", "la", "de", "que", "los", "una"),
+    "fr": ("le", "la", "les", "des", "une", "est"),
+    "zh": ("的", "是", "了", "在", "我", "有"),
+}
+
+# BPE-ish word/number/symbol tokenizer (identical RE2/Java semantics).
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+PUNCT_REGEX = "[^A-Za-z0-9 ]"
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _tokens(col: str = "text") -> F.Column:
+    """Whitespace tokens of the trimmed text."""
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens +
+    distinct-token ratio."""
+    toks = _tokens()
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX))).alias(
+            "regex_tokens"
+        ),
+        F.size(F.array_distinct(toks)).alias("distinct_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("distinct_ratio"),
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Quality scoring: length, punctuation ratio, stopword ratio, mean
+    token length, and a composite [0,1] quality score. Deterministic
+    arithmetic only — same formula on the oracle side."""
+    toks = _tokens()
+    n_tok = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS]))
+    )
+    n_chars = F.length("text")
+    punct = F.length(F.regexp_replace(F.col("text"), PUNCT_REGEX, ""))
+    return documents.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round((n_chars - punct).cast("double") / n_chars, 6).alias(
+            "punct_ratio"
+        ),
+        F.round(stop_hits.cast("double") / n_tok, 6).alias("stopword_ratio"),
+        F.round(
+            (n_chars.cast("double") - F.size(toks) + 1) / n_tok, 6
+        ).alias("mean_token_len"),
+        # composite score: in-range length + has stopwords + low punct
+        F.round(
+            F.least(n_tok.cast("double") / 100, F.lit(1.0)) * 0.4
+            + F.least(
+                stop_hits.cast("double") / F.greatest(n_tok, F.lit(1)) * 5,
+                F.lit(1.0),
+            )
+            * 0.4
+            + (1 - F.least((n_chars - punct).cast("double") / n_chars * 10,
+                           F.lit(1.0))) * 0.2,
+            6,
+        ).alias("quality_score"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Stopword-marker language ID: per language, count marker-token hits;
+    argmax with deterministic tie-break (marker count desc, then language
+    code asc); 'und' when nothing matches."""
+    toks = _tokens(col="text")
+    lowered = F.transform(toks, lambda t: F.lower(t))
+    scores = [
+        F.size(
+            F.filter(lowered, lambda t: t.isin(*[F.lit(m) for m in markers]))
+        ).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    scored = documents.select("doc_id", "lang", *scores)
+    # argmax via greatest + chained when (deterministic tie order = dict order)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        pred.alias("predicted_lang"),
+        *[F.col(f"score_{lang}").cast("long").alias(f"score_{lang}")
+          for lang in LANG_MARKERS],
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Document fingerprinting:
+    - ``content_md5``: hash of whitespace-normalized lowercase text
+    - ``bag_fingerprint``: hash of the sorted distinct token bag (order-
+      insensitive near-exact fingerprint)
+    - ``rolling_min_hash``: lexicographic min over md5s of 5-token shingles
+      (a 1-permutation minhash; the scale path to MinHash-LSH in dedup.py)
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    toks = F.split(norm, " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 5, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, 5), " "),
+    )
+    return documents.select(
+        "doc_id",
+        F.md5(norm).alias("content_md5"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+            "bag_fingerprint"
+        ),
+        F.array_min(F.transform(shingles, F.md5)).alias("rolling_min_hash"),
+    )

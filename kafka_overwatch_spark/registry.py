@@ -1,0 +1,137 @@
+"""Central query registry: name → (spark callable, DuckDB oracle SQL).
+
+Every operator claimed done in SURVEY.md §2 has an entry here; the driver
+consumes it through ``__spark_entry__.queries()`` / ``oracle_sql()``.
+Spark callables take (spark, sf_dir) and return a DataFrame whose column
+names/types match the oracle exactly (the driver sorts columns by name and
+hashes values).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import oracles
+from .operators import governance as gov
+from .operators import lag as lagops
+from .operators import schema_registry as sr
+from .operators import usage, windows
+from .sinks import exports
+from .snapshot import build_snapshots
+
+_SNAP_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def get_snaps(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    key = (id(spark), sf_dir)
+    if key not in _SNAP_CACHE:
+        # cache=True: the snapshot frames are dim-sized; every report query
+        # re-reads them (the reference re-scans its pandas frames per
+        # category the same way, `reporting/topics.py:17-111`)
+        _SNAP_CACHE[key] = build_snapshots(spark, sf_dir, cache=True)
+    return _SNAP_CACHE[key]
+
+
+def _snapshot_query(table: str, columns: list[str], ts_col: str | None = None):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = get_snaps(spark, sf_dir)[table]
+        cols = [F.col(c) for c in columns]
+        if ts_col:
+            cols.append(F.unix_timestamp(ts_col).alias(f"{ts_col}_sec"))
+        return df.select(*cols)
+
+    return fn
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    # --- snapshot passthroughs ---
+    q["snapshot_partition_offsets"] = _snapshot_query(
+        "partition_offsets",
+        ["cluster", "topic", "partition_id", "scan_id", "start_offset",
+         "end_offset"],
+        ts_col="ts",
+    )
+    q["snapshot_topics"] = _snapshot_query(
+        "topics", ["cluster", "name", "partitions", "retention_ms",
+                   "cleanup_policy"]
+    )
+    q["snapshot_consumer_groups"] = _snapshot_query(
+        "consumer_groups", ["cluster", "group_id", "state", "members"]
+    )
+    q["snapshot_group_offsets"] = _snapshot_query(
+        "group_offsets",
+        ["cluster", "group_id", "topic", "partition_id", "committed_offset"],
+    )
+    q["snapshot_subjects"] = _snapshot_query("subjects", ["registry", "subject"])
+    q["snapshot_subject_versions"] = _snapshot_query(
+        "subject_versions", ["registry", "subject", "version", "schema_id"]
+    )
+    q["snapshot_schemas"] = _snapshot_query(
+        "schemas", ["registry", "schema_id", "schema_type", "schema_string"]
+    )
+
+    # --- usage / report queries ---
+    q["topics_df"] = lambda s, d: usage.build_topics_df(get_snaps(s, d))
+    for cat in usage.WASTE_PREDICATES:
+        q[f"waste_{cat}"] = (
+            lambda s, d, c=cat: usage.waste_category_topics(
+                usage.build_topics_df(get_snaps(s, d)), c
+            )
+        )
+    q["waste_summary"] = lambda s, d: usage.waste_summary(
+        usage.build_topics_df(get_snaps(s, d))
+    )
+    q["most_active_topics"] = lambda s, d: usage.most_active_topics(
+        usage.build_topics_df(get_snaps(s, d))
+    )
+    q["cluster_statistics"] = lambda s, d: usage.cluster_statistics(
+        usage.build_topics_df(get_snaps(s, d))
+    )
+
+    # --- lag / groups ---
+    q["lag_per_partition"] = lambda s, d: lagops.lag_per_partition(get_snaps(s, d))
+    q["lag_per_topic"] = lambda s, d: lagops.lag_per_topic(get_snaps(s, d))
+    q["groups_df"] = lambda s, d: lagops.build_groups_df(get_snaps(s, d))
+
+    # --- governance ---
+    q["governance_topics"] = lambda s, d: gov.governance_topics(get_snaps(s, d))
+    q["governance_groups"] = lambda s, d: gov.governance_groups(get_snaps(s, d))
+    q["governance_summary"] = lambda s, d: gov.naming_convention_summary(
+        gov.governance_topics(get_snaps(s, d))
+    )
+
+    # --- schema registry ---
+    q["sr_unused_subjects"] = lambda s, d: sr.unused_subjects(get_snaps(s, d))
+    q["sr_summary"] = lambda s, d: sr.registry_summary(get_snaps(s, d))
+    q["sr_schema_type_breakdown"] = lambda s, d: sr.schema_type_breakdown(
+        get_snaps(s, d)
+    )
+    q["sr_backup_index"] = lambda s, d: sr.backup_index(get_snaps(s, d))
+
+    # --- windows / time-series ---
+    q["w1_offset_deltas"] = lambda s, d: windows.offset_delta_per_scan(
+        get_snaps(s, d)
+    )
+    q["w2_new_since_baseline"] = lambda s, d: windows.new_messages_since_baseline(
+        get_snaps(s, d)
+    )
+    q["w3_first_offset_evolution"] = lambda s, d: windows.first_offset_evolution(
+        get_snaps(s, d)
+    )
+    q["topic_throughput_timeseries"] = (
+        lambda s, d: windows.topic_throughput_timeseries(get_snaps(s, d))
+    )
+
+    # --- sinks-as-queries ---
+    q["restore_commands"] = lambda s, d: exports.restore_commands(get_snaps(s, d))
+
+    return q
+
+
+def oracle_sql() -> dict[str, str]:
+    return oracles.oracle_queries()

@@ -1,0 +1,286 @@
+"""Snapshot-table model: the engine's normalized data model (SURVEY.md §1.4).
+
+The reference service polls a Kafka cluster and materializes, per scan
+interval, (a) per-partition offset watermarks
+(`kafka_resources/topics.py:168-178`), (b) consumer-group state
+(`kafka_resources/groups.py:23-108`), (c) per-group committed offsets
+(`kafka_resources/groups.py:149-170`), and (d) schema-registry subjects /
+schemas (`processing/schema_registries.py:34-116`).  In this engine those
+collectors land rows in five normalized tables:
+
+=====================  =======================================================
+partition_offsets      cluster, topic, partition_id, scan_id, start_offset,
+                       end_offset, ts  (fact; scan 0 = service-start baseline)
+topics                 cluster, name, partitions, retention_ms,
+                       cleanup_policy  (dim; config entries)
+consumer_groups        cluster, group_id, state, members  (dim)
+group_offsets          cluster, group_id, topic, partition_id,
+                       committed_offset  (fact; -1 = no committed offset)
+subjects /             registry, subject / registry, subject, version,
+subject_versions /     schema_id / registry, schema_id, schema_type
+schemas
+=====================  =======================================================
+
+At 100 TB scale `partition_offsets` is the only big table (append-only,
+one row per partition per scan across thousands of clusters).  Partition
+the physical layout by (cluster, scan date); every analytical query below
+then prunes to one cluster + a bounded scan range, and all joins against
+the dims are broadcast-hash joins.
+
+**Test derivation.** There is no live Kafka here, so the snapshot tables
+are derived *deterministically* from the driver-provided ``events`` parquet
+(TESTDATA.md).  The derivation is written once in a common SQL dialect
+(see ``dialect.py``) and rendered for both Spark and the DuckDB oracle, so
+the correctness gate compares engine semantics, not fixture drift.
+Mapping: ``topic``/``partition_id`` bucket the event stream by
+(event_type, user_id); four scan cuts (ntile over event time) yield
+cumulative end offsets; retention moves start offsets from scan 2 on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dialect import DUCKDB, SPARK, render
+
+N_SCANS = 4
+CLUSTER = "primary"
+
+# ---------------------------------------------------------------------------
+# Common-dialect CTE chain deriving every snapshot table from `events`.
+# Notes on cross-engine safety:
+#   * every integer is CAST to BIGINT (DuckDB widens SUM to HUGEINT;
+#     Spark keeps LONG — explicit casts keep arrow schemas identical)
+#   * no engine-specific hash functions — @HASH64 renders to md5-based
+#     integers that are bit-identical on both engines
+#   * ntile/dense_rank/sum-over-window semantics verified identical
+# The global `ntile OVER (ORDER BY ts)` is fixture derivation, not engine
+# code — a real deployment gets scan_id from the collector.
+# ---------------------------------------------------------------------------
+SNAPSHOT_CTES = """
+ev3 AS (
+  SELECT
+    event_id, ts, user_id, event_type,
+    CAST(user_id % 20 AS BIGINT) AS bucket,
+    CASE WHEN user_id % 20 = 0 THEN concat('_internal.', event_type)
+         ELSE concat('app.', event_type, '.', CAST(user_id % 20 AS STRING))
+    END AS topic,
+    CAST(1 + (length(event_type) + user_id % 20) % 8 AS BIGINT) AS npart,
+    CAST(event_id % (1 + (length(event_type) + user_id % 20) % 8) AS BIGINT)
+      AS partition_id,
+    CAST(ntile(4) OVER (ORDER BY ts, event_id) - 1 AS BIGINT) AS scan_id
+  FROM events
+),
+scan_ts AS (
+  SELECT scan_id, max(ts) AS ts FROM ev3 GROUP BY scan_id
+),
+tp AS (
+  -- every (topic, partition) ever observed, plus 5 deliberately empty
+  -- topics (2 partitions each) so the no-messages waste categories are
+  -- exercised (P4/P5)
+  SELECT DISTINCT topic, partition_id FROM ev3
+  UNION ALL
+  SELECT DISTINCT concat('empty.', event_type, '.t') AS topic,
+    CAST(v.p AS BIGINT) AS partition_id
+  FROM events CROSS JOIN (VALUES (0), (1)) AS v(p)
+),
+cnt AS (
+  -- bucket % 7 = 3 topics stop receiving events after scan 0 → stale
+  -- topics (total > 0, new = 0) for the P6 waste category
+  SELECT topic, partition_id, scan_id, count(*) AS c
+  FROM ev3
+  WHERE NOT (bucket % 7 = 3 AND scan_id > 0)
+  GROUP BY topic, partition_id, scan_id
+),
+grid AS (
+  SELECT t.topic, t.partition_id, s.scan_id
+  FROM tp t CROSS JOIN (SELECT DISTINCT scan_id FROM ev3) s
+),
+cum AS (
+  SELECT g.topic, g.partition_id, g.scan_id,
+    CAST(sum(coalesce(c.c, 0)) OVER (
+      PARTITION BY g.topic, g.partition_id ORDER BY g.scan_id) AS BIGINT)
+      AS end_offset
+  FROM grid g
+  LEFT JOIN cnt c
+    ON g.topic = c.topic AND g.partition_id = c.partition_id
+   AND g.scan_id = c.scan_id
+),
+partition_offsets AS (
+  SELECT
+    'primary' AS cluster, cum.topic, cum.partition_id, cum.scan_id,
+    CASE WHEN cum.scan_id >= 2
+         THEN CAST((cum.end_offset - cum.end_offset % 10) / 10 AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS start_offset,
+    cum.end_offset,
+    st.ts
+  FROM cum JOIN scan_ts st ON cum.scan_id = st.scan_id
+),
+topics AS (
+  SELECT DISTINCT
+    'primary' AS cluster, topic AS name, npart AS partitions,
+    CASE WHEN bucket % 3 = 0 THEN CAST((bucket + 1) * 3600000 AS BIGINT)
+         ELSE CAST(NULL AS BIGINT) END AS retention_ms,
+    CASE WHEN bucket % 4 = 0 THEN 'compact'
+         ELSE CAST(NULL AS STRING) END AS cleanup_policy
+  FROM ev3
+  UNION ALL
+  SELECT DISTINCT
+    'primary' AS cluster, concat('empty.', event_type, '.t') AS name,
+    CAST(2 AS BIGINT) AS partitions,
+    CAST(NULL AS BIGINT) AS retention_ms,
+    CAST(NULL AS STRING) AS cleanup_policy
+  FROM events
+),
+consumer_groups AS (
+  SELECT
+    'primary' AS cluster,
+    concat('cg-', CAST(gnum AS STRING)) AS group_id,
+    CASE CAST(gnum % 5 AS BIGINT)
+      WHEN 0 THEN 'STABLE' WHEN 1 THEN 'EMPTY' WHEN 2 THEN 'DEAD'
+      WHEN 3 THEN 'PREPARING_REBALANCE' ELSE 'STABLE' END AS state,
+    CASE WHEN gnum % 7 = 0 THEN CAST(0 AS BIGINT)
+         ELSE CAST(1 + gnum % 5 AS BIGINT) END AS members
+  FROM (SELECT DISTINCT CAST(user_id % 30 AS BIGINT) AS gnum FROM events) g
+),
+po_final AS (
+  SELECT topic, partition_id, end_offset
+  FROM partition_offsets
+  WHERE scan_id = 3
+),
+memberships AS (
+  SELECT DISTINCT CAST(user_id % 30 AS BIGINT) AS gnum, topic, partition_id
+  FROM ev3
+  WHERE (user_id + event_id) % 5 = 0
+),
+group_offsets AS (
+  SELECT * FROM (
+    SELECT
+      'primary' AS cluster,
+      concat('cg-', CAST(m.gnum AS STRING)) AS group_id,
+      m.topic, m.partition_id,
+      CASE WHEN (m.gnum + m.partition_id) % 11 = 0 THEN CAST(-1 AS BIGINT)
+           ELSE CAST(p.end_offset
+                - ((m.gnum * 7 + m.partition_id * 3) % (p.end_offset + 1))
+                AS BIGINT) END AS committed_offset
+    FROM memberships m
+    JOIN po_final p
+      ON m.topic = p.topic AND m.partition_id = p.partition_id
+    UNION ALL
+    SELECT DISTINCT
+      'primary' AS cluster,
+      concat('cg-', CAST(user_id % 30 AS STRING)) AS group_id,
+      concat('ghost.', event_type) AS topic,
+      CAST(0 AS BIGINT) AS partition_id,
+      CAST(5 AS BIGINT) AS committed_offset
+    FROM events WHERE user_id % 30 = 13
+  ) u
+),
+subjects AS (
+  SELECT 'default' AS registry, subject FROM (
+    SELECT concat(name, '-value') AS subject FROM topics
+    WHERE length(name) % 2 = 0
+    UNION ALL
+    SELECT concat(name, '-key') AS subject FROM topics
+    WHERE length(name) % 3 = 0
+    UNION ALL
+    SELECT DISTINCT concat('orphan.', event_type, '-value') AS subject
+    FROM events
+    UNION ALL
+    SELECT DISTINCT concat('mid-value-', event_type) AS subject FROM events
+  ) s
+),
+subject_versions AS (
+  SELECT registry, subject, CAST(v.version AS BIGINT) AS version,
+    CAST(dense_rank() OVER (ORDER BY subject) * 4 + v.version AS BIGINT)
+      AS schema_id
+  FROM subjects
+  JOIN (VALUES (1), (2), (3)) AS v(version)
+    ON v.version <= 1 + length(subject) % 3
+),
+schemas AS (
+  SELECT DISTINCT registry, schema_id,
+    CASE CAST(schema_id % 3 AS BIGINT)
+      WHEN 0 THEN 'AVRO' WHEN 1 THEN 'JSON' ELSE 'PROTOBUF' END
+      AS schema_type,
+    concat('{"schema_id": ', CAST(schema_id AS STRING), '}') AS schema_string
+  FROM subject_versions
+)
+"""
+
+SNAPSHOT_TABLES = (
+    "partition_offsets",
+    "topics",
+    "consumer_groups",
+    "group_offsets",
+    "subjects",
+    "subject_versions",
+    "schemas",
+)
+
+
+def snapshot_sql(table: str, dialect: str) -> str:
+    """Standalone SELECT producing one snapshot table in the given dialect."""
+    return render(f"WITH {SNAPSHOT_CTES} SELECT * FROM {table}", dialect)
+
+
+def duckdb_with_prefix() -> str:
+    """The rendered CTE chain for embedding in oracle SQL: oracle queries are
+    written as ``WITH {duckdb_with_prefix()}, q AS (...) SELECT ...``."""
+    return render(SNAPSHOT_CTES, DUCKDB)
+
+
+# Testdata parquet stores TIMESTAMP(NANOS) (pandas/pyarrow default), which
+# Spark's vectorized reader rejects. Read nanos as long and convert to
+# microsecond timestamps at scan time — same truncation DuckDB applies, and
+# the cast stays inside whole-stage codegen (no Python round trip).
+_NANO_TS_COLS = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+
+def register_raw_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register the driver testdata parquet as temp views (same names the
+    DuckDB oracle sees). Returns the DataFrames keyed by name."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    names = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    out = {}
+    for name in names:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for col in _NANO_TS_COLS.get(name, []):
+            if dict(df.dtypes).get(col) == "bigint":
+                df = df.withColumn(
+                    col, F.expr(f"timestamp_micros({col} div 1000)")
+                )
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def build_snapshots(
+    spark: SparkSession, sf_dir: str, cache: bool = False
+) -> dict[str, DataFrame]:
+    """Materialize every snapshot table as a DataFrame and register each as a
+    temp view ``snap_<name>``.
+
+    ``cache=True`` caches the dims + partition_offsets — the reference
+    re-scans its pandas frames per report category
+    (`reporting/topics.py:17-111`); Spark would likewise recompute the CTE
+    chain per query, so the report pipeline caches the (tiny relative to the
+    raw fact data) snapshot frames once per scan batch.
+    """
+    register_raw_tables(spark, sf_dir)
+    out: dict[str, DataFrame] = {}
+    for table in SNAPSHOT_TABLES:
+        df = spark.sql(snapshot_sql(table, SPARK))
+        if cache:
+            df = df.cache()
+        df.createOrReplaceTempView(f"snap_{table}")
+        out[table] = df
+    return out
