@@ -1,0 +1,115 @@
+"""General relational analytics over the TPC-H-ish tables + the events
+stream table — exercises scan/filter/join/agg shapes at bench scale and
+doubles as the batch form of the streaming windowed aggregations (§2.9).
+
+Float discipline: SUM over millions of doubles differs between engines in
+the low bits (association order). Money-like columns are summed as
+DECIMAL(18,2) (exact, order-independent) and cast to DOUBLE at the end —
+bit-identical across Spark and DuckDB, and Spark keeps the whole pipeline
+in whole-stage codegen.
+
+Scale notes: q1 is a pure map-side-combinable agg (2 low-cardinality
+keys); q3 joins orders→lineitem on the join key both tables would be
+bucketed by at 100 TB, with the selective filters pushed to the parquet
+scans (verify `PushedFilters` in .explain); events rollup is a two-key
+agg after a narrow projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (ship date cutoff → pushed filter)."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("d_qty"),
+            F.sum(_dec("l_extendedprice")).alias("d_base"),
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            ).alias("d_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("d_qty").cast("double").alias("sum_qty"),
+            F.col("d_base").cast("double").alias("sum_base_price"),
+            F.col("d_disc").cast("double").alias("sum_disc_price"),
+            "count_order",
+            F.round(
+                F.col("d_qty").cast("double") / F.col("count_order"), 6
+            ).alias("avg_qty"),
+        )
+    )
+
+
+def big_order_revenue(
+    orders: DataFrame, lineitem: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """TPC-H Q3-shaped: revenue per urgent-ish order for BUILDING-segment
+    customers, kept when revenue > 300000 (threshold instead of top-k so
+    the result is order-insensitive)."""
+    cust = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ords = (
+        orders.filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    rev = lineitem.filter(F.col("l_shipdate") > F.lit("1998-01-01")).select(
+        "l_orderkey",
+        (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).alias(
+            "d_rev"
+        ),
+    )
+    return (
+        ords.join(rev, ords.o_orderkey == rev.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.sum("d_rev").cast("double").alias("revenue"))
+        .filter(F.col("revenue") > 300000)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("revenue", 2).alias("revenue"),
+        )
+    )
+
+
+def events_daily_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling-window (1 day) counts/sums per event_type — the batch form
+    of the streaming windowed aggregation (§2.9)."""
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    return (
+        events.groupBy(day.alias("day"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+            F.count_distinct("user_id").alias("unique_users"),
+        )
+    )
+
+
+def top_users_by_activity(events: DataFrame) -> DataFrame:
+    """Per-user event stats, filtered to heavy users (threshold, not LIMIT,
+    for order-insensitive comparison)."""
+    per_user = events.groupBy("user_id").agg(
+        F.count("*").alias("events"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+        F.count_distinct("event_type").alias("distinct_types"),
+    )
+    q = per_user.agg(
+        F.expr("percentile(events, 0.95)").alias("q95")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(q))
+        .filter(F.col("events") > F.col("q95"))
+        .select("user_id", "events", F.round("total_value", 2).alias("total_value"), "distinct_types")
+    )

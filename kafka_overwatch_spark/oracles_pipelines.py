@@ -1,0 +1,359 @@
+"""DuckDB oracle SQL for the pipeline (dedup/text/similarity) and
+relational (TPC-H-ish/events) queries.
+
+These operate on the raw testdata views directly (no snapshot CTEs).
+Parity rules (same as oracles.py) plus:
+- all md5-derived hashes are identical by construction
+- cosine/dot products computed on DOUBLE[] (DuckDB list_cosine_similarity
+  on FLOAT[] accumulates float32 error that breaks round-6 equality)
+- money aggregates summed as DECIMAL(18,2/4) then cast to DOUBLE —
+  order-independent, bit-identical
+- integer division uses `//` (DuckDB) / `div` (Spark), never
+  float-division + cast
+"""
+
+from __future__ import annotations
+
+from .pipelines.dedup import (
+    COSINE_THRESHOLD,
+    JACCARD_THRESHOLD,
+    NUM_BANDS,
+    NUM_HASHES,
+    ROWS_PER_BAND,
+    SHINGLE_K,
+    SIMHASH_BITS,
+    SIMHASH_MAX_HAMMING,
+)
+
+# --- shared text CTE fragments (duckdb dialect) ---
+NORM_CTE = """
+norm AS (
+  SELECT doc_id, lang, source,
+    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+)"""
+
+SHINGLE_CTE = (
+    NORM_CTE
+    + f""",
+tokarr AS (
+  SELECT doc_id, lang, string_split(t, ' ') AS toks FROM norm
+),
+shingled AS (
+  SELECT doc_id, lang,
+    list_distinct(list_transform(
+      generate_series(0, greatest(len(toks) - {SHINGLE_K}, 0)),
+      i -> array_to_string(toks[i+1:i+{SHINGLE_K}], ' '))) AS sh
+  FROM tokarr
+),
+docs AS (SELECT * FROM shingled WHERE len(sh) > 0)"""
+)
+
+_JACCARD = (
+    "round(CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x))) AS DOUBLE)"
+    " / (len(da.sh) + len(db.sh)"
+    " - len(list_filter(da.sh, x -> list_contains(db.sh, x)))), 6)"
+)
+
+
+def pipeline_oracles() -> dict[str, str]:
+    q: dict[str, str] = {}
+
+    # --- dedup ---
+    q["dedup_exact_groups"] = f"""
+WITH {NORM_CTE}
+SELECT md5(t) AS fingerprint,
+  CAST(min(doc_id) AS BIGINT) AS keeper,
+  CAST(count(*) AS BIGINT) AS dup_count
+FROM norm GROUP BY md5(t) HAVING count(*) > 1"""
+
+    q["dedup_exact_keep"] = f"""
+WITH {NORM_CTE}
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(t) AS fingerprint
+FROM norm GROUP BY md5(t)"""
+
+    q["dedup_minhash_lsh"] = f"""
+WITH {SHINGLE_CTE},
+sig AS (
+  SELECT doc_id, sh,
+    list_transform(generate_series(0, {NUM_HASHES - 1}),
+      h -> list_min(list_transform(sh,
+        s -> md5(CAST(h AS STRING) || ':' || s)))) AS sig
+  FROM docs
+),
+bands AS (
+  SELECT doc_id, b.band_id,
+    md5(array_to_string(
+      sig[b.band_id*{ROWS_PER_BAND}+1 : b.band_id*{ROWS_PER_BAND}+{ROWS_PER_BAND}],
+      '|')) AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, {NUM_BANDS - 1})) AS band_id) b
+),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bucket_n
+  FROM bands
+),
+keep AS (SELECT * FROM sized WHERE bucket_n <= 1000),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
+  FROM keep a JOIN keep bb
+    ON a.band_id = bb.band_id AND a.band_key = bb.band_key
+   AND a.doc_id < bb.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b, {_JACCARD} AS jaccard
+  FROM cand c
+  JOIN docs da ON c.doc_a = da.doc_id
+  JOIN docs db ON c.doc_b = db.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}"""
+
+    q["dedup_ngram_jaccard"] = f"""
+WITH {SHINGLE_CTE},
+pairs AS (
+  SELECT da.lang, da.doc_id AS doc_a, db.doc_id AS doc_b,
+    {_JACCARD} AS jaccard
+  FROM docs da JOIN docs db
+    ON da.lang = db.lang AND da.doc_id < db.doc_id
+)
+SELECT lang, doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.35"""
+
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h // {2**b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    q["dedup_simhash_pairs"] = f"""
+WITH {NORM_CTE},
+tokens AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM norm
+),
+hashed AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS h
+  FROM tokens
+),
+bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM hashed GROUP BY doc_id
+),
+fps AS (
+  SELECT doc_id, CAST({fp_terms} AS BIGINT) AS simhash FROM bits
+),
+chunks AS (
+  SELECT doc_id, simhash, c.chunk_id,
+    (simhash // CAST(pow(2, 8 * c.chunk_id) AS BIGINT)) % 256 AS chunk_val
+  FROM fps, (SELECT unnest(generate_series(0, 3)) AS chunk_id) c
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.simhash AS fp_a, b.simhash AS fp_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {SIMHASH_MAX_HAMMING}"""
+
+    q["dedup_embedding_cosine"] = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= {COSINE_THRESHOLD}"""
+
+    # --- similarity search ---
+    q["ann_cosine_topk"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+    round(list_cosine_similarity(q.q_emb, v.emb), 6) AS cosine
+  FROM queries q, e v WHERE v.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5"""
+
+    plane_w = (
+        "((CAST(concat('0x', substr(md5('plane:' || CAST(p AS STRING) || ':' "
+        "|| CAST(d AS STRING)), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0)"
+    )
+    bucket_expr = f"""
+  CAST(list_sum(list_transform(generate_series(0, 7), p ->
+    CASE WHEN list_sum(list_transform(generate_series(0, 63), d ->
+      emb[d+1] * {plane_w})) > 0
+    THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)) AS BIGINT)"""
+    q["ann_lsh_buckets"] = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+)
+SELECT vec_id, {bucket_expr} AS bucket FROM e"""
+
+    q["ann_lsh_pairs"] = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+tagged AS (
+  SELECT vec_id, emb, {bucket_expr} AS bucket FROM e
+)
+SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+FROM tagged a JOIN tagged b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.3"""
+
+    # --- text analysis ---
+    q["text_token_stats"] = """
+SELECT doc_id,
+  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+    AS BIGINT) AS regex_tokens,
+  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+    AS BIGINT) AS distinct_tokens,
+  round(CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+    AS DOUBLE) / len(regexp_split_to_array(trim(text), '\\s+')), 6)
+    AS distinct_ratio
+FROM documents"""
+
+    q["text_quality"] = """
+WITH base AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT)
+      AS nonpunct,
+    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+      t -> t IN ('the','a','of','to','and','is'))) AS BIGINT) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+  round(CAST(n_chars - nonpunct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+  round(CAST(stop_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+  round((CAST(n_chars AS DOUBLE) - n_tokens + 1) / n_tokens, 6)
+    AS mean_token_len,
+  round(
+    least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.4
+    + least(CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1) * 5, 1.0) * 0.4
+    + (1 - least(CAST(n_chars - nonpunct AS DOUBLE) / n_chars * 10, 1.0))
+      * 0.2, 6) AS quality_score
+FROM base"""
+
+    markers = {
+        "en": ("the", "a", "of", "to", "and", "is"),
+        "es": ("el", "la", "de", "que", "los", "una"),
+        "fr": ("le", "la", "les", "des", "une", "est"),
+        "zh": ("的", "是", "了", "在", "我", "有"),
+    }
+    score_cols = ",\n    ".join(
+        "CAST(len(list_filter(list_transform(regexp_split_to_array(trim(text),"
+        f" '\\s+'), t -> lower(t)), t -> t IN {markers[lang]!r})) AS BIGINT)"
+        f" AS score_{lang}"
+        for lang in markers
+    )
+    pred_cases = "\n    ".join(
+        f"WHEN score_{lang} = best AND best > 0 THEN '{lang}'"
+        for lang in markers
+    )
+    q["text_language_id"] = f"""
+WITH scored AS (
+  SELECT doc_id, lang AS declared_lang,
+    {score_cols}
+  FROM documents
+),
+with_best AS (
+  SELECT *, greatest(score_en, score_es, score_fr, score_zh) AS best
+  FROM scored
+)
+SELECT doc_id, declared_lang,
+  CASE
+    {pred_cases}
+    ELSE 'und' END AS predicted_lang,
+  score_en, score_es, score_fr, score_zh
+FROM with_best"""
+
+    q["text_fingerprints"] = f"""
+WITH {NORM_CTE},
+tokarr AS (SELECT doc_id, t, string_split(t, ' ') AS toks FROM norm)
+SELECT doc_id,
+  md5(t) AS content_md5,
+  md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+    AS bag_fingerprint,
+  list_min(list_transform(
+    list_transform(generate_series(0, greatest(len(toks) - 5, 0)),
+      i -> array_to_string(toks[i+1:i+5], ' ')),
+    s -> md5(s))) AS rolling_min_hash
+FROM tokarr"""
+
+    # --- relational / events ---
+    q["tpch_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+    AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+    AS DOUBLE) AS sum_disc_price,
+  CAST(count(*) AS BIGINT) AS count_order,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+    AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+    q["tpch_big_order_revenue"] = """
+WITH cust AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+ords AS (
+  SELECT o_orderkey, o_orderpriority
+  FROM orders JOIN cust ON o_custkey = c_custkey
+  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+),
+rev AS (
+  SELECT l_orderkey,
+    CAST(l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      AS d_rev
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT o_orderkey, o_orderpriority,
+  round(CAST(sum(d_rev) AS DOUBLE), 2) AS revenue
+FROM ords JOIN rev ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_orderpriority
+HAVING CAST(sum(d_rev) AS DOUBLE) > 300000"""
+
+    q["events_daily_rollup"] = """
+SELECT CAST(floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+    / 86400) AS BIGINT) AS day,
+  event_type,
+  CAST(count(*) AS BIGINT) AS events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
+FROM events GROUP BY 1, 2"""
+
+    q["events_top_users"] = """
+WITH per_user AS (
+  SELECT user_id,
+    CAST(count(*) AS BIGINT) AS events,
+    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+    CAST(count(DISTINCT event_type) AS BIGINT) AS distinct_types
+  FROM events GROUP BY user_id
+),
+q AS (SELECT quantile_cont(events, 0.95) AS q95 FROM per_user)
+SELECT user_id, events, round(total_value, 2) AS total_value, distinct_types
+FROM per_user, q WHERE events > q95"""
+
+    return q

@@ -124,24 +124,29 @@ def minhash_lsh_pairs(
             ),
         ).alias("sig"),
     )
+    # band keys with LITERAL slice offsets (python-unrolled): a lambda-bound
+    # slice start knocks the expression off the codegen path (measured 74s
+    # vs <2s on 500 docs)
     bands = sig.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(NUM_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.md5(
-                        F.array_join(
-                            F.slice(
-                                F.col("sig"),
-                                b * ROWS_PER_BAND + 1,
-                                ROWS_PER_BAND,
-                            ),
-                            "|",
-                        )
-                    ).alias("band_key"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("band_id"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(
+                                    F.col("sig"),
+                                    b * ROWS_PER_BAND + 1,
+                                    ROWS_PER_BAND,
+                                ),
+                                "|",
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(NUM_BANDS)
+                ]
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
@@ -208,12 +213,12 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     toks = documents.select(
         "doc_id", F.explode(F.split(_norm_text(), " ")).alias("token")
     ).withColumn("h", _hash64(F.col("token")))
+    # NB: integer `div`, not float division — h is 60-bit and a double
+    # round-trip corrupts the low bits
     bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(
-                    (F.col("h") / F.lit(2**b)).cast("long") % 2 == 1, 1
-                ).otherwise(-1)
+                F.when(F.expr(f"(h div {2**b}) % 2 = 1"), 1).otherwise(-1)
             ).alias(f"s{b}")
             for b in range(SIMHASH_BITS)
         ]
@@ -236,11 +241,16 @@ def simhash_pairs(
         "doc_id",
         "simhash",
         F.explode(
-            F.expr(
-                "transform(sequence(0, 3), "
-                "c -> struct(c AS chunk_id, "
-                "CAST(simhash DIV CAST(pow(2, 8 * c) AS BIGINT) % 256 AS BIGINT)"
-                " AS chunk_val))"
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).cast("long").alias("chunk_id"),
+                        F.expr(
+                            f"CAST((simhash div {2 ** (8 * c)}) % 256 AS BIGINT)"
+                        ).alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
             )
         ).alias("ch"),
     ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")

@@ -43,11 +43,11 @@ def token_stats(documents: DataFrame) -> DataFrame:
     toks = _tokens()
     return documents.select(
         "doc_id",
-        F.size(toks).alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX))).alias(
-            "regex_tokens"
-        ),
-        F.size(F.array_distinct(toks)).alias("distinct_tokens"),
+        F.size(toks).cast("long").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), F.lit(0))
+        ).cast("long").alias("regex_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("distinct_tokens"),
         F.round(
             F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
         ).alias("distinct_ratio"),
@@ -60,9 +60,7 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     arithmetic only — same formula on the oracle side."""
     toks = _tokens()
     n_tok = F.size(toks)
-    stop_hits = F.size(
-        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS]))
-    )
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     n_chars = F.length("text")
     punct = F.length(F.regexp_replace(F.col("text"), PUNCT_REGEX, ""))
     return documents.select(
@@ -97,10 +95,13 @@ def language_id(documents: DataFrame) -> DataFrame:
     code asc); 'und' when nothing matches."""
     toks = _tokens(col="text")
     lowered = F.transform(toks, lambda t: F.lower(t))
+    def marker_filter(markers):
+        # NB: a default-arg lambda would have 2 params, which F.filter
+        # treats as (element, index) — build the 1-arg lambda via closure
+        return lambda t: t.isin(*markers)
+
     scores = [
-        F.size(
-            F.filter(lowered, lambda t: t.isin(*[F.lit(m) for m in markers]))
-        ).alias(f"score_{lang}")
+        F.size(F.filter(lowered, marker_filter(markers))).alias(f"score_{lang}")
         for lang, markers in LANG_MARKERS.items()
     ]
     scored = documents.select("doc_id", "lang", *scores)

@@ -14,15 +14,19 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import oracles
+from . import oracles, oracles_pipelines
 from .operators import governance as gov
 from .operators import lag as lagops
+from .operators import relational
 from .operators import schema_registry as sr
 from .operators import usage, windows
+from .pipelines import dedup, similarity
+from .pipelines import text as textops
 from .sinks import exports
 from .snapshot import build_snapshots
 
 _SNAP_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_TOPICS_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def get_snaps(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -33,6 +37,18 @@ def get_snaps(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         # category the same way, `reporting/topics.py:17-111`)
         _SNAP_CACHE[key] = build_snapshots(spark, sf_dir, cache=True)
     return _SNAP_CACHE[key]
+
+
+def get_topics_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topics_df is re-read by every waste/most-active/statistics query
+    (multiple actions) — cache it once per (session, sf_dir), mirroring the
+    reference materializing the pandas frame once per scan."""
+    key = (id(spark), sf_dir)
+    if key not in _TOPICS_DF_CACHE:
+        _TOPICS_DF_CACHE[key] = usage.build_topics_df(
+            get_snaps(spark, sf_dir)
+        ).cache()
+    return _TOPICS_DF_CACHE[key]
 
 
 def _snapshot_query(table: str, columns: list[str], ts_col: str | None = None):
@@ -76,21 +92,19 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # --- usage / report queries ---
-    q["topics_df"] = lambda s, d: usage.build_topics_df(get_snaps(s, d))
+    q["topics_df"] = get_topics_df
     for cat in usage.WASTE_PREDICATES:
         q[f"waste_{cat}"] = (
             lambda s, d, c=cat: usage.waste_category_topics(
-                usage.build_topics_df(get_snaps(s, d)), c
+                get_topics_df(s, d), c
             )
         )
-    q["waste_summary"] = lambda s, d: usage.waste_summary(
-        usage.build_topics_df(get_snaps(s, d))
-    )
+    q["waste_summary"] = lambda s, d: usage.waste_summary(get_topics_df(s, d))
     q["most_active_topics"] = lambda s, d: usage.most_active_topics(
-        usage.build_topics_df(get_snaps(s, d))
+        get_topics_df(s, d)
     )
     q["cluster_statistics"] = lambda s, d: usage.cluster_statistics(
-        usage.build_topics_df(get_snaps(s, d))
+        get_topics_df(s, d)
     )
 
     # --- lag / groups ---
@@ -130,8 +144,70 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- sinks-as-queries ---
     q["restore_commands"] = lambda s, d: exports.restore_commands(get_snaps(s, d))
 
+    # --- training-data pipelines (documents / embeddings) ---
+    def raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+        # get_snaps registers the raw views once; read from the same frames
+        get_snaps(spark, sf_dir)
+        return spark.table(name)
+
+    q["dedup_exact_groups"] = lambda s, d: dedup.exact_duplicates(
+        raw(s, d, "documents")
+    )
+    q["dedup_exact_keep"] = lambda s, d: dedup.exact_dedup_keep(
+        raw(s, d, "documents")
+    )
+    q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
+        raw(s, d, "documents")
+    )
+    q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        raw(s, d, "documents")
+    )
+    q["dedup_simhash_pairs"] = lambda s, d: dedup.simhash_pairs(
+        raw(s, d, "documents")
+    )
+    q["dedup_embedding_cosine"] = lambda s, d: dedup.embedding_neardup_pairs(
+        raw(s, d, "embeddings")
+    )
+    q["ann_cosine_topk"] = lambda s, d: similarity.brute_force_topk(
+        raw(s, d, "embeddings")
+    )
+    q["ann_lsh_buckets"] = lambda s, d: similarity.lsh_bucket_assignments(
+        raw(s, d, "embeddings")
+    )
+    q["ann_lsh_pairs"] = lambda s, d: similarity.lsh_neighbor_pairs(
+        raw(s, d, "embeddings")
+    )
+    q["text_token_stats"] = lambda s, d: textops.token_stats(
+        raw(s, d, "documents")
+    )
+    q["text_quality"] = lambda s, d: textops.quality_scores(
+        raw(s, d, "documents")
+    )
+    q["text_language_id"] = lambda s, d: textops.language_id(
+        raw(s, d, "documents")
+    )
+    q["text_fingerprints"] = lambda s, d: textops.fingerprints(
+        raw(s, d, "documents")
+    )
+
+    # --- relational / events analytics ---
+    q["tpch_pricing_summary"] = lambda s, d: relational.pricing_summary(
+        raw(s, d, "lineitem")
+    )
+    q["tpch_big_order_revenue"] = lambda s, d: relational.big_order_revenue(
+        raw(s, d, "orders"), raw(s, d, "lineitem"), raw(s, d, "customer")
+    )
+    q["events_daily_rollup"] = lambda s, d: relational.events_daily_rollup(
+        raw(s, d, "events")
+    )
+    q["events_top_users"] = lambda s, d: relational.top_users_by_activity(
+        raw(s, d, "events")
+    )
+
     return q
 
 
 def oracle_sql() -> dict[str, str]:
-    return oracles.oracle_queries()
+    out = oracles.oracle_queries()
+    out.update(oracles_pipelines.pipeline_oracles())
+    return out
