@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing methodology: each query's full execution is forced with the noop
+sink (no driver-side row transfer); snapshot-table materialization is a
+separate, reported "setup" phase (it is fixture derivation, not engine
+work, but it is not hidden).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # kafka-analytics core (the reference's report pipeline)
+    "topics_df",
+    "groups_df",
+    "waste_summary",
+    "most_active_topics",
+    "governance_summary",
+    "lag_per_topic",
+    "sr_backup_index",
+    "restore_commands",
+    "w1_offset_deltas",
+    "topic_throughput_timeseries",
+    # training-data pipelines
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_lsh_pairs",
+    "text_quality",
+    "text_language_id",
+    "text_fingerprints",
+    # relational / events
+    "tpch_pricing_summary",
+    "tpch_big_order_revenue",
+    "events_daily_rollup",
+    "events_top_users",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+
+    from kafka_overwatch_spark import registry
+    from kafka_overwatch_spark.session import get_spark
+
+    spark = get_spark("kafka-overwatch-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = registry.spark_queries()
+
+    t_setup = time.time()
+    snaps = registry.get_snaps(spark, sf_dir)
+    for df in snaps.values():
+        force(df)
+    force(registry.get_topics_df(spark, sf_dir))
+    setup_sec = round(time.time() - t_setup, 3)
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        force(queries[name](spark, sf_dir))
+        per_query[name] = round(time.time() - t0, 3)
+        print(f"  bench {name}: {per_query[name]}s", file=sys.stderr)
+
+    total = round(sum(per_query.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf),
+                "setup_sec": setup_sec,
+                "n_queries": len(per_query),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -106,8 +106,14 @@ def minhash_lsh_pairs(
     of ``md5('<h>:<shingle>')``) — cross-engine deterministic without any
     integer-hash dependency.
     """
-    docs = documents.select("doc_id", _shingles().alias("sh")).filter(
-        F.size("sh") > 0
+    # The shingle-set frame feeds three branches (signatures + both sides
+    # of the verify join) — cache it so the md5-heavy chain runs once.
+    # At 100 TB this intermediate is written to a table (checkpoint), same
+    # plan shape.
+    docs = (
+        documents.select("doc_id", _shingles().alias("sh"))
+        .filter(F.size("sh") > 0)
+        .cache()
     )
     sig = docs.select(
         "doc_id",

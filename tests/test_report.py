@@ -1,0 +1,80 @@
+"""Report assembly: the nested ClusterReport struct (SURVEY §3.2) and the
+sink surfaces (restore script, exports)."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+
+def test_cluster_report_shape(spark, snaps):
+    from kafka_overwatch_spark.operators.report import report_json
+
+    payload = json.loads(report_json(snaps))
+    assert payload["cluster_name"] == "primary"
+    stats = payload["statistics"]
+    assert stats["topics"] > 0 and stats["partitions"] > 0
+    assert isinstance(stats["most_active_topics"], dict)
+    cats = payload["estimated_waste"]["topic_categories"]
+    assert set(cats) == {
+        "no_messages",
+        "no_messages_topics_with_multiple_partitions",
+        "no_cgs_and_no_new_messages",
+    }
+    for cat in cats.values():
+        assert set(cat) >= {
+            "topics",
+            "topics_count",
+            "topic_partitions_sum",
+            "cluster_percentage",
+            "description",
+        }
+        assert len(cat["topics"]) == cat["topics_count"]
+    gov = payload["governance"]["topic_naming_convention"]
+    assert gov["total"] == stats["topics"]
+    assert gov["total_measured"] == gov["total"] - gov["total_ignored"]
+    assert 0 <= gov["compliant_percentage"] <= 100
+    sr = payload["schema_registry"]
+    assert sr["subjects_count"] > 0 and sr["unused_subjects_count"] > 0
+
+
+def test_waste_category_internal_consistency(spark, snaps):
+    """The empty.* fixture topics must land in the no-messages categories."""
+    from kafka_overwatch_spark import registry
+    from kafka_overwatch_spark.operators import usage
+
+    topics_df = registry.get_topics_df(spark, "/root/testdata/sf0.001")
+    no_msg = {
+        r["name"]
+        for r in usage.waste_category_topics(topics_df, "no_messages").collect()
+    }
+    assert any(n.startswith("empty.") for n in no_msg)
+    stale = usage.waste_category_topics(
+        topics_df, "no_cgs_and_no_new_messages"
+    ).collect()
+    assert len(stale) > 0  # the bucket%7==3 stale topics
+
+
+def test_restore_script_sink(spark, snaps):
+    from kafka_overwatch_spark.sinks.exports import write_restore_script
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/restore.sh"
+        write_restore_script(snaps, path)
+        lines = open(path).read().splitlines()
+        assert lines[0] == "#!/usr/bin/env bash"
+        cmds = [l for l in lines if l.startswith("kafka-topics.sh")]
+        assert len(cmds) == snaps["topics"].count()
+        assert any("--config retention.ms=" in c for c in cmds)
+        assert any("--config cleanup.policy=compact" in c for c in cmds)
+
+
+def test_dataframe_exports(spark, snaps):
+    from kafka_overwatch_spark.sinks.exports import export_dataframe
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df = snaps["consumer_groups"]
+        export_dataframe(df, f"{tmp}/csv", "csv", single_file=True)
+        export_dataframe(df, f"{tmp}/json", "json")
+        assert spark.read.option("header", "true").csv(f"{tmp}/csv").count() == df.count()
+        assert spark.read.json(f"{tmp}/json").count() == df.count()
