@@ -197,3 +197,33 @@ def cluster_statistics(topics_df: DataFrame) -> DataFrame:
         F.count("name").alias("topics"),
         F.coalesce(F.sum("partitions"), F.lit(0)).alias("partitions"),
     )
+
+
+def describe_topics(topics_df: DataFrame) -> DataFrame:
+    """A5: the per-scan ``describe()`` printout
+    (`processing/clusters.py:108-109`) — Spark's ``summary()`` yields the
+    same count/mean/stddev/min/quartiles/max grid."""
+    return topics_df.select(
+        "partitions", "total_messages", "new_messages", "messages_per_seconds"
+    ).summary()
+
+
+def apply_topic_filters(
+    topics: DataFrame,
+    include_regexes: list[str] | None = None,
+    exclude_regexes: list[str] | None = None,
+) -> DataFrame:
+    """P12: the reference declares ``topic_include_regexes`` /
+    ``topic_exclude_regexes`` in config (`specs/config.py:464-465`) but
+    never applies them in scan code — implemented here as the documented
+    extension: a pushdown-friendly scan filter on the topics dim."""
+    out = topics
+    if include_regexes:
+        pred = F.lit(False)
+        for r in include_regexes:
+            pred = pred | F.col("name").rlike(r)
+        out = out.filter(pred)
+    if exclude_regexes:
+        for r in exclude_regexes:
+            out = out.filter(~F.col("name").rlike(r))
+    return out

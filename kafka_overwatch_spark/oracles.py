@@ -326,6 +326,15 @@ FROM (
 GROUP BY topic, scan_id"""
     )
 
+    # P12 extension: include/exclude regex scan filter
+    q["topics_scan_filtered"] = _snap_plain(
+        """
+SELECT cluster, name, partitions FROM topics
+WHERE regexp_matches(name, '^app\\..*$')
+  AND NOT regexp_matches(name, '^_.*$')
+  AND NOT regexp_matches(name, '.*\\.click\\..*$')"""
+    )
+
     # --- sinks expressed as queries ---
     q["restore_commands"] = _snap_plain(
         """

@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .util import spread
+
 # MinHash-LSH parameters: 12 hashes = 4 bands × 3 rows ⇒ s-curve threshold
 # ≈ (1/4)^(1/3) ≈ 0.63; verify threshold below keeps borderline pairs.
 NUM_HASHES = 12
@@ -94,10 +96,22 @@ def _jaccard(sa: F.Column, sb: F.Column) -> F.Column:
     return F.round(inter / (F.size(sa) + F.size(sb) - inter), 6)
 
 
+def shingle_docs(documents: DataFrame) -> DataFrame:
+    """The (doc_id, shingle-set) frame — the shared intermediate of the
+    shingle-based dedup family. Callers should cache/memoize it (see
+    registry.get_shingle_docs); at 100 TB it is a written table."""
+    return (
+        spread(documents)
+        .select("doc_id", _shingles().alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     max_bucket: int = 1000,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified by true shingle
     Jaccard ≥ threshold. Output: doc_a, doc_b, jaccard.
@@ -105,16 +119,14 @@ def minhash_lsh_pairs(
     MinHash permutations are salted md5 string-minima (lexicographic min
     of ``md5('<h>:<shingle>')``) — cross-engine deterministic without any
     integer-hash dependency.
+
+    ``docs``: pre-built (ideally cached) shingle_docs frame; derived ad
+    hoc when absent. The frame feeds three branches (signatures + both
+    sides of the verify join) — without caching the md5-heavy chain runs
+    three times per action.
     """
-    # The shingle-set frame feeds three branches (signatures + both sides
-    # of the verify join) — cache it so the md5-heavy chain runs once.
-    # At 100 TB this intermediate is written to a table (checkpoint), same
-    # plan shape.
-    docs = (
-        documents.select("doc_id", _shingles().alias("sh"))
-        .filter(F.size("sh") > 0)
-        .cache()
-    )
+    if docs is None:
+        docs = shingle_docs(documents)
     sig = docs.select(
         "doc_id",
         "sh",
@@ -191,9 +203,9 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Brute-force shingle-Jaccard near-dup pairs, blocked by `lang`
     (quadratic verifier baseline; LSH above is the scale path)."""
-    docs = documents.select("doc_id", "lang", _shingles().alias("sh")).filter(
-        F.size("sh") > 0
-    )
+    docs = spread(documents).select(
+        "doc_id", "lang", _shingles().alias("sh")
+    ).filter(F.size("sh") > 0)
     a = docs.select(
         F.col("lang"), F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
     )
@@ -216,7 +228,7 @@ def ngram_jaccard_pairs(
 def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     """32-bit SimHash per document: per bit, sum ±1 over token hash bits
     (token multiplicity = natural weighting); bit set iff the sum > 0."""
-    toks = documents.select(
+    toks = spread(documents).select(
         "doc_id", F.explode(F.split(_norm_text(), " ")).alias("token")
     ).withColumn("h", _hash64(F.col("token")))
     # NB: integer `div`, not float division — h is 60-bit and a double
@@ -310,14 +322,18 @@ def embedding_neardup_pairs(
     """Brute-force embedding-cosine near-dup pairs (a < b, cosine ≥
     threshold). Quadratic — the LSH-bucketed variant in similarity.py is
     the scale path; this is its verifier."""
-    a = embeddings.select(
+    # a single parquet file arrives as ONE partition — repartition the
+    # streamed side so the quadratic verify spreads across the cluster
+    # (task count of a broadcast nested-loop join = streamed-side partitions)
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    a = embeddings.repartition(par).select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
     )
     b = embeddings.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
     )
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",

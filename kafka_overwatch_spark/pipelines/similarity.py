@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .dedup import _hash64, cosine
+from .util import spread
 
 LSH_BITS = 8  # 8 hyperplanes → 256 buckets
 EMB_DIM = 64
@@ -78,13 +79,11 @@ def brute_force_topk(
     ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
     scored = (
-        F.broadcast(queries)
-        .crossJoin(
-            embeddings.select(
-                F.col("vec_id").alias("vec_id"), F.col("embedding").alias("emb")
-            )
-        )
+        embeddings.repartition(par)
+        .select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("emb"))
+        .crossJoin(F.broadcast(queries))
         .filter(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
@@ -116,7 +115,7 @@ def lsh_neighbor_pairs(
     verified by exact cosine ≥ threshold. The scale path — the self-join
     shuffles on bucket only (256 buckets here; at 100 TB use 16-24 bits
     plus multiple tables for recall)."""
-    tagged = embeddings.select(
+    tagged = spread(embeddings).select(
         "vec_id", "embedding", lsh_bucket(F.col("embedding"), bits).alias("bucket")
     )
     a = tagged.select(
@@ -140,3 +139,218 @@ def lsh_neighbor_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Vectorized (Arrow + numpy) brute-force paths.
+#
+# The pure-DataFrame fold above is the cross-engine-deterministic baseline,
+# but Spark evaluates higher-order-function lambdas interpreted per element
+# — ~200 boxed ops per pair. For the quadratic verifier the right physical
+# shape is a block matrix multiply: broadcast the (normalized) corpus
+# matrix, stream the other side through mapInPandas, and let numpy do a
+# dgemm per Arrow batch. Measured ~30× over the fold at sf0.1.
+#
+# At 100 TB the broadcast side no longer fits — the same mapInPandas body
+# then runs per (LSH bucket | IVF cell) with bucket-local matrices, which
+# is exactly lsh_neighbor_pairs' join shape.
+# ---------------------------------------------------------------------------
+
+from typing import Iterator  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+from pyspark.sql.types import (  # noqa: E402
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+PAIR_SCHEMA = StructType(
+    [
+        StructField("vec_a", LongType()),
+        StructField("vec_b", LongType()),
+        StructField("cosine", DoubleType()),
+    ]
+)
+
+TOPK_SCORE_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("vec_id", LongType()),
+        StructField("cosine", DoubleType()),
+    ]
+)
+
+
+def _normalized_corpus(embeddings: DataFrame):
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
+def embedding_neardup_pairs_vectorized(
+    embeddings: DataFrame, threshold: float
+) -> DataFrame:
+    """Block-GEMM near-dup pairs: same semantics (and oracle) as
+    dedup.embedding_neardup_pairs, vectorized physical plan."""
+    sc = embeddings.sparkSession.sparkContext
+    ids, mat = _normalized_corpus(embeddings)
+    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mb = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+            mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+            cos = np.round(mb @ all_mat.T, 6)
+            ai, bj = np.nonzero(cos >= threshold)
+            va, vb = bids[ai], all_ids[bj]
+            mask = va < vb
+            yield pd.DataFrame(
+                {"vec_a": va[mask], "vec_b": vb[mask], "cosine": cos[ai, bj][mask]}
+            )
+
+    return spread(embeddings.select("vec_id", "embedding")).mapInPandas(
+        block, PAIR_SCHEMA
+    )
+
+
+def brute_force_topk_vectorized(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = tuple(range(10)),
+    k: int = 5,
+) -> DataFrame:
+    """Vectorized exact top-k: scores from the block GEMM, final top-k via
+    the same deterministic window (round-6 cosine, vec_id tie-break)."""
+    sc = embeddings.sparkSession.sparkContext
+    q = embeddings.filter(F.col("vec_id").isin(*query_ids))
+    qids, qmat = _normalized_corpus(q)
+    b_qids, b_qmat = sc.broadcast(qids), sc.broadcast(qmat)
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_qids, all_qmat = b_qids.value, b_qmat.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mb = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+            mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+            cos = np.round(mb @ all_qmat.T, 6)  # n_corpus × n_queries
+            n, nq = cos.shape
+            qi = np.repeat(all_qids[np.newaxis, :], n, axis=0).ravel()
+            vi = np.repeat(bids[:, np.newaxis], nq, axis=1).ravel()
+            flat = cos.ravel()
+            mask = qi != vi
+            yield pd.DataFrame(
+                {"query_id": qi[mask], "vec_id": vi[mask], "cosine": flat[mask]}
+            )
+
+    scored = spread(embeddings.select("vec_id", "embedding")).mapInPandas(
+        block, TOPK_SCORE_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
+def _plane_matrix(bits: int = LSH_BITS, dim: int = EMB_DIM) -> np.ndarray:
+    """The hyperplane weights computed in pure Python — EXACTLY the
+    @HASH64-derived values the SQL path and the DuckDB oracle use
+    (first 15 hex chars of md5 → int), so buckets agree bit-for-bit."""
+    import hashlib
+
+    w = np.empty((bits, dim), dtype=np.float64)
+    for p in range(bits):
+        for d in range(dim):
+            h = int(
+                hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:15], 16
+            )
+            w[p, d] = (h % 2001 - 1000) / 1000.0
+    return w
+
+
+BUCKET_SCHEMA = StructType(
+    [StructField("vec_id", LongType()), StructField("bucket", LongType())]
+)
+
+
+def lsh_bucket_assignments_vectorized(
+    embeddings: DataFrame, bits: int = LSH_BITS
+) -> DataFrame:
+    """Vectorized bucket assignment: one dgemm against the plane matrix
+    per Arrow batch instead of bits×dim interpreted lambda ops per row."""
+    sc = embeddings.sparkSession.sparkContext
+    b_planes = sc.broadcast(_plane_matrix(bits, EMB_DIM))
+    powers = np.power(2, np.arange(bits)).astype(np.int64)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = b_planes.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+            signs = (m @ planes.T) > 0  # n×bits
+            buckets = (signs * powers).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame({"vec_id": ids, "bucket": buckets})
+
+    return spread(embeddings.select("vec_id", "embedding")).mapInPandas(
+        assign, BUCKET_SCHEMA
+    )
+
+
+def lsh_neighbor_pairs_vectorized(
+    embeddings: DataFrame, threshold: float = 0.3, bits: int = LSH_BITS
+) -> DataFrame:
+    """LSH pairs with vectorized bucket assignment + bucket-local GEMM
+    verify (applyInPandas per bucket — the exact shape that replaces the
+    global broadcast at 100 TB)."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    assigned = lsh_bucket_assignments_vectorized(embeddings, bits).join(
+        embeddings.select("vec_id", "embedding"), "vec_id"
+    )
+
+    out_schema = StructType(
+        [
+            StructField("bucket", LongType()),
+            StructField("vec_a", LongType()),
+            StructField("vec_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["bucket", "vec_a", "vec_b", "cosine"])
+        bucket = int(pdf["bucket"].iloc[0])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        m = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        cos = np.round(m @ m.T, 6)
+        ai, bj = np.nonzero(cos >= threshold)
+        mask = ids[ai] < ids[bj]
+        return pd.DataFrame(
+            {
+                "bucket": bucket,
+                "vec_a": ids[ai][mask],
+                "vec_b": ids[bj][mask],
+                "cosine": cos[ai, bj][mask],
+            }
+        )
+
+    return assigned.groupBy("bucket").applyInPandas(verify, out_schema)

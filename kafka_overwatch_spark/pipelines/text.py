@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import spread
+
 # Deterministic mini stopword lists per language for the n-gram/stopword
 # language-ID heuristic. (A real deployment plugs in fastText/CLD3 via a
 # pandas UDF; the heuristic keeps this container dependency-free and the
@@ -41,7 +43,7 @@ def token_stats(documents: DataFrame) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex tokens +
     distinct-token ratio."""
     toks = _tokens()
-    return documents.select(
+    return spread(documents).select(
         "doc_id",
         F.size(toks).cast("long").alias("ws_tokens"),
         F.size(
@@ -63,7 +65,7 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     n_chars = F.length("text")
     punct = F.length(F.regexp_replace(F.col("text"), PUNCT_REGEX, ""))
-    return documents.select(
+    return spread(documents).select(
         "doc_id",
         n_chars.cast("long").alias("n_chars"),
         n_tok.cast("long").alias("n_tokens"),
@@ -104,7 +106,7 @@ def language_id(documents: DataFrame) -> DataFrame:
         F.size(F.filter(lowered, marker_filter(markers))).alias(f"score_{lang}")
         for lang, markers in LANG_MARKERS.items()
     ]
-    scored = documents.select("doc_id", "lang", *scores)
+    scored = spread(documents).select("doc_id", "lang", *scores)
     # argmax via greatest + chained when (deterministic tie order = dict order)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
     pred = F.lit("und")
@@ -135,7 +137,7 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         F.sequence(F.lit(0), F.greatest(F.size(toks) - 5, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, 5), " "),
     )
-    return documents.select(
+    return spread(documents).select(
         "doc_id",
         F.md5(norm).alias("content_md5"),
         F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(

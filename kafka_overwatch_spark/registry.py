@@ -51,6 +51,21 @@ def get_topics_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _TOPICS_DF_CACHE[key]
 
 
+_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def get_shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized cached shingle-set frame — a fresh .cache() per call would
+    leak a new cached RDD every invocation and degrade long sessions."""
+    key = (id(spark), sf_dir)
+    if key not in _SHINGLE_CACHE:
+        get_snaps(spark, sf_dir)
+        _SHINGLE_CACHE[key] = dedup.shingle_docs(
+            spark.table("documents")
+        ).cache()
+    return _SHINGLE_CACHE[key]
+
+
 def _snapshot_query(table: str, columns: list[str], ts_col: str | None = None):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = get_snaps(spark, sf_dir)[table]
@@ -141,6 +156,13 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda s, d: windows.topic_throughput_timeseries(get_snaps(s, d))
     )
 
+    # P12 extension: include/exclude regex scan filter
+    q["topics_scan_filtered"] = lambda s, d: usage.apply_topic_filters(
+        get_snaps(s, d)["topics"].select("cluster", "name", "partitions"),
+        include_regexes=[r"^app\..*$"],
+        exclude_regexes=[r"^_.*$", r".*\.click\..*$"],
+    )
+
     # --- sinks-as-queries ---
     q["restore_commands"] = lambda s, d: exports.restore_commands(get_snaps(s, d))
 
@@ -157,7 +179,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         raw(s, d, "documents")
     )
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
-        raw(s, d, "documents")
+        raw(s, d, "documents"), docs=get_shingle_docs(s, d)
     )
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
         raw(s, d, "documents")
@@ -165,16 +187,20 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash_pairs"] = lambda s, d: dedup.simhash_pairs(
         raw(s, d, "documents")
     )
-    q["dedup_embedding_cosine"] = lambda s, d: dedup.embedding_neardup_pairs(
+    q["dedup_embedding_cosine"] = (
+        lambda s, d: similarity.embedding_neardup_pairs_vectorized(
+            raw(s, d, "embeddings"), dedup.COSINE_THRESHOLD
+        )
+    )
+    q["ann_cosine_topk"] = lambda s, d: similarity.brute_force_topk_vectorized(
         raw(s, d, "embeddings")
     )
-    q["ann_cosine_topk"] = lambda s, d: similarity.brute_force_topk(
-        raw(s, d, "embeddings")
+    q["ann_lsh_buckets"] = (
+        lambda s, d: similarity.lsh_bucket_assignments_vectorized(
+            raw(s, d, "embeddings")
+        )
     )
-    q["ann_lsh_buckets"] = lambda s, d: similarity.lsh_bucket_assignments(
-        raw(s, d, "embeddings")
-    )
-    q["ann_lsh_pairs"] = lambda s, d: similarity.lsh_neighbor_pairs(
+    q["ann_lsh_pairs"] = lambda s, d: similarity.lsh_neighbor_pairs_vectorized(
         raw(s, d, "embeddings")
     )
     q["text_token_stats"] = lambda s, d: textops.token_stats(

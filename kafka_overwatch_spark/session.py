@@ -42,3 +42,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+
+def warm_python_workers(spark: SparkSession) -> None:
+    """Spawn (and keep, via spark.python.worker.reuse) one Python worker
+    per core with a trivial mapInPandas. Cold worker init measured at
+    ~20-25 s/worker when 32 spawn concurrently mid-workload (pandas/numpy
+    import under contention) — warming during setup moves that cost out of
+    every first Arrow-UDF query."""
+    par = spark.sparkContext.defaultParallelism
+    (
+        spark.range(par * 2, numPartitions=par)
+        .mapInPandas(lambda it: it, "id long")
+        .count()
+    )

@@ -1,0 +1,45 @@
+"""A5 describe()/summary and P12 scan filters."""
+
+from __future__ import annotations
+
+
+def test_describe_topics_summary_grid(spark, snaps):
+    from kafka_overwatch_spark import registry
+    from kafka_overwatch_spark.operators.usage import describe_topics
+
+    topics_df = registry.get_topics_df(spark, "/root/testdata/sf0.001")
+    rows = describe_topics(topics_df).collect()
+    stats = {r["summary"] for r in rows}
+    assert {"count", "mean", "stddev", "min", "25%", "50%", "75%", "max"} <= stats
+    count_row = next(r for r in rows if r["summary"] == "count")
+    assert int(count_row["partitions"]) == topics_df.count()
+
+
+def test_apply_topic_filters(spark, snaps):
+    from kafka_overwatch_spark.operators.usage import apply_topic_filters
+
+    topics = snaps["topics"]
+    out = apply_topic_filters(
+        topics, include_regexes=[r"^app\..*$"], exclude_regexes=[r"^_.*$"]
+    )
+    names = [r["name"] for r in out.collect()]
+    assert names and all(n.startswith("app.") for n in names)
+    # exclude wins over include
+    both = apply_topic_filters(
+        topics, include_regexes=[r".*"], exclude_regexes=[r"^app\..*$"]
+    )
+    assert all(not r["name"].startswith("app.") for r in both.collect())
+
+
+def test_filter_pushdown_in_plan(spark, snaps):
+    """The P12 filter must reach the scan in a plain parquet read (the
+    snapshot CTE chain hides the scan; probe with a direct read)."""
+    from kafka_overwatch_spark.operators.usage import apply_topic_filters
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang", "source"
+    ).withColumnRenamed("source", "name")
+    plan = apply_topic_filters(
+        df, exclude_regexes=[r"^src1$"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "Filter" in plan
