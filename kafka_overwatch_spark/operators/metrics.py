@@ -1,0 +1,69 @@
+"""Prometheus-style metrics surface (K4).
+
+The reference registers gauges/summaries in `monitoring/prometheus.py:7-75`
+and sets them per scan (`processing/clusters.py:93-99,110`,
+`overwatch_resources/topics.py:97-99`):
+
+- ``kafka_topics_total{cluster}``        — topic count
+- ``kafka_partitions_total{cluster}``    — partition sum
+- ``kafka_consumer_groups_total{cluster}`` — group count
+- ``kafka_consumer_group_lag{cluster,group,topic}`` — per-(group, topic)
+  lag total
+
+Here the metric families are one long-format DataFrame (metric, cluster,
+group_id, topic, value) — a pushgateway/foreachBatch sink consumes rows
+directly. Long format keeps the query UNION-free at the storage layer and
+lets the sink batch by metric name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .lag import lag_per_topic
+from .usage import FINAL_SCAN
+
+
+def metrics_snapshot(snaps: dict[str, DataFrame]) -> DataFrame:
+    """All gauge values for the current scan as (metric, cluster,
+    group_id, topic, value) rows."""
+    po_final = snaps["partition_offsets"].filter(F.col("scan_id") == FINAL_SCAN)
+    topic_counts = po_final.groupBy("cluster").agg(
+        F.count_distinct("topic").alias("topics"),
+        F.count("*").alias("partitions"),
+    )
+    scalars = topic_counts.select(
+        F.lit("kafka_topics_total").alias("metric"),
+        "cluster",
+        F.lit(None).cast("string").alias("group_id"),
+        F.lit(None).cast("string").alias("topic"),
+        F.col("topics").cast("long").alias("value"),
+    ).unionByName(
+        topic_counts.select(
+            F.lit("kafka_partitions_total").alias("metric"),
+            "cluster",
+            F.lit(None).cast("string").alias("group_id"),
+            F.lit(None).cast("string").alias("topic"),
+            F.col("partitions").cast("long").alias("value"),
+        )
+    ).unionByName(
+        snaps["consumer_groups"]
+        .groupBy("cluster")
+        .agg(F.count("*").alias("groups"))
+        .select(
+            F.lit("kafka_consumer_groups_total").alias("metric"),
+            "cluster",
+            F.lit(None).cast("string").alias("group_id"),
+            F.lit(None).cast("string").alias("topic"),
+            F.col("groups").cast("long").alias("value"),
+        )
+    )
+    lag = lag_per_topic(snaps).select(
+        F.lit("kafka_consumer_group_lag").alias("metric"),
+        F.lit("primary").alias("cluster"),
+        F.col("group_id"),
+        F.col("topic"),
+        F.col("total_lag").cast("long").alias("value"),
+    )
+    return scalars.unionByName(lag)

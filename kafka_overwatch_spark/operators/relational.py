@@ -97,6 +97,43 @@ def events_daily_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def sessionize_events(events: DataFrame, gap_seconds: int = 86400) -> DataFrame:
+    """Gap-based sessionization (batch form of streaming session windows):
+    a new session starts when the user's inter-event gap exceeds
+    ``gap_seconds``. Classic lag + cumulative-sum-over-window shape —
+    two passes over one (user_id)-partitioned window, single exchange.
+
+    Output: user_id, session_id (1-based per user), events,
+    duration_sec."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+            > gap_seconds,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    ).withColumn(
+        "session_id",
+        (F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ) + 1).cast("long"),
+    )
+    return marked.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).cast("long").alias("duration_sec"),
+    )
+
+
 def top_users_by_activity(events: DataFrame) -> DataFrame:
     """Per-user event stats, filtered to heavy users (threshold, not LIMIT,
     for order-insensitive comparison)."""

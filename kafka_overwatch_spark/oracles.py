@@ -326,6 +326,34 @@ FROM (
 GROUP BY topic, scan_id"""
     )
 
+    # K4: prometheus gauge families (long format)
+    q["metrics_snapshot"] = _snap(
+        LAG_CTE
+        + """,
+po_final_metrics AS (
+  SELECT cluster, topic FROM partition_offsets WHERE scan_id = 3
+),
+tc AS (
+  SELECT cluster, CAST(count(DISTINCT topic) AS BIGINT) AS topics,
+    CAST(count(*) AS BIGINT) AS partitions
+  FROM po_final_metrics GROUP BY cluster
+)
+SELECT 'kafka_topics_total' AS metric, cluster,
+  CAST(NULL AS STRING) AS group_id, CAST(NULL AS STRING) AS topic,
+  topics AS value
+FROM tc
+UNION ALL
+SELECT 'kafka_partitions_total', cluster, NULL, NULL, partitions FROM tc
+UNION ALL
+SELECT 'kafka_consumer_groups_total', cluster, NULL, NULL,
+  CAST(count(*) AS BIGINT)
+FROM consumer_groups GROUP BY cluster
+UNION ALL
+SELECT 'kafka_consumer_group_lag', 'primary', group_id, topic,
+  CAST(sum(lag) AS BIGINT)
+FROM lag_rows GROUP BY group_id, topic"""
+    )
+
     # P12 extension: include/exclude regex scan filter
     q["topics_scan_filtered"] = _snap_plain(
         """

@@ -344,6 +344,27 @@ SELECT CAST(floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
   CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
 FROM events GROUP BY 1, 2"""
 
+    q["events_sessionize"] = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN date_diff('second',
+        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+        > 86400 THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, event_id, ts,
+    CAST(sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS BIGINT)
+      AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+  CAST(count(*) AS BIGINT) AS events,
+  CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+FROM sessions GROUP BY user_id, session_id"""
+
     q["events_top_users"] = """
 WITH per_user AS (
   SELECT user_id,

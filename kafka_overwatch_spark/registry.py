@@ -17,7 +17,9 @@ from pyspark.sql import functions as F
 from . import oracles, oracles_pipelines
 from .operators import governance as gov
 from .operators import lag as lagops
+from .operators import metrics as metricsops
 from .operators import relational
+from .operators import report as reportops
 from .operators import schema_registry as sr
 from .operators import usage, windows
 from .pipelines import dedup, similarity
@@ -156,6 +158,18 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda s, d: windows.topic_throughput_timeseries(get_snaps(s, d))
     )
 
+    # K4: prometheus gauge families as a long-format frame
+    q["metrics_snapshot"] = lambda s, d: metricsops.metrics_snapshot(
+        get_snaps(s, d)
+    )
+
+    # K1/§3.2: the nested ClusterReport as a single-row frame. No ANSI-SQL
+    # oracle (deeply nested struct + maps) — the driver records the weaker
+    # rows-only check for this one, by design.
+    q["cluster_report"] = lambda s, d: reportops.build_cluster_report(
+        get_snaps(s, d)
+    )
+
     # P12 extension: include/exclude regex scan filter
     q["topics_scan_filtered"] = lambda s, d: usage.apply_topic_filters(
         get_snaps(s, d)["topics"].select("cluster", "name", "partitions"),
@@ -227,6 +241,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         raw(s, d, "events")
     )
     q["events_top_users"] = lambda s, d: relational.top_users_by_activity(
+        raw(s, d, "events")
+    )
+    q["events_sessionize"] = lambda s, d: relational.sessionize_events(
         raw(s, d, "events")
     )
 

@@ -1,0 +1,86 @@
+"""Streaming events: windowed agg totals equal the batch rollup; streaming
+dedup drops replayed duplicates."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _split_events(spark, tmp, parts=4, duplicate_last=False):
+    """Time-ordered slices — a replayed feed arrives roughly in event-time
+    order; slicing by id would make every later file almost entirely
+    late-beyond-watermark data."""
+    from pyspark.sql.window import Window
+
+    ev = spark.table("events")
+    n = ev.count()
+    sliced = ev.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+    per = (n + parts - 1) // parts
+    last = None
+    for i in range(parts):
+        s = sliced.filter(
+            (F.col("rn") > i * per) & (F.col("rn") <= (i + 1) * per)
+        ).drop("rn")
+        s.coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+        last = s
+    if duplicate_last:
+        last.coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+    return ev
+
+
+def test_windowed_counts_match_batch(spark, snaps):
+    from kafka_overwatch_spark.streaming import events_stream as es
+    from kafka_overwatch_spark.streaming.offsets import run_to_completion
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ev = _split_events(spark, tmp)
+        out = run_to_completion(
+            es.windowed_counts(es.event_stream(spark, f"{tmp}/in")),
+            f"{tmp}/ck",
+        )
+        got = {
+            (r["window_start"], r["event_type"]): (r["events"], r["total_value"])
+            for r in out
+        }
+        batch = (
+            ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .select(F.col("w.start").alias("ws"), "event_type", "events", "total_value")
+            .collect()
+        )
+        want = {(r["ws"], r["event_type"]): (r["events"], r["total_value"]) for r in batch}
+        # The final watermark may hold back the trailing window(s) in
+        # append mode; every emitted window must match batch exactly and
+        # cover all but at most the last watermark horizon.
+        assert got
+        for k, v in got.items():
+            assert want[k] == v, k
+        missing = set(want) - set(got)
+        if missing:
+            max_emitted = max(ws for ws, _ in got)
+            assert all(ws > max_emitted for ws, _ in missing)
+
+
+def test_streaming_dedup_drops_replayed_batch(spark, snaps):
+    from kafka_overwatch_spark.streaming import events_stream as es
+    from kafka_overwatch_spark.streaming.offsets import run_to_completion
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ev = _split_events(spark, tmp, duplicate_last=True)
+        out = run_to_completion(
+            es.streaming_dedup(es.event_stream(spark, f"{tmp}/in")),
+            f"{tmp}/ck2",
+        )
+        ids = [r["event_id"] for r in out]
+        assert len(ids) == len(set(ids)) == ev.count()
