@@ -45,6 +45,8 @@ HEADLINE = [
     "tpch_big_order_revenue",
     "events_daily_rollup",
     "events_top_users",
+    "events_sessionize",
+    "metrics_snapshot",
 ]
 
 

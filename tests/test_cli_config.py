@@ -1,0 +1,69 @@
+"""Config loader validation + CLI list (no-Spark paths in-process)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+
+def test_load_config_defaults_and_governance():
+    from kafka_overwatch_spark.config import load_config
+
+    yml = """
+clusters:
+  prod:
+    cluster_scan_interval_in_seconds: 30
+    topic_exclude_regexes: ["^_.*$"]
+    governance:
+      topic_naming_convention:
+        regexes: ["^[a-z]+\\\\..*$"]
+        ignore_regexes: ["^_.*$"]
+  staging: {}
+"""
+    with tempfile.NamedTemporaryFile("w", suffix=".yaml", delete=False) as fh:
+        fh.write(yml)
+        path = fh.name
+    cfg = load_config(path)
+    assert set(cfg) == {"prod", "staging"}
+    assert cfg["prod"].cluster_scan_interval_in_seconds == 30
+    assert cfg["prod"].governance.topic_naming_convention.regexes
+    assert cfg["staging"].cluster_scan_interval_in_seconds == 60  # default
+    assert cfg["staging"].governance is None
+
+
+def test_load_config_rejects_bad_interval():
+    from kafka_overwatch_spark.config import load_config
+
+    with tempfile.NamedTemporaryFile("w", suffix=".yaml", delete=False) as fh:
+        fh.write("clusters:\n  x:\n    cluster_scan_interval_in_seconds: 0\n")
+        path = fh.name
+    with pytest.raises(ValueError, match="must be > 0"):
+        load_config(path)
+
+
+def test_cli_list_names_every_registered_query(capsys):
+    from kafka_overwatch_spark.cli import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    for expected in ("topics_df", "dedup_minhash_lsh", "cluster_report"):
+        assert expected in out
+    assert "[rows-only]" in out and "[oracle]" in out
+
+
+def test_cli_unknown_query_exit_code(spark, snaps):
+    from kafka_overwatch_spark.cli import main
+
+    # patch _spark to reuse the test session (avoid stop())
+    import kafka_overwatch_spark.cli as cli
+
+    orig_spark, orig_stop = cli._spark, spark.stop
+    cli._spark = lambda: spark
+    spark.stop = lambda: None
+    try:
+        rc = main(["query", "--name", "nope", "--sf-dir", "/root/testdata/sf0.001"])
+    finally:
+        cli._spark = orig_spark
+        spark.stop = orig_stop
+    assert rc == 2
