@@ -1,0 +1,101 @@
+"""Property-based checks (hypothesis): Spark text/dedup operators vs
+straight-Python reimplementations on generated documents. Few examples,
+batched per example — each example is a Spark job."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+WORD = st.text(
+    alphabet=st.sampled_from("abcdefg xyz.,!0123456789"), min_size=1, max_size=12
+)
+TEXTS = st.lists(
+    WORD.filter(lambda s: s.strip()), min_size=1, max_size=25
+)
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
+@settings(max_examples=5, deadline=None)
+@given(TEXTS)
+def test_token_stats_matches_python(spark, texts):
+    from kafka_overwatch_spark.pipelines.text import token_stats
+
+    rows = {r["doc_id"]: r for r in token_stats(_df(spark, texts)).collect()}
+    for i, t in enumerate(texts):
+        ws = re.split(r"\s+", t.strip())
+        assert rows[i]["ws_tokens"] == len(ws)
+        assert rows[i]["distinct_tokens"] == len(set(ws))
+        regex_toks = re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]", t)
+        assert rows[i]["regex_tokens"] == len(regex_toks)
+
+
+@settings(max_examples=5, deadline=None)
+@given(TEXTS)
+def test_fingerprint_md5_matches_python(spark, texts):
+    from kafka_overwatch_spark.pipelines.text import fingerprints
+
+    rows = {r["doc_id"]: r for r in fingerprints(_df(spark, texts)).collect()}
+    for i, t in enumerate(texts):
+        norm = re.sub(r"\s+", " ", t.strip()).lower()
+        assert rows[i]["content_md5"] == hashlib.md5(norm.encode()).hexdigest()
+        bag = " ".join(sorted(set(norm.split(" "))))
+        assert rows[i]["bag_fingerprint"] == hashlib.md5(bag.encode()).hexdigest()
+
+
+@settings(max_examples=4, deadline=None)
+@given(TEXTS)
+def test_exact_dedup_partitions_docs(spark, texts):
+    """Keep-set and dup groups partition the corpus: every doc is either a
+    keeper or a member of a group with a smaller keeper."""
+    from kafka_overwatch_spark.pipelines.dedup import (
+        exact_dedup_keep,
+        exact_duplicates,
+    )
+
+    df = _df(spark, texts)
+    keep = {r["doc_id"] for r in exact_dedup_keep(df).collect()}
+    groups = exact_duplicates(df).collect()
+    norm = [re.sub(r"\s+", " ", t.strip()).lower() for t in texts]
+    for i in range(len(texts)):
+        first = norm.index(norm[i])
+        assert (i in keep) == (first == i)
+    assert sum(g["dup_count"] for g in groups) == sum(
+        1 for i in range(len(texts)) if norm.count(norm[i]) > 1
+    )
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10_000_000), min_size=2, max_size=40
+    )
+)
+def test_sessionize_gap_count(spark, offsets):
+    """Sessions per user == 1 + gaps > threshold (single-user case)."""
+    from kafka_overwatch_spark.operators.relational import sessionize_events
+
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    ts = sorted(offsets)
+    rows = [
+        (i, base + datetime.timedelta(seconds=s), 7, "click", 1.0, "{}")
+        for i, s in enumerate(ts)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = sessionize_events(df, gap_seconds=3600).collect()
+    gaps = sum(1 for a, b in zip(ts, ts[1:]) if b - a > 3600)
+    assert len(out) == gaps + 1
+    assert sum(r["events"] for r in out) == len(ts)
