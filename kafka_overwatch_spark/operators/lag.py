@@ -79,6 +79,24 @@ def lag_per_topic(snaps: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def lag_nested(snaps: dict[str, DataFrame]) -> DataFrame:
+    """A11: the reference's full nested lag shape —
+    ``{topic: {total, partitions: [(pid, lag)]}}`` per group
+    (`groups.py:103-141`) — as group_id, topic, total_lag,
+    partition_lags: array<struct<partition_id, lag>> (sorted by pid).
+    Registered rows-only (nested arrays aren't ANSI-SQL-hashable)."""
+    return (
+        lag_per_partition(snaps)
+        .groupBy("group_id", "topic")
+        .agg(
+            F.sum("lag").alias("total_lag"),
+            F.sort_array(
+                F.collect_list(F.struct("partition_id", "lag"))
+            ).alias("partition_lags"),
+        )
+    )
+
+
 def build_groups_df(snaps: dict[str, DataFrame]) -> DataFrame:
     """The per-group analytic frame (`clusters.py:332-342`,
     `groups.py:88-96`): name, members, state, eval_elapsed_time,

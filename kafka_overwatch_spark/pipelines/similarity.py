@@ -354,3 +354,101 @@ def lsh_neighbor_pairs_vectorized(
         )
 
     return assigned.groupBy("bucket").applyInPandas(verify, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-probing scale path.
+#
+# LSH above needs no training; IVF clusters the corpus (KMeans) and
+# probes only the nearest n_probe cells per query. Join shape at 100 TB:
+# assign (narrow map vs broadcast centroids) → shuffle on cell id →
+# per-cell GEMM. Training samples the corpus; the model is tiny
+# (n_cells × dim) and broadcast everywhere.
+#
+# Not oracle-checkable (KMeans is iterative) — tested by recall against
+# the exact brute-force top-k (tests/test_ann_ivf.py).
+# ---------------------------------------------------------------------------
+
+
+def ivf_index(embeddings: DataFrame, n_cells: int = 16, seed: int = 42):
+    """Train the coarse quantizer; returns (model, assignments df)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(vecs)
+    assigned = model.transform(vecs).select(
+        "vec_id", F.col("prediction").cast("long").alias("cell")
+    )
+    return model, assigned
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = tuple(range(10)),
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: per query, search only the n_probe nearest
+    cells. Returns query_id, vec_id, cosine, rank."""
+    model, assigned = ivf_index(embeddings, n_cells=n_cells, seed=seed)
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    centers_n = centers / np.maximum(
+        np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
+    )
+    sc = embeddings.sparkSession.sparkContext
+
+    # probe cells per query (queries are small: driver-side vs broadcast)
+    q_rows = embeddings.filter(F.col("vec_id").isin(*query_ids)).select(
+        "vec_id", "embedding"
+    ).collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    cell_sims = q_mat @ centers_n.T
+    probes = np.argsort(-cell_sims, axis=1)[:, :n_probe]
+
+    probe_rows = [
+        (int(q_ids[i]), int(c)) for i in range(len(q_ids)) for c in probes[i]
+    ]
+    spark = embeddings.sparkSession
+    probe_df = spark.createDataFrame(probe_rows, ["query_id", "cell"])
+
+    b_qids, b_qmat = sc.broadcast(q_ids), sc.broadcast(q_mat)
+
+    corpus = assigned.join(
+        embeddings.select("vec_id", "embedding"), "vec_id"
+    ).join(F.broadcast(probe_df), "cell")
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_qids, all_qmat = b_qids.value, b_qmat.value
+        qpos = {int(q): i for i, q in enumerate(all_qids)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            qi = pdf["query_id"].to_numpy(dtype=np.int64)
+            rows_q = all_qmat[[qpos[int(q)] for q in qi]]
+            cos = np.round((m * rows_q).sum(axis=1), 6)
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mask = vid != qi
+            yield pd.DataFrame(
+                {"query_id": qi[mask], "vec_id": vid[mask], "cosine": cos[mask]}
+            )
+
+    scored = corpus.mapInPandas(score, TOPK_SCORE_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+        )
+    )

@@ -128,6 +128,8 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lag_per_partition"] = lambda s, d: lagops.lag_per_partition(get_snaps(s, d))
     q["lag_per_topic"] = lambda s, d: lagops.lag_per_topic(get_snaps(s, d))
     q["groups_df"] = lambda s, d: lagops.build_groups_df(get_snaps(s, d))
+    # A11 full nested shape — rows-only (nested arrays, no SQL oracle)
+    q["lag_nested"] = lambda s, d: lagops.lag_nested(get_snaps(s, d))
 
     # --- governance ---
     q["governance_topics"] = lambda s, d: gov.governance_topics(get_snaps(s, d))
