@@ -91,6 +91,12 @@ def main() -> None:
 
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # throughput context: total input rows of the tables the headline
+    # queries scan (lineitem dominates), per steady-state second
+    input_rows = sum(
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        for t in ("lineitem", "orders", "events", "documents", "embeddings")
+    )
     print(
         json.dumps(
             {
@@ -102,6 +108,7 @@ def main() -> None:
                 "setup_sec": setup_sec,
                 "pass_totals": pass_totals,
                 "n_queries": len(per_query),
+                "input_rows": input_rows,
             }
         )
     )
