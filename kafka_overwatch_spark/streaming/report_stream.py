@@ -36,7 +36,12 @@ class StreamingUsageReporter:
         baseline: DataFrame,
         output_dir: str,
         evaluate_every: int = 2,
+        expire_after_batches: int | None = None,
     ) -> None:
+        """``expire_after_batches``: J5/J6 reconciliation — a (topic,
+        partition) absent from the feed for that many batches is dropped
+        from state (the reference deletes vanished topics/CGs from its
+        caches, `kafka_resources/topics.py:64-72`, `groups.py:55-71`)."""
         self.baseline = (
             baseline.select(
                 "topic",
@@ -47,15 +52,18 @@ class StreamingUsageReporter:
         )
         self.output_dir = output_dir
         self.evaluate_every = evaluate_every
+        self.expire_after_batches = expire_after_batches
         self.latest: DataFrame | None = None
         self.reports_emitted = 0
+        self.expired_keys: list[tuple[str, int]] = []
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # upsert latest state per (topic, partition): new batch rows win
+        # upsert latest state per (topic, partition): new batch rows win;
+        # track last-seen batch per key for expiry
         incoming = batch_df.select(
             "topic", "partition_id", "scan_id", "start_offset", "end_offset"
-        )
+        ).withColumn("last_seen_batch", F.lit(batch_id))
         if self.latest is None:
             self.latest = incoming.cache()
         else:
@@ -71,7 +79,16 @@ class StreamingUsageReporter:
                 .filter(F.col("_new").isNull())
                 .drop("_new")
                 .unionByName(incoming)
-            ).cache()
+            )
+            if self.expire_after_batches is not None:
+                cutoff = batch_id - self.expire_after_batches
+                expired = merged.filter(F.col("last_seen_batch") <= cutoff)
+                self.expired_keys.extend(
+                    (r["topic"], r["partition_id"])
+                    for r in expired.select("topic", "partition_id").collect()
+                )
+                merged = merged.filter(F.col("last_seen_batch") > cutoff)
+            merged = merged.cache()
             merged.count()  # materialize before unpersisting the parent
             prev.unpersist()
             self.latest = merged
@@ -121,10 +138,13 @@ def run_usage_report_stream(
     checkpoint: str,
     output_dir: str,
     evaluate_every: int = 2,
+    expire_after_batches: int | None = None,
 ):
     """Wire the stream: one file per trigger (≙ one scan per interval),
     reports every `evaluate_every` scans. Returns (query, reporter)."""
-    reporter = StreamingUsageReporter(baseline, output_dir, evaluate_every)
+    reporter = StreamingUsageReporter(
+        baseline, output_dir, evaluate_every, expire_after_batches
+    )
     stream = offset_sample_stream(spark, input_dir)
     q = (
         stream.writeStream.foreachBatch(reporter)
