@@ -266,6 +266,23 @@ def register_raw_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame
     return out
 
 
+def filter_cluster(
+    snaps: dict[str, DataFrame], cluster: str
+) -> dict[str, DataFrame]:
+    """One report pipeline per cluster, like the reference
+    (`overwatch.py:92-120` runs one process per cluster). Every snapshot
+    frame is filtered on its cluster/registry key — at scale this is the
+    partition-pruning predicate that keeps report queries O(one cluster),
+    not O(fleet); locally the fixture has a single 'primary' cluster."""
+    out = {}
+    for name, df in snaps.items():
+        if "cluster" in df.columns:
+            out[name] = df.filter(F.col("cluster") == cluster)
+        else:
+            out[name] = df  # SR dims key on registry, joined via config
+    return out
+
+
 def build_snapshots(
     spark: SparkSession, sf_dir: str, cache: bool = False
 ) -> dict[str, DataFrame]:
