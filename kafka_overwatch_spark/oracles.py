@@ -236,6 +236,18 @@ gov AS (
 )
 SELECT * FROM gov"""
     )
+    # reference CG bug mode: topic regexes evaluated against group names
+    q["governance_groups_reference_mode"] = _snap(
+        """
+gov AS (
+  SELECT group_id AS name,
+    regexp_matches(group_id, '^_.*$') AS excluded_name,
+    regexp_matches(group_id, '^[a-z]+\\.[a-z]+\\..*$') AS compliant_name
+  FROM consumer_groups
+)
+SELECT * FROM gov"""
+    )
+
     q["governance_summary"] = _snap(
         gov_topics
         + """

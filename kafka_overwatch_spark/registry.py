@@ -134,6 +134,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- governance ---
     q["governance_topics"] = lambda s, d: gov.governance_topics(get_snaps(s, d))
     q["governance_groups"] = lambda s, d: gov.governance_groups(get_snaps(s, d))
+    # the reference's CG-governance bug replicated bit-for-bit: topic
+    # regexes applied to group names (`reporting/__init__.py:91-94` →
+    # `:60-62`); see governance.py docstring
+    q["governance_groups_reference_mode"] = lambda s, d: gov.governance_groups(
+        get_snaps(s, d), reference_compatible=True
+    )
     q["governance_summary"] = lambda s, d: gov.naming_convention_summary(
         gov.governance_topics(get_snaps(s, d))
     )
