@@ -1,0 +1,115 @@
+"""Kafka metadata collector — the live-cluster source feeding the snapshot
+model (SURVEY §2.1 S1-S7).
+
+The reference scans with confluent-kafka clients:
+- topics + partitions:   `AdminClient.list_topics` / `describe_topics`
+  (`kafka_resources/topics.py:28-53`)
+- configs:               `describe_configs` (`topics.py:80-92`)
+- watermarks:            `Consumer.get_watermark_offsets` per partition
+  (`topics.py:168-178`)
+- groups + members:      `list/describe_consumer_groups`
+  (`kafka_resources/groups.py:23-108`)
+- committed offsets:     `list_consumer_group_offsets`, one group per call
+  (`groups.py:149-170`)
+
+This module is the connector seam: a ``ClusterClient`` protocol with
+exactly those capabilities, and ``collect_snapshot`` turning one scan into
+the five snapshot-table row sets. The confluent-kafka binding is import-
+guarded (not present in this container); tests drive the protocol with a
+fake client (tests/test_collector.py), which is also how the reference's
+thread-pooled scan would be unit-tested.
+
+Scale: collection is control-plane work (per-partition metadata RPCs, not
+data) — the reference parallelizes with thread pools sized to broker
+count (`topics.py:143-145`); the same applies here, and the resulting
+rows land in the partitioned ``partition_offsets`` table via a normal
+``spark.createDataFrame(...).write`` append per scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime
+from typing import Protocol
+
+
+class ClusterClient(Protocol):
+    """The S1-S7 capability surface (confluent-kafka shaped)."""
+
+    def list_topics(self) -> list[str]: ...
+
+    def describe_topic(self, topic: str) -> list[int]:
+        """partition ids"""
+        ...
+
+    def topic_config(self, topic: str) -> dict[str, str]: ...
+
+    def watermarks(self, topic: str, partition: int) -> tuple[int, int]:
+        """(low, high)"""
+        ...
+
+    def list_groups(self) -> list[str]: ...
+
+    def describe_group(self, group_id: str) -> tuple[str, int]:
+        """(state, members)"""
+        ...
+
+    def committed_offsets(self, group_id: str) -> list[tuple[str, int, int]]:
+        """[(topic, partition, offset)] — one group per call, mirroring the
+        Admin API limitation (`groups.py:149-165`)."""
+        ...
+
+
+@dataclass
+class SnapshotRows:
+    partition_offsets: list[tuple]
+    topics: list[tuple]
+    consumer_groups: list[tuple]
+    group_offsets: list[tuple]
+
+
+def collect_snapshot(
+    client: ClusterClient,
+    cluster: str,
+    scan_id: int,
+    now: datetime | None = None,
+) -> SnapshotRows:
+    """One scan: the reference's per-interval collection flattened into
+    snapshot rows (ts is one instant per scan, `kafka_resources/
+    topics.py:105`)."""
+    ts = now or datetime.utcnow()
+    po, tp, cg, go = [], [], [], []
+    for topic in client.list_topics():
+        pids = client.describe_topic(topic)
+        config = client.topic_config(topic)
+        tp.append(
+            (
+                cluster,
+                topic,
+                len(pids),
+                int(config["retention.ms"]) if "retention.ms" in config else None,
+                config.get("cleanup.policy"),
+            )
+        )
+        for pid in pids:
+            low, high = client.watermarks(topic, pid)
+            po.append((cluster, topic, pid, scan_id, low, high, ts))
+    for group_id in client.list_groups():
+        state, members = client.describe_group(group_id)
+        cg.append((cluster, group_id, state, members))
+        for topic, pid, offset in client.committed_offsets(group_id):
+            go.append((cluster, group_id, topic, pid, offset))
+    return SnapshotRows(po, tp, cg, go)
+
+
+def confluent_client(bootstrap_servers: str, **config):  # pragma: no cover
+    """The live binding — requires confluent-kafka (not in this
+    container)."""
+    try:
+        from confluent_kafka.admin import AdminClient  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "confluent-kafka is not installed; use a ClusterClient "
+            "implementation (see tests/test_collector.py for the shape)"
+        ) from exc
+    raise NotImplementedError("live binding is wired in a Kafka-enabled env")
