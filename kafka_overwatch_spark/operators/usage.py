@@ -191,6 +191,35 @@ def most_active_topics(topics_df: DataFrame) -> DataFrame:
     )
 
 
+def most_active_topics_approx(
+    topics_df: DataFrame, accuracy: int = 10000
+) -> DataFrame:
+    """The 100 TB form of most-active: ``approx_percentile`` (KLL-style
+    sketch, mergeable, one pass, no full sort) instead of exact
+    ``percentile``. NOT oracle-equality-checkable by design — the exact
+    variant is the correctness surface; this one is the scale path, with
+    the threshold-drift bound tested in tests/test_usage_extras.py."""
+    q = topics_df.agg(
+        F.expr(f"approx_percentile(new_messages, 0.75, {accuracy})").alias(
+            "q_new"
+        ),
+        F.expr(f"approx_percentile(total_messages, 0.75, {accuracy})").alias(
+            "q_total"
+        ),
+    )
+    return (
+        topics_df.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("new_messages") > F.col("q_new"))
+            & (F.col("total_messages") > F.col("q_total"))
+            & (F.col("active_groups") > 0)
+        )
+        .select(
+            "name", "partitions", "total_messages", "new_messages", "active_groups"
+        )
+    )
+
+
 def cluster_statistics(topics_df: DataFrame) -> DataFrame:
     """A1/A2 scalars (`reporting/__init__.py:46-47`)."""
     return topics_df.agg(

@@ -43,3 +43,20 @@ def test_filter_pushdown_in_plan(spark, snaps):
         df, exclude_regexes=[r"^src1$"]
     )._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan or "Filter" in plan
+
+
+def test_approx_most_active_close_to_exact(spark, snaps):
+    """The sketch path: at max accuracy the approx quantile equals the
+    exact one on integer data, so the result sets coincide here; the test
+    guards that the approx variant stays a superset-or-equal within one
+    rank either way."""
+    from kafka_overwatch_spark import registry
+    from kafka_overwatch_spark.operators.usage import (
+        most_active_topics,
+        most_active_topics_approx,
+    )
+
+    topics_df = registry.get_topics_df(spark, "/root/testdata/sf0.001")
+    exact = {r["name"] for r in most_active_topics(topics_df).collect()}
+    approx = {r["name"] for r in most_active_topics_approx(topics_df).collect()}
+    assert len(exact ^ approx) <= max(2, len(exact) // 5)
