@@ -44,7 +44,9 @@ def lag_per_partition(snaps: dict[str, DataFrame]) -> DataFrame:
     go = snaps["group_offsets"].select(
         "group_id", "topic", "partition_id", "committed_offset"
     )
-    valid = go.join(po_final, ["topic", "partition_id"])  # J1: inner
+    # J1: inner; po_final is partition-count-sized per cluster (≤ ~1e6
+    # rows after the scan_id prune + cluster filter) → broadcast side
+    valid = go.join(F.broadcast(po_final), ["topic", "partition_id"])
     first_bad = (
         valid.filter(F.col("committed_offset") < 0)
         .groupBy("group_id", "topic")
