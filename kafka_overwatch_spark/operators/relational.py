@@ -134,6 +134,42 @@ def sessionize_events(events: DataFrame, gap_seconds: int = 86400) -> DataFrame:
     )
 
 
+def events_anomalous_days(
+    events: DataFrame, ratio: float = 1.3, trailing: int = 3
+) -> DataFrame:
+    """Days where an event_type's volume exceeds ``ratio`` × its trailing
+    N-day average — a window-FRAME computation (ROWS BETWEEN n PRECEDING
+    AND 1 PRECEDING), the classic anomaly-flagging shape. Exact integer
+    counts + one rounded division keep it oracle-stable."""
+    from pyspark.sql.window import Window
+
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = events.groupBy(F.col("event_type"), day.alias("day")).agg(
+        F.count("*").alias("events")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-trailing, -1)
+    )
+    return (
+        daily.withColumn("trailing_avg", F.avg("events").over(w))
+        .filter(F.col("trailing_avg").isNotNull())
+        .withColumn(
+            "volume_ratio",
+            F.round(F.col("events") / F.col("trailing_avg"), 6),
+        )
+        .filter(F.col("volume_ratio") > ratio)
+        .select(
+            "event_type",
+            "day",
+            "events",
+            F.round("trailing_avg", 6).alias("trailing_avg"),
+            "volume_ratio",
+        )
+    )
+
+
 def top_users_by_activity(events: DataFrame) -> DataFrame:
     """Per-user event stats, filtered to heavy users (threshold, not LIMIT,
     for order-insensitive comparison)."""

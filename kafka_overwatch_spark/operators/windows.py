@@ -76,6 +76,33 @@ def first_offset_evolution(snaps: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def cluster_scan_summary(snaps: dict[str, DataFrame]) -> DataFrame:
+    """Cluster-grain per-scan rollup: total end offsets, delta vs the
+    previous scan, live topic count — the scan-loop's own telemetry
+    (what the reference prints per interval, `processing/clusters.py:
+    108-109`) as a time series."""
+    po = snaps["partition_offsets"]
+    per_scan = po.groupBy("cluster", "scan_id").agg(
+        F.sum("end_offset").alias("total_end_offsets"),
+        F.count_distinct("topic").alias("topics"),
+        F.count("*").alias("partitions"),
+    )
+    w = Window.partitionBy("cluster").orderBy("scan_id")
+    return per_scan.select(
+        "cluster",
+        "scan_id",
+        "total_end_offsets",
+        "topics",
+        "partitions",
+        (
+            F.col("total_end_offsets")
+            - F.coalesce(
+                F.lag("total_end_offsets").over(w), F.col("total_end_offsets")
+            )
+        ).alias("new_messages"),
+    )
+
+
 def topic_throughput_timeseries(snaps: dict[str, DataFrame]) -> DataFrame:
     """Per-topic, per-scan message rate — the W1 deltas rolled up to topic
     grain with the scan wall-clock delta (extension: the reference only

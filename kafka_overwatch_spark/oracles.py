@@ -321,6 +321,29 @@ FROM partition_offsets
 GROUP BY topic, partition_id
 HAVING max(start_offset) - min(start_offset) > 0"""
     )
+    q["cluster_scan_summary"] = _snap(
+        """
+per_scan AS (
+  SELECT cluster, scan_id,
+    CAST(sum(end_offset) AS BIGINT) AS total_end_offsets,
+    CAST(count(DISTINCT topic) AS BIGINT) AS topics,
+    CAST(count(*) AS BIGINT) AS partitions
+  FROM partition_offsets GROUP BY cluster, scan_id
+)
+SELECT cluster, scan_id, total_end_offsets, topics, partitions,
+  CAST(total_end_offsets - coalesce(
+    lag(total_end_offsets) OVER (PARTITION BY cluster ORDER BY scan_id),
+    total_end_offsets) AS BIGINT) AS new_messages
+FROM per_scan"""
+    )
+
+    q["sr_subject_version_counts"] = _snap_plain(
+        """
+SELECT registry, subject, CAST(count(*) AS BIGINT) AS versions,
+  CAST(max(version) AS BIGINT) AS latest_version
+FROM subject_versions GROUP BY registry, subject"""
+    )
+
     q["topic_throughput_timeseries"] = _snap_plain(
         """
 SELECT topic, scan_id,

@@ -344,6 +344,39 @@ SELECT CAST(floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
   CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
 FROM events GROUP BY 1, 2"""
 
+    q["text_ngram_freq"] = f"""
+WITH {NORM_CTE},
+tokarr AS (SELECT doc_id, lang, string_split(t, ' ') AS toks FROM norm),
+grams AS (
+  SELECT lang,
+    unnest(list_transform(
+      generate_series(0, greatest(len(toks) - 2, 0)),
+      i -> array_to_string(toks[i+1:i+2], ' '))) AS ngram
+  FROM tokarr
+)
+SELECT lang, ngram, CAST(count(*) AS BIGINT) AS occurrences
+FROM grams GROUP BY lang, ngram HAVING count(*) >= 10"""
+
+    q["events_anomalous_days"] = """
+WITH daily AS (
+  SELECT event_type,
+    CAST(floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+      / 86400) AS BIGINT) AS day,
+    CAST(count(*) AS BIGINT) AS events
+  FROM events GROUP BY 1, 2
+),
+trailed AS (
+  SELECT *, avg(events) OVER (
+    PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS trailing_avg
+  FROM daily
+)
+SELECT event_type, day, events,
+  round(trailing_avg, 6) AS trailing_avg,
+  round(events / trailing_avg, 6) AS volume_ratio
+FROM trailed
+WHERE trailing_avg IS NOT NULL AND round(events / trailing_avg, 6) > 1.3"""
+
     q["events_sessionize"] = """
 WITH marked AS (
   SELECT user_id, event_id, ts,

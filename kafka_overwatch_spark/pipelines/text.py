@@ -123,6 +123,27 @@ def language_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def ngram_frequencies(
+    documents: DataFrame, n: int = 2, min_count: int = 10
+) -> DataFrame:
+    """Corpus n-gram frequency table per language (explode → count —
+    the vocabulary/statistics pass of a training-data pipeline).
+    Threshold instead of top-k keeps the result order-insensitive."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    toks = F.split(norm, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        spread(documents)
+        .select("lang", F.explode(grams).alias("ngram"))
+        .groupBy("lang", "ngram")
+        .agg(F.count("*").alias("occurrences"))
+        .filter(F.col("occurrences") >= min_count)
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Document fingerprinting:
     - ``content_md5``: hash of whitespace-normalized lowercase text

@@ -165,6 +165,17 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["topic_throughput_timeseries"] = (
         lambda s, d: windows.topic_throughput_timeseries(get_snaps(s, d))
     )
+    q["cluster_scan_summary"] = lambda s, d: windows.cluster_scan_summary(
+        get_snaps(s, d)
+    )
+    q["sr_subject_version_counts"] = lambda s, d: (
+        get_snaps(s, d)["subject_versions"]
+        .groupBy("registry", "subject")
+        .agg(
+            F.count("*").alias("versions"),
+            F.max("version").alias("latest_version"),
+        )
+    )
 
     # K4: prometheus gauge families as a long-format frame
     q["metrics_snapshot"] = lambda s, d: metricsops.metrics_snapshot(
@@ -237,6 +248,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_fingerprints"] = lambda s, d: textops.fingerprints(
         raw(s, d, "documents")
     )
+    q["text_ngram_freq"] = lambda s, d: textops.ngram_frequencies(
+        raw(s, d, "documents")
+    )
 
     # --- relational / events analytics ---
     q["tpch_pricing_summary"] = lambda s, d: relational.pricing_summary(
@@ -252,6 +266,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         raw(s, d, "events")
     )
     q["events_sessionize"] = lambda s, d: relational.sessionize_events(
+        raw(s, d, "events")
+    )
+    q["events_anomalous_days"] = lambda s, d: relational.events_anomalous_days(
         raw(s, d, "events")
     )
 
