@@ -68,11 +68,13 @@ def lag_per_partition(snaps: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def lag_per_topic(snaps: dict[str, DataFrame]) -> DataFrame:
+def lag_per_topic(
+    snaps: dict[str, DataFrame], lag_rows: DataFrame | None = None
+) -> DataFrame:
     """Per-(group, topic) lag totals — the reference's nested
     ``{topic: {total, partitions}}`` dict (`groups.py:103-141`) kept flat."""
     return (
-        lag_per_partition(snaps)
+        (lag_rows if lag_rows is not None else lag_per_partition(snaps))
         .groupBy("group_id", "topic")
         .agg(
             F.sum("lag").alias("total_lag"),
@@ -81,14 +83,16 @@ def lag_per_topic(snaps: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def lag_nested(snaps: dict[str, DataFrame]) -> DataFrame:
+def lag_nested(
+    snaps: dict[str, DataFrame], lag_rows: DataFrame | None = None
+) -> DataFrame:
     """A11: the reference's full nested lag shape —
     ``{topic: {total, partitions: [(pid, lag)]}}`` per group
     (`groups.py:103-141`) — as group_id, topic, total_lag,
     partition_lags: array<struct<partition_id, lag>> (sorted by pid).
     Registered rows-only (nested arrays aren't ANSI-SQL-hashable)."""
     return (
-        lag_per_partition(snaps)
+        (lag_rows if lag_rows is not None else lag_per_partition(snaps))
         .groupBy("group_id", "topic")
         .agg(
             F.sum("lag").alias("total_lag"),
@@ -99,7 +103,9 @@ def lag_nested(snaps: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def build_groups_df(snaps: dict[str, DataFrame]) -> DataFrame:
+def build_groups_df(
+    snaps: dict[str, DataFrame], lag_rows: DataFrame | None = None
+) -> DataFrame:
     """The per-group analytic frame (`clusters.py:332-342`,
     `groups.py:88-96`): name, members, state, eval_elapsed_time,
     overall_lag. eval_elapsed_time is the cluster-level scan window
@@ -117,7 +123,7 @@ def build_groups_df(snaps: dict[str, DataFrame]) -> DataFrame:
         )
     )
     overall = (
-        lag_per_partition(snaps)
+        (lag_rows if lag_rows is not None else lag_per_partition(snaps))
         .groupBy("group_id")
         .agg(F.sum("lag").alias("overall_lag"))
     )

@@ -25,7 +25,9 @@ from .lag import lag_per_topic
 from .usage import FINAL_SCAN
 
 
-def metrics_snapshot(snaps: dict[str, DataFrame]) -> DataFrame:
+def metrics_snapshot(
+    snaps: dict[str, DataFrame], lag_rows: DataFrame | None = None
+) -> DataFrame:
     """All gauge values for the current scan as (metric, cluster,
     group_id, topic, value) rows."""
     po_final = snaps["partition_offsets"].filter(F.col("scan_id") == FINAL_SCAN)
@@ -59,7 +61,7 @@ def metrics_snapshot(snaps: dict[str, DataFrame]) -> DataFrame:
             F.col("groups").cast("long").alias("value"),
         )
     )
-    lag = lag_per_topic(snaps).select(
+    lag = lag_per_topic(snaps, lag_rows=lag_rows).select(
         F.lit("kafka_consumer_group_lag").alias("metric"),
         F.lit("primary").alias("cluster"),
         F.col("group_id"),

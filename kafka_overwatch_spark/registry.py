@@ -34,6 +34,15 @@ _TOPICS_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
 def get_snaps(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = (id(spark), sf_dir)
     if key not in _SNAP_CACHE:
+        # defend against an externally-created session (the driver's):
+        # AQE + bounded shuffle width are what our plans are designed for
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        try:
+            if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
+                spark.conf.set("spark.sql.shuffle.partitions", "64")
+        except Exception:
+            pass
         # cache=True: the snapshot frames are dim-sized; every report query
         # re-reads them (the reference re-scans its pandas frames per
         # category the same way, `reporting/topics.py:17-111`)
@@ -54,6 +63,19 @@ def get_topics_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_LAG_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def get_lag_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized cached lag frame — shared by lag_per_topic, groups_df,
+    lag_nested, and metrics_snapshot (each would otherwise rebuild the
+    fact join per action)."""
+    key = (id(spark), sf_dir)
+    if key not in _LAG_CACHE:
+        _LAG_CACHE[key] = lagops.lag_per_partition(
+            get_snaps(spark, sf_dir)
+        ).cache()
+    return _LAG_CACHE[key]
 
 
 def get_shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,11 +147,17 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # --- lag / groups ---
-    q["lag_per_partition"] = lambda s, d: lagops.lag_per_partition(get_snaps(s, d))
-    q["lag_per_topic"] = lambda s, d: lagops.lag_per_topic(get_snaps(s, d))
-    q["groups_df"] = lambda s, d: lagops.build_groups_df(get_snaps(s, d))
+    q["lag_per_partition"] = get_lag_rows
+    q["lag_per_topic"] = lambda s, d: lagops.lag_per_topic(
+        get_snaps(s, d), lag_rows=get_lag_rows(s, d)
+    )
+    q["groups_df"] = lambda s, d: lagops.build_groups_df(
+        get_snaps(s, d), lag_rows=get_lag_rows(s, d)
+    )
     # A11 full nested shape — rows-only (nested arrays, no SQL oracle)
-    q["lag_nested"] = lambda s, d: lagops.lag_nested(get_snaps(s, d))
+    q["lag_nested"] = lambda s, d: lagops.lag_nested(
+        get_snaps(s, d), lag_rows=get_lag_rows(s, d)
+    )
 
     # --- governance ---
     q["governance_topics"] = lambda s, d: gov.governance_topics(get_snaps(s, d))
@@ -179,7 +207,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # K4: prometheus gauge families as a long-format frame
     q["metrics_snapshot"] = lambda s, d: metricsops.metrics_snapshot(
-        get_snaps(s, d)
+        get_snaps(s, d), lag_rows=get_lag_rows(s, d)
     )
 
     # K1/§3.2: the nested ClusterReport as a single-row frame. No ANSI-SQL
