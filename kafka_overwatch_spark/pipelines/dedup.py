@@ -342,3 +342,89 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def neardup_components(
+    pairs: DataFrame, ids: DataFrame, max_iterations: int = 15
+) -> DataFrame:
+    """Connected components over a near-dup pair graph (label propagation:
+    every node takes the min label in its neighborhood until fixpoint) —
+    the grouping step of semantic dedup: components = duplicate clusters,
+    keeper = min id per component.
+
+    One of the engine's genuinely iterative operators (no single SQL
+    equivalent): a driver-side loop of joins, each iteration one shuffle
+    keyed by node id; iterations needed = graph diameter (near-dup
+    clusters are shallow — a handful). At 100 TB this is the standard
+    large-graph CC pattern (alternating large/small-star joins); the
+    simple propagation here is exact and converges on the same answer.
+
+    ``pairs``: (vec_a, vec_b) edges; ``ids``: (vec_id) nodes.
+    Returns vec_id, component (min vec_id in the component).
+    """
+    edges = (
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = ids.select(
+        F.col("vec_id"), F.col("vec_id").alias("component")
+    ).cache()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("vec_id").alias("dst"),
+                    F.col("component").alias("n_comp"),
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("n_comp").alias("neighbor_comp"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels.vec_id == neighbor_min.src, "left"
+            )
+            .select(
+                "vec_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("neighbor_comp", F.col("component")),
+                ).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vec_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def embedding_semantic_dedup(
+    embeddings: DataFrame, threshold: float = COSINE_THRESHOLD
+) -> DataFrame:
+    """Semantic dedup end-to-end: near-dup pairs (vectorized cosine) →
+    connected components → keep/drop decision per vector. Returns
+    vec_id, component, keep (keeper = min vec_id per component)."""
+    from .similarity import embedding_neardup_pairs_vectorized
+
+    pairs = embedding_neardup_pairs_vectorized(embeddings, threshold)
+    comps = neardup_components(pairs, embeddings.select("vec_id"))
+    return comps.select(
+        "vec_id",
+        "component",
+        (F.col("vec_id") == F.col("component")).alias("keep"),
+    )

@@ -1,0 +1,54 @@
+"""Connected-components semantic dedup: label propagation reaches the
+true components (checked against a Python union-find) and the keep set is
+one keeper per component."""
+
+from __future__ import annotations
+
+
+def _union_find(n_ids, pairs):
+    parent = {i: i for i in n_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in n_ids}
+
+
+def test_components_match_union_find(spark, snaps):
+    from kafka_overwatch_spark.pipelines.dedup import COSINE_THRESHOLD, neardup_components
+    from kafka_overwatch_spark.pipelines.similarity import (
+        embedding_neardup_pairs_vectorized,
+    )
+
+    emb = spark.table("embeddings")
+    pairs_df = embedding_neardup_pairs_vectorized(emb, COSINE_THRESHOLD)
+    pairs = [(r["vec_a"], r["vec_b"]) for r in pairs_df.collect()]
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    want = _union_find(ids, pairs)
+    got = {
+        r["vec_id"]: r["component"]
+        for r in neardup_components(pairs_df, emb.select("vec_id")).collect()
+    }
+    assert got == want
+    assert len(set(want.values())) < len(ids)  # some non-trivial clusters
+
+
+def test_semantic_dedup_keep_set(spark, snaps):
+    from kafka_overwatch_spark.pipelines.dedup import embedding_semantic_dedup
+
+    emb = spark.table("embeddings")
+    out = embedding_semantic_dedup(emb).collect()
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        keepers = [m for m in members if m["keep"]]
+        assert len(keepers) == 1
+        assert keepers[0]["vec_id"] == comp == min(m["vec_id"] for m in members)
