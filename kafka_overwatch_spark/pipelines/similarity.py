@@ -167,6 +167,15 @@ from pyspark.sql.types import (  # noqa: E402
     StructType,
 )
 
+def _spread_gemm(df: DataFrame) -> DataFrame:
+    """Partitioning for GEMM mapInPandas stages: fewer, larger Arrow
+    batches — dgemm throughput is batch-size-insensitive here, and each
+    partition costs a Python worker (cold spawn ≈ 20 s under concurrent
+    import load when workers were idle-reaped)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(min(sc.defaultParallelism, 8))
+
+
 PAIR_SCHEMA = StructType(
     [
         StructField("vec_a", LongType()),
@@ -217,7 +226,7 @@ def embedding_neardup_pairs_vectorized(
                 {"vec_a": va[mask], "vec_b": vb[mask], "cosine": cos[ai, bj][mask]}
             )
 
-    return spread(embeddings.select("vec_id", "embedding")).mapInPandas(
+    return _spread_gemm(embeddings.select("vec_id", "embedding")).mapInPandas(
         block, PAIR_SCHEMA
     )
 
@@ -252,7 +261,7 @@ def brute_force_topk_vectorized(
                 {"query_id": qi[mask], "vec_id": vi[mask], "cosine": flat[mask]}
             )
 
-    scored = spread(embeddings.select("vec_id", "embedding")).mapInPandas(
+    scored = _spread_gemm(embeddings.select("vec_id", "embedding")).mapInPandas(
         block, TOPK_SCORE_SCHEMA
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -308,7 +317,7 @@ def lsh_bucket_assignments_vectorized(
             buckets = (signs * powers).sum(axis=1).astype(np.int64)
             yield pd.DataFrame({"vec_id": ids, "bucket": buckets})
 
-    return spread(embeddings.select("vec_id", "embedding")).mapInPandas(
+    return _spread_gemm(embeddings.select("vec_id", "embedding")).mapInPandas(
         assign, BUCKET_SCHEMA
     )
 
