@@ -228,6 +228,58 @@ def cluster_statistics(topics_df: DataFrame) -> DataFrame:
     )
 
 
+def partition_balance(snaps_po: DataFrame, final_scan: int = FINAL_SCAN) -> DataFrame:
+    """Partition-skew detection (kafka-ops extension): per multi-partition
+    topic at the final scan, the spread between the hottest and coldest
+    partition — keyed-produce hotspots show up as high max/avg ratios."""
+    per_part = snaps_po.filter(F.col("scan_id") == final_scan).select(
+        "topic",
+        "partition_id",
+        (F.col("end_offset") - F.col("start_offset")).alias("messages"),
+    )
+    return (
+        per_part.groupBy("topic")
+        .agg(
+            F.count("*").alias("partitions"),
+            F.max("messages").alias("max_messages"),
+            F.min("messages").alias("min_messages"),
+            F.sum("messages").alias("total_messages"),
+        )
+        .filter((F.col("partitions") > 1) & (F.col("total_messages") > 0))
+        .select(
+            "topic",
+            "partitions",
+            "max_messages",
+            "min_messages",
+            F.round(
+                F.col("max_messages")
+                / (F.col("total_messages").cast("double") / F.col("partitions")),
+                6,
+            ).alias("max_over_avg"),
+        )
+    )
+
+
+def group_topic_matrix(snaps: dict[str, DataFrame]) -> DataFrame:
+    """Consumer-group fan-out: per group, topics consumed and partitions
+    with committed offsets (only topics known to the cluster — J1)."""
+    po_topics = (
+        snaps["partition_offsets"].select("topic").distinct()
+    )
+    return (
+        snaps["group_offsets"]
+        .join(F.broadcast(po_topics), "topic")
+        .groupBy("group_id")
+        .agg(
+            F.count_distinct("topic").alias("topics_consumed"),
+            F.count("*").alias("partitions_with_offsets"),
+            F.sum(
+                F.when(F.col("committed_offset") < 0, 1).otherwise(0)
+            ).alias("unset_offsets"),
+        )
+    )
+
+
 def describe_topics(topics_df: DataFrame) -> DataFrame:
     """A5: the per-scan ``describe()`` printout
     (`processing/clusters.py:108-109`) — Spark's ``summary()`` yields the

@@ -361,6 +361,39 @@ FROM (
 GROUP BY topic, scan_id"""
     )
 
+    # kafka-ops extensions: partition skew + consumer fan-out
+    q["partition_balance"] = _snap(
+        """
+per_part AS (
+  SELECT topic, partition_id,
+    CAST(end_offset - start_offset AS BIGINT) AS messages
+  FROM partition_offsets WHERE scan_id = 3
+),
+agg AS (
+  SELECT topic,
+    CAST(count(*) AS BIGINT) AS partitions,
+    CAST(max(messages) AS BIGINT) AS max_messages,
+    CAST(min(messages) AS BIGINT) AS min_messages,
+    CAST(sum(messages) AS BIGINT) AS total_messages
+  FROM per_part GROUP BY topic
+)
+SELECT topic, partitions, max_messages, min_messages,
+  round(max_messages / (CAST(total_messages AS DOUBLE) / partitions), 6)
+    AS max_over_avg
+FROM agg WHERE partitions > 1 AND total_messages > 0"""
+    )
+    q["group_topic_matrix"] = _snap_plain(
+        """
+SELECT g.group_id,
+  CAST(count(DISTINCT g.topic) AS BIGINT) AS topics_consumed,
+  CAST(count(*) AS BIGINT) AS partitions_with_offsets,
+  CAST(sum(CASE WHEN g.committed_offset < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS unset_offsets
+FROM group_offsets g
+JOIN (SELECT DISTINCT topic FROM partition_offsets) t ON g.topic = t.topic
+GROUP BY g.group_id"""
+    )
+
     # K4: prometheus gauge families (long format)
     q["metrics_snapshot"] = _snap(
         LAG_CTE

@@ -217,6 +217,14 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         get_snaps(s, d)
     )
 
+    # kafka-ops extensions
+    q["partition_balance"] = lambda s, d: usage.partition_balance(
+        get_snaps(s, d)["partition_offsets"]
+    )
+    q["group_topic_matrix"] = lambda s, d: usage.group_topic_matrix(
+        get_snaps(s, d)
+    )
+
     # P12 extension: include/exclude regex scan filter
     q["topics_scan_filtered"] = lambda s, d: usage.apply_topic_filters(
         get_snaps(s, d)["topics"].select("cluster", "name", "partitions"),
