@@ -83,6 +83,54 @@ def big_order_revenue(
     )
 
 
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5-shaped: revenue by nation where customer and supplier are
+    co-national, one region, one order-date year. Exercises the 6-table
+    join chain — Catalyst reorders so the dims (region→nation→supplier/
+    customer) broadcast down onto the orders⋈lineitem spine; verify in
+    .explain that only the fact-fact join shuffles."""
+    nations = (
+        region.filter(F.col("r_name") == "ASIA")
+        .join(nation, region.r_regionkey == nation.n_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    cust = customer.join(
+        F.broadcast(nations), customer.c_nationkey == nations.n_nationkey
+    ).select("c_custkey", F.col("n_nationkey").alias("c_nation"), "n_name")
+    supp = supplier.join(
+        F.broadcast(nations.select("n_nationkey")),
+        supplier.s_nationkey == nations.n_nationkey,
+    ).select("s_suppkey", F.col("s_nationkey").alias("s_nation"))
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(lineitem, F.col("o_orderkey") == lineitem.l_orderkey)
+        .join(F.broadcast(supp), lineitem.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nation") == F.col("s_nation"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("lineitems"),
+        )
+        .select("n_name", F.round("revenue", 2).alias("revenue"), "lineitems")
+    )
+
+
 def events_daily_rollup(events: DataFrame) -> DataFrame:
     """Tumbling-window (1 day) counts/sums per event_type — the batch form
     of the streaming windowed aggregation (§2.9)."""

@@ -335,6 +335,37 @@ FROM ords JOIN rev ON o_orderkey = l_orderkey
 GROUP BY o_orderkey, o_orderpriority
 HAVING CAST(sum(d_rev) AS DOUBLE) > 300000"""
 
+    q["tpch_local_supplier_volume"] = """
+WITH nations AS (
+  SELECT n_nationkey, n_name
+  FROM region JOIN nation ON r_regionkey = n_regionkey
+  WHERE r_name = 'ASIA'
+),
+cust AS (
+  SELECT c_custkey, n_nationkey AS c_nation, n_name
+  FROM customer JOIN nations ON c_nationkey = n_nationkey
+),
+supp AS (
+  SELECT s_suppkey, s_nationkey AS s_nation
+  FROM supplier JOIN nations ON s_nationkey = n_nationkey
+),
+ords AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT n_name,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+    AS DOUBLE), 2) AS revenue,
+  CAST(count(*) AS BIGINT) AS lineitems
+FROM ords
+JOIN cust ON o_custkey = c_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supp ON l_suppkey = s_suppkey
+WHERE c_nation = s_nation
+GROUP BY n_name"""
+
     q["events_daily_rollup"] = """
 SELECT CAST(floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
     / 86400) AS BIGINT) AS day,

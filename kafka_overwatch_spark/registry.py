@@ -295,6 +295,14 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_big_order_revenue"] = lambda s, d: relational.big_order_revenue(
         raw(s, d, "orders"), raw(s, d, "lineitem"), raw(s, d, "customer")
     )
+    q["tpch_local_supplier_volume"] = lambda s, d: relational.local_supplier_volume(
+        raw(s, d, "customer"),
+        raw(s, d, "orders"),
+        raw(s, d, "lineitem"),
+        raw(s, d, "supplier"),
+        raw(s, d, "nation"),
+        raw(s, d, "region"),
+    )
     q["events_daily_rollup"] = lambda s, d: relational.events_daily_rollup(
         raw(s, d, "events")
     )
