@@ -47,18 +47,21 @@ def lag_per_partition(snaps: dict[str, DataFrame]) -> DataFrame:
     # J1: inner; po_final is partition-count-sized per cluster (≤ ~1e6
     # rows after the scan_id prune + cluster filter) → broadcast side
     valid = go.join(F.broadcast(po_final), ["topic", "partition_id"])
+    # P11 ordering (groups.py:111-123 vs :124-130): the zero-message
+    # `continue` fires BEFORE the committed<0 `break`, so a zero-message
+    # partition with offset -1 is skipped and does NOT truncate the topic.
+    measured = valid.filter((F.col("end_offset") - F.col("start_offset")) > 0)
     first_bad = (
-        valid.filter(F.col("committed_offset") < 0)
+        measured.filter(F.col("committed_offset") < 0)
         .groupBy("group_id", "topic")
         .agg(F.min("partition_id").alias("first_bad"))
     )
     return (
-        valid.join(first_bad, ["group_id", "topic"], "left")
+        measured.join(first_bad, ["group_id", "topic"], "left")
         .filter(
             F.col("first_bad").isNull()
             | (F.col("partition_id") < F.col("first_bad"))
         )
-        .filter((F.col("end_offset") - F.col("start_offset")) > 0)
         .select(
             "group_id",
             "topic",
@@ -80,6 +83,9 @@ def lag_per_topic(
             F.sum("lag").alias("total_lag"),
             F.count("*").alias("partitions_measured"),
         )
+        # `if total_lag and partitions_lag` (groups.py:136-141): topics
+        # whose measured total is exactly 0 are omitted from the lag dict.
+        .filter(F.col("total_lag") != 0)
     )
 
 
@@ -100,6 +106,8 @@ def lag_nested(
                 F.collect_list(F.struct("partition_id", "lag"))
             ).alias("partition_lags"),
         )
+        # same `if total_lag and partitions_lag` gate as lag_per_topic
+        .filter(F.col("total_lag") != 0)
     )
 
 

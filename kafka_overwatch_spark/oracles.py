@@ -91,18 +91,22 @@ go_valid AS (
   JOIN po_final_scan p
     ON g.topic = p.topic AND g.partition_id = p.partition_id
 ),
+go_measured AS (
+  -- P11 ordering: zero-message partitions are skipped (continue) BEFORE
+  -- the committed<0 break is evaluated (reference groups.py:111-130)
+  SELECT * FROM go_valid WHERE (end_offset - start_offset) > 0
+),
 first_bad AS (
   SELECT group_id, topic, min(partition_id) AS first_bad
-  FROM go_valid WHERE committed_offset < 0
+  FROM go_measured WHERE committed_offset < 0
   GROUP BY group_id, topic
 ),
 lag_rows AS (
   SELECT v.group_id, v.topic, v.partition_id,
     CAST(v.end_offset - v.committed_offset AS BIGINT) AS lag
-  FROM go_valid v
+  FROM go_measured v
   LEFT JOIN first_bad fb ON v.group_id = fb.group_id AND v.topic = fb.topic
   WHERE (fb.first_bad IS NULL OR v.partition_id < fb.first_bad)
-    AND (v.end_offset - v.start_offset) > 0
 )
 """
 
@@ -194,7 +198,8 @@ FROM topics_df"""
         + """
 SELECT group_id, topic, CAST(sum(lag) AS BIGINT) AS total_lag,
   CAST(count(*) AS BIGINT) AS partitions_measured
-FROM lag_rows GROUP BY group_id, topic"""
+FROM lag_rows GROUP BY group_id, topic
+HAVING sum(lag) <> 0"""
     )
     q["groups_df"] = _snap(
         LAG_CTE
@@ -419,7 +424,8 @@ FROM consumer_groups GROUP BY cluster
 UNION ALL
 SELECT 'kafka_consumer_group_lag', 'primary', group_id, topic,
   CAST(sum(lag) AS BIGINT)
-FROM lag_rows GROUP BY group_id, topic"""
+FROM lag_rows GROUP BY group_id, topic
+HAVING sum(lag) <> 0"""
     )
 
     # P12 extension: include/exclude regex scan filter

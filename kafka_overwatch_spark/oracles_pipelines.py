@@ -157,14 +157,39 @@ cand AS (
 SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {SIMHASH_MAX_HAMMING}"""
 
+    # Multi-table LSH near-dup (mirrors similarity.embedding_neardup_pairs_lsh):
+    # 64 md5-derived hyperplanes = 8 tables × 8 bits; candidates share a
+    # (table, bucket); exact cosine verify; DISTINCT pairs across tables.
+    _plane_w = (
+        "((CAST(concat('0x', substr(md5('plane:' || CAST(p AS STRING) || ':' "
+        "|| CAST(d AS STRING)), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0)"
+    )
     q["dedup_embedding_cosine"] = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+signs AS (
+  SELECT vec_id, p,
+    CASE WHEN list_sum(list_transform(generate_series(0, 63), d ->
+      emb[d+1] * {_plane_w})) > 0 THEN 1 ELSE 0 END AS bit
+  FROM e, (SELECT unnest(generate_series(0, 63)) AS p) ps
+),
+buckets AS (
+  SELECT vec_id, p // 8 AS tbl,
+    CAST(sum(bit * CAST(pow(2, p % 8) AS BIGINT)) AS BIGINT) AS bucket
+  FROM signs GROUP BY vec_id, p // 8
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-  round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= {COSINE_THRESHOLD}"""
+SELECT c.vec_a, c.vec_b,
+  round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cosine
+FROM cand c
+JOIN e ea ON c.vec_a = ea.vec_id
+JOIN e eb ON c.vec_b = eb.vec_id
+WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= {COSINE_THRESHOLD}"""
 
     # --- similarity search ---
     q["ann_cosine_topk"] = """

@@ -44,6 +44,27 @@ SIMHASH_MAX_HAMMING = 3
 COSINE_THRESHOLD = 0.4
 
 
+# All-pairs verifiers refuse to run above this input size: at n rows the
+# join materializes ~n²/2 comparisons, which is the scale-killer the LSH
+# paths exist to avoid. Callers on known-small verification sets can pass
+# max_rows=None explicitly.
+MAX_QUADRATIC_ROWS = 20_000
+
+
+def _guard_quadratic(df: DataFrame, what: str, max_rows: int | None) -> None:
+    if max_rows is None:
+        return
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"{what} is a quadratic all-pairs verifier; refusing to run on "
+            f"more than {max_rows} rows (input has at least {n}). Use the "
+            "LSH path (minhash_lsh_pairs / "
+            "similarity.embedding_neardup_pairs_lsh) at scale, or pass "
+            "max_rows=None to override on a known-small verification set."
+        )
+
+
 def _norm_text() -> F.Column:
     return F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
 
@@ -199,10 +220,15 @@ def minhash_lsh_pairs(
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, threshold: float = 0.35
+    documents: DataFrame,
+    threshold: float = 0.35,
+    max_rows: int | None = MAX_QUADRATIC_ROWS,
 ) -> DataFrame:
     """Brute-force shingle-Jaccard near-dup pairs, blocked by `lang`
-    (quadratic verifier baseline; LSH above is the scale path)."""
+    (quadratic verifier baseline; LSH above is the scale path). Guarded:
+    raises above ``max_rows`` input rows instead of silently running
+    all-pairs on a real corpus."""
+    _guard_quadratic(documents, "ngram_jaccard_pairs", max_rows)
     docs = spread(documents).select(
         "doc_id", "lang", _shingles().alias("sh")
     ).filter(F.size("sh") > 0)
@@ -317,11 +343,15 @@ def cosine(a: F.Column, b: F.Column) -> F.Column:
 
 
 def embedding_neardup_pairs(
-    embeddings: DataFrame, threshold: float = COSINE_THRESHOLD
+    embeddings: DataFrame,
+    threshold: float = COSINE_THRESHOLD,
+    max_rows: int | None = MAX_QUADRATIC_ROWS,
 ) -> DataFrame:
     """Brute-force embedding-cosine near-dup pairs (a < b, cosine ≥
-    threshold). Quadratic — the LSH-bucketed variant in similarity.py is
-    the scale path; this is its verifier."""
+    threshold). Quadratic — similarity.embedding_neardup_pairs_lsh is the
+    registered scale path; this is its verifier. Guarded: raises above
+    ``max_rows`` input rows."""
+    _guard_quadratic(embeddings, "embedding_neardup_pairs", max_rows)
     # a single parquet file arrives as ONE partition — repartition the
     # streamed side so the quadratic verify spreads across the cluster
     # (task count of a broadcast nested-loop join = streamed-side partitions)
@@ -416,12 +446,13 @@ def neardup_components(
 def embedding_semantic_dedup(
     embeddings: DataFrame, threshold: float = COSINE_THRESHOLD
 ) -> DataFrame:
-    """Semantic dedup end-to-end: near-dup pairs (vectorized cosine) →
+    """Semantic dedup end-to-end: near-dup pairs (multi-table LSH,
+    bucket-local verify — no driver-side corpus materialization) →
     connected components → keep/drop decision per vector. Returns
     vec_id, component, keep (keeper = min vec_id per component)."""
-    from .similarity import embedding_neardup_pairs_vectorized
+    from .similarity import embedding_neardup_pairs_lsh
 
-    pairs = embedding_neardup_pairs_vectorized(embeddings, threshold)
+    pairs = embedding_neardup_pairs_lsh(embeddings, threshold)
     comps = neardup_components(pairs, embeddings.select("vec_id"))
     return comps.select(
         "vec_id",

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .dedup import _hash64, cosine
+from .dedup import MAX_QUADRATIC_ROWS, _guard_quadratic, _hash64, cosine
 from .util import spread
 
 LSH_BITS = 8  # 8 hyperplanes → 256 buckets
@@ -202,10 +202,18 @@ def _normalized_corpus(embeddings: DataFrame):
 
 
 def embedding_neardup_pairs_vectorized(
-    embeddings: DataFrame, threshold: float
+    embeddings: DataFrame,
+    threshold: float,
+    max_rows: int | None = MAX_QUADRATIC_ROWS,
 ) -> DataFrame:
-    """Block-GEMM near-dup pairs: same semantics (and oracle) as
-    dedup.embedding_neardup_pairs, vectorized physical plan."""
+    """Block-GEMM near-dup pairs: same semantics as
+    dedup.embedding_neardup_pairs, vectorized physical plan. SMALL-N
+    VERIFIER ONLY: collects + broadcasts the full corpus matrix — the
+    registered scale surface is embedding_neardup_pairs_lsh. Guarded:
+    raises above ``max_rows`` input rows (None disables)."""
+    _guard_quadratic(
+        embeddings, "embedding_neardup_pairs_vectorized", max_rows
+    )
     sc = embeddings.sparkSession.sparkContext
     ids, mat = _normalized_corpus(embeddings)
     b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
@@ -276,14 +284,16 @@ def brute_force_topk_vectorized(
     )
 
 
-def _plane_matrix(bits: int = LSH_BITS, dim: int = EMB_DIM) -> np.ndarray:
+def _plane_matrix(n_planes: int = LSH_BITS, dim: int = EMB_DIM) -> np.ndarray:
     """The hyperplane weights computed in pure Python — EXACTLY the
     @HASH64-derived values the SQL path and the DuckDB oracle use
-    (first 15 hex chars of md5 → int), so buckets agree bit-for-bit."""
+    (first 15 hex chars of md5 → int), so buckets agree bit-for-bit.
+    Plane ids extend past LSH_BITS for multi-table LSH: table t uses
+    planes t*bits .. t*bits+bits-1 (table 0 ≡ the single-table scheme)."""
     import hashlib
 
-    w = np.empty((bits, dim), dtype=np.float64)
-    for p in range(bits):
+    w = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
         for d in range(dim):
             h = int(
                 hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:15], 16
@@ -363,6 +373,97 @@ def lsh_neighbor_pairs_vectorized(
         )
 
     return assigned.groupBy("bucket").applyInPandas(verify, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Multi-table LSH near-dup — the REGISTERED embedding-dedup surface.
+#
+# Single-table sign-LSH at a 0.4 cosine threshold has poor recall (p_bit ≈
+# 0.63 at the threshold boundary → p_bit^8 ≈ 2.5% per table); T independent
+# tables raise recall to 1-(1-p^8)^T, and true near-dups (cosine ≥ 0.9,
+# p_bit ≈ 0.9) are found with ≥ 98% probability at T=8. Crucially the
+# physical plan never materializes the corpus on the driver: one GEMM
+# against the broadcast 64×64 plane matrix assigns all table buckets,
+# the shuffle is keyed on (table, bucket), and the quadratic verify runs
+# only inside buckets. This is the plan that survives a 100× corpus.
+# ---------------------------------------------------------------------------
+
+NEARDUP_TABLES = 8
+
+
+def embedding_neardup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    bits: int = LSH_BITS,
+    tables: int = NEARDUP_TABLES,
+) -> DataFrame:
+    """Bucket-local embedding near-dup pairs (vec_a, vec_b, cosine):
+    multi-table random-hyperplane LSH candidates, exact cosine verify per
+    bucket, DISTINCT across tables. No driver-side corpus collect —
+    contrast embedding_neardup_pairs_vectorized (all-pairs verifier,
+    small-N only)."""
+    sc = embeddings.sparkSession.sparkContext
+    b_planes = sc.broadcast(_plane_matrix(bits * tables, EMB_DIM))
+    powers = np.power(2, np.arange(bits)).astype(np.int64)
+
+    assign_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("tbl", LongType()),
+            StructField("bucket", LongType()),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = b_planes.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+            signs = (m @ planes.T) > 0  # n × (tables*bits)
+            out_ids, out_tbl, out_bucket = [], [], []
+            for t in range(tables):
+                chunk = signs[:, t * bits : (t + 1) * bits]
+                out_ids.append(ids)
+                out_tbl.append(np.full(len(ids), t, dtype=np.int64))
+                out_bucket.append((chunk * powers).sum(axis=1).astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_ids),
+                    "tbl": np.concatenate(out_tbl),
+                    "bucket": np.concatenate(out_bucket),
+                }
+            )
+
+    assigned = (
+        _spread_gemm(embeddings.select("vec_id", "embedding"))
+        .mapInPandas(assign, assign_schema)
+        .join(embeddings.select("vec_id", "embedding"), "vec_id")
+    )
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["vec_a", "vec_b", "cosine"])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        m = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        cos = np.round(m @ m.T, 6)
+        ai, bj = np.nonzero(cos >= threshold)
+        mask = ids[ai] < ids[bj]
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ai][mask],
+                "vec_b": ids[bj][mask],
+                "cosine": cos[ai, bj][mask],
+            }
+        )
+
+    return (
+        assigned.groupBy("tbl", "bucket")
+        .applyInPandas(verify, PAIR_SCHEMA)
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -256,8 +256,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash_pairs"] = lambda s, d: dedup.simhash_pairs(
         raw(s, d, "documents")
     )
+    # registered near-dup surface is the multi-table LSH bucket-local
+    # plan (no driver-side corpus collect); the all-pairs variants stay
+    # available as guarded small-N verifiers
     q["dedup_embedding_cosine"] = (
-        lambda s, d: similarity.embedding_neardup_pairs_vectorized(
+        lambda s, d: similarity.embedding_neardup_pairs_lsh(
             raw(s, d, "embeddings"), dedup.COSINE_THRESHOLD
         )
     )

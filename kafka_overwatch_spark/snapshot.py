@@ -110,9 +110,16 @@ cum AS (
 partition_offsets AS (
   SELECT
     'primary' AS cluster, cum.topic, cum.partition_id, cum.scan_id,
-    CASE WHEN cum.scan_id >= 2
+    CASE
+      -- fully-retained probe partitions: broker deleted every segment, so
+      -- low watermark == high watermark → a zero-message partition that
+      -- still has committed offsets; exercises the P11 skip-before-break
+      -- ordering (reference groups.py:111-130) and W3 first-offset motion
+      WHEN cum.scan_id >= 2 AND cum.partition_id = 0
+           AND length(cum.topic) % 5 = 2 THEN cum.end_offset
+      WHEN cum.scan_id >= 2
          THEN CAST((cum.end_offset - cum.end_offset % 10) / 10 AS BIGINT)
-         ELSE CAST(0 AS BIGINT) END AS start_offset,
+      ELSE CAST(0 AS BIGINT) END AS start_offset,
     cum.end_offset,
     st.ts
   FROM cum JOIN scan_ts st ON cum.scan_id = st.scan_id

