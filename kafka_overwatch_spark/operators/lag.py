@@ -111,6 +111,21 @@ def lag_nested(
     )
 
 
+def lag_nested_json(
+    snaps: dict[str, DataFrame], lag_rows: DataFrame | None = None
+) -> DataFrame:
+    """Hash-checkable companion of ``lag_nested``: the nested
+    ``partition_lags`` array serialized with ``to_json`` so the driver's
+    canonicalizer (which cannot factorize array columns) gets a plain
+    string column carrying the identical information."""
+    return lag_nested(snaps, lag_rows).select(
+        "group_id",
+        "topic",
+        "total_lag",
+        F.to_json("partition_lags").alias("partition_lags_json"),
+    )
+
+
 def build_groups_df(
     snaps: dict[str, DataFrame], lag_rows: DataFrame | None = None
 ) -> DataFrame:

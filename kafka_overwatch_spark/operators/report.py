@@ -156,6 +156,51 @@ def build_cluster_report(
     return report
 
 
+def cluster_report_scalars(
+    snaps: dict[str, DataFrame], cluster_name: str = "primary"
+) -> DataFrame:
+    """Hash-checkable companion of ``build_cluster_report``: every leaf of
+    the nested report struct as a top-level column (maps serialized with
+    ``to_json``). Selecting from the SAME nested row guarantees the
+    companion can never drift from the report it vouches for."""
+    r = build_cluster_report(snaps, cluster_name)
+    cols = [
+        F.col("cluster_name"),
+        F.col("statistics.topics").alias("stat_topics"),
+        F.col("statistics.partitions").alias("stat_partitions"),
+        F.to_json(F.col("statistics.most_active_topics")).alias(
+            "most_active_json"
+        ),
+    ]
+    for cat in usage.WASTE_PREDICATES:
+        base = f"estimated_waste.topic_categories.{cat}"
+        cols += [
+            F.to_json(F.col(f"{base}.topics")).alias(f"{cat}_topics_json"),
+            F.col(f"{base}.topics_count").alias(f"{cat}_topics_count"),
+            F.col(f"{base}.topic_partitions_sum").alias(
+                f"{cat}_partitions_sum"
+            ),
+            F.col(f"{base}.cluster_percentage").alias(f"{cat}_pct"),
+        ]
+    g = "governance.topic_naming_convention"
+    cols += [
+        F.col(f"{g}.total").alias("gov_total"),
+        F.col(f"{g}.total_ignored").alias("gov_total_ignored"),
+        F.col(f"{g}.total_measured").alias("gov_total_measured"),
+        F.col(f"{g}.non_compliant_count").alias("gov_non_compliant_count"),
+        F.col(f"{g}.compliant_percentage").alias("gov_compliant_percentage"),
+    ]
+    cols += [
+        F.col("schema_registry.subjects_count").alias("sr_subjects_count"),
+        F.col("schema_registry.schemas_count").alias("sr_schemas_count"),
+        F.col("schema_registry.versions_count").alias("sr_versions_count"),
+        F.col("schema_registry.unused_subjects_count").alias(
+            "sr_unused_subjects_count"
+        ),
+    ]
+    return r.select(*cols)
+
+
 def report_json(snaps: dict[str, DataFrame], cluster_name: str = "primary") -> str:
     """K1: the report as a JSON document (single-row collect)."""
     row = build_cluster_report(snaps, cluster_name).select(

@@ -135,6 +135,9 @@ FROM partition_offsets"""
         "SELECT cluster, group_id, topic, partition_id, committed_offset "
         "FROM group_offsets"
     )
+    q["snapshot_topic_configs"] = _snap_plain(
+        "SELECT cluster, topic, config_key, config_value FROM topic_configs"
+    )
     q["snapshot_subjects"] = _snap_plain("SELECT registry, subject FROM subjects")
     q["snapshot_subject_versions"] = _snap_plain(
         "SELECT registry, subject, version, schema_id FROM subject_versions"
@@ -201,6 +204,19 @@ SELECT group_id, topic, CAST(sum(lag) AS BIGINT) AS total_lag,
 FROM lag_rows GROUP BY group_id, topic
 HAVING sum(lag) <> 0"""
     )
+    # hash-checkable companion of lag_nested: the partition_lags array
+    # rendered exactly as Spark's to_json emits it
+    q["lag_nested_json"] = _snap(
+        LAG_CTE
+        + """
+SELECT group_id, topic, CAST(sum(lag) AS BIGINT) AS total_lag,
+  '[' || string_agg(
+    '{"partition_id":' || CAST(partition_id AS STRING)
+    || ',"lag":' || CAST(lag AS STRING) || '}',
+    ',' ORDER BY partition_id, lag) || ']' AS partition_lags_json
+FROM lag_rows GROUP BY group_id, topic
+HAVING sum(lag) <> 0"""
+    )
     q["groups_df"] = _snap(
         LAG_CTE
         + """,
@@ -220,6 +236,75 @@ SELECT cg.group_id AS name, cg.members, cg.state, e.eval_elapsed_time,
 FROM consumer_groups cg
 LEFT JOIN overall o ON cg.group_id = o.group_id
 CROSS JOIN elapsed e"""
+    )
+
+    # hash-checkable companion of cluster_report: every leaf of the nested
+    # report struct as a column; the two map leaves rendered as the exact
+    # JSON strings Spark's to_json emits (sorted keys, no whitespace)
+    cat_scalars = ",\n".join(
+        f"""
+  (SELECT '{{' || coalesce(string_agg(
+      '"' || name || '":' || CAST(partitions AS STRING), ',' ORDER BY name),
+      '') || '}}' FROM topics_df WHERE {flt}) AS {cat}_topics_json,
+  (SELECT CAST(count(name) AS BIGINT) FROM topics_df WHERE {flt})
+    AS {cat}_topics_count,
+  (SELECT CAST(coalesce(sum(partitions), 0) AS BIGINT) FROM topics_df
+   WHERE {flt}) AS {cat}_partitions_sum,
+  (SELECT CAST(floor((CAST(count(name) AS DOUBLE)
+      / (SELECT total FROM tot)) * 100) AS BIGINT) FROM topics_df
+   WHERE {flt}) AS {cat}_pct"""
+        for cat, flt in WASTE_FILTERS.items()
+    )
+    q["cluster_report_scalars"] = _snap(
+        TOPICS_DF_CTE
+        + """,
+tot AS (SELECT count(*) AS total FROM topics_df),
+ma AS (
+  SELECT name, partitions, total_messages, new_messages, active_groups
+  FROM topics_df,
+    (SELECT quantile_cont(new_messages, 0.75) AS q_new,
+            quantile_cont(total_messages, 0.75) AS q_total FROM topics_df) t
+  WHERE new_messages > q_new AND total_messages > q_total
+    AND active_groups > 0
+),
+gov AS (
+  SELECT name,
+    regexp_matches(name, '^_.*$') AS excluded_name,
+    regexp_matches(name, '^[a-z]+\\.[a-z]+\\..*$') AS compliant_name
+  FROM topics
+)
+SELECT
+  'primary' AS cluster_name,
+  (SELECT CAST(count(name) AS BIGINT) FROM topics_df) AS stat_topics,
+  (SELECT CAST(coalesce(sum(partitions), 0) AS BIGINT) FROM topics_df)
+    AS stat_partitions,
+  (SELECT '{' || coalesce(string_agg(
+      '"' || name || '":{"partitions":' || CAST(partitions AS STRING)
+      || ',"total_messages":' || CAST(total_messages AS STRING)
+      || ',"new_messages":' || CAST(new_messages AS STRING)
+      || ',"active_groups":' || CAST(active_groups AS STRING) || '}',
+      ',' ORDER BY name), '') || '}' FROM ma) AS most_active_json,
+"""
+        + cat_scalars
+        + """,
+  (SELECT CAST(count(*) AS BIGINT) FROM gov) AS gov_total,
+  (SELECT CAST(sum(CASE WHEN excluded_name THEN 1 ELSE 0 END) AS BIGINT)
+   FROM gov) AS gov_total_ignored,
+  (SELECT CAST(count(*) - sum(CASE WHEN excluded_name THEN 1 ELSE 0 END)
+      AS BIGINT) FROM gov) AS gov_total_measured,
+  (SELECT CAST(sum(CASE WHEN NOT compliant_name AND NOT excluded_name
+      THEN 1 ELSE 0 END) AS BIGINT) FROM gov) AS gov_non_compliant_count,
+  (SELECT round(100 - (CAST(sum(CASE WHEN NOT compliant_name AND NOT
+      excluded_name THEN 1 ELSE 0 END) AS DOUBLE) * 100)
+      / (count(*) - sum(CASE WHEN excluded_name THEN 1 ELSE 0 END)), 6)
+   FROM gov) AS gov_compliant_percentage,
+  (SELECT CAST(count(*) AS BIGINT) FROM subjects) AS sr_subjects_count,
+  (SELECT CAST(count(*) AS BIGINT) FROM schemas) AS sr_schemas_count,
+  (SELECT CAST(count(*) AS BIGINT) FROM subject_versions)
+    AS sr_versions_count,
+  (SELECT CAST(count(*) AS BIGINT) FROM subjects
+   WHERE replace(replace(subject, '-value', ''), '-key', '')
+         NOT IN (SELECT name FROM topics)) AS sr_unused_subjects_count"""
     )
 
     # --- governance ---
@@ -438,19 +523,43 @@ WHERE regexp_matches(name, '^app\\..*$')
     )
 
     # --- sinks expressed as queries ---
-    q["restore_commands"] = _snap_plain(
+    # S1.4 map column surface: the full config map per topic as the JSON
+    # string Spark's to_json(map) emits (key-sorted entries)
+    q["topics_config_map"] = _snap(
         """
+cfgmap AS (
+  SELECT topic,
+    '{' || string_agg('"' || config_key || '":"' || config_value || '"',
+      ',' ORDER BY config_key) || '}' AS configs_json
+  FROM topic_configs GROUP BY topic
+)
+SELECT t.cluster, t.name, t.partitions,
+  coalesce(c.configs_json, '{}') AS configs_json
+FROM topics t LEFT JOIN cfgmap c ON t.name = c.topic"""
+    )
+    # K6 faithful restore command: every non-default config as a
+    # --config key="value" continuation line + the reference's
+    # bootstrap-server trailer; bare create command when no configs
+    q["restore_commands"] = _snap(
+        """
+cfg AS (
+  SELECT topic,
+    string_agg('--config ' || config_key || '="' || config_value || '"',
+      ' \\' || chr(10) ORDER BY config_key) AS configs_str
+  FROM topic_configs GROUP BY topic
+)
 SELECT name,
-  concat('kafka-topics.sh --create --topic ', name,
-    ' --partitions ', CAST(partitions AS STRING),
-    ' --replication-factor 3',
-    CASE WHEN retention_ms IS NOT NULL
-         THEN concat(' --config retention.ms=', CAST(retention_ms AS STRING))
-         ELSE '' END,
-    CASE WHEN cleanup_policy IS NOT NULL
-         THEN concat(' --config cleanup.policy=', cleanup_policy)
-         ELSE '' END) AS command
-FROM topics"""
+  CASE WHEN c.configs_str IS NULL THEN
+    'kafka-topics.sh --create --topic ' || name || ' --partitions '
+      || CAST(partitions AS STRING)
+  ELSE
+    'kafka-topics.sh --create --topic ' || name || ' --partitions '
+      || CAST(partitions AS STRING) || ' \\' || chr(10)
+      || c.configs_str || ' \\' || chr(10)
+      || '--bootstrap-server ${BOOTSTRAP_SERVER} '
+      || '${CLIENT_CONFIG_PATH+:--command-config CLIENT_CONFIG_PATH}'
+  END AS command
+FROM topics t LEFT JOIN cfg c ON t.name = c.topic"""
     )
 
     return q

@@ -25,7 +25,7 @@ from .operators import usage, windows
 from .pipelines import dedup, similarity
 from .pipelines import text as textops
 from .sinks import exports
-from .snapshot import build_snapshots
+from .snapshot import build_snapshots, topics_with_configs
 
 _SNAP_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 _TOPICS_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
@@ -122,6 +122,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_offsets",
         ["cluster", "group_id", "topic", "partition_id", "committed_offset"],
     )
+    q["snapshot_topic_configs"] = _snapshot_query(
+        "topic_configs", ["cluster", "topic", "config_key", "config_value"]
+    )
     q["snapshot_subjects"] = _snapshot_query("subjects", ["registry", "subject"])
     q["snapshot_subject_versions"] = _snapshot_query(
         "subject_versions", ["registry", "subject", "version", "schema_id"]
@@ -156,6 +159,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # A11 full nested shape — rows-only (nested arrays, no SQL oracle)
     q["lag_nested"] = lambda s, d: lagops.lag_nested(
+        get_snaps(s, d), lag_rows=get_lag_rows(s, d)
+    )
+    # hash-checkable companion (to_json'd array) — full oracle coverage
+    q["lag_nested_json"] = lambda s, d: lagops.lag_nested_json(
         get_snaps(s, d), lag_rows=get_lag_rows(s, d)
     )
 
@@ -216,6 +223,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cluster_report"] = lambda s, d: reportops.build_cluster_report(
         get_snaps(s, d)
     )
+    # hash-checkable companion: every report-struct leaf as a column
+    q["cluster_report_scalars"] = lambda s, d: reportops.cluster_report_scalars(
+        get_snaps(s, d)
+    )
 
     # kafka-ops extensions
     q["partition_balance"] = lambda s, d: usage.partition_balance(
@@ -234,6 +245,15 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- sinks-as-queries ---
     q["restore_commands"] = lambda s, d: exports.restore_commands(get_snaps(s, d))
+    # SURVEY §1.4 configs map column (JSON-serialized for hashability)
+    q["topics_config_map"] = lambda s, d: topics_with_configs(
+        get_snaps(s, d)
+    ).select(
+        "cluster",
+        "name",
+        "partitions",
+        F.to_json("configs").alias("configs_json"),
+    )
 
     # --- training-data pipelines (documents / embeddings) ---
     def raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

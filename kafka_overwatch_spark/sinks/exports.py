@@ -31,45 +31,87 @@ def export_dataframe(
         raise ValueError(f"unsupported export format: {fmt}")
 
 
+# The trailing connection line of every restore command
+# (`overwatch_resources/topics.py:185-188`, verbatim).
+_CMD_CONFIG = (
+    "--bootstrap-server ${BOOTSTRAP_SERVER} "
+    "${CLIENT_CONFIG_PATH+:--command-config CLIENT_CONFIG_PATH}"
+)
+
+
 def restore_commands(snaps: dict[str, DataFrame]) -> DataFrame:
     """K6 (`overwatch_resources/clusters.py:253-278`; per-topic command at
-    `overwatch_resources/topics.py:174-191`): a ``kafka-topics.sh --create``
-    command per topic, carrying only non-default configs. Pure string
-    building over the topics dim — concat/CASE, no UDF."""
-    t = snaps["topics"]
-    return t.select(
+    `overwatch_resources/topics.py:174-191`): a ``kafka-topics.sh
+    --create`` command per topic carrying EVERY non-default config as
+    ``--config key="value"`` continuation lines (the reference renders
+    ``str(ConfigEntry)`` == ``name="value"`` per entry, joined with
+    ``" \\\\\\n"``), or the bare create command when the topic has no
+    non-default configs. Configs are emitted key-sorted (the reference
+    uses broker dict order — not reproducible; documented divergence).
+    Pure string building over two dims — concat/array_join, no UDF."""
+    cfg = (
+        snaps["topic_configs"]
+        .groupBy("topic")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("config_key", "config_value"))
+                    ),
+                    lambda e: F.concat(
+                        F.lit("--config "),
+                        e["config_key"],
+                        F.lit('="'),
+                        e["config_value"],
+                        F.lit('"'),
+                    ),
+                ),
+                " \\\n",
+            ).alias("configs_str")
+        )
+    )
+    t = snaps["topics"].select("name", "partitions")
+    base = F.concat(
+        F.lit("kafka-topics.sh --create --topic "),
+        F.col("name"),
+        F.lit(" --partitions "),
+        F.col("partitions").cast("string"),
+    )
+    return t.join(F.broadcast(cfg), t.name == cfg.topic, "left").select(
         "name",
-        F.concat(
-            F.lit("kafka-topics.sh --create --topic "),
-            F.col("name"),
-            F.lit(" --partitions "),
-            F.col("partitions").cast("string"),
-            F.lit(" --replication-factor 3"),
-            F.when(
-                F.col("retention_ms").isNotNull(),
-                F.concat(
-                    F.lit(" --config retention.ms="),
-                    F.col("retention_ms").cast("string"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(
-                F.col("cleanup_policy").isNotNull(),
-                F.concat(
-                    F.lit(" --config cleanup.policy="), F.col("cleanup_policy")
-                ),
-            ).otherwise(F.lit("")),
-        ).alias("command"),
+        F.when(F.col("configs_str").isNull(), base)
+        .otherwise(
+            F.concat(
+                base,
+                F.lit(" \\\n"),
+                F.col("configs_str"),
+                F.lit(" \\\n"),
+                F.lit(_CMD_CONFIG),
+            )
+        )
+        .alias("command"),
     )
 
 
+# Reference script preamble (`overwatch_resources/clusters.py:258-265`).
+_RESTORE_HEADER = """#!/usr/bin/env bash
+
+if [ -z ${BOOTSTRAP_SERVER} ]; then
+    echo "You must specify the BOOTSTRAP_SERVER environment variable"
+    exit 1
+fi
+"""
+
+
 def write_restore_script(snaps: dict[str, DataFrame], path: str) -> None:
-    """Emit the restore script as one executable file (driver-side join of
-    dim-sized output, like the reference's local file write)."""
+    """Emit the restore script as one executable file (driver-side
+    collect of dim-sized output, like the reference's local file write):
+    the reference header, then commands joined by blank lines
+    (`clusters.py:267-271`)."""
     rows = restore_commands(snaps).orderBy("name").collect()
     with open(path, "w") as fh:
-        fh.write("#!/usr/bin/env bash\nset -euo pipefail\n\n")
-        for row in rows:
-            fh.write(row["command"] + "\n")
+        fh.write(_RESTORE_HEADER)
+        fh.write("\n\n".join(row["command"] for row in rows) + "\n")
 
 
 def report_to_json(report_row: dict, path: str | None = None) -> str:

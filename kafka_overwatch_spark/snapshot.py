@@ -12,7 +12,9 @@ collectors land rows in five normalized tables:
 partition_offsets      cluster, topic, partition_id, scan_id, start_offset,
                        end_offset, ts  (fact; scan 0 = service-start baseline)
 topics                 cluster, name, partitions, retention_ms,
-                       cleanup_policy  (dim; config entries)
+                       cleanup_policy  (dim; convenience columns)
+topic_configs          cluster, topic, config_key, config_value  (dim; the
+                       FULL non-default config map, exploded — S3)
 consumer_groups        cluster, group_id, state, members  (dim)
 group_offsets          cluster, group_id, topic, partition_id,
                        committed_offset  (fact; -1 = no committed offset)
@@ -216,6 +218,30 @@ schemas AS (
       AS schema_type,
     concat('{"schema_id": ', CAST(schema_id AS STRING), '}') AS schema_string
   FROM subject_versions
+),
+topic_configs AS (
+  -- S3 full config map, exploded to (topic, key, value) rows — the
+  -- scalable relational form of the reference's dict[str, ConfigEntry]
+  -- (`overwatch_resources/topics.py:147-155`); only NON-DEFAULT entries
+  -- are persisted (presence == is_default false, which is exactly the
+  -- set the restore script emits, `topics.py:174-191`). The retention /
+  -- cleanup rows agree with the topics-dim convenience columns.
+  SELECT DISTINCT 'primary' AS cluster, topic, 'retention.ms' AS config_key,
+    CAST((bucket + 1) * 3600000 AS STRING) AS config_value
+  FROM ev3 WHERE bucket % 3 = 0
+  UNION ALL
+  SELECT DISTINCT 'primary', topic, 'cleanup.policy', 'compact'
+  FROM ev3 WHERE bucket % 4 = 0
+  UNION ALL
+  SELECT DISTINCT 'primary', topic, 'max.message.bytes',
+    CAST((bucket + 1) * 1048576 AS STRING)
+  FROM ev3 WHERE bucket % 5 = 1
+  UNION ALL
+  SELECT DISTINCT 'primary', topic, 'min.insync.replicas', '2'
+  FROM ev3 WHERE bucket % 2 = 0
+  UNION ALL
+  SELECT DISTINCT 'primary', topic, 'compression.type', 'lz4'
+  FROM ev3 WHERE bucket % 6 = 2
 )
 """
 
@@ -227,6 +253,7 @@ SNAPSHOT_TABLES = (
     "subjects",
     "subject_versions",
     "schemas",
+    "topic_configs",
 )
 
 
@@ -271,6 +298,36 @@ def register_raw_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def topics_with_configs(snaps: dict[str, DataFrame]) -> DataFrame:
+    """The topics dim with the SURVEY §1.4 ``configs:
+    map<string,string>`` column attached (map_from_entries over the
+    exploded ``topic_configs`` rows, key-sorted for determinism). Topics
+    with no non-default configs get an empty map."""
+    cfg = (
+        snaps["topic_configs"]
+        .groupBy("topic")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(F.struct("config_key", "config_value"))
+                )
+            ).alias("configs")
+        )
+    )
+    t = snaps["topics"]
+    return (
+        t.join(F.broadcast(cfg), t.name == cfg.topic, "left")
+        .drop("topic")
+        .withColumn(
+            "configs",
+            F.coalesce(
+                F.col("configs"),
+                F.expr("cast(map() as map<string,string>)"),
+            ),
+        )
+    )
 
 
 def filter_cluster(

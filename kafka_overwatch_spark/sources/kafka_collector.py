@@ -66,6 +66,10 @@ class SnapshotRows:
     topics: list[tuple]
     consumer_groups: list[tuple]
     group_offsets: list[tuple]
+    # S3 full config map, exploded (cluster, topic, key, value) — every
+    # non-default entry, not just the retention/cleanup convenience
+    # columns (`overwatch_resources/topics.py:147-155`)
+    topic_configs: list[tuple]
 
 
 def collect_snapshot(
@@ -78,7 +82,7 @@ def collect_snapshot(
     snapshot rows (ts is one instant per scan, `kafka_resources/
     topics.py:105`)."""
     ts = now or datetime.utcnow()
-    po, tp, cg, go = [], [], [], []
+    po, tp, cg, go, tc = [], [], [], [], []
     for topic in client.list_topics():
         pids = client.describe_topic(topic)
         config = client.topic_config(topic)
@@ -91,6 +95,8 @@ def collect_snapshot(
                 config.get("cleanup.policy"),
             )
         )
+        for key in sorted(config):
+            tc.append((cluster, topic, key, str(config[key])))
         for pid in pids:
             low, high = client.watermarks(topic, pid)
             po.append((cluster, topic, pid, scan_id, low, high, ts))
@@ -99,7 +105,7 @@ def collect_snapshot(
         cg.append((cluster, group_id, state, members))
         for topic, pid, offset in client.committed_offsets(group_id):
             go.append((cluster, group_id, topic, pid, offset))
-    return SnapshotRows(po, tp, cg, go)
+    return SnapshotRows(po, tp, cg, go, tc)
 
 
 def confluent_client(bootstrap_servers: str, **config):  # pragma: no cover

@@ -61,12 +61,22 @@ def test_restore_script_sink(spark, snaps):
     with tempfile.TemporaryDirectory() as tmp:
         path = f"{tmp}/restore.sh"
         write_restore_script(snaps, path)
-        lines = open(path).read().splitlines()
+        text = open(path).read()
+        lines = text.splitlines()
         assert lines[0] == "#!/usr/bin/env bash"
+        # reference preamble guards BOOTSTRAP_SERVER (clusters.py:258-265)
+        assert "You must specify the BOOTSTRAP_SERVER" in text
         cmds = [l for l in lines if l.startswith("kafka-topics.sh")]
         assert len(cmds) == snaps["topics"].count()
-        assert any("--config retention.ms=" in c for c in cmds)
-        assert any("--config cleanup.policy=compact" in c for c in cmds)
+        # faithful per-entry continuation lines: --config key="value"
+        assert '--config retention.ms="' in text
+        assert '--config cleanup.policy="compact"' in text
+        assert '--config min.insync.replicas="2"' in text
+        # configs-bearing commands end with the reference trailer line
+        assert (
+            "--bootstrap-server ${BOOTSTRAP_SERVER} "
+            "${CLIENT_CONFIG_PATH+:--command-config CLIENT_CONFIG_PATH}"
+        ) in text
 
 
 def test_dataframe_exports(spark, snaps):
