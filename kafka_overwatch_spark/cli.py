@@ -50,6 +50,7 @@ def main(argv: list[str] | None = None) -> int:
     p_restore = sub.add_parser("restore-script", help="topic restore script (K6)")
     p_restore.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     p_restore.add_argument("--out", required=True)
+    p_restore.add_argument("--cluster", default="primary")
 
     p_srb = sub.add_parser("sr-backup", help="schema-registry backup tar (K7)")
     p_srb.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -80,7 +81,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "report":
             from .operators.report import report_json
 
-            snaps = registry.get_snaps(spark, args.sf_dir)
+            # one report per cluster (`overwatch.py:92-120`): the snapshot
+            # frames are pruned to the requested cluster, not relabeled
+            snaps = registry.get_cluster_snaps(
+                spark, args.sf_dir, args.cluster
+            )
             payload = report_json(snaps, cluster_name=args.cluster)
             if args.out == "-":
                 print(payload)
@@ -113,7 +118,9 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "restore-script":
             from .sinks.exports import write_restore_script
 
-            snaps = registry.get_snaps(spark, args.sf_dir)
+            snaps = registry.get_cluster_snaps(
+                spark, args.sf_dir, args.cluster
+            )
             write_restore_script(snaps, args.out)
             print(f"wrote {args.out}", file=sys.stderr)
         elif args.cmd == "sr-backup":

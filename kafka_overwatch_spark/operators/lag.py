@@ -35,34 +35,40 @@ from .usage import FINAL_SCAN, is_active_group
 
 
 def lag_per_partition(snaps: dict[str, DataFrame]) -> DataFrame:
-    """Valid measured lag rows: group_id, topic, partition_id, lag."""
+    """Valid measured lag rows: cluster, group_id, topic, partition_id,
+    lag. The cluster key is part of the join — group ids and topic names
+    are per-cluster namespaces, so a multi-cluster snapshot must never
+    match offsets across clusters."""
     po_final = (
         snaps["partition_offsets"]
         .filter(F.col("scan_id") == FINAL_SCAN)
-        .select("topic", "partition_id", "start_offset", "end_offset")
+        .select("cluster", "topic", "partition_id", "start_offset", "end_offset")
     )
     go = snaps["group_offsets"].select(
-        "group_id", "topic", "partition_id", "committed_offset"
+        "cluster", "group_id", "topic", "partition_id", "committed_offset"
     )
     # J1: inner; po_final is partition-count-sized per cluster (≤ ~1e6
     # rows after the scan_id prune + cluster filter) → broadcast side
-    valid = go.join(F.broadcast(po_final), ["topic", "partition_id"])
+    valid = go.join(
+        F.broadcast(po_final), ["cluster", "topic", "partition_id"]
+    )
     # P11 ordering (groups.py:111-123 vs :124-130): the zero-message
     # `continue` fires BEFORE the committed<0 `break`, so a zero-message
     # partition with offset -1 is skipped and does NOT truncate the topic.
     measured = valid.filter((F.col("end_offset") - F.col("start_offset")) > 0)
     first_bad = (
         measured.filter(F.col("committed_offset") < 0)
-        .groupBy("group_id", "topic")
+        .groupBy("cluster", "group_id", "topic")
         .agg(F.min("partition_id").alias("first_bad"))
     )
     return (
-        measured.join(first_bad, ["group_id", "topic"], "left")
+        measured.join(first_bad, ["cluster", "group_id", "topic"], "left")
         .filter(
             F.col("first_bad").isNull()
             | (F.col("partition_id") < F.col("first_bad"))
         )
         .select(
+            "cluster",
             "group_id",
             "topic",
             "partition_id",
@@ -78,7 +84,7 @@ def lag_per_topic(
     ``{topic: {total, partitions}}`` dict (`groups.py:103-141`) kept flat."""
     return (
         (lag_rows if lag_rows is not None else lag_per_partition(snaps))
-        .groupBy("group_id", "topic")
+        .groupBy("cluster", "group_id", "topic")
         .agg(
             F.sum("lag").alias("total_lag"),
             F.count("*").alias("partitions_measured"),
@@ -99,7 +105,7 @@ def lag_nested(
     Registered rows-only (nested arrays aren't ANSI-SQL-hashable)."""
     return (
         (lag_rows if lag_rows is not None else lag_per_partition(snaps))
-        .groupBy("group_id", "topic")
+        .groupBy("cluster", "group_id", "topic")
         .agg(
             F.sum("lag").alias("total_lag"),
             F.sort_array(
@@ -119,6 +125,7 @@ def lag_nested_json(
     canonicalizer (which cannot factorize array columns) gets a plain
     string column carrying the identical information."""
     return lag_nested(snaps, lag_rows).select(
+        "cluster",
         "group_id",
         "topic",
         "total_lag",

@@ -61,9 +61,12 @@ def metrics_snapshot(
             F.col("groups").cast("long").alias("value"),
         )
     )
+    # per-(cluster, group, topic) lag gauge — the cluster label comes from
+    # the lag rows themselves (a multi-cluster snapshot emits one gauge
+    # row per cluster, like the reference's per-cluster label set)
     lag = lag_per_topic(snaps, lag_rows=lag_rows).select(
         F.lit("kafka_consumer_group_lag").alias("metric"),
-        F.lit("primary").alias("cluster"),
+        F.col("cluster"),
         F.col("group_id"),
         F.col("topic"),
         F.col("total_lag").cast("long").alias("value"),

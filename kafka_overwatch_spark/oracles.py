@@ -33,16 +33,23 @@ def _snap_plain(select: str) -> str:
 
 
 # Shared derived-frame CTEs (duckdb dialect), appended after the snapshot
-# chain by queries that need them.
-TOPICS_DF_CTE = """
-po_final_scan AS (
-  SELECT * FROM partition_offsets WHERE scan_id = 3
+# chain by queries that need them. Parametrized by cluster: the report
+# family is per-cluster (one report per cluster, `overwatch.py:92-120`);
+# fleet-wide queries pass cluster=None and carry the cluster column.
+
+
+def _topics_df_cte(cluster: str | None = "primary", sfx: str = "") -> str:
+    cl = f" AND cluster = '{cluster}'" if cluster else ""
+    clw = f" WHERE cluster = '{cluster}'" if cluster else ""
+    return f"""
+po_final_scan{sfx} AS (
+  SELECT * FROM partition_offsets WHERE scan_id = 3{cl}
 ),
-po_base AS (
+po_base{sfx} AS (
   SELECT topic, partition_id, end_offset AS end0, ts AS ts0
-  FROM partition_offsets WHERE scan_id = 0
+  FROM partition_offsets WHERE scan_id = 0{cl}
 ),
-per_topic AS (
+per_topic{sfx} AS (
   SELECT f.topic,
     CAST(count(*) AS BIGINT) AS partitions,
     CAST(sum(f.end_offset - f.start_offset) AS BIGINT) AS total_messages,
@@ -50,46 +57,53 @@ per_topic AS (
     CAST(max(CASE WHEN f.partition_id = 0
              THEN date_diff('second', b.ts0, f.ts) END) AS BIGINT)
       AS eval_elapsed_time
-  FROM po_final_scan f
-  JOIN po_base b ON f.topic = b.topic AND f.partition_id = b.partition_id
+  FROM po_final_scan{sfx} f
+  JOIN po_base{sfx} b ON f.topic = b.topic AND f.partition_id = b.partition_id
   GROUP BY f.topic
 ),
-cg_active AS (
+cg_active{sfx} AS (
   SELECT group_id,
     (state NOT IN ('DEAD','EMPTY') AND members > 0) AS is_active
-  FROM consumer_groups
+  FROM consumer_groups{clw}
 ),
-gcounts AS (
+gcounts{sfx} AS (
   SELECT topic,
     CAST(count(*) AS BIGINT) AS consumer_groups,
     CAST(sum(CASE WHEN is_active THEN 1 ELSE 0 END) AS BIGINT)
       AS active_groups
-  FROM (SELECT DISTINCT group_id, topic FROM group_offsets) go
-  JOIN cg_active USING (group_id)
+  FROM (SELECT DISTINCT group_id, topic FROM group_offsets{clw}) go
+  JOIN cg_active{sfx} USING (group_id)
   GROUP BY topic
 ),
-topics_df AS (
+topics_df{sfx} AS (
   SELECT p.topic AS name, p.partitions, p.total_messages, p.new_messages,
     p.eval_elapsed_time,
     CAST(coalesce(g.consumer_groups, 0) AS BIGINT) AS consumer_groups,
     CAST(coalesce(g.active_groups, 0) AS BIGINT) AS active_groups,
     CAST(coalesce(floor(p.new_messages / p.eval_elapsed_time), 0) AS BIGINT)
       AS messages_per_seconds
-  FROM per_topic p LEFT JOIN gcounts g ON p.topic = g.topic
+  FROM per_topic{sfx} p LEFT JOIN gcounts{sfx} g ON p.topic = g.topic
 )
 """
 
-LAG_CTE = """
+
+TOPICS_DF_CTE = _topics_df_cte("primary")
+
+
+def _lag_cte(cluster: str | None = None) -> str:
+    cl = f" AND cluster = '{cluster}'" if cluster else ""
+    return f"""
 po_final_scan AS (
-  SELECT topic, partition_id, start_offset, end_offset
-  FROM partition_offsets WHERE scan_id = 3
+  SELECT cluster, topic, partition_id, start_offset, end_offset
+  FROM partition_offsets WHERE scan_id = 3{cl}
 ),
 go_valid AS (
-  SELECT g.group_id, g.topic, g.partition_id, g.committed_offset,
+  SELECT g.cluster, g.group_id, g.topic, g.partition_id, g.committed_offset,
          p.start_offset, p.end_offset
   FROM group_offsets g
   JOIN po_final_scan p
-    ON g.topic = p.topic AND g.partition_id = p.partition_id
+    ON g.cluster = p.cluster AND g.topic = p.topic
+   AND g.partition_id = p.partition_id
 ),
 go_measured AS (
   -- P11 ordering: zero-message partitions are skipped (continue) BEFORE
@@ -97,18 +111,22 @@ go_measured AS (
   SELECT * FROM go_valid WHERE (end_offset - start_offset) > 0
 ),
 first_bad AS (
-  SELECT group_id, topic, min(partition_id) AS first_bad
+  SELECT cluster, group_id, topic, min(partition_id) AS first_bad
   FROM go_measured WHERE committed_offset < 0
-  GROUP BY group_id, topic
+  GROUP BY cluster, group_id, topic
 ),
 lag_rows AS (
-  SELECT v.group_id, v.topic, v.partition_id,
+  SELECT v.cluster, v.group_id, v.topic, v.partition_id,
     CAST(v.end_offset - v.committed_offset AS BIGINT) AS lag
   FROM go_measured v
-  LEFT JOIN first_bad fb ON v.group_id = fb.group_id AND v.topic = fb.topic
+  LEFT JOIN first_bad fb ON v.cluster = fb.cluster
+    AND v.group_id = fb.group_id AND v.topic = fb.topic
   WHERE (fb.first_bad IS NULL OR v.partition_id < fb.first_bad)
 )
 """
+
+
+LAG_CTE = _lag_cte(None)
 
 # Shared verbatim with the Spark side (operators/usage.py).
 from .operators.usage import WASTE_PREDICATES as WASTE_FILTERS  # noqa: E402
@@ -191,17 +209,36 @@ SELECT CAST(count(name) AS BIGINT) AS topics,
        CAST(coalesce(sum(partitions), 0) AS BIGINT) AS partitions
 FROM topics_df"""
     )
+    # fleet surface: the same statistics per cluster (one pruned pipeline
+    # per cluster, CTE names suffixed — duplicating the reference's
+    # per-cluster report loop)
+    q["cluster_statistics_by_cluster"] = _snap(
+        _topics_df_cte("analytics", "_a")
+        + ",\n"
+        + _topics_df_cte("primary", "_p")
+        + """
+SELECT 'analytics' AS cluster,
+  CAST(count(name) AS BIGINT) AS topics,
+  CAST(coalesce(sum(partitions), 0) AS BIGINT) AS partitions
+FROM topics_df_a
+UNION ALL
+SELECT 'primary' AS cluster,
+  CAST(count(name) AS BIGINT) AS topics,
+  CAST(coalesce(sum(partitions), 0) AS BIGINT) AS partitions
+FROM topics_df_p"""
+    )
 
-    # --- lag / groups_df ---
+    # --- lag / groups_df (cluster-carrying; fleet-wide) ---
     q["lag_per_partition"] = _snap(
-        LAG_CTE + "\nSELECT group_id, topic, partition_id, lag FROM lag_rows"
+        LAG_CTE
+        + "\nSELECT cluster, group_id, topic, partition_id, lag FROM lag_rows"
     )
     q["lag_per_topic"] = _snap(
         LAG_CTE
         + """
-SELECT group_id, topic, CAST(sum(lag) AS BIGINT) AS total_lag,
+SELECT cluster, group_id, topic, CAST(sum(lag) AS BIGINT) AS total_lag,
   CAST(count(*) AS BIGINT) AS partitions_measured
-FROM lag_rows GROUP BY group_id, topic
+FROM lag_rows GROUP BY cluster, group_id, topic
 HAVING sum(lag) <> 0"""
     )
     # hash-checkable companion of lag_nested: the partition_lags array
@@ -209,16 +246,16 @@ HAVING sum(lag) <> 0"""
     q["lag_nested_json"] = _snap(
         LAG_CTE
         + """
-SELECT group_id, topic, CAST(sum(lag) AS BIGINT) AS total_lag,
+SELECT cluster, group_id, topic, CAST(sum(lag) AS BIGINT) AS total_lag,
   '[' || string_agg(
     '{"partition_id":' || CAST(partition_id AS STRING)
     || ',"lag":' || CAST(lag AS STRING) || '}',
     ',' ORDER BY partition_id, lag) || ']' AS partition_lags_json
-FROM lag_rows GROUP BY group_id, topic
+FROM lag_rows GROUP BY cluster, group_id, topic
 HAVING sum(lag) <> 0"""
     )
     q["groups_df"] = _snap(
-        LAG_CTE
+        _lag_cte("primary")
         + """,
 elapsed AS (
   SELECT CAST(date_diff('second',
@@ -235,7 +272,8 @@ SELECT cg.group_id AS name, cg.members, cg.state, e.eval_elapsed_time,
   (cg.state NOT IN ('DEAD','EMPTY') AND cg.members > 0) AS is_active
 FROM consumer_groups cg
 LEFT JOIN overall o ON cg.group_id = o.group_id
-CROSS JOIN elapsed e"""
+CROSS JOIN elapsed e
+WHERE cg.cluster = 'primary'"""
     )
 
     # hash-checkable companion of cluster_report: every leaf of the nested
@@ -271,7 +309,7 @@ gov AS (
   SELECT name,
     regexp_matches(name, '^_.*$') AS excluded_name,
     regexp_matches(name, '^[a-z]+\\.[a-z]+\\..*$') AS compliant_name
-  FROM topics
+  FROM topics WHERE cluster = 'primary'
 )
 SELECT
   'primary' AS cluster_name,
@@ -304,16 +342,17 @@ SELECT
     AS sr_versions_count,
   (SELECT CAST(count(*) AS BIGINT) FROM subjects
    WHERE replace(replace(subject, '-value', ''), '-key', '')
-         NOT IN (SELECT name FROM topics)) AS sr_unused_subjects_count"""
+         NOT IN (SELECT name FROM topics WHERE cluster = 'primary'))
+    AS sr_unused_subjects_count"""
     )
 
-    # --- governance ---
+    # --- governance (per-cluster: 'primary') ---
     gov_topics = """
 gov AS (
   SELECT name,
     regexp_matches(name, '^_.*$') AS excluded_name,
     regexp_matches(name, '^[a-z]+\\.[a-z]+\\..*$') AS compliant_name
-  FROM topics
+  FROM topics WHERE cluster = 'primary'
 )"""
     q["governance_topics"] = _snap(gov_topics + "\nSELECT * FROM gov")
     q["governance_groups"] = _snap(
@@ -322,7 +361,7 @@ gov AS (
   SELECT group_id AS name,
     regexp_matches(group_id, '^_.*$') AS excluded_name,
     regexp_matches(group_id, '^cg-[0-9]+$') AS compliant_name
-  FROM consumer_groups
+  FROM consumer_groups WHERE cluster = 'primary'
 )
 SELECT * FROM gov"""
     )
@@ -333,7 +372,7 @@ gov AS (
   SELECT group_id AS name,
     regexp_matches(group_id, '^_.*$') AS excluded_name,
     regexp_matches(group_id, '^[a-z]+\\.[a-z]+\\..*$') AS compliant_name
-  FROM consumer_groups
+  FROM consumer_groups WHERE cluster = 'primary'
 )
 SELECT * FROM gov"""
     )
@@ -457,7 +496,7 @@ GROUP BY topic, scan_id"""
 per_part AS (
   SELECT topic, partition_id,
     CAST(end_offset - start_offset AS BIGINT) AS messages
-  FROM partition_offsets WHERE scan_id = 3
+  FROM partition_offsets WHERE scan_id = 3 AND cluster = 'primary'
 ),
 agg AS (
   SELECT topic,
@@ -480,7 +519,9 @@ SELECT g.group_id,
   CAST(sum(CASE WHEN g.committed_offset < 0 THEN 1 ELSE 0 END) AS BIGINT)
     AS unset_offsets
 FROM group_offsets g
-JOIN (SELECT DISTINCT topic FROM partition_offsets) t ON g.topic = t.topic
+JOIN (SELECT DISTINCT topic FROM partition_offsets
+      WHERE cluster = 'primary') t ON g.topic = t.topic
+WHERE g.cluster = 'primary'
 GROUP BY g.group_id"""
     )
 
@@ -507,9 +548,9 @@ SELECT 'kafka_consumer_groups_total', cluster, NULL, NULL,
   CAST(count(*) AS BIGINT)
 FROM consumer_groups GROUP BY cluster
 UNION ALL
-SELECT 'kafka_consumer_group_lag', 'primary', group_id, topic,
+SELECT 'kafka_consumer_group_lag', cluster, group_id, topic,
   CAST(sum(lag) AS BIGINT)
-FROM lag_rows GROUP BY group_id, topic
+FROM lag_rows GROUP BY cluster, group_id, topic
 HAVING sum(lag) <> 0"""
     )
 
@@ -546,7 +587,7 @@ cfg AS (
   SELECT topic,
     string_agg('--config ' || config_key || '="' || config_value || '"',
       ' \\' || chr(10) ORDER BY config_key) AS configs_str
-  FROM topic_configs GROUP BY topic
+  FROM topic_configs WHERE cluster = 'primary' GROUP BY topic
 )
 SELECT name,
   CASE WHEN c.configs_str IS NULL THEN
@@ -559,7 +600,8 @@ SELECT name,
       || '--bootstrap-server ${BOOTSTRAP_SERVER} '
       || '${CLIENT_CONFIG_PATH+:--command-config CLIENT_CONFIG_PATH}'
   END AS command
-FROM topics t LEFT JOIN cfg c ON t.name = c.topic"""
+FROM topics t LEFT JOIN cfg c ON t.name = c.topic
+WHERE t.cluster = 'primary'"""
     )
 
     return q

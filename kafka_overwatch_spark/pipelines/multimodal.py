@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -94,6 +95,8 @@ def decode_media(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
     """Arrow-batched decode via mapInPandas. The deterministic fake decode
     computes byte statistics; the real-codec branch is the documented stub."""
 
+    cols = [f.name for f in DECODED_SCHEMA.fields]
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if use_real_codecs:
             try:
@@ -104,22 +107,47 @@ def decode_media(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
                     "in this environment; use use_real_codecs=False"
                 ) from exc
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
-                head = payload[:HEADER_LEN].decode("utf-8", "replace")
-                body = payload[HEADER_LEN:]
-                rows.append(
-                    {
-                        "doc_id": int(row["doc_id"]),
-                        "media_type": row["media_type"],
-                        "width": int(head[4:8]),
-                        "height": int(head[8:12]),
-                        "n_bytes": len(payload),
-                        "mean_byte": (sum(body) / len(body)) if body else 0.0,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
+            if pdf.empty:
+                yield pd.DataFrame(columns=cols)
+                continue
+            # one concatenated uint8 buffer for the whole Arrow batch —
+            # header digits, byte sums, and lengths all come from
+            # vectorized indexing; no per-row Python
+            payloads = [bytes(p) for p in pdf["payload"]]
+            lens = np.fromiter(
+                (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
+            )
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+
+            def digits(off0: int, n: int = 4) -> np.ndarray:
+                val = np.zeros(len(starts), dtype=np.int64)
+                for k in range(n):
+                    val = val * 10 + (
+                        buf[starts + off0 + k].astype(np.int64) - ord("0")
+                    )
+                return val
+
+            # body byte sums via prefix sums: sum[a, b) = P[b] - P[a]
+            prefix = np.zeros(len(buf) + 1, dtype=np.int64)
+            np.cumsum(buf, out=prefix[1:])
+            body_start = starts + HEADER_LEN
+            body_len = lens - HEADER_LEN
+            body_sum = prefix[starts + lens] - prefix[body_start]
+            mean_byte = np.where(
+                body_len > 0, body_sum / np.maximum(body_len, 1), 0.0
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "width": digits(4),
+                    "height": digits(8),
+                    "n_bytes": lens,
+                    "mean_byte": mean_byte,
+                }
+            )
 
     return media.mapInPandas(decode_batches, DECODED_SCHEMA)
 
@@ -130,22 +158,45 @@ def sample_frames(media: DataFrame, frame_bytes: int = 256) -> DataFrame:
     > input cardinality, still shuffle-free)."""
     import hashlib
 
+    cols = [f.name for f in FRAME_SCHEMA.fields]
+
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])[HEADER_LEN:]
-                for i in range(0, max(len(payload), 1), frame_bytes):
-                    chunk = payload[i : i + frame_bytes]
-                    rows.append(
-                        {
-                            "doc_id": int(row["doc_id"]),
-                            "frame_id": i // frame_bytes,
-                            "frame_offset_bytes": i,
-                            "frame_checksum": hashlib.md5(chunk).hexdigest(),
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+            if pdf.empty:
+                yield pd.DataFrame(columns=cols)
+                continue
+            # fan-out indexing computed vectorized: per-doc frame counts →
+            # np.repeat/arange; only the md5 itself touches Python, once
+            # per OUTPUT frame (stand-in for real per-frame codec work)
+            bodies = [bytes(p)[HEADER_LEN:] for p in pdf["payload"]]
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            blens = np.fromiter(
+                (len(b) for b in bodies), dtype=np.int64, count=len(bodies)
+            )
+            n_frames = np.maximum(
+                (np.maximum(blens, 1) + frame_bytes - 1) // frame_bytes, 1
+            )
+            total = int(n_frames.sum())
+            out_doc = np.repeat(doc_ids, n_frames)
+            frame_id = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(n_frames)[:-1])), n_frames
+            )
+            offsets = frame_id * frame_bytes
+            doc_idx = np.repeat(np.arange(len(bodies)), n_frames)
+            checksums = [
+                hashlib.md5(
+                    bodies[d][o : o + frame_bytes]
+                ).hexdigest()
+                for d, o in zip(doc_idx, offsets)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "frame_id": frame_id,
+                    "frame_offset_bytes": offsets,
+                    "frame_checksum": checksums,
+                }
+            )
 
     return media.filter(F.col("media_type") == "video").mapInPandas(
         frames, FRAME_SCHEMA

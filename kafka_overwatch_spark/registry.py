@@ -25,9 +25,15 @@ from .operators import usage, windows
 from .pipelines import dedup, similarity
 from .pipelines import text as textops
 from .sinks import exports
-from .snapshot import build_snapshots, topics_with_configs
+from .snapshot import build_snapshots, filter_cluster, topics_with_configs
+
+# The per-cluster report pipelines run on 'primary' — the fixture's other
+# cluster ('analytics') is exercised by the *_by_cluster fleet queries and
+# the cluster-carrying lag/metrics surfaces.
+REPORT_CLUSTER = "primary"
 
 _SNAP_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_CLUSTER_SNAP_CACHE: dict[tuple[int, str, str], dict[str, DataFrame]] = {}
 _TOPICS_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
@@ -50,14 +56,29 @@ def get_snaps(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return _SNAP_CACHE[key]
 
 
+def get_cluster_snaps(
+    spark: SparkSession, sf_dir: str, cluster: str = REPORT_CLUSTER
+) -> dict[str, DataFrame]:
+    """Snapshot frames pruned to one cluster — the reference's
+    one-report-process-per-cluster topology (`overwatch.py:92-120`) as a
+    partition-pruning filter over the shared snapshot tables."""
+    key = (id(spark), sf_dir, cluster)
+    if key not in _CLUSTER_SNAP_CACHE:
+        _CLUSTER_SNAP_CACHE[key] = filter_cluster(
+            get_snaps(spark, sf_dir), cluster
+        )
+    return _CLUSTER_SNAP_CACHE[key]
+
+
 def get_topics_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """topics_df is re-read by every waste/most-active/statistics query
     (multiple actions) — cache it once per (session, sf_dir), mirroring the
-    reference materializing the pandas frame once per scan."""
+    reference materializing the pandas frame once per scan. Per-cluster
+    (REPORT_CLUSTER), like the reference's per-cluster frames."""
     key = (id(spark), sf_dir)
     if key not in _TOPICS_DF_CACHE:
         _TOPICS_DF_CACHE[key] = usage.build_topics_df(
-            get_snaps(spark, sf_dir)
+            get_cluster_snaps(spark, sf_dir)
         ).cache()
     return _TOPICS_DF_CACHE[key]
 
@@ -67,15 +88,23 @@ _LAG_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def get_lag_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Memoized cached lag frame — shared by lag_per_topic, groups_df,
-    lag_nested, and metrics_snapshot (each would otherwise rebuild the
-    fact join per action)."""
+    """Memoized cached lag frame (ALL clusters, cluster column carried) —
+    shared by lag_per_topic, groups_df, lag_nested, and metrics_snapshot
+    (each would otherwise rebuild the fact join per action)."""
     key = (id(spark), sf_dir)
     if key not in _LAG_CACHE:
         _LAG_CACHE[key] = lagops.lag_per_partition(
             get_snaps(spark, sf_dir)
         ).cache()
     return _LAG_CACHE[key]
+
+
+def get_cluster_lag_rows(
+    spark: SparkSession, sf_dir: str, cluster: str = REPORT_CLUSTER
+) -> DataFrame:
+    """Per-cluster slice of the cached lag frame (cheap filter over the
+    cached multi-cluster rows)."""
+    return get_lag_rows(spark, sf_dir).filter(F.col("cluster") == cluster)
 
 
 def get_shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,6 +117,24 @@ def get_shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.table("documents")
         ).cache()
     return _SHINGLE_CACHE[key]
+
+
+def _cluster_statistics_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cluster_statistics for every cluster in the snapshot: the
+    per-cluster report loop (`overwatch.py:92-120`) as a driver-side loop
+    over the (bounded, dim-sized) cluster list, one pruned pipeline each."""
+    snaps = get_snaps(spark, sf_dir)
+    clusters = sorted(
+        r["cluster"]
+        for r in snaps["topics"].select("cluster").distinct().collect()
+    )
+    out = None
+    for cluster in clusters:
+        stats = usage.cluster_statistics(
+            usage.build_topics_df(get_cluster_snaps(spark, sf_dir, cluster))
+        ).select(F.lit(cluster).alias("cluster"), "topics", "partitions")
+        out = stats if out is None else out.unionByName(stats)
+    return out
 
 
 def _snapshot_query(table: str, columns: list[str], ts_col: str | None = None):
@@ -155,7 +202,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         get_snaps(s, d), lag_rows=get_lag_rows(s, d)
     )
     q["groups_df"] = lambda s, d: lagops.build_groups_df(
-        get_snaps(s, d), lag_rows=get_lag_rows(s, d)
+        get_cluster_snaps(s, d), lag_rows=get_cluster_lag_rows(s, d)
     )
     # A11 full nested shape — rows-only (nested arrays, no SQL oracle)
     q["lag_nested"] = lambda s, d: lagops.lag_nested(
@@ -166,17 +213,21 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         get_snaps(s, d), lag_rows=get_lag_rows(s, d)
     )
 
-    # --- governance ---
-    q["governance_topics"] = lambda s, d: gov.governance_topics(get_snaps(s, d))
-    q["governance_groups"] = lambda s, d: gov.governance_groups(get_snaps(s, d))
+    # --- governance (per-cluster, like the reference's report) ---
+    q["governance_topics"] = lambda s, d: gov.governance_topics(
+        get_cluster_snaps(s, d)
+    )
+    q["governance_groups"] = lambda s, d: gov.governance_groups(
+        get_cluster_snaps(s, d)
+    )
     # the reference's CG-governance bug replicated bit-for-bit: topic
     # regexes applied to group names (`reporting/__init__.py:91-94` →
     # `:60-62`); see governance.py docstring
     q["governance_groups_reference_mode"] = lambda s, d: gov.governance_groups(
-        get_snaps(s, d), reference_compatible=True
+        get_cluster_snaps(s, d), reference_compatible=True
     )
     q["governance_summary"] = lambda s, d: gov.naming_convention_summary(
-        gov.governance_topics(get_snaps(s, d))
+        gov.governance_topics(get_cluster_snaps(s, d))
     )
 
     # --- schema registry ---
@@ -221,19 +272,22 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle (deeply nested struct + maps) — the driver records the weaker
     # rows-only check for this one, by design.
     q["cluster_report"] = lambda s, d: reportops.build_cluster_report(
-        get_snaps(s, d)
+        get_cluster_snaps(s, d)
     )
     # hash-checkable companion: every report-struct leaf as a column
     q["cluster_report_scalars"] = lambda s, d: reportops.cluster_report_scalars(
-        get_snaps(s, d)
+        get_cluster_snaps(s, d)
     )
+    # fleet surface: per-cluster statistics (the report pipeline run once
+    # per cluster, mirroring overwatch.py:92-120)
+    q["cluster_statistics_by_cluster"] = _cluster_statistics_by_cluster
 
-    # kafka-ops extensions
+    # kafka-ops extensions (per-cluster)
     q["partition_balance"] = lambda s, d: usage.partition_balance(
-        get_snaps(s, d)["partition_offsets"]
+        get_cluster_snaps(s, d)["partition_offsets"]
     )
     q["group_topic_matrix"] = lambda s, d: usage.group_topic_matrix(
-        get_snaps(s, d)
+        get_cluster_snaps(s, d)
     )
 
     # P12 extension: include/exclude regex scan filter
@@ -244,7 +298,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # --- sinks-as-queries ---
-    q["restore_commands"] = lambda s, d: exports.restore_commands(get_snaps(s, d))
+    q["restore_commands"] = lambda s, d: exports.restore_commands(
+        get_cluster_snaps(s, d)
+    )
     # SURVEY §1.4 configs map column (JSON-serialized for hashability)
     q["topics_config_map"] = lambda s, d: topics_with_configs(
         get_snaps(s, d)

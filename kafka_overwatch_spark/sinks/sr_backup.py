@@ -24,8 +24,14 @@ from pyspark.sql import DataFrame
 
 
 def write_backup(backup_index: DataFrame, out_dir: str) -> str:
-    """Write schema files + index.json and tar them. ``backup_index`` is
-    the K7 query output (registry query ``sr_backup_index``)."""
+    """Write schema files + index.json and tar them, in the REFERENCE'S
+    interoperable layout (`schema_registry/__init__.py:95-129`): schema
+    files at the tar root (``arcname='.'``), ``index.json`` mapping
+    ``{subject: {version: filename}}``, serialized with
+    ``json.dumps(sort_keys=True)`` and no indent — a tarball the
+    reference's ``schemas_restore.py`` can consume directly, and vice
+    versa. ``backup_index`` is the K7 query output (registry query
+    ``sr_backup_index``)."""
     rows = backup_index.orderBy("subject", "version").collect()
     files_dir = os.path.join(out_dir, "schemas")
     os.makedirs(files_dir, exist_ok=True)
@@ -33,18 +39,17 @@ def write_backup(backup_index: DataFrame, out_dir: str) -> str:
     for r in rows:
         with open(os.path.join(files_dir, r["backup_file"]), "w") as fh:
             fh.write(r["schema_string"])
-        index.setdefault(r["subject"], {})[str(r["version"])] = {
-            "schema_id": r["schema_id"],
-            "schema_type": r["schema_type"],
-            "file": r["backup_file"],
-        }
-    # reference: dict(sorted(...)) + json.dumps(sort_keys=True)
+        index.setdefault(r["subject"], {})[int(r["version"])] = r[
+            "backup_file"
+        ]
+    # reference: per-subject dict(sorted(...)), then sort_keys dump
+    index = {s: dict(sorted(v.items())) for s, v in index.items()}
     index_path = os.path.join(files_dir, "index.json")
     with open(index_path, "w") as fh:
-        json.dump(dict(sorted(index.items())), fh, sort_keys=True, indent=2)
-    tar_path = os.path.join(out_dir, "schema_registry_backup.tar.gz")
+        fh.write(json.dumps(index, sort_keys=True))
+    tar_path = os.path.join(out_dir, "schemas.tar.gz")
     with tarfile.open(tar_path, "w:gz") as tar:
-        tar.add(files_dir, arcname="schemas")
+        tar.add(files_dir, arcname=".")
     return tar_path
 
 
@@ -78,14 +83,17 @@ def plan_restore(
             raise ValueError("backup tar has no index.json")
         index = json.load(tar.extractfile(index_member))
         for subject in sorted(index):
-            versions = index[subject]
+            versions = index[subject]  # {version: filename} — flat strings
             for version_str in sorted(versions, key=int):
                 version = int(version_str)
                 if version in existing.get(subject, set()):
                     continue
-                meta = versions[version_str]
+                file_name = versions[version_str]
+                # all metadata comes from the filename, exactly like the
+                # reference's split('::') parse (`schemas_restore.py:38-39`)
+                meta = parse_backup_filename(file_name)
                 member = next(
-                    m for n, m in members.items() if n.endswith(meta["file"])
+                    m for n, m in members.items() if n.endswith(file_name)
                 )
                 schema_string = tar.extractfile(member).read().decode()
                 ops.append(

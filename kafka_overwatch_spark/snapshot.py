@@ -65,6 +65,11 @@ ev3 AS (
   SELECT
     event_id, ts, user_id, event_type,
     CAST(user_id % 20 AS BIGINT) AS bucket,
+    -- two-cluster fleet: topics partition between 'primary' and
+    -- 'analytics' (the reference runs one report process per cluster,
+    -- overwatch.py:92-120); bucket determines a topic's home cluster
+    CASE WHEN user_id % 20 % 5 = 2 THEN 'analytics' ELSE 'primary' END
+      AS cluster,
     CASE WHEN user_id % 20 = 0 THEN concat('_internal.', event_type)
          ELSE concat('app.', event_type, '.', CAST(user_id % 20 AS STRING))
     END AS topic,
@@ -78,12 +83,13 @@ scan_ts AS (
   SELECT scan_id, max(ts) AS ts FROM ev3 GROUP BY scan_id
 ),
 tp AS (
-  -- every (topic, partition) ever observed, plus 5 deliberately empty
-  -- topics (2 partitions each) so the no-messages waste categories are
-  -- exercised (P4/P5)
-  SELECT DISTINCT topic, partition_id FROM ev3
+  -- every (cluster, topic, partition) ever observed, plus 5 deliberately
+  -- empty topics (2 partitions each, on 'primary') so the no-messages
+  -- waste categories are exercised (P4/P5)
+  SELECT DISTINCT cluster, topic, partition_id FROM ev3
   UNION ALL
-  SELECT DISTINCT concat('empty.', event_type, '.t') AS topic,
+  SELECT DISTINCT 'primary' AS cluster,
+    concat('empty.', event_type, '.t') AS topic,
     CAST(v.p AS BIGINT) AS partition_id
   FROM events CROSS JOIN (VALUES (0), (1)) AS v(p)
 ),
@@ -96,11 +102,11 @@ cnt AS (
   GROUP BY topic, partition_id, scan_id
 ),
 grid AS (
-  SELECT t.topic, t.partition_id, s.scan_id
+  SELECT t.cluster, t.topic, t.partition_id, s.scan_id
   FROM tp t CROSS JOIN (SELECT DISTINCT scan_id FROM ev3) s
 ),
 cum AS (
-  SELECT g.topic, g.partition_id, g.scan_id,
+  SELECT g.cluster, g.topic, g.partition_id, g.scan_id,
     CAST(sum(coalesce(c.c, 0)) OVER (
       PARTITION BY g.topic, g.partition_id ORDER BY g.scan_id) AS BIGINT)
       AS end_offset
@@ -111,7 +117,7 @@ cum AS (
 ),
 partition_offsets AS (
   SELECT
-    'primary' AS cluster, cum.topic, cum.partition_id, cum.scan_id,
+    cum.cluster, cum.topic, cum.partition_id, cum.scan_id,
     CASE
       -- fully-retained probe partitions: broker deleted every segment, so
       -- low watermark == high watermark → a zero-message partition that
@@ -128,7 +134,7 @@ partition_offsets AS (
 ),
 topics AS (
   SELECT DISTINCT
-    'primary' AS cluster, topic AS name, npart AS partitions,
+    cluster, topic AS name, npart AS partitions,
     CASE WHEN bucket % 3 = 0 THEN CAST((bucket + 1) * 3600000 AS BIGINT)
          ELSE CAST(NULL AS BIGINT) END AS retention_ms,
     CASE WHEN bucket % 4 = 0 THEN 'compact'
@@ -142,7 +148,25 @@ topics AS (
     CAST(NULL AS STRING) AS cleanup_policy
   FROM events
 ),
+po_final AS (
+  SELECT cluster, topic, partition_id, end_offset
+  FROM partition_offsets
+  WHERE scan_id = 3
+),
+memberships AS (
+  -- 20% deterministic subsample; stale-bucket topics (bucket % 7 = 3, see
+  -- cnt) get NO committed offsets so they land in the
+  -- no_cgs_and_no_new_messages waste category (P6). A membership lives on
+  -- the topic's home cluster.
+  SELECT DISTINCT CAST(user_id % 30 AS BIGINT) AS gnum, cluster, topic,
+    partition_id
+  FROM ev3
+  WHERE (user_id + event_id) % 5 = 0 AND bucket % 7 <> 3
+),
 consumer_groups AS (
+  -- group ids are a per-cluster namespace: every group exists on
+  -- 'primary'; a group also exists on 'analytics' iff it has committed
+  -- offsets there (same state/member derivation from gnum)
   SELECT
     'primary' AS cluster,
     concat('cg-', CAST(gnum AS STRING)) AS group_id,
@@ -152,24 +176,21 @@ consumer_groups AS (
     CASE WHEN gnum % 7 = 0 THEN CAST(0 AS BIGINT)
          ELSE CAST(1 + gnum % 5 AS BIGINT) END AS members
   FROM (SELECT DISTINCT CAST(user_id % 30 AS BIGINT) AS gnum FROM events) g
-),
-po_final AS (
-  SELECT topic, partition_id, end_offset
-  FROM partition_offsets
-  WHERE scan_id = 3
-),
-memberships AS (
-  -- 20% deterministic subsample; stale-bucket topics (bucket % 7 = 3, see
-  -- cnt) get NO committed offsets so they land in the
-  -- no_cgs_and_no_new_messages waste category (P6)
-  SELECT DISTINCT CAST(user_id % 30 AS BIGINT) AS gnum, topic, partition_id
-  FROM ev3
-  WHERE (user_id + event_id) % 5 = 0 AND bucket % 7 <> 3
+  UNION ALL
+  SELECT
+    'analytics' AS cluster,
+    concat('cg-', CAST(gnum AS STRING)) AS group_id,
+    CASE CAST(gnum % 5 AS BIGINT)
+      WHEN 0 THEN 'STABLE' WHEN 1 THEN 'EMPTY' WHEN 2 THEN 'DEAD'
+      WHEN 3 THEN 'PREPARING_REBALANCE' ELSE 'STABLE' END AS state,
+    CASE WHEN gnum % 7 = 0 THEN CAST(0 AS BIGINT)
+         ELSE CAST(1 + gnum % 5 AS BIGINT) END AS members
+  FROM (SELECT DISTINCT gnum FROM memberships WHERE cluster = 'analytics') g
 ),
 group_offsets AS (
   SELECT * FROM (
     SELECT
-      'primary' AS cluster,
+      m.cluster,
       concat('cg-', CAST(m.gnum AS STRING)) AS group_id,
       m.topic, m.partition_id,
       CASE WHEN (m.gnum + m.partition_id) % 11 = 0 THEN CAST(-1 AS BIGINT)
@@ -226,21 +247,21 @@ topic_configs AS (
   -- are persisted (presence == is_default false, which is exactly the
   -- set the restore script emits, `topics.py:174-191`). The retention /
   -- cleanup rows agree with the topics-dim convenience columns.
-  SELECT DISTINCT 'primary' AS cluster, topic, 'retention.ms' AS config_key,
+  SELECT DISTINCT cluster, topic, 'retention.ms' AS config_key,
     CAST((bucket + 1) * 3600000 AS STRING) AS config_value
   FROM ev3 WHERE bucket % 3 = 0
   UNION ALL
-  SELECT DISTINCT 'primary', topic, 'cleanup.policy', 'compact'
+  SELECT DISTINCT cluster, topic, 'cleanup.policy', 'compact'
   FROM ev3 WHERE bucket % 4 = 0
   UNION ALL
-  SELECT DISTINCT 'primary', topic, 'max.message.bytes',
+  SELECT DISTINCT cluster, topic, 'max.message.bytes',
     CAST((bucket + 1) * 1048576 AS STRING)
   FROM ev3 WHERE bucket % 5 = 1
   UNION ALL
-  SELECT DISTINCT 'primary', topic, 'min.insync.replicas', '2'
+  SELECT DISTINCT cluster, topic, 'min.insync.replicas', '2'
   FROM ev3 WHERE bucket % 2 = 0
   UNION ALL
-  SELECT DISTINCT 'primary', topic, 'compression.type', 'lz4'
+  SELECT DISTINCT cluster, topic, 'compression.type', 'lz4'
   FROM ev3 WHERE bucket % 6 = 2
 )
 """
@@ -337,7 +358,8 @@ def filter_cluster(
     (`overwatch.py:92-120` runs one process per cluster). Every snapshot
     frame is filtered on its cluster/registry key — at scale this is the
     partition-pruning predicate that keeps report queries O(one cluster),
-    not O(fleet); locally the fixture has a single 'primary' cluster."""
+    not O(fleet). The fixture derives a two-cluster fleet ('primary' +
+    'analytics', topics partitioned by bucket)."""
     out = {}
     for name, df in snaps.items():
         if "cluster" in df.columns:

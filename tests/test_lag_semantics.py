@@ -19,28 +19,28 @@ def _snaps(spark):
     po = spark.createDataFrame(
         [
             # pid 0: fully retained → zero messages
-            ("t", 0, FINAL_SCAN, 100, 100),
-            ("t", 1, FINAL_SCAN, 0, 10),
-            ("t", 2, FINAL_SCAN, 0, 20),
-            ("t", 3, FINAL_SCAN, 0, 30),
+            ("c1", "t", 0, FINAL_SCAN, 100, 100),
+            ("c1", "t", 1, FINAL_SCAN, 0, 10),
+            ("c1", "t", 2, FINAL_SCAN, 0, 20),
+            ("c1", "t", 3, FINAL_SCAN, 0, 30),
         ],
-        "topic string, partition_id long, scan_id long, "
+        "cluster string, topic string, partition_id long, scan_id long, "
         "start_offset long, end_offset long",
     )
     go = spark.createDataFrame(
         [
             # g1: unset offset on the ZERO-MESSAGE pid 0 → skip, not break;
             # unset offset on measured pid 2 → break (pid 3 unmeasured)
-            ("g1", "t", 0, -1),
-            ("g1", "t", 1, 5),
-            ("g1", "t", 2, -1),
-            ("g1", "t", 3, 0),
+            ("c1", "g1", "t", 0, -1),
+            ("c1", "g1", "t", 1, 5),
+            ("c1", "g1", "t", 2, -1),
+            ("c1", "g1", "t", 3, 0),
             # g2: fully caught up → total_lag 0 → topic omitted
-            ("g2", "t", 1, 10),
-            ("g2", "t", 2, 20),
-            ("g2", "t", 3, 30),
+            ("c1", "g2", "t", 1, 10),
+            ("c1", "g2", "t", 2, 20),
+            ("c1", "g2", "t", 3, 30),
         ],
-        "group_id string, topic string, partition_id long, "
+        "cluster string, group_id string, topic string, partition_id long, "
         "committed_offset long",
     )
     return {"partition_offsets": po, "group_offsets": go}
