@@ -69,12 +69,13 @@ class IncrementalTopicTotals:
                     ).alias("cum_new"),
                 )
             )
-        new_prev = cur.cache()
-        new_totals = totals.cache()
-        new_totals.count()
-        new_prev.count()
-        if self.prev_ends is not None:
-            self.prev_ends.unpersist()
-        if self.totals is not None:
-            self.totals.unpersist()
-        self.prev_ends, self.totals = new_prev, new_totals
+        # localCheckpoint(eager): materialize AND sever lineage. cache()
+        # alone keeps the logical plan rooted in the previous batch's
+        # source — the plan deepens every micro-batch (planning blowup on
+        # long streams) and an evicted block would recompute against an
+        # expired batch source. After checkpointing, the state plan is a
+        # flat LogicalRDD regardless of stream age; dropped references are
+        # freed by the ContextCleaner. Production path: Delta/Iceberg
+        # MERGE per batch (a real table instead of executor blocks).
+        self.prev_ends = cur.localCheckpoint(eager=True)
+        self.totals = totals.localCheckpoint(eager=True)

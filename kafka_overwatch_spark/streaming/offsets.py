@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -134,6 +135,147 @@ def per_interval_deltas(stream: DataFrame) -> DataFrame:
             stateStructType=StructType([StructField("last_end", LongType())]),
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+W3_STREAM_SCHEMA = StructType(
+    [
+        StructField("topic", StringType()),
+        StructField("partition_id", LongType()),
+        StructField("scan_id", LongType()),
+        StructField("start_offset", LongType()),
+        StructField("first_offset", LongType()),
+        StructField("retention_drift", LongType()),
+    ]
+)
+
+
+def _first_offset_fn(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful W3: the per-partition first-offset baseline persists across
+    batches (`topics.py:77-87`: the broker low watermark moves under
+    retention; drift = current_start − first_seen_start)."""
+    topic, partition_id = key
+    first = state.get[0] if state.exists else None
+    out = []
+    for pdf in pdf_iter:
+        for row in pdf.sort_values("scan_id").itertuples():
+            start = int(row.start_offset)
+            if first is None:
+                first = start
+            out.append(
+                (
+                    topic,
+                    int(partition_id),
+                    int(row.scan_id),
+                    start,
+                    first,
+                    start - first,
+                )
+            )
+    state.update((first,))
+    yield pd.DataFrame(out, columns=[f.name for f in W3_STREAM_SCHEMA.fields])
+
+
+def first_offset_evolution_stream(stream: DataFrame) -> DataFrame:
+    """W3 streaming form: applyInPandasWithState with the first-seen
+    start offset as persistent per-partition state."""
+    return stream.groupBy("topic", "partition_id").applyInPandasWithState(
+        _first_offset_fn,
+        outputStructType=W3_STREAM_SCHEMA,
+        stateStructType=StructType([StructField("first_start", LongType())]),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+LIVENESS_SCHEMA = StructType(
+    [
+        StructField("topic", StringType()),
+        StructField("partition_id", LongType()),
+        StructField("last_scan_id", LongType()),
+        StructField("expired", BooleanType()),
+    ]
+)
+
+# event-time silence (ms) after a key's last sample before it is declared
+# vanished; overridden per call via _liveness_gap_ms
+DEFAULT_LIVENESS_GAP_MS = 1
+
+
+def _make_liveness_fn(gap_ms: int):
+    def _liveness_fn(
+        key: tuple,
+        pdf_iter: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """J5/J6 via state timeout: a (topic, partition) that stops
+        appearing in the feed times out once the watermark passes its last
+        sample's event time + gap, and is REMOVED from state with an
+        `expired` tombstone — the streaming analog of the reference
+        deleting vanished topics/CGs from its caches
+        (`kafka_resources/topics.py:64-72`, `groups.py:55-71`).
+
+        Event-time (not processing-time) timeout: the collector feed
+        carries the scan timestamp, so "vanished" is judged against the
+        feed's own clock — deterministic under replay and indifferent to
+        micro-batch scheduling."""
+        topic, partition_id = key
+        cols = [f.name for f in LIVENESS_SCHEMA.fields]
+        if state.hasTimedOut:
+            last = state.get[0] if state.exists else None
+            state.remove()
+            yield pd.DataFrame(
+                [(topic, int(partition_id), last, True)], columns=cols
+            )
+            return
+        last_scan, last_ts_ms = (
+            (state.get[0], state.get[1]) if state.exists else (None, None)
+        )
+        for pdf in pdf_iter:
+            if len(pdf):
+                last_scan = int(pdf["scan_id"].max())
+                last_ts_ms = int(pdf["ts"].max().value // 1_000_000)
+        state.update((last_scan, last_ts_ms))
+        # deadline re-arms on every appearance; fires only when the
+        # watermark (driven by OTHER keys' newer samples) passes it
+        state.setTimeoutTimestamp(last_ts_ms + gap_ms)
+        yield pd.DataFrame(
+            [(topic, int(partition_id), last_scan, False)], columns=cols
+        )
+
+    return _liveness_fn
+
+
+def vanished_entity_stream(
+    stream: DataFrame,
+    gap_ms: int = DEFAULT_LIVENESS_GAP_MS,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Reconciliation stream: one liveness row per (topic, partition) per
+    batch, plus an expired=true tombstone when the key stops arriving
+    (GroupStateTimeout.EventTimeTimeout + state.remove()).
+
+    State scales with partition count, not event volume; keys that keep
+    arriving never expire because the deadline re-arms each batch."""
+    return (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy("topic", "partition_id")
+        .applyInPandasWithState(
+            _make_liveness_fn(gap_ms),
+            outputStructType=LIVENESS_SCHEMA,
+            stateStructType=StructType(
+                [
+                    StructField("last_scan", LongType()),
+                    StructField("last_ts_ms", LongType()),
+                ]
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -88,10 +88,11 @@ class StreamingUsageReporter:
                     for r in expired.select("topic", "partition_id").collect()
                 )
                 merged = merged.filter(F.col("last_seen_batch") > cutoff)
-            merged = merged.cache()
-            merged.count()  # materialize before unpersisting the parent
+            # localCheckpoint: materialize AND sever lineage — the upsert
+            # chain would otherwise deepen the plan every batch (same fix
+            # as IncrementalTopicTotals)
+            self.latest = merged.localCheckpoint(eager=True)
             prev.unpersist()
-            self.latest = merged
 
         if (batch_id + 1) % self.evaluate_every != 0:
             return

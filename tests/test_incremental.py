@@ -50,6 +50,41 @@ def test_incremental_totals_match_batch(spark, snaps):
         assert got == want
 
 
+def test_incremental_plan_depth_bounded_over_many_batches(spark, snaps):
+    """20+ micro-batches must NOT deepen the state's logical plan:
+    localCheckpoint severs lineage every batch, so the plan stays a flat
+    scan of materialized state however long the stream runs (r1 kept the
+    whole join chain — planning blowup on long streams)."""
+    from kafka_overwatch_spark.streaming.incremental import (
+        IncrementalTopicTotals,
+    )
+
+    po = (
+        snaps["partition_offsets"]
+        .filter(F.col("scan_id") == 3)
+        .select("topic", "partition_id", "end_offset")
+        .limit(50)
+        .cache()
+    )
+    inc = IncrementalTopicTotals()
+    plan_lens = []
+    for batch_id in range(22):
+        batch = po.withColumn(
+            "end_offset", F.col("end_offset") + F.lit(batch_id)
+        )
+        inc(batch, batch_id)
+        plan_lens.append(
+            len(inc.totals._jdf.queryExecution().optimizedPlan().toString())
+        )
+    # bounded: the late-stream plan is no bigger than the early one
+    assert plan_lens[-1] <= plan_lens[2] + 50, plan_lens
+    # totals telescoped: every topic accumulated 21 × its partition count
+    parts = {r["topic"]: r["cnt"] for r in po.groupBy("topic").agg(
+        F.count("*").alias("cnt")).collect()}
+    got = {r["topic"]: r["cum_new"] for r in inc.totals.collect()}
+    assert got == {t: 21 * c for t, c in parts.items()}
+
+
 def test_vanished_topic_expires_from_state(spark, snaps):
     import glob
     import json

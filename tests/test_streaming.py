@@ -50,6 +50,135 @@ def test_stateful_w1_deltas_match_batch(spark, snaps):
         assert got == batch
 
 
+def test_stateful_w3_first_offset_matches_batch(spark, snaps):
+    """Streaming W3 (persistent first-offset state) converges to the batch
+    w3_first_offset_evolution drift per partition."""
+    from kafka_overwatch_spark.operators.windows import first_offset_evolution
+    from kafka_overwatch_spark.streaming import offsets as so
+
+    with tempfile.TemporaryDirectory() as tmp:
+        po = snaps["partition_offsets"]
+        for scan in range(4):
+            po.filter(F.col("scan_id") == scan).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{tmp}/in")
+        stream = so.offset_sample_stream(spark, f"{tmp}/in")
+        out = so.run_to_completion(
+            so.first_offset_evolution_stream(stream), f"{tmp}/ckpt3"
+        )
+        # final drift per partition = max over scans
+        drift: dict = {}
+        for r in out:
+            k = (r["topic"], r["partition_id"])
+            drift[k] = max(drift.get(k, 0), r["retention_drift"])
+        got = {k: v for k, v in drift.items() if v > 0}
+        batch = {
+            (r["topic"], r["partition_id"]): r["retention_drift"]
+            for r in first_offset_evolution(snaps).collect()
+        }
+        assert got == batch
+
+
+def test_state_timeout_expires_vanished_partition(spark, snaps):
+    """GroupStateTimeout-based J5/J6: a partition absent from later scans
+    times out once the watermark (driven by the surviving keys' newer
+    samples) passes its last event time; its state is removed and an
+    expired tombstone is emitted. Event-time timeout → deterministic."""
+    import glob
+    import os
+    import time
+
+    from kafka_overwatch_spark.streaming import offsets as so
+
+    with tempfile.TemporaryDirectory() as tmp:
+        po = snaps["partition_offsets"]
+        victim = (
+            po.select("topic").distinct().orderBy("topic").limit(1).collect()
+        )[0]["topic"]
+        # FileStreamSource orders by mtime — pin strictly increasing
+        # mtimes per scan so replay order == scan order
+        seen: set = set()
+        t0 = time.time() - 100
+        for scan in range(4):
+            df = po.filter(F.col("scan_id") == scan)
+            if scan > 0:
+                df = df.filter(F.col("topic") != victim)
+            df.coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+            for f in glob.glob(f"{tmp}/in/*.parquet"):
+                if f not in seen:
+                    os.utime(f, (t0 + scan, t0 + scan))
+                    seen.add(f)
+        stream = so.offset_sample_stream(spark, f"{tmp}/in")
+        out = so.run_to_completion(
+            so.vanished_entity_stream(stream), f"{tmp}/ckpt4"
+        )
+        expired = {
+            (r["topic"], r["partition_id"]): r["last_scan_id"]
+            for r in out
+            if r["expired"]
+        }
+        # the victim times out having last been seen at scan 0 — its state
+        # was removed while the feed was still flowing
+        victim_scans = [s for (t, _), s in expired.items() if t == victim]
+        assert victim_scans and all(s == 0 for s in victim_scans)
+        # continuously-present keys re-arm their deadline every scan and
+        # the watermark never passes their last sample — no tombstone
+        survivors = {t for (t, _) in expired} - {victim}
+        assert not survivors
+        # liveness rows still flowed for non-victims through the last scan
+        live_last = {
+            r["topic"]
+            for r in out
+            if not r["expired"] and r["last_scan_id"] == 3
+        }
+        assert live_last - {victim}
+
+
+def test_two_tier_cadence_on_live_rate_source(spark):
+    """Two-tier cadence against a LIVE source: processing-time trigger
+    drives micro-batches (scan clock); the foreachBatch gate emits a
+    report every 2nd batch (evaluation clock)."""
+    import time
+
+    class Gate:
+        def __init__(self, every: int) -> None:
+            self.every = every
+            self.batches = 0
+            self.reports = 0
+
+        def __call__(self, batch_df, batch_id: int) -> None:
+            self.batches += 1
+            batch_df.count()
+            if (batch_id + 1) % self.every == 0:
+                self.reports += 1
+
+    gate = Gate(every=2)
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 50)
+        .load()
+        .selectExpr(
+            "concat('t', CAST(value % 3 AS STRING)) AS topic",
+            "CAST(value % 4 AS LONG) AS partition_id",
+            "value AS end_offset",
+            "timestamp AS ts",
+        )
+    )
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and gate.reports < 2:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert gate.batches >= 4
+    assert 1 <= gate.reports < gate.batches
+
+
 def test_baseline_join_w2_matches_batch(spark, snaps):
     from kafka_overwatch_spark.operators.windows import (
         new_messages_since_baseline,
