@@ -76,38 +76,76 @@ def build_cluster_report(
         )
 
     # statistics — topic/partition counts + most_active_topics detail map
+    # + consumer-group totals (spec statistics.consumer_groups:
+    # total/active/inactive, `specs/report.json` ClusterReport.statistics)
     most_active = usage.most_active_topics(topics_df)
-    stats = topics_df.agg(
-        F.count("name").alias("topics"),
-        F.coalesce(F.sum("partitions"), F.lit(0)).alias("partitions"),
-    ).crossJoin(
-        most_active.agg(
-            F.map_from_entries(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            "name",
+    cg_stats = usage.is_active_group(snaps["consumer_groups"]).agg(
+        F.count("*").alias("total"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_active"), 1).otherwise(0)), F.lit(0)
+        ).alias("active"),
+    )
+    stats = (
+        topics_df.agg(
+            F.count("name").alias("topics"),
+            F.coalesce(F.sum("partitions"), F.lit(0)).alias("partitions"),
+        )
+        .crossJoin(
+            most_active.agg(
+                F.map_from_entries(
+                    F.sort_array(
+                        F.collect_list(
                             F.struct(
-                                "partitions",
-                                "total_messages",
-                                "new_messages",
-                                "active_groups",
-                            ).alias("detail"),
+                                "name",
+                                F.struct(
+                                    "partitions",
+                                    "total_messages",
+                                    "new_messages",
+                                    "active_groups",
+                                ).alias("detail"),
+                            )
                         )
                     )
-                )
-            ).alias("most_active_topics")
+                ).alias("most_active_topics")
+            )
+        )
+        .crossJoin(
+            cg_stats.select(
+                F.struct(
+                    "total",
+                    "active",
+                    (F.col("total") - F.col("active")).alias("inactive"),
+                ).alias("consumer_groups")
+            )
         )
     )
 
-    # governance
+    # governance — both naming-convention reports of the spec
     gov_summary = gov.naming_convention_summary(gov.governance_topics(snaps))
+    gov_groups_summary = gov.naming_convention_summary(
+        gov.governance_groups(snaps)
+    )
 
-    # schema registry
+    # schema registry incl. schemas_estimates.detected_unused (the spec's
+    # schemas_waste_estimates block)
     sr_summary = sr.registry_summary(snaps)
+    sr_unused_list = sr.unused_subjects(snaps).agg(
+        F.sort_array(F.collect_list("subject")).alias("detected_unused")
+    )
 
+    gov_fields = [
+        "total",
+        "total_ignored",
+        "total_measured",
+        "non_compliant_count",
+        "compliant_percentage",
+    ]
     report = (
-        stats.select(F.struct("topics", "partitions", "most_active_topics").alias("statistics"))
+        stats.select(
+            F.struct(
+                "topics", "partitions", "most_active_topics", "consumer_groups"
+            ).alias("statistics")
+        )
         .crossJoin(
             cat_structs[0]
             .crossJoin(cat_structs[1])
@@ -124,29 +162,45 @@ def build_cluster_report(
         )
         .crossJoin(
             gov_summary.select(
+                F.struct(*gov_fields).alias("topic_naming_convention")
+            ).crossJoin(
+                gov_groups_summary.select(
+                    F.struct(*gov_fields).alias(
+                        "consumer_group_naming_convention"
+                    )
+                )
+            ).select(
                 F.struct(
-                    F.struct(
-                        "total",
-                        "total_ignored",
-                        "total_measured",
-                        "non_compliant_count",
-                        "compliant_percentage",
-                    ).alias("topic_naming_convention")
+                    "topic_naming_convention",
+                    "consumer_group_naming_convention",
                 ).alias("governance")
             )
         )
         .crossJoin(
-            sr_summary.select(
+            sr_summary.crossJoin(sr_unused_list).select(
                 F.struct(
                     "subjects_count",
                     "schemas_count",
                     "versions_count",
                     "unused_subjects_count",
+                    F.struct(
+                        "detected_unused",
+                        F.col("unused_subjects_count").alias(
+                            "detected_unused_count"
+                        ),
+                    ).alias("schemas_estimates"),
                 ).alias("schema_registry")
             )
         )
         .select(
             F.lit(cluster_name).alias("cluster_name"),
+            # spec: metadata.timestamp is required ("time the report was
+            # generated"); excluded from the hash-checkable companion
+            F.struct(
+                F.date_format(
+                    F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssxxx"
+                ).alias("timestamp")
+            ).alias("metadata"),
             "statistics",
             "estimated_waste",
             "governance",
@@ -171,6 +225,9 @@ def cluster_report_scalars(
         F.to_json(F.col("statistics.most_active_topics")).alias(
             "most_active_json"
         ),
+        F.col("statistics.consumer_groups.total").alias("cg_total"),
+        F.col("statistics.consumer_groups.active").alias("cg_active"),
+        F.col("statistics.consumer_groups.inactive").alias("cg_inactive"),
     ]
     for cat in usage.WASTE_PREDICATES:
         base = f"estimated_waste.topic_categories.{cat}"
@@ -182,14 +239,22 @@ def cluster_report_scalars(
             ),
             F.col(f"{base}.cluster_percentage").alias(f"{cat}_pct"),
         ]
-    g = "governance.topic_naming_convention"
-    cols += [
-        F.col(f"{g}.total").alias("gov_total"),
-        F.col(f"{g}.total_ignored").alias("gov_total_ignored"),
-        F.col(f"{g}.total_measured").alias("gov_total_measured"),
-        F.col(f"{g}.non_compliant_count").alias("gov_non_compliant_count"),
-        F.col(f"{g}.compliant_percentage").alias("gov_compliant_percentage"),
-    ]
+    for prefix, block in (
+        ("gov", "topic_naming_convention"),
+        ("ggov", "consumer_group_naming_convention"),
+    ):
+        g = f"governance.{block}"
+        cols += [
+            F.col(f"{g}.total").alias(f"{prefix}_total"),
+            F.col(f"{g}.total_ignored").alias(f"{prefix}_total_ignored"),
+            F.col(f"{g}.total_measured").alias(f"{prefix}_total_measured"),
+            F.col(f"{g}.non_compliant_count").alias(
+                f"{prefix}_non_compliant_count"
+            ),
+            F.col(f"{g}.compliant_percentage").alias(
+                f"{prefix}_compliant_percentage"
+            ),
+        ]
     cols += [
         F.col("schema_registry.subjects_count").alias("sr_subjects_count"),
         F.col("schema_registry.schemas_count").alias("sr_schemas_count"),
@@ -197,6 +262,9 @@ def cluster_report_scalars(
         F.col("schema_registry.unused_subjects_count").alias(
             "sr_unused_subjects_count"
         ),
+        F.to_json(
+            F.col("schema_registry.schemas_estimates.detected_unused")
+        ).alias("sr_detected_unused_json"),
     ]
     return r.select(*cols)
 

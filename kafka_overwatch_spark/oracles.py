@@ -310,6 +310,12 @@ gov AS (
     regexp_matches(name, '^_.*$') AS excluded_name,
     regexp_matches(name, '^[a-z]+\\.[a-z]+\\..*$') AS compliant_name
   FROM topics WHERE cluster = 'primary'
+),
+ggov AS (
+  SELECT group_id AS name,
+    regexp_matches(group_id, '^_.*$') AS excluded_name,
+    regexp_matches(group_id, '^cg-[0-9]+$') AS compliant_name
+  FROM consumer_groups WHERE cluster = 'primary'
 )
 SELECT
   'primary' AS cluster_name,
@@ -322,6 +328,14 @@ SELECT
       || ',"new_messages":' || CAST(new_messages AS STRING)
       || ',"active_groups":' || CAST(active_groups AS STRING) || '}',
       ',' ORDER BY name), '') || '}' FROM ma) AS most_active_json,
+  (SELECT CAST(count(*) AS BIGINT) FROM consumer_groups
+   WHERE cluster = 'primary') AS cg_total,
+  (SELECT CAST(coalesce(sum(CASE WHEN state NOT IN ('DEAD','EMPTY')
+      AND members > 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+   FROM consumer_groups WHERE cluster = 'primary') AS cg_active,
+  (SELECT CAST(count(*) - coalesce(sum(CASE WHEN state NOT IN
+      ('DEAD','EMPTY') AND members > 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+   FROM consumer_groups WHERE cluster = 'primary') AS cg_inactive,
 """
         + cat_scalars
         + """,
@@ -336,6 +350,17 @@ SELECT
       excluded_name THEN 1 ELSE 0 END) AS DOUBLE) * 100)
       / (count(*) - sum(CASE WHEN excluded_name THEN 1 ELSE 0 END)), 6)
    FROM gov) AS gov_compliant_percentage,
+  (SELECT CAST(count(*) AS BIGINT) FROM ggov) AS ggov_total,
+  (SELECT CAST(sum(CASE WHEN excluded_name THEN 1 ELSE 0 END) AS BIGINT)
+   FROM ggov) AS ggov_total_ignored,
+  (SELECT CAST(count(*) - sum(CASE WHEN excluded_name THEN 1 ELSE 0 END)
+      AS BIGINT) FROM ggov) AS ggov_total_measured,
+  (SELECT CAST(sum(CASE WHEN NOT compliant_name AND NOT excluded_name
+      THEN 1 ELSE 0 END) AS BIGINT) FROM ggov) AS ggov_non_compliant_count,
+  (SELECT round(100 - (CAST(sum(CASE WHEN NOT compliant_name AND NOT
+      excluded_name THEN 1 ELSE 0 END) AS DOUBLE) * 100)
+      / (count(*) - sum(CASE WHEN excluded_name THEN 1 ELSE 0 END)), 6)
+   FROM ggov) AS ggov_compliant_percentage,
   (SELECT CAST(count(*) AS BIGINT) FROM subjects) AS sr_subjects_count,
   (SELECT CAST(count(*) AS BIGINT) FROM schemas) AS sr_schemas_count,
   (SELECT CAST(count(*) AS BIGINT) FROM subject_versions)
@@ -343,7 +368,12 @@ SELECT
   (SELECT CAST(count(*) AS BIGINT) FROM subjects
    WHERE replace(replace(subject, '-value', ''), '-key', '')
          NOT IN (SELECT name FROM topics WHERE cluster = 'primary'))
-    AS sr_unused_subjects_count"""
+    AS sr_unused_subjects_count,
+  (SELECT '[' || coalesce(string_agg('"' || subject || '"', ','
+      ORDER BY subject), '') || ']' FROM subjects
+   WHERE replace(replace(subject, '-value', ''), '-key', '')
+         NOT IN (SELECT name FROM topics WHERE cluster = 'primary'))
+    AS sr_detected_unused_json"""
     )
 
     # --- governance (per-cluster: 'primary') ---

@@ -383,11 +383,13 @@ def neardup_components(
     keeper = min id per component.
 
     One of the engine's genuinely iterative operators (no single SQL
-    equivalent): a driver-side loop of joins, each iteration one shuffle
-    keyed by node id; iterations needed = graph diameter (near-dup
-    clusters are shallow — a handful). At 100 TB this is the standard
-    large-graph CC pattern (alternating large/small-star joins); the
-    simple propagation here is exact and converges on the same answer.
+    equivalent): a driver-side loop of joins, each iteration two keyed
+    shuffles — a neighborhood-min step plus a pointer-doubling shortcut
+    (component := component-of-component), which together converge in
+    O(log diameter) iterations rather than O(diameter), the same
+    contraction idea as the large-star/small-star CC algorithm. Raises
+    if the budget is exhausted before fixpoint — silently returning
+    split components would corrupt downstream keeper selection.
 
     ``pairs``: (vec_a, vec_b) edges; ``ids``: (vec_id) nodes.
     Returns vec_id, component (min vec_id in the component).
@@ -402,7 +404,8 @@ def neardup_components(
     )
     labels = ids.select(
         F.col("vec_id"), F.col("vec_id").alias("component")
-    ).cache()
+    ).localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(
@@ -415,18 +418,36 @@ def neardup_components(
             .groupBy("src")
             .agg(F.min("n_comp").alias("neighbor_comp"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.vec_id == neighbor_min.src, "left"
+        ).select(
+            "vec_id",
+            F.least(
+                F.col("component"),
+                F.coalesce("neighbor_comp", F.col("component")),
+            ).alias("component"),
+        )
+        # pointer doubling: jump each node to its component's component,
+        # halving remaining path lengths every iteration
+        comp_of = stepped.select(
+            F.col("vec_id").alias("c_id"),
+            F.col("component").alias("c_comp"),
+        )
+        # localCheckpoint (not cache): sever lineage every iteration —
+        # the iterated join plan otherwise nests exponentially and blows
+        # up planning long before the data does
         new_labels = (
-            labels.join(
-                neighbor_min, labels.vec_id == neighbor_min.src, "left"
+            stepped.join(
+                comp_of, stepped.component == comp_of.c_id, "left"
             )
             .select(
                 "vec_id",
                 F.least(
                     F.col("component"),
-                    F.coalesce("neighbor_comp", F.col("component")),
+                    F.coalesce("c_comp", F.col("component")),
                 ).alias("component"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -435,11 +456,17 @@ def neardup_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"neardup_components did not converge in {max_iterations} "
+            "iterations (graph diameter exceeds 2^iterations); raise "
+            "max_iterations — returning partial labels would split "
+            "true components and corrupt keeper selection"
+        )
     return labels
 
 

@@ -52,3 +52,37 @@ def test_semantic_dedup_keep_set(spark, snaps):
         keepers = [m for m in members if m["keep"]]
         assert len(keepers) == 1
         assert keepers[0]["vec_id"] == comp == min(m["vec_id"] for m in members)
+
+
+def test_long_chain_converges_via_pointer_doubling(spark):
+    """A 40-node path graph (diameter 39) must converge inside the default
+    iteration budget — the pointer-doubling shortcut gives O(log d)
+    rounds where plain min-label propagation needs d."""
+    from kafka_overwatch_spark.pipelines.dedup import neardup_components
+
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "vec_a long, vec_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(n)], "vec_id long")
+    got = {
+        r["vec_id"]: r["component"]
+        for r in neardup_components(pairs, ids).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_non_convergence_raises(spark):
+    """Exhausting the iteration budget with labels still moving must raise,
+    not silently return split components."""
+    import pytest
+
+    from kafka_overwatch_spark.pipelines.dedup import neardup_components
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "vec_a long, vec_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(n)], "vec_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_components(pairs, ids, max_iterations=1)

@@ -88,3 +88,44 @@ def test_dataframe_exports(spark, snaps):
         export_dataframe(df, f"{tmp}/json", "json")
         assert spark.read.option("header", "true").csv(f"{tmp}/csv").count() == df.count()
         assert spark.read.json(f"{tmp}/json").count() == df.count()
+
+
+def test_report_validates_against_spec_schema(spark, snaps):
+    """The ported machine-checked contract (specs/report.json analog):
+    every emitted report must satisfy REPORT_SCHEMA."""
+    import pytest
+
+    from kafka_overwatch_spark.operators.report import report_json
+    from kafka_overwatch_spark.specs import REPORT_SCHEMA, validate_report
+
+    payload = json.loads(report_json(snaps))
+    validate_report(payload)
+    # the contract has teeth: required keys / bounds are enforced
+    import jsonschema
+
+    broken = dict(payload)
+    broken.pop("metadata")
+    with pytest.raises(jsonschema.ValidationError):
+        validate_report(broken)
+    broken2 = json.loads(json.dumps(payload))
+    broken2["governance"]["topic_naming_convention"][
+        "compliant_percentage"
+    ] = 101
+    with pytest.raises(jsonschema.ValidationError):
+        validate_report(broken2)
+    assert REPORT_SCHEMA["required"] == ["cluster_name", "metadata"]
+
+
+def test_report_new_sections(spark, snaps):
+    """statistics.consumer_groups, CG naming governance, and
+    schemas_estimates mirror the reference report blocks."""
+    from kafka_overwatch_spark.operators.report import report_json
+
+    payload = json.loads(report_json(snaps))
+    cg = payload["statistics"]["consumer_groups"]
+    assert cg["total"] == cg["active"] + cg["inactive"] > 0
+    ggov = payload["governance"]["consumer_group_naming_convention"]
+    assert ggov["total_measured"] == ggov["total"] - ggov["total_ignored"]
+    est = payload["schema_registry"]["schemas_estimates"]
+    assert est["detected_unused_count"] == len(est["detected_unused"]) > 0
+    assert payload["metadata"]["timestamp"]
