@@ -1,0 +1,122 @@
+"""Prometheus live sink (K4 delivery path).
+
+The reference serves live gauges from an in-process registry
+(`monitoring/prometheus.py:7-75`, started in `overwatch.py:63-66`). A
+Spark job is not a long-lived single process, so the idiomatic deliveries
+are (a) the node-exporter *textfile collector* (write a ``.prom`` file
+atomically; node_exporter scrapes it) and (b) the *pushgateway* protocol
+(PUT the exposition body to ``/metrics/job/<job>``). Both consume the
+long-format ``metrics_snapshot`` frame; rendering collects only
+metric-grain rows (gauge cardinality = topics + groups, not events).
+
+For streams, ``foreach_batch_textfile`` adapts the textfile writer into a
+``foreachBatch`` hook — each micro-batch's metric frame replaces the file,
+which is exactly prometheus gauge semantics (last write wins).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import urllib.request
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+# metric name -> TYPE declaration; everything the snapshot emits is a gauge
+_GAUGE_HELP = {
+    "kafka_topics_total": "Topic count per cluster",
+    "kafka_partitions_total": "Partition count per cluster",
+    "kafka_consumer_groups_total": "Consumer group count per cluster",
+    "kafka_consumer_group_lag": "Total lag per (cluster, group, topic)",
+}
+
+
+def _escape_label(value: str) -> str:
+    return value.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
+def render_exposition(metrics: DataFrame) -> str:
+    """Prometheus text exposition format (v0.0.4) from the long-format
+    (metric, cluster, group_id, topic, value) frame. Deterministic: metric
+    families and label sets are emitted sorted."""
+    rows = metrics.collect()
+    by_metric: dict[str, list] = {}
+    for r in rows:
+        by_metric.setdefault(r["metric"], []).append(r)
+    out: list[str] = []
+    for metric in sorted(by_metric):
+        help_text = _GAUGE_HELP.get(metric, metric)
+        out.append(f"# HELP {metric} {help_text}")
+        out.append(f"# TYPE {metric} gauge")
+        lines = []
+        for r in by_metric[metric]:
+            labels = [("cluster", r["cluster"])]
+            if r["group_id"] is not None:
+                labels.append(("group", r["group_id"]))
+            if r["topic"] is not None:
+                labels.append(("topic", r["topic"]))
+            label_str = ",".join(
+                f'{k}="{_escape_label(str(v))}"' for k, v in labels
+            )
+            lines.append(f"{metric}{{{label_str}}} {r['value']}")
+        out.extend(sorted(lines))
+    return "\n".join(out) + "\n"
+
+
+def write_textfile(metrics: DataFrame, path: str) -> str:
+    """Node-exporter textfile-collector delivery: render and atomically
+    replace ``path`` (write temp + rename, so the scraper never reads a
+    torn file)."""
+    body = render_exposition(metrics)
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".prom.tmp")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write(body)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return path
+
+
+def build_push_request(
+    metrics: DataFrame, gateway_url: str, job: str
+) -> tuple[str, bytes]:
+    """The pushgateway PUT, as data: (url, body). Split from the network
+    call so the protocol is testable hermetically."""
+    url = f"{gateway_url.rstrip('/')}/metrics/job/{job}"
+    return url, render_exposition(metrics).encode()
+
+
+def push_to_gateway(
+    metrics: DataFrame, gateway_url: str, job: str, timeout: float = 10.0
+) -> int:
+    """PUT the exposition body to a pushgateway; returns the HTTP status."""
+    url, body = build_push_request(metrics, gateway_url, job)
+    req = urllib.request.Request(
+        url,
+        data=body,
+        method="PUT",
+        headers={"Content-Type": "text/plain; version=0.0.4"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return resp.status
+
+
+def foreach_batch_textfile(
+    path: str,
+    metrics_fn: Callable[[DataFrame], DataFrame] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch hook: per micro-batch, optionally derive the metric
+    frame from the batch, then atomically replace the textfile — gauge
+    semantics (latest batch wins), the streaming analog of the
+    reference's per-scan ``set()`` calls (`processing/clusters.py:93-99`)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        frame = metrics_fn(batch_df) if metrics_fn is not None else batch_df
+        write_textfile(frame, path)
+
+    return _sink
