@@ -74,21 +74,28 @@ def main() -> None:
     force(registry.get_topics_df(spark, sf_dir))
     setup_sec = round(time.time() - t_setup, 3)
 
-    # two passes, keep the min: measures steady-state engine latency (what
-    # a long-running service sees) and shields against this host's noisy
-    # CPU; cold-start costs are visible in setup_sec + pass1_total
-    per_query: dict[str, float] = {}
+    # three passes; report the per-query p50 (median of 3) as the headline
+    # so round-over-round regressions are attributable rather than host
+    # noise, plus the min as the steady-state floor. Pass 0 carries
+    # cold-start costs (visible in pass_totals[0]); the median of three
+    # discards a single noisy outlier in either direction.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     pass_totals = []
-    for pass_no in range(2):
+    n_passes = 3
+    for pass_no in range(n_passes):
         t_pass = time.time()
         for name in HEADLINE:
             t0 = time.time()
             force(queries[name](spark, sf_dir))
             dt = round(time.time() - t0, 3)
-            per_query[name] = min(per_query.get(name, dt), dt)
+            samples[name].append(dt)
             print(f"  bench p{pass_no} {name}: {dt}s", file=sys.stderr)
         pass_totals.append(round(time.time() - t_pass, 3))
 
+    per_query = {
+        name: sorted(vals)[len(vals) // 2] for name, vals in samples.items()
+    }
+    per_query_min = {name: min(vals) for name, vals in samples.items()}
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # throughput context: total input rows of the tables the headline
@@ -104,6 +111,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "queries_min": per_query_min,
+                "stat": "p50_of_3",
                 "sf": float(sf),
                 "setup_sec": setup_sec,
                 "pass_totals": pass_totals,
