@@ -322,6 +322,63 @@ SELECT doc_id,
     s -> md5(s))) AS rolling_min_hash
 FROM tokarr"""
 
+    # --- dataset assembly: hash splits / stratified sample / chunking ---
+    from .pipelines.sampling import (
+        CHUNK_OVERLAP,
+        CHUNK_TOKENS,
+        DEFAULT_WEIGHTS,
+        SPLIT_BUCKETS,
+    )
+
+    train_end = int(DEFAULT_WEIGHTS["train"] * SPLIT_BUCKETS)
+    val_end = train_end + int(DEFAULT_WEIGHTS["val"] * SPLIT_BUCKETS)
+    step = CHUNK_TOKENS - CHUNK_OVERLAP
+    q["sampling_split"] = f"""
+WITH b AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+      1, 15)) AS BIGINT) % {SPLIT_BUCKETS} AS bucket
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(bucket AS BIGINT) AS bucket,
+  CASE WHEN bucket < {train_end} THEN 'train'
+       WHEN bucket < {val_end} THEN 'val'
+       ELSE 'test' END AS split
+FROM b"""
+
+    q["sampling_stratified"] = f"""
+WITH b AS (
+  SELECT doc_id, lang, source,
+    CAST(concat('0x', substr(md5('strat:' || CAST(doc_id AS VARCHAR)),
+      1, 15)) AS BIGINT) % {SPLIT_BUCKETS} AS bucket
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+  CAST(bucket AS BIGINT) AS bucket
+FROM b WHERE bucket < {int(0.2 * SPLIT_BUCKETS)}"""
+
+    q["doc_chunks"] = f"""
+WITH toksrc AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+d2 AS (
+  SELECT doc_id, toks,
+    CASE WHEN len(toks) <= {CHUNK_TOKENS} THEN 1
+         ELSE CAST(ceil((len(toks) - {CHUNK_TOKENS}) / {step}.0) AS BIGINT)
+              + 1 END AS n_chunks
+  FROM toksrc
+)
+SELECT CAST(d2.doc_id AS BIGINT) AS doc_id,
+  CAST(t.i AS BIGINT) AS chunk_id,
+  CAST(len(toks[t.i*{step}+1 : t.i*{step}+{CHUNK_TOKENS}]) AS BIGINT)
+    AS n_tokens,
+  array_to_string(toks[t.i*{step}+1 : t.i*{step}+{CHUNK_TOKENS}], ' ')
+    AS chunk_text,
+  md5(array_to_string(toks[t.i*{step}+1 : t.i*{step}+{CHUNK_TOKENS}], ' '))
+    AS chunk_md5
+FROM d2, unnest(generate_series(0, n_chunks - 1)) AS t(i)"""
+
     # --- relational / events ---
     q["tpch_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,124 @@
+"""Deterministic sampling & document chunking for training-data pipelines
+(BASELINE.json north star — dataset assembly ops beyond the reference).
+
+Why hash-based instead of ``df.sample()``/``sampleBy()``: Spark's sampling
+is seeded per partition, so the selected rows change whenever partitioning
+changes (repartition, AQE, scale-up) — lethal for reproducible train/val
+splits. Bucketing each row by an md5 of its key is stable across engines,
+partitionings, and re-runs, and is a pure JVM narrow map: no shuffle, no
+Python, pushdown-friendly. The same construction (salted md5 → integer)
+powers the MinHash/SimHash/LSH family in `dedup.py:75`.
+
+Chunking (fixed token windows with overlap) is the standard
+context-window packing step; it's a JVM ``transform``+``explode`` fan-out
+— output cardinality ≈ tokens/step per doc, still shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .util import spread
+
+SPLIT_BUCKETS = 10_000
+DEFAULT_WEIGHTS = {"train": 0.90, "val": 0.05, "test": 0.05}
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 8
+
+
+def hash_bucket(col: Column, salt: str, buckets: int = SPLIT_BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets): md5 of ``salt:value``, first
+    15 hex chars (60 bits — exact in a signed long) mod buckets."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), col.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(buckets),
+    )
+
+
+def deterministic_split(
+    documents: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every doc to a named split by hash bucket. Weights are
+    cumulative integer thresholds over SPLIT_BUCKETS, so proportions are
+    exact in expectation and assignment is reproducible everywhere."""
+    weights = weights or DEFAULT_WEIGHTS
+    bucket = hash_bucket(F.col("doc_id"), salt)
+    expr = None
+    acc = 0
+    *head, (last_name, _) = list(weights.items())
+    for name, w in head:
+        acc += int(w * SPLIT_BUCKETS)
+        cond = bucket < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(last_name) if expr is None else expr.otherwise(last_name)
+    return spread(documents).select(
+        "doc_id", bucket.alias("bucket"), expr.alias("split")
+    )
+
+
+def stratified_sample(
+    documents: DataFrame,
+    fraction: float = 0.2,
+    salt: str = "strat",
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of docs. The hash is keyed by
+    doc_id only, so the same doc is kept or dropped regardless of which
+    stratum (lang/source) it is viewed under — per-stratum rates converge
+    to ``fraction`` while membership stays reproducible."""
+    bucket = hash_bucket(F.col("doc_id"), salt)
+    return (
+        spread(documents)
+        .select("doc_id", "lang", "source", bucket.alias("bucket"))
+        .filter(F.col("bucket") < int(fraction * SPLIT_BUCKETS))
+    )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Fixed-size token windows with overlap: doc_id, chunk_id, n_tokens,
+    chunk_text, chunk_md5. The last window may be short; every token is
+    covered; consecutive windows share ``overlap`` tokens."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - chunk_tokens) / F.lit(step)).cast("long") + 1
+    )
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_id"),
+                F.array_join(
+                    F.slice(toks, i * step + 1, chunk_tokens), " "
+                ).alias("chunk_text"),
+            ),
+        )
+    )
+    return (
+        spread(documents)
+        .select("doc_id", chunk.alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size(F.split(F.col("c.chunk_text"), " ")).cast("long").alias(
+                "n_tokens"
+            ),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.md5(F.col("c.chunk_text")).alias("chunk_md5"),
+        )
+    )

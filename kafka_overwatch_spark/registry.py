@@ -22,7 +22,7 @@ from .operators import relational
 from .operators import report as reportops
 from .operators import schema_registry as sr
 from .operators import usage, windows
-from .pipelines import dedup, similarity
+from .pipelines import dedup, sampling, similarity
 from .pipelines import text as textops
 from .sinks import exports
 from .snapshot import build_snapshots, filter_cluster, topics_with_configs
@@ -364,6 +364,17 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         raw(s, d, "documents")
     )
     q["text_ngram_freq"] = lambda s, d: textops.ngram_frequencies(
+        raw(s, d, "documents")
+    )
+    # dataset assembly: reproducible hash-bucket splits/samples + fixed
+    # token-window chunking (context packing)
+    q["sampling_split"] = lambda s, d: sampling.deterministic_split(
+        raw(s, d, "documents")
+    )
+    q["sampling_stratified"] = lambda s, d: sampling.stratified_sample(
+        raw(s, d, "documents")
+    )
+    q["doc_chunks"] = lambda s, d: sampling.chunk_documents(
         raw(s, d, "documents")
     )
 
