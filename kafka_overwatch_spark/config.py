@@ -44,6 +44,10 @@ class ClusterConfig:
     topic_include_regexes: list[str] = field(default_factory=list)
     topic_exclude_regexes: list[str] = field(default_factory=list)
     governance: Governance | None = None
+    # librdkafka-style client config (`cluster_config.kafka` in the
+    # reference spec); {{resolve:...}} values interpolated at load time
+    # when a secrets fetcher is supplied (S11)
+    kafka: dict = field(default_factory=dict)
 
 
 def _require(cond: bool, msg: str) -> None:
@@ -51,8 +55,13 @@ def _require(cond: bool, msg: str) -> None:
         raise ValueError(f"invalid config: {msg}")
 
 
-def load_config(path: str) -> dict[str, ClusterConfig]:
-    """YAML → validated ClusterConfig per cluster (S10 analog)."""
+def load_config(
+    path: str, secrets_fetcher=None
+) -> dict[str, ClusterConfig]:
+    """YAML → validated ClusterConfig per cluster (S10 analog). When
+    ``secrets_fetcher`` is given, ``{{resolve:...}}`` strings in each
+    cluster's ``kafka`` client config are interpolated (S11,
+    `aws_helpers/kafka_client_secrets.py:28-65`)."""
     import yaml
 
     with open(path) as fh:
@@ -101,7 +110,12 @@ def load_config(path: str) -> dict[str, ClusterConfig]:
             topic_include_regexes=list(c.get("topic_include_regexes", [])),
             topic_exclude_regexes=list(c.get("topic_exclude_regexes", [])),
             governance=gov,
+            kafka=dict(c.get("kafka", {})),
         )
+        if secrets_fetcher is not None and cfg.kafka:
+            from .secrets import resolve_client_config
+
+            cfg.kafka = resolve_client_config(cfg.kafka, secrets_fetcher)
         _require(
             cfg.cluster_scan_interval_in_seconds > 0,
             "cluster_scan_interval_in_seconds must be > 0",
