@@ -143,3 +143,39 @@ def test_lag_pipeline_no_cartesian(spark, snaps):
     # the scalar elapsed crossJoin is a 1-row broadcast; everything else
     # must be hash/broadcast joins
     assert "CartesianProduct" not in plan
+
+
+def test_sampling_ops_are_narrow_jvm_maps(spark, snaps):
+    """Split/sample/chunk must stay shuffle-free JVM maps: no Exchange
+    (beyond the input scan), no Python evaluation — at 100 TB these run
+    as pure map stages over the documents scan."""
+    from kafka_overwatch_spark.pipelines.sampling import (
+        chunk_documents,
+        deterministic_split,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (
+        deterministic_split(docs),
+        stratified_sample(docs),
+        chunk_documents(docs),
+    ):
+        plan = _final_plan(df)
+        # no keyed shuffle — the only allowed Exchange is the explicit
+        # round-robin spread() for single-file test parquet
+        assert "hashpartitioning" not in plan, plan
+        assert "rangepartitioning" not in plan, plan
+        assert "Python" not in plan and "ArrowEval" not in plan
+        # whole-stage codegen spans render as "*(n) Op" in the final plan
+        assert "*(" in plan, plan
+
+
+def test_stratified_sample_bucket_filter_is_cheap(spark, snaps):
+    """The sample predicate is evaluated in the scan stage (filter over
+    the md5 bucket), not after a shuffle."""
+    from kafka_overwatch_spark.pipelines.sampling import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(stratified_sample(docs, 0.2))
+    assert "Filter" in plan and "hashpartitioning" not in plan
