@@ -35,20 +35,21 @@ def metrics_snapshot(
         F.count_distinct("topic").alias("topics"),
         F.count("*").alias("partitions"),
     )
+    # one agg → stack unpivot: both per-cluster gauges come out of a
+    # single pass over the final-scan offsets (no duplicated aggregate
+    # under the union)
     scalars = topic_counts.select(
-        F.lit("kafka_topics_total").alias("metric"),
+        "cluster",
+        F.expr(
+            "stack(2, 'kafka_topics_total', topics, "
+            "'kafka_partitions_total', partitions) AS (metric, value)"
+        ),
+    ).select(
+        "metric",
         "cluster",
         F.lit(None).cast("string").alias("group_id"),
         F.lit(None).cast("string").alias("topic"),
-        F.col("topics").cast("long").alias("value"),
-    ).unionByName(
-        topic_counts.select(
-            F.lit("kafka_partitions_total").alias("metric"),
-            "cluster",
-            F.lit(None).cast("string").alias("group_id"),
-            F.lit(None).cast("string").alias("topic"),
-            F.col("partitions").cast("long").alias("value"),
-        )
+        F.col("value").cast("long").alias("value"),
     ).unionByName(
         snaps["consumer_groups"]
         .groupBy("cluster")

@@ -149,26 +149,40 @@ def waste_summary(topics_df: DataFrame) -> DataFrame:
     """One row per waste category: topics_count, topic_partitions_sum,
     cluster_percentage — `reporting/topics.py:30-38` etc.
     cluster_percentage = int((count/total)*100): float math then truncation,
-    replicated exactly (floor of the same double expression)."""
-    total = topics_df.count()  # len(topics_df) — scalar, tiny frame
-    parts = []
+    replicated exactly (floor of the same double expression).
+
+    Single-pass shape: one conditional aggregation computes every
+    category's count/partition-sum AND the total in the same scan (one
+    job, one map-side-combined agg), then ``stack`` unpivots to the
+    category-per-row output — replaces the previous 1 count action +
+    3 filtered scans + unionAll."""
+    aggs = [F.count("*").alias("__total")]
     for name, pred in WASTE_PREDICATES.items():
-        parts.append(
-            topics_df.filter(pred).agg(
-                F.lit(name).alias("category"),
-                F.count("name").alias("topics_count"),
-                F.coalesce(F.sum("partitions"), F.lit(0)).alias(
-                    "topic_partitions_sum"
-                ),
-                F.floor(
-                    (F.count("name").cast("double") / F.lit(total)) * 100
-                ).alias("cluster_percentage"),
-            )
+        cond = F.expr(pred)  # predicates are SQL strings shared w/ oracle
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"{name}__n"))
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(cond, F.col("partitions"))), F.lit(0)
+            ).alias(f"{name}__p")
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    wide = topics_df.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', {name}__n, {name}__p" for name in WASTE_PREDICATES
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(WASTE_PREDICATES)}, {stack}) AS "
+            "(category, topics_count, topic_partitions_sum)"
+        ),
+        "__total",
+    ).select(
+        "category",
+        "topics_count",
+        "topic_partitions_sum",
+        F.floor(
+            (F.col("topics_count").cast("double") / F.col("__total")) * 100
+        ).alias("cluster_percentage"),
+    )
 
 
 def most_active_topics(topics_df: DataFrame) -> DataFrame:
