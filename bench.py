@@ -97,6 +97,44 @@ def main() -> None:
     }
     per_query_min = {name: min(vals) for name, vals in samples.items()}
     total = round(sum(per_query.values()), 3)
+
+    # incremental maintenance vs full recompute (streaming Phase-4 story):
+    # per-batch cost of updating running topic totals with
+    # IncrementalTopicTotals (O(batch) + state merge) vs recomputing the
+    # totals from all batches seen so far (O(K·batch))
+    from pyspark.sql import functions as F
+
+    from kafka_overwatch_spark.streaming.incremental import (
+        IncrementalTopicTotals,
+    )
+
+    po = (
+        snaps["partition_offsets"]
+        .filter(F.col("scan_id") == 3)
+        .select("topic", "partition_id", "end_offset")
+        .localCheckpoint(eager=True)
+    )
+    n_batches = 10
+    batches = [
+        po.withColumn("end_offset", F.col("end_offset") + F.lit(i))
+        for i in range(n_batches)
+    ]
+    inc = IncrementalTopicTotals()
+    t0 = time.time()
+    for i, b in enumerate(batches):
+        inc(b, i)
+    inc_per_batch = round((time.time() - t0) / n_batches, 3)
+    t0 = time.time()
+    full = batches[0]
+    for b in batches[1:]:
+        full = full.unionByName(b)
+    force(full.groupBy("topic").agg(F.sum("end_offset").alias("s")))
+    full_recompute = round(time.time() - t0, 3)
+    incremental = {
+        "batches": n_batches,
+        "inc_per_batch_sec": inc_per_batch,
+        "full_recompute_sec_at_b10": full_recompute,
+    }
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # throughput context: total input rows of the tables the headline
     # queries scan (lineitem dominates), per steady-state second
@@ -118,6 +156,7 @@ def main() -> None:
                 "pass_totals": pass_totals,
                 "n_queries": len(per_query),
                 "input_rows": input_rows,
+                "incremental": incremental,
             }
         )
     )

@@ -205,3 +205,79 @@ def test_baseline_join_w2_matches_batch(spark, snaps):
             for r in new_messages_since_baseline(snaps).collect()
         }
         assert got == batch
+
+
+def test_stateful_checkpoint_recovery_across_restart(spark, snaps):
+    """Kill the W1 stream after two scans, restart from the SAME
+    checkpoint with two more scans: recovered state must carry each
+    partition's last end_offset across the restart, so the first
+    post-restart delta is computed against pre-restart state instead of
+    re-zeroing — the recovery guarantee a long-running collector relies
+    on."""
+    import glob
+    import os
+    import time
+
+    from kafka_overwatch_spark.streaming import offsets as so
+
+    with tempfile.TemporaryDirectory() as tmp:
+        po = snaps["partition_offsets"]
+        seen: set = set()
+        t0 = time.time() - 100
+
+        def write_scan(scan: int) -> None:
+            po.filter(F.col("scan_id") == scan).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{tmp}/in")
+            for f in glob.glob(f"{tmp}/in/*.parquet"):
+                if f not in seen:
+                    os.utime(f, (t0 + scan, t0 + scan))
+                    seen.add(f)
+
+        ckpt = f"{tmp}/ckpt_recover"
+        sink = f"{tmp}/out"
+
+        def run_once() -> None:
+            # parquet file sink: the recoverable sink (memory sink cannot
+            # resume from a checkpoint)
+            stream = so.offset_sample_stream(spark, f"{tmp}/in")
+            q = (
+                so.per_interval_deltas(stream)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        write_scan(0)
+        write_scan(1)
+        run_once()
+        # restart: new source files, SAME checkpoint → state recovered
+        write_scan(2)
+        write_scan(3)
+        run_once()
+        got = {
+            (r["topic"], r["partition_id"], r["scan_id"]): r["delta_messages"]
+            for r in spark.read.parquet(sink).collect()
+        }
+        # batch truth over all four scans
+        want = {}
+        rows = po.select(
+            "topic", "partition_id", "scan_id", "end_offset"
+        ).collect()
+        last: dict = {}
+        for r in sorted(rows, key=lambda r: (r["topic"], r["partition_id"], r["scan_id"])):
+            k = (r["topic"], r["partition_id"])
+            prev = last.get(k)
+            want[(k[0], k[1], r["scan_id"])] = (
+                0 if prev is None else r["end_offset"] - prev
+            )
+            last[k] = r["end_offset"]
+        assert got == want
+        # the restart boundary specifically: scan-2 deltas must NOT all be
+        # re-zeroed (state was recovered, not reinitialized)
+        scan2 = [v for (t, p, s), v in got.items() if s == 2]
+        assert any(v != 0 for v in scan2)
