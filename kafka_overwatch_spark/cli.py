@@ -87,6 +87,11 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.sf_dir, args.cluster
             )
             payload = report_json(snaps, cluster_name=args.cluster)
+            # contract gate before emit, like the reference's jsonschema
+            # validation of every report (`specs/report.py:130-143`)
+            from .specs import validate_report
+
+            validate_report(payload)
             if args.out == "-":
                 print(payload)
             else:

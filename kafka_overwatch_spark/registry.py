@@ -351,6 +351,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_pairs"] = lambda s, d: similarity.lsh_neighbor_pairs_vectorized(
         raw(s, d, "embeddings")
     )
+    # IVF coarse-quantizer ANN (seeded KMeans). No ANSI-SQL oracle exists
+    # for a trained quantizer → rows-only gate; recall vs exact is
+    # measured in tests/test_ann_ivf.py and ANN_TRADEOFFS.md.
+    q["ann_ivf_topk"] = lambda s, d: similarity.ivf_topk(
+        raw(s, d, "embeddings")
+    )
     q["text_token_stats"] = lambda s, d: textops.token_stats(
         raw(s, d, "documents")
     )
