@@ -12,6 +12,15 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     many splits, and this becomes a cheap no-op-ish rebalance."""
     sc = df.sparkSession.sparkContext
     target = max(sc.defaultParallelism * factor, 2)
-    if df.rdd.getNumPartitions() >= target:
+    # estimate input parallelism WITHOUT df.rdd (which converts the whole
+    # plan to an RDD per call): leaf file count is a lower bound on scan
+    # splits — many files means the scan is already parallel and the
+    # rebalance would only add an exchange. Single/few files (the test
+    # fixtures) or non-file sources fall through to the repartition.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
         return df
     return df.repartition(target)
