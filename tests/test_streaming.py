@@ -281,3 +281,52 @@ def test_stateful_checkpoint_recovery_across_restart(spark, snaps):
         # re-zeroed (state was recovered, not reinitialized)
         scan2 = [v for (t, p, s), v in got.items() if s == 2]
         assert any(v != 0 for v in scan2)
+
+
+def test_stateful_query_under_rocksdb_state_store(spark, snaps):
+    """The scale-path state store: RocksDB keeps streaming state off the
+    executor heap (the default HDFS-backed provider holds every key in
+    JVM memory — a cluster-killer at millions of (topic, partition)
+    keys). The W1 stateful op must produce identical results under the
+    RocksDB provider, configured per-query via the checkpoint's
+    SQLConf."""
+    from kafka_overwatch_spark.streaming import offsets as so
+
+    provider = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            po = snaps["partition_offsets"]
+            for scan in range(4):
+                po.filter(F.col("scan_id") == scan).coalesce(1).write.mode(
+                    "append"
+                ).parquet(f"{tmp}/in")
+            stream = so.offset_sample_stream(spark, f"{tmp}/in")
+            out = so.run_to_completion(
+                so.per_interval_deltas(stream), f"{tmp}/ckpt_rocks"
+            )
+            from kafka_overwatch_spark.operators.windows import (
+                offset_delta_per_scan,
+            )
+
+            got = {
+                (r["topic"], r["partition_id"], r["scan_id"]): r[
+                    "delta_messages"
+                ]
+                for r in out
+            }
+            batch = {
+                (r["topic"], r["partition_id"], r["scan_id"]): r[
+                    "delta_messages"
+                ]
+                for r in offset_delta_per_scan(snaps).collect()
+            }
+            assert got == batch
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old
+            )
