@@ -86,7 +86,12 @@ def main(argv: list[str] | None = None) -> int:
             snaps = registry.get_cluster_snaps(
                 spark, args.sf_dir, args.cluster
             )
-            payload = report_json(snaps, cluster_name=args.cluster)
+            gov_cfg = None
+            if config and args.cluster in config:
+                gov_cfg = config[args.cluster].governance
+            payload = report_json(
+                snaps, cluster_name=args.cluster, governance_config=gov_cfg
+            )
             # contract gate before emit, like the reference's jsonschema
             # validation of every report (`specs/report.py:130-143`)
             from .specs import validate_report

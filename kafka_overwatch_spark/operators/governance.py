@@ -96,17 +96,34 @@ def naming_convention_summary(gov_df: DataFrame) -> DataFrame:
     )
 
 
-def governance_topics(snaps: dict[str, DataFrame]) -> DataFrame:
+def governance_topics(
+    snaps: dict[str, DataFrame],
+    include_regexes: list[str] | None = None,
+    exclude_regexes: list[str] | None = None,
+) -> DataFrame:
+    """Topic naming review; regexes default to the module conventions and
+    are overridable from the config file's
+    ``governance.topic_naming_convention`` block (S10)."""
     return review_naming(
-        snaps["topics"], TOPIC_INCLUDE_REGEXES, TOPIC_EXCLUDE_REGEXES
+        snaps["topics"],
+        include_regexes if include_regexes is not None else TOPIC_INCLUDE_REGEXES,
+        exclude_regexes if exclude_regexes is not None else TOPIC_EXCLUDE_REGEXES,
     )
 
 
 def governance_groups(
-    snaps: dict[str, DataFrame], reference_compatible: bool = False
+    snaps: dict[str, DataFrame],
+    reference_compatible: bool = False,
+    include_regexes: list[str] | None = None,
+    exclude_regexes: list[str] | None = None,
 ) -> DataFrame:
     """CG naming review. ``reference_compatible=True`` replicates the
-    reference bug (topic regexes applied to group names)."""
+    reference bug (topic regexes applied to group names); explicit regex
+    overrides (config-driven) win over both defaults."""
     inc = TOPIC_INCLUDE_REGEXES if reference_compatible else GROUP_INCLUDE_REGEXES
     exc = TOPIC_EXCLUDE_REGEXES if reference_compatible else GROUP_EXCLUDE_REGEXES
+    if include_regexes is not None:
+        inc = include_regexes
+    if exclude_regexes is not None:
+        exc = exclude_regexes
     return review_naming(snaps["consumer_groups"], inc, exc, name_col="group_id")

@@ -32,10 +32,16 @@ def _topics_map(df: DataFrame) -> F.Column:
 
 
 def build_cluster_report(
-    snaps: dict[str, DataFrame], cluster_name: str = "primary"
+    snaps: dict[str, DataFrame],
+    cluster_name: str = "primary",
+    governance_config=None,
 ) -> DataFrame:
     """One nested row mirroring ClusterReport: statistics, estimated_waste
-    (3 topic categories), governance, schema_registry."""
+    (3 topic categories), governance, schema_registry.
+
+    ``governance_config``: an optional ``config.Governance`` — its naming
+    conventions override the default regexes (config-driven reports,
+    `specs/config.py` governance block)."""
     topics_df = usage.build_topics_df(snaps).cache()
     total = topics_df.count()
 
@@ -120,10 +126,23 @@ def build_cluster_report(
         )
     )
 
-    # governance — both naming-convention reports of the spec
-    gov_summary = gov.naming_convention_summary(gov.governance_topics(snaps))
+    # governance — both naming-convention reports of the spec, regexes
+    # optionally overridden from the loaded config
+    t_inc = t_exc = g_inc = g_exc = None
+    if governance_config is not None:
+        tnc = governance_config.topic_naming_convention
+        gnc = governance_config.consumer_groups_naming_convention
+        if tnc is not None:
+            t_inc, t_exc = tnc.regexes, tnc.ignore_regexes
+        if gnc is not None:
+            g_inc, g_exc = gnc.regexes, gnc.ignore_regexes
+    gov_summary = gov.naming_convention_summary(
+        gov.governance_topics(snaps, t_inc, t_exc)
+    )
     gov_groups_summary = gov.naming_convention_summary(
-        gov.governance_groups(snaps)
+        gov.governance_groups(
+            snaps, include_regexes=g_inc, exclude_regexes=g_exc
+        )
     )
 
     # schema registry incl. schemas_estimates.detected_unused (the spec's
@@ -269,9 +288,13 @@ def cluster_report_scalars(
     return r.select(*cols)
 
 
-def report_json(snaps: dict[str, DataFrame], cluster_name: str = "primary") -> str:
+def report_json(
+    snaps: dict[str, DataFrame],
+    cluster_name: str = "primary",
+    governance_config=None,
+) -> str:
     """K1: the report as a JSON document (single-row collect)."""
-    row = build_cluster_report(snaps, cluster_name).select(
+    row = build_cluster_report(snaps, cluster_name, governance_config).select(
         F.to_json(F.struct("*"), {"ignoreNullFields": "false"}).alias("js")
     ).collect()[0]
     return row["js"]

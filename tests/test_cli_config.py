@@ -67,3 +67,37 @@ def test_cli_unknown_query_exit_code(spark, snaps):
         cli._spark = orig_spark
         spark.stop = orig_stop
     assert rc == 2
+
+
+def test_config_governance_regexes_drive_report(spark, snaps, tmp_path):
+    """A config file's naming conventions override the default governance
+    regexes in the report (S10 -> report integration)."""
+    import json
+
+    from kafka_overwatch_spark.config import load_config
+    from kafka_overwatch_spark.operators.report import report_json
+
+    p = tmp_path / "ow.yaml"
+    p.write_text(
+        """
+clusters:
+  primary:
+    governance:
+      topic_naming_convention:
+        regexes: [".*"]
+        ignore_regexes: []
+"""
+    )
+    cfg = load_config(str(p))["primary"]
+    payload = json.loads(
+        report_json(snaps, governance_config=cfg.governance)
+    )
+    tnc = payload["governance"]["topic_naming_convention"]
+    # everything matches .* → full compliance, nothing ignored
+    assert tnc["non_compliant_count"] == 0
+    assert tnc["total_ignored"] == 0
+    assert tnc["compliant_percentage"] == 100.0
+    # CG block untouched (no override given) — defaults still apply
+    assert payload["governance"]["consumer_group_naming_convention"][
+        "total"
+    ] > 0
