@@ -282,6 +282,26 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per cluster, mirroring overwatch.py:92-120)
     q["cluster_statistics_by_cluster"] = _cluster_statistics_by_cluster
 
+    # full report fan-out: one nested ClusterReport row PER cluster —
+    # the reference's one-report-process-per-cluster topology
+    # (overwatch.py:92-120) as a driver loop over pruned snapshots.
+    # Rows-only (nested struct, like cluster_report).
+    def _cluster_report_all(s: SparkSession, d: str) -> DataFrame:
+        clusters = sorted(
+            r["cluster"]
+            for r in get_snaps(s, d)["topics"].select("cluster").distinct().collect()
+        )
+        parts = [
+            reportops.build_cluster_report(get_cluster_snaps(s, d, c), c)
+            for c in clusters
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    q["cluster_report_all_clusters"] = _cluster_report_all
+
     # kafka-ops extensions (per-cluster)
     q["partition_balance"] = lambda s, d: usage.partition_balance(
         get_cluster_snaps(s, d)["partition_offsets"]
