@@ -203,7 +203,7 @@ LIVENESS_SCHEMA = StructType(
 )
 
 # event-time silence (ms) after a key's last sample before it is declared
-# vanished; overridden per call via _liveness_gap_ms
+# vanished; override via vanished_entity_stream(gap_ms=...)
 DEFAULT_LIVENESS_GAP_MS = 1
 
 
@@ -292,6 +292,12 @@ def run_to_completion(stream_df: DataFrame, checkpoint: str) -> list:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            "stream did not drain within 300s — partial results would "
+            "silently weaken the assertion; failing loudly instead"
+        )
     spark = stream_df.sparkSession
     return spark.table(name).collect()
