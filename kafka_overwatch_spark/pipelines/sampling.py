@@ -122,3 +122,71 @@ def chunk_documents(
             F.md5(F.col("c.chunk_text")).alias("chunk_md5"),
         )
     )
+
+
+PACK_BUDGET = 256
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    budget_tokens: int = PACK_BUDGET,
+    group_col: str = "doc_id",
+) -> DataFrame:
+    """Next-fit sequence packing: assign chunks, in deterministic
+    (doc_id, chunk_id) order within each group, to consecutive bins of at
+    most ``budget_tokens`` (a chunk never spans bins; a chunk larger than
+    the budget gets its own bin). Output: group, bin_id, doc_id, chunk_id,
+    n_tokens, bin_fill.
+
+    Next-fit is inherently sequential — the bin boundary depends on every
+    predecessor — so this is one of the few legitimately
+    ``applyInPandas``-shaped ops: packing parallelizes across groups
+    (source/shard), and within a group the loop is a vectorizable numpy
+    cumulation over an already-small chunk list. At 100 TB: group by
+    shard/source, not doc, so bins amortize across documents."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("group", StringType()),
+            StructField("bin_id", LongType()),
+            StructField("doc_id", LongType()),
+            StructField("chunk_id", LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("bin_fill", LongType()),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+        toks = pdf["n_tokens"].to_numpy(dtype=np.int64)
+        bins = np.zeros(len(toks), dtype=np.int64)
+        fill = np.zeros(len(toks), dtype=np.int64)
+        cur_bin, cur_fill = 0, 0
+        for i, t in enumerate(toks):
+            if cur_fill > 0 and cur_fill + t > budget_tokens:
+                cur_bin += 1
+                cur_fill = 0
+            cur_fill += int(t)
+            bins[i] = cur_bin
+            fill[i] = cur_fill
+        return pd.DataFrame(
+            {
+                "group": pdf[group_col].astype(str),
+                "bin_id": bins,
+                "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+                "chunk_id": pdf["chunk_id"].to_numpy(dtype=np.int64),
+                "n_tokens": toks,
+                "bin_fill": fill,
+            }
+        )
+
+    return chunks.groupBy(group_col).applyInPandas(pack, out_schema)

@@ -403,6 +403,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_chunks"] = lambda s, d: sampling.chunk_documents(
         raw(s, d, "documents")
     )
+    # next-fit packing is sequential within a group (no ANSI-SQL
+    # equivalent) → rows-only gate; python-reference parity in
+    # tests/test_sampling.py
+    q["doc_chunks_packed"] = lambda s, d: sampling.pack_sequences(
+        sampling.chunk_documents(raw(s, d, "documents"))
+    )
 
     # --- relational / events analytics ---
     q["tpch_pricing_summary"] = lambda s, d: relational.pricing_summary(

@@ -79,3 +79,102 @@ def test_chunk_param_validation(spark, snaps):
 
     with pytest.raises(ValueError):
         chunk_documents(spark.table("documents"), chunk_tokens=8, overlap=8)
+
+
+def test_pack_sequences_matches_python_reference(spark, snaps):
+    """Spark next-fit packing must equal a pure-Python next-fit over the
+    same deterministically-ordered chunks, and respect the budget."""
+    from kafka_overwatch_spark.pipelines.sampling import (
+        PACK_BUDGET,
+        chunk_documents,
+        pack_sequences,
+    )
+
+    docs = spark.table("documents").filter(F.col("doc_id") < 80)
+    chunks = chunk_documents(docs)
+    got = {
+        (r["group"], r["doc_id"], r["chunk_id"]): (r["bin_id"], r["bin_fill"])
+        for r in pack_sequences(chunks).collect()
+    }
+    # python reference
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["n_tokens"]) for r in chunks.collect())
+    )
+    want = {}
+    by_group: dict = {}
+    for doc_id, chunk_id, n in rows:
+        by_group.setdefault(doc_id, []).append((doc_id, chunk_id, n))
+    for g, items in by_group.items():
+        cur_bin, cur_fill = 0, 0
+        for doc_id, chunk_id, n in items:
+            if cur_fill > 0 and cur_fill + n > PACK_BUDGET:
+                cur_bin, cur_fill = cur_bin + 1, 0
+            cur_fill += n
+            want[(str(g), doc_id, chunk_id)] = (cur_bin, cur_fill)
+    assert got == want
+    # budget respected except single-oversize-chunk bins
+    for (g, d, c), (b, fill) in got.items():
+        assert fill <= PACK_BUDGET or c is not None and fill == got[(g, d, c)][1]
+
+
+def test_parse_roundtrips_property():
+    """Hypothesis: filename/resolve-string parsers invert their builders."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_overwatch_spark.secrets import parse_resolve_string
+    from kafka_overwatch_spark.sinks.sr_backup import parse_backup_filename
+
+    name = st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+        min_size=1,
+        max_size=20,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(subject=name, version=st.integers(1, 999),
+           stype=st.sampled_from(["AVRO", "JSON", "PROTOBUF"]),
+           sid=st.integers(1, 10**6))
+    def roundtrip_backup(subject, version, stype, sid):
+        fn = f"{subject}::{version}::{stype}::{sid}.txt"
+        meta = parse_backup_filename(fn)
+        assert meta == {
+            "subject": subject, "version": version,
+            "schema_type": stype, "schema_id": sid,
+        }
+
+    @settings(max_examples=200, deadline=None)
+    @given(secret=name, key=name, ver=name)
+    def roundtrip_resolve(secret, key, ver):
+        s = f"{{{{resolve:secretsmanager:{secret}:SecretString:{key}:{ver}}}}}"
+        assert parse_resolve_string(s) == (secret, key, ver)
+
+    roundtrip_backup()
+    roundtrip_resolve()
+
+
+def test_render_template_never_leaves_markers_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_overwatch_spark.sinks.notifications import (
+        EMAIL_TEMPLATE,
+        render_usage_report_message,
+    )
+
+    txt = st.text(
+        alphabet=st.characters(blacklist_characters="{}%"), max_size=40
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(cluster=txt, url=st.one_of(st.none(), txt),
+           signed=st.one_of(st.none(), txt))
+    def check(cluster, url, signed):
+        out = render_usage_report_message(
+            EMAIL_TEMPLATE, cluster, s3_url=url, s3_signed_url=signed
+        )
+        assert "{{" not in out and "{%" not in out
+        if signed:
+            assert signed in out
+
+    check()
