@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -201,3 +202,54 @@ def sample_frames(media: DataFrame, frame_bytes: int = 256) -> DataFrame:
     return media.filter(F.col("media_type") == "video").mapInPandas(
         frames, FRAME_SCHEMA
     )
+
+
+def resize_media(
+    media: DataFrame, target_width: int = 32, target_height: int = 24
+) -> DataFrame:
+    """Resize plumbing: emit a new payload whose header carries the target
+    dimensions, body downsampled by deterministic byte striding (the
+    stand-in for a real bilinear resample — PIL is absent here; the
+    Spark-side contract is what's real: binary in → binary out, new typed
+    metadata, Arrow-batched, no shuffle).
+
+    Body semantics of the fake: keep every k-th body byte where
+    k = ceil(original_area / target_area), preserving determinism and
+    giving tests a size relation to assert."""
+    cols = ["doc_id", "media_type", "payload", "width", "height"]
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = f"IMG1{target_width:04d}{target_height:04d}".encode()
+        target_area = target_width * target_height
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(columns=cols)
+                continue
+            out_payloads = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                w = int(b[4:8] or b"0")
+                h = int(b[8:12] or b"0")
+                body = b[HEADER_LEN:]
+                k = max(1, -(-(w * h) // target_area))
+                out_payloads.append(header + body[::k])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "payload": out_payloads,
+                    "width": np.full(len(pdf), target_width, dtype=np.int64),
+                    "height": np.full(len(pdf), target_height, dtype=np.int64),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+        ]
+    )
+    return media.mapInPandas(resize_batches, schema)

@@ -77,3 +77,27 @@ def test_frame_sampling_fanout(media):
         ids = sorted(r["frame_id"] for r in doc_rows)
         assert ids == list(range(len(ids)))  # contiguous frames
         assert all(r["frame_offset_bytes"] == r["frame_id"] * 64 for r in doc_rows)
+
+
+def test_resize_media_contract(spark, snaps):
+    """Resize: binary in → binary out with the header rewritten to the
+    target dims, body strided down by area ratio, metadata columns
+    updated; round-trips through extract_header_metadata."""
+    from kafka_overwatch_spark.pipelines import multimodal as mm
+
+    docs = spark.table("documents").filter(F.col("doc_id") < 40)
+    media = mm.synth_media_from_documents(docs)
+    resized = mm.resize_media(media, target_width=32, target_height=24)
+    rows = {r["doc_id"]: r for r in resized.collect()}
+    orig = {r["doc_id"]: r for r in media.collect()}
+    assert rows.keys() == orig.keys()
+    for doc_id, r in rows.items():
+        assert r["width"] == 32 and r["height"] == 24
+        assert bytes(r["payload"])[:12] == b"IMG100320024"
+        assert len(r["payload"]) <= len(orig[doc_id]["payload"])
+    # header parse of the resized payload agrees with the new metadata
+    meta = {
+        r["doc_id"]: (r["width"], r["height"])
+        for r in mm.extract_header_metadata(resized).collect()
+    }
+    assert all(v == (32, 24) for v in meta.values())
