@@ -470,6 +470,26 @@ grams AS (
 SELECT lang, ngram, CAST(count(*) AS BIGINT) AS occurrences
 FROM grams GROUP BY lang, ngram HAVING count(*) >= 10"""
 
+    # PII redaction: patterns restricted to the Java-regex ∩ RE2 common
+    # subset (no backrefs/lookaround) so Spark and DuckDB agree literally.
+    # Replacement chain mirrors pipelines/text.py declaration order.
+    from .pipelines.text import REDACTION_PATTERNS
+
+    count_cols = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in REDACTION_PATTERNS.items()
+    )
+    red_expr = "text"
+    for name, pat in REDACTION_PATTERNS.items():
+        red_expr = (
+            f"regexp_replace({red_expr}, '{pat}', '<{name.upper()}>', 'g')"
+        )
+    q["text_redact_pii"] = f"""
+SELECT doc_id,
+  {count_cols},
+  md5({red_expr}) AS redacted_md5
+FROM documents"""
+
     q["events_anomalous_days"] = """
 WITH daily AS (
   SELECT event_type,

@@ -166,3 +166,36 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         ),
         F.array_min(F.transform(shingles, F.md5)).alias("rolling_min_hash"),
     )
+
+
+# Redaction patterns chosen for identical Java-regex / RE2 semantics
+# (no backrefs, no lookaround): the standard training-data scrub set.
+REDACTION_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """PII/link scrubbing: count and replace emails, URLs and IPv4
+    literals with <TYPE> tokens. Pure JVM regexp ops — narrow map over
+    the documents scan, no shuffle, no Python; the md5 of the redacted
+    text is the hash-checkable witness that replacement (not just
+    counting) matched the oracle."""
+    # counts are taken on the ORIGINAL text; replacements then apply in
+    # declaration order (later patterns see earlier tokens — e.g. an
+    # ipv4 inside an already-redacted url no longer matches)
+    red = F.col("text")
+    for name, pat in REDACTION_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return spread(documents).select(
+        "doc_id",
+        *[
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+            ).cast("long").alias(f"n_{name}")
+            for name, pat in REDACTION_PATTERNS.items()
+        ],
+        F.md5(red).alias("redacted_md5"),
+    )

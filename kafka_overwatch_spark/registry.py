@@ -392,6 +392,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_ngram_freq"] = lambda s, d: textops.ngram_frequencies(
         raw(s, d, "documents")
     )
+    q["text_redact_pii"] = lambda s, d: textops.redact_pii(
+        raw(s, d, "documents")
+    )
     # dataset assembly: reproducible hash-bucket splits/samples + fixed
     # token-window chunking (context packing)
     q["sampling_split"] = lambda s, d: sampling.deterministic_split(
