@@ -470,6 +470,67 @@ grams AS (
 SELECT lang, ngram, CAST(count(*) AS BIGINT) AS occurrences
 FROM grams GROUP BY lang, ngram HAVING count(*) >= 10"""
 
+    # Gopher-style repetition metrics: complete n-grams only (slice window
+    # never runs past the token array), n = 2 and 3, per-doc conditional agg
+    q["text_repetition"] = """
+WITH norm AS (SELECT doc_id,
+    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
+tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+grams AS (
+  SELECT doc_id, 2 AS n,
+    unnest(list_transform(generate_series(1, len(toks) - 1),
+      i -> array_to_string(toks[i:i+1], ' '))) AS gram
+  FROM tok
+  UNION ALL
+  SELECT doc_id, 3,
+    unnest(list_transform(generate_series(1, len(toks) - 2),
+      i -> array_to_string(toks[i:i+2], ' ')))
+  FROM tok
+),
+counts AS (
+  SELECT doc_id, n, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3
+)
+SELECT doc_id,
+  CAST(sum(CASE WHEN n = 2 THEN c END) AS BIGINT) AS n2_total,
+  round(max(CASE WHEN n = 2 THEN c END) * 1.0
+    / sum(CASE WHEN n = 2 THEN c END), 6) AS top_2gram_frac,
+  round(1 - count(CASE WHEN n = 2 THEN 1 END) * 1.0
+    / sum(CASE WHEN n = 2 THEN c END), 6) AS dup_2gram_frac,
+  CAST(sum(CASE WHEN n = 3 THEN c END) AS BIGINT) AS n3_total,
+  round(max(CASE WHEN n = 3 THEN c END) * 1.0
+    / sum(CASE WHEN n = 3 THEN c END), 6) AS top_3gram_frac,
+  round(1 - count(CASE WHEN n = 3 THEN 1 END) * 1.0
+    / sum(CASE WHEN n = 3 THEN c END), 6) AS dup_3gram_frac
+FROM counts GROUP BY doc_id"""
+
+    # benchmark decontamination: distinct 3-gram shingles vs the
+    # deterministic probe set (doc_id % 97 == 0), self-matches excluded
+    q["text_contamination"] = """
+WITH norm AS (SELECT doc_id,
+    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
+tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+sh AS (
+  SELECT doc_id,
+    unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+  FROM tok
+),
+probes AS (SELECT doc_id AS probe_id, gram FROM sh WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT s.doc_id,
+    count(DISTINCT s.gram) AS hit_grams,
+    count(DISTINCT p.probe_id) AS probe_docs
+  FROM sh s JOIN probes p USING (gram)
+  WHERE s.doc_id <> p.probe_id
+  GROUP BY s.doc_id
+),
+tot AS (SELECT doc_id, count(*) AS total_grams FROM sh GROUP BY 1)
+SELECT h.doc_id,
+  CAST(hit_grams AS BIGINT) AS hit_grams,
+  CAST(probe_docs AS BIGINT) AS probe_docs,
+  round(hit_grams * 1.0 / total_grams, 6) AS contamination_frac
+FROM hits h JOIN tot USING (doc_id)"""
+
     # PII redaction: patterns restricted to the Java-regex ∩ RE2 common
     # subset (no backrefs/lookaround) so Spark and DuckDB agree literally.
     # Replacement chain mirrors pipelines/text.py declaration order.

@@ -168,6 +168,135 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     )
 
 
+def _norm_tokens() -> F.Column:
+    """Whitespace-normalized lowercase tokens (same norm as fingerprints)."""
+    return F.split(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " "
+    )
+
+
+def _full_grams(toks: F.Column, n: int) -> F.Column:
+    """All COMPLETE n-gram strings of a token array (no partial tail gram —
+    unlike the 1-permutation shingles above, repetition/contamination stats
+    must not count a short-doc fragment as a gram)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition metrics per document: the fraction of
+    n-grams taken by the single most frequent n-gram (top_Ngram_frac) and
+    the duplicated-n-gram fraction (1 - distinct/total), for n = 2 and 3.
+    High values flag boilerplate / degenerate repetition for filtering.
+
+    Scale shape: explode → two keyed aggregations, both prefixed by
+    doc_id, so partitioning is by document and skew is bounded by the
+    longest single document — the standard 100 TB quality-filter plan.
+    Docs with <2 tokens emit no grams and drop out (same in the oracle).
+    """
+    toks = _norm_tokens()
+
+    def _tagged(n: int) -> F.Column:
+        # NB: a `lambda g, n=n` default-arg lambda has 2 params, which
+        # F.transform treats as (element, index) — close over n instead
+        return F.transform(
+            _full_grams(toks, n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
+        )
+
+    tagged = F.concat(_tagged(2), _tagged(3))
+    exploded = spread(documents).select(
+        "doc_id", F.explode(tagged).alias("g")
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    counts = exploded.groupBy("doc_id", "n", "gram").agg(
+        F.count("*").alias("c")
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        *[
+            a
+            for n in (2, 3)
+            for a in (
+                F.max(F.when(F.col("n") == n, F.col("c"))).alias(f"top{n}"),
+                F.sum(F.when(F.col("n") == n, F.col("c"))).alias(f"tot{n}"),
+                F.count(F.when(F.col("n") == n, F.lit(1))).alias(f"dis{n}"),
+            )
+        ]
+    )
+    return per_doc.select(
+        "doc_id",
+        *[
+            c
+            for n in (2, 3)
+            for c in (
+                F.col(f"tot{n}").cast("long").alias(f"n{n}_total"),
+                F.round(
+                    F.col(f"top{n}").cast("double") / F.col(f"tot{n}"), 6
+                ).alias(f"top_{n}gram_frac"),
+                F.round(
+                    1 - F.col(f"dis{n}").cast("double") / F.col(f"tot{n}"), 6
+                ).alias(f"dup_{n}gram_frac"),
+            )
+        ],
+    )
+
+
+# Deterministic benchmark-probe selector: every doc_id ≡ 0 (mod 97) plays
+# the role of a benchmark document whose shingles must not leak into the
+# training corpus. A real pipeline swaps in the actual eval-suite shingle
+# table; everything downstream (broadcast join shape) is unchanged.
+CONTAMINATION_PROBE_MOD = 97
+CONTAMINATION_NGRAM = 3
+
+
+def contamination(documents: DataFrame) -> DataFrame:
+    """Benchmark-decontamination screen: for each document, how many of
+    its distinct 3-gram shingles also occur in any probe (benchmark) doc,
+    how many distinct probe docs it collides with, and the contaminated
+    fraction of its shingle set. Self-matches are excluded. Only
+    contaminated documents are returned (inner join).
+
+    Scale shape: the probe side (an eval suite) is tiny and broadcast; the
+    corpus streams through one explode + broadcast-hash join + per-doc
+    aggregation — no corpus-sized shuffle on the gram key.
+    """
+    toks = _norm_tokens()
+    shingled = spread(documents).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_full_grams(toks, CONTAMINATION_NGRAM))
+        ).alias("gram"),
+    )
+    probes = (
+        shingled.filter(F.col("doc_id") % CONTAMINATION_PROBE_MOD == 0)
+        .select(F.col("doc_id").alias("probe_id"), "gram")
+    )
+    hits = (
+        shingled.join(F.broadcast(probes), "gram")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("hit_grams"),
+            F.countDistinct("probe_id").alias("probe_docs"),
+        )
+    )
+    totals = shingled.groupBy("doc_id").agg(
+        F.count("*").alias("total_grams")
+    )
+    return hits.join(totals, "doc_id").select(
+        "doc_id",
+        F.col("hit_grams").cast("long").alias("hit_grams"),
+        F.col("probe_docs").cast("long").alias("probe_docs"),
+        F.round(
+            F.col("hit_grams").cast("double") / F.col("total_grams"), 6
+        ).alias("contamination_frac"),
+    )
+
+
 # Redaction patterns chosen for identical Java-regex / RE2 semantics
 # (no backrefs, no lookaround): the standard training-data scrub set.
 REDACTION_PATTERNS = {

@@ -395,6 +395,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_redact_pii"] = lambda s, d: textops.redact_pii(
         raw(s, d, "documents")
     )
+    q["text_repetition"] = lambda s, d: textops.repetition_stats(
+        raw(s, d, "documents")
+    )
+    q["text_contamination"] = lambda s, d: textops.contamination(
+        raw(s, d, "documents")
+    )
     # dataset assembly: reproducible hash-bucket splits/samples + fixed
     # token-window chunking (context packing)
     q["sampling_split"] = lambda s, d: sampling.deterministic_split(

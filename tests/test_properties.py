@@ -76,6 +76,50 @@ def test_redact_pii_counts_and_replacement(spark):
         assert rows[i]["redacted_md5"] == hashlib.md5(exp.encode()).hexdigest()
 
 
+def test_repetition_stats_known_values(spark):
+    from kafka_overwatch_spark.pipelines.text import repetition_stats
+
+    texts = [
+        "a b a b a b",        # 2-grams: ab ba ab ba ab → top ab=3/5
+        "x y z w",            # all grams unique
+        "q",                  # too short: no 2-grams → dropped
+    ]
+    rows = {r["doc_id"]: r for r in repetition_stats(_df(spark, texts)).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]["n2_total"] == 5
+    assert rows[0]["top_2gram_frac"] == round(3 / 5, 6)
+    # distinct 2-grams = {a b, b a} → dup frac = 1 - 2/5
+    assert rows[0]["dup_2gram_frac"] == round(1 - 2 / 5, 6)
+    assert rows[0]["n3_total"] == 4
+    assert rows[1]["top_2gram_frac"] == round(1 / 3, 6)
+    assert rows[1]["dup_2gram_frac"] == 0.0
+
+
+def test_contamination_probe_overlap(spark):
+    from kafka_overwatch_spark.pipelines.text import contamination
+
+    # doc_id 0 and 97 are probes (mod 97); doc 1 shares a 3-gram with doc
+    # 0, doc 2 shares none, probe self-matches are excluded
+    rows_in = [
+        (0, "alpha beta gamma delta", "en", "s", 1),
+        (1, "zz alpha beta gamma yy", "en", "s", 1),
+        (2, "one two three four five", "en", "s", 1),
+        (97, "one two three six seven", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows_in, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    rows = {r["doc_id"]: r for r in contamination(df).collect()}
+    # doc 1: hits 'alpha beta gamma' + 'beta gamma delta'? no — only the
+    # grams doc 1 itself contains: 'alpha beta gamma' → 1 of its 3 grams
+    assert rows[1]["hit_grams"] == 1 and rows[1]["probe_docs"] == 1
+    assert rows[1]["contamination_frac"] == round(1 / 3, 6)
+    # doc 2 overlaps probe 97 on 'one two three' (1 of 3 grams)
+    assert rows[2]["hit_grams"] == 1 and rows[2]["probe_docs"] == 1
+    # probes never self-match; 0 and 97 share no gram with the OTHER probe
+    assert 0 not in rows and 97 not in rows
+
+
 @settings(max_examples=4, deadline=None)
 @given(TEXTS)
 def test_exact_dedup_partitions_docs(spark, texts):
