@@ -87,6 +87,9 @@ def test_no_python_udf_in_reference_paths(spark, snaps):
         "w1_offset_deltas",
         "text_quality",
         "text_language_id",
+        "text_redact_pii",
+        "text_repetition",
+        "text_contamination",
         "dedup_minhash_lsh",
         "dedup_simhash_pairs",
     ]
@@ -134,6 +137,18 @@ def test_dedup_embedding_cosine_no_driver_collect(spark, snaps, monkeypatch):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_probe_side_is_broadcast(spark, snaps):
+    """The decontamination screen must broadcast the (tiny) probe shingle
+    set — a corpus-sized shuffle on the gram key would be the 100 TB
+    bottleneck."""
+    from kafka_overwatch_spark import registry
+
+    q = registry.spark_queries()["text_contamination"]
+    plan = _plan(q(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_lag_pipeline_no_cartesian(spark, snaps):
