@@ -531,6 +531,62 @@ SELECT h.doc_id,
   round(hit_grams * 1.0 / total_grams, 6) AS contamination_frac
 FROM hits h JOIN tot USING (doc_id)"""
 
+    # per-document TF-IDF top-3 (tf × ln(N/df), row_number tie-break on
+    # token asc) — window semantics identical across engines
+    q["text_tfidf"] = """
+WITH norm AS (SELECT doc_id,
+    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
+terms AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM norm
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM terms GROUP BY 1, 2),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+    tf.tf * ln(n.n_docs * 1.0 / dfreq.df) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+  CAST(tf AS BIGINT) AS tf, round(tfidf, 6) AS tfidf
+FROM ranked WHERE rank <= 3"""
+
+    # symmetric int8 quantization witness: identical clamp/round chain,
+    # accumulation in double with left-fold order on both engines
+    q["emb_quantize_int8"] = """
+WITH x AS (
+  SELECT vec_id,
+    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xe
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, xe,
+    list_max(list_transform(xe, v -> abs(v))) / 127.0 AS scale
+  FROM x
+),
+c AS (
+  SELECT vec_id, xe, scale,
+    list_transform(xe,
+      v -> greatest(-127, least(127, CAST(round(v / scale) AS INTEGER))))
+      AS codes
+  FROM s
+)
+SELECT vec_id,
+  round(scale, 6) AS scale,
+  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+  md5(array_to_string(codes, ',')) AS codes_md5,
+  round(
+    sqrt(list_sum(list_transform(
+      list_zip(xe, codes),
+      p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale))))
+    / sqrt(list_sum(list_transform(xe, v -> v * v))), 6) AS rel_error
+FROM c"""
+
     # PII redaction: patterns restricted to the Java-regex ∩ RE2 common
     # subset (no backrefs/lookaround) so Spark and DuckDB agree literally.
     # Replacement chain mirrors pipelines/text.py declaration order.

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .util import spread
 
@@ -327,4 +328,56 @@ def redact_pii(documents: DataFrame) -> DataFrame:
             for name, pat in REDACTION_PATTERNS.items()
         ],
         F.md5(red).alias("redacted_md5"),
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Per-document top-k TF-IDF terms (tf × ln(N/df), raw counts) —
+    the keyword/topic-signal pass of a corpus statistics pipeline.
+
+    Scale shape: one (doc_id, token) count aggregation, a token-keyed
+    document-frequency aggregation whose result is dim-sized (the
+    vocabulary) and broadcast back onto the term counts, then a window
+    partitioned by doc_id for the top-k — no corpus-sized shuffle beyond
+    the term count, skew bounded by the largest single document.
+    Deterministic tie-break: tfidf desc, then token asc.
+    """
+    toks = _norm_tokens()
+    terms = (
+        spread(documents)
+        .select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = documents.select(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    df_tbl = terms.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = (
+        terms.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.round("tfidf", 6).alias("tfidf"),
+        )
     )

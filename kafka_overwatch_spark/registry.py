@@ -401,6 +401,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_contamination"] = lambda s, d: textops.contamination(
         raw(s, d, "documents")
     )
+    q["text_tfidf"] = lambda s, d: textops.tfidf_top_terms(
+        raw(s, d, "documents")
+    )
+    q["emb_quantize_int8"] = lambda s, d: similarity.quantize_int8(
+        raw(s, d, "embeddings")
+    )
     # dataset assembly: reproducible hash-bucket splits/samples + fixed
     # token-window chunking (context packing)
     q["sampling_split"] = lambda s, d: sampling.deterministic_split(

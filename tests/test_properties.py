@@ -167,3 +167,29 @@ def test_sessionize_gap_count(spark, offsets):
     gaps = sum(1 for a, b in zip(ts, ts[1:]) if b - a > 3600)
     assert len(out) == gaps + 1
     assert sum(r["events"] for r in out) == len(ts)
+
+
+def test_tfidf_top_terms_known_values(spark):
+    import math
+
+    from kafka_overwatch_spark.pipelines.text import tfidf_top_terms
+
+    texts = [
+        "apple apple banana common",
+        "cherry common banana",
+        "date common",
+    ]
+    rows = tfidf_top_terms(_df(spark, texts), k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: apple tf=2 df=1 → 2*ln(3); banana tf=1 df=2 → ln(1.5);
+    # common tf=1 df=3 → 0. Top-2 = apple, banana.
+    d0 = sorted(by_doc[0], key=lambda r: r["rank"])
+    assert [r["token"] for r in d0] == ["apple", "banana"]
+    assert d0[0]["tfidf"] == round(2 * math.log(3.0), 6)
+    assert d0[1]["tfidf"] == round(math.log(1.5), 6)
+    # doc 2: date (ln 3) then common (0)
+    d2 = sorted(by_doc[2], key=lambda r: r["rank"])
+    assert [r["token"] for r in d2] == ["date", "common"]
+    assert d2[1]["tfidf"] == 0.0

@@ -80,3 +80,28 @@ def test_fold_and_gemm_topk_agree(spark, snaps):
     fold = sorted(tuple(r) for r in brute_force_topk(emb).collect())
     gemm = sorted(tuple(r) for r in brute_force_topk_vectorized(emb).collect())
     assert fold == gemm
+
+
+def test_quantize_int8_reconstruction(spark):
+    """Known-vector quantization: codes, witness hash, and error bound."""
+    import hashlib
+    import math
+
+    from kafka_overwatch_spark.pipelines.similarity import quantize_int8
+
+    vec = [1.0, -0.5, 0.25, 0.0]
+    df = spark.createDataFrame([(1, vec, 0)], ["vec_id", "embedding", "label"])
+    row = quantize_int8(df).collect()[0]
+    scale = 1.0 / 127
+    codes = [127, -64, 32, 0]  # round(v/scale) clamped
+    assert row["scale"] == round(scale, 6)
+    assert row["code_sum"] == sum(codes)
+    assert row["codes_md5"] == hashlib.md5(
+        ",".join(str(c) for c in codes).encode()
+    ).hexdigest()
+    recon = [c * scale for c in codes]
+    err = math.sqrt(sum((v - r) ** 2 for v, r in zip(vec, recon)))
+    norm = math.sqrt(sum(v * v for v in vec))
+    assert row["rel_error"] == round(err / norm, 6)
+    # int8 quantization of a unit-range vector keeps relative L2 error small
+    assert row["rel_error"] < 0.005
