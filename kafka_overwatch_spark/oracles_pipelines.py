@@ -357,6 +357,46 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
   CAST(bucket AS BIGINT) AS bucket
 FROM b WHERE bucket < {int(0.2 * SPLIT_BUCKETS)}"""
 
+    # fused curation pipeline: quality gate → exact-dedup keeper window →
+    # split tag; same quality formula as text_quality, same bucket math as
+    # sampling_split, same fingerprint as dedup_exact_keep
+    q["curation_pipeline"] = f"""
+WITH base AS (
+  SELECT doc_id, text,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+      AS n_tokens,
+    CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT)
+      AS nonpunct,
+    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+      t -> t IN ('the','a','of','to','and','is'))) AS BIGINT) AS stop_hits
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+    round(
+      least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.4
+      + least(CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1) * 5, 1.0)
+        * 0.4
+      + (1 - least(CAST(n_chars - nonpunct AS DOUBLE) / n_chars * 10, 1.0))
+        * 0.2, 6) AS quality_score,
+    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+    CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+      1, 15)) AS BIGINT) % {SPLIT_BUCKETS} AS bucket
+  FROM base
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM scored WHERE quality_score >= 0.5
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CASE WHEN bucket < {train_end} THEN 'train'
+       WHEN bucket < {val_end} THEN 'val'
+       ELSE 'test' END AS split,
+  n_tokens, quality_score
+FROM ranked WHERE rn = 1"""
+
     q["doc_chunks"] = f"""
 WITH toksrc AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks

@@ -1,0 +1,55 @@
+"""End-to-end training-data curation: quality filter → exact dedup →
+split assignment, fused into one pipeline (the composition a real corpus
+build runs nightly — proves the north-star ops compose, not just run
+standalone).
+
+Physical shape (the 100 TB story): every per-document signal — quality
+metrics, content fingerprint, split bucket — is computed in ONE narrow
+map over the documents scan (no self-joins between the stages). The only
+shuffle is the dedup keeper election: a window over the content
+fingerprint, which is also exactly the shuffle the standalone exact-dedup
+op pays. Filters run before the shuffle, so low-quality documents never
+enter the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .sampling import hash_bucket, split_expr
+from .text import quality_columns
+from .util import spread
+
+QUALITY_THRESHOLD = 0.5
+
+
+def curate(
+    documents: DataFrame, quality_threshold: float = QUALITY_THRESHOLD
+) -> DataFrame:
+    """The curated corpus: documents that (a) score at or above the
+    quality threshold and (b) are the keeper (min doc_id) of their
+    exact-content group, each tagged with a reproducible train/val/test
+    split. Duplicate elimination runs on the quality-surviving set, so a
+    low-quality keeper never shadows a high-quality duplicate.
+    """
+    cols = quality_columns()
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    bucket = hash_bucket(F.col("doc_id"), "split")
+    enriched = spread(documents).select(
+        "doc_id",
+        cols["n_tokens"].alias("n_tokens"),
+        cols["quality_score"].alias("quality_score"),
+        F.md5(norm).alias("fingerprint"),
+        split_expr(bucket).alias("split"),
+    )
+    survivors = enriched.filter(
+        F.col("quality_score") >= quality_threshold
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        survivors.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "split", "n_tokens", "quality_score")
+    )

@@ -42,16 +42,13 @@ def hash_bucket(col: Column, salt: str, buckets: int = SPLIT_BUCKETS) -> Column:
     )
 
 
-def deterministic_split(
-    documents: DataFrame,
-    weights: dict[str, float] | None = None,
-    salt: str = "split",
-) -> DataFrame:
-    """Assign every doc to a named split by hash bucket. Weights are
-    cumulative integer thresholds over SPLIT_BUCKETS, so proportions are
-    exact in expectation and assignment is reproducible everywhere."""
+def split_expr(
+    bucket: Column, weights: dict[str, float] | None = None
+) -> Column:
+    """Named-split expression over a hash bucket: cumulative integer
+    thresholds over SPLIT_BUCKETS, so proportions are exact in
+    expectation and assignment is reproducible everywhere."""
     weights = weights or DEFAULT_WEIGHTS
-    bucket = hash_bucket(F.col("doc_id"), salt)
     expr = None
     acc = 0
     *head, (last_name, _) = list(weights.items())
@@ -59,9 +56,18 @@ def deterministic_split(
         acc += int(w * SPLIT_BUCKETS)
         cond = bucket < acc
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    expr = F.lit(last_name) if expr is None else expr.otherwise(last_name)
+    return F.lit(last_name) if expr is None else expr.otherwise(last_name)
+
+
+def deterministic_split(
+    documents: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every doc to a named split by hash bucket."""
+    bucket = hash_bucket(F.col("doc_id"), salt)
     return spread(documents).select(
-        "doc_id", bucket.alias("bucket"), expr.alias("split")
+        "doc_id", bucket.alias("bucket"), split_expr(bucket, weights).alias("split")
     )
 
 

@@ -57,28 +57,27 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_scores(documents: DataFrame) -> DataFrame:
-    """Quality scoring: length, punctuation ratio, stopword ratio, mean
-    token length, and a composite [0,1] quality score. Deterministic
-    arithmetic only — same formula on the oracle side."""
+def quality_columns() -> dict[str, F.Column]:
+    """The quality-metric expressions over a raw ``text`` column, shared
+    by ``quality_scores`` and the fused curation pipeline (one formula,
+    one oracle)."""
     toks = _tokens()
     n_tok = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     n_chars = F.length("text")
     punct = F.length(F.regexp_replace(F.col("text"), PUNCT_REGEX, ""))
-    return spread(documents).select(
-        "doc_id",
-        n_chars.cast("long").alias("n_chars"),
-        n_tok.cast("long").alias("n_tokens"),
-        F.round((n_chars - punct).cast("double") / n_chars, 6).alias(
-            "punct_ratio"
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "punct_ratio": F.round(
+            (n_chars - punct).cast("double") / n_chars, 6
         ),
-        F.round(stop_hits.cast("double") / n_tok, 6).alias("stopword_ratio"),
-        F.round(
+        "stopword_ratio": F.round(stop_hits.cast("double") / n_tok, 6),
+        "mean_token_len": F.round(
             (n_chars.cast("double") - F.size(toks) + 1) / n_tok, 6
-        ).alias("mean_token_len"),
+        ),
         # composite score: in-range length + has stopwords + low punct
-        F.round(
+        "quality_score": F.round(
             F.least(n_tok.cast("double") / 100, F.lit(1.0)) * 0.4
             + F.least(
                 stop_hits.cast("double") / F.greatest(n_tok, F.lit(1)) * 5,
@@ -88,7 +87,17 @@ def quality_scores(documents: DataFrame) -> DataFrame:
             + (1 - F.least((n_chars - punct).cast("double") / n_chars * 10,
                            F.lit(1.0))) * 0.2,
             6,
-        ).alias("quality_score"),
+        ),
+    }
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Quality scoring: length, punctuation ratio, stopword ratio, mean
+    token length, and a composite [0,1] quality score. Deterministic
+    arithmetic only — same formula on the oracle side."""
+    cols = quality_columns()
+    return spread(documents).select(
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
     )
 
 

@@ -22,7 +22,7 @@ from .operators import relational
 from .operators import report as reportops
 from .operators import schema_registry as sr
 from .operators import usage, windows
-from .pipelines import dedup, sampling, similarity
+from .pipelines import curation, dedup, sampling, similarity
 from .pipelines import text as textops
 from .sinks import exports
 from .snapshot import build_snapshots, filter_cluster, topics_with_configs
@@ -406,6 +406,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["emb_quantize_int8"] = lambda s, d: similarity.quantize_int8(
         raw(s, d, "embeddings")
+    )
+    q["curation_pipeline"] = lambda s, d: curation.curate(
+        raw(s, d, "documents")
     )
     # dataset assembly: reproducible hash-bucket splits/samples + fixed
     # token-window chunking (context packing)

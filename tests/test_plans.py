@@ -151,7 +151,20 @@ def test_contamination_probe_side_is_broadcast(spark, snaps):
     assert "CartesianProduct" not in plan
 
 
-def test_lag_pipeline_no_cartesian(spark, snaps):
+def test_curation_pipeline_single_shuffle(spark, snaps):
+    """The fused curation pipeline must stay one narrow map + ONE
+    exchange (the dedup keeper window) — quality/split/fingerprint are
+    computed without self-joins, and the quality filter runs before the
+    shuffle."""
+    from kafka_overwatch_spark import registry
+
+    q = registry.spark_queries()["curation_pipeline"]
+    df = q(spark, "/root/testdata/sf0.001")
+    plan = _final_plan(df)
+    live = plan.split("== Initial Plan ==")[0]
+    assert live.count("Exchange hashpartitioning") <= 1
+    assert "Join" not in live
+    assert "BatchEvalPython" not in live and "ArrowEvalPython" not in live
     from kafka_overwatch_spark.operators.lag import build_groups_df
 
     plan = _plan(build_groups_df(snaps))
