@@ -263,27 +263,34 @@ CONTAMINATION_PROBE_MOD = 97
 CONTAMINATION_NGRAM = 3
 
 
-def contamination(documents: DataFrame) -> DataFrame:
-    """Benchmark-decontamination screen: for each document, how many of
-    its distinct 3-gram shingles also occur in any probe (benchmark) doc,
-    how many distinct probe docs it collides with, and the contaminated
-    fraction of its shingle set. Self-matches are excluded. Only
-    contaminated documents are returned (inner join).
+def probe_shingles(documents: DataFrame) -> DataFrame:
+    """The benchmark-probe shingle set: distinct 3-grams of every doc
+    whose id ≡ 0 (mod CONTAMINATION_PROBE_MOD), as (probe_id, gram)."""
+    toks = _norm_tokens()
+    return (
+        documents.filter(F.col("doc_id") % CONTAMINATION_PROBE_MOD == 0)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.explode(
+                F.array_distinct(_full_grams(toks, CONTAMINATION_NGRAM))
+            ).alias("gram"),
+        )
+    )
 
-    Scale shape: the probe side (an eval suite) is tiny and broadcast; the
-    corpus streams through one explode + broadcast-hash join + per-doc
-    aggregation — no corpus-sized shuffle on the gram key.
-    """
+
+def contamination_hits(
+    documents: DataFrame, probes: DataFrame
+) -> DataFrame:
+    """Per-document contamination against an explicit probe shingle set
+    (probe_id, gram) — shared by the batch query (probes derived from the
+    corpus) and the streaming ingest screen (probes static). Self-matches
+    are excluded; only contaminated documents are returned."""
     toks = _norm_tokens()
     shingled = spread(documents).select(
         "doc_id",
         F.explode(
             F.array_distinct(_full_grams(toks, CONTAMINATION_NGRAM))
         ).alias("gram"),
-    )
-    probes = (
-        shingled.filter(F.col("doc_id") % CONTAMINATION_PROBE_MOD == 0)
-        .select(F.col("doc_id").alias("probe_id"), "gram")
     )
     hits = (
         shingled.join(F.broadcast(probes), "gram")
@@ -305,6 +312,19 @@ def contamination(documents: DataFrame) -> DataFrame:
             F.col("hit_grams").cast("double") / F.col("total_grams"), 6
         ).alias("contamination_frac"),
     )
+
+
+def contamination(documents: DataFrame) -> DataFrame:
+    """Benchmark-decontamination screen: for each document, how many of
+    its distinct 3-gram shingles also occur in any probe (benchmark) doc,
+    how many distinct probe docs it collides with, and the contaminated
+    fraction of its shingle set.
+
+    Scale shape: the probe side (an eval suite) is tiny and broadcast; the
+    corpus streams through one explode + broadcast-hash join + per-doc
+    aggregation — no corpus-sized shuffle on the gram key.
+    """
+    return contamination_hits(documents, probe_shingles(documents))
 
 
 # Redaction patterns chosen for identical Java-regex / RE2 semantics

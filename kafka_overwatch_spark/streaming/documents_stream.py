@@ -1,0 +1,70 @@
+"""Streaming ingest screen for the documents feed: every arriving
+micro-batch of documents is checked against a STATIC benchmark-probe
+shingle set (stream-static pattern) and contaminated docs are appended to
+a quarantine table.
+
+This is the production shape of decontamination: the eval-suite shingle
+set is fixed and small (broadcast), documents arrive continuously, and
+each document's verdict depends only on its own grams — so the screen is
+stateless across batches (foreachBatch, no stream state to bound) and
+every batch's plan is the same broadcast join as the batch query
+(`pipelines/text.py contamination_hits`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..pipelines.text import contamination_hits
+
+
+def doc_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File stream of document rows; schema pinned from a static footer
+    read (streaming sources require an explicit schema)."""
+    schema = spark.read.parquet(input_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+
+class ContaminationScreen:
+    """foreachBatch handler: per batch, compute contamination of the
+    batch's documents against the fixed probe set and append verdicts to
+    the quarantine parquet path. Stateless across batches by design —
+    a document's verdict never depends on other batches."""
+
+    def __init__(self, probes: DataFrame, out_dir: str) -> None:
+        self.probes = probes
+        self.out_dir = out_dir
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        hits = contamination_hits(batch_df, self.probes)
+        hits.write.mode("append").parquet(self.out_dir)
+
+
+def run_contamination_screen(
+    spark: SparkSession,
+    input_dir: str,
+    probes: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+):
+    """Drain the document feed through the screen (availableNow);
+    returns the finished query. Restart-safe: the parquet sink +
+    checkpoint pair recovers, unlike the memory sink."""
+    q = (
+        doc_stream(spark, input_dir)
+        .writeStream.foreachBatch(ContaminationScreen(probes, out_dir))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            "document screen did not drain within 300s — failing loudly"
+        )
+    return q

@@ -84,3 +84,37 @@ def test_streaming_dedup_drops_replayed_batch(spark, snaps):
         )
         ids = [r["event_id"] for r in out]
         assert len(ids) == len(set(ids)) == ev.count()
+
+
+def test_streaming_contamination_matches_batch(spark, snaps):
+    """The stream-static ingest screen, drained over a sliced document
+    feed, must produce exactly the batch contamination result — the
+    verdict is per-document, so slicing into micro-batches is invisible."""
+    import tempfile
+
+    from kafka_overwatch_spark.pipelines.text import (
+        contamination,
+        probe_shingles,
+    )
+    from kafka_overwatch_spark.streaming.documents_stream import (
+        run_contamination_screen,
+    )
+
+    docs = spark.table("documents")
+    probes = probe_shingles(docs)
+    with tempfile.TemporaryDirectory() as tmp:
+        n = docs.count()
+        per = (n + 3) // 4
+        for i in range(4):
+            docs.filter(
+                (F.col("doc_id") >= i * per) & (F.col("doc_id") < (i + 1) * per)
+            ).coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+        run_contamination_screen(
+            spark, f"{tmp}/in", probes, f"{tmp}/out", f"{tmp}/ck"
+        )
+        streamed = sorted(
+            tuple(r) for r in spark.read.parquet(f"{tmp}/out").collect()
+        )
+        batch = sorted(tuple(r) for r in contamination(docs).collect())
+        assert streamed == batch
+        assert len(streamed) > 0
