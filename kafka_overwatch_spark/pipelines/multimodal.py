@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     LongType,
@@ -151,6 +152,61 @@ def decode_media(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
             )
 
     return media.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("feature", ArrayType(DoubleType())),
+        StructField("entropy", DoubleType()),
+    ]
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Feature extraction over the decoded body bytes: a 16-bin byte
+    histogram (L1-normalized) as the feature vector plus the byte-level
+    Shannon entropy — the deterministic stand-in for a real
+    image/audio embedding model (which would slot into the same
+    Arrow-batched mapInPandas with the same output schema).
+
+    Fully vectorized over the batch: one concatenated buffer,
+    ``np.add.at`` scatter into per-doc histogram rows — no per-row
+    Python beyond payload concatenation."""
+    cols = [f.name for f in FEATURE_SCHEMA.fields]
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(columns=cols)
+                continue
+            bodies = [bytes(p)[HEADER_LEN:] for p in pdf["payload"]]
+            blens = np.fromiter(
+                (len(b) for b in bodies), dtype=np.int64, count=len(bodies)
+            )
+            buf = np.frombuffer(b"".join(bodies), dtype=np.uint8)
+            doc_idx = np.repeat(np.arange(len(bodies)), blens)
+            hist = np.zeros((len(bodies), FEATURE_DIM), dtype=np.float64)
+            np.add.at(hist, (doc_idx, buf >> 4), 1.0)
+            totals = np.maximum(hist.sum(axis=1, keepdims=True), 1.0)
+            norm = hist / totals
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ent = -np.where(norm > 0, norm * np.log2(norm), 0.0).sum(
+                    axis=1
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "feature": [np.round(row, 6).tolist() for row in norm],
+                    "entropy": np.round(ent, 6),
+                }
+            )
+
+    return media.mapInPandas(feats, FEATURE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, frame_bytes: int = 256) -> DataFrame:

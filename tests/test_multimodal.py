@@ -101,3 +101,26 @@ def test_resize_media_contract(spark, snaps):
         for r in mm.extract_header_metadata(resized).collect()
     }
     assert all(v == (32, 24) for v in meta.values())
+
+
+def test_feature_extraction_matches_python(media):
+    """Histogram features + entropy equal a straight-Python computation
+    on a sample of payloads; vector is L1-normalized."""
+    import math
+
+    from kafka_overwatch_spark.pipelines import multimodal as mm
+
+    out = {r["doc_id"]: r for r in mm.extract_features(media).collect()}
+    sample = media.limit(5).collect()
+    for row in sample:
+        body = bytes(row["payload"])[mm.HEADER_LEN:]
+        hist = [0] * mm.FEATURE_DIM
+        for b in body:
+            hist[b >> 4] += 1
+        total = max(sum(hist), 1)
+        norm = [h / total for h in hist]
+        ent = -sum(p * math.log2(p) for p in norm if p > 0)
+        got = out[row["doc_id"]]
+        assert got["feature"] == [round(p, 6) for p in norm]
+        assert got["entropy"] == round(ent, 6)
+        assert abs(sum(got["feature"]) - 1.0) < 1e-4
