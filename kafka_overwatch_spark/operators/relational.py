@@ -234,3 +234,41 @@ def top_users_by_activity(events: DataFrame) -> DataFrame:
         .filter(F.col("events") > F.col("q95"))
         .select("user_id", "events", F.round("total_value", 2).alias("total_value"), "distinct_types")
     )
+
+
+def events_retention(
+    events: DataFrame, offsets: tuple[int, ...] = (1, 7)
+) -> DataFrame:
+    """Cohort retention: users grouped by their first active day; for each
+    day-offset in ``offsets``, the count and fraction of the cohort active
+    again exactly ``offset`` days later.
+
+    Scale shape: the (user_id, day) distinct and the first-day aggregation
+    shuffle on user_id and the activity join reuses that key — one
+    partitioning carried across stages; the cohort-level aggregates are
+    dim-sized. No skew risk beyond a single user's activity span."""
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = events.select("user_id", day.alias("day")).distinct()
+    first = daily.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cohort_sizes = first.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    returned = (
+        daily.join(first, "user_id")
+        .withColumn("day_offset", F.col("day") - F.col("cohort_day"))
+        .filter(F.col("day_offset").isin(*offsets))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("retained"))
+    )
+    return (
+        returned.join(F.broadcast(cohort_sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "cohort_size",
+            "retained",
+            F.round(
+                F.col("retained").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention_rate"),
+        )
+    )

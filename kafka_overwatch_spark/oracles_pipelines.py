@@ -497,6 +497,28 @@ SELECT CAST(floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
   CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
 FROM events GROUP BY 1, 2"""
 
+    q["events_retention"] = """
+WITH daily AS (
+  SELECT DISTINCT user_id,
+    CAST(floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+      / 86400) AS BIGINT) AS day
+  FROM events
+),
+first AS (SELECT user_id, min(day) AS cohort_day FROM daily GROUP BY 1),
+sizes AS (SELECT cohort_day, count(*) AS cohort_size FROM first GROUP BY 1),
+ret AS (
+  SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+    count(DISTINCT d.user_id) AS retained
+  FROM daily d JOIN first f USING (user_id)
+  WHERE d.day - f.cohort_day IN (1, 7)
+  GROUP BY 1, 2
+)
+SELECT r.cohort_day, CAST(r.day_offset AS BIGINT) AS day_offset,
+  CAST(s.cohort_size AS BIGINT) AS cohort_size,
+  CAST(r.retained AS BIGINT) AS retained,
+  round(r.retained * 1.0 / s.cohort_size, 6) AS retention_rate
+FROM ret r JOIN sizes s USING (cohort_day)"""
+
     q["text_ngram_freq"] = f"""
 WITH {NORM_CTE},
 tokarr AS (SELECT doc_id, lang, string_split(t, ' ') AS toks FROM norm),

@@ -452,6 +452,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_sessionize"] = lambda s, d: relational.sessionize_events(
         raw(s, d, "events")
     )
+    q["events_retention"] = lambda s, d: relational.events_retention(
+        raw(s, d, "events")
+    )
     q["events_anomalous_days"] = lambda s, d: relational.events_anomalous_days(
         raw(s, d, "events")
     )
