@@ -85,6 +85,22 @@ def get_topics_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
 _LAG_CACHE: dict[tuple[int, str], DataFrame] = {}
+_GROUPS_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def get_groups_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groups_df materialized once per (session, sf_dir) — the same
+    once-per-scan caching the reference applies to its pandas frame
+    (`clusters.py:332-342`); governance and report queries re-read it."""
+    key = (id(spark), sf_dir)
+    if key not in _GROUPS_DF_CACHE:
+        from .operators import lag as _lag
+
+        _GROUPS_DF_CACHE[key] = _lag.build_groups_df(
+            get_cluster_snaps(spark, sf_dir),
+            lag_rows=get_cluster_lag_rows(spark, sf_dir),
+        ).cache()
+    return _GROUPS_DF_CACHE[key]
 
 
 def get_lag_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,9 +217,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lag_per_topic"] = lambda s, d: lagops.lag_per_topic(
         get_snaps(s, d), lag_rows=get_lag_rows(s, d)
     )
-    q["groups_df"] = lambda s, d: lagops.build_groups_df(
-        get_cluster_snaps(s, d), lag_rows=get_cluster_lag_rows(s, d)
-    )
+    q["groups_df"] = get_groups_df
     # A11 full nested shape — rows-only (nested arrays, no SQL oracle)
     q["lag_nested"] = lambda s, d: lagops.lag_nested(
         get_snaps(s, d), lag_rows=get_lag_rows(s, d)
