@@ -497,6 +497,21 @@ SELECT CAST(floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
   CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
 FROM events GROUP BY 1, 2"""
 
+    # multimodal header parse: the synth payload is
+    # 'IMG1' + %04d width + %04d height + utf-8 body, so every extracted
+    # field is a closed-form function of the source row — the oracle
+    # checks the encode → binary substring → cast round-trip end to end
+    q["media_header_meta"] = """
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       WHEN doc_id % 3 = 1 THEN 'audio'
+       ELSE 'video' END AS media_type,
+  'IMG1' AS magic,
+  CAST(n_chars % 64 + 16 AS BIGINT) AS width,
+  CAST(n_chars % 48 + 16 AS BIGINT) AS height,
+  CAST(12 + octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents"""
+
     q["events_retention"] = """
 WITH daily AS (
   SELECT DISTINCT user_id,

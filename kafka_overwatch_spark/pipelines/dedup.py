@@ -257,13 +257,12 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     toks = spread(documents).select(
         "doc_id", F.explode(F.split(_norm_text(), " ")).alias("token")
     ).withColumn("h", _hash64(F.col("token")))
-    # NB: integer `div`, not float division — h is 60-bit and a double
-    # round-trip corrupts the low bits
+    # NB: integer bit ops, not float division — h is 60-bit and a double
+    # round-trip corrupts the low bits. `2*bit - 1` maps {0,1}→{-1,+1}
+    # branch-free (measurably faster than div/mod + CASE in codegen).
     bit_sums = toks.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.expr(f"(h div {2**b}) % 2 = 1"), 1).otherwise(-1)
-            ).alias(f"s{b}")
+            F.sum(F.expr(f"2 * ((h >> {b}) & 1) - 1")).alias(f"s{b}")
             for b in range(SIMHASH_BITS)
         ]
     )

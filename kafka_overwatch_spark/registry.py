@@ -86,6 +86,18 @@ def get_topics_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
 _LAG_CACHE: dict[tuple[int, str], DataFrame] = {}
 _GROUPS_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
+_RAW_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def get_raw_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The raw testdata DataFrames keyed by (session, sf_dir) — stable
+    even if another sf_dir re-registers the like-named temp views."""
+    from .snapshot import register_raw_tables
+
+    key = (id(spark), sf_dir)
+    if key not in _RAW_CACHE:
+        _RAW_CACHE[key] = register_raw_tables(spark, sf_dir)
+    return _RAW_CACHE[key]
 
 
 def get_groups_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,9 +359,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- training-data pipelines (documents / embeddings) ---
     def raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-        # get_snaps registers the raw views once; read from the same frames
+        # sf_dir-keyed frames, NOT spark.table(name): the temp view of a
+        # raw table points at whichever sf_dir registered last, so a
+        # session that touches two scale factors would silently read the
+        # wrong one through the view
         get_snaps(spark, sf_dir)
-        return spark.table(name)
+        return get_raw_tables(spark, sf_dir)[name]
 
     q["dedup_exact_groups"] = lambda s, d: dedup.exact_duplicates(
         raw(s, d, "documents")
@@ -424,6 +439,41 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["curation_pipeline"] = lambda s, d: curation.curate(
         raw(s, d, "documents")
     )
+
+    # multimodal plumbing (Arrow mapInPandas — no ANSI-SQL oracle exists
+    # for the Python decode stage → rows-only gate; python-parity in
+    # tests/test_multimodal.py). Nested feature vector serialized to JSON
+    # so the driver canonicalizer sees only scalar columns.
+    def _media(s: SparkSession, d: str) -> DataFrame:
+        from .pipelines import multimodal as mm
+
+        return mm.synth_media_from_documents(raw(s, d, "documents"))
+
+    def _media_decode(s: SparkSession, d: str) -> DataFrame:
+        from .pipelines import multimodal as mm
+
+        return mm.decode_media(_media(s, d))
+
+    def _media_features(s: SparkSession, d: str) -> DataFrame:
+        from .pipelines import multimodal as mm
+
+        return mm.extract_features(_media(s, d)).select(
+            "doc_id",
+            "media_type",
+            F.to_json("feature").alias("feature_json"),
+            "entropy",
+        )
+
+    def _media_header(s: SparkSession, d: str) -> DataFrame:
+        from .pipelines import multimodal as mm
+
+        return mm.extract_header_metadata(_media(s, d))
+
+    q["media_decode"] = _media_decode
+    q["media_features"] = _media_features
+    # the JVM header-parse path IS oracle-able: every header field is a
+    # deterministic function of (doc_id, n_chars, text bytes)
+    q["media_header_meta"] = _media_header
     # dataset assembly: reproducible hash-bucket splits/samples + fixed
     # token-window chunking (context packing)
     q["sampling_split"] = lambda s, d: sampling.deterministic_split(
