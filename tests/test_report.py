@@ -90,6 +90,21 @@ def test_dataframe_exports(spark, snaps):
         assert spark.read.json(f"{tmp}/json").count() == df.count()
 
 
+def test_dataframe_exports_uri_scheme_path(spark, snaps):
+    """K2 path contract: exports go through the Hadoop FileSystem URI
+    machinery (exercised here with file://) — the identical code path an
+    s3a:// destination takes, which is what makes `df.write` to object
+    storage work unchanged. (A live-S3 integration test needs
+    credentials/network this container doesn't have.)"""
+    from kafka_overwatch_spark.sinks.exports import export_dataframe
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df = snaps["consumer_groups"]
+        export_dataframe(df, f"file://{tmp}/csv", "csv", single_file=True)
+        got = spark.read.option("header", "true").csv(f"file://{tmp}/csv")
+        assert got.count() == df.count()
+
+
 def test_report_validates_against_spec_schema(spark, snaps):
     """The ported machine-checked contract (specs/report.json analog):
     every emitted report must satisfy REPORT_SCHEMA."""
