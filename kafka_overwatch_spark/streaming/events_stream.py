@@ -66,3 +66,91 @@ def streaming_dedup(stream: DataFrame, watermark: str = "2 days") -> DataFrame:
     """Streaming exact dedup on event_id within the watermark horizon —
     `dropDuplicates` with bounded state."""
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_id", LongType()),
+        StructField("events", LongType()),
+        StructField("duration_sec", LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("session_ord", LongType()),
+        StructField("start_unix", LongType()),
+        StructField("last_unix", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _make_session_fn(gap_seconds: int):
+    import pandas as pd
+
+    cols = [f.name for f in SESSION_SCHEMA.fields]
+
+    def _session_fn(key, pdf_iter, state):
+        (user_id,) = key
+        out = []
+        if state.hasTimedOut:
+            # watermark passed last_event + gap: the open session can
+            # never be extended — close and clear
+            ord_, start, last, n = state.get
+            out.append((int(user_id), int(ord_), int(n), int(last - start)))
+            state.remove()
+            yield pd.DataFrame(out, columns=cols)
+            return
+        if state.exists:
+            ord_, start, last, n = (int(v) for v in state.get)
+        else:
+            ord_, start, last, n = 0, None, None, 0
+        rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        for ts in rows["ts"]:
+            t = int(pd.Timestamp(ts).timestamp())
+            if start is None:
+                ord_, start, last, n = ord_ + 1, t, t, 1
+            elif t - last > gap_seconds:
+                out.append((int(user_id), int(ord_), int(n), int(last - start)))
+                ord_, start, last, n = ord_ + 1, t, t, 1
+            else:
+                last = max(last, t)
+                n += 1
+        state.update((ord_, start, last, n))
+        state.setTimeoutTimestamp((last + gap_seconds) * 1000)
+        yield pd.DataFrame(out, columns=cols)
+
+    return _session_fn
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    gap_seconds: int = 3600,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of `relational.sessionize_events`: gap-based
+    sessions via applyInPandasWithState keyed by user_id. Sessions close
+    either inline (a later event exceeds the gap) or by
+    EventTimeTimeout when the watermark passes last_event + gap — so
+    emission is deterministic under replay (event-time, never
+    wall-clock; see NOTES.md lesson 9).
+
+    State is one open session per user — bounded by the live-user set,
+    partitioned by the group key at any cluster size. Assumes the feed
+    is time-ordered per user within the watermark (the replay slices in
+    tests are; a real feed relies on the watermark delay)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_fn(gap_seconds),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

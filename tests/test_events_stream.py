@@ -118,3 +118,59 @@ def test_streaming_contamination_matches_batch(spark, snaps):
         batch = sorted(tuple(r) for r in contamination(docs).collect())
         assert streamed == batch
         assert len(streamed) > 0
+
+
+def test_streaming_sessionize_matches_python_closed_sessions(spark, snaps):
+    """Streamed sessions (inline-closed + watermark-timeout-closed) match
+    a straight-Python sessionization: every session provably closed at
+    stream end (end + gap < global max ts) is emitted exactly once, and
+    nothing emitted disagrees with the reference fold. Later sessions
+    legitimately remain open in state."""
+    import tempfile
+
+    from kafka_overwatch_spark.streaming import events_stream as es
+    from kafka_overwatch_spark.streaming.offsets import run_to_completion
+
+    gap = 3600
+    with tempfile.TemporaryDirectory() as tmp:
+        ev = _split_events(spark, tmp)
+        out = run_to_completion(
+            es.streaming_sessionize(
+                es.event_stream(spark, f"{tmp}/in"), gap_seconds=gap
+            ),
+            f"{tmp}/ck",
+        )
+        streamed = sorted(
+            (r["user_id"], r["session_id"], r["events"], r["duration_sec"])
+            for r in out
+        )
+        rows = ev.select("user_id", "ts", "event_id").collect()
+        max_ts = max(int(r["ts"].timestamp()) for r in rows)
+        per_user = {}
+        for r in sorted(
+            rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])
+        ):
+            per_user.setdefault(r["user_id"], []).append(
+                int(r["ts"].timestamp())
+            )
+        all_sessions, expected_closed = set(), set()
+        for uid, ts_list in per_user.items():
+            sessions = []
+            ord_, start, last, n = 0, None, None, 0
+            for t in ts_list:
+                if start is None:
+                    ord_, start, last, n = ord_ + 1, t, t, 1
+                elif t - last > gap:
+                    sessions.append((uid, ord_, n, last - start, last))
+                    ord_, start, last, n = ord_ + 1, t, t, 1
+                else:
+                    last, n = max(last, t), n + 1
+            sessions.append((uid, ord_, n, last - start, last))
+            for uid_, o, n_, d, end in sessions:
+                all_sessions.add((uid_, o, n_, d))
+                if end + gap < max_ts:
+                    expected_closed.add((uid_, o, n_, d))
+        assert len(streamed) == len(set(streamed))  # no double emission
+        assert expected_closed <= set(streamed)  # all provably-closed out
+        assert set(streamed) <= all_sessions  # nothing contradicts batch
+        assert len(expected_closed) > 0
