@@ -107,6 +107,51 @@ verified AS (
 )
 SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}"""
 
+    from .pipelines.dedup import INCREMENTAL_SPLIT_DOC_ID
+
+    # incremental ingestion screen: same sig/band construction as
+    # dedup_minhash_lsh, but candidates are (new × corpus) only and the
+    # new-batch/corpus split is the fixture convention at doc_id 250
+    q["dedup_incremental_screen"] = f"""
+WITH {SHINGLE_CTE},
+sig AS (
+  SELECT doc_id, sh,
+    list_transform(generate_series(0, {NUM_HASHES - 1}),
+      h -> list_min(list_transform(sh,
+        s -> md5(CAST(h AS STRING) || ':' || s)))) AS sig
+  FROM docs
+),
+bands AS (
+  SELECT doc_id, b.band_id,
+    md5(array_to_string(
+      sig[b.band_id*{ROWS_PER_BAND}+1 : b.band_id*{ROWS_PER_BAND}+{ROWS_PER_BAND}],
+      '|')) AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, {NUM_BANDS - 1})) AS band_id) b
+),
+corpus_bands AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bucket_n
+    FROM bands WHERE doc_id < {INCREMENTAL_SPLIT_DOC_ID}
+  ) WHERE bucket_n <= 1000
+),
+new_bands AS (
+  SELECT doc_id AS new_doc, band_id, band_key FROM bands
+  WHERE doc_id >= {INCREMENTAL_SPLIT_DOC_ID}
+),
+cand AS (
+  SELECT DISTINCT n.new_doc, c.doc_id AS corpus_doc
+  FROM corpus_bands c JOIN new_bands n
+    ON c.band_id = n.band_id AND c.band_key = n.band_key
+),
+verified AS (
+  SELECT cand.new_doc, cand.corpus_doc, {_JACCARD} AS jaccard
+  FROM cand
+  JOIN docs da ON cand.new_doc = da.doc_id
+  JOIN docs db ON cand.corpus_doc = db.doc_id
+)
+SELECT new_doc, corpus_doc, jaccard FROM verified
+WHERE jaccard >= {JACCARD_THRESHOLD}"""
+
     q["dedup_ngram_jaccard"] = f"""
 WITH {SHINGLE_CTE},
 pairs AS (

@@ -439,6 +439,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["curation_pipeline"] = lambda s, d: curation.curate(
         raw(s, d, "documents")
     )
+    q["dedup_incremental_screen"] = lambda s, d: dedup.incremental_minhash_screen(
+        raw(s, d, "documents")
+    )
 
     # multimodal plumbing (Arrow mapInPandas — no ANSI-SQL oracle exists
     # for the Python decode stage → rows-only gate; python-parity in

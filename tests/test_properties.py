@@ -193,3 +193,29 @@ def test_tfidf_top_terms_known_values(spark):
     d2 = sorted(by_doc[2], key=lambda r: r["rank"])
     assert [r["token"] for r in d2] == ["date", "common"]
     assert d2[1]["tfidf"] == 0.0
+
+
+def test_incremental_screen_consistent_with_full_lsh(spark, snaps):
+    """The incremental screen over the (corpus | new) split finds exactly
+    the cross-set pairs the full-corpus LSH finds (bucket skew guard
+    never trips at this size, so the candidate sets coincide)."""
+    from kafka_overwatch_spark.pipelines.dedup import (
+        INCREMENTAL_SPLIT_DOC_ID,
+        incremental_minhash_screen,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.table("documents")
+    full = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]), r["jaccard"])
+        for r in minhash_lsh_pairs(docs).collect()
+        if (r["doc_a"] < INCREMENTAL_SPLIT_DOC_ID)
+        != (r["doc_b"] < INCREMENTAL_SPLIT_DOC_ID)
+    }
+    incr = {
+        (min(r["new_doc"], r["corpus_doc"]),
+         max(r["new_doc"], r["corpus_doc"]), r["jaccard"])
+        for r in incremental_minhash_screen(docs).collect()
+    }
+    assert incr == full
+    assert len(incr) > 0
