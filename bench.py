@@ -59,6 +59,7 @@ EXTRA = [
     "text_redact_pii",
     "emb_quantize_int8",
     "curation_pipeline",
+    "dedup_incremental_screen",
 ]
 
 
