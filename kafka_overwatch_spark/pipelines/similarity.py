@@ -603,3 +603,27 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
         F.md5(F.array_join(codes, ",")).alias("codes_md5"),
         F.round(F.sqrt(recon_sq) / F.sqrt(norm_sq), 6).alias("rel_error"),
     )
+
+
+def dequantize_int8(embeddings: DataFrame) -> DataFrame:
+    """The read path of the int8 storage format: reconstruct
+    ``codes × scale`` vectors with the same schema as the source
+    embeddings table, so every downstream consumer (ANN, near-dup,
+    semantic dedup) runs unchanged on quantized storage. Narrow JVM map,
+    no shuffle."""
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    scale = F.array_max(F.transform(x, F.abs)) / 127.0
+    codes = F.transform(
+        x,
+        lambda v: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.round(v / scale).cast("int")),
+        ),
+    )
+    return embeddings.select(
+        "vec_id",
+        F.transform(codes, lambda c: (c * scale).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )

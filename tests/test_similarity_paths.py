@@ -105,3 +105,26 @@ def test_quantize_int8_reconstruction(spark):
     assert row["rel_error"] == round(err / norm, 6)
     # int8 quantization of a unit-range vector keeps relative L2 error small
     assert row["rel_error"] < 0.005
+
+
+def test_quantized_ann_recall(spark, snaps):
+    """Top-k ANN over int8-dequantized vectors recovers the exact top-k
+    almost perfectly — the measured evidence that the 4× storage shrink
+    does not cost retrieval quality (row in ANN_TRADEOFFS.md)."""
+    from kafka_overwatch_spark.pipelines.similarity import (
+        brute_force_topk_vectorized,
+        dequantize_int8,
+    )
+
+    emb = spark.table("embeddings")
+    exact = {}
+    for r in brute_force_topk_vectorized(emb).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    quant = {}
+    for r in brute_force_topk_vectorized(dequantize_int8(emb)).collect():
+        quant.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(exact) == set(quant)
+    hits = sum(len(exact[q] & quant[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    recall = hits / total
+    assert recall >= 0.9, f"quantized recall@5 = {recall}"
