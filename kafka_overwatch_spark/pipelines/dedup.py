@@ -253,11 +253,23 @@ def incremental_minhash_screen(
     docs = shingle_docs(documents)
     corpus = docs.filter(F.col("doc_id") < split_doc_id)
     new = docs.filter(F.col("doc_id") >= split_doc_id)
-    corpus_bands = minhash_bands(corpus).withColumn(
+    return screen_against_corpus(new, corpus, threshold, max_bucket)
+
+
+def screen_against_corpus(
+    new_shingles: DataFrame,
+    corpus_shingles: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Core of the incremental screen over pre-shingled frames — shared
+    by the batch query and the streaming ingest screen
+    (`streaming/documents_stream.py`). Both inputs are (doc_id, sh)."""
+    corpus_bands = minhash_bands(corpus_shingles).withColumn(
         "bucket_n",
         F.count("*").over(Window.partitionBy("band_id", "band_key")),
     ).filter(F.col("bucket_n") <= max_bucket)
-    new_bands = minhash_bands(new).select(
+    new_bands = minhash_bands(new_shingles).select(
         F.col("doc_id").alias("new_doc"), "band_id", "band_key"
     )
     cand = (
@@ -265,8 +277,10 @@ def incremental_minhash_screen(
         .select(F.col("doc_id").alias("corpus_doc"), "new_doc")
         .distinct()
     )
-    sh_new = new.select(F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_n"))
-    sh_corpus = corpus.select(
+    sh_new = new_shingles.select(
+        F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_n")
+    )
+    sh_corpus = corpus_shingles.select(
         F.col("doc_id").alias("corpus_doc"), F.col("sh").alias("sh_c")
     )
     return (

@@ -44,6 +44,50 @@ class ContaminationScreen:
         hits.write.mode("append").parquet(self.out_dir)
 
 
+class DedupScreen:
+    """foreachBatch handler: per batch of arriving documents, run the
+    incremental MinHash screen against the FIXED corpus (shingles +
+    band index computed once up front, as a real deployment would read
+    them from storage) and append near-dup verdicts to the quarantine
+    path. Stateless across batches: a verdict is (new doc × corpus)
+    only, so batch boundaries are invisible."""
+
+    def __init__(self, corpus_shingles: DataFrame, out_dir: str) -> None:
+        self.corpus = corpus_shingles
+        self.out_dir = out_dir
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..pipelines.dedup import screen_against_corpus, shingle_docs
+
+        hits = screen_against_corpus(shingle_docs(batch_df), self.corpus)
+        hits.write.mode("append").parquet(self.out_dir)
+
+
+def run_dedup_screen(
+    spark: SparkSession,
+    input_dir: str,
+    corpus_shingles: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+):
+    """Drain the document feed through the incremental dedup screen
+    (availableNow); parquet sink + checkpoint for restart recovery."""
+    q = (
+        doc_stream(spark, input_dir)
+        .writeStream.foreachBatch(DedupScreen(corpus_shingles, out_dir))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            "dedup screen did not drain within 300s — failing loudly"
+        )
+    return q
+
+
 def run_contamination_screen(
     spark: SparkSession,
     input_dir: str,

@@ -174,3 +174,44 @@ def test_streaming_sessionize_matches_python_closed_sessions(spark, snaps):
         assert expected_closed <= set(streamed)  # all provably-closed out
         assert set(streamed) <= all_sessions  # nothing contradicts batch
         assert len(expected_closed) > 0
+
+
+def test_streaming_dedup_screen_matches_batch(spark, snaps):
+    """Streamed new-vs-corpus near-dup verdicts over a sliced feed equal
+    the batch incremental screen — per-document verdicts make batch
+    boundaries invisible."""
+    import tempfile
+
+    from kafka_overwatch_spark.pipelines.dedup import (
+        INCREMENTAL_SPLIT_DOC_ID,
+        incremental_minhash_screen,
+        shingle_docs,
+    )
+    from kafka_overwatch_spark.streaming.documents_stream import (
+        run_dedup_screen,
+    )
+
+    docs = spark.table("documents")
+    corpus_sh = shingle_docs(
+        docs.filter(F.col("doc_id") < INCREMENTAL_SPLIT_DOC_ID)
+    ).localCheckpoint(eager=True)
+    new = docs.filter(F.col("doc_id") >= INCREMENTAL_SPLIT_DOC_ID)
+    with tempfile.TemporaryDirectory() as tmp:
+        n_lo, n_hi = INCREMENTAL_SPLIT_DOC_ID, 500
+        per = (n_hi - n_lo + 2) // 3
+        for i in range(3):
+            new.filter(
+                (F.col("doc_id") >= n_lo + i * per)
+                & (F.col("doc_id") < n_lo + (i + 1) * per)
+            ).coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+        run_dedup_screen(
+            spark, f"{tmp}/in", corpus_sh, f"{tmp}/out", f"{tmp}/ck"
+        )
+        streamed = sorted(
+            tuple(r) for r in spark.read.parquet(f"{tmp}/out").collect()
+        )
+        batch = sorted(
+            tuple(r) for r in incremental_minhash_screen(docs).collect()
+        )
+        assert streamed == batch
+        assert len(streamed) > 0
