@@ -272,3 +272,73 @@ def events_retention(
             ).alias("retention_rate"),
         )
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_SEC = 86400
+
+
+def events_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    window_sec: int = FUNNEL_WINDOW_SEC,
+) -> DataFrame:
+    """Ordered funnel conversion with a bounded window: a user reaches
+    step N at the earliest event of type steps[N] at-or-after their step
+    N-1 time and within ``window_sec`` of it. Emits one row per step
+    with users reached and conversion rates (vs previous step and vs
+    step 1). Second-granularity comparisons, like the other events ops,
+    keep the oracle timestamp-precision-proof.
+
+    Scale shape: one conditional aggregation per step, every one keyed by
+    user_id — the per-user partitioning is established once and reused by
+    each step's join+agg; the step-count frame is 3 rows."""
+    sec = F.unix_timestamp("ts").cast("long")
+    e = events.select("user_id", "event_type", sec.alias("t"))
+    reached = (
+        e.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_prev"))
+    )
+    count_frames = [
+        reached.agg(F.count("*").alias("users")).select(
+            F.lit(1).cast("long").alias("step_idx"),
+            F.lit(steps[0]).alias("step"),
+            F.col("users").cast("long"),
+        )
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        reached = (
+            e.join(reached, "user_id")
+            .filter(
+                (F.col("event_type") == step)
+                & (F.col("t") >= F.col("t_prev"))
+                & (F.col("t") <= F.col("t_prev") + window_sec)
+            )
+            .groupBy("user_id")
+            .agg(F.min("t").alias("t_prev"))
+        )
+        count_frames.append(
+            reached.agg(F.count("*").alias("users")).select(
+                F.lit(i).cast("long").alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.col("users").cast("long"),
+            )
+        )
+    counts = count_frames[0]
+    for f in count_frames[1:]:
+        counts = counts.unionByName(f)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("step_idx")
+    return counts.select(
+        "step_idx",
+        "step",
+        "users",
+        F.round(
+            F.col("users").cast("double") / F.lag("users").over(w), 6
+        ).alias("conv_from_prev"),
+        F.round(
+            F.col("users").cast("double") / F.first("users").over(w), 6
+        ).alias("conv_from_first"),
+    )

@@ -557,6 +557,36 @@ SELECT doc_id,
   CAST(12 + octet_length(encode(text)) AS BIGINT) AS n_bytes
 FROM documents"""
 
+    q["events_funnel"] = """
+WITH e AS (
+  SELECT user_id, event_type,
+    CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS BIGINT)
+      AS t
+  FROM events
+),
+s1 AS (SELECT user_id, min(t) AS t FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.t >= s1.t
+         AND e.t <= s1.t + 86400 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.t >= s2.t
+         AND e.t <= s2.t + 86400 GROUP BY 1),
+counts AS (
+  SELECT 1 AS step_idx, 'view' AS step, count(*) AS users FROM s1
+  UNION ALL
+  SELECT 2, 'click', count(*) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', count(*) FROM s3
+)
+SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+  CAST(users AS BIGINT) AS users,
+  round(users * 1.0 / lag(users) OVER (ORDER BY step_idx), 6)
+    AS conv_from_prev,
+  round(users * 1.0 / first_value(users) OVER (ORDER BY step_idx), 6)
+    AS conv_from_first
+FROM counts"""
+
     q["events_retention"] = """
 WITH daily AS (
   SELECT DISTINCT user_id,

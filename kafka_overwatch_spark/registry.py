@@ -522,6 +522,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_retention"] = lambda s, d: relational.events_retention(
         raw(s, d, "events")
     )
+    q["events_funnel"] = lambda s, d: relational.events_funnel(
+        raw(s, d, "events")
+    )
     q["events_anomalous_days"] = lambda s, d: relational.events_anomalous_days(
         raw(s, d, "events")
     )
