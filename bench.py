@@ -60,6 +60,9 @@ EXTRA = [
     "emb_quantize_int8",
     "curation_pipeline",
     "dedup_incremental_screen",
+    "events_retention",
+    "events_funnel",
+    "source_quality_summary",
 ]
 
 

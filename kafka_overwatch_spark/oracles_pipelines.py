@@ -442,6 +442,44 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
   n_tokens, quality_score
 FROM ranked WHERE rn = 1"""
 
+    # per-source corpus health: same quality formula as text_quality,
+    # same fingerprint as dedup_exact, rolled up per source
+    q["source_quality_summary"] = """
+WITH base AS (
+  SELECT doc_id, source, lang,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+      AS n_tokens,
+    CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT)
+      AS nonpunct,
+    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+      t -> t IN ('the','a','of','to','and','is'))) AS BIGINT) AS stop_hits,
+    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source, lang, fingerprint,
+    round(
+      least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.4
+      + least(CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1) * 5, 1.0)
+        * 0.4
+      + (1 - least(CAST(n_chars - nonpunct AS DOUBLE) / n_chars * 10, 1.0))
+        * 0.2, 6) AS quality_score
+  FROM base
+),
+flagged AS (
+  SELECT *, CASE WHEN count(*) OVER (PARTITION BY fingerprint) > 1
+    THEN 1 ELSE 0 END AS is_dup
+  FROM scored
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  round(avg(quality_score), 6) AS mean_quality,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(sum(is_dup) AS BIGINT) AS dup_docs,
+  round(sum(is_dup) * 1.0 / count(*), 6) AS dup_frac
+FROM flagged GROUP BY source"""
+
     q["doc_chunks"] = f"""
 WITH toksrc AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks

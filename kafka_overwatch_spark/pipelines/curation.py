@@ -53,3 +53,34 @@ def curate(
         .filter(F.col("rn") == 1)
         .select("doc_id", "split", "n_tokens", "quality_score")
     )
+
+
+def source_quality_summary(documents: DataFrame) -> DataFrame:
+    """Per-source corpus health rollup — the dashboard a data-sourcing
+    team watches: document count, mean quality score, language spread,
+    and how many of the source's documents are exact duplicates of
+    something in the corpus (dup_docs / dup_frac).
+
+    Scale shape: one narrow map computes quality + fingerprint; the dup
+    flag is a fingerprint-keyed window count (same shuffle the dedup
+    family pays); the final rollup is dim-sized (one row per source)."""
+    cols = quality_columns()
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    enriched = spread(documents).select(
+        "doc_id",
+        "source",
+        "lang",
+        cols["quality_score"].alias("quality_score"),
+        F.md5(norm).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint")
+    flagged = enriched.withColumn(
+        "is_dup", (F.count("*").over(w) > 1).cast("int")
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.sum("is_dup").cast("long").alias("dup_docs"),
+        F.round(F.sum("is_dup") / F.count("*"), 6).alias("dup_frac"),
+    )

@@ -442,6 +442,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_incremental_screen"] = lambda s, d: dedup.incremental_minhash_screen(
         raw(s, d, "documents")
     )
+    q["source_quality_summary"] = lambda s, d: curation.source_quality_summary(
+        raw(s, d, "documents")
+    )
 
     # multimodal plumbing (Arrow mapInPandas — no ANSI-SQL oracle exists
     # for the Python decode stage → rows-only gate; python-parity in
