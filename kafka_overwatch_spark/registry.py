@@ -445,6 +445,13 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["source_quality_summary"] = lambda s, d: curation.source_quality_summary(
         raw(s, d, "documents")
     )
+    # semantic dedup end-to-end (LSH pairs → iterative connected
+    # components → keep/drop): the label-propagation loop has no single
+    # SQL equivalent → rows-only gate; python union-find parity in
+    # tests/test_components.py
+    q["dedup_semantic_components"] = lambda s, d: dedup.embedding_semantic_dedup(
+        raw(s, d, "embeddings")
+    )
 
     # multimodal plumbing (Arrow mapInPandas — no ANSI-SQL oracle exists
     # for the Python decode stage → rows-only gate; python-parity in
