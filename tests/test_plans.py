@@ -92,6 +92,11 @@ def test_no_python_udf_in_reference_paths(spark, snaps):
         "text_contamination",
         "dedup_minhash_lsh",
         "dedup_simhash_pairs",
+        "dedup_incremental_screen",
+        "text_tfidf",
+        "events_funnel",
+        "events_retention",
+        "source_quality_summary",
     ]
     queries = registry.spark_queries()
     for name in jvm_only:
