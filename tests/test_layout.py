@@ -1,0 +1,84 @@
+"""Physical-layout proofs for the 100 TB claims in SCALE.md: cluster/scan
+partition pruning reaches the scan, and bucketed persistence removes the
+lag-join exchanges entirely."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+
+
+def test_cluster_scan_partition_pruning(spark, snaps):
+    from kafka_overwatch_spark.sinks.layout import write_offsets_partitioned
+
+    with tempfile.TemporaryDirectory() as tmp:
+        write_offsets_partitioned(snaps["partition_offsets"], f"{tmp}/po")
+        df = (
+            spark.read.parquet(f"{tmp}/po")
+            .filter((F.col("cluster") == "primary") & (F.col("scan_id") == 3))
+            .select("topic", "partition_id", "end_offset")
+        )
+        plan = _plan(df)
+        # the predicate must prune partitions at the source, not filter rows
+        assert "PartitionFilters" in plan
+        assert "isnotnull(cluster" in plan or "cluster#" in plan.split(
+            "PartitionFilters"
+        )[1].split("]")[0]
+        # and the pruned read returns exactly the one scan's slice
+        expected = (
+            snaps["partition_offsets"]
+            .filter((F.col("cluster") == "primary") & (F.col("scan_id") == 3))
+            .count()
+        )
+        assert df.count() == expected
+
+
+def test_bucketed_lag_join_has_no_exchange(spark, snaps):
+    """group_offsets ⋈ partition_offsets bucketed by (topic,
+    partition_id): the join must plan with ZERO Exchange operators — the
+    co-located join that makes the per-scan lag pipeline shuffle-free at
+    any scale."""
+    from kafka_overwatch_spark.sinks.layout import (
+        write_bucketed_for_lag_join,
+    )
+
+    po = (
+        snaps["partition_offsets"]
+        .filter((F.col("scan_id") == 3) & (F.col("cluster") == "primary"))
+        .select("topic", "partition_id", "start_offset", "end_offset")
+    )
+    go = (
+        snaps["group_offsets"]
+        .filter(F.col("cluster") == "primary")
+        .select("group_id", "topic", "partition_id", "committed_offset")
+    )
+    write_bucketed_for_lag_join(spark, po, "po_bucketed")
+    write_bucketed_for_lag_join(spark, go, "go_bucketed")
+    # at fixture size the planner rightly prefers broadcast (itself
+    # shuffle-free); disable it to expose the big-big case the bucketing
+    # exists for — two fact tables neither of which broadcasts
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("go_bucketed").join(
+            spark.table("po_bucketed"), ["topic", "partition_id"]
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+        # row parity with the plain (exchange-paying) join
+        plain = go.join(po, ["topic", "partition_id"])
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS po_bucketed")
+        spark.sql("DROP TABLE IF EXISTS go_bucketed")
