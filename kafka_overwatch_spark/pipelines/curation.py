@@ -84,3 +84,29 @@ def source_quality_summary(documents: DataFrame) -> DataFrame:
         F.sum("is_dup").cast("long").alias("dup_docs"),
         F.round(F.sum("is_dup") / F.count("*"), 6).alias("dup_frac"),
     )
+
+
+def curate_semantic(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    quality_threshold: float = QUALITY_THRESHOLD,
+) -> DataFrame:
+    """The full production curation chain: quality gate → exact-dedup
+    keeper → EMBEDDING semantic-dedup keeper → split tag. Documents and
+    embeddings are linked 1:1 on doc_id == vec_id (the fixture's
+    convention; a real pipeline carries the id through its embedding
+    job). Iterative inside (connected components) → rows-only gate.
+
+    Scale shape: `curate` is one narrow map + one fingerprint shuffle;
+    the semantic keep-set adds the LSH bucket join + O(log d) component
+    rounds over the PAIR graph (pairs ≪ corpus); the final semi-join is
+    keyed by doc_id."""
+    from .dedup import embedding_semantic_dedup
+
+    base = curate(documents, quality_threshold)
+    keepers = (
+        embedding_semantic_dedup(embeddings)
+        .filter(F.col("keep"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return base.join(keepers, "doc_id", "semi")

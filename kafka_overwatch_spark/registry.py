@@ -452,6 +452,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_semantic_components"] = lambda s, d: dedup.embedding_semantic_dedup(
         raw(s, d, "embeddings")
     )
+    # full chain incl. semantic keep-set (iterative) → rows-only gate
+    q["curation_semantic"] = lambda s, d: curation.curate_semantic(
+        raw(s, d, "documents"), raw(s, d, "embeddings")
+    )
 
     # multimodal plumbing (Arrow mapInPandas — no ANSI-SQL oracle exists
     # for the Python decode stage → rows-only gate; python-parity in

@@ -86,3 +86,30 @@ def test_non_convergence_raises(spark):
     ids = spark.createDataFrame([(i,) for i in range(n)], "vec_id long")
     with pytest.raises(RuntimeError, match="did not converge"):
         neardup_components(pairs, ids, max_iterations=1)
+
+
+def test_curate_semantic_subset_of_curate(spark, snaps):
+    """The semantic stage only ever REMOVES documents from the curated
+    set, and removes exactly the non-keepers of the embedding component
+    structure."""
+    from pyspark.sql import functions as F
+
+    from kafka_overwatch_spark.pipelines.curation import (
+        curate,
+        curate_semantic,
+    )
+    from kafka_overwatch_spark.pipelines.dedup import (
+        embedding_semantic_dedup,
+    )
+
+    docs = spark.table("documents")
+    emb = spark.table("embeddings")
+    base = {r["doc_id"] for r in curate(docs).collect()}
+    sem = {r["doc_id"] for r in curate_semantic(docs, emb).collect()}
+    keep = {
+        r["vec_id"]
+        for r in embedding_semantic_dedup(emb).filter(F.col("keep")).collect()
+    }
+    assert sem <= base
+    assert sem == base & keep
+    assert len(sem) > 0
