@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .dedup import _norm_text
 from .sampling import hash_bucket, split_expr
 from .text import quality_columns
 from .util import spread
@@ -35,13 +36,14 @@ def curate(
     low-quality keeper never shadows a high-quality duplicate.
     """
     cols = quality_columns()
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     bucket = hash_bucket(F.col("doc_id"), "split")
+    # fingerprint MUST stay byte-identical to dedup_exact_keep's —
+    # shared normalization, not a local copy
     enriched = spread(documents).select(
         "doc_id",
         cols["n_tokens"].alias("n_tokens"),
         cols["quality_score"].alias("quality_score"),
-        F.md5(norm).alias("fingerprint"),
+        F.md5(_norm_text()).alias("fingerprint"),
         split_expr(bucket).alias("split"),
     )
     survivors = enriched.filter(
@@ -65,13 +67,12 @@ def source_quality_summary(documents: DataFrame) -> DataFrame:
     flag is a fingerprint-keyed window count (same shuffle the dedup
     family pays); the final rollup is dim-sized (one row per source)."""
     cols = quality_columns()
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     enriched = spread(documents).select(
         "doc_id",
         "source",
         "lang",
         cols["quality_score"].alias("quality_score"),
-        F.md5(norm).alias("fingerprint"),
+        F.md5(_norm_text()).alias("fingerprint"),
     )
     w = Window.partitionBy("fingerprint")
     flagged = enriched.withColumn(

@@ -237,6 +237,7 @@ def incremental_minhash_screen(
     split_doc_id: int = INCREMENTAL_SPLIT_DOC_ID,
     threshold: float = JACCARD_THRESHOLD,
     max_bucket: int = 1000,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental ingestion dedup: screen NEW documents against the
     EXISTING corpus's band index instead of re-running all-corpus LSH —
@@ -246,11 +247,18 @@ def incremental_minhash_screen(
     band table from storage and appends survivors' bands to it.
 
     Scale shape: the new batch is small relative to the corpus, so its
-    band frame is broadcast against the corpus index — the corpus is
-    scanned but never shuffled; verification joins shingle sets only for
-    candidate pairs. Output: new_doc, corpus_doc, jaccard.
+    band frame (and shingle side of the verify join) is broadcast. The
+    corpus pays only KEYED shuffles — the bucket-size window on
+    (band_id, band_key) and the verify join on corpus_doc — never
+    all-corpus pairwise work; in a real deployment the band index and
+    bucket sizes are precomputed/persisted, leaving just the verify
+    join. Output: new_doc, corpus_doc, jaccard.
     """
-    docs = shingle_docs(documents)
+    if docs is None:
+        # ad hoc (uncached) derivation: the band build + both verify-join
+        # sides each replay the md5 shingle chain — callers with repeated
+        # actions should pass a cached frame (registry.get_shingle_docs)
+        docs = shingle_docs(documents)
     corpus = docs.filter(F.col("doc_id") < split_doc_id)
     new = docs.filter(F.col("doc_id") >= split_doc_id)
     return screen_against_corpus(new, corpus, threshold, max_bucket)

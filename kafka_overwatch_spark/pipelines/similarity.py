@@ -564,6 +564,22 @@ def ivf_topk(
     )
 
 
+def _int8_codes() -> tuple[F.Column, F.Column, F.Column]:
+    """The (x, scale, codes) expression chain of the symmetric int8
+    format — ONE definition shared by the write path (`quantize_int8`)
+    and the read path (`dequantize_int8`) so they cannot drift."""
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    scale = F.array_max(F.transform(x, F.abs)) / 127.0
+    codes = F.transform(
+        x,
+        lambda v: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.round(v / scale).cast("int")),
+        ),
+    )
+    return x, scale, codes
+
+
 def quantize_int8(embeddings: DataFrame) -> DataFrame:
     """Per-vector symmetric int8 quantization — the storage path for a
     100 TB embedding corpus (float32 → int8 is the standard 4× shrink
@@ -577,15 +593,7 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
     Scale shape: narrow per-row map over the embeddings scan (JVM array
     HOFs, no shuffle, no Python) — embarrassingly parallel at any scale.
     """
-    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
-    scale = F.array_max(F.transform(x, F.abs)) / 127.0
-    codes = F.transform(
-        x,
-        lambda v: F.greatest(
-            F.lit(-127),
-            F.least(F.lit(127), F.round(v / scale).cast("int")),
-        ),
-    )
+    x, scale, codes = _int8_codes()
     recon_sq = F.aggregate(
         F.zip_with(x, codes, lambda v, c: (v - c * scale) * (v - c * scale)),
         F.lit(0.0),
@@ -611,15 +619,7 @@ def dequantize_int8(embeddings: DataFrame) -> DataFrame:
     embeddings table, so every downstream consumer (ANN, near-dup,
     semantic dedup) runs unchanged on quantized storage. Narrow JVM map,
     no shuffle."""
-    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
-    scale = F.array_max(F.transform(x, F.abs)) / 127.0
-    codes = F.transform(
-        x,
-        lambda v: F.greatest(
-            F.lit(-127),
-            F.least(F.lit(127), F.round(v / scale).cast("int")),
-        ),
-    )
+    _, scale, codes = _int8_codes()
     return embeddings.select(
         "vec_id",
         F.transform(codes, lambda c: (c * scale).cast("float")).alias(

@@ -140,9 +140,11 @@ def get_shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     leak a new cached RDD every invocation and degrade long sessions."""
     key = (id(spark), sf_dir)
     if key not in _SHINGLE_CACHE:
-        get_snaps(spark, sf_dir)
+        # sf_dir-keyed frame, NOT spark.table("documents") — the temp
+        # view points at whichever sf_dir registered last (same aliasing
+        # hazard raw() guards against)
         _SHINGLE_CACHE[key] = dedup.shingle_docs(
-            spark.table("documents")
+            get_raw_tables(spark, sf_dir)["documents"]
         ).cache()
     return _SHINGLE_CACHE[key]
 
@@ -440,7 +442,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         raw(s, d, "documents")
     )
     q["dedup_incremental_screen"] = lambda s, d: dedup.incremental_minhash_screen(
-        raw(s, d, "documents")
+        raw(s, d, "documents"), docs=get_shingle_docs(s, d)
     )
     q["source_quality_summary"] = lambda s, d: curation.source_quality_summary(
         raw(s, d, "documents")

@@ -14,8 +14,28 @@ every batch's plan is the same broadcast join as the batch query
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..pipelines.text import contamination_hits
+
+
+def _write_idempotent(df: DataFrame, out_dir: str, batch_id: int) -> None:
+    """Replay-safe foreachBatch append: results land in a batch_id=N
+    partition that is dynamically OVERWRITTEN, so a batch replayed after
+    a crash-between-write-and-checkpoint replaces its own rows instead
+    of duplicating them."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def doc_stream(spark: SparkSession, input_dir: str) -> DataFrame:
@@ -41,7 +61,7 @@ class ContaminationScreen:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         hits = contamination_hits(batch_df, self.probes)
-        hits.write.mode("append").parquet(self.out_dir)
+        _write_idempotent(hits, self.out_dir, batch_id)
 
 
 class DedupScreen:
@@ -60,7 +80,7 @@ class DedupScreen:
         from ..pipelines.dedup import screen_against_corpus, shingle_docs
 
         hits = screen_against_corpus(shingle_docs(batch_df), self.corpus)
-        hits.write.mode("append").parquet(self.out_dir)
+        _write_idempotent(hits, self.out_dir, batch_id)
 
 
 def run_dedup_screen(

@@ -92,19 +92,27 @@ def _make_session_fn(gap_seconds: int):
 
     cols = [f.name for f in SESSION_SCHEMA.fields]
 
+    # sentinel for "no open session, but remember the per-user session
+    # ordinal" — state must survive a timeout close or the next session
+    # would re-number from 1 and collide with an emitted (user, id) pair
+    CLOSED = -1
+
     def _session_fn(key, pdf_iter, state):
         (user_id,) = key
         out = []
         if state.hasTimedOut:
             # watermark passed last_event + gap: the open session can
-            # never be extended — close and clear
-            ord_, start, last, n = state.get
-            out.append((int(user_id), int(ord_), int(n), int(last - start)))
-            state.remove()
+            # never be extended — close it, KEEP the ordinal (no new
+            # timeout: sentinel state is inert until the user returns)
+            ord_, start, last, n = (int(v) for v in state.get)
+            out.append((int(user_id), ord_, n, last - start))
+            state.update((ord_, CLOSED, CLOSED, 0))
             yield pd.DataFrame(out, columns=cols)
             return
         if state.exists:
             ord_, start, last, n = (int(v) for v in state.get)
+            if start == CLOSED:
+                start, last, n = None, None, 0
         else:
             ord_, start, last, n = 0, None, None, 0
         rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
@@ -119,7 +127,8 @@ def _make_session_fn(gap_seconds: int):
                 last = max(last, t)
                 n += 1
         state.update((ord_, start, last, n))
-        state.setTimeoutTimestamp((last + gap_seconds) * 1000)
+        if start is not None:
+            state.setTimeoutTimestamp((last + gap_seconds) * 1000)
         yield pd.DataFrame(out, columns=cols)
 
     return _session_fn
@@ -137,8 +146,10 @@ def streaming_sessionize(
     emission is deterministic under replay (event-time, never
     wall-clock; see NOTES.md lesson 9).
 
-    State is one open session per user — bounded by the live-user set,
-    partitioned by the group key at any cluster size. Assumes the feed
+    State is one row per seen user: the open session, or a closed
+    sentinel that carries the session ordinal so numbering stays
+    monotonic across timeout closes (∝ the user dimension, partitioned
+    by the group key at any cluster size). Assumes the feed
     is time-ordered per user within the watermark (the replay slices in
     tests are; a real feed relies on the watermark delay)."""
     from pyspark.sql.streaming.state import GroupStateTimeout

@@ -113,7 +113,8 @@ def test_streaming_contamination_matches_batch(spark, snaps):
             spark, f"{tmp}/in", probes, f"{tmp}/out", f"{tmp}/ck"
         )
         streamed = sorted(
-            tuple(r) for r in spark.read.parquet(f"{tmp}/out").collect()
+            tuple(r)
+            for r in spark.read.parquet(f"{tmp}/out").drop("batch_id").collect()
         )
         batch = sorted(tuple(r) for r in contamination(docs).collect())
         assert streamed == batch
@@ -208,10 +209,53 @@ def test_streaming_dedup_screen_matches_batch(spark, snaps):
             spark, f"{tmp}/in", corpus_sh, f"{tmp}/out", f"{tmp}/ck"
         )
         streamed = sorted(
-            tuple(r) for r in spark.read.parquet(f"{tmp}/out").collect()
+            tuple(r)
+            for r in spark.read.parquet(f"{tmp}/out").drop("batch_id").collect()
         )
         batch = sorted(
             tuple(r) for r in incremental_minhash_screen(docs).collect()
         )
         assert streamed == batch
         assert len(streamed) > 0
+
+
+def test_streaming_sessionize_monotonic_ids_across_timeout(spark, snaps):
+    """A user whose session closes by TIMEOUT (not inline) and who later
+    returns must get the NEXT session id, not a duplicate id 1 — the
+    closed-sentinel state carries the ordinal across the gap."""
+    import datetime
+    import tempfile
+
+    from kafka_overwatch_spark.streaming import events_stream as es
+    from kafka_overwatch_spark.streaming.offsets import run_to_completion
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def _ev(eid, sec, uid):
+        return (eid, base + datetime.timedelta(seconds=sec), uid, "click", 1.0, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    batches = [
+        [_ev(1, 0, 1), _ev(2, 10, 1), _ev(3, 50, 2)],
+        [_ev(4, 1000, 2)],   # advances watermark past user1's last+gap
+        [_ev(5, 1100, 2)],   # user1 times out HERE (no user1 data)
+        [_ev(6, 2000, 1), _ev(7, 2010, 1)],  # user1 returns
+        [_ev(8, 5000, 2)],   # closes user1's second session by timeout
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        for rows in batches:
+            spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{tmp}/in")
+        out = run_to_completion(
+            es.streaming_sessionize(
+                es.event_stream(spark, f"{tmp}/in"), gap_seconds=100
+            ),
+            f"{tmp}/ck",
+        )
+        u1 = sorted(
+            (r["session_id"], r["events"], r["duration_sec"])
+            for r in out
+            if r["user_id"] == 1
+        )
+        assert u1 == [(1, 2, 10), (2, 2, 10)], u1

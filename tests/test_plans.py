@@ -170,6 +170,9 @@ def test_curation_pipeline_single_shuffle(spark, snaps):
     assert live.count("Exchange hashpartitioning") <= 1
     assert "Join" not in live
     assert "BatchEvalPython" not in live and "ArrowEvalPython" not in live
+
+
+def test_lag_pipeline_no_cartesian(spark, snaps):
     from kafka_overwatch_spark.operators.lag import build_groups_df
 
     plan = _plan(build_groups_df(snaps))
