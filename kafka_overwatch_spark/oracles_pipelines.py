@@ -660,6 +660,24 @@ grams AS (
 SELECT lang, ngram, CAST(count(*) AS BIGINT) AS occurrences
 FROM grams GROUP BY lang, ngram HAVING count(*) >= 10"""
 
+    # corpus-typicality: mean log2 corpus frequency of a doc's 2-grams
+    q["text_typicality"] = """
+WITH norm AS (SELECT doc_id,
+    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
+tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+grams AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(toks) - 1),
+      i -> array_to_string(toks[i:i+1], ' '))) AS gram
+  FROM tok
+),
+freq AS (SELECT gram, count(*) AS n FROM grams GROUP BY 1)
+SELECT g.doc_id,
+  CAST(count(*) AS BIGINT) AS n_grams,
+  round(avg(log2(f.n)), 6) AS typicality
+FROM grams g JOIN freq f USING (gram)
+GROUP BY g.doc_id"""
+
     # Gopher-style repetition metrics: complete n-grams only (slice window
     # never runs past the token array), n = 2 and 3, per-doc conditional agg
     q["text_repetition"] = """

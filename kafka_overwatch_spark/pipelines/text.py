@@ -410,3 +410,28 @@ def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
             F.round("tfidf", 6).alias("tfidf"),
         )
     )
+
+
+def typicality_scores(documents: DataFrame) -> DataFrame:
+    """Corpus-typicality score per document: the mean log2 corpus
+    frequency of its 2-grams — a cheap perplexity proxy (high = the doc
+    is made of common constructions, low = novel/noisy text), the
+    importance-weighting signal of a data-filtering pipeline.
+
+    Scale shape: the corpus gram-frequency table and the per-doc gram
+    list are both keyed by the gram string — one shuffle each side of an
+    equi-join, then a doc-keyed mean; no broadcast assumption (the gram
+    vocabulary is corpus-sized)."""
+    toks = _norm_tokens()
+    grams = spread(documents).select(
+        "doc_id", F.explode(_full_grams(toks, 2)).alias("gram")
+    )
+    freq = grams.groupBy("gram").agg(F.count("*").alias("n"))
+    return (
+        grams.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.round(F.avg(F.log2("n")), 6).alias("typicality"),
+        )
+    )

@@ -435,6 +435,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_tfidf"] = lambda s, d: textops.tfidf_top_terms(
         raw(s, d, "documents")
     )
+    q["text_typicality"] = lambda s, d: textops.typicality_scores(
+        raw(s, d, "documents")
+    )
     q["emb_quantize_int8"] = lambda s, d: similarity.quantize_int8(
         raw(s, d, "embeddings")
     )
