@@ -219,3 +219,50 @@ def test_incremental_screen_consistent_with_full_lsh(spark, snaps):
     }
     assert incr == full
     assert len(incr) > 0
+
+
+@settings(max_examples=4, deadline=None)
+@given(TEXTS)
+def test_repetition_stats_match_python(spark, texts):
+    from collections import Counter
+
+    from kafka_overwatch_spark.pipelines.text import repetition_stats
+
+    rows = {r["doc_id"]: r for r in repetition_stats(_df(spark, texts)).collect()}
+    for i, t in enumerate(texts):
+        toks = re.sub(r"\s+", " ", t.strip()).lower().split(" ")
+        for n in (2, 3):
+            grams = [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+            if not grams:
+                assert i not in rows or rows[i][f"n{n}_total"] is None
+                continue
+            c = Counter(grams)
+            r = rows[i]
+            assert r[f"n{n}_total"] == len(grams)
+            assert r[f"top_{n}gram_frac"] == round(max(c.values()) / len(grams), 6)
+            assert r[f"dup_{n}gram_frac"] == round(1 - len(c) / len(grams), 6)
+
+
+@settings(max_examples=4, deadline=None)
+@given(TEXTS)
+def test_typicality_matches_python(spark, texts):
+    import math
+    from collections import Counter
+
+    from kafka_overwatch_spark.pipelines.text import typicality_scores
+
+    rows = {r["doc_id"]: r for r in typicality_scores(_df(spark, texts)).collect()}
+    all_grams = Counter()
+    per_doc = {}
+    for i, t in enumerate(texts):
+        toks = re.sub(r"\s+", " ", t.strip()).lower().split(" ")
+        grams = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+        per_doc[i] = grams
+        all_grams.update(grams)
+    for i, grams in per_doc.items():
+        if not grams:
+            assert i not in rows
+            continue
+        want = sum(math.log2(all_grams[g]) for g in grams) / len(grams)
+        assert rows[i]["n_grams"] == len(grams)
+        assert abs(rows[i]["typicality"] - round(want, 6)) <= 1e-6
