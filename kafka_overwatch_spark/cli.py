@@ -86,6 +86,16 @@ def main(argv: list[str] | None = None) -> int:
             snaps = registry.get_cluster_snaps(
                 spark, args.sf_dir, args.cluster
             )
+            # fail with a clear message instead of a downstream
+            # ValidationError: an unknown/empty cluster produces 0/0
+            # percentages that serialize as null and flunk the schema
+            if snaps["topics"].limit(1).count() == 0:
+                print(
+                    f"no topics found for cluster '{args.cluster}' — "
+                    "unknown cluster name or empty snapshot",
+                    file=sys.stderr,
+                )
+                return 2
             gov_cfg = None
             if config and args.cluster in config:
                 gov_cfg = config[args.cluster].governance

@@ -35,14 +35,21 @@ def build_cluster_report(
     snaps: dict[str, DataFrame],
     cluster_name: str = "primary",
     governance_config=None,
+    topics_df: DataFrame | None = None,
 ) -> DataFrame:
     """One nested row mirroring ClusterReport: statistics, estimated_waste
     (3 topic categories), governance, schema_registry.
 
     ``governance_config``: an optional ``config.Governance`` — its naming
     conventions override the default regexes (config-driven reports,
-    `specs/config.py` governance block)."""
-    topics_df = usage.build_topics_df(snaps).cache()
+    `specs/config.py` governance block).
+
+    ``topics_df``: an already-cached frame (registry.get_topics_df) —
+    repeated report builds MUST pass it, or each call pins a fresh
+    cached RDD for the session lifetime (one-shot CLI use is fine
+    without)."""
+    if topics_df is None:
+        topics_df = usage.build_topics_df(snaps).cache()
     total = topics_df.count()
 
     # estimated_waste.topic_categories — one struct per category
@@ -230,13 +237,15 @@ def build_cluster_report(
 
 
 def cluster_report_scalars(
-    snaps: dict[str, DataFrame], cluster_name: str = "primary"
+    snaps: dict[str, DataFrame],
+    cluster_name: str = "primary",
+    topics_df: DataFrame | None = None,
 ) -> DataFrame:
     """Hash-checkable companion of ``build_cluster_report``: every leaf of
     the nested report struct as a top-level column (maps serialized with
     ``to_json``). Selecting from the SAME nested row guarantees the
     companion can never drift from the report it vouches for."""
-    r = build_cluster_report(snaps, cluster_name)
+    r = build_cluster_report(snaps, cluster_name, topics_df=topics_df)
     cols = [
         F.col("cluster_name"),
         F.col("statistics.topics").alias("stat_topics"),

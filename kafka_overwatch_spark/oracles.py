@@ -599,14 +599,15 @@ WHERE regexp_matches(name, '^app\\..*$')
     q["topics_config_map"] = _snap(
         """
 cfgmap AS (
-  SELECT topic,
+  SELECT cluster, topic,
     '{' || string_agg('"' || config_key || '":"' || config_value || '"',
       ',' ORDER BY config_key) || '}' AS configs_json
-  FROM topic_configs GROUP BY topic
+  FROM topic_configs GROUP BY cluster, topic
 )
 SELECT t.cluster, t.name, t.partitions,
   coalesce(c.configs_json, '{}') AS configs_json
-FROM topics t LEFT JOIN cfgmap c ON t.name = c.topic"""
+FROM topics t LEFT JOIN cfgmap c
+  ON t.name = c.topic AND t.cluster = c.cluster"""
     )
     # K6 faithful restore command: every non-default config as a
     # --config key="value" continuation line + the reference's

@@ -477,6 +477,11 @@ def neardup_components(
     ``pairs``: (vec_a, vec_b) edges; ``ids``: (vec_id) nodes.
     Returns vec_id, component (min vec_id in the component).
     """
+    if max_iterations < 1:
+        # changed starts truthy-false; a zero budget would skip both the
+        # loop AND the fail-loudly guard, silently returning identity
+        # labels (exactly the split-components bug the guard prevents)
+        raise ValueError("max_iterations must be >= 1")
     edges = (
         pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
         .unionByName(

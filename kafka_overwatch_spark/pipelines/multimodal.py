@@ -119,6 +119,15 @@ def decode_media(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
             lens = np.fromiter(
                 (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
             )
+            # fail loudly on malformed payloads: flat-buffer indexing
+            # below would otherwise read INTO THE NEXT payload's bytes
+            # (silent garbage) or run off the end of the batch buffer
+            if (lens < HEADER_LEN).any():
+                bad = pdf["doc_id"].to_numpy()[lens < HEADER_LEN][:5]
+                raise ValueError(
+                    f"payload shorter than the {HEADER_LEN}-byte header "
+                    f"for doc_ids {bad.tolist()}"
+                )
             buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
             starts = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])

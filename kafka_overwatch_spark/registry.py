@@ -34,7 +34,7 @@ REPORT_CLUSTER = "primary"
 
 _SNAP_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 _CLUSTER_SNAP_CACHE: dict[tuple[int, str, str], dict[str, DataFrame]] = {}
-_TOPICS_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
+_TOPICS_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def get_snaps(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -70,15 +70,17 @@ def get_cluster_snaps(
     return _CLUSTER_SNAP_CACHE[key]
 
 
-def get_topics_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def get_topics_df(
+    spark: SparkSession, sf_dir: str, cluster: str = REPORT_CLUSTER
+) -> DataFrame:
     """topics_df is re-read by every waste/most-active/statistics query
-    (multiple actions) — cache it once per (session, sf_dir), mirroring the
-    reference materializing the pandas frame once per scan. Per-cluster
-    (REPORT_CLUSTER), like the reference's per-cluster frames."""
-    key = (id(spark), sf_dir)
+    (multiple actions) — cache it once per (session, sf_dir, cluster),
+    mirroring the reference materializing the pandas frame once per
+    scan per cluster."""
+    key = (id(spark), sf_dir, cluster)
     if key not in _TOPICS_DF_CACHE:
         _TOPICS_DF_CACHE[key] = usage.build_topics_df(
-            get_cluster_snaps(spark, sf_dir)
+            get_cluster_snaps(spark, sf_dir, cluster)
         ).cache()
     return _TOPICS_DF_CACHE[key]
 
@@ -300,11 +302,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle (deeply nested struct + maps) — the driver records the weaker
     # rows-only check for this one, by design.
     q["cluster_report"] = lambda s, d: reportops.build_cluster_report(
-        get_cluster_snaps(s, d)
+        get_cluster_snaps(s, d), topics_df=get_topics_df(s, d)
     )
     # hash-checkable companion: every report-struct leaf as a column
     q["cluster_report_scalars"] = lambda s, d: reportops.cluster_report_scalars(
-        get_cluster_snaps(s, d)
+        get_cluster_snaps(s, d), topics_df=get_topics_df(s, d)
     )
     # fleet surface: per-cluster statistics (the report pipeline run once
     # per cluster, mirroring overwatch.py:92-120)
@@ -320,7 +322,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             for r in get_snaps(s, d)["topics"].select("cluster").distinct().collect()
         )
         parts = [
-            reportops.build_cluster_report(get_cluster_snaps(s, d, c), c)
+            reportops.build_cluster_report(
+                get_cluster_snaps(s, d, c), c,
+                topics_df=get_topics_df(s, d, c),
+            )
             for c in clusters
         ]
         out = parts[0]

@@ -49,9 +49,11 @@ def restore_commands(snaps: dict[str, DataFrame]) -> DataFrame:
     non-default configs. Configs are emitted key-sorted (the reference
     uses broker dict order — not reproducible; documented divergence).
     Pure string building over two dims — concat/array_join, no UDF."""
+    # keyed by (cluster, topic): correct even when handed an unfiltered
+    # multi-cluster snapshot (topic names are per-cluster namespaces)
     cfg = (
         snaps["topic_configs"]
-        .groupBy("topic")
+        .groupBy(F.col("cluster").alias("cfg_cluster"), "topic")
         .agg(
             F.array_join(
                 F.transform(
@@ -70,14 +72,18 @@ def restore_commands(snaps: dict[str, DataFrame]) -> DataFrame:
             ).alias("configs_str")
         )
     )
-    t = snaps["topics"].select("name", "partitions")
+    t = snaps["topics"].select("cluster", "name", "partitions")
     base = F.concat(
         F.lit("kafka-topics.sh --create --topic "),
         F.col("name"),
         F.lit(" --partitions "),
         F.col("partitions").cast("string"),
     )
-    return t.join(F.broadcast(cfg), t.name == cfg.topic, "left").select(
+    return t.join(
+        F.broadcast(cfg),
+        (t.name == cfg.topic) & (t.cluster == cfg.cfg_cluster),
+        "left",
+    ).select(
         "name",
         F.when(F.col("configs_str").isNull(), base)
         .otherwise(

@@ -326,9 +326,12 @@ def topics_with_configs(snaps: dict[str, DataFrame]) -> DataFrame:
     map<string,string>`` column attached (map_from_entries over the
     exploded ``topic_configs`` rows, key-sorted for determinism). Topics
     with no non-default configs get an empty map."""
+    # keyed by (cluster, topic): topic names are a PER-CLUSTER namespace
+    # (lag.py states the invariant) — a name-only join would mix or
+    # collide configs when the same topic exists on two clusters
     cfg = (
         snaps["topic_configs"]
-        .groupBy("topic")
+        .groupBy(F.col("cluster").alias("cfg_cluster"), "topic")
         .agg(
             F.map_from_entries(
                 F.array_sort(
@@ -339,8 +342,12 @@ def topics_with_configs(snaps: dict[str, DataFrame]) -> DataFrame:
     )
     t = snaps["topics"]
     return (
-        t.join(F.broadcast(cfg), t.name == cfg.topic, "left")
-        .drop("topic")
+        t.join(
+            F.broadcast(cfg),
+            (t.name == cfg.topic) & (t.cluster == cfg.cfg_cluster),
+            "left",
+        )
+        .drop("topic", "cfg_cluster")
         .withColumn(
             "configs",
             F.coalesce(

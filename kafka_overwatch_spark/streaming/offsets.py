@@ -111,13 +111,15 @@ def _delta_fn(
     topic, partition_id = key
     last_end = state.get[0] if state.exists else None
     out = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("scan_id")
-        for _, row in pdf.iterrows():
-            end = int(row["end_offset"])
-            delta = 0 if last_end is None else end - last_end
-            out.append((topic, int(partition_id), int(row["scan_id"]), end, delta))
-            last_end = end
+    # concat BEFORE sorting: a group bigger than one Arrow batch arrives
+    # as multiple chunks with no cross-chunk ordering — per-chunk sorts
+    # would fold scans out of order and corrupt the persisted baseline
+    pdf = pd.concat(list(pdf_iter)).sort_values("scan_id")
+    for _, row in pdf.iterrows():
+        end = int(row["end_offset"])
+        delta = 0 if last_end is None else end - last_end
+        out.append((topic, int(partition_id), int(row["scan_id"]), end, delta))
+        last_end = end
     state.update((last_end,))
     yield pd.DataFrame(
         out,
@@ -162,21 +164,22 @@ def _first_offset_fn(
     topic, partition_id = key
     first = state.get[0] if state.exists else None
     out = []
-    for pdf in pdf_iter:
-        for row in pdf.sort_values("scan_id").itertuples():
-            start = int(row.start_offset)
-            if first is None:
-                first = start
-            out.append(
-                (
-                    topic,
-                    int(partition_id),
-                    int(row.scan_id),
-                    start,
-                    first,
-                    start - first,
-                )
+    # concat before sorting — same cross-chunk ordering hazard as
+    # _delta_fn: the baseline must latch from the globally-first scan
+    for row in pd.concat(list(pdf_iter)).sort_values("scan_id").itertuples():
+        start = int(row.start_offset)
+        if first is None:
+            first = start
+        out.append(
+            (
+                topic,
+                int(partition_id),
+                int(row.scan_id),
+                start,
+                first,
+                start - first,
             )
+        )
     state.update((first,))
     yield pd.DataFrame(out, columns=[f.name for f in W3_STREAM_SCHEMA.fields])
 
@@ -236,10 +239,21 @@ def _make_liveness_fn(gap_ms: int):
         last_scan, last_ts_ms = (
             (state.get[0], state.get[1]) if state.exists else (None, None)
         )
+        # accumulate maxima across chunks AND prior state — chunk order
+        # is unspecified and a late-but-in-watermark sample must never
+        # regress the liveness clock
         for pdf in pdf_iter:
             if len(pdf):
-                last_scan = int(pdf["scan_id"].max())
-                last_ts_ms = int(pdf["ts"].max().value // 1_000_000)
+                chunk_scan = int(pdf["scan_id"].max())
+                chunk_ts = int(pdf["ts"].max().value // 1_000_000)
+                last_scan = (
+                    chunk_scan if last_scan is None
+                    else max(last_scan, chunk_scan)
+                )
+                last_ts_ms = (
+                    chunk_ts if last_ts_ms is None
+                    else max(last_ts_ms, chunk_ts)
+                )
         state.update((last_scan, last_ts_ms))
         # deadline re-arms on every appearance; fires only when the
         # watermark (driven by OTHER keys' newer samples) passes it
