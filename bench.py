@@ -114,19 +114,32 @@ def main() -> None:
     per_query_min = {name: min(vals) for name, vals in samples.items()}
     total = round(sum(per_query.values()), 3)
 
-    # post-freeze ops: p50-of-3, reported outside the headline total
+    # post-freeze ops: p50-of-3, reported outside the headline total.
+    # Defensive per-query: a failing extra must never cost the round its
+    # BENCH artifact (the headline set above stays strict).
     extra_samples: dict[str, list[float]] = {name: [] for name in EXTRA}
+    extra_errors: dict[str, str] = {}
     for pass_no in range(n_passes):
         for name in EXTRA:
+            if name in extra_errors:
+                continue
             t0 = time.time()
-            force(queries[name](spark, sf_dir))
+            try:
+                force(queries[name](spark, sf_dir))
+            except Exception as exc:  # noqa: BLE001 — record, keep going
+                extra_errors[name] = f"{type(exc).__name__}: {exc}"
+                print(f"  bench extra {name} FAILED: {exc}", file=sys.stderr)
+                continue
             dt = round(time.time() - t0, 3)
             extra_samples[name].append(dt)
             print(f"  bench extra p{pass_no} {name}: {dt}s", file=sys.stderr)
     extra_queries = {
         name: sorted(vals)[len(vals) // 2]
         for name, vals in extra_samples.items()
+        if vals
     }
+    for name, err in extra_errors.items():
+        extra_queries[name] = f"ERROR {err}"
 
     # incremental maintenance vs full recompute (streaming Phase-4 story):
     # per-batch cost of updating running topic totals with
