@@ -63,6 +63,13 @@ EXTRA = [
     "events_retention",
     "events_funnel",
     "source_quality_summary",
+    # round 4
+    "text_line_dedup",
+    "text_length_histogram",
+    "text_vocab_stats",
+    "events_user_reach",
+    "events_user_reach_sketch",
+    "emb_cluster_summary",
 ]
 
 

@@ -342,3 +342,40 @@ def events_funnel(
             F.col("users").cast("double") / F.first("users").over(w), 6
         ).alias("conv_from_first"),
     )
+
+
+def events_user_reach(events: DataFrame) -> DataFrame:
+    """Exact per-event-type user reach: the anchor the sketch variant is
+    measured against. One keyed aggregation; exact distinct shuffles the
+    (event_type, user_id) pairs — the cost HLL sketches remove at scale."""
+    return events.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("events"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+    )
+
+
+def events_user_reach_sketch(events: DataFrame) -> DataFrame:
+    """Distinct-user reach via mergeable HLL sketches — the 100 TB
+    counting path: each partition builds a constant-size sketch, sketches
+    merge associatively (no (type, user) shuffle), and per-day sketches
+    can roll up to any coarser grain without rescanning. Columns:
+    approx (HLL++ via approx_count_distinct) and a Datasketches-HLL
+    estimate built by unioning per-day sketches — proving re-aggregation
+    without raw data.
+
+    Accuracy vs the exact anchor is asserted in tests (relative error
+    well under the 5% the sketch parameters promise). Rows-only gate:
+    sketch estimates are implementation-defined, no ANSI oracle."""
+    per_day = events.groupBy(
+        F.col("event_type"),
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).agg(F.expr("hll_sketch_agg(cast(user_id AS string))").alias("sk"))
+    rolled = per_day.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").alias(
+            "sketch_users"
+        )
+    )
+    direct = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").cast("long").alias("approx_users")
+    )
+    return direct.join(rolled, "event_type")

@@ -868,4 +868,71 @@ q AS (SELECT quantile_cont(events, 0.95) AS q95 FROM per_user)
 SELECT user_id, events, round(total_value, 2) AS total_value, distinct_types
 FROM per_user, q WHERE events > q95"""
 
+    # exact per-type user reach (anchor for the HLL sketch variant)
+    q["events_user_reach"] = """
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+FROM events GROUP BY event_type"""
+
+    # C4-style line dedup over 5-token segment "lines": corpus
+    # distinct-doc frequency per line, kept-line md5 witness in original
+    # order (parallel unnest = posexplode; string_agg ORDER BY pos =
+    # array_sort(collect_list(struct(pos, line))))
+    q["text_line_dedup"] = """
+WITH norm AS (SELECT doc_id,
+    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
+tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+lined AS (
+  SELECT doc_id,
+    unnest(generate_series(0,
+      CAST(ceil(len(toks) / 5.0) AS INT) - 1)) AS pos,
+    unnest(list_transform(
+      generate_series(0, CAST(ceil(len(toks) / 5.0) AS INT) - 1),
+      i -> array_to_string(toks[i*5+1:i*5+5], ' '))) AS line
+  FROM tok
+),
+freq AS (SELECT line, count(DISTINCT doc_id) AS nd FROM lined GROUP BY 1)
+SELECT l.doc_id,
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_lines,
+  round(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+    AS dup_line_frac,
+  md5(coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+    FILTER (WHERE f.nd < 2), '')) AS kept_md5
+FROM lined l JOIN freq f USING (line)
+GROUP BY l.doc_id"""
+
+    # token-length histogram in fixed 16-token buckets per language
+    q["text_length_histogram"] = """
+WITH norm AS (SELECT doc_id, lang,
+    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
+sized AS (
+  SELECT lang, len(string_split(t, ' ')) AS n_tokens FROM norm
+)
+SELECT lang,
+  CAST(n_tokens - n_tokens % 16 AS BIGINT) AS bucket_lo,
+  CAST(count(*) AS BIGINT) AS docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+  CAST(max(n_tokens) AS BIGINT) AS max_tokens
+FROM sized GROUP BY 1, 2"""
+
+    # per-language vocabulary statistics (types, hapax, TTR)
+    q["text_vocab_stats"] = """
+WITH norm AS (SELECT doc_id, lang,
+    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
+freq AS (
+  SELECT lang, unnest(string_split(t, ' ')) AS token FROM norm
+),
+counts AS (SELECT lang, token, count(*) AS c FROM freq GROUP BY 1, 2)
+SELECT lang,
+  CAST(sum(c) AS BIGINT) AS total_tokens,
+  CAST(count(*) AS BIGINT) AS distinct_types,
+  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_types,
+  round(count(*) * 1.0 / sum(c), 6) AS type_token_ratio,
+  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+    AS hapax_frac
+FROM counts GROUP BY lang"""
+
     return q

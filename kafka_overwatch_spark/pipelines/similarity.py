@@ -564,6 +564,55 @@ def ivf_topk(
     )
 
 
+def kmeans_cluster_summary(
+    embeddings: DataFrame, n_cells: int = 16, seed: int = 42
+) -> DataFrame:
+    """Embedding-space clustering rollup (the corpus-cartography /
+    data-mixing pass): seeded KMeans cells with size and cohesion
+    (mean cosine of members to their centroid) per cell.
+
+    Scale shape: the model is tiny (n_cells × dim) and broadcast; member
+    scoring is a narrow Arrow-batched map over the corpus; the rollup is
+    one aggregation keyed by cell id. Reuses the IVF coarse quantizer —
+    one trained model serves both ANN probing and cluster analytics.
+    Rows-only gate (iterative trainer, no ANSI oracle); invariants
+    (size total, cell count, cohesion range) are locked in tests."""
+    model, assigned = ivf_index(embeddings, n_cells=n_cells, seed=seed)
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    centers_n = centers / np.maximum(
+        np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
+    )
+    b_centers = embeddings.sparkSession.sparkContext.broadcast(centers_n)
+
+    joined = assigned.join(
+        embeddings.select("vec_id", "embedding"), "vec_id"
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cn = b_centers.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+            m /= np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-12
+            )
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            cos = (m * cn[cells]).sum(axis=1)
+            yield pd.DataFrame({"cell": cells, "cosine": cos})
+
+    scored = joined.mapInPandas(score, "cell long, cosine double")
+    return (
+        scored.groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.avg("cosine"), 6).alias("mean_cos_to_centroid"),
+            F.round(F.min("cosine"), 6).alias("min_cos_to_centroid"),
+        )
+        .orderBy("cell")
+    )
+
+
 def _int8_codes() -> tuple[F.Column, F.Column, F.Column]:
     """The (x, scale, codes) expression chain of the symmetric int8
     format — ONE definition shared by the write path (`quantize_int8`)

@@ -412,6 +412,123 @@ def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     )
 
 
+# C4-style line dedup, re-expressed for token-stream documents: a "line"
+# is a consecutive LINE_TOKENS-token segment of the normalized text (the
+# fixture corpus carries no newlines; real corpora would split on '\n'
+# first — the operator below is segment-agnostic once `lines` is built).
+LINE_TOKENS = 5
+LINE_DUP_MIN_DOCS = 2
+
+
+def line_dedup(
+    documents: DataFrame,
+    line_tokens: int = LINE_TOKENS,
+    min_docs: int = LINE_DUP_MIN_DOCS,
+) -> DataFrame:
+    """Corpus-level line deduplication (the C4 "remove any line occurring
+    in ≥N documents" rule): chunk each doc into consecutive
+    ``line_tokens``-token lines, count each line's distinct-document
+    frequency across the corpus, and emit per doc the kept-line text
+    witness (md5 of surviving lines joined by newline, original order),
+    plus dup-line counts.
+
+    Scale shape: one posexplode (narrow), one line-keyed aggregation for
+    corpus frequencies, one line-keyed equi-join back, one doc-keyed
+    aggregation — two shuffles on bounded keys, no all-pairs work, skew
+    bounded by the most frequent single line (a boilerplate line hashes
+    to one key, the same hot-key profile C4 handles; salt if needed).
+    """
+    toks = _norm_tokens()
+    n_lines = F.ceil(F.size(toks) / F.lit(line_tokens)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * line_tokens + 1, line_tokens), " "
+        ),
+    )
+    exploded = spread(documents).select(
+        "doc_id", F.posexplode(lines).alias("pos", "line")
+    )
+    line_docs = exploded.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("line_doc_freq")
+    )
+    tagged = exploded.join(line_docs, "line")
+    is_dup = F.col("line_doc_freq") >= min_docs
+    kept_sorted = F.array_sort(
+        F.collect_list(
+            F.when(~is_dup, F.struct(F.col("pos"), F.col("line")))
+        )
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(is_dup.cast("int")).cast("long").alias("dup_lines"),
+        F.round(
+            F.sum(is_dup.cast("int")).cast("double") / F.count("*"), 6
+        ).alias("dup_line_frac"),
+        F.md5(
+            F.array_join(
+                F.transform(kept_sorted, lambda s: s["line"]), "\n"
+            )
+        ).alias("kept_md5"),
+    )
+
+
+LENGTH_BUCKET = 16
+
+
+def length_histogram(
+    documents: DataFrame, bucket: int = LENGTH_BUCKET
+) -> DataFrame:
+    """Token-length distribution of the corpus in fixed-width buckets —
+    the dataset-card statistics pass (sequence-length planning for
+    packing/truncation). Narrow map + one tiny aggregation keyed by
+    (lang, bucket): nothing at 100 TB but a scan."""
+    n_tok = F.size(_norm_tokens())
+    lo = (n_tok - n_tok % bucket).cast("long")
+    return (
+        spread(documents)
+        .select("lang", lo.alias("bucket_lo"), n_tok.alias("n_tokens"))
+        .groupBy("lang", "bucket_lo")
+        .agg(
+            F.count("*").cast("long").alias("docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+    )
+
+
+def vocab_stats(documents: DataFrame) -> DataFrame:
+    """Per-language vocabulary statistics: token count, distinct types,
+    hapax legomena (frequency-1 types), type/token ratio, hapax share of
+    the vocabulary — the corpus-health numbers a tokenizer-training or
+    data-mixing pass starts from.
+
+    Scale shape: explode → (lang, token) count → per-lang rollup; the
+    (lang, token) aggregation is the only corpus-sized shuffle and is
+    exactly the word-count plan Spark map-side-combines."""
+    toks = _norm_tokens()
+    freq = (
+        spread(documents)
+        .select("lang", F.explode(toks).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    return freq.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("distinct_types"),
+        F.sum((F.col("c") == 1).cast("int")).cast("long").alias("hapax_types"),
+        F.round(F.count("*").cast("double") / F.sum("c"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(
+            F.sum((F.col("c") == 1).cast("int")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("hapax_frac"),
+    )
+
+
 def typicality_scores(documents: DataFrame) -> DataFrame:
     """Corpus-typicality score per document: the mean log2 corpus
     frequency of its 2-grams — a cheap perplexity proxy (high = the doc

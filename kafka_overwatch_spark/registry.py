@@ -443,6 +443,15 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_typicality"] = lambda s, d: textops.typicality_scores(
         raw(s, d, "documents")
     )
+    q["text_line_dedup"] = lambda s, d: textops.line_dedup(
+        raw(s, d, "documents")
+    )
+    q["text_length_histogram"] = lambda s, d: textops.length_histogram(
+        raw(s, d, "documents")
+    )
+    q["text_vocab_stats"] = lambda s, d: textops.vocab_stats(
+        raw(s, d, "documents")
+    )
     q["emb_quantize_int8"] = lambda s, d: similarity.quantize_int8(
         raw(s, d, "embeddings")
     )
@@ -551,6 +560,20 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["events_anomalous_days"] = lambda s, d: relational.events_anomalous_days(
         raw(s, d, "events")
+    )
+    q["events_user_reach"] = lambda s, d: relational.events_user_reach(
+        raw(s, d, "events")
+    )
+    # mergeable-sketch counting surface: estimates are implementation-
+    # defined (HLL++ / Datasketches) → rows-only gate; accuracy vs the
+    # exact anchor asserted in tests/test_usage_extras.py
+    q["events_user_reach_sketch"] = (
+        lambda s, d: relational.events_user_reach_sketch(raw(s, d, "events"))
+    )
+    # embedding-space clustering rollup (seeded KMeans) → rows-only gate
+    # (iterative trainer); invariants locked in tests/test_ann_ivf.py
+    q["emb_cluster_summary"] = lambda s, d: similarity.kmeans_cluster_summary(
+        raw(s, d, "embeddings")
     )
 
     return q

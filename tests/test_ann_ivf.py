@@ -46,3 +46,29 @@ def test_ivf_more_probes_more_candidates(spark, emb):
     assert _topk_sets(many) == exact
     # fewer probes returns a subset of ranked candidates per query
     assert len(few) <= len(many)
+
+
+def test_kmeans_cluster_summary_invariants(spark, emb):
+    """Clustering rollup: sizes partition the corpus, cohesion is a
+    valid cosine, mean ≥ min per cell, cell count ≤ k."""
+    from kafka_overwatch_spark.pipelines.similarity import (
+        kmeans_cluster_summary,
+    )
+
+    rows = kmeans_cluster_summary(emb, n_cells=16).collect()
+    assert 0 < len(rows) <= 16
+    assert sum(r["n_vecs"] for r in rows) == emb.count()
+    for r in rows:
+        assert -1.0 <= r["min_cos_to_centroid"] <= r["mean_cos_to_centroid"] <= 1.0
+
+
+def test_kmeans_cluster_summary_deterministic(spark, emb):
+    """Seeded trainer + seeded init ⇒ identical rollup across runs (the
+    rows-only gate relies on run-to-run stability)."""
+    from kafka_overwatch_spark.pipelines.similarity import (
+        kmeans_cluster_summary,
+    )
+
+    a = sorted(map(tuple, kmeans_cluster_summary(emb).collect()))
+    b = sorted(map(tuple, kmeans_cluster_summary(emb).collect()))
+    assert a == b

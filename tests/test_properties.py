@@ -266,3 +266,62 @@ def test_typicality_matches_python(spark, texts):
         want = sum(math.log2(all_grams[g]) for g in grams) / len(grams)
         assert rows[i]["n_grams"] == len(grams)
         assert abs(rows[i]["typicality"] - round(want, 6)) <= 1e-6
+
+
+def test_line_dedup_known_values(spark):
+    """Hand-built corpus: doc 0 and doc 1 share their first 5-token
+    segment; doc 2 is unrelated. The shared line must be flagged in both
+    carriers, the kept text witness must equal the python fold."""
+    from kafka_overwatch_spark.pipelines.text import line_dedup
+
+    shared = "a b c d e"
+    texts = [
+        shared + " unique0 tail0 x0 y0 z0",
+        shared + " unique1 tail1 x1 y1 z1",
+        "totally different words here now and more words beyond",
+    ]
+    rows = {
+        r["doc_id"]: r
+        for r in line_dedup(_df(spark, texts)).collect()
+    }
+    # each doc chunks into ceil(10/5)=2 lines
+    assert all(rows[i]["n_lines"] == 2 for i in range(3))
+    assert rows[0]["dup_lines"] == 1 and rows[1]["dup_lines"] == 1
+    assert rows[2]["dup_lines"] == 0
+    # witness: doc 0 keeps only its second line; doc 2 keeps both
+    kept0 = hashlib.md5("unique0 tail0 x0 y0 z0".encode()).hexdigest()
+    assert rows[0]["kept_md5"] == kept0
+    kept2 = hashlib.md5(
+        "totally different words here now\nand more words beyond".encode()
+    ).hexdigest()
+    assert rows[2]["kept_md5"] == kept2
+    # all-dup doc: identical pair → every line dup → md5 of empty string
+    all_dup = line_dedup(
+        _df(spark, ["p q r s t", "p q r s t"])
+    ).collect()
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    assert all(
+        r["dup_lines"] == r["n_lines"] and r["kept_md5"] == empty_md5
+        for r in all_dup
+    )
+
+
+def test_vocab_and_length_histogram_match_python(spark):
+    from kafka_overwatch_spark.pipelines.text import (
+        length_histogram,
+        vocab_stats,
+    )
+
+    texts = ["a b a c", "b b b", "a"]
+    vs = {r["lang"]: r for r in vocab_stats(_df(spark, texts)).collect()}
+    # corpus: a×3 b×4 c×1 → 8 tokens, 3 types, 1 hapax
+    assert vs["en"]["total_tokens"] == 8
+    assert vs["en"]["distinct_types"] == 3
+    assert vs["en"]["hapax_types"] == 1
+    hist = {
+        r["bucket_lo"]: r
+        for r in length_histogram(_df(spark, texts)).collect()
+    }
+    # all three docs have <16 tokens → one bucket [0,16)
+    assert hist[0]["docs"] == 3 and hist[0]["total_tokens"] == 8
+    assert hist[0]["min_tokens"] == 1 and hist[0]["max_tokens"] == 4

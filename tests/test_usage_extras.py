@@ -60,3 +60,22 @@ def test_approx_most_active_close_to_exact(spark, snaps):
     exact = {r["name"] for r in most_active_topics(topics_df).collect()}
     approx = {r["name"] for r in most_active_topics_approx(topics_df).collect()}
     assert len(exact ^ approx) <= max(2, len(exact) // 5)
+
+
+def test_user_reach_sketch_accuracy(spark):
+    """HLL sketch estimates (both HLL++ approx_count_distinct and the
+    mergeable per-day Datasketches rollup) stay within 5% relative error
+    of the exact distinct anchor — the contract that makes sketches the
+    100 TB counting path."""
+    from kafka_overwatch_spark.operators.relational import (
+        events_user_reach,
+        events_user_reach_sketch,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = {r["event_type"]: r["exact_users"] for r in events_user_reach(ev).collect()}
+    sk = {r["event_type"]: r for r in events_user_reach_sketch(ev).collect()}
+    assert set(exact) == set(sk)
+    for et, n in exact.items():
+        assert abs(sk[et]["approx_users"] - n) / n <= 0.05, (et, n, sk[et])
+        assert abs(sk[et]["sketch_users"] - n) / n <= 0.05, (et, n, sk[et])
