@@ -69,7 +69,9 @@ EXTRA = [
     "text_vocab_stats",
     "events_user_reach",
     "events_user_reach_sketch",
+    "events_value_quantiles",
     "emb_cluster_summary",
+    "ann_ivf_topk",
 ]
 
 

@@ -379,3 +379,20 @@ def events_user_reach_sketch(events: DataFrame) -> DataFrame:
         F.approx_count_distinct("user_id").cast("long").alias("approx_users")
     )
     return direct.join(rolled, "event_type")
+
+
+def events_value_quantiles(events: DataFrame) -> DataFrame:
+    """Exact per-event-type value quantiles (p50/p90/p99, linear
+    interpolation) — the distribution anchor for the approx-percentile
+    sketch variant. Exact percentile requires a full sort per group;
+    the sketch path (`approx_percentile`, mergeable QuantileSummaries)
+    replaces it with constant-size per-partition state at scale —
+    accuracy vs this anchor is asserted in tests."""
+    val = F.col("value").cast("double")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(CAST(value AS DOUBLE), 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(CAST(value AS DOUBLE), 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(CAST(value AS DOUBLE), 0.99)"), 6).alias("p99"),
+        F.round(F.min(val), 6).alias("vmin"),
+        F.round(F.max(val), 6).alias("vmax"),
+    )

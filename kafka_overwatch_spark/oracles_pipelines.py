@@ -868,6 +868,16 @@ q AS (SELECT quantile_cont(events, 0.95) AS q95 FROM per_user)
 SELECT user_id, events, round(total_value, 2) AS total_value, distinct_types
 FROM per_user, q WHERE events > q95"""
 
+    # exact per-type value quantiles (anchor for approx_percentile)
+    q["events_value_quantiles"] = """
+SELECT event_type,
+  round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50,
+  round(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS p90,
+  round(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS p99,
+  round(min(CAST(value AS DOUBLE)), 6) AS vmin,
+  round(max(CAST(value AS DOUBLE)), 6) AS vmax
+FROM events GROUP BY event_type"""
+
     # exact per-type user reach (anchor for the HLL sketch variant)
     q["events_user_reach"] = """
 SELECT event_type,

@@ -393,14 +393,17 @@ def simhash_pairs(
         "chunk_id",
         "chunk_val",
     )
+    # hamming filter BEFORE the dedup shuffle: the bit_count test is a
+    # per-row expression on the join output, so applying it first means
+    # the distinct() exchange carries only surviving pairs (a candidate
+    # set can be orders of magnitude larger than the result at scale)
     return (
         a.join(b, ["chunk_id", "chunk_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "fp_a", "fp_b")
-        .distinct()
         .withColumn("hamming", F.expr("bit_count(fp_a ^ fp_b)").cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

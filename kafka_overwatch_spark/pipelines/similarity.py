@@ -502,10 +502,16 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    trained: tuple | None = None,
 ) -> DataFrame:
     """Approximate top-k: per query, search only the n_probe nearest
-    cells. Returns query_id, vec_id, cosine, rank."""
-    model, assigned = ivf_index(embeddings, n_cells=n_cells, seed=seed)
+    cells. Returns query_id, vec_id, cosine, rank. Pass ``trained`` =
+    (model, assignments) to reuse a quantizer trained once per corpus
+    (registry.get_ivf) — training is the dominant cost and the model
+    serves every probe depth and the cluster rollup alike."""
+    model, assigned = trained or ivf_index(
+        embeddings, n_cells=n_cells, seed=seed
+    )
     centers = np.array([np.asarray(c) for c in model.clusterCenters()])
     centers_n = centers / np.maximum(
         np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
@@ -565,7 +571,10 @@ def ivf_topk(
 
 
 def kmeans_cluster_summary(
-    embeddings: DataFrame, n_cells: int = 16, seed: int = 42
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    trained: tuple | None = None,
 ) -> DataFrame:
     """Embedding-space clustering rollup (the corpus-cartography /
     data-mixing pass): seeded KMeans cells with size and cohesion
@@ -577,7 +586,9 @@ def kmeans_cluster_summary(
     one trained model serves both ANN probing and cluster analytics.
     Rows-only gate (iterative trainer, no ANSI oracle); invariants
     (size total, cell count, cohesion range) are locked in tests."""
-    model, assigned = ivf_index(embeddings, n_cells=n_cells, seed=seed)
+    model, assigned = trained or ivf_index(
+        embeddings, n_cells=n_cells, seed=seed
+    )
     centers = np.array([np.asarray(c) for c in model.clusterCenters()])
     centers_n = centers / np.maximum(
         np.linalg.norm(centers, axis=1, keepdims=True), 1e-12

@@ -137,6 +137,24 @@ def get_cluster_lag_rows(
     return get_lag_rows(spark, sf_dir).filter(F.col("cluster") == cluster)
 
 
+_IVF_CACHE: dict[tuple[int, str], tuple] = {}
+
+
+def get_ivf(spark: SparkSession, sf_dir: str) -> tuple:
+    """Memoized IVF coarse quantizer per (session, sf_dir): KMeans
+    training is the dominant cost of both ANN probing and the cluster
+    rollup, and the reference pattern at scale is train-once /
+    probe-many (the model is persisted, not refit per query). The
+    cached cell assignments back both surfaces."""
+    from .pipelines import similarity as sim
+
+    key = (id(spark), sf_dir)
+    if key not in _IVF_CACHE:
+        model, assigned = sim.ivf_index(get_raw_tables(spark, sf_dir)["embeddings"])
+        _IVF_CACHE[key] = (model, assigned.cache())
+    return _IVF_CACHE[key]
+
+
 def get_shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized cached shingle-set frame — a fresh .cache() per call would
     leak a new cached RDD every invocation and degrade long sessions."""
@@ -411,7 +429,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # for a trained quantizer → rows-only gate; recall vs exact is
     # measured in tests/test_ann_ivf.py and ANN_TRADEOFFS.md.
     q["ann_ivf_topk"] = lambda s, d: similarity.ivf_topk(
-        raw(s, d, "embeddings")
+        raw(s, d, "embeddings"), trained=get_ivf(s, d)
     )
     q["text_token_stats"] = lambda s, d: textops.token_stats(
         raw(s, d, "documents")
@@ -564,6 +582,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_user_reach"] = lambda s, d: relational.events_user_reach(
         raw(s, d, "events")
     )
+    q["events_value_quantiles"] = lambda s, d: relational.events_value_quantiles(
+        raw(s, d, "events")
+    )
     # mergeable-sketch counting surface: estimates are implementation-
     # defined (HLL++ / Datasketches) → rows-only gate; accuracy vs the
     # exact anchor asserted in tests/test_usage_extras.py
@@ -573,7 +594,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # embedding-space clustering rollup (seeded KMeans) → rows-only gate
     # (iterative trainer); invariants locked in tests/test_ann_ivf.py
     q["emb_cluster_summary"] = lambda s, d: similarity.kmeans_cluster_summary(
-        raw(s, d, "embeddings")
+        raw(s, d, "embeddings"), trained=get_ivf(s, d)
     )
 
     return q

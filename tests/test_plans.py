@@ -97,6 +97,11 @@ def test_no_python_udf_in_reference_paths(spark, snaps):
         "events_funnel",
         "events_retention",
         "source_quality_summary",
+        "text_line_dedup",
+        "text_length_histogram",
+        "text_vocab_stats",
+        "events_user_reach",
+        "events_user_reach_sketch",
     ]
     queries = registry.spark_queries()
     for name in jvm_only:

@@ -330,3 +330,41 @@ def test_stateful_query_under_rocksdb_state_store(spark, snaps):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", old
             )
+
+
+def test_rate_limited_file_source_cadence(spark, snaps):
+    """Backfill under ingestion rate limiting: maxFilesPerTrigger=1 over
+    a multi-file input must replay the backlog as one micro-batch per
+    file (bounded per-batch work — the knob that keeps a catch-up replay
+    from materializing the whole backlog in one batch), and the
+    concatenation of batches must equal the full input."""
+    from kafka_overwatch_spark.streaming import offsets as so
+
+    with tempfile.TemporaryDirectory() as tmp:
+        po = snaps["partition_offsets"]
+        n_files = 3
+        for scan in range(n_files):
+            po.filter(F.col("scan_id") == scan).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{tmp}/in")
+
+        seen: list[tuple[int, int]] = []
+
+        def observe(batch_df, batch_id: int) -> None:
+            seen.append((batch_id, batch_df.count()))
+
+        stream = so.offset_sample_stream(spark, f"{tmp}/in")
+        q = (
+            spark.readStream.schema(stream.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+            .writeStream.foreachBatch(observe)
+            .option("checkpointLocation", f"{tmp}/ckpt_rate")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        total = po.filter(F.col("scan_id") < n_files).count()
+        assert len(seen) == n_files, seen
+        assert all(n > 0 for _, n in seen)
+        assert sum(n for _, n in seen) == total

@@ -79,3 +79,30 @@ def test_user_reach_sketch_accuracy(spark):
     for et, n in exact.items():
         assert abs(sk[et]["approx_users"] - n) / n <= 0.05, (et, n, sk[et])
         assert abs(sk[et]["sketch_users"] - n) / n <= 0.05, (et, n, sk[et])
+
+
+def test_value_quantile_sketch_accuracy(spark):
+    """approx_percentile (mergeable QuantileSummaries, accuracy 10000)
+    stays within 1% relative error of the exact sort-based percentile —
+    the sketch contract that removes the per-group full sort at scale."""
+    from kafka_overwatch_spark.operators.relational import (
+        events_value_quantiles,
+    )
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = {r["event_type"]: r for r in events_value_quantiles(ev).collect()}
+    approx = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                "approx_percentile(CAST(value AS DOUBLE), array(0.5, 0.9, 0.99), 10000)"
+            ).alias("q")
+        )
+        .collect()
+    }
+    for et, r in exact.items():
+        for i, p in enumerate(["p50", "p90", "p99"]):
+            e, a = r[p], approx[et]["q"][i]
+            assert abs(a - e) / max(abs(e), 1e-9) <= 0.01, (et, p, e, a)
