@@ -269,11 +269,18 @@ def screen_against_corpus(
     corpus_shingles: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     max_bucket: int = 1000,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Core of the incremental screen over pre-shingled frames — shared
     by the batch query and the streaming ingest screen
-    (`streaming/documents_stream.py`). Both inputs are (doc_id, sh)."""
-    corpus_bands = minhash_bands(corpus_shingles).withColumn(
+    (`streaming/documents_stream.py`). Both inputs are (doc_id, sh).
+    Pass ``corpus_bands`` to screen against a PERSISTED band index
+    (`sinks/layout.write_minhash_index`) instead of re-deriving the
+    corpus signatures in-query — the production path once the corpus no
+    longer recomputes per batch."""
+    if corpus_bands is None:
+        corpus_bands = minhash_bands(corpus_shingles)
+    corpus_bands = corpus_bands.withColumn(
         "bucket_n",
         F.count("*").over(Window.partitionBy("band_id", "band_key")),
     ).filter(F.col("bucket_n") <= max_bucket)

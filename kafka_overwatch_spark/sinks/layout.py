@@ -50,3 +50,36 @@ def write_bucketed_for_lag_join(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def write_minhash_index(corpus_shingles: DataFrame, base_path: str) -> None:
+    """Persist the LSH corpus index the incremental dedup screen reads:
+    the band table partitioned by band_id (NUM_BANDS directories —
+    selective per-band maintenance and pruning) plus the shingle frame
+    (the verify-join side). At 100 TB this is THE dedup index layout:
+    ingestion batches probe the band table (bounded-key join) and verify
+    against only candidate shingle rows — the corpus text is never
+    rescanned."""
+    from ..pipelines.dedup import minhash_bands
+
+    (
+        minhash_bands(corpus_shingles)
+        .write.mode("overwrite")
+        .partitionBy("band_id")
+        .parquet(f"{base_path}/bands")
+    )
+    corpus_shingles.write.mode("overwrite").parquet(f"{base_path}/shingles")
+
+
+def read_minhash_index(spark: SparkSession, base_path: str):
+    """(bands, shingles) back from storage. band_id returns as a
+    partition-directory column (int-inferred) — cast back to long so
+    joins against freshly-derived band frames stay type-identical."""
+    from pyspark.sql import functions as F
+
+    bands = (
+        spark.read.parquet(f"{base_path}/bands")
+        .withColumn("band_id", F.col("band_id").cast("long"))
+        .select("doc_id", "band_id", "band_key")
+    )
+    return bands, spark.read.parquet(f"{base_path}/shingles")

@@ -1,0 +1,97 @@
+"""Multi-format file sources — the source-format seam (SURVEY §2.1).
+
+The engine's tables are format-agnostic DataFrames: the snapshot
+derivation and every registered query run identically whether the
+underlying rows arrive as parquet (the testdata default), JSON lines, or
+CSV. What differs per format is only schema fidelity:
+
+- parquet: self-describing, nanosecond timestamps (the engine reads it
+  with an explicit schema anyway for stability).
+- json: schema MUST be pinned (inference downgrades longs/doubles
+  inconsistently and is a full extra pass at scale).
+- csv: schema MUST be pinned AND timestamps round-trip through ISO
+  strings; `timestampFormat` below matches `df.write.csv`'s default
+  serialization.
+
+At 100 TB the rule is: columnar in (parquet/ORC) for analytics, row
+formats only at the ingest edge — JSON/CSV readers here exist for edge
+feeds and interop, and both parallelize per-file/per-split exactly like
+the parquet scan (no single-reader bottleneck).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_EXT_FORMAT = {
+    ".parquet": "parquet",
+    ".json": "json",
+    ".jsonl": "json",
+    ".csv": "csv",
+}
+
+# NTZ timestamps serialize via timestampNTZFormat (timestampFormat only
+# governs the zoned type) — set BOTH, at full microsecond precision, or
+# round-trips silently truncate to milliseconds.
+CSV_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def infer_format(path: str) -> str:
+    """Format by extension of the path (or of its files for a directory
+    written by `df.write`): parquet/json/csv."""
+    base = path.rstrip("/")
+    ext = os.path.splitext(base)[1]
+    if not ext and os.path.isdir(base):
+        for name in sorted(os.listdir(base)):
+            e = os.path.splitext(name)[1]
+            if e in _EXT_FORMAT:
+                ext = e
+                break
+    if ext not in _EXT_FORMAT:
+        raise ValueError(f"cannot infer source format of {path!r}")
+    return _EXT_FORMAT[ext]
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str | None = None,
+) -> DataFrame:
+    """Read a table from any supported format with a PINNED schema —
+    schema inference is disallowed by design (silent type drift between
+    formats is how cross-format pipelines rot)."""
+    fmt = fmt or infer_format(path)
+    reader = spark.read.schema(schema)
+    if fmt == "parquet":
+        return reader.parquet(path)
+    if fmt == "json":
+        return _ts_opts(reader).json(path)
+    if fmt == "csv":
+        return _ts_opts(reader.option("header", True)).csv(path)
+    raise ValueError(f"unsupported format {fmt!r}")
+
+
+def write_table(df: DataFrame, path: str, fmt: str) -> None:
+    """Symmetric writer (used by tests to prove the round trip; the
+    timestamp format mirrors read_table's)."""
+    writer = df.write.mode("overwrite")
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "json":
+        _ts_opts(writer).json(path)
+    elif fmt == "csv":
+        _ts_opts(writer.option("header", True)).csv(path)
+    else:
+        raise ValueError(f"unsupported format {fmt!r}")
+
+
+def _ts_opts(rw):
+    """Apply the microsecond timestamp format to a reader/writer for
+    both the zoned and NTZ timestamp types."""
+    return rw.option("timestampFormat", CSV_TS_FORMAT).option(
+        "timestampNTZFormat", CSV_TS_FORMAT
+    )

@@ -259,3 +259,36 @@ def test_streaming_sessionize_monotonic_ids_across_timeout(spark, snaps):
             if r["user_id"] == 1
         )
         assert u1 == [(1, 2, 10), (2, 2, 10)], u1
+
+
+def test_streaming_sketch_state_matches_batch_reach(spark, snaps):
+    """The incrementally-maintained HLL state table serves the same
+    per-type reach estimates as the one-shot batch sketch rollup, and
+    re-unioning a replayed batch leaves every estimate unchanged
+    (HLL idempotence — the replay-safety property the maintainer's
+    docstring claims)."""
+    from kafka_overwatch_spark.operators.relational import (
+        events_user_reach_sketch,
+    )
+    from kafka_overwatch_spark.streaming import events_stream as es
+
+    with tempfile.TemporaryDirectory() as tmp:
+        _split_events(spark, tmp, parts=3)
+        state = f"{tmp}/sketch_state"
+        es.run_reach_sketch_stream(spark, f"{tmp}/in", state, f"{tmp}/ckpt")
+        streamed = {
+            r["event_type"]: r["sketch_users"]
+            for r in es.reach_from_sketch_state(spark, state).collect()
+        }
+        batch = {
+            r["event_type"]: r["sketch_users"]
+            for r in events_user_reach_sketch(spark.table("events")).collect()
+        }
+        assert streamed == batch
+        # idempotence: replay the whole feed as one extra "batch"
+        es.ReachSketchMaintainer(state)(spark.table("events"), batch_id=99)
+        replayed = {
+            r["event_type"]: r["sketch_users"]
+            for r in es.reach_from_sketch_state(spark, state).collect()
+        }
+        assert replayed == streamed

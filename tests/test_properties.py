@@ -325,3 +325,35 @@ def test_vocab_and_length_histogram_match_python(spark):
     # all three docs have <16 tokens → one bucket [0,16)
     assert hist[0]["docs"] == 3 and hist[0]["total_tokens"] == 8
     assert hist[0]["min_tokens"] == 1 and hist[0]["max_tokens"] == 4
+
+
+@settings(max_examples=5, deadline=None)
+@given(TEXTS)
+def test_line_dedup_matches_python(spark, texts):
+    """Property: line_dedup equals a straight-Python fold of the same
+    rule (5-token segment lines, drop lines in ≥2 distinct docs) on
+    arbitrary generated corpora."""
+    from collections import defaultdict
+
+    from kafka_overwatch_spark.pipelines.text import line_dedup
+
+    def norm_toks(t):
+        return re.sub(r"\s+", " ", t.strip()).lower().split(" ")
+
+    def lines_of(t):
+        toks = norm_toks(t)
+        n = (len(toks) + 4) // 5
+        return [" ".join(toks[i * 5:(i + 1) * 5]) for i in range(n)]
+
+    docs_of = defaultdict(set)
+    for i, t in enumerate(texts):
+        for ln in lines_of(t):
+            docs_of[ln].add(i)
+    rows = {r["doc_id"]: r for r in line_dedup(_df(spark, texts)).collect()}
+    for i, t in enumerate(texts):
+        lns = lines_of(t)
+        dup = [ln for ln in lns if len(docs_of[ln]) >= 2]
+        kept = "\n".join(ln for ln in lns if len(docs_of[ln]) < 2)
+        assert rows[i]["n_lines"] == len(lns)
+        assert rows[i]["dup_lines"] == len(dup)
+        assert rows[i]["kept_md5"] == hashlib.md5(kept.encode()).hexdigest()
