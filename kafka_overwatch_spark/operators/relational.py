@@ -21,6 +21,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def day_col(ts: str = "ts") -> F.Column:
+    """The epoch-day bucket shared by every daily rollup, the retention/
+    anomaly windows, and the streaming sketch maintainer — ONE
+    definition so the day boundary cannot drift between the batch and
+    streaming twins."""
+    return F.floor(F.unix_timestamp(ts) / 86400).cast("long")
+
+
+def day_user_sketches(events: DataFrame) -> DataFrame:
+    """Per-(event_type, day) HLL user sketches — the shared grain of the
+    batch reach rollup and the streaming state table
+    (`streaming/events_stream.ReachSketchMaintainer`)."""
+    return events.groupBy("event_type", day_col().alias("day")).agg(
+        F.expr("hll_sketch_agg(CAST(user_id AS STRING))").alias("sk")
+    )
+
+
 def _dec(col: str) -> F.Column:
     return F.col(col).cast("decimal(18,2)")
 
@@ -134,7 +151,7 @@ def local_supplier_volume(
 def events_daily_rollup(events: DataFrame) -> DataFrame:
     """Tumbling-window (1 day) counts/sums per event_type — the batch form
     of the streaming windowed aggregation (§2.9)."""
-    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    day = day_col()
     return (
         events.groupBy(day.alias("day"), F.col("event_type"))
         .agg(
@@ -191,7 +208,7 @@ def events_anomalous_days(
     counts + one rounded division keep it oracle-stable."""
     from pyspark.sql.window import Window
 
-    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    day = day_col()
     daily = events.groupBy(F.col("event_type"), day.alias("day")).agg(
         F.count("*").alias("events")
     )
@@ -247,7 +264,7 @@ def events_retention(
     shuffle on user_id and the activity join reuses that key — one
     partitioning carried across stages; the cohort-level aggregates are
     dim-sized. No skew risk beyond a single user's activity span."""
-    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    day = day_col()
     daily = events.select("user_id", day.alias("day")).distinct()
     first = daily.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     cohort_sizes = first.groupBy("cohort_day").agg(
@@ -366,11 +383,7 @@ def events_user_reach_sketch(events: DataFrame) -> DataFrame:
     Accuracy vs the exact anchor is asserted in tests (relative error
     well under the 5% the sketch parameters promise). Rows-only gate:
     sketch estimates are implementation-defined, no ANSI oracle."""
-    per_day = events.groupBy(
-        F.col("event_type"),
-        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
-    ).agg(F.expr("hll_sketch_agg(cast(user_id AS string))").alias("sk"))
-    rolled = per_day.groupBy("event_type").agg(
+    rolled = day_user_sketches(events).groupBy("event_type").agg(
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").alias(
             "sketch_users"
         )

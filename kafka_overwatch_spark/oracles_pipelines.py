@@ -892,15 +892,16 @@ FROM events GROUP BY event_type"""
     q["text_line_dedup"] = """
 WITH norm AS (SELECT doc_id,
     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
-tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+seg AS (
+  SELECT doc_id,
+    regexp_extract_all(t, '\\S+( \\S+){0,4}') AS lines
+  FROM norm
+),
 lined AS (
   SELECT doc_id,
-    unnest(generate_series(0,
-      CAST(ceil(len(toks) / 5.0) AS INT) - 1)) AS pos,
-    unnest(list_transform(
-      generate_series(0, CAST(ceil(len(toks) / 5.0) AS INT) - 1),
-      i -> array_to_string(toks[i*5+1:i*5+5], ' '))) AS line
-  FROM tok
+    unnest(generate_series(1, len(lines))) AS pos,
+    unnest(lines) AS line
+  FROM seg
 ),
 freq AS (SELECT line, count(DISTINCT doc_id) AS nd FROM lined GROUP BY 1)
 SELECT l.doc_id,

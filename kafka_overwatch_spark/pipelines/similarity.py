@@ -495,6 +495,33 @@ def ivf_index(embeddings: DataFrame, n_cells: int = 16, seed: int = 42):
     return model, assigned
 
 
+def _resolve_trained(
+    trained: tuple | None, embeddings: DataFrame, n_cells: int, seed: int
+) -> tuple:
+    """A passed-in quantizer must actually have the requested geometry —
+    silently probing 16 cells when the caller asked for 32 is the kind
+    of wrong-but-plausible result a shared cache invites."""
+    if trained is None:
+        return ivf_index(embeddings, n_cells=n_cells, seed=seed)
+    model = trained[0]
+    got = len(model.clusterCenters())
+    if got != n_cells:
+        raise ValueError(
+            f"trained quantizer has {got} cells but n_cells={n_cells}; "
+            "train a matching model or drop the n_cells override"
+        )
+    return trained
+
+
+def _normalized_centers(model) -> np.ndarray:
+    """Unit-norm centroid matrix of a fitted KMeans model (shared by the
+    probe path and the cluster rollup)."""
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    return centers / np.maximum(
+        np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: tuple[int, ...] = tuple(range(10)),
@@ -509,13 +536,8 @@ def ivf_topk(
     (model, assignments) to reuse a quantizer trained once per corpus
     (registry.get_ivf) — training is the dominant cost and the model
     serves every probe depth and the cluster rollup alike."""
-    model, assigned = trained or ivf_index(
-        embeddings, n_cells=n_cells, seed=seed
-    )
-    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
-    centers_n = centers / np.maximum(
-        np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
-    )
+    model, assigned = _resolve_trained(trained, embeddings, n_cells, seed)
+    centers_n = _normalized_centers(model)
     sc = embeddings.sparkSession.sparkContext
 
     # probe cells per query (queries are small: driver-side vs broadcast)
@@ -586,13 +608,8 @@ def kmeans_cluster_summary(
     one trained model serves both ANN probing and cluster analytics.
     Rows-only gate (iterative trainer, no ANSI oracle); invariants
     (size total, cell count, cohesion range) are locked in tests."""
-    model, assigned = trained or ivf_index(
-        embeddings, n_cells=n_cells, seed=seed
-    )
-    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
-    centers_n = centers / np.maximum(
-        np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
-    )
+    model, assigned = _resolve_trained(trained, embeddings, n_cells, seed)
+    centers_n = _normalized_centers(model)
     b_centers = embeddings.sparkSession.sparkContext.broadcast(centers_n)
 
     joined = assigned.join(

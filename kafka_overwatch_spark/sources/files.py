@@ -40,16 +40,17 @@ CSV_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
 
 def infer_format(path: str) -> str:
-    """Format by extension of the path (or of its files for a directory
-    written by `df.write`): parquet/json/csv."""
+    """Format by extension of the path, or of the data files inside a
+    directory written by `df.write`. Directories are listed whenever the
+    path IS a directory — a dotted directory name (``events.v2``,
+    ``sf0.1``) is not an extension."""
     base = path.rstrip("/")
-    ext = os.path.splitext(base)[1]
-    if not ext and os.path.isdir(base):
+    if os.path.isdir(base):
         for name in sorted(os.listdir(base)):
             e = os.path.splitext(name)[1]
             if e in _EXT_FORMAT:
-                ext = e
-                break
+                return _EXT_FORMAT[e]
+    ext = os.path.splitext(base)[1]
     if ext not in _EXT_FORMAT:
         raise ValueError(f"cannot infer source format of {path!r}")
     return _EXT_FORMAT[ext]
@@ -71,7 +72,7 @@ def read_table(
     if fmt == "json":
         return _ts_opts(reader).json(path)
     if fmt == "csv":
-        return _ts_opts(reader.option("header", True)).csv(path)
+        return _ts_opts(_csv_opts(reader)).csv(path)
     raise ValueError(f"unsupported format {fmt!r}")
 
 
@@ -84,7 +85,7 @@ def write_table(df: DataFrame, path: str, fmt: str) -> None:
     elif fmt == "json":
         _ts_opts(writer).json(path)
     elif fmt == "csv":
-        _ts_opts(writer.option("header", True)).csv(path)
+        _ts_opts(_csv_opts(writer)).csv(path)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 
@@ -94,4 +95,24 @@ def _ts_opts(rw):
     both the zoned and NTZ timestamp types."""
     return rw.option("timestampFormat", CSV_TS_FORMAT).option(
         "timestampNTZFormat", CSV_TS_FORMAT
+    )
+
+
+def _csv_opts(rw):
+    """CSV fidelity options, symmetric on both sides:
+
+    - multiLine: quoted fields with embedded newlines (document text)
+      parse as ONE row. Caveat at scale: multiLine forces whole-file
+      reads (no intra-file split parallelism) — another reason CSV
+      stays at the ingest edge.
+    - escape '"': RFC-4180 doubled-quote escaping on both sides.
+    - nullValue '\\N': nulls serialize as an explicit sentinel so the
+      reader can tell them from empty strings (default read collapses
+      BOTH to null) — null-vs-empty round-trips exactly.
+    """
+    return (
+        rw.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .option("nullValue", "\\N")
     )

@@ -184,32 +184,47 @@ class ReachSketchMaintainer:
     State write: merged state is localCheckpoint-ed (materialized,
     lineage cut from the files being overwritten) before the overwrite —
     same pattern as `streaming/incremental.py` (NOTES lesson 8).
+
+    First-batch detection is an explicit filesystem existence probe
+    (Hadoop FS API, so it works on s3a/hdfs paths too) — NOT a
+    try/except around the read: a corrupt or partially-written state
+    dir must fail the batch loudly, never be silently mistaken for
+    "no state yet" (which would reset all accumulated reach history).
     """
 
     def __init__(self, state_dir: str) -> None:
         self.state_dir = state_dir
 
+    def _state_exists(self, spark: SparkSession) -> bool:
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self.state_dir)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(path))
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.relational import day_user_sketches
+
         spark = batch_df.sparkSession
-        batch_sk = batch_df.groupBy(
-            "event_type",
-            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
-        ).agg(F.expr("hll_sketch_agg(CAST(user_id AS STRING))").alias("sk"))
-        try:
+        batch_sk = day_user_sketches(batch_df)
+        if self._state_exists(spark):
             prev = spark.read.parquet(self.state_dir)
             merged = (
                 prev.unionByName(batch_sk)
                 .groupBy("event_type", "day")
                 .agg(F.expr("hll_union_agg(sk)").alias("sk"))
             )
-        except Exception:  # first batch: no state yet
+        else:  # first batch: no state yet
             merged = batch_sk
         merged = merged.localCheckpoint(eager=True)
         merged.write.mode("overwrite").parquet(self.state_dir)
 
 
 def run_reach_sketch_stream(
-    spark: SparkSession, input_dir: str, state_dir: str, checkpoint: str
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint: str,
+    timeout_sec: int = 300,
 ) -> None:
     """Drain the events feed into the sketch state table
     (availableNow; production uses a processing-time trigger)."""
@@ -220,7 +235,12 @@ def run_reach_sketch_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"reach-sketch drain exceeded {timeout_sec}s; state at "
+            f"{state_dir} is incomplete"
+        )
 
 
 def reach_from_sketch_state(spark: SparkSession, state_dir: str) -> DataFrame:

@@ -51,3 +51,31 @@ def test_query_over_csv_copy_matches_parquet_oracle(spark):
             )
         finally:
             con.close()
+
+
+def test_csv_round_trip_newlines_and_empty_strings(spark):
+    """CSV fidelity corners: embedded newlines inside quoted fields
+    (multiLine), empty string vs null (sentinel nullValue), and quotes/
+    commas round-trip exactly; dotted directory names still infer."""
+    from kafka_overwatch_spark.sources.files import (
+        infer_format,
+        read_table,
+        write_table,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "line one\nline two\nline three", "en"),
+            (1, "", "es"),
+            (2, 'quote " and, comma', "fr"),
+            (3, None, "de"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    want = sorted(map(tuple, df.collect()))
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/docs.v2"  # dotted dir name
+        write_table(df, path, "csv")
+        assert infer_format(path) == "csv"
+        got = read_table(spark, path, df.schema)
+        assert sorted(map(tuple, got.collect())) == want

@@ -72,7 +72,9 @@ def test_user_reach_sketch_accuracy(spark):
         events_user_reach_sketch,
     )
 
-    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    from tests.conftest import SF01_DIR
+
+    ev = spark.read.parquet(f"{SF01_DIR}/events.parquet")
     exact = {r["event_type"]: r["exact_users"] for r in events_user_reach(ev).collect()}
     sk = {r["event_type"]: r for r in events_user_reach_sketch(ev).collect()}
     assert set(exact) == set(sk)
@@ -90,7 +92,9 @@ def test_value_quantile_sketch_accuracy(spark):
     )
     from pyspark.sql import functions as F
 
-    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    from tests.conftest import SF01_DIR
+
+    ev = spark.read.parquet(f"{SF01_DIR}/events.parquet")
     exact = {r["event_type"]: r for r in events_value_quantiles(ev).collect()}
     approx = {
         r["event_type"]: r
