@@ -132,6 +132,106 @@ LAG_CTE = _lag_cte(None)
 from .operators.usage import WASTE_PREDICATES as WASTE_FILTERS  # noqa: E402
 
 
+def _report_scalars_ctes(cluster: str, sfx: str) -> str:
+    """CTE chain of the report-scalars companion for one cluster; names
+    suffixed so per-cluster bodies can coexist in one UNION statement."""
+    return (
+        _topics_df_cte(cluster, sfx)
+        + f""",
+tot{sfx} AS (SELECT count(*) AS total FROM topics_df{sfx}),
+ma{sfx} AS (
+  SELECT name, partitions, total_messages, new_messages, active_groups
+  FROM topics_df{sfx},
+    (SELECT quantile_cont(new_messages, 0.75) AS q_new,
+            quantile_cont(total_messages, 0.75) AS q_total
+     FROM topics_df{sfx}) t
+  WHERE new_messages > q_new AND total_messages > q_total
+    AND active_groups > 0
+),
+gov{sfx} AS (
+  SELECT name,
+    regexp_matches(name, '^_.*$') AS excluded_name,
+    regexp_matches(name, '^[a-z]+\\.[a-z]+\\..*$') AS compliant_name
+  FROM topics WHERE cluster = '{cluster}'
+),
+ggov{sfx} AS (
+  SELECT group_id AS name,
+    regexp_matches(group_id, '^_.*$') AS excluded_name,
+    regexp_matches(group_id, '^cg-[0-9]+$') AS compliant_name
+  FROM consumer_groups WHERE cluster = '{cluster}'
+)"""
+    )
+
+
+def _report_scalars_select(cluster: str, sfx: str) -> str:
+    """SELECT body of the report-scalars companion for one cluster."""
+    cat_scalars = ",\n".join(
+        f"""
+  (SELECT '{{' || coalesce(string_agg(
+      '"' || name || '":' || CAST(partitions AS STRING), ',' ORDER BY name),
+      '') || '}}' FROM topics_df{sfx} WHERE {flt}) AS {cat}_topics_json,
+  (SELECT CAST(count(name) AS BIGINT) FROM topics_df{sfx} WHERE {flt})
+    AS {cat}_topics_count,
+  (SELECT CAST(coalesce(sum(partitions), 0) AS BIGINT) FROM topics_df{sfx}
+   WHERE {flt}) AS {cat}_partitions_sum,
+  (SELECT CAST(floor((CAST(count(name) AS DOUBLE)
+      / (SELECT total FROM tot{sfx})) * 100) AS BIGINT) FROM topics_df{sfx}
+   WHERE {flt}) AS {cat}_pct"""
+        for cat, flt in WASTE_FILTERS.items()
+    )
+    gov_block = ",\n".join(
+        f"""
+  (SELECT CAST(count(*) AS BIGINT) FROM {g}{sfx}) AS {p}_total,
+  (SELECT CAST(sum(CASE WHEN excluded_name THEN 1 ELSE 0 END) AS BIGINT)
+   FROM {g}{sfx}) AS {p}_total_ignored,
+  (SELECT CAST(count(*) - sum(CASE WHEN excluded_name THEN 1 ELSE 0 END)
+      AS BIGINT) FROM {g}{sfx}) AS {p}_total_measured,
+  (SELECT CAST(sum(CASE WHEN NOT compliant_name AND NOT excluded_name
+      THEN 1 ELSE 0 END) AS BIGINT) FROM {g}{sfx})
+    AS {p}_non_compliant_count,
+  (SELECT round(100 - (CAST(sum(CASE WHEN NOT compliant_name AND NOT
+      excluded_name THEN 1 ELSE 0 END) AS DOUBLE) * 100)
+      / (count(*) - sum(CASE WHEN excluded_name THEN 1 ELSE 0 END)), 6)
+   FROM {g}{sfx}) AS {p}_compliant_percentage"""
+        for g, p in (("gov", "gov"), ("ggov", "ggov"))
+    )
+    return f"""
+SELECT
+  '{cluster}' AS cluster_name,
+  (SELECT CAST(count(name) AS BIGINT) FROM topics_df{sfx}) AS stat_topics,
+  (SELECT CAST(coalesce(sum(partitions), 0) AS BIGINT) FROM topics_df{sfx})
+    AS stat_partitions,
+  (SELECT '{{' || coalesce(string_agg(
+      '"' || name || '":{{"partitions":' || CAST(partitions AS STRING)
+      || ',"total_messages":' || CAST(total_messages AS STRING)
+      || ',"new_messages":' || CAST(new_messages AS STRING)
+      || ',"active_groups":' || CAST(active_groups AS STRING) || '}}',
+      ',' ORDER BY name), '') || '}}' FROM ma{sfx}) AS most_active_json,
+  (SELECT CAST(count(*) AS BIGINT) FROM consumer_groups
+   WHERE cluster = '{cluster}') AS cg_total,
+  (SELECT CAST(coalesce(sum(CASE WHEN state NOT IN ('DEAD','EMPTY')
+      AND members > 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+   FROM consumer_groups WHERE cluster = '{cluster}') AS cg_active,
+  (SELECT CAST(count(*) - coalesce(sum(CASE WHEN state NOT IN
+      ('DEAD','EMPTY') AND members > 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+   FROM consumer_groups WHERE cluster = '{cluster}') AS cg_inactive,
+{cat_scalars},
+{gov_block},
+  (SELECT CAST(count(*) AS BIGINT) FROM subjects) AS sr_subjects_count,
+  (SELECT CAST(count(*) AS BIGINT) FROM schemas) AS sr_schemas_count,
+  (SELECT CAST(count(*) AS BIGINT) FROM subject_versions)
+    AS sr_versions_count,
+  (SELECT CAST(count(*) AS BIGINT) FROM subjects
+   WHERE replace(replace(subject, '-value', ''), '-key', '')
+         NOT IN (SELECT name FROM topics WHERE cluster = '{cluster}'))
+    AS sr_unused_subjects_count,
+  (SELECT '[' || coalesce(string_agg('"' || subject || '"', ','
+      ORDER BY subject), '') || ']' FROM subjects
+   WHERE replace(replace(subject, '-value', ''), '-key', '')
+         NOT IN (SELECT name FROM topics WHERE cluster = '{cluster}'))
+    AS sr_detected_unused_json"""
+
+
 def oracle_queries() -> dict[str, str]:
     q: dict[str, str] = {}
 
@@ -278,102 +378,20 @@ WHERE cg.cluster = 'primary'"""
 
     # hash-checkable companion of cluster_report: every leaf of the nested
     # report struct as a column; the two map leaves rendered as the exact
-    # JSON strings Spark's to_json emits (sorted keys, no whitespace)
-    cat_scalars = ",\n".join(
-        f"""
-  (SELECT '{{' || coalesce(string_agg(
-      '"' || name || '":' || CAST(partitions AS STRING), ',' ORDER BY name),
-      '') || '}}' FROM topics_df WHERE {flt}) AS {cat}_topics_json,
-  (SELECT CAST(count(name) AS BIGINT) FROM topics_df WHERE {flt})
-    AS {cat}_topics_count,
-  (SELECT CAST(coalesce(sum(partitions), 0) AS BIGINT) FROM topics_df
-   WHERE {flt}) AS {cat}_partitions_sum,
-  (SELECT CAST(floor((CAST(count(name) AS DOUBLE)
-      / (SELECT total FROM tot)) * 100) AS BIGINT) FROM topics_df
-   WHERE {flt}) AS {cat}_pct"""
-        for cat, flt in WASTE_FILTERS.items()
-    )
+    # JSON strings Spark's to_json emits (sorted keys, no whitespace).
+    # Parameterized by (cluster, CTE suffix) so the fleet variant can
+    # UNION ALL per-cluster bodies in one statement.
     q["cluster_report_scalars"] = _snap(
-        TOPICS_DF_CTE
-        + """,
-tot AS (SELECT count(*) AS total FROM topics_df),
-ma AS (
-  SELECT name, partitions, total_messages, new_messages, active_groups
-  FROM topics_df,
-    (SELECT quantile_cont(new_messages, 0.75) AS q_new,
-            quantile_cont(total_messages, 0.75) AS q_total FROM topics_df) t
-  WHERE new_messages > q_new AND total_messages > q_total
-    AND active_groups > 0
-),
-gov AS (
-  SELECT name,
-    regexp_matches(name, '^_.*$') AS excluded_name,
-    regexp_matches(name, '^[a-z]+\\.[a-z]+\\..*$') AS compliant_name
-  FROM topics WHERE cluster = 'primary'
-),
-ggov AS (
-  SELECT group_id AS name,
-    regexp_matches(group_id, '^_.*$') AS excluded_name,
-    regexp_matches(group_id, '^cg-[0-9]+$') AS compliant_name
-  FROM consumer_groups WHERE cluster = 'primary'
-)
-SELECT
-  'primary' AS cluster_name,
-  (SELECT CAST(count(name) AS BIGINT) FROM topics_df) AS stat_topics,
-  (SELECT CAST(coalesce(sum(partitions), 0) AS BIGINT) FROM topics_df)
-    AS stat_partitions,
-  (SELECT '{' || coalesce(string_agg(
-      '"' || name || '":{"partitions":' || CAST(partitions AS STRING)
-      || ',"total_messages":' || CAST(total_messages AS STRING)
-      || ',"new_messages":' || CAST(new_messages AS STRING)
-      || ',"active_groups":' || CAST(active_groups AS STRING) || '}',
-      ',' ORDER BY name), '') || '}' FROM ma) AS most_active_json,
-  (SELECT CAST(count(*) AS BIGINT) FROM consumer_groups
-   WHERE cluster = 'primary') AS cg_total,
-  (SELECT CAST(coalesce(sum(CASE WHEN state NOT IN ('DEAD','EMPTY')
-      AND members > 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
-   FROM consumer_groups WHERE cluster = 'primary') AS cg_active,
-  (SELECT CAST(count(*) - coalesce(sum(CASE WHEN state NOT IN
-      ('DEAD','EMPTY') AND members > 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
-   FROM consumer_groups WHERE cluster = 'primary') AS cg_inactive,
-"""
-        + cat_scalars
-        + """,
-  (SELECT CAST(count(*) AS BIGINT) FROM gov) AS gov_total,
-  (SELECT CAST(sum(CASE WHEN excluded_name THEN 1 ELSE 0 END) AS BIGINT)
-   FROM gov) AS gov_total_ignored,
-  (SELECT CAST(count(*) - sum(CASE WHEN excluded_name THEN 1 ELSE 0 END)
-      AS BIGINT) FROM gov) AS gov_total_measured,
-  (SELECT CAST(sum(CASE WHEN NOT compliant_name AND NOT excluded_name
-      THEN 1 ELSE 0 END) AS BIGINT) FROM gov) AS gov_non_compliant_count,
-  (SELECT round(100 - (CAST(sum(CASE WHEN NOT compliant_name AND NOT
-      excluded_name THEN 1 ELSE 0 END) AS DOUBLE) * 100)
-      / (count(*) - sum(CASE WHEN excluded_name THEN 1 ELSE 0 END)), 6)
-   FROM gov) AS gov_compliant_percentage,
-  (SELECT CAST(count(*) AS BIGINT) FROM ggov) AS ggov_total,
-  (SELECT CAST(sum(CASE WHEN excluded_name THEN 1 ELSE 0 END) AS BIGINT)
-   FROM ggov) AS ggov_total_ignored,
-  (SELECT CAST(count(*) - sum(CASE WHEN excluded_name THEN 1 ELSE 0 END)
-      AS BIGINT) FROM ggov) AS ggov_total_measured,
-  (SELECT CAST(sum(CASE WHEN NOT compliant_name AND NOT excluded_name
-      THEN 1 ELSE 0 END) AS BIGINT) FROM ggov) AS ggov_non_compliant_count,
-  (SELECT round(100 - (CAST(sum(CASE WHEN NOT compliant_name AND NOT
-      excluded_name THEN 1 ELSE 0 END) AS DOUBLE) * 100)
-      / (count(*) - sum(CASE WHEN excluded_name THEN 1 ELSE 0 END)), 6)
-   FROM ggov) AS ggov_compliant_percentage,
-  (SELECT CAST(count(*) AS BIGINT) FROM subjects) AS sr_subjects_count,
-  (SELECT CAST(count(*) AS BIGINT) FROM schemas) AS sr_schemas_count,
-  (SELECT CAST(count(*) AS BIGINT) FROM subject_versions)
-    AS sr_versions_count,
-  (SELECT CAST(count(*) AS BIGINT) FROM subjects
-   WHERE replace(replace(subject, '-value', ''), '-key', '')
-         NOT IN (SELECT name FROM topics WHERE cluster = 'primary'))
-    AS sr_unused_subjects_count,
-  (SELECT '[' || coalesce(string_agg('"' || subject || '"', ','
-      ORDER BY subject), '') || ']' FROM subjects
-   WHERE replace(replace(subject, '-value', ''), '-key', '')
-         NOT IN (SELECT name FROM topics WHERE cluster = 'primary'))
-    AS sr_detected_unused_json"""
+        _report_scalars_ctes("primary", "")
+        + _report_scalars_select("primary", "")
+    )
+    q["cluster_report_scalars_by_cluster"] = _snap(
+        _report_scalars_ctes("analytics", "_a")
+        + ",\n"
+        + _report_scalars_ctes("primary", "_p")
+        + _report_scalars_select("analytics", "_a")
+        + "\nUNION ALL\n"
+        + _report_scalars_select("primary", "_p")
     )
 
     # --- governance (per-cluster: 'primary') ---

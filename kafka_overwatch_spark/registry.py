@@ -252,11 +252,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         get_snaps(s, d), lag_rows=get_lag_rows(s, d)
     )
     q["groups_df"] = get_groups_df
-    # A11 full nested shape — rows-only (nested arrays, no SQL oracle)
-    q["lag_nested"] = lambda s, d: lagops.lag_nested(
-        get_snaps(s, d), lag_rows=get_lag_rows(s, d)
-    )
-    # hash-checkable companion (to_json'd array) — full oracle coverage
+    # A11 nested lag shape: the REGISTERED surface is the to_json'd
+    # companion (full oracle coverage). The raw array<struct> variant
+    # (lagops.lag_nested) stays a library function exercised by
+    # tests/test_lag_semantics.py — the driver's canonicalizer cannot
+    # factorize nested columns, so registering it would only record a
+    # permanent harness error, not a check.
     q["lag_nested_json"] = lambda s, d: lagops.lag_nested_json(
         get_snaps(s, d), lag_rows=get_lag_rows(s, d)
     )
@@ -316,13 +317,13 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         get_snaps(s, d), lag_rows=get_lag_rows(s, d)
     )
 
-    # K1/§3.2: the nested ClusterReport as a single-row frame. No ANSI-SQL
-    # oracle (deeply nested struct + maps) — the driver records the weaker
-    # rows-only check for this one, by design.
-    q["cluster_report"] = lambda s, d: reportops.build_cluster_report(
-        get_cluster_snaps(s, d), topics_df=get_topics_df(s, d)
-    )
-    # hash-checkable companion: every report-struct leaf as a column
+    # K1/§3.2: the nested ClusterReport itself (reportops.
+    # build_cluster_report) is a library function — its REGISTERED
+    # surface is the scalars companion below (every leaf of the nested
+    # struct as a hash-checked column, selected from the SAME row so it
+    # cannot drift), plus the JSON-schema contract in tests/
+    # test_report.py. Registering the raw nested row would only record a
+    # permanent canonicalizer error in the driver artifact.
     q["cluster_report_scalars"] = lambda s, d: reportops.cluster_report_scalars(
         get_cluster_snaps(s, d), topics_df=get_topics_df(s, d)
     )
@@ -330,17 +331,16 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per cluster, mirroring overwatch.py:92-120)
     q["cluster_statistics_by_cluster"] = _cluster_statistics_by_cluster
 
-    # full report fan-out: one nested ClusterReport row PER cluster —
-    # the reference's one-report-process-per-cluster topology
-    # (overwatch.py:92-120) as a driver loop over pruned snapshots.
-    # Rows-only (nested struct, like cluster_report).
-    def _cluster_report_all(s: SparkSession, d: str) -> DataFrame:
+    # full report fan-out, hash-checked: the scalars companion run once
+    # per cluster (the reference's one-report-process-per-cluster
+    # topology, overwatch.py:92-120)
+    def _cluster_report_scalars_all(s: SparkSession, d: str) -> DataFrame:
         clusters = sorted(
             r["cluster"]
             for r in get_snaps(s, d)["topics"].select("cluster").distinct().collect()
         )
         parts = [
-            reportops.build_cluster_report(
+            reportops.cluster_report_scalars(
                 get_cluster_snaps(s, d, c), c,
                 topics_df=get_topics_df(s, d, c),
             )
@@ -351,7 +351,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out = out.unionByName(p)
         return out
 
-    q["cluster_report_all_clusters"] = _cluster_report_all
+    q["cluster_report_scalars_by_cluster"] = _cluster_report_scalars_all
 
     # kafka-ops extensions (per-cluster)
     q["partition_balance"] = lambda s, d: usage.partition_balance(
