@@ -72,6 +72,7 @@ EXTRA = [
     "events_value_quantiles",
     "emb_cluster_summary",
     "ann_ivf_topk",
+    "lag_distribution",
 ]
 
 

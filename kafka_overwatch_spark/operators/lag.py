@@ -170,3 +170,30 @@ def build_groups_df(
             "is_active",
         )
     )
+
+
+def lag_distribution(
+    snaps: dict[str, DataFrame], lag_rows: DataFrame | None = None
+) -> DataFrame:
+    """Per-(cluster, group) lag distribution over its partitions — the
+    SLA question the reference's scalar `overall_lag` cannot answer
+    (a group with total lag 1000 spread evenly is healthy; the same
+    total stuck on one partition is an incident). Exact percentiles
+    (dim-grain input, the full sort is trivial; at real scale the
+    approx_percentile sketch swaps in — see events_value_quantiles).
+    """
+    rows = lag_rows if lag_rows is not None else lag_per_partition(snaps)
+    return rows.groupBy("cluster", "group_id").agg(
+        F.count("*").cast("long").alias("partitions_measured"),
+        F.sum("lag").cast("long").alias("total_lag"),
+        F.max("lag").cast("long").alias("max_partition_lag"),
+        F.round(F.expr("percentile(lag, 0.5)"), 6).alias("p50_lag"),
+        F.round(F.expr("percentile(lag, 0.95)"), 6).alias("p95_lag"),
+        # share of the group's lag carried by its worst partition —
+        # 1.0 = single-partition hotspot, 1/n = perfectly even
+        F.round(
+            F.max("lag").cast("double")
+            / F.nullif(F.sum("lag").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("hotspot_share"),
+    )

@@ -341,6 +341,19 @@ SELECT cluster, group_id, topic, CAST(sum(lag) AS BIGINT) AS total_lag,
 FROM lag_rows GROUP BY cluster, group_id, topic
 HAVING sum(lag) <> 0"""
     )
+    # per-group lag distribution (SLA/hotspot view over partitions)
+    q["lag_distribution"] = _snap(
+        LAG_CTE
+        + """
+SELECT cluster, group_id,
+  CAST(count(*) AS BIGINT) AS partitions_measured,
+  CAST(sum(lag) AS BIGINT) AS total_lag,
+  CAST(max(lag) AS BIGINT) AS max_partition_lag,
+  round(quantile_cont(lag, 0.5), 6) AS p50_lag,
+  round(quantile_cont(lag, 0.95), 6) AS p95_lag,
+  round(max(lag) * 1.0 / nullif(sum(lag), 0), 6) AS hotspot_share
+FROM lag_rows GROUP BY cluster, group_id"""
+    )
     # hash-checkable companion of lag_nested: the partition_lags array
     # rendered exactly as Spark's to_json emits it
     q["lag_nested_json"] = _snap(

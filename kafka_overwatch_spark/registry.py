@@ -251,6 +251,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lag_per_topic"] = lambda s, d: lagops.lag_per_topic(
         get_snaps(s, d), lag_rows=get_lag_rows(s, d)
     )
+    q["lag_distribution"] = lambda s, d: lagops.lag_distribution(
+        get_snaps(s, d), lag_rows=get_lag_rows(s, d)
+    )
     q["groups_df"] = get_groups_df
     # A11 nested lag shape: the REGISTERED surface is the to_json'd
     # companion (full oracle coverage). The raw array<struct> variant
