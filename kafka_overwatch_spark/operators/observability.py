@@ -32,29 +32,38 @@ def scan_health_metrics() -> dict[str, F.Column]:
     counters the reference tracks per scan (row volume, topic fan-out)
     plus the data-quality counts a collector should alarm on (negative
     offsets = broken watermark fetch, end < start = corrupt sample)."""
+    # count-like sums coalesce to 0 so an EMPTY scan (unreachable
+    # cluster) reads "0 bad rows of 0", not null; max stays null over
+    # empty input and the publish adapter skips it
     return {
         "rows": F.count(F.lit(1)),
         "topics": F.approx_count_distinct("topic"),
-        "negative_offsets": F.sum(
-            (F.col("end_offset") < 0).cast("long")
+        "negative_offsets": F.coalesce(
+            F.sum((F.col("end_offset") < 0).cast("long")), F.lit(0)
         ),
-        "inverted_watermarks": F.sum(
-            (F.col("end_offset") < F.col("start_offset")).cast("long")
+        "inverted_watermarks": F.coalesce(
+            F.sum(
+                (F.col("end_offset") < F.col("start_offset")).cast("long")
+            ),
+            F.lit(0),
         ),
         "max_end_offset": F.max("end_offset"),
     }
 
 
 def observed_partition_offsets(
-    snaps: dict[str, DataFrame],
+    snaps: dict[str, DataFrame], cluster: str = "primary"
 ) -> tuple[DataFrame, Observation]:
-    """`partition_offsets` with the scan-health instruments attached:
-    run ANY downstream query off the returned frame and the metrics of
-    the rows that actually flowed are available on the observation."""
+    """One cluster's `partition_offsets` with the scan-health
+    instruments attached: run ANY downstream query off the returned
+    frame and the metrics of the rows that actually flowed are available
+    on the observation. The cluster filter sits BELOW the observe node
+    (filters don't push past CollectMetrics), so the instruments count
+    exactly the rows the label claims — the reference's gauges are
+    likewise per-cluster (`monitoring/prometheus.py:7-75`)."""
+    po = snaps["partition_offsets"].filter(F.col("cluster") == cluster)
     return observed(
-        snaps["partition_offsets"],
-        "partition_offsets_scan",
-        scan_health_metrics(),
+        po, f"partition_offsets_scan_{cluster}", scan_health_metrics()
     )
 
 
@@ -63,8 +72,10 @@ def observation_metric_rows(obs: Observation, cluster: str) -> list[tuple]:
     (metric, cluster, group_id, topic, value) — plugs straight into the
     Prometheus sinks (`sinks/prometheus.render_exposition` /
     `push_to_gateway`), so scan-health instruments publish next to the
-    reference's gauge families."""
+    reference's gauge families. Null metrics (e.g. max over an empty
+    scan) are skipped — absence of a gauge, not a fabricated 0."""
     return [
         (f"kafka_scan_{name}", cluster, None, None, int(v))
         for name, v in obs.get.items()
+        if v is not None
     ]

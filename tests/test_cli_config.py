@@ -47,7 +47,12 @@ def test_cli_list_names_every_registered_query(capsys):
 
     assert main(["list"]) == 0
     out = capsys.readouterr().out
-    for expected in ("topics_df", "dedup_minhash_lsh", "cluster_report"):
+    for expected in (
+        "topics_df",
+        "dedup_minhash_lsh",
+        "cluster_report_scalars",
+        "lag_distribution",
+    ):
         assert expected in out
     assert "[rows-only]" in out and "[oracle]" in out
 

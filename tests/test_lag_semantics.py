@@ -66,3 +66,35 @@ def test_zero_total_lag_topic_omitted(spark):
     assert "g2" not in by_group  # total_lag == 0 → omitted
     assert by_group["g1"].total_lag == 5
     assert by_group["g1"].partitions_measured == 1
+
+
+def test_lag_nested_shape_matches_flat_rows(spark):
+    """The A11 nested shape (array<struct<partition_id, lag>> + total)
+    agrees element-for-element with the flat per-partition rows it
+    aggregates — the raw nested variant is library-only (its registered
+    surface is the to_json companion), so this is its direct gate."""
+    from kafka_overwatch_spark.operators.lag import lag_nested
+
+    snaps = _snaps(spark)
+    flat: dict = {}
+    for r in lag_per_partition(snaps).collect():
+        flat.setdefault((r.group_id, r.topic), []).append(
+            (r.partition_id, r.lag)
+        )
+    nested = lag_nested(snaps).collect()
+    got = {
+        (r.group_id, r.topic): (
+            r.total_lag,
+            sorted((p.partition_id, p.lag) for p in r.partition_lags),
+        )
+        for r in nested
+    }
+    # zero-total topics omitted, like the reference's lag dict
+    want_keys = {
+        k for k, v in flat.items() if sum(lag for _, lag in v) != 0
+    }
+    assert set(got) == want_keys
+    for k in want_keys:
+        total, pairs = got[k]
+        assert pairs == sorted(flat[k])
+        assert total == sum(lag for _, lag in flat[k])

@@ -11,11 +11,11 @@ def test_scan_health_metrics_match_direct_aggregation(spark, snaps):
         observed_partition_offsets,
     )
 
-    po, obs = observed_partition_offsets(snaps)
+    po, obs = observed_partition_offsets(snaps, cluster="primary")
     # any action materializes the metrics — here a downstream aggregation
     n_rows_through = po.count()
     got = obs.get
-    want = snaps["partition_offsets"].agg(
+    want = snaps["partition_offsets"].filter(F.col("cluster") == "primary").agg(
         F.count(F.lit(1)).alias("rows"),
         F.sum((F.col("end_offset") < 0).cast("long")).alias("neg"),
         F.sum(
@@ -29,9 +29,32 @@ def test_scan_health_metrics_match_direct_aggregation(spark, snaps):
     assert got["max_end_offset"] == want["mx"]
     # approx distinct within sketch tolerance of the exact count
     exact_topics = (
-        snaps["partition_offsets"].select("topic").distinct().count()
+        snaps["partition_offsets"]
+        .filter(F.col("cluster") == "primary")
+        .select("topic")
+        .distinct()
+        .count()
     )
     assert abs(got["topics"] - exact_topics) / exact_topics <= 0.05
+
+
+def test_empty_scan_metrics_are_null_safe(spark, snaps):
+    """An empty scan (unreachable cluster) must publish zero counts and
+    silently skip valueless gauges — not crash the publish path."""
+    from kafka_overwatch_spark.operators.observability import (
+        observation_metric_rows,
+        observed,
+        scan_health_metrics,
+    )
+
+    empty = snaps["partition_offsets"].filter(F.lit(False))
+    df, obs = observed(empty, "empty_scan", scan_health_metrics())
+    df.count()
+    rows = {m: v for (m, _, _, _, v) in observation_metric_rows(obs, "x")}
+    assert rows["kafka_scan_rows"] == 0
+    assert rows["kafka_scan_negative_offsets"] == 0
+    assert rows["kafka_scan_inverted_watermarks"] == 0
+    assert "kafka_scan_max_end_offset" not in rows  # null → skipped
 
 
 def test_observed_metrics_see_only_flowing_rows(spark, snaps):
