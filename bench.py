@@ -73,6 +73,7 @@ EXTRA = [
     "emb_cluster_summary",
     "ann_ivf_topk",
     "lag_distribution",
+    "events_asof_attribution",
 ]
 
 

@@ -409,3 +409,64 @@ def events_value_quantiles(events: DataFrame) -> DataFrame:
         F.round(F.min(val), 6).alias("vmin"),
         F.round(F.max(val), 6).alias("vmax"),
     )
+
+
+def asof_attribution(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "view",
+) -> DataFrame:
+    """As-of join: each ``left_type`` event matched to the most recent
+    ``right_type`` event by the same user at or before its timestamp —
+    the attribution query (which view led to this purchase?) and the
+    canonical time-series point-in-time lookup Spark has no native
+    operator for.
+
+    Physical strategy: NOT a join. Tag both event sets, union them, and
+    carry the latest right-event forward with ``last(ignorenulls)`` over
+    ONE (user)-keyed window — a single shuffle, no range-condition
+    explosion, no per-row probe. At 100 TB this is the only shape that
+    survives: an inequality join would either build per-user arrays or
+    fall into a broadcast-nested-loop. Unmatched left events keep null
+    match columns (ASOF LEFT semantics). Oracle: DuckDB's native
+    ``ASOF LEFT JOIN``.
+    """
+    from pyspark.sql.window import Window
+
+    relevant = events.filter(
+        F.col("event_type").isin(left_type, right_type)
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.col("event_type") == right_type, F.col("event_id")
+        ).alias("r_id"),
+        F.when(F.col("event_type") == right_type, F.col("ts")).alias(
+            "r_ts"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = relevant.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last("r_id", ignorenulls=True).over(w).alias("matched_id"),
+        F.last("r_ts", ignorenulls=True).over(w).alias("matched_ts"),
+    )
+    sec = F.unix_timestamp("ts")
+    msec = F.unix_timestamp("matched_ts")
+    return filled.filter(F.col("event_type") == left_type).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        sec.alias("purchase_ts_sec"),
+        F.col("matched_id").alias("view_id"),
+        msec.alias("view_ts_sec"),
+        (sec - msec).cast("long").alias("gap_sec"),
+    )

@@ -868,6 +868,30 @@ q AS (SELECT quantile_cont(events, 0.95) AS q95 FROM per_user)
 SELECT user_id, events, round(total_value, 2) AS total_value, distinct_types
 FROM per_user, q WHERE events > q95"""
 
+    # as-of attribution: Spark side is union + window carry-forward;
+    # the oracle is DuckDB's NATIVE ASOF LEFT JOIN — two entirely
+    # different algorithms agreeing on every row is the point
+    q["events_asof_attribution"] = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts FROM events
+  WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT event_id AS view_id, user_id, ts FROM events
+  WHERE event_type = 'view'
+)
+SELECT p.purchase_id, p.user_id,
+  CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', p.ts)
+    AS BIGINT) AS purchase_ts_sec,
+  v.view_id,
+  CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', v.ts)
+    AS BIGINT) AS view_ts_sec,
+  CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', p.ts)
+    - date_diff('second', TIMESTAMP '1970-01-01 00:00:00', v.ts)
+    AS BIGINT) AS gap_sec
+FROM p ASOF LEFT JOIN v
+  ON p.user_id = v.user_id AND v.ts <= p.ts"""
+
     # exact per-type value quantiles (anchor for approx_percentile)
     q["events_value_quantiles"] = """
 SELECT event_type,

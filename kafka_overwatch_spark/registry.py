@@ -588,6 +588,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_value_quantiles"] = lambda s, d: relational.events_value_quantiles(
         raw(s, d, "events")
     )
+    q["events_asof_attribution"] = lambda s, d: relational.asof_attribution(
+        raw(s, d, "events")
+    )
     # mergeable-sketch counting surface: estimates are implementation-
     # defined (HLL++ / Datasketches) → rows-only gate; accuracy vs the
     # exact anchor asserted in tests/test_usage_extras.py

@@ -102,6 +102,8 @@ def test_no_python_udf_in_reference_paths(spark, snaps):
         "text_vocab_stats",
         "events_user_reach",
         "events_user_reach_sketch",
+        "events_asof_attribution",
+        "lag_distribution",
     ]
     queries = registry.spark_queries()
     for name in jvm_only:
