@@ -447,9 +447,14 @@ def asof_attribution(
             "r_ts"
         ),
     )
+    # tie-break: at EQUAL timestamps the right side must sort first so
+    # the carry-forward includes it — ASOF's `v.ts <= p.ts` is
+    # inclusive; ordering by event_id alone would make same-instant
+    # matches depend on id assignment
+    right_first = (F.col("event_type") == left_type).cast("int")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", right_first, "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = relevant.select(

@@ -357,3 +357,54 @@ def test_line_dedup_matches_python(spark, texts):
         assert rows[i]["n_lines"] == len(lns)
         assert rows[i]["dup_lines"] == len(dup)
         assert rows[i]["kept_md5"] == hashlib.md5(kept.encode()).hexdigest()
+
+
+def test_asof_attribution_inclusive_tie_matches_duckdb(spark):
+    """ASOF `v.ts <= p.ts` is INCLUSIVE: a view at exactly the purchase
+    timestamp must be the match regardless of event-id order. Built
+    frame with ties checked against DuckDB's native ASOF LEFT JOIN."""
+    import duckdb
+
+    from kafka_overwatch_spark.operators.relational import asof_attribution
+
+    rows = [
+        # purchase id 1 and view id 5 share ts 1000s — view must match
+        (5, "2024-01-01 00:16:40.000000", 1, "view"),
+        (1, "2024-01-01 00:16:40.000000", 1, "purchase"),
+        # ordinary prior view
+        (6, "2024-01-01 00:10:00.000000", 2, "view"),
+        (2, "2024-01-01 00:20:00.000000", 2, "purchase"),
+        # purchase with NO prior view → null match
+        (3, "2024-01-01 00:01:00.000000", 3, "purchase"),
+        (7, "2024-01-01 00:02:00.000000", 3, "view"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, t, u, et, 0.0, "{}") for (i, t, u, et) in rows],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id",
+        "event_type", "value", "props",
+    )
+    got = sorted(map(tuple, asof_attribution(ev).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, user_id "
+        "BIGINT, event_type VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?, ?, ?)",
+        [(i, t, u, et) for (i, t, u, et) in rows],
+    )
+    from kafka_overwatch_spark.oracles_pipelines import pipeline_oracles
+
+    want = sorted(
+        tuple(r) for r in con.execute(
+            pipeline_oracles()["events_asof_attribution"]
+        ).fetchall()
+    )
+    assert got == want
+    # the tie case specifically: purchase 1 matched by same-ts view 5
+    by_pid = {g[0]: g for g in got}
+    assert by_pid[1][3] == 5
+    assert by_pid[3][3] is None
