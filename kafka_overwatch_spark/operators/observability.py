@@ -73,9 +73,14 @@ def observation_metric_rows(obs: Observation, cluster: str) -> list[tuple]:
     Prometheus sinks (`sinks/prometheus.render_exposition` /
     `push_to_gateway`), so scan-health instruments publish next to the
     reference's gauge families. Null metrics (e.g. max over an empty
-    scan) are skipped — absence of a gauge, not a fabricated 0."""
+    scan) are skipped — absence of a gauge, not a fabricated 0.
+
+    Values are emitted as float (the Prometheus exposition format is
+    float-typed): an int() cast here would silently truncate any future
+    float-valued instrument (an avg or ratio gauge) added to
+    `scan_health_metrics` — publishing a wrong gauge instead of failing."""
     return [
-        (f"kafka_scan_{name}", cluster, None, None, int(v))
+        (f"kafka_scan_{name}", cluster, None, None, float(v))
         for name, v in obs.get.items()
         if v is not None
     ]

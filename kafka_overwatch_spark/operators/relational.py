@@ -429,7 +429,12 @@ def asof_attribution(
     survives: an inequality join would either build per-user arrays or
     fall into a broadcast-nested-loop. Unmatched left events keep null
     match columns (ASOF LEFT semantics). Oracle: DuckDB's native
-    ``ASOF LEFT JOIN``.
+    ``ASOF LEFT JOIN``, with the right side pre-deduped to
+    ``max(event_id)`` per (user_id, ts) — DuckDB's ASOF is
+    nondeterministic on right-side ties, while this carry-forward
+    (ordered by ts, side, event_id) deterministically resolves them to
+    the max event_id (see
+    tests/test_properties.py::test_asof_attribution_duplicate_view_ts).
     """
     from pyspark.sql.window import Window
 

@@ -870,15 +870,21 @@ FROM per_user, q WHERE events > q95"""
 
     # as-of attribution: Spark side is union + window carry-forward;
     # the oracle is DuckDB's NATIVE ASOF LEFT JOIN — two entirely
-    # different algorithms agreeing on every row is the point
+    # different algorithms agreeing on every row is the point.
+    # v is pre-deduped to max(event_id) per (user_id, ts): DuckDB's ASOF
+    # is documented nondeterministic when the right side is not unique
+    # on the ordering key, while the Spark carry-forward deterministically
+    # resolves same-instant ties to the max event_id — the dedup pins the
+    # oracle to that same deterministic answer without changing any row
+    # where (user_id, ts) is already unique.
     q["events_asof_attribution"] = """
 WITH p AS (
   SELECT event_id AS purchase_id, user_id, ts FROM events
   WHERE event_type = 'purchase'
 ),
 v AS (
-  SELECT event_id AS view_id, user_id, ts FROM events
-  WHERE event_type = 'view'
+  SELECT max(event_id) AS view_id, user_id, ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id, ts
 )
 SELECT p.purchase_id, p.user_id,
   CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', p.ts)

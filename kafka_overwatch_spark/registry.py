@@ -603,7 +603,34 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         raw(s, d, "embeddings"), trained=get_ivf(s, d)
     )
 
-    return q
+    return _driver_check_order(q)
+
+
+# The driver's correctness harness hashes only the first ~50 registry
+# entries each round. Rotation policy (VERDICT r4 §next #2): the
+# algorithmically riskiest oracles go FIRST so the per-round artifact
+# always covers them, and the snapshot passthroughs (schema-echo checks,
+# lowest information — still swept by tests/test_oracle_parity.py) sink
+# to the END. Everything else keeps its registration order.
+_PROMOTED = [
+    "text_line_dedup",
+    "events_asof_attribution",
+    "tpch_local_supplier_volume",
+    "curation_pipeline",
+    "dedup_incremental_screen",
+    "text_contamination",
+    "media_phash_pairs",
+    "media_header_meta",
+]
+
+
+def _driver_check_order(
+    q: dict[str, Callable[[SparkSession, str], DataFrame]],
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    promoted = [n for n in _PROMOTED if n in q]
+    demoted = [n for n in q if n.startswith("snapshot_")]
+    rest = [n for n in q if n not in promoted and n not in demoted]
+    return {n: q[n] for n in (*promoted, *rest, *demoted)}
 
 
 def oracle_sql() -> dict[str, str]:

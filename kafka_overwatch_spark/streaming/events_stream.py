@@ -181,33 +181,114 @@ class ReachSketchMaintainer:
     so a batch replayed after a crash-between-write-and-checkpoint
     leaves every estimate unchanged.
 
-    State write: merged state is localCheckpoint-ed (materialized,
-    lineage cut from the files being overwritten) before the overwrite —
-    same pattern as `streaming/incremental.py` (NOTES lesson 8).
+    State write is GENERATIONAL, never in-place: each batch writes a
+    fresh ``gen-<batch_id>`` subdirectory, then flips the ``CURRENT``
+    pointer file to it as the commit point. An in-place parquet
+    overwrite has a torn-state window (old files deleted, new commit
+    not yet written) that an existence probe would mistake for valid
+    state — silently truncating accumulated reach history. With the
+    pointer protocol every crash lands in a recoverable spot:
 
-    First-batch detection is an explicit filesystem existence probe
-    (Hadoop FS API, so it works on s3a/hdfs paths too) — NOT a
-    try/except around the read: a corrupt or partially-written state
-    dir must fail the batch loudly, never be silently mistaken for
-    "no state yet" (which would reset all accumulated reach history).
+    - crash before the pointer flip → pointer still names the previous
+      generation; the replayed batch re-derives the new generation
+      (parquet overwrite of an uncommitted dir) and flips again;
+    - crash inside the flip (tmp written, CURRENT not yet renamed) →
+      the fully-written ``CURRENT.tmp`` is promoted on the next read;
+    - generation dirs without any pointer → ambiguous, FAIL LOUDLY
+      (never guess "no state yet" when state files exist).
+
+    Replay idempotence still comes from HLL algebra (max-merged
+    registers), so re-merging a replayed batch leaves estimates
+    unchanged; merged state is localCheckpoint-ed before writing so the
+    new generation's lineage doesn't read the dir being replaced.
     """
+
+    POINTER = "CURRENT"
 
     def __init__(self, state_dir: str) -> None:
         self.state_dir = state_dir
 
-    def _state_exists(self, spark: SparkSession) -> bool:
+    # --- pointer protocol (Hadoop FS API: works on file:/hdfs:/s3a:) ---
+
+    def _fs(self, spark: SparkSession):
         jvm = spark._jvm
-        path = jvm.org.apache.hadoop.fs.Path(self.state_dir)
-        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(path))
+        root = jvm.org.apache.hadoop.fs.Path(self.state_dir)
+        return jvm, root.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _path(self, spark: SparkSession, *parts: str):
+        return spark._jvm.org.apache.hadoop.fs.Path(
+            "/".join([self.state_dir.rstrip("/"), *parts])
+        )
+
+    def _read_small_file(self, spark: SparkSession, path) -> str:
+        _, fs = self._fs(spark)
+        stream = fs.open(path)
+        try:
+            data = bytearray()
+            b = stream.read()
+            while b != -1:  # pointer payload is ~16 bytes
+                data.append(b)
+                b = stream.read()
+        finally:
+            stream.close()
+        return data.decode("utf-8").strip()
+
+    def current_generation(self, spark: SparkSession) -> str | None:
+        """Resolve the committed generation dir name, promoting a
+        fully-written-but-unrenamed pointer if the last flip was torn.
+        Returns None only when NO state artifacts exist at all."""
+        jvm, fs = self._fs(spark)
+        ptr = self._path(spark, self.POINTER)
+        tmp = self._path(spark, self.POINTER + ".tmp")
+        if fs.exists(ptr):
+            return self._read_small_file(spark, ptr)
+        if fs.exists(tmp):
+            # crash between delete(CURRENT) and rename(tmp): the tmp was
+            # fully written+closed before the old pointer was touched
+            fs.rename(tmp, ptr)
+            return self._read_small_file(spark, ptr)
+        root = self._path(spark)
+        if fs.exists(root) and [
+            s for s in fs.listStatus(root)
+            if s.getPath().getName().startswith("gen-")
+        ]:
+            raise RuntimeError(
+                f"reach-sketch state dir {self.state_dir} contains "
+                "generation dirs but no CURRENT pointer — refusing to "
+                "treat existing state as 'first batch' (that would reset "
+                "accumulated reach history); repair or remove the dir"
+            )
+        return None
+
+    def _flip_pointer(self, spark: SparkSession, gen_name: str) -> None:
+        jvm, fs = self._fs(spark)
+        ptr = self._path(spark, self.POINTER)
+        tmp = self._path(spark, self.POINTER + ".tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(gen_name.encode("utf-8")))
+        finally:
+            out.close()
+        if fs.exists(ptr):
+            fs.delete(ptr, False)
+        fs.rename(tmp, ptr)
+
+    def _gc_generations(self, spark: SparkSession, keep: str) -> None:
+        jvm, fs = self._fs(spark)
+        root = self._path(spark)
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("gen-") and name != keep:
+                fs.delete(st.getPath(), True)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.relational import day_user_sketches
 
         spark = batch_df.sparkSession
         batch_sk = day_user_sketches(batch_df)
-        if self._state_exists(spark):
-            prev = spark.read.parquet(self.state_dir)
+        prev_gen = self.current_generation(spark)
+        if prev_gen is not None:
+            prev = spark.read.parquet(f"{self.state_dir}/{prev_gen}")
             merged = (
                 prev.unionByName(batch_sk)
                 .groupBy("event_type", "day")
@@ -216,7 +297,12 @@ class ReachSketchMaintainer:
         else:  # first batch: no state yet
             merged = batch_sk
         merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(self.state_dir)
+        gen_name = f"gen-{batch_id:010d}"
+        merged.write.mode("overwrite").parquet(
+            f"{self.state_dir}/{gen_name}"
+        )
+        self._flip_pointer(spark, gen_name)  # ← the commit point
+        self._gc_generations(spark, keep=gen_name)
 
 
 def run_reach_sketch_stream(
@@ -245,9 +331,16 @@ def run_reach_sketch_stream(
 
 def reach_from_sketch_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """Per-event-type reach served from the sketch state table alone —
-    a rollup over sketch bytes (union across days), no raw-event scan."""
+    a rollup over sketch bytes (union across days), no raw-event scan.
+    Reads the generation the CURRENT pointer commits to (never a torn
+    in-flight write)."""
+    gen = ReachSketchMaintainer(state_dir).current_generation(spark)
+    if gen is None:
+        raise FileNotFoundError(
+            f"no committed reach-sketch state under {state_dir}"
+        )
     return (
-        spark.read.parquet(state_dir)
+        spark.read.parquet(f"{state_dir}/{gen}")
         .groupBy("event_type")
         .agg(
             F.expr("hll_sketch_estimate(hll_union_agg(sk))")

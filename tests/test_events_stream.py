@@ -292,3 +292,55 @@ def test_streaming_sketch_state_matches_batch_reach(spark, snaps):
             for r in es.reach_from_sketch_state(spark, state).collect()
         }
         assert replayed == streamed
+
+
+def test_reach_sketch_state_commit_protocol(spark, snaps):
+    """The generational state write's crash-recovery contract:
+    (a) a fully-written-but-unrenamed pointer tmp is promoted on read,
+    (b) generation dirs with NO pointer at all fail loudly instead of
+    being mistaken for 'first batch' (which would silently reset
+    accumulated history), (c) an uncommitted newer generation is
+    invisible — reads serve the committed one."""
+    import os
+    import shutil
+
+    import pytest
+
+    from kafka_overwatch_spark.streaming import events_stream as es
+
+    with tempfile.TemporaryDirectory() as tmp:
+        state = f"{tmp}/state"
+        m = es.ReachSketchMaintainer(state)
+        m(spark.table("events"), batch_id=0)
+        committed = {
+            r["event_type"]: r["sketch_users"]
+            for r in es.reach_from_sketch_state(spark, state).collect()
+        }
+
+        # (c) crash AFTER writing gen-1 but BEFORE the pointer flip:
+        # the new generation exists on disk but reads still serve gen-0
+        shutil.copytree(f"{state}/gen-{0:010d}", f"{state}/gen-{1:010d}")
+        assert m.current_generation(spark) == f"gen-{0:010d}"
+
+        # (a) crash INSIDE the flip: CURRENT deleted, tmp fully written —
+        # the tmp is promoted and reads resume from it
+        os.rename(f"{state}/CURRENT", f"{state}/CURRENT.tmp")
+        with open(f"{state}/CURRENT.tmp", "w") as fh:
+            fh.write(f"gen-{1:010d}")
+        assert m.current_generation(spark) == f"gen-{1:010d}"
+        assert os.path.exists(f"{state}/CURRENT")
+        after = {
+            r["event_type"]: r["sketch_users"]
+            for r in es.reach_from_sketch_state(spark, state).collect()
+        }
+        assert after == committed  # gen-1 is a byte copy of gen-0
+
+        # (b) pointer gone entirely but generations remain → loud failure
+        os.remove(f"{state}/CURRENT")
+        with pytest.raises(RuntimeError, match="no CURRENT pointer"):
+            m.current_generation(spark)
+
+        # pristine dir (no artifacts at all) reads as first-batch None
+        assert es.ReachSketchMaintainer(f"{tmp}/fresh").current_generation(
+            spark
+        ) is None

@@ -85,7 +85,7 @@ def test_observation_rows_render_in_prometheus_exposition(spark, snaps):
     df = spark.createDataFrame(
         rows,
         "metric string, cluster string, group_id string, topic string, "
-        "value long",
+        "value double",
     )
     text = render_exposition(df)
     assert 'kafka_scan_rows{cluster="primary"}' in text

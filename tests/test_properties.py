@@ -408,3 +408,53 @@ def test_asof_attribution_inclusive_tie_matches_duckdb(spark):
     by_pid = {g[0]: g for g in got}
     assert by_pid[1][3] == 5
     assert by_pid[3][3] is None
+
+
+def test_asof_attribution_duplicate_view_ts_is_deterministic(spark):
+    """Two views by the same user at the SAME timestamp: DuckDB's ASOF is
+    documented nondeterministic on a non-unique right side, so the oracle
+    pre-dedups views to max(event_id) per (user_id, ts) — and the Spark
+    carry-forward (ordered ts, side, event_id) must land on that same max
+    without any dedup pass of its own."""
+    import duckdb
+
+    from kafka_overwatch_spark.operators.relational import asof_attribution
+    from kafka_overwatch_spark.oracles_pipelines import pipeline_oracles
+
+    rows = [
+        # user 1: duplicate views at 00:10:00 (ids 10 < 11), later purchase
+        (10, "2024-01-01 00:10:00.000000", 1, "view"),
+        (11, "2024-01-01 00:10:00.000000", 1, "view"),
+        (1, "2024-01-01 00:20:00.000000", 1, "purchase"),
+        # user 2: duplicate views AT the purchase instant (inclusive tie)
+        (12, "2024-01-01 00:30:00.000000", 2, "view"),
+        (13, "2024-01-01 00:30:00.000000", 2, "view"),
+        (2, "2024-01-01 00:30:00.000000", 2, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, t, u, et, 0.0, "{}") for (i, t, u, et) in rows],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id",
+        "event_type", "value", "props",
+    )
+    got = sorted(map(tuple, asof_attribution(ev).collect()))
+    by_pid = {g[0]: g for g in got}
+    assert by_pid[1][3] == 11  # max event_id among the duplicate views
+    assert by_pid[2][3] == 13
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, user_id "
+        "BIGINT, event_type VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?, ?, ?)",
+        [(i, t, u, et) for (i, t, u, et) in rows],
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(
+            pipeline_oracles()["events_asof_attribution"]
+        ).fetchall()
+    )
+    assert got == want
