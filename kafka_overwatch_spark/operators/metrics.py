@@ -29,42 +29,59 @@ def metrics_snapshot(
     snaps: dict[str, DataFrame], lag_rows: DataFrame | None = None
 ) -> DataFrame:
     """All gauge values for the current scan as (metric, cluster,
-    group_id, topic, value) rows."""
+    group_id, topic, value) rows.
+
+    Physical shape (r5 fusion): the three per-cluster scalar gauges
+    (topics, partitions, groups) come out of ONE aggregation — the two
+    dim frames are tagged and unioned BEFORE the groupBy, so a single
+    cluster-keyed exchange feeds a conditional agg + ``stack`` unpivot
+    (the waste_summary trick). The previous shape aggregated each dim
+    separately and unioned three branches, tripling the fixed per-branch
+    stage cost that dominates dim-grain queries. A fused gauge value of
+    0 means the source dim had no rows for that cluster — exactly the
+    rows the branch-per-source UNION never emitted — so they are
+    filtered (every genuine gauge here counts ≥ 1 source row).
+    """
     po_final = snaps["partition_offsets"].filter(F.col("scan_id") == FINAL_SCAN)
-    topic_counts = po_final.groupBy("cluster").agg(
-        F.count_distinct("topic").alias("topics"),
-        F.count("*").alias("partitions"),
-    )
-    # one agg → stack unpivot: both per-cluster gauges come out of a
-    # single pass over the final-scan offsets (no duplicated aggregate
-    # under the union)
-    scalars = topic_counts.select(
+    tagged = po_final.select(
         "cluster",
-        F.expr(
-            "stack(2, 'kafka_topics_total', topics, "
-            "'kafka_partitions_total', partitions) AS (metric, value)"
-        ),
-    ).select(
-        "metric",
-        "cluster",
+        F.col("topic"),
         F.lit(None).cast("string").alias("group_id"),
-        F.lit(None).cast("string").alias("topic"),
-        F.col("value").cast("long").alias("value"),
     ).unionByName(
-        snaps["consumer_groups"]
-        .groupBy("cluster")
-        .agg(F.count("*").alias("groups"))
+        snaps["consumer_groups"].select(
+            "cluster",
+            F.lit(None).cast("string").alias("topic"),
+            F.col("group_id"),
+        )
+    )
+    wide = tagged.groupBy("cluster").agg(
+        F.count_distinct("topic").alias("topics"),
+        F.sum(F.col("topic").isNotNull().cast("long")).alias("partitions"),
+        F.sum(F.col("group_id").isNotNull().cast("long")).alias("groups"),
+    )
+    scalars = (
+        wide.select(
+            "cluster",
+            F.expr(
+                "stack(3, 'kafka_topics_total', topics, "
+                "'kafka_partitions_total', partitions, "
+                "'kafka_consumer_groups_total', groups) AS (metric, value)"
+            ),
+        )
+        .filter(F.col("value") > 0)
         .select(
-            F.lit("kafka_consumer_groups_total").alias("metric"),
+            "metric",
             "cluster",
             F.lit(None).cast("string").alias("group_id"),
             F.lit(None).cast("string").alias("topic"),
-            F.col("groups").cast("long").alias("value"),
+            F.col("value").cast("long").alias("value"),
         )
     )
     # per-(cluster, group, topic) lag gauge — the cluster label comes from
     # the lag rows themselves (a multi-cluster snapshot emits one gauge
-    # row per cluster, like the reference's per-cluster label set)
+    # row per cluster, like the reference's per-cluster label set). This
+    # branch stays a union: it is a different grain over a different
+    # (cached) fact frame.
     lag = lag_per_topic(snaps, lag_rows=lag_rows).select(
         F.lit("kafka_consumer_group_lag").alias("metric"),
         F.col("cluster"),

@@ -128,18 +128,12 @@ def shingle_docs(documents: DataFrame) -> DataFrame:
     )
 
 
-def minhash_bands(docs: DataFrame) -> DataFrame:
-    """The LSH band index of a shingle frame: (doc_id, band_id,
-    band_key). This is the persistable corpus index — at scale it is a
-    written table that incremental ingestion screens against
-    (`incremental_minhash_screen`).
-
-    MinHash permutations are salted md5 string-minima (lexicographic min
-    of ``md5('<h>:<shingle>')``) — cross-engine deterministic without any
-    integer-hash dependency. Band keys use LITERAL slice offsets
-    (python-unrolled): a lambda-bound slice start knocks the expression
-    off the codegen path (measured 74s vs <2s on 500 docs)."""
-    sig = docs.select(
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<string>[NUM_HASHES]) — the shared MinHash
+    signature frame. Permutations are salted md5 string-minima
+    (lexicographic min of ``md5('<h>:<shingle>')``) — cross-engine
+    deterministic without any integer-hash dependency."""
+    return docs.select(
         "doc_id",
         F.transform(
             F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
@@ -153,6 +147,18 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
             ),
         ).alias("sig"),
     )
+
+
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """The LSH band index of a shingle frame: (doc_id, band_id,
+    band_key). This is the persistable corpus index — at scale it is a
+    written table that incremental ingestion screens against
+    (`incremental_minhash_screen`).
+
+    Band keys use LITERAL slice offsets (python-unrolled): a
+    lambda-bound slice start knocks the expression off the codegen path
+    (measured 74s vs <2s on 500 docs)."""
+    sig = minhash_signatures(docs)
     return sig.select(
         "doc_id",
         F.explode(
@@ -334,6 +340,79 @@ def ngram_jaccard_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "lang",
+            "doc_a",
+            "doc_b",
+            _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_lsh(
+    documents: DataFrame,
+    threshold: float = 0.35,
+    max_bucket: int = 1000,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Same output contract as ``ngram_jaccard_pairs`` (lang-blocked
+    shingle-Jaccard pairs ≥ threshold) WITHOUT the quadratic all-pairs
+    block — this is the registered, scale-valid surface; the all-pairs
+    function above stays the guarded small-N verifier.
+
+    Candidates come from single-row minhash banding (r=1, b=NUM_HASHES):
+    a pair is a candidate iff ANY of its NUM_HASHES minhash values
+    collide, the loosest s-curve the signature supports —
+    P(candidate | jaccard=s) = 1−(1−s)^12, ≈0.994 at the 0.35 threshold
+    and →1 fast above it (0.9998 at 0.5). Every candidate is then
+    EXACTLY verified with true shingle Jaccard, so precision is exact;
+    the parity test (tests/test_properties.py) asserts equality with the
+    all-pairs verifier on the fixtures. Scale shape: one bucketed
+    (band_id, band_key) shuffle with the same ``max_bucket`` skew cap as
+    ``minhash_lsh_pairs``, verify only inside buckets — no lang-block
+    cartesian anywhere."""
+    if docs is None:
+        docs = shingle_docs(documents)
+    # r=1 bands: each signature position IS a bucket key
+    r1 = minhash_signatures(docs).select(
+        "doc_id",
+        F.posexplode("sig").alias("band_id", "band_key"),
+    )
+    sized = r1.withColumn(
+        "bucket_n",
+        F.count("*").over(Window.partitionBy("band_id", "band_key")),
+    ).filter(F.col("bucket_n") <= max_bucket)
+    cand = (
+        sized.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+        .join(
+            sized.select(
+                F.col("doc_id").alias("doc_b"), "band_id", "band_key"
+            ),
+            ["band_id", "band_key"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # lang blocking applied at the PAIR grain: lang rides the doc_id
+    # verify joins the candidates already pay (per-doc lang is corpus-
+    # sized — it must never be broadcast or used as a join key)
+    sh = docs.join(documents.select("doc_id", "lang"), "doc_id")
+    sh_a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("lang").alias("lang_a"),
+    )
+    sh_b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("lang").alias("lang_b"),
+    )
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .filter(F.col("lang_a") == F.col("lang_b"))
+        .select(
+            F.col("lang_a").alias("lang"),
             "doc_a",
             "doc_b",
             _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),

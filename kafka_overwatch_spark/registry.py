@@ -403,8 +403,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
         raw(s, d, "documents"), docs=get_shingle_docs(s, d)
     )
-    q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
-        raw(s, d, "documents")
+    # registered surface is the LSH-candidate route (scale-valid: no
+    # all-pairs block, no size guard to trip); the guarded quadratic
+    # ngram_jaccard_pairs stays the small-N verifier it equals on
+    # fixtures (tests/test_properties.py)
+    q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs_lsh(
+        raw(s, d, "documents"), docs=get_shingle_docs(s, d)
     )
     q["dedup_simhash_pairs"] = lambda s, d: dedup.simhash_pairs(
         raw(s, d, "documents")

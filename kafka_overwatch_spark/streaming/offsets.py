@@ -107,23 +107,31 @@ def _delta_fn(
 ) -> Iterator[pd.DataFrame]:
     """Stateful W1: delta vs previous scan's end_offset. State is one
     (last_end,) tuple per (topic, partition_id) — the streaming analog of
-    the end_offset-setter observation at `topics.py:93-100`."""
+    the end_offset-setter observation at `topics.py:93-100`.
+
+    The fold is a vectorized ``diff()`` — the first row's delta seeds
+    from persisted state (0 when no state exists: the reference emits no
+    delta for the very first scan) — never a per-row Python loop: a hot
+    partition's group can carry thousands of scans per micro-batch and
+    the Arrow batch is already columnar."""
     topic, partition_id = key
     last_end = state.get[0] if state.exists else None
-    out = []
     # concat BEFORE sorting: a group bigger than one Arrow batch arrives
     # as multiple chunks with no cross-chunk ordering — per-chunk sorts
     # would fold scans out of order and corrupt the persisted baseline
     pdf = pd.concat(list(pdf_iter)).sort_values("scan_id")
-    for _, row in pdf.iterrows():
-        end = int(row["end_offset"])
-        delta = 0 if last_end is None else end - last_end
-        out.append((topic, int(partition_id), int(row["scan_id"]), end, delta))
-        last_end = end
-    state.update((last_end,))
+    end = pdf["end_offset"].astype("int64")
+    delta = end.diff()
+    delta.iloc[0] = 0 if last_end is None else end.iloc[0] - last_end
+    state.update((int(end.iloc[-1]),))
     yield pd.DataFrame(
-        out,
-        columns=["topic", "partition_id", "scan_id", "end_offset", "delta_messages"],
+        {
+            "topic": topic,
+            "partition_id": int(partition_id),
+            "scan_id": pdf["scan_id"].astype("int64").to_numpy(),
+            "end_offset": end.to_numpy(),
+            "delta_messages": delta.astype("int64").to_numpy(),
+        }
     )
 
 
@@ -160,28 +168,30 @@ def _first_offset_fn(
 ) -> Iterator[pd.DataFrame]:
     """Stateful W3: the per-partition first-offset baseline persists across
     batches (`topics.py:77-87`: the broker low watermark moves under
-    retention; drift = current_start − first_seen_start)."""
+    retention; drift = current_start − first_seen_start).
+
+    Vectorized: the baseline is a CONSTANT within the group once latched
+    (state, else the first sorted row), so drift is one columnar
+    subtraction — no per-row loop."""
     topic, partition_id = key
     first = state.get[0] if state.exists else None
-    out = []
     # concat before sorting — same cross-chunk ordering hazard as
     # _delta_fn: the baseline must latch from the globally-first scan
-    for row in pd.concat(list(pdf_iter)).sort_values("scan_id").itertuples():
-        start = int(row.start_offset)
-        if first is None:
-            first = start
-        out.append(
-            (
-                topic,
-                int(partition_id),
-                int(row.scan_id),
-                start,
-                first,
-                start - first,
-            )
-        )
+    pdf = pd.concat(list(pdf_iter)).sort_values("scan_id")
+    start = pdf["start_offset"].astype("int64")
+    if first is None:
+        first = int(start.iloc[0])
     state.update((first,))
-    yield pd.DataFrame(out, columns=[f.name for f in W3_STREAM_SCHEMA.fields])
+    yield pd.DataFrame(
+        {
+            "topic": topic,
+            "partition_id": int(partition_id),
+            "scan_id": pdf["scan_id"].astype("int64").to_numpy(),
+            "start_offset": start.to_numpy(),
+            "first_offset": first,
+            "retention_drift": (start - first).to_numpy(),
+        }
+    )
 
 
 def first_offset_evolution_stream(stream: DataFrame) -> DataFrame:
@@ -291,6 +301,166 @@ def vanished_entity_stream(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+# --- streaming lag pipeline (§2.9 at the lag grain) -------------------
+#
+# The reference computes consumer lag EVERY scan interval from its
+# in-memory caches (`overwatch_resources/groups.py:98-144`): latest
+# watermarks per partition × latest committed offsets per (group,
+# partition). The streaming twin keys state by (cluster, topic) — the
+# natural co-location grain, because the P11 break rule needs ALL of a
+# (group, topic)'s partitions in one place — and carries both caches
+# forward, so a micro-batch that samples only committed offsets still
+# reads lag against the last known watermarks (exactly the reference's
+# cache semantics, where scans refresh independently).
+
+LAG_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("cluster", StringType()),
+        StructField("topic", StringType()),
+        StructField("partition_id", LongType()),
+        StructField("scan_id", LongType()),
+        # watermark samples carry offsets, group samples carry the
+        # committed offset — the OTHER side's columns are null (one
+        # unified collector feed, not a stream-stream join)
+        StructField("start_offset", LongType()),
+        StructField("end_offset", LongType()),
+        StructField("group_id", StringType()),
+        StructField("committed_offset", LongType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+LAG_STREAM_SCHEMA = StructType(
+    [
+        StructField("cluster", StringType()),
+        StructField("group_id", StringType()),
+        StructField("topic", StringType()),
+        StructField("partition_id", LongType()),
+        StructField("lag", LongType()),
+        StructField("as_of_scan", LongType()),
+    ]
+)
+
+LAG_STATE_SCHEMA = StructType(
+    [
+        # JSON-serialized caches: {partition: [start, end]} and
+        # {"group\x00partition": committed}. Bounded by partitions ×
+        # groups per topic (metadata grain), held in the state store.
+        StructField("wm_json", StringType()),
+        StructField("go_json", StringType()),
+        StructField("as_of_scan", LongType()),
+    ]
+)
+
+
+def lag_sample_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """The unified collector feed (watermark + committed-offset samples)
+    as a stream; one parquet file per micro-batch in tests."""
+    return (
+        spark.readStream.schema(LAG_SAMPLE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+
+def _lag_rows_from_caches(
+    cluster: str,
+    topic: str,
+    wm: dict,
+    go: dict,
+    as_of: int,
+) -> list[tuple]:
+    """The reference's per-scan lag loop (`groups.py:98-144`) over the
+    carried-forward caches — P11 semantics preserved bit-for-bit:
+    (a) a partition with no messages is skipped (continue) BEFORE
+    (b) a committed_offset < 0 breaks out of the whole topic (partitions
+    after the first bad id are not measured). The loop is over STATE
+    entries (topic-grain metadata: partitions × groups, dim-bounded) —
+    not over the event-volume feed, which was folded vectorized below."""
+    by_group: dict[str, list[tuple[int, int]]] = {}
+    for gp_key, committed in go.items():
+        group_id, pid_s = gp_key.split("\x00")
+        by_group.setdefault(group_id, []).append((int(pid_s), committed))
+    out = []
+    for group_id, pairs in by_group.items():
+        measured = []
+        first_bad = None
+        for pid, committed in sorted(pairs):
+            w = wm.get(str(pid))
+            if w is None:
+                continue  # J1 inner: unmonitored partition
+            start, end = w
+            if end - start <= 0:
+                continue  # P11a: zero-message partition is skipped
+            if committed < 0 and first_bad is None:
+                first_bad = pid  # P11b: truncates the topic from here
+            measured.append((pid, end - committed))
+        for pid, lag in measured:
+            if first_bad is None or pid < first_bad:
+                out.append((cluster, group_id, topic, pid, lag, as_of))
+    return out
+
+
+def _lag_fn(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import json
+
+    cluster, topic = key
+    if state.exists:
+        wm_json, go_json, as_of = state.get
+        wm = json.loads(wm_json)
+        go = json.loads(go_json)
+        as_of = int(as_of)
+    else:
+        wm, go, as_of = {}, {}, -1
+    pdf = pd.concat(list(pdf_iter)).sort_values("scan_id")
+    wm_rows = pdf[pdf["group_id"].isna()]
+    if len(wm_rows):
+        # latest scan wins per partition: sorted ascending + keep="last"
+        latest = wm_rows.drop_duplicates("partition_id", keep="last")
+        for pid, s, e in zip(
+            latest["partition_id"], latest["start_offset"], latest["end_offset"]
+        ):
+            wm[str(int(pid))] = [int(s), int(e)]
+        as_of = max(as_of, int(wm_rows["scan_id"].max()))
+    go_rows = pdf[pdf["group_id"].notna()]
+    if len(go_rows):
+        latest = go_rows.drop_duplicates(
+            ["group_id", "partition_id"], keep="last"
+        )
+        for g, pid, c in zip(
+            latest["group_id"], latest["partition_id"],
+            latest["committed_offset"],
+        ):
+            go[f"{g}\x00{int(pid)}"] = int(c)
+    state.update((json.dumps(wm), json.dumps(go), as_of))
+    cols = [f.name for f in LAG_STREAM_SCHEMA.fields]
+    yield pd.DataFrame(
+        _lag_rows_from_caches(cluster, topic, wm, go, as_of), columns=cols
+    )
+
+
+def streaming_lag(stream: DataFrame) -> DataFrame:
+    """Per-batch consumer lag from the unified sample feed: every
+    micro-batch that touches a (cluster, topic) re-emits that topic's
+    full lag picture against the latest known caches — the streaming
+    deployment's rolling metric (the reference recomputes exactly this
+    every ``cluster_scan_interval_in_seconds``). Output rows carry
+    ``as_of_scan`` (the newest watermark scan folded in) so consumers —
+    and the streamed==batch parity test — can select a consistent
+    snapshot."""
+    return stream.groupBy("cluster", "topic").applyInPandasWithState(
+        _lag_fn,
+        outputStructType=LAG_STREAM_SCHEMA,
+        stateStructType=LAG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

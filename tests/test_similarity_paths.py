@@ -55,6 +55,24 @@ def test_lsh_neardup_subset_of_bruteforce(spark, snaps):
     assert len(lsh) / len(truth) > 0.10
 
 
+def test_ngram_lsh_route_equals_allpairs_verifier(spark, snaps):
+    """The registered dedup_ngram_jaccard surface (r=1 minhash-band
+    candidates → exact Jaccard verify) must produce EXACTLY the rows of
+    the guarded all-pairs verifier on the fixture corpus: precision is
+    structural (every emitted pair is exactly verified) and the fixture's
+    ≥0.35 pairs all survive the 1−(1−s)^12 candidate s-curve."""
+    from kafka_overwatch_spark.pipelines.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_lsh,
+    )
+
+    docs = spark.table("documents")
+    allpairs = sorted(tuple(r) for r in ngram_jaccard_pairs(docs).collect())
+    lsh = sorted(tuple(r) for r in ngram_jaccard_pairs_lsh(docs).collect())
+    assert lsh == allpairs
+    assert len(allpairs) > 0  # fixture must exercise the surface
+
+
 def test_quadratic_guard_raises(spark, snaps):
     from kafka_overwatch_spark.pipelines.dedup import (
         embedding_neardup_pairs,

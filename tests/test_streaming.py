@@ -332,6 +332,74 @@ def test_stateful_query_under_rocksdb_state_store(spark, snaps):
             )
 
 
+def test_streaming_lag_matches_batch_lag_per_partition(spark, snaps):
+    """The streaming lag pipeline (stateful watermark + committed-offset
+    caches per (cluster, topic), P11 break rule included) must converge
+    to the batch `lag_per_partition` on a replayed multi-batch feed:
+    watermarks arrive scan by scan, committed offsets arrive LAST and in
+    two separate batches (split by group hash) — exercising the
+    carry-forward of both caches and the partial-knowledge re-emissions."""
+    import glob
+    import os
+    import time
+
+    from kafka_overwatch_spark.operators.lag import lag_per_partition
+    from kafka_overwatch_spark.streaming import offsets as so
+
+    with tempfile.TemporaryDirectory() as tmp:
+        po = snaps["partition_offsets"]
+        ts0 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+        wm = po.select(
+            "cluster", "topic", "partition_id", "scan_id",
+            "start_offset", "end_offset",
+            F.lit(None).cast("string").alias("group_id"),
+            F.lit(None).cast("long").alias("committed_offset"),
+            "ts",
+        )
+        go = snaps["group_offsets"].select(
+            "cluster", "topic", "partition_id",
+            F.lit(None).cast("long").alias("scan_id"),
+            F.lit(None).cast("long").alias("start_offset"),
+            F.lit(None).cast("long").alias("end_offset"),
+            "group_id", "committed_offset",
+            ts0.alias("ts"),
+        )
+        feeds = [wm.filter(F.col("scan_id") == s) for s in range(4)] + [
+            go.filter(F.abs(F.hash("group_id")) % 2 == 0),
+            go.filter(F.abs(F.hash("group_id")) % 2 == 1),
+        ]
+        # FileStreamSource orders by mtime — pin strictly increasing
+        # mtimes so replay order == write order (same trick as the
+        # vanished-partition test)
+        seen: set = set()
+        t0 = time.time() - 100
+        for i, feed in enumerate(feeds):
+            feed.coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+            for f in glob.glob(f"{tmp}/in/*.parquet"):
+                if f not in seen:
+                    os.utime(f, (t0 + i, t0 + i))
+                    seen.add(f)
+        out = so.run_to_completion(
+            so.streaming_lag(so.lag_sample_stream(spark, f"{tmp}/in")),
+            f"{tmp}/ckpt_lag",
+        )
+        # a (group, partition) can be re-emitted by a later batch of the
+        # same topic as more commits arrive — always with the SAME lag
+        # (caches only grew); distinct over the final-scan snapshot is
+        # therefore exactly the converged picture
+        got = {
+            (r["cluster"], r["group_id"], r["topic"], r["partition_id"], r["lag"])
+            for r in out
+            if r["as_of_scan"] == 3
+        }
+        want = {
+            (r["cluster"], r["group_id"], r["topic"], r["partition_id"], r["lag"])
+            for r in lag_per_partition(snaps).collect()
+        }
+        assert got == want
+        assert len(got) > 0
+
+
 def test_rate_limited_file_source_cadence(spark, snaps):
     """Backfill under ingestion rate limiting: maxFilesPerTrigger=1 over
     a multi-file input must replay the backlog as one micro-batch per
