@@ -595,6 +595,46 @@ SELECT doc_id,
   CAST(12 + octet_length(encode(text)) AS BIGINT) AS n_bytes
 FROM documents"""
 
+    # media perceptual-hash near-dup: the synth payload body IS the
+    # document text, so the 32-bit positional aHash (segment mean vs
+    # global mean over body code points, cross-multiplied to stay
+    # integer-exact) is a closed-form function of `text` — the oracle
+    # recomputes it character-relationally and verifies the pair set
+    # all-pairs (DuckDB-cheap at fixture scale; the Spark side is the
+    # bucketed pigeonhole join)
+    q["media_phash_pairs"] = """
+WITH chars AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split(text, ''), c -> c <> '')) AS ch,
+    unnest(generate_series(1,
+      len(list_filter(string_split(text, ''), c -> c <> '')))) AS p
+  FROM documents
+),
+totals AS (
+  SELECT doc_id, count(*) AS n, sum(ord(ch)) AS total
+  FROM chars GROUP BY doc_id
+),
+seg AS (
+  SELECT c.doc_id, ((p - 1) * 32) // t.n AS s,
+    sum(ord(ch)) AS ssum, count(*) AS slen
+  FROM chars c JOIN totals t USING (doc_id)
+  GROUP BY c.doc_id, s
+),
+bits AS (
+  SELECT seg.doc_id,
+    CAST(sum(CASE WHEN ssum * t.n > t.total * slen
+      THEN (1::BIGINT << CAST(s AS INT)) ELSE 0 END) AS BIGINT) AS phash
+  FROM seg JOIN totals t USING (doc_id) GROUP BY seg.doc_id
+),
+ph AS (
+  SELECT d.doc_id, coalesce(b.phash, 0) AS phash
+  FROM documents d LEFT JOIN bits b USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3"""
+
     q["events_funnel"] = """
 WITH e AS (
   SELECT user_id, event_type,

@@ -443,39 +443,53 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     return bit_sums.select("doc_id", fp.cast("long").alias("simhash"))
 
 
-def simhash_pairs(
-    documents: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+def hamming_neighbor_pairs(
+    fps: DataFrame,
+    fp_col: str,
+    max_hamming: int,
+    n_chunks: int = 4,
+    chunk_bits: int = 8,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ max_hamming via the
-    pigeonhole chunk join (hamming ≤ 3 ⇒ some 8-bit chunk of the 32-bit
-    fingerprint matches exactly)."""
-    fps = simhash_fingerprints(documents)
+    """Near-dup pairs with hamming(fp) ≤ max_hamming via the pigeonhole
+    chunk join: hamming ≤ k with n_chunks > k ⇒ at least one chunk of
+    the fingerprint matches exactly ⇒ equi-join on (chunk_id,
+    chunk_val), verify with ``bit_count(xor)``. Shared by the SimHash
+    text surface and the media perceptual-hash surface
+    (`pipelines/multimodal.media_phash_pairs`). Input: (doc_id,
+    <fp_col>); output: doc_a, doc_b, hamming."""
+    if n_chunks <= max_hamming:
+        raise ValueError(
+            f"pigeonhole needs n_chunks > max_hamming "
+            f"({n_chunks} <= {max_hamming}): a pair could differ in "
+            "every chunk and never become a candidate"
+        )
     chunks = fps.select(
         "doc_id",
-        "simhash",
+        F.col(fp_col).alias("fp"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).cast("long").alias("chunk_id"),
                         F.expr(
-                            f"CAST((simhash div {2 ** (8 * c)}) % 256 AS BIGINT)"
+                            f"CAST(({fp_col} div {2 ** (chunk_bits * c)}) "
+                            f"% {2 ** chunk_bits} AS BIGINT)"
                         ).alias("chunk_val"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ch"),
-    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    ).select("doc_id", "fp", "ch.chunk_id", "ch.chunk_val")
     a = chunks.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("simhash").alias("fp_a"),
+        F.col("fp").alias("fp_a"),
         "chunk_id",
         "chunk_val",
     )
     b = chunks.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("fp_b"),
+        F.col("fp").alias("fp_b"),
         "chunk_id",
         "chunk_val",
     )
@@ -490,6 +504,17 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
         .distinct()
+    )
+
+
+def simhash_pairs(
+    documents: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming via the
+    pigeonhole chunk join (hamming ≤ 3 ⇒ some 8-bit chunk of the 32-bit
+    fingerprint matches exactly)."""
+    return hamming_neighbor_pairs(
+        simhash_fingerprints(documents), "simhash", max_hamming
     )
 
 

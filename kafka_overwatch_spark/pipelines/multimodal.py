@@ -218,6 +218,87 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(feats, FEATURE_SCHEMA)
 
 
+PHASH_SEGMENTS = 32
+PHASH_MAX_HAMMING = 3
+
+
+def media_phash(media: DataFrame) -> DataFrame:
+    """32-bit positional average-hash (aHash) per media payload — the
+    perceptual-fingerprint stage of media near-dup, over the
+    deterministic fake decode (codecs are absent; a real deployment
+    swaps the decoded-pixel source, the hash algebra is identical).
+
+    Definition: the decoded body is split into PHASH_SEGMENTS
+    consecutive segments ("pixels" = unicode code points of the decoded
+    body, the stand-in for gray levels); bit s is set iff segment s's
+    mean exceeds the global mean — the classic aHash bit rule. The
+    comparison is cross-multiplied (``seg_sum·n > total·seg_len``) so
+    the whole hash is integer-exact and bit-identical in the DuckDB
+    oracle.
+
+    Physical shape: pure JVM — split/ascii/posexplode then ONE
+    aggregation keyed by doc_id (the same conditional-agg pattern as
+    `dedup.simhash_fingerprints`); no Python, one shuffle, partitioned
+    by doc hash at any scale."""
+    body = F.decode(
+        F.expr("substring(payload, 13, 2147483647)"), "utf-8"
+    )
+    chars = (
+        media.select("doc_id", body.alias("body"))
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(filter(split(body, ''), c -> c <> ''), "
+                "c -> ascii(c))"
+            ).alias("cps"),
+        )
+        # posexplode_outer keeps empty-body docs (null cp → phash 0)
+        .select(
+            "doc_id",
+            F.size("cps").alias("n"),
+            F.posexplode_outer("cps").alias("pos", "cp"),
+        )
+        .withColumn("seg", F.expr(f"(pos * {PHASH_SEGMENTS}) div n"))
+    )
+    seg_sums = [
+        F.sum(F.when(F.col("seg") == s, F.col("cp"))).alias(f"ss{s}")
+        for s in range(PHASH_SEGMENTS)
+    ]
+    seg_lens = [
+        F.sum(F.when(F.col("seg") == s, F.lit(1))).alias(f"sl{s}")
+        for s in range(PHASH_SEGMENTS)
+    ]
+    wide = chars.groupBy("doc_id").agg(
+        F.sum("cp").alias("total"),
+        F.count("cp").alias("cnt"),
+        *seg_sums,
+        *seg_lens,
+    )
+    phash = None
+    for s in range(PHASH_SEGMENTS):
+        bit = F.when(
+            F.coalesce(F.col(f"ss{s}"), F.lit(0)) * F.col("cnt")
+            > F.col("total") * F.coalesce(F.col(f"sl{s}"), F.lit(0)),
+            F.lit(2**s),
+        ).otherwise(F.lit(0))
+        phash = bit if phash is None else phash + bit
+    return wide.select(
+        "doc_id", F.coalesce(phash, F.lit(0)).cast("long").alias("phash")
+    )
+
+
+def media_phash_pairs(
+    media: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Perceptual near-dup media pairs: hamming(phash) ≤ max_hamming via
+    the shared pigeonhole chunk join (`dedup.hamming_neighbor_pairs`) —
+    bucketed candidates, never all-pairs. Output: doc_a, doc_b,
+    hamming."""
+    from .dedup import hamming_neighbor_pairs
+
+    return hamming_neighbor_pairs(media_phash(media), "phash", max_hamming)
+
+
 def sample_frames(media: DataFrame, frame_bytes: int = 256) -> DataFrame:
     """Frame-sampling fan-out for 'video' payloads: one output row per
     fixed-size byte window (UDTF-shaped mapInPandas — output cardinality

@@ -535,6 +535,16 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the JVM header-parse path IS oracle-able: every header field is a
     # deterministic function of (doc_id, n_chars, text bytes)
     q["media_header_meta"] = _media_header
+
+    # perceptual-hash media near-dup: positional aHash over the decoded
+    # body, pigeonhole-bucketed pair join — fully oracle-able (the hash
+    # is integer-exact in both engines)
+    def _media_phash_pairs(s: SparkSession, d: str) -> DataFrame:
+        from .pipelines import multimodal as mm
+
+        return mm.media_phash_pairs(_media(s, d))
+
+    q["media_phash_pairs"] = _media_phash_pairs
     # dataset assembly: reproducible hash-bucket splits/samples + fixed
     # token-window chunking (context packing)
     q["sampling_split"] = lambda s, d: sampling.deterministic_split(

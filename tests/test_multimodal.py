@@ -124,3 +124,58 @@ def test_feature_extraction_matches_python(media):
         assert got["feature"] == [round(p, 6) for p in norm]
         assert got["entropy"] == round(ent, 6)
         assert abs(sum(got["feature"]) - 1.0) < 1e-4
+
+
+def _phash_py(text: str, segments: int = 32) -> int:
+    """Straight-Python reference of the 32-bit positional aHash."""
+    cps = [ord(c) for c in text]
+    n = len(cps)
+    if n == 0:
+        return 0
+    total = sum(cps)
+    fp = 0
+    for s in range(segments):
+        seg = [cp for p, cp in enumerate(cps) if (p * segments) // n == s]
+        if sum(seg) * n > total * len(seg):
+            fp |= 1 << s
+    return fp
+
+
+def test_media_phash_matches_python_reference(spark, media):
+    from kafka_overwatch_spark.pipelines import multimodal as mm
+
+    got = {r["doc_id"]: r["phash"] for r in mm.media_phash(media).collect()}
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.table("documents").select("doc_id", "text").collect()
+    }
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        assert got[doc_id] == _phash_py(text), doc_id
+
+
+def test_media_phash_pairs_candidates_are_verified(spark, media):
+    """Every emitted pair's hamming is ≤ the bound and equals the direct
+    xor popcount of the two fingerprints; a constructed near-identical
+    payload pair IS found (recall witness for the pigeonhole join)."""
+    from kafka_overwatch_spark.pipelines import multimodal as mm
+
+    fps = {r["doc_id"]: r["phash"] for r in mm.media_phash(media).collect()}
+    pairs = mm.media_phash_pairs(media).collect()
+    for r in pairs:
+        direct = bin(fps[r["doc_a"]] ^ fps[r["doc_b"]]).count("1")
+        assert r["hamming"] == direct <= mm.PHASH_MAX_HAMMING
+    # recall witness: two synthetic docs, one with a tiny edit
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    docs = spark.createDataFrame(
+        [
+            (9001, base, len(base), "en", "synthetic"),
+            (9002, base[:-10] + "altered!!!", len(base), "en", "synthetic"),
+        ],
+        "doc_id long, text string, n_chars long, lang string, source string",
+    )
+    synth = mm.synth_media_from_documents(docs)
+    found = mm.media_phash_pairs(synth).collect()
+    assert any(
+        {r["doc_a"], r["doc_b"]} == {9001, 9002} for r in found
+    ), found
