@@ -304,6 +304,98 @@ def vanished_entity_stream(
     )
 
 
+# --- Kafka readStream seam (SURVEY S4's genuine streaming analog) ------
+#
+# The reference polls `Consumer.get_watermark_offsets` per partition every
+# scan interval (`kafka_resources/topics.py:168-178`). With Spark's Kafka
+# source the high watermark needs no polling at all: every consumed
+# record carries (topic, partition, offset), so max(offset)+1 per
+# partition per micro-batch IS the end-offset sample — the collector
+# becomes a by-product of consumption. The spark-sql-kafka connector jar
+# is not in this container, so the reader construction is seam-tested
+# (tests/test_sources_formats.py, skipped without the jar) while the
+# record→watermark transform — plain DataFrame code — is always tested.
+# LOW watermarks (retention floor) are not observable from records;
+# a real deployment keeps the AdminClient scan for those (S4 batch path)
+# or accepts first-consumed-offset as the observed floor.
+
+KAFKA_RECORD_COLUMNS = ("topic", "partition", "offset", "timestamp")
+
+
+def kafka_reader_options(
+    bootstrap_servers: str,
+    subscribe_pattern: str = ".*",
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = 100_000,
+) -> dict[str, str]:
+    """The production reader config, as data (testable without the jar).
+    ``maxOffsetsPerTrigger`` bounds per-batch work — the same
+    backfill-rate-limit role `maxFilesPerTrigger` plays in the file-feed
+    tests; ``subscribePattern`` mirrors the reference's regex topic
+    selection (P12)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribePattern": subscribe_pattern,
+        "startingOffsets": starting_offsets,
+        # metadata-only collector: payloads are never deserialized, so
+        # failOnDataLoss=false tolerates retention deleting old segments
+        # mid-backfill (the reference's scan likewise only sees the
+        # current watermark, never the deleted range)
+        "failOnDataLoss": "false",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def kafka_source_available(spark: SparkSession) -> bool:
+    """True iff the spark-sql-kafka connector is on the classpath. The
+    Kafka source defers broker connection until stream start, so a
+    plan-only ``load()`` succeeds exactly when the jar resolves."""
+    try:
+        (
+            spark.readStream.format("kafka")
+            .options(**kafka_reader_options("localhost:9092"))
+            .load()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def kafka_record_stream(
+    spark: SparkSession, bootstrap_servers: str, **option_overrides
+) -> DataFrame:
+    """The raw Kafka record stream projected to the metadata columns the
+    collector needs (payload bytes dropped BEFORE any further plan —
+    column pruning reaches the source, so brokers stream only record
+    frames that are immediately reduced)."""
+    opts = kafka_reader_options(bootstrap_servers)
+    opts.update({k: str(v) for k, v in option_overrides.items()})
+    raw = spark.readStream.format("kafka").options(**opts).load()
+    return raw.select(
+        F.col("topic"),
+        F.col("partition").cast("long").alias("partition_id"),
+        F.col("offset").cast("long").alias("offset"),
+        F.col("timestamp").alias("ts"),
+    )
+
+
+def end_offsets_from_records(records: DataFrame, scan_id: int) -> DataFrame:
+    """One micro-batch of consumed records → S4 watermark-sample rows:
+    end_offset = max(offset)+1 (Kafka's high watermark is one past the
+    last record), observed floor = min(offset). Plain batch transform for
+    ``foreachBatch`` — the per-batch groupBy is the only aggregation, so
+    per-trigger cost is O(batch) with a (topic, partition)-keyed shuffle
+    of partition-count cardinality."""
+    return records.groupBy("topic", "partition_id").agg(
+        F.lit(scan_id).cast("long").alias("scan_id"),
+        F.min("offset").alias("start_offset"),
+        (F.max("offset") + 1).alias("end_offset"),
+        F.max("ts").alias("ts"),
+    )
+
+
 # --- streaming lag pipeline (§2.9 at the lag grain) -------------------
 #
 # The reference computes consumer lag EVERY scan interval from its

@@ -79,3 +79,76 @@ def test_csv_round_trip_newlines_and_empty_strings(spark):
         assert infer_format(path) == "csv"
         got = read_table(spark, path, df.schema)
         assert sorted(map(tuple, got.collect())) == want
+
+
+def test_kafka_reader_options_contract():
+    """The Kafka source configuration (testable without the connector
+    jar): backfill rate limiting, pattern subscription, and the
+    metadata-collector retention tolerance are all present."""
+    from kafka_overwatch_spark.streaming.offsets import kafka_reader_options
+
+    opts = kafka_reader_options(
+        "b1:9092,b2:9092", subscribe_pattern="^app\\..*$",
+        max_offsets_per_trigger=5000,
+    )
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribePattern"] == "^app\\..*$"
+    assert opts["maxOffsetsPerTrigger"] == "5000"
+    assert opts["failOnDataLoss"] == "false"
+    assert "subscribe" not in opts  # pattern mode, not fixed-list mode
+    # unbounded variant omits the trigger cap entirely (Spark treats the
+    # option's presence as the limit)
+    assert "maxOffsetsPerTrigger" not in kafka_reader_options(
+        "b:9092", max_offsets_per_trigger=None
+    )
+
+
+def test_kafka_record_stream_requires_connector(spark):
+    """Environment-honest seam: with the spark-sql-kafka jar absent the
+    reader must fail at plan time (loudly, not at runtime mid-stream);
+    with it present this test exercises the real plan-only load."""
+    import pytest
+
+    from kafka_overwatch_spark.streaming.offsets import (
+        kafka_record_stream,
+        kafka_source_available,
+    )
+
+    if kafka_source_available(spark):
+        stream = kafka_record_stream(spark, "localhost:9092")
+        assert [f.name for f in stream.schema.fields] == [
+            "topic", "partition_id", "offset", "ts",
+        ]
+    else:
+        with pytest.raises(Exception, match="kafka|KAFKA|data source"):
+            kafka_record_stream(spark, "localhost:9092")
+
+
+def test_end_offsets_from_records_transform(spark):
+    """The record→watermark transform (always testable — plain DataFrame
+    code): end_offset is one past the max consumed offset, the observed
+    floor is the min, one row per (topic, partition)."""
+    from kafka_overwatch_spark.streaming.offsets import (
+        end_offsets_from_records,
+    )
+
+    records = spark.createDataFrame(
+        [
+            ("t1", 0, 5, "2024-01-01 00:00:01"),
+            ("t1", 0, 9, "2024-01-01 00:00:02"),
+            ("t1", 1, 2, "2024-01-01 00:00:03"),
+            ("t2", 0, 100, "2024-01-01 00:00:04"),
+        ],
+        "topic string, partition_id long, offset long, ts string",
+    ).selectExpr("topic", "partition_id", "offset", "CAST(ts AS TIMESTAMP) AS ts")
+    got = {
+        (r["topic"], r["partition_id"]): (
+            r["scan_id"], r["start_offset"], r["end_offset"]
+        )
+        for r in end_offsets_from_records(records, scan_id=7).collect()
+    }
+    assert got == {
+        ("t1", 0): (7, 5, 10),
+        ("t1", 1): (7, 2, 3),
+        ("t2", 0): (7, 100, 101),
+    }
