@@ -480,3 +480,231 @@ def asof_attribution(
         msec.alias("view_ts_sec"),
         (sec - msec).cast("long").alias("gap_sec"),
     )
+
+
+def order_priority_check(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: count orders placed in one
+    quarter that have at least one discounted lineitem — the canonical
+    EXISTS / semi-join shape.
+
+    Physical strategy: ``left_semi`` join, NOT an inner join + distinct —
+    the semi-join short-circuits on first match, never multiplies
+    cardinality by lineitems-per-order, and lets AQE pick a broadcast
+    when the filtered order window is small. At 100 TB both sides are
+    bucketed by orderkey, so the semi-join is co-located and shuffle-free.
+    """
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    ).select("o_orderkey", "o_orderpriority")
+    discounted = lineitem.filter(F.col("l_discount") > 0.05).select("l_orderkey")
+    return (
+        window.join(
+            discounted, window.o_orderkey == discounted.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13-shaped customer distribution: how many customers placed
+    exactly N qualifying orders, INCLUDING the zero-order customers — the
+    canonical left-outer-join + double-aggregation shape (the outer join
+    is what makes the N=0 row appear; an inner join silently drops it).
+
+    Scale shape: the outer join shuffles on custkey (both sides would be
+    bucketed by it at 100 TB); the second aggregation runs on the
+    already-tiny distribution domain. ``count(o_orderkey)`` (not
+    ``count(*)``) is load-bearing: unmatched customers contribute NULL
+    order keys, which count() correctly ignores.
+    """
+    qualifying = orders.filter(F.col("o_orderstatus") != "F").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        customer.join(
+            qualifying, customer.c_custkey == qualifying.o_custkey, "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+def brand_supplier_stats(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q16-shaped supplier diversity: distinct suppliers able to
+    ship each (brand, size) family, excluding "complaint" suppliers —
+    here, suppliers whose return rate exceeds 1/3 of their lineitems
+    (``3 × returned > total``, an integer-exact comparison with no float
+    boundary between engines; "ever had one return" would exclude every
+    supplier at scale). The fixture has no partsupp table, so lineitem is
+    the observed part↔supplier bridge.
+
+    Physical strategy: the exclusion is a ``left_anti`` join against the
+    (small, distinct) complaint-supplier set — broadcastable, evaluated
+    BEFORE the bridge is distinct-ed so excluded pairs never enter the
+    expensive count-distinct shuffle. The bridge dedup and the final
+    count-distinct both key on partkey-derived groups; at 100 TB the
+    bridge would be bucketed by l_partkey making the part join
+    co-located.
+    """
+    complaint = (
+        lineitem.groupBy("l_suppkey")
+        .agg(
+            F.sum((F.col("l_returnflag") == "R").cast("long")).alias("rets"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("rets") * 3 > F.col("n"))
+        .select("l_suppkey")
+    )
+    bridge = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(complaint), "l_suppkey", "left_anti")
+        .distinct()
+    )
+    parts = part.filter(
+        (F.col("p_brand") != "Brand#13") & (F.col("p_size") < 30)
+    ).select("p_partkey", "p_brand", "p_size")
+    return (
+        parts.join(bridge, parts.p_partkey == bridge.l_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def events_topk_per_type(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k users by total spend per event type — the window-rank top-k
+    shape (rank INSIDE each group, not a global sort). Totals are summed
+    as DECIMAL so the rank key is exact and the tie-break (total desc,
+    user_id asc) is deterministic across engines.
+
+    Scale shape: one keyed aggregation, then a window over the already
+    aggregated (type, user) grain — the window's sort is per-partition
+    after a shuffle on event_type. With few types that shuffle is skewed;
+    the 100 TB variant pre-aggregates (map-side combine does the heavy
+    lifting) so the window input is |types|×|users|, not |events|.
+    """
+    from pyspark.sql.window import Window
+
+    totals = events.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("events"),
+        F.sum(_dec("value")).alias("d_total"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("d_total").desc(), F.col("user_id").asc()
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "event_type",
+            "rank",
+            "user_id",
+            "events",
+            F.col("d_total").cast("double").alias("total_value"),
+        )
+    )
+
+
+def events_rollup(events: DataFrame) -> DataFrame:
+    """Hierarchical ROLLUP over (event_type, day): leaf rows, per-type
+    subtotals, and a grand total in ONE pass — the OLAP rollup/grouping-
+    sets shape. Spark computes this with a single shuffle (each grouping
+    set is expanded map-side, partial-aggregated, then merged), which at
+    100 TB beats three separate aggregations by 3× on scan cost alone.
+
+    NULL group keys are coalesced to sentinels ('(all)' / -1) and the
+    grouping level is exported explicitly — hash-stable for the oracle
+    and unambiguous when a real event_type could itself be NULL.
+    """
+    return (
+        events.rollup("event_type", day_col().alias("day"))
+        .agg(
+            F.count("*").alias("events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("day", F.lit(-1)).cast("long").alias("day"),
+            F.col("gid").cast("long").alias("grouping_level"),
+            "events",
+            "total_value",
+        )
+    )
+
+
+def events_preceding_window_join(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Range (interval) join: for every ``left_type`` event, aggregate
+    the ``right_type`` events by the same user in the preceding
+    ``window_seconds`` — "clicks in the hour before each purchase", the
+    attribution-window query Spark has no native range-join operator for.
+
+    Physical strategy: bucketize time into window-sized epochs and turn
+    the inequality join into an equi-join on (user_id, bucket). A right
+    event at bucket b can only satisfy lefts in buckets {b, b+1}, so each
+    left probes exactly TWO bucket keys (posexplode of a 2-element
+    array) and the exact range predicate is applied on timestamp type
+    (microsecond-exact, matching the oracle's INTERVAL arithmetic) after
+    the equi-join. Candidates per left are bounded by that user's
+    activity in ≤2 adjacent windows — never a cross product, never a
+    broadcast-nested-loop (the plan Spark picks for a naive inequality
+    join). A left outer join restores zero-match lefts. At 100 TB all
+    three shuffles are keyed: (user, bucket), (purchase grain), and the
+    final left join on event_id; a hot user inflates only its own bucket
+    (salt-able if one user dominates a window).
+    """
+    bucket = F.floor(F.unix_timestamp("ts") / window_seconds)
+    lefts = events.filter(F.col("event_type") == left_type).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    rights = events.filter(F.col("event_type") == right_type).select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        _dec("value").alias("c_value"),
+        bucket.alias("bucket"),
+    )
+    probes = lefts.select(
+        "purchase_id",
+        "user_id",
+        "p_ts",
+        F.explode(
+            F.array(
+                F.floor(F.unix_timestamp("p_ts") / window_seconds) - 1,
+                F.floor(F.unix_timestamp("p_ts") / window_seconds),
+            )
+        ).alias("bucket"),
+    )
+    matched = (
+        probes.join(rights, ["user_id", "bucket"])
+        .filter(
+            (F.col("c_ts") > F.expr(f"p_ts - INTERVAL {window_seconds} SECOND"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+        )
+        .groupBy("purchase_id")
+        .agg(
+            F.count("*").alias("m_clicks"),
+            F.sum("c_value").alias("m_value"),
+        )
+    )
+    return lefts.join(matched, "purchase_id", "left_outer").select(
+        "purchase_id",
+        "user_id",
+        F.unix_timestamp("p_ts").alias("purchase_ts_sec"),
+        F.coalesce("m_clicks", F.lit(0)).cast("long").alias("clicks_1h"),
+        F.coalesce(F.col("m_value").cast("double"), F.lit(0.0)).alias(
+            "click_value_1h"
+        ),
+    )

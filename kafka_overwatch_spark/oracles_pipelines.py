@@ -1016,4 +1016,164 @@ SELECT lang,
     AS hapax_frac
 FROM counts GROUP BY lang"""
 
+    # deterministic source-mix audit: same salted-md5 bucket as the
+    # split/stratified oracles, per-source rate thresholds exact over
+    # SPLIT_BUCKETS
+    from .pipelines.sampling import (
+        MIX_DEFAULT_RATE,
+        MIX_RATES,
+        MIX_SALT,
+        SPLIT_BUCKETS as _MB,
+    )
+
+    rate_case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in MIX_RATES.items()
+    ) + f" ELSE {MIX_DEFAULT_RATE} END"
+    q["sampling_source_mix"] = f"""
+WITH b AS (
+  SELECT doc_id, source, n_chars,
+    CAST(concat('0x', substr(md5('{MIX_SALT}:' || CAST(doc_id AS VARCHAR)),
+      1, 15)) AS BIGINT) % {_MB} AS bucket,
+    {rate_case} AS rate
+  FROM documents
+),
+k AS (
+  SELECT *, CASE WHEN bucket < floor(rate * {_MB}) THEN 1 ELSE 0 END AS keep
+  FROM b
+)
+SELECT source,
+  round(CAST(max(rate) AS DOUBLE), 6) AS target_rate,
+  CAST(count(*) AS BIGINT) AS total_docs,
+  CAST(sum(keep) AS BIGINT) AS kept_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  CAST(sum(n_chars * keep) AS BIGINT) AS kept_chars,
+  round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS kept_frac
+FROM k GROUP BY source"""
+
+    # temperature-scaled source weights (τ=0.7): share^τ sampling probs
+    # + min-share-normalized acceptance rates; doubles rounded to 6 —
+    # pow() agreement beyond that is not part of the contract
+    q["sampling_temperature_weights"] = """
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS docs
+  FROM documents GROUP BY source
+),
+t AS (
+  SELECT CAST(sum(docs) AS DOUBLE) AS total,
+    sum(pow(CAST(docs AS DOUBLE), 0.7)) AS pow_sum,
+    CAST(min(docs) AS DOUBLE) AS min_docs
+  FROM counts
+)
+SELECT source, docs,
+  round(docs / total, 6) AS share,
+  round(pow(CAST(docs AS DOUBLE), 0.7) / pow_sum, 6) AS sample_prob,
+  round(least(pow((docs / total) / (min_docs / total), 0.7 - 1.0), 1.0), 6)
+    AS accept_rate
+FROM counts, t"""
+
+    # Q4-shape: EXISTS semi-join, one order-date quarter
+    q["tpch_order_priority"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05
+  )
+GROUP BY o_orderpriority"""
+
+    # Q13-shape: left-outer join + double aggregation (zero-order
+    # customers MUST appear as the c_count = 0 row)
+    q["tpch_customer_distribution"] = """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count"""
+
+    # Q16-shape: anti-join exclusion + count-distinct suppliers over the
+    # observed lineitem part↔supplier bridge
+    q["tpch_brand_supplier_stats"] = """
+WITH complaint AS (
+  SELECT l_suppkey FROM lineitem GROUP BY l_suppkey
+  HAVING sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 3 > count(*)
+),
+bridge AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_suppkey NOT IN (SELECT l_suppkey FROM complaint)
+)
+SELECT p_brand, p_size,
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN bridge ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13' AND p_size < 30
+GROUP BY p_brand, p_size"""
+
+    # window-rank top-k inside each group; DECIMAL totals make the rank
+    # key exact so the (total desc, user asc) tie-break is engine-stable
+    q["events_topk_per_type"] = """
+WITH totals AS (
+  SELECT event_type, user_id,
+    CAST(count(*) AS BIGINT) AS events,
+    sum(CAST(value AS DECIMAL(18,2))) AS d_total
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, user_id, events, d_total,
+    row_number() OVER (
+      PARTITION BY event_type ORDER BY d_total DESC, user_id ASC
+    ) AS rank
+  FROM totals
+)
+SELECT event_type, CAST(rank AS INTEGER) AS rank, user_id, events,
+  CAST(d_total AS DOUBLE) AS total_value
+FROM ranked WHERE rank <= 3"""
+
+    # hierarchical ROLLUP (leaf / per-type subtotal / grand total in one
+    # pass); sentinel-coalesced keys + explicit grouping level for
+    # hash-stable comparison. Spark GROUPING_ID bit order: first rollup
+    # column = most significant bit — identical to DuckDB's GROUPING().
+    q["events_rollup"] = """
+SELECT
+  coalesce(event_type, '(all)') AS event_type,
+  CAST(coalesce(CAST(floor(date_diff('second',
+      TIMESTAMP '1970-01-01 00:00:00', ts) / 86400) AS BIGINT), -1)
+    AS BIGINT) AS day,
+  CAST(GROUPING(event_type) * 2 + GROUPING(
+    CAST(floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+      / 86400) AS BIGINT)) AS BIGINT) AS grouping_level,
+  CAST(count(*) AS BIGINT) AS events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP (event_type,
+  CAST(floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+    / 86400) AS BIGINT))"""
+
+    # range (interval) join: clicks in the hour before each purchase.
+    # The oracle states the inequality join directly; the Spark plan is
+    # the bucketized equi-join — two different algorithms, same rows.
+    # INTERVAL arithmetic on TIMESTAMP is microsecond-exact in both.
+    q["events_preceding_window_join"] = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
+  WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts AS c_ts, CAST(value AS DECIMAL(18,2)) AS c_value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id, p.user_id,
+  CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', p.p_ts)
+    AS BIGINT) AS purchase_ts_sec,
+  CAST(count(c.c_ts) AS BIGINT) AS clicks_1h,
+  CAST(coalesce(sum(c.c_value), 0) AS DOUBLE) AS click_value_1h
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+  AND c.c_ts > p.p_ts - INTERVAL 1 HOUR
+  AND c.c_ts <= p.p_ts
+GROUP BY 1, 2, 3"""
+
     return q

@@ -196,3 +196,113 @@ def pack_sequences(
         )
 
     return chunks.groupBy(group_col).applyInPandas(pack, out_schema)
+
+
+# Source-mixing policy for the registered `sampling_source_mix` query:
+# explicit per-source acceptance rates with a default — the "recipe"
+# of a training-data mix (downsample crawl-heavy sources, keep curated
+# ones whole). Rates are exact rationals over SPLIT_BUCKETS so the
+# hash-threshold comparison is integer-exact in every engine.
+MIX_RATES: dict[str, float] = {
+    "src0": 1.0,
+    "src1": 0.5,
+    "src2": 0.25,
+    "src3": 0.1,
+}
+MIX_DEFAULT_RATE = 0.75
+MIX_SALT = "mix"
+
+
+def _mix_rate_col() -> Column:
+    expr = None
+    for name, rate in MIX_RATES.items():
+        cond = F.col("source") == name
+        expr = F.when(cond, rate) if expr is None else expr.when(cond, rate)
+    return expr.otherwise(MIX_DEFAULT_RATE)
+
+
+def source_mix_keep(
+    documents: DataFrame, salt: str = MIX_SALT
+) -> DataFrame:
+    """Per-row deterministic mix decision: keep a doc iff its hash bucket
+    falls under its source's acceptance threshold. Same
+    partitioning-invariance argument as `deterministic_split`: membership
+    is a pure function of doc_id, so re-runs, repartitions, and engine
+    changes keep the identical subset — the property that makes a 100 TB
+    mix reproducible (and auditable) without materializing a row list."""
+    bucket = hash_bucket(F.col("doc_id"), salt)
+    rate = _mix_rate_col()
+    return spread(documents).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        bucket.alias("bucket"),
+        (bucket < F.floor(rate * SPLIT_BUCKETS)).alias("keep"),
+    )
+
+
+def source_mix_summary(
+    documents: DataFrame, salt: str = MIX_SALT
+) -> DataFrame:
+    """The mix audit table: per source, the target rate and the realized
+    kept docs/chars. ONE conditional aggregation over the keep column —
+    no second scan, no join; at 100 TB this is a map-side-combinable agg
+    on a low-cardinality key."""
+    marked = source_mix_keep(documents, salt)
+    kept = F.col("keep").cast("long")
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.round(F.first(_mix_rate_col()), 6).alias("target_rate"),
+            F.count("*").alias("total_docs"),
+            F.sum(kept).alias("kept_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.col("n_chars") * kept).alias("kept_chars"),
+        )
+        .select(
+            "source",
+            "target_rate",
+            "total_docs",
+            "kept_docs",
+            "total_chars",
+            "kept_chars",
+            F.round(
+                F.col("kept_docs").cast("double") / F.col("total_docs"), 6
+            ).alias("kept_frac"),
+        )
+    )
+
+
+def temperature_weights(
+    documents: DataFrame, tau: float = 0.7
+) -> DataFrame:
+    """Temperature-scaled source sampling weights — the standard
+    multilingual/multisource LM recipe (sample source s with probability
+    ∝ share_s^τ, τ<1 flattens the distribution toward rare sources).
+    Emits, per source: raw doc share, the τ-scaled sampling probability,
+    and the per-source acceptance rate normalized so the SMALLEST source
+    is kept whole (rate_s = (share_s/min_share)^(τ-1) ∈ (0,1]; τ<1 makes
+    the exponent negative, so bigger sources get lower rates) — the
+    numbers a mixer like `source_mix_keep` would be configured with.
+
+    Scale shape: one count aggregation on the source key, then a
+    broadcast of the (|sources|-row) totals — nothing here touches row
+    data twice. Outputs are ROUNDED doubles: pow() is IEEE libm in both
+    engines, agreement beyond 6 decimals is not part of the contract."""
+    counts = documents.groupBy("source").agg(F.count("*").alias("docs"))
+    totals = counts.agg(
+        F.sum("docs").alias("total"),
+        F.sum(F.pow(F.col("docs"), F.lit(tau))).alias("pow_sum"),
+        F.min("docs").alias("min_docs"),
+    )
+    share = F.col("docs") / F.col("total")
+    prob = F.pow(F.col("docs"), F.lit(tau)) / F.col("pow_sum")
+    min_share = F.col("min_docs") / F.col("total")
+    rate = F.pow(share / min_share, F.lit(tau - 1.0))
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "docs",
+        F.round(share, 6).alias("share"),
+        F.round(prob, 6).alias("sample_prob"),
+        F.round(F.least(rate, F.lit(1.0)), 6).alias("accept_rate"),
+    )

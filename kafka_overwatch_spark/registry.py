@@ -556,6 +556,13 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_chunks"] = lambda s, d: sampling.chunk_documents(
         raw(s, d, "documents")
     )
+    # r5: source-mix recipe audit + temperature-scaled source weights
+    q["sampling_source_mix"] = lambda s, d: sampling.source_mix_summary(
+        raw(s, d, "documents")
+    )
+    q["sampling_temperature_weights"] = (
+        lambda s, d: sampling.temperature_weights(raw(s, d, "documents"))
+    )
     # next-fit packing is sequential within a group (no ANSI-SQL
     # equivalent) → rows-only gate; python-reference parity in
     # tests/test_sampling.py
@@ -605,6 +612,28 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_asof_attribution"] = lambda s, d: relational.asof_attribution(
         raw(s, d, "events")
     )
+    # r5 relational breadth: semi-join, outer-join distribution,
+    # anti-join count-distinct, window top-k, ROLLUP, range join
+    q["tpch_order_priority"] = lambda s, d: relational.order_priority_check(
+        raw(s, d, "orders"), raw(s, d, "lineitem")
+    )
+    q["tpch_customer_distribution"] = (
+        lambda s, d: relational.customer_order_distribution(
+            raw(s, d, "customer"), raw(s, d, "orders")
+        )
+    )
+    q["tpch_brand_supplier_stats"] = lambda s, d: relational.brand_supplier_stats(
+        raw(s, d, "part"), raw(s, d, "lineitem")
+    )
+    q["events_topk_per_type"] = lambda s, d: relational.events_topk_per_type(
+        raw(s, d, "events")
+    )
+    q["events_rollup"] = lambda s, d: relational.events_rollup(
+        raw(s, d, "events")
+    )
+    q["events_preceding_window_join"] = (
+        lambda s, d: relational.events_preceding_window_join(raw(s, d, "events"))
+    )
     # mergeable-sketch counting surface: estimates are implementation-
     # defined (HLL++ / Datasketches) → rows-only gate; accuracy vs the
     # exact anchor asserted in tests/test_usage_extras.py
@@ -635,6 +664,15 @@ _PROMOTED = [
     "text_contamination",
     "media_phash_pairs",
     "media_header_meta",
+    # r5 additions — new algorithms go inside the check window first
+    "events_preceding_window_join",
+    "events_rollup",
+    "events_topk_per_type",
+    "tpch_customer_distribution",
+    "tpch_order_priority",
+    "tpch_brand_supplier_stats",
+    "sampling_source_mix",
+    "sampling_temperature_weights",
 ]
 
 

@@ -222,3 +222,65 @@ def test_stratified_sample_bucket_filter_is_cheap(spark, snaps):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(stratified_sample(docs, 0.2))
     assert "Filter" in plan and "hashpartitioning" not in plan
+
+
+def test_order_priority_is_semi_join(spark, snaps):
+    """Q4-shape must plan a real semi-join (short-circuit on first
+    match), not inner-join + distinct."""
+    from kafka_overwatch_spark.operators.relational import order_priority_check
+
+    plan = _plan(
+        order_priority_check(spark.table("orders"), spark.table("lineitem"))
+    )
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_customer_distribution_keeps_outer_join(spark, snaps):
+    """Q13-shape: the left-outer join must survive optimization (an inner
+    join would silently drop the zero-order customers)."""
+    from kafka_overwatch_spark.operators.relational import (
+        customer_order_distribution,
+    )
+
+    plan = _plan(
+        customer_order_distribution(spark.table("customer"), spark.table("orders"))
+    )
+    assert "LeftOuter" in plan
+
+
+def test_brand_supplier_anti_join_is_broadcast(spark, snaps):
+    """Q16-shape: the complaint-supplier exclusion must be a broadcast
+    anti-join (the distinct supplier set is dim-sized)."""
+    from kafka_overwatch_spark.operators.relational import brand_supplier_stats
+
+    plan = _plan(
+        brand_supplier_stats(spark.table("part"), spark.table("lineitem"))
+    )
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_range_join_is_bucketed_equi_join(spark, snaps):
+    """The interval join must be the bucketized equi-join — Spark's
+    default plan for an inequality join is BroadcastNestedLoopJoin,
+    which is quadratic work per executor and lethal at 100 TB."""
+    from kafka_overwatch_spark.operators.relational import (
+        events_preceding_window_join,
+    )
+
+    plan = _plan(events_preceding_window_join(spark.table("events")))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # candidate generation is an equi-join keyed on (user_id, bucket)
+    assert "user_id" in plan and "bucket" in plan
+
+
+def test_events_rollup_single_expand_pass(spark, snaps):
+    """ROLLUP must plan ONE Expand + aggregation pass over the scan, not
+    a union of three separate aggregations."""
+    from kafka_overwatch_spark.operators.relational import events_rollup
+
+    plan = _final_plan(events_rollup(spark.table("events")))
+    assert "Expand" in plan
+    assert "Union" not in plan

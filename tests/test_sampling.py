@@ -38,6 +38,54 @@ def test_stratified_sample_membership_stable(spark, snaps):
     assert kept <= kept_half
 
 
+def test_source_mix_membership_stable_and_rates(spark, snaps):
+    """Mix membership is a pure function of doc_id (partitioning-
+    invariant) and realized per-source rates track the configured
+    targets."""
+    from kafka_overwatch_spark.pipelines.sampling import (
+        MIX_DEFAULT_RATE,
+        MIX_RATES,
+        source_mix_keep,
+        source_mix_summary,
+    )
+
+    docs = spark.table("documents")
+    a = {r["doc_id"]: r["keep"] for r in source_mix_keep(docs).collect()}
+    b = {
+        r["doc_id"]: r["keep"]
+        for r in source_mix_keep(docs.repartition(7)).collect()
+    }
+    assert a == b and len(a) == docs.count()
+    for row in source_mix_summary(docs).collect():
+        rate = MIX_RATES.get(row["source"], MIX_DEFAULT_RATE)
+        assert row["target_rate"] == rate
+        assert 0 <= row["kept_docs"] <= row["total_docs"]
+        assert row["kept_chars"] <= row["total_chars"]
+        # realized rate within a loose tolerance at fixture size
+        assert abs(row["kept_frac"] - rate) <= 0.35
+
+
+def test_temperature_weights_flatten_distribution(spark, snaps):
+    """τ<1 must flatten: sampling probs are less spread than raw shares,
+    bigger sources get strictly lower acceptance rates, and the smallest
+    source is kept whole."""
+    from kafka_overwatch_spark.pipelines.sampling import temperature_weights
+
+    rows = temperature_weights(spark.table("documents")).collect()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["sample_prob"] for r in rows) - 1.0) < 1e-4
+    by_docs = sorted(rows, key=lambda r: r["docs"])
+    assert by_docs[0]["accept_rate"] == 1.0
+    for small, big in zip(by_docs, by_docs[1:]):
+        if small["docs"] < big["docs"]:
+            assert small["accept_rate"] > big["accept_rate"]
+            # flattening: prob ratio is compressed vs share ratio
+            assert (
+                big["sample_prob"] / small["sample_prob"]
+                < big["share"] / small["share"] + 1e-9
+            )
+
+
 def test_chunks_cover_and_overlap(spark, snaps):
     from kafka_overwatch_spark.pipelines.sampling import (
         CHUNK_OVERLAP,
