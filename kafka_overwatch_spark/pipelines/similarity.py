@@ -704,3 +704,224 @@ def dequantize_int8(embeddings: DataFrame) -> DataFrame:
         ),
         "label",
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-side half of the 100 TB ANN story.
+# IVF (above) prunes WHICH vectors a query scores; PQ shrinks WHAT is
+# stored per vector — EMB_DIM float32s (256 B) become PQ_M 8-bit codes
+# packed in one int64 (8 B, 32×), so a trillion-vector corpus's index fits
+# the cluster's RAM and ADC scoring is table lookups instead of FLOPs.
+# Codebooks train on a bounded deterministic sample (sample-training is
+# how FAISS/ScaNN build PQ codebooks too — centroids are a distribution
+# estimate, not a per-row artifact), then broadcast; encode is one
+# narrow Arrow pass over the corpus.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces → 8 codes/vector
+PQ_K = 256  # centroids per subspace → 8 bits/code, one packed int64
+PQ_TRAIN_SAMPLE = 4096
+PQ_SEED = 42
+
+
+def _lloyd(X: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarray:
+    """Seeded Lloyd k-means over a (bounded) training sample. Empty
+    clusters re-seed from the farthest points so all k codes stay
+    usable."""
+    rng = np.random.RandomState(seed)
+    k_eff = min(k, len(X))
+    centers = X[rng.choice(len(X), size=k_eff, replace=False)].copy()
+    for _ in range(iters):
+        # n×k distances via |x|² - 2x·c + |c|² (no n×k×d intermediate)
+        d2 = (
+            (X * X).sum(1, keepdims=True)
+            - 2.0 * (X @ centers.T)
+            + (centers * centers).sum(1)
+        )
+        assign = d2.argmin(1)
+        for j in range(k_eff):
+            members = X[assign == j]
+            if len(members):
+                centers[j] = members.mean(0)
+            else:
+                centers[j] = X[d2.min(1).argmax()]
+    if k_eff < k:
+        centers = np.vstack([centers, np.repeat(centers[:1], k - k_eff, 0)])
+    return centers
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    seed: int = PQ_SEED,
+    sample: int = PQ_TRAIN_SAMPLE,
+) -> np.ndarray:
+    """Train PQ codebooks: (m, k, EMB_DIM//m). The training set is the
+    ``sample`` vec_ids with the smallest md5 hash — deterministic across
+    engines/partitionings (same argument as sampling.hash_bucket), and a
+    BOUNDED driver collect (a distribution sample, never corpus-sized).
+    Vectors are unit-normalized first so ADC dot-table sums approximate
+    cosine directly."""
+    if EMB_DIM % m:
+        raise ValueError(f"EMB_DIM={EMB_DIM} not divisible by m={m}")
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))))
+        .limit(sample)
+        .collect()
+    )
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sub = EMB_DIM // m
+    return np.stack(
+        [
+            _lloyd(mat[:, i * sub : (i + 1) * sub], k, seed + i)
+            for i in range(m)
+        ]
+    )
+
+
+PQ_CODE_SCHEMA = StructType(
+    [StructField("vec_id", LongType()), StructField("code", LongType())]
+)
+
+
+def pq_encode(
+    embeddings: DataFrame, codebooks: np.ndarray | None = None
+) -> DataFrame:
+    """Encode every vector to its packed PQ code: per subspace, the
+    nearest codebook centroid's index; indices packed little-endian into
+    ONE int64 column (vec_id, code) — the whole ANN index is two longs
+    per vector. One broadcast (the ~½ MB codebook tensor) + one narrow
+    Arrow pass; nothing shuffles."""
+    cb = pq_train(embeddings) if codebooks is None else codebooks
+    m, k, sub = cb.shape
+    sc = embeddings.sparkSession.sparkContext
+    b_cb = sc.broadcast(cb)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = b_cb.value
+        norms = [(c * c).sum(1) for c in books]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            packed = np.zeros(len(mat), dtype=np.int64)
+            for i in range(m):
+                block = mat[:, i * sub : (i + 1) * sub]
+                # argmin over |c|² - 2x·c (|x|² constant per row)
+                d2 = norms[i] - 2.0 * (block @ books[i].T)
+                packed |= d2.argmin(1).astype(np.int64) << (8 * i)
+            yield pd.DataFrame({"vec_id": ids, "code": packed})
+
+    return _spread_gemm(embeddings.select("vec_id", "embedding")).mapInPandas(
+        encode, PQ_CODE_SCHEMA
+    )
+
+
+def ann_pq_topk(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = tuple(range(10)),
+    k: int = 5,
+    rerank: int = 4,
+    codebooks: np.ndarray | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage PQ retrieval: (1) ADC — each query precomputes an
+    (m × k) dot-lookup table against the codebooks, scans the CODES (8 B
+    per corpus vector, not the raw 256 B), and shortlists rerank×k
+    candidates by table-sum score; (2) exact re-rank — only the
+    shortlist joins back to raw embeddings for true cosine. That join is
+    the canonical retrieve-then-rerank shape: the expensive exact math
+    touches k×rerank×|queries| rows regardless of corpus size. Output
+    matches ivf_topk: (query_id, vec_id, cosine, rank), rows-only gate
+    (trained codebooks); recall vs exact asserted in tests."""
+    cb = pq_train(embeddings) if codebooks is None else codebooks
+    coded = pq_encode(embeddings, cb) if codes is None else codes
+    m, kk, sub = cb.shape
+    sc = embeddings.sparkSession.sparkContext
+
+    q_rows = embeddings.filter(F.col("vec_id").isin(*query_ids)).select(
+        "vec_id", "embedding"
+    ).collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    # ADC tables: tables[q, i, j] = q_subᵢ · C[i, j]
+    tables = np.stack(
+        [q_mat[:, i * sub : (i + 1) * sub] @ cb[i].T for i in range(m)],
+        axis=1,
+    )
+    b_q, b_t = sc.broadcast(q_ids), sc.broadcast(tables)
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_q, all_t = b_q.value, b_t.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            code = pdf["code"].to_numpy(dtype=np.int64)
+            # unpack: n×m uint8 indices
+            idx = np.stack(
+                [(code >> (8 * i)) & 0xFF for i in range(m)], axis=1
+            )
+            for qi, qid in enumerate(all_q):
+                # score = Σᵢ T[qi, i, idx[:, i]]
+                score = all_t[qi][np.arange(m), idx].sum(axis=1)
+                mask = vid != qid
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(mask.sum(), qid, dtype=np.int64),
+                        "vec_id": vid[mask],
+                        "cosine": np.round(score[mask], 6),
+                    }
+                )
+
+    shortlisted = coded.mapInPandas(adc, TOPK_SCORE_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        shortlisted.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k * rerank)
+        .select("query_id", "vec_id")
+    )
+
+    # exact re-rank of the tiny shortlist only
+    b_qmat = sc.broadcast(q_mat)
+
+    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_q, all_qmat = b_q.value, b_qmat.value
+        qpos = {int(q): i for i, q in enumerate(all_q)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            qi = pdf["query_id"].to_numpy(dtype=np.int64)
+            cos = np.round(
+                (mat * all_qmat[[qpos[int(q)] for q in qi]]).sum(axis=1), 6
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": qi,
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cosine": cos,
+                }
+            )
+
+    reranked = (
+        shortlist.join(embeddings.select("vec_id", "embedding"), "vec_id")
+        .mapInPandas(exact, TOPK_SCORE_SCHEMA)
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -155,6 +155,24 @@ def get_ivf(spark: SparkSession, sf_dir: str) -> tuple:
     return _IVF_CACHE[key]
 
 
+_PQ_CACHE: dict[tuple[int, str], tuple] = {}
+
+
+def get_pq(spark: SparkSession, sf_dir: str) -> tuple:
+    """Memoized PQ codebooks + cached packed codes per (session, sf_dir)
+    — train-once/probe-many like get_ivf: codebooks are a corpus
+    distribution estimate, and the 8-byte code table IS the ANN index
+    every PQ query scans."""
+    from .pipelines import similarity as sim
+
+    key = (id(spark), sf_dir)
+    if key not in _PQ_CACHE:
+        emb = get_raw_tables(spark, sf_dir)["embeddings"]
+        cb = sim.pq_train(emb)
+        _PQ_CACHE[key] = (cb, sim.pq_encode(emb, cb).cache())
+    return _PQ_CACHE[key]
+
+
 def get_shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized cached shingle-set frame — a fresh .cache() per call would
     leak a new cached RDD every invocation and degrade long sessions."""
@@ -437,6 +455,15 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # measured in tests/test_ann_ivf.py and ANN_TRADEOFFS.md.
     q["ann_ivf_topk"] = lambda s, d: similarity.ivf_topk(
         raw(s, d, "embeddings"), trained=get_ivf(s, d)
+    )
+    # r5: product quantization — packed 8-byte codes (the memory-side
+    # half of IVF-PQ) + ADC retrieve-then-exact-rerank top-k. Trained
+    # codebooks → rows-only gate; recall vs exact in tests/test_ann_ivf.py
+    q["emb_pq_codes"] = lambda s, d: get_pq(s, d)[1]
+    q["ann_pq_topk"] = lambda s, d: similarity.ann_pq_topk(
+        raw(s, d, "embeddings"),
+        codebooks=get_pq(s, d)[0],
+        codes=get_pq(s, d)[1],
     )
     q["text_token_stats"] = lambda s, d: textops.token_stats(
         raw(s, d, "documents")

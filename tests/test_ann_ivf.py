@@ -72,3 +72,70 @@ def test_kmeans_cluster_summary_deterministic(spark, emb):
     a = sorted(map(tuple, kmeans_cluster_summary(emb).collect()))
     b = sorted(map(tuple, kmeans_cluster_summary(emb).collect()))
     assert a == b
+
+
+def test_pq_codes_shape_and_determinism(spark, emb):
+    """Every vector gets exactly one packed code; codes are a pure
+    function of the corpus (partitioning-invariant)."""
+    from kafka_overwatch_spark.pipelines.similarity import (
+        PQ_M,
+        pq_encode,
+        pq_train,
+    )
+
+    cb = pq_train(emb)
+    a = {r["vec_id"]: r["code"] for r in pq_encode(emb, cb).collect()}
+    b = {
+        r["vec_id"]: r["code"]
+        for r in pq_encode(emb.repartition(7), cb).collect()
+    }
+    assert a == b and len(a) == emb.count()
+    # every 8-bit lane stays in range (packing is lossless)
+    for code in a.values():
+        for i in range(PQ_M):
+            assert 0 <= (code >> (8 * i)) & 0xFF <= 255
+
+
+def test_pq_topk_recall_vs_brute_force(spark, emb):
+    """ADC shortlist + exact rerank must recover most of the true top-5
+    (measured 0.98 at fixture scale; gate at 0.7 for headroom)."""
+    from kafka_overwatch_spark.pipelines.similarity import (
+        ann_pq_topk,
+        brute_force_topk_vectorized,
+        pq_encode,
+        pq_train,
+    )
+
+    cb = pq_train(emb)
+    codes = pq_encode(emb, cb)
+    exact = _topk_sets(brute_force_topk_vectorized(emb).collect())
+    approx = _topk_sets(ann_pq_topk(emb, codebooks=cb, codes=codes).collect())
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_pq_reconstruction_beats_grand_mean(spark, emb):
+    """The trained codebooks must actually fit the distribution:
+    per-subspace reconstruction MSE well under the variance around the
+    grand mean (the k=1 codebook)."""
+    import numpy as np
+
+    from kafka_overwatch_spark.pipelines.similarity import EMB_DIM, pq_train
+
+    cb = pq_train(emb)
+    m, k, sub = cb.shape
+    rows = emb.select("embedding").collect()
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    for i in range(m):
+        block = mat[:, i * sub : (i + 1) * sub]
+        d2 = (
+            (block * block).sum(1, keepdims=True)
+            - 2.0 * (block @ cb[i].T)
+            + (cb[i] * cb[i]).sum(1)
+        )
+        mse = d2.min(1).mean()
+        base = ((block - block.mean(0)) ** 2).sum(1).mean()
+        assert mse < 0.5 * base, (i, mse, base)
