@@ -89,6 +89,15 @@ EXTRA = [
     "lag_distribution",
     # round 5
     "media_phash_pairs",
+    "tpch_order_priority",
+    "tpch_customer_distribution",
+    "tpch_brand_supplier_stats",
+    "events_topk_per_type",
+    "events_rollup",
+    "events_preceding_window_join",
+    "sampling_source_mix",
+    "sampling_temperature_weights",
+    "ann_pq_topk",
 ]
 
 

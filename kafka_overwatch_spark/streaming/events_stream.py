@@ -348,3 +348,69 @@ def reach_from_sketch_state(spark: SparkSession, state_dir: str) -> DataFrame:
             .alias("sketch_users")
         )
     )
+
+
+def streaming_click_attribution(
+    stream: DataFrame,
+    watermark: str = "2 days",
+    window_seconds: int = 3600,
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> DataFrame:
+    """Stream-stream interval join: each ``left_type`` event left-outer
+    joined to the ``right_type`` events by the same user in its preceding
+    ``window_seconds`` — the streaming twin of
+    relational.events_preceding_window_join (same predicate, same
+    microsecond-exact INTERVAL arithmetic).
+
+    This is Spark's NATIVE stream-stream join shape: both sides carry a
+    watermark, and the join condition bounds event-time distance, so the
+    state store retains each side only within
+    watermark + window_seconds — bounded state, no unbounded buffering.
+    The left outer join emits unmatched purchases when the watermark
+    passes their join horizon (a zero-click purchase appears once, with
+    null click columns). Emits matched PAIRS, not the per-purchase
+    aggregate: chaining an aggregation after a stream-stream outer join
+    stacks two stateful operators whose combined output-mode rules are
+    subtle; the test aggregates the drained pairs and proves equality
+    with the batch operator's counts on a replayed feed.
+
+    At 100 TB/day both state stores partition by user_id (the equi-key);
+    skew concentrates a hot user's clicks in one store partition —
+    the same salting lever as the batch bucket join applies.
+    """
+    purchases = (
+        stream.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""c_user_id = p_user_id
+            AND c_ts > p_ts - INTERVAL {window_seconds} SECOND
+            AND c_ts <= p_ts"""
+        ),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        F.col("p_user_id").alias("user_id"),
+        "p_ts",
+        "click_id",
+        "c_ts",
+        "click_value",
+    )

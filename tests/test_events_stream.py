@@ -3,6 +3,7 @@ dedup drops replayed duplicates."""
 
 from __future__ import annotations
 
+import datetime
 import tempfile
 
 from pyspark.sql import functions as F
@@ -344,3 +345,54 @@ def test_reach_sketch_state_commit_protocol(spark, snaps):
         assert es.ReachSketchMaintainer(f"{tmp}/fresh").current_generation(
             spark
         ) is None
+
+
+def test_streaming_click_attribution_matches_batch(spark, snaps):
+    """The stream-stream interval join, drained over a replayed feed and
+    aggregated per purchase, must equal the batch bucketized range join
+    — including zero-click purchases emitted via the outer side."""
+    from kafka_overwatch_spark.operators.relational import (
+        events_preceding_window_join,
+    )
+    from kafka_overwatch_spark.streaming import events_stream as es
+    from kafka_overwatch_spark.streaming.offsets import run_to_completion
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ev = _split_events(spark, tmp)
+        # outer-join results near the end of a finite feed are withheld:
+        # null-padded rows emit only when the watermark passes their join
+        # horizon, and the watermark stops at the last batch. A far-future
+        # sentinel purchase + click (disjoint user) advances BOTH sides'
+        # watermarks so every real purchase's state expires and emits.
+        spark.createDataFrame(
+            [
+                (-999, datetime.datetime(2099, 1, 1), -1, "purchase", 0.0, ""),
+                (-998, datetime.datetime(2099, 1, 1), -1, "click", 0.0, ""),
+            ],
+            schema=es.EVENT_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+        pairs = [
+            r
+            for r in run_to_completion(
+                es.streaming_click_attribution(
+                    es.event_stream(spark, f"{tmp}/in")
+                ),
+                f"{tmp}/ck",
+            )
+            if r["purchase_id"] >= 0
+        ]
+        got: dict = {}
+        for r in pairs:
+            cnt, val = got.get(r["purchase_id"], (0, 0.0))
+            if r["click_id"] is not None:
+                got[r["purchase_id"]] = (cnt + 1, val + r["click_value"])
+            else:
+                got.setdefault(r["purchase_id"], (0, 0.0))
+        want = {
+            r["purchase_id"]: (r["clicks_1h"], r["click_value_1h"])
+            for r in events_preceding_window_join(ev).collect()
+        }
+        assert set(got) == set(want)
+        for pid, (cnt, val) in got.items():
+            assert cnt == want[pid][0], (pid, cnt, want[pid])
+            assert abs(val - want[pid][1]) < 1e-6, (pid, val, want[pid])
