@@ -236,14 +236,21 @@ def media_phash(media: DataFrame) -> DataFrame:
     the whole hash is integer-exact and bit-identical in the DuckDB
     oracle.
 
-    Physical shape: pure JVM — split/ascii/posexplode then ONE
-    aggregation keyed by doc_id (the same conditional-agg pattern as
-    `dedup.simhash_fingerprints`); no Python, one shuffle, partitioned
-    by doc hash at any scale."""
+    Physical shape (r5): a pure NARROW map — segment s of the seg
+    assignment ``(pos·SEG) div n`` is the CONTIGUOUS position range
+    [⌈s·n/SEG⌉, ⌈(s+1)·n/SEG⌉), so per-segment sums are array
+    ``slice`` + ``aggregate`` folds over the codepoint array, all
+    inside one projection. The previous shape posexploded every
+    codepoint (~chars-per-doc × docs rows) through a 32-way
+    conditional aggregation — one large shuffle this version simply
+    does not have (4.4 s → sub-second at sf0.1). Zero Python, zero
+    exchanges; the identical integer algebra keeps the DuckDB oracle
+    bit-for-bit."""
+    seg = PHASH_SEGMENTS
     body = F.decode(
         F.expr("substring(payload, 13, 2147483647)"), "utf-8"
     )
-    chars = (
+    arr = (
         media.select("doc_id", body.alias("body"))
         .select(
             "doc_id",
@@ -252,38 +259,27 @@ def media_phash(media: DataFrame) -> DataFrame:
                 "c -> ascii(c))"
             ).alias("cps"),
         )
-        # posexplode_outer keeps empty-body docs (null cp → phash 0)
         .select(
             "doc_id",
+            "cps",
             F.size("cps").alias("n"),
-            F.posexplode_outer("cps").alias("pos", "cp"),
+            F.expr("aggregate(cps, 0L, (a, x) -> a + x)").alias("total"),
         )
-        .withColumn("seg", F.expr(f"(pos * {PHASH_SEGMENTS}) div n"))
     )
-    seg_sums = [
-        F.sum(F.when(F.col("seg") == s, F.col("cp"))).alias(f"ss{s}")
-        for s in range(PHASH_SEGMENTS)
-    ]
-    seg_lens = [
-        F.sum(F.when(F.col("seg") == s, F.lit(1))).alias(f"sl{s}")
-        for s in range(PHASH_SEGMENTS)
-    ]
-    wide = chars.groupBy("doc_id").agg(
-        F.sum("cp").alias("total"),
-        F.count("cp").alias("cnt"),
-        *seg_sums,
-        *seg_lens,
-    )
-    phash = None
-    for s in range(PHASH_SEGMENTS):
-        bit = F.when(
-            F.coalesce(F.col(f"ss{s}"), F.lit(0)) * F.col("cnt")
-            > F.col("total") * F.coalesce(F.col(f"sl{s}"), F.lit(0)),
-            F.lit(2**s),
-        ).otherwise(F.lit(0))
-        phash = bit if phash is None else phash + bit
-    return wide.select(
-        "doc_id", F.coalesce(phash, F.lit(0)).cast("long").alias("phash")
+    bits = []
+    for s in range(seg):
+        start = f"(({s} * n + {seg - 1}) div {seg})"
+        end = f"(({s + 1} * n + {seg - 1}) div {seg})"
+        ss = (
+            f"aggregate(slice(cps, {start} + 1, {end} - {start}), "
+            "0L, (a, x) -> a + x)"
+        )
+        bits.append(
+            f"(CASE WHEN {ss} * n > total * ({end} - {start}) "
+            f"THEN {2 ** s}L ELSE 0L END)"
+        )
+    return arr.select(
+        "doc_id", F.expr(" + ".join(bits)).cast("long").alias("phash")
     )
 
 
