@@ -98,6 +98,9 @@ EXTRA = [
     "sampling_source_mix",
     "sampling_temperature_weights",
     "ann_pq_topk",
+    "text_unigram_logprob",
+    "tpch_important_parts",
+    "tpch_large_quantity_orders",
 ]
 
 

@@ -708,3 +708,64 @@ def events_preceding_window_join(
             "click_value_1h"
         ),
     )
+
+
+def important_part_values(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q11-shaped "important stock": per-part revenue kept only
+    when it exceeds a fraction-of-grand-total threshold — the HAVING-
+    over-global-aggregate shape (a scalar subquery both engines evaluate
+    as a broadcast, not a rescan).
+
+    The threshold is 1.1× the mean part value, compared CROSS-MULTIPLIED
+    in DECIMAL (``v·n·10 > total·11``) — exact at every scale, no float
+    boundary, and scale-invariant where Q11's literal fraction would
+    degenerate as the part count grows. One keyed aggregation + one
+    broadcast of a 2-scalar frame."""
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice")).alias("d_value")
+    )
+    totals = per_part.agg(
+        F.sum("d_value").alias("d_total"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("d_value") * F.col("n_parts") * 10 > F.col("d_total") * 11
+        )
+        .select(
+            "l_partkey",
+            F.col("d_value").cast("double").alias("part_value"),
+            F.round(
+                (F.col("d_value") / F.col("d_total")).cast("double"), 6
+            ).alias("value_share"),
+        )
+    )
+
+
+def large_quantity_orders(
+    orders: DataFrame, lineitem: DataFrame, customer: DataFrame,
+    min_quantity: int = 250,
+) -> DataFrame:
+    """TPC-H Q18-shaped large-volume orders: orders whose lineitems sum
+    past a quantity threshold, joined back to order + customer detail —
+    the aggregate-then-rejoin shape (the HAVING output is the join's
+    build side; at 100 TB the orderkey-keyed agg and the orders join are
+    co-located under orderkey bucketing, and the qualifying set is small
+    enough to broadcast onto customer)."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("d_qty"))
+        .filter(F.col("d_qty") > F.lit(min_quantity).cast("decimal(18,2)"))
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_sec"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("d_qty").cast("double").alias("total_qty"),
+        )
+    )

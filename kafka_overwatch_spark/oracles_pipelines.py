@@ -1071,6 +1071,26 @@ SELECT source, docs,
     AS accept_rate
 FROM counts, t"""
 
+    # corpus-trained unigram LM document scores (perplexity-filter proxy):
+    # add-one smoothing, identical norm/tokenization as text_vocab_stats
+    q["text_unigram_logprob"] = """
+WITH norm AS (SELECT doc_id,
+    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
+toks AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM norm
+),
+freq AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS T, CAST(count(*) AS DOUBLE) AS V
+  FROM freq
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  round(avg(ln((c + 1.0) / (T + V))), 6) AS avg_logprob,
+  round(min(ln((c + 1.0) / (T + V))), 6) AS min_logprob
+FROM toks JOIN freq USING (token), tot
+GROUP BY doc_id"""
+
     # Q4-shape: EXISTS semi-join, one order-date quarter
     q["tpch_order_priority"] = """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
@@ -1082,6 +1102,39 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
     WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05
   )
 GROUP BY o_orderpriority"""
+
+    # Q11-shape: HAVING over a global aggregate, threshold cross-
+    # multiplied in DECIMAL (exact at every scale)
+    q["tpch_important_parts"] = """
+WITH per_part AS (
+  SELECT l_partkey,
+    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS d_value
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (
+  SELECT sum(d_value) AS d_total, count(*) AS n_parts FROM per_part
+)
+SELECT l_partkey,
+  CAST(d_value AS DOUBLE) AS part_value,
+  round(CAST(d_value / d_total AS DOUBLE), 6) AS value_share
+FROM per_part, tot
+WHERE d_value * n_parts * 10 > d_total * 11"""
+
+    # Q18-shape: aggregate-then-rejoin (HAVING output drives the join)
+    q["tpch_large_quantity_orders"] = """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS d_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+SELECT c_name, o_orderkey,
+  CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', o_orderdate)
+    AS BIGINT) AS o_orderdate_sec,
+  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+  CAST(d_qty AS DOUBLE) AS total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey"""
 
     # Q13-shape: left-outer join + double aggregation (zero-order
     # customers MUST appear as the c_count = 0 row)

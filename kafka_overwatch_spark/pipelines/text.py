@@ -552,3 +552,36 @@ def typicality_scores(documents: DataFrame) -> DataFrame:
             F.round(F.avg(F.log2("n")), 6).alias("typicality"),
         )
     )
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Corpus-trained unigram LM score per document — the CCNet/Gopher
+    perplexity-filter stand-in this container can express exactly: token
+    probabilities are add-one-smoothed corpus frequencies
+    ((c+1)/(T+V)), a document's score is the mean token log-prob, and
+    low scores (rare/garbled vocabulary) are the filter signal. A real
+    deployment swaps in a KenLM scorer via pandas UDF; the training,
+    join, and aggregation shapes are identical.
+
+    Scale shape: ONE frequency aggregation keyed by token (map-side
+    combine does the heavy lifting on a zipfian key set), a broadcast of
+    the 2-scalar totals, a token→frequency join (AQE broadcasts the
+    vocab while it fits; at 100 TB a top-K vocab + OOV default keeps it
+    broadcastable), and a doc-keyed mean. Scores are ROUNDED doubles —
+    ln() agreement beyond 6 decimals is not part of the contract."""
+    toks = spread(documents).select(
+        "doc_id", F.explode(_norm_tokens()).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("c"))
+    totals = freq.agg(
+        F.sum("c").alias("T"), F.count("*").alias("V")
+    )
+    scored = toks.join(freq, "token").crossJoin(F.broadcast(totals))
+    logp = F.log(
+        (F.col("c") + F.lit(1.0)) / (F.col("T") + F.col("V"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(logp), 6).alias("avg_logprob"),
+        F.round(F.min(logp), 6).alias("min_logprob"),
+    )

@@ -495,6 +495,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_typicality"] = lambda s, d: textops.typicality_scores(
         raw(s, d, "documents")
     )
+    # r5: corpus-unigram LM score (perplexity-filter proxy)
+    q["text_unigram_logprob"] = lambda s, d: textops.unigram_logprob(
+        raw(s, d, "documents")
+    )
     q["text_line_dedup"] = lambda s, d: textops.line_dedup(
         raw(s, d, "documents")
     )
@@ -652,6 +656,14 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_brand_supplier_stats"] = lambda s, d: relational.brand_supplier_stats(
         raw(s, d, "part"), raw(s, d, "lineitem")
     )
+    q["tpch_important_parts"] = lambda s, d: relational.important_part_values(
+        raw(s, d, "lineitem")
+    )
+    q["tpch_large_quantity_orders"] = (
+        lambda s, d: relational.large_quantity_orders(
+            raw(s, d, "orders"), raw(s, d, "lineitem"), raw(s, d, "customer")
+        )
+    )
     q["events_topk_per_type"] = lambda s, d: relational.events_topk_per_type(
         raw(s, d, "events")
     )
@@ -700,6 +712,9 @@ _PROMOTED = [
     "tpch_brand_supplier_stats",
     "sampling_source_mix",
     "sampling_temperature_weights",
+    "text_unigram_logprob",
+    "tpch_important_parts",
+    "tpch_large_quantity_orders",
 ]
 
 
