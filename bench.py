@@ -101,6 +101,8 @@ EXTRA = [
     "text_unigram_logprob",
     "tpch_important_parts",
     "tpch_large_quantity_orders",
+    "text_gopher_flags",
+    "events_running_totals",
 ]
 
 

@@ -769,3 +769,44 @@ def large_quantity_orders(
             F.col("d_qty").cast("double").alias("total_qty"),
         )
     )
+
+
+def events_running_totals(events: DataFrame) -> DataFrame:
+    """Per-user running aggregates — the window-FRAME coverage pair:
+    a ROWS frame (cumulative events/value in deterministic
+    (ts, event_id) order, DECIMAL-summed so the running value is exact
+    at every prefix) and a RANGE frame (trailing 7 days keyed on the
+    epoch-second ORDER value, where same-second peers are in-frame by
+    SQL-standard peer semantics — identical in both engines by
+    definition, not by tie-break luck).
+
+    Scale shape: both frames share ONE user-keyed exchange; the sort
+    within partitions is the only cost beyond it. Running frames over a
+    hot user serialize that user's rows — the same per-key bound as
+    sessionize, salt-able only by breaking frame continuity, so the
+    honest 100 TB answer is: this op is per-user-bounded by design."""
+    from pyspark.sql.window import Window
+
+    sec = F.unix_timestamp("ts")
+    rows_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    range_w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        sec.alias("ts_sec"),
+        F.count("*").over(rows_w).alias("running_events"),
+        F.sum(_dec("value")).over(rows_w).cast("double").alias("running_value"),
+        F.count("*").over(range_w).alias("trailing_7d_events"),
+        F.sum(_dec("value"))
+        .over(range_w)
+        .cast("double")
+        .alias("trailing_7d_value"),
+    )

@@ -1103,6 +1103,66 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   )
 GROUP BY o_orderpriority"""
 
+    # Gopher-style rule flags: integer cross-multiplied thresholds over
+    # the shared normalized tokenization
+    q["text_gopher_flags"] = """
+WITH norm AS (SELECT doc_id,
+    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
+m AS (
+  SELECT doc_id,
+    len(string_split(t, ' ')) AS n_tok,
+    length(t) AS n_chars,
+    length(t) - (len(string_split(t, ' ')) - 1) AS nonspace,
+    length(t) - length(regexp_replace(t, '[^A-Za-z0-9 ]', '', 'g'))
+      AS symbols,
+    len(list_filter(string_split(t, ' '),
+      x -> x IN ('the','a','of','to','and','is'))) AS stop_hits,
+    len(list_distinct(string_split(t, ' '))) AS distinct_toks
+  FROM norm
+)
+SELECT doc_id,
+  (n_tok >= 10 AND n_tok <= 100000) AS word_count_ok,
+  (nonspace >= n_tok * 2 AND nonspace <= n_tok * 12) AS mean_word_len_ok,
+  (symbols * 10 <= n_chars * 3) AS symbol_ratio_ok,
+  (stop_hits >= 1) AS has_stopwords,
+  (distinct_toks * 5 >= n_tok) AS diversity_ok,
+  CAST(
+    CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0 ELSE 1 END
+    + CASE WHEN nonspace >= n_tok * 2 AND nonspace <= n_tok * 12
+        THEN 0 ELSE 1 END
+    + CASE WHEN symbols * 10 <= n_chars * 3 THEN 0 ELSE 1 END
+    + CASE WHEN stop_hits >= 1 THEN 0 ELSE 1 END
+    + CASE WHEN distinct_toks * 5 >= n_tok THEN 0 ELSE 1 END
+    AS BIGINT) AS n_failed,
+  (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0 ELSE 1 END
+    + CASE WHEN nonspace >= n_tok * 2 AND nonspace <= n_tok * 12
+        THEN 0 ELSE 1 END
+    + CASE WHEN symbols * 10 <= n_chars * 3 THEN 0 ELSE 1 END
+    + CASE WHEN stop_hits >= 1 THEN 0 ELSE 1 END
+    + CASE WHEN distinct_toks * 5 >= n_tok THEN 0 ELSE 1 END) = 0
+    AS keep
+FROM m"""
+
+    # window-frame pair: ROWS cumulative + RANGE trailing-7d (peer rows
+    # in-frame by SQL-standard RANGE semantics — engine-identical)
+    q["events_running_totals"] = """
+SELECT user_id, event_id,
+  CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+    AS BIGINT) AS ts_sec,
+  CAST(count(*) OVER rw AS BIGINT) AS running_events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER rw AS DOUBLE)
+    AS running_value,
+  CAST(count(*) OVER gw AS BIGINT) AS trailing_7d_events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER gw AS DOUBLE)
+    AS trailing_7d_value
+FROM events
+WINDOW
+  rw AS (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  gw AS (PARTITION BY user_id
+    ORDER BY date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)"""
+
     # Q11-shape: HAVING over a global aggregate, threshold cross-
     # multiplied in DECIMAL (exact at every scale)
     q["tpch_important_parts"] = """

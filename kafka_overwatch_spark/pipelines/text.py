@@ -585,3 +585,54 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
         F.round(F.avg(logp), 6).alias("avg_logprob"),
         F.round(F.min(logp), 6).alias("min_logprob"),
     )
+
+
+def gopher_quality_flags(documents: DataFrame) -> DataFrame:
+    """Gopher-style rule-based quality gate: one boolean per rule plus
+    the fused keep verdict — the canonical pre-training heuristic filter
+    bundle (word count bounds, mean word length bounds, symbol ratio,
+    stopword presence, lexical diversity). Every comparison is
+    CROSS-MULTIPLIED INTEGER arithmetic over the normalized token array
+    — no float boundary can disagree with the oracle, and the whole op
+    is one narrow JVM projection (no shuffle, column-pruned scan).
+
+    Rule set (thresholds scaled to the fixture's short docs; a real
+    Gopher gate swaps the constants, not the shapes):
+    - word_count_ok:     10 ≤ n_tokens ≤ 100000
+    - mean_word_len_ok:  2 ≤ nonspace_chars/n_tokens ≤ 12
+    - symbol_ratio_ok:   symbol_chars ≤ 30% of chars
+    - has_stopwords:     ≥ 1 English marker stopword
+    - diversity_ok:      distinct tokens ≥ 20% of tokens
+    """
+    toks = _norm_tokens()
+    n_tok = F.size(toks)
+    n_chars = F.length(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    )
+    nonspace = n_chars - (n_tok - 1)
+    symbols = n_chars - F.length(
+        F.regexp_replace(
+            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")),
+            PUNCT_REGEX,
+            "",
+        )
+    )
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    distinct_toks = F.size(F.array_distinct(toks))
+    flags = {
+        "word_count_ok": (n_tok >= 10) & (n_tok <= 100_000),
+        "mean_word_len_ok": (nonspace >= n_tok * 2) & (nonspace <= n_tok * 12),
+        "symbol_ratio_ok": symbols * 10 <= n_chars * 3,
+        "has_stopwords": stop_hits >= 1,
+        "diversity_ok": distinct_toks * 5 >= n_tok,
+    }
+    n_failed = None
+    for c in flags.values():
+        term = (~c).cast("int")
+        n_failed = term if n_failed is None else n_failed + term
+    return spread(documents).select(
+        "doc_id",
+        *[c.alias(name) for name, c in flags.items()],
+        n_failed.cast("long").alias("n_failed"),
+        (n_failed == 0).alias("keep"),
+    )

@@ -499,6 +499,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_unigram_logprob"] = lambda s, d: textops.unigram_logprob(
         raw(s, d, "documents")
     )
+    # r5: Gopher-style rule-bundle quality gate (integer-exact flags)
+    q["text_gopher_flags"] = lambda s, d: textops.gopher_quality_flags(
+        raw(s, d, "documents")
+    )
     q["text_line_dedup"] = lambda s, d: textops.line_dedup(
         raw(s, d, "documents")
     )
@@ -673,6 +677,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_preceding_window_join"] = (
         lambda s, d: relational.events_preceding_window_join(raw(s, d, "events"))
     )
+    q["events_running_totals"] = lambda s, d: relational.events_running_totals(
+        raw(s, d, "events")
+    )
     # mergeable-sketch counting surface: estimates are implementation-
     # defined (HLL++ / Datasketches) → rows-only gate; accuracy vs the
     # exact anchor asserted in tests/test_usage_extras.py
@@ -715,6 +722,8 @@ _PROMOTED = [
     "text_unigram_logprob",
     "tpch_important_parts",
     "tpch_large_quantity_orders",
+    "text_gopher_flags",
+    "events_running_totals",
 ]
 
 
