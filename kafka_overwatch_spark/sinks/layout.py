@@ -83,3 +83,49 @@ def read_minhash_index(spark: SparkSession, base_path: str):
         .select("doc_id", "band_id", "band_key")
     )
     return bands, spark.read.parquet(f"{base_path}/shingles")
+
+
+def write_pq_index(
+    embeddings: DataFrame, base_path: str, codebooks=None
+) -> None:
+    """Persist the PQ ANN index: the packed code table (two int64
+    columns — the 8-byte-per-vector artifact ADC scans) plus the
+    codebook tensor as a flat (subspace, centroid, dim, weight) parquet
+    so ANY engine can reload it. At 100 TB the code table is the
+    memory-resident retrieval index; re-encoding only runs when
+    codebooks retrain, so persisting both is what makes PQ
+    train-once/serve-forever."""
+    from ..pipelines.similarity import pq_encode, pq_train
+
+    cb = pq_train(embeddings) if codebooks is None else codebooks
+    pq_encode(embeddings, cb).write.mode("overwrite").parquet(
+        f"{base_path}/codes"
+    )
+    m, k, sub = cb.shape
+    spark = embeddings.sparkSession
+    rows = [
+        (int(i), int(j), int(d), float(cb[i, j, d]))
+        for i in range(m)
+        for j in range(k)
+        for d in range(sub)
+    ]
+    spark.createDataFrame(
+        rows, "subspace INT, centroid INT, dim INT, weight DOUBLE"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base_path}/codebooks")
+
+
+def read_pq_index(spark: SparkSession, base_path: str):
+    """(codebooks ndarray, codes DataFrame) back from storage — the
+    codebook tensor is rebuilt index-positionally, so a persisted index
+    serves ann_pq_topk bit-identically to the inline-trained one
+    (asserted in tests/test_persisted_index.py)."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{base_path}/codebooks").collect()
+    m = max(r["subspace"] for r in rows) + 1
+    k = max(r["centroid"] for r in rows) + 1
+    sub = max(r["dim"] for r in rows) + 1
+    cb = np.zeros((m, k, sub), dtype=np.float64)
+    for r in rows:
+        cb[r["subspace"], r["centroid"], r["dim"]] = r["weight"]
+    return cb, spark.read.parquet(f"{base_path}/codes")

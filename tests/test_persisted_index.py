@@ -60,3 +60,37 @@ def test_persisted_index_layout_prunes_by_band(spark):
         assert "PartitionFilters" in plan
         pf = plan.split("PartitionFilters: [")[1].split("]")[0]
         assert "band_id" in pf, plan
+
+
+def test_persisted_pq_index_serves_identical_topk(spark, snaps):
+    """ann_pq_topk over a persisted (codebooks, codes) index must equal
+    the inline-trained result row-for-row — the train-once/serve-forever
+    contract."""
+    import tempfile
+
+    from kafka_overwatch_spark.pipelines.similarity import (
+        ann_pq_topk,
+        pq_encode,
+        pq_train,
+    )
+    from kafka_overwatch_spark.sinks.layout import (
+        read_pq_index,
+        write_pq_index,
+    )
+
+    emb = spark.table("embeddings")
+    cb = pq_train(emb)
+    inline = sorted(
+        tuple(r)
+        for r in ann_pq_topk(emb, codebooks=cb, codes=pq_encode(emb, cb))
+        .collect()
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        write_pq_index(emb, f"{tmp}/pq", codebooks=cb)
+        cb2, codes2 = read_pq_index(spark, f"{tmp}/pq")
+        assert (cb2 == cb).all()
+        persisted = sorted(
+            tuple(r)
+            for r in ann_pq_topk(emb, codebooks=cb2, codes=codes2).collect()
+        )
+    assert persisted == inline
