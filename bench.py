@@ -103,6 +103,7 @@ EXTRA = [
     "tpch_large_quantity_orders",
     "text_gopher_flags",
     "events_running_totals",
+    "events_type_day_pivot",
 ]
 
 

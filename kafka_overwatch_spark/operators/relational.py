@@ -810,3 +810,29 @@ def events_running_totals(events: DataFrame) -> DataFrame:
         .cast("double")
         .alias("trailing_7d_value"),
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_day_pivot(events: DataFrame) -> DataFrame:
+    """Long→wide pivot: one row per day, one count column per event
+    type. The type list is PINNED (EVENT_TYPES) — an unpinned
+    ``pivot()`` runs an extra distinct-values job and makes the output
+    schema data-dependent, which breaks both the oracle contract and
+    any downstream consumer at scale. Absent (day, type) combos
+    coalesce to 0. One Expand-free aggregation: pivot with a pinned
+    list compiles to a conditional agg — same single-shuffle shape as
+    the rollup."""
+    wide = (
+        events.groupBy(day_col().alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"{t}_events")
+            for t in EVENT_TYPES
+        ],
+    )

@@ -1143,6 +1143,23 @@ SELECT doc_id,
     AS keep
 FROM m"""
 
+    # long->wide pivot with a pinned type list (conditional aggregation
+    # in both engines)
+    q["events_type_day_pivot"] = """
+SELECT CAST(floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+    / 86400) AS BIGINT) AS day,
+  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+    AS click_events,
+  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+    AS error_events,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+    AS purchase_events,
+  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+    AS signup_events,
+  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+    AS view_events
+FROM events GROUP BY 1"""
+
     # window-frame pair: ROWS cumulative + RANGE trailing-7d (peer rows
     # in-frame by SQL-standard RANGE semantics — engine-identical)
     q["events_running_totals"] = """

@@ -680,6 +680,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_running_totals"] = lambda s, d: relational.events_running_totals(
         raw(s, d, "events")
     )
+    q["events_type_day_pivot"] = lambda s, d: relational.events_type_day_pivot(
+        raw(s, d, "events")
+    )
     # mergeable-sketch counting surface: estimates are implementation-
     # defined (HLL++ / Datasketches) → rows-only gate; accuracy vs the
     # exact anchor asserted in tests/test_usage_extras.py
@@ -724,6 +727,7 @@ _PROMOTED = [
     "tpch_large_quantity_orders",
     "text_gopher_flags",
     "events_running_totals",
+    "events_type_day_pivot",
 ]
 
 

@@ -284,3 +284,35 @@ def test_events_rollup_single_expand_pass(spark, snaps):
     plan = _final_plan(events_rollup(spark.table("events")))
     assert "Expand" in plan
     assert "Union" not in plan
+
+
+def test_media_phash_is_narrow(spark, snaps):
+    """The positional aHash must plan ZERO exchanges — segment sums are
+    slice+aggregate folds in one projection, not an explode+shuffle."""
+    from kafka_overwatch_spark.pipelines.multimodal import (
+        media_phash,
+        synth_media_from_documents,
+    )
+
+    plan = _plan(media_phash(synth_media_from_documents(spark.table("documents"))))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode anywhere
+
+
+def test_gopher_flags_are_narrow(spark, snaps):
+    from kafka_overwatch_spark.pipelines.text import gopher_quality_flags
+
+    plan = _plan(gopher_quality_flags(spark.table("documents")))
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_running_totals_single_exchange(spark, snaps):
+    """Both window frames share the user_id partitioning: ONE hash
+    exchange, two sorts."""
+    from kafka_overwatch_spark.operators.relational import (
+        events_running_totals,
+    )
+
+    plan = _final_plan(events_running_totals(spark.table("events")))
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Window" in plan
