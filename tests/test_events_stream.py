@@ -396,3 +396,105 @@ def test_streaming_click_attribution_matches_batch(spark, snaps):
         for pid, (cnt, val) in got.items():
             assert cnt == want[pid][0], (pid, cnt, want[pid])
             assert abs(val - want[pid][1]) < 1e-6, (pid, val, want[pid])
+
+
+def test_streaming_click_attribution_checkpoint_recovery(spark, snaps):
+    """Kill the stream-stream join after the first half of the feed,
+    restart from the SAME checkpoint with the rest: buffered join state
+    (clicks awaiting purchases and vice versa) must survive the restart
+    — cross-restart matches appear exactly once and the final aggregate
+    still equals the batch range join."""
+    import glob
+    import os
+    import time
+
+    from kafka_overwatch_spark.operators.relational import (
+        events_preceding_window_join,
+    )
+    from kafka_overwatch_spark.streaming import events_stream as es
+    from pyspark.sql.window import Window
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ev = spark.table("events")
+        n = ev.count()
+        sliced = ev.withColumn(
+            "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+        )
+        per = (n + 3) // 4
+        t0 = time.time() - 100
+        seen: set = set()
+
+        def write_slice(i, df=None):
+            part = (
+                df
+                if df is not None
+                else sliced.filter(
+                    (F.col("rn") > i * per) & (F.col("rn") <= (i + 1) * per)
+                ).drop("rn")
+            )
+            part.coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+            for f in glob.glob(f"{tmp}/in/*.parquet"):
+                if f not in seen:
+                    os.utime(f, (t0 + i, t0 + i))
+                    seen.add(f)
+
+        ckpt, sink = f"{tmp}/ck", f"{tmp}/out"
+
+        def run_once():
+            q = (
+                es.streaming_click_attribution(
+                    es.event_stream(spark, f"{tmp}/in")
+                )
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300)
+
+        write_slice(0)
+        write_slice(1)
+        run_once()
+        write_slice(2)
+        write_slice(3)
+        write_slice(
+            4,
+            spark.createDataFrame(
+                [
+                    (-999, datetime.datetime(2099, 1, 1), -1, "purchase", 0.0, ""),
+                    (-998, datetime.datetime(2099, 1, 1), -1, "click", 0.0, ""),
+                ],
+                schema=es.EVENT_SCHEMA,
+            ),
+        )
+        run_once()
+
+        rows = [
+            r
+            for r in spark.read.parquet(sink).collect()
+            if r["purchase_id"] >= 0
+        ]
+        # no pair emitted twice across the restart
+        matched = [
+            (r["purchase_id"], r["click_id"])
+            for r in rows
+            if r["click_id"] is not None
+        ]
+        assert len(matched) == len(set(matched))
+        got: dict = {}
+        for r in rows:
+            cnt, val = got.get(r["purchase_id"], (0, 0.0))
+            if r["click_id"] is not None:
+                got[r["purchase_id"]] = (cnt + 1, val + r["click_value"])
+            else:
+                got.setdefault(r["purchase_id"], (0, 0.0))
+        want = {
+            r["purchase_id"]: (r["clicks_1h"], r["click_value_1h"])
+            for r in events_preceding_window_join(ev).collect()
+        }
+        assert set(got) == set(want)
+        for pid, (cnt, val) in got.items():
+            assert cnt == want[pid][0], (pid, cnt, want[pid])
+            assert abs(val - want[pid][1]) < 1e-6
