@@ -104,6 +104,7 @@ EXTRA = [
     "text_gopher_flags",
     "events_running_totals",
     "events_type_day_pivot",
+    "events_props_stats",
 ]
 
 

@@ -836,3 +836,29 @@ def events_type_day_pivot(events: DataFrame) -> DataFrame:
             for t in EVENT_TYPES
         ],
     )
+
+
+def events_props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured schema-on-read: parse the JSON ``props`` column
+    with a PINNED schema (``from_json`` → typed struct; malformed rows
+    become NULL and are counted, not dropped — the ingest-quality
+    signal), then aggregate the extracted field per event type.
+
+    Scale shape: from_json is a narrow JVM expression (Jackson inside
+    codegen — no Python), the aggregate is map-side combinable on a
+    low-cardinality key. The oracle extracts the same field with a
+    regex — two different parsers agreeing on every value is the
+    point."""
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("events"),
+            F.sum(F.col("k").isNull().cast("long")).alias("parse_errors"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.round(F.avg("k"), 6).alias("k_avg"),
+        )
+    )

@@ -1143,6 +1143,25 @@ SELECT doc_id,
     AS keep
 FROM m"""
 
+    # schema-on-read over the JSON props column: the oracle parses with
+    # a regex where Spark uses from_json — independent parsers, same
+    # values
+    q["events_props_stats"] = """
+WITH parsed AS (
+  SELECT event_type,
+    CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS events,
+  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS parse_errors,
+  CAST(sum(k) AS BIGINT) AS k_sum,
+  CAST(min(k) AS BIGINT) AS k_min,
+  CAST(max(k) AS BIGINT) AS k_max,
+  round(avg(k), 6) AS k_avg
+FROM parsed GROUP BY event_type"""
+
     # long->wide pivot with a pinned type list (conditional aggregation
     # in both engines)
     q["events_type_day_pivot"] = """

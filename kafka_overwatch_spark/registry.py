@@ -683,6 +683,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_type_day_pivot"] = lambda s, d: relational.events_type_day_pivot(
         raw(s, d, "events")
     )
+    q["events_props_stats"] = lambda s, d: relational.events_props_stats(
+        raw(s, d, "events")
+    )
     # mergeable-sketch counting surface: estimates are implementation-
     # defined (HLL++ / Datasketches) → rows-only gate; accuracy vs the
     # exact anchor asserted in tests/test_usage_extras.py
@@ -728,6 +731,7 @@ _PROMOTED = [
     "text_gopher_flags",
     "events_running_totals",
     "events_type_day_pivot",
+    "events_props_stats",
 ]
 
 
