@@ -105,6 +105,7 @@ EXTRA = [
     "events_running_totals",
     "events_type_day_pivot",
     "events_props_stats",
+    "ann_ivfpq_topk",
 ]
 
 

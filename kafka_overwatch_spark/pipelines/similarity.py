@@ -925,3 +925,131 @@ def ann_pq_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def ann_ivfpq_topk(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = tuple(range(10)),
+    k: int = 5,
+    n_probe: int = 8,
+    rerank: int = 4,
+    trained: tuple | None = None,
+    codebooks: np.ndarray | None = None,
+    codes: DataFrame | None = None,
+    n_cells: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """The full IVF-PQ pipeline — the canonical trillion-vector ANN
+    architecture, composed from the two train-once halves: IVF prunes
+    WHICH vectors each query scores (probe the n_probe nearest cells),
+    ADC over PQ codes scores those cheaply (8 table lookups per vector
+    against the 8-byte code table), and the exact re-rank touches only
+    the rerank×k shortlist joined back to raw vectors.
+
+    Per-query work is (corpus/cells)×n_probe code lookups + rerank×k
+    exact cosines — BOTH terms independent of total corpus size once
+    cells shard it; nothing here scans raw vectors except the bounded
+    re-rank join. Rows-only gate (two trained models); recall vs exact
+    + subset-consistency in tests/test_ann_ivf.py."""
+    model, assigned = _resolve_trained(trained, embeddings, n_cells, seed)
+    cb = pq_train(embeddings) if codebooks is None else codebooks
+    coded = pq_encode(embeddings, cb) if codes is None else codes
+    m, kk, sub = cb.shape
+    sc = embeddings.sparkSession.sparkContext
+    centers_n = _normalized_centers(model)
+
+    q_rows = embeddings.filter(F.col("vec_id").isin(*query_ids)).select(
+        "vec_id", "embedding"
+    ).collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(q_mat @ centers_n.T), axis=1)[:, :n_probe]
+    probe_df = embeddings.sparkSession.createDataFrame(
+        [
+            (int(q_ids[i]), int(c))
+            for i in range(len(q_ids))
+            for c in probes[i]
+        ],
+        ["query_id", "cell"],
+    )
+    tables = np.stack(
+        [q_mat[:, i * sub : (i + 1) * sub] @ cb[i].T for i in range(m)],
+        axis=1,
+    )
+    b_q, b_t, b_qmat = (
+        sc.broadcast(q_ids),
+        sc.broadcast(tables),
+        sc.broadcast(q_mat),
+    )
+
+    # candidate stream: codes of vectors in each query's probed cells
+    cand = coded.join(assigned, "vec_id").join(
+        F.broadcast(probe_df), "cell"
+    )
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_q, all_t = b_q.value, b_t.value
+        qpos = {int(q): i for i, q in enumerate(all_q)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            code = pdf["code"].to_numpy(dtype=np.int64)
+            qi = pdf["query_id"].to_numpy(dtype=np.int64)
+            idx = np.stack(
+                [(code >> (8 * i)) & 0xFF for i in range(m)], axis=1
+            )
+            rows_t = all_t[[qpos[int(q)] for q in qi]]  # n×m×k
+            score = rows_t[
+                np.arange(len(vid))[:, None], np.arange(m)[None, :], idx
+            ].sum(axis=1)
+            mask = vid != qi
+            yield pd.DataFrame(
+                {
+                    "query_id": qi[mask],
+                    "vec_id": vid[mask],
+                    "cosine": np.round(score[mask], 6),
+                }
+            )
+
+    shortlisted = cand.mapInPandas(adc, TOPK_SCORE_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        shortlisted.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k * rerank)
+        .select("query_id", "vec_id")
+    )
+
+    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_q, all_qmat = b_q.value, b_qmat.value
+        qpos = {int(q): i for i, q in enumerate(all_q)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            qi = pdf["query_id"].to_numpy(dtype=np.int64)
+            cos = np.round(
+                (mat * all_qmat[[qpos[int(q)] for q in qi]]).sum(axis=1), 6
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": qi,
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cosine": cos,
+                }
+            )
+
+    return (
+        shortlist.join(embeddings.select("vec_id", "embedding"), "vec_id")
+        .mapInPandas(exact, TOPK_SCORE_SCHEMA)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -465,6 +465,14 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         codebooks=get_pq(s, d)[0],
         codes=get_pq(s, d)[1],
     )
+    # full IVF-PQ composition: probe cells -> ADC within cells -> exact
+    # re-rank; both trained halves memoized (get_ivf + get_pq)
+    q["ann_ivfpq_topk"] = lambda s, d: similarity.ann_ivfpq_topk(
+        raw(s, d, "embeddings"),
+        trained=get_ivf(s, d),
+        codebooks=get_pq(s, d)[0],
+        codes=get_pq(s, d)[1],
+    )
     q["text_token_stats"] = lambda s, d: textops.token_stats(
         raw(s, d, "documents")
     )

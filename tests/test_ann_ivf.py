@@ -139,3 +139,44 @@ def test_pq_reconstruction_beats_grand_mean(spark, emb):
         mse = d2.min(1).mean()
         base = ((block - block.mean(0)) ** 2).sum(1).mean()
         assert mse < 0.5 * base, (i, mse, base)
+
+
+def test_ivfpq_recall_and_full_probe_equivalence(spark, emb):
+    """IVF-PQ composes both approximations: recall stays useful at the
+    default probe depth, and probing EVERY cell must reproduce the
+    PQ-only result exactly (the IVF stage only prunes candidates — with
+    nothing pruned, the pipelines are the same algorithm)."""
+    from kafka_overwatch_spark.pipelines.similarity import (
+        ann_ivfpq_topk,
+        ann_pq_topk,
+        brute_force_topk_vectorized,
+        ivf_index,
+        pq_encode,
+        pq_train,
+    )
+
+    model, assigned = ivf_index(emb)
+    cb = pq_train(emb)
+    codes = pq_encode(emb, cb)
+    trained = (model, assigned)
+    exact = _topk_sets(brute_force_topk_vectorized(emb).collect())
+    approx = _topk_sets(
+        ann_ivfpq_topk(
+            emb, trained=trained, codebooks=cb, codes=codes
+        ).collect()
+    )
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    full_probe = sorted(
+        tuple(r)
+        for r in ann_ivfpq_topk(
+            emb, n_probe=16, trained=trained, codebooks=cb, codes=codes
+        ).collect()
+    )
+    pq_only = sorted(
+        tuple(r)
+        for r in ann_pq_topk(emb, codebooks=cb, codes=codes).collect()
+    )
+    assert full_probe == pq_only
