@@ -862,3 +862,69 @@ def events_props_stats(events: DataFrame) -> DataFrame:
             F.round(F.avg("k"), 6).alias("k_avg"),
         )
     )
+
+
+def small_quantity_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q17-shaped: revenue locked in small-quantity orders — each
+    lineitem compared against ITS part's average quantity (the
+    correlated-scalar-subquery shape, decorrelated into an aggregate +
+    self-join both engines plan as one pass + broadcast-ish join).
+
+    The per-part threshold ``qty < 0.2·avg(qty)`` is cross-multiplied to
+    ``qty·5·cnt < sum_qty`` — DECIMAL×integer, exact, no float boundary.
+    At 100 TB the per-part aggregate and the self-join share the
+    l_partkey bucketing; nothing scans lineitem twice in storage terms
+    (same scan feeds both sides under exchange reuse)."""
+    per_part = lineitem.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+    joined = lineitem.join(
+        F.broadcast(per_part), lineitem.l_partkey == per_part.p_key
+    ).filter(
+        _dec("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty")
+    )
+    return joined.agg(
+        F.round(
+            (F.sum(_dec("l_extendedprice")) / F.lit(7).cast("decimal(18,2)"))
+            .cast("double"),
+            2,
+        ).alias("avg_yearly"),
+        F.count("*").alias("small_lineitems"),
+    )
+
+
+def idle_rich_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22-shaped: customers with above-average balance and NO
+    recent urgent orders — the NOT-EXISTS anti-join over a
+    global-average predicate. The average is over POSITIVE balances only
+    (Q22's acctbal > 0.00 inner filter) and the comparison is
+    cross-multiplied in DECIMAL (``bal·cnt > sum``) — exact. The
+    anti-join side is filtered BEFORE the distinct (predicate pushdown
+    shrinks the build side); "no orders at all" is the textbook Q22
+    form but degenerates to zero rows at fixture order density, so the
+    registered predicate is the recent-urgent slice. Per nation so the
+    output is an aggregate, not a customer dump."""
+    pos = customer.filter(F.col("c_acctbal") > 0)
+    avg_frame = pos.agg(
+        F.sum(_dec("c_acctbal")).alias("sum_bal"),
+        F.count("*").alias("cnt"),
+    )
+    rich = customer.crossJoin(F.broadcast(avg_frame)).filter(
+        _dec("c_acctbal") * F.col("cnt") > F.col("sum_bal")
+    )
+    recent_urgent = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1998-01-01"))
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    idle = rich.join(
+        recent_urgent, rich.c_custkey == F.col("o_custkey"), "left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+    )

@@ -1232,6 +1232,42 @@ FROM orders
 JOIN big ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey"""
 
+    # Q17-shape: correlated scalar subquery decorrelated, DECIMAL
+    # cross-multiplied per-part threshold
+    q["tpch_small_quantity_revenue"] = """
+WITH per_part AS (
+  SELECT l_partkey AS p_key,
+    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+    count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+    / CAST(7 AS DECIMAL(18,2)) AS DOUBLE), 2) AS avg_yearly,
+  CAST(count(*) AS BIGINT) AS small_lineitems
+FROM lineitem JOIN per_part ON l_partkey = p_key
+WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty"""
+
+    # Q22-shape: NOT-EXISTS anti-join over a global-average predicate
+    # (positive balances only), DECIMAL cross-multiplied
+    q["tpch_idle_rich_customers"] = """
+WITH t AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
+    count(*) AS cnt
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey,
+  CAST(count(*) AS BIGINT) AS numcust,
+  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, t
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt > sum_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      AND o_orderpriority = '1-URGENT'
+      AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+  )
+GROUP BY c_nationkey"""
+
     # Q13-shape: left-outer join + double aggregation (zero-order
     # customers MUST appear as the c_count = 0 row)
     q["tpch_customer_distribution"] = """

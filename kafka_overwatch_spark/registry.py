@@ -676,6 +676,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             raw(s, d, "orders"), raw(s, d, "lineitem"), raw(s, d, "customer")
         )
     )
+    q["tpch_small_quantity_revenue"] = (
+        lambda s, d: relational.small_quantity_revenue(raw(s, d, "lineitem"))
+    )
+    q["tpch_idle_rich_customers"] = lambda s, d: relational.idle_rich_customers(
+        raw(s, d, "customer"), raw(s, d, "orders")
+    )
     q["events_topk_per_type"] = lambda s, d: relational.events_topk_per_type(
         raw(s, d, "events")
     )
@@ -740,6 +746,8 @@ _PROMOTED = [
     "events_running_totals",
     "events_type_day_pivot",
     "events_props_stats",
+    "tpch_small_quantity_revenue",
+    "tpch_idle_rich_customers",
 ]
 
 
