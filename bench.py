@@ -106,6 +106,9 @@ EXTRA = [
     "events_type_day_pivot",
     "events_props_stats",
     "ann_ivfpq_topk",
+    "tpch_small_quantity_revenue",
+    "tpch_idle_rich_customers",
+    "text_bm25",
 ]
 
 

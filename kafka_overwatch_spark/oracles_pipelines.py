@@ -1103,6 +1103,40 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   )
 GROUP BY o_orderpriority"""
 
+    # BM25 against the pinned query terms; same norm/tokenization
+    from .pipelines.text import BM25_B, BM25_K1, BM25_QUERY_TERMS
+
+    _terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    q["text_bm25"] = f"""
+WITH norm AS (SELECT doc_id,
+    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
+lengths AS (
+  SELECT doc_id, len(string_split(t, ' ')) AS dl FROM norm
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM norm
+),
+matches AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks
+  WHERE token IN ({_terms}) GROUP BY 1, 2
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM lengths
+),
+dfs AS (SELECT token, count(DISTINCT doc_id) AS df FROM matches GROUP BY 1)
+SELECT m.doc_id,
+  CAST(count(*) AS BIGINT) AS matched_terms,
+  round(sum(
+    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    * CAST(tf AS DOUBLE) * {BM25_K1 + 1.0}
+    / (CAST(tf AS DOUBLE) + {BM25_K1} * ({1.0 - BM25_B}
+        + {BM25_B} * CAST(dl AS DOUBLE) / avgdl))
+  ), 6) AS bm25
+FROM matches m
+JOIN dfs USING (token)
+JOIN lengths USING (doc_id), stats
+GROUP BY m.doc_id"""
+
     # Gopher-style rule flags: integer cross-multiplied thresholds over
     # the shared normalized tokenization
     q["text_gopher_flags"] = """

@@ -636,3 +636,64 @@ def gopher_quality_flags(documents: DataFrame) -> DataFrame:
         n_failed.cast("long").alias("n_failed"),
         (n_failed == 0).alias("keep"),
     )
+
+
+BM25_QUERY_TERMS = ("stream", "window", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    documents: DataFrame, query_terms: tuple[str, ...] = BM25_QUERY_TERMS
+) -> DataFrame:
+    """BM25 lexical retrieval scores against a fixed query — the keyword
+    half of a retrieval stack (the embedding half is the ANN family).
+    Standard Okapi formula (k1=1.2, b=0.75, robust
+    ``ln(1+(N-df+0.5)/(df+0.5))`` idf).
+
+    Scale shape: the query-term filter lands IMMEDIATELY after the
+    explode, so the per-(doc, term) aggregation touches only matching
+    tokens (|terms| × docs-containing, not the corpus token count); doc
+    lengths are one narrow aggregate; N/avgdl/df are a broadcast scalar
+    frame. Docs matching no query term are excluded (retrieval
+    semantics). Scores are ROUNDED doubles — ln/÷ agreement beyond 6
+    decimals is not part of the contract."""
+    toks = _norm_tokens()
+    lengths = spread(documents).select(
+        "doc_id", F.size(toks).alias("dl")
+    )
+    matches = (
+        spread(documents)
+        .select("doc_id", F.explode(toks).alias("token"))
+        .filter(F.col("token").isin(*query_terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = lengths.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    df_tbl = matches.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    term_score = idf * tf * F.lit(BM25_K1 + 1.0) / norm
+    return (
+        matches.join(F.broadcast(df_tbl), "token")
+        .join(lengths, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("matched_terms"),
+            F.round(F.sum(term_score), 6).alias("bm25"),
+        )
+    )

@@ -511,6 +511,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_gopher_flags"] = lambda s, d: textops.gopher_quality_flags(
         raw(s, d, "documents")
     )
+    # r5: BM25 lexical retrieval scores (pinned query terms)
+    q["text_bm25"] = lambda s, d: textops.bm25_scores(
+        raw(s, d, "documents")
+    )
     q["text_line_dedup"] = lambda s, d: textops.line_dedup(
         raw(s, d, "documents")
     )
@@ -748,6 +752,7 @@ _PROMOTED = [
     "events_props_stats",
     "tpch_small_quantity_revenue",
     "tpch_idle_rich_customers",
+    "text_bm25",
 ]
 
 
