@@ -1029,6 +1029,10 @@ FROM counts GROUP BY lang"""
     rate_case = "CASE source " + " ".join(
         f"WHEN '{s}' THEN {r}" for s, r in MIX_RATES.items()
     ) + f" ELSE {MIX_DEFAULT_RATE} END"
+    thr_case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {int(round(r * _MB))}"
+        for s, r in MIX_RATES.items()
+    ) + f" ELSE {int(round(MIX_DEFAULT_RATE * _MB))} END"
     q["sampling_source_mix"] = f"""
 WITH b AS (
   SELECT doc_id, source, n_chars,
@@ -1038,7 +1042,7 @@ WITH b AS (
   FROM documents
 ),
 k AS (
-  SELECT *, CASE WHEN bucket < floor(rate * {_MB}) THEN 1 ELSE 0 END AS keep
+  SELECT *, CASE WHEN bucket < ({thr_case}) THEN 1 ELSE 0 END AS keep
   FROM b
 )
 SELECT source,

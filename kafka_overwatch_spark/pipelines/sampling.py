@@ -221,6 +221,22 @@ def _mix_rate_col() -> Column:
     return expr.otherwise(MIX_DEFAULT_RATE)
 
 
+def _mix_threshold_col() -> Column:
+    """Integer acceptance threshold per source, computed ONCE in Python
+    (``round(rate × SPLIT_BUCKETS)``) and emitted as literals. Computing
+    ``floor(rate × buckets)`` in-engine would compare a binary double
+    (Spark) against a decimal literal (DuckDB) — rates like 0.07 land on
+    opposite sides of the floor (699 vs 700). Literal thresholds make
+    the contract engine-independent for EVERY rate, not just the dyadic
+    ones the default config happens to use."""
+    expr = None
+    for name, rate in MIX_RATES.items():
+        cond = F.col("source") == name
+        thr = int(round(rate * SPLIT_BUCKETS))
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    return expr.otherwise(int(round(MIX_DEFAULT_RATE * SPLIT_BUCKETS)))
+
+
 def source_mix_keep(
     documents: DataFrame, salt: str = MIX_SALT
 ) -> DataFrame:
@@ -231,13 +247,12 @@ def source_mix_keep(
     changes keep the identical subset — the property that makes a 100 TB
     mix reproducible (and auditable) without materializing a row list."""
     bucket = hash_bucket(F.col("doc_id"), salt)
-    rate = _mix_rate_col()
     return spread(documents).select(
         "doc_id",
         "source",
         "n_chars",
         bucket.alias("bucket"),
-        (bucket < F.floor(rate * SPLIT_BUCKETS)).alias("keep"),
+        (bucket < _mix_threshold_col()).alias("keep"),
     )
 
 
