@@ -109,6 +109,7 @@ EXTRA = [
     "tpch_small_quantity_revenue",
     "tpch_idle_rich_customers",
     "text_bm25",
+    "dataset_card",
 ]
 
 

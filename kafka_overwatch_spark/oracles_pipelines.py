@@ -1107,6 +1107,46 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   )
 GROUP BY o_orderpriority"""
 
+    # dataset card: whole-corpus scalars reusing the exact-dedup
+    # fingerprint and gopher-rule expressions
+    q["dataset_card"] = """
+WITH norm AS (SELECT doc_id, source, lang, n_chars,
+    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+  FROM documents),
+m AS (
+  SELECT doc_id, source, lang, n_chars,
+    len(string_split(t, ' ')) AS n_tok,
+    length(t) AS nc,
+    length(t) - (len(string_split(t, ' ')) - 1) AS nonspace,
+    length(t) - length(regexp_replace(t, '[^A-Za-z0-9 ]', '', 'g'))
+      AS symbols,
+    len(list_filter(string_split(t, ' '),
+      x -> x IN ('the','a','of','to','and','is'))) AS stop_hits,
+    len(list_distinct(string_split(t, ' '))) AS distinct_toks,
+    md5(t) AS fingerprint
+  FROM norm
+),
+k AS (
+  SELECT *, CASE WHEN n_tok >= 10 AND n_tok <= 100000
+    AND nonspace >= n_tok * 2 AND nonspace <= n_tok * 12
+    AND symbols * 10 <= nc * 3
+    AND stop_hits >= 1
+    AND distinct_toks * 5 >= n_tok THEN 1 ELSE 0 END AS keep
+  FROM m
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+  round(avg(CAST(n_tok AS DOUBLE)), 6) AS mean_tokens,
+  CAST(count(DISTINCT fingerprint) AS BIGINT) AS distinct_fingerprints,
+  CAST(count(*) - count(DISTINCT fingerprint) AS BIGINT) AS dup_docs,
+  CAST(sum(keep) AS BIGINT) AS gopher_keep_docs,
+  round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS gopher_keep_frac
+FROM k"""
+
     # BM25 against the pinned query terms; same norm/tokenization
     from .pipelines.text import BM25_B, BM25_K1, BM25_QUERY_TERMS
 

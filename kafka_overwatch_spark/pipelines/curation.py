@@ -111,3 +111,54 @@ def curate_semantic(
         .select(F.col("vec_id").alias("doc_id"))
     )
     return base.join(keepers, "doc_id", "semi")
+
+
+def dataset_card(documents: DataFrame) -> DataFrame:
+    """The corpus "dataset card" — one row of whole-dataset scalars, the
+    documents-family analog of the K1 cluster report: inventory (docs,
+    sources, languages, chars, tokens), exact-duplication rate, and the
+    Gopher-gate keep rate. Every ingredient reuses the SAME expression
+    its per-doc surface uses (`dedup._norm_text` fingerprint,
+    `text.gopher_flag_columns`) so a card number can never disagree with
+    the query it summarizes.
+
+    Physical shape: ONE narrow per-doc projection followed by ONE global
+    aggregation — count_distinct carries the two dim-ish keys (source,
+    lang) and the md5 fingerprint; at 100 TB the fingerprint distinct is
+    the only corpus-cardinality shuffle, the same one exact dedup
+    already pays (share the pass in a real deployment)."""
+    from pyspark.sql import functions as F
+
+    from .dedup import _norm_text
+    from .text import _norm_tokens, gopher_flag_columns
+    from .util import spread
+
+    flags = gopher_flag_columns()
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else keep & c
+    per_doc = spread(documents).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.col("n_chars"),
+        F.size(_norm_tokens()).alias("n_tokens"),
+        F.md5(_norm_text()).alias("fingerprint"),
+        keep.cast("long").alias("keep"),
+    )
+    return per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg(F.col("n_tokens").cast("double")), 6).alias(
+            "mean_tokens"
+        ),
+        F.count_distinct("fingerprint").alias("distinct_fingerprints"),
+        (F.count("*") - F.count_distinct("fingerprint")).alias("dup_docs"),
+        F.sum("keep").alias("gopher_keep_docs"),
+        F.round(
+            F.sum("keep").cast("double") / F.count("*"), 6
+        ).alias("gopher_keep_frac"),
+    )

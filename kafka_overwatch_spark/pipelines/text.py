@@ -587,6 +587,34 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+def gopher_flag_columns() -> dict[str, F.Column]:
+    """The rule expressions over a raw ``text`` column — ONE definition
+    shared by the per-doc flags surface and the dataset-card rollup so
+    the keep rate cannot drift between them."""
+    toks = _norm_tokens()
+    n_tok = F.size(toks)
+    n_chars = F.length(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    )
+    nonspace = n_chars - (n_tok - 1)
+    symbols = n_chars - F.length(
+        F.regexp_replace(
+            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")),
+            PUNCT_REGEX,
+            "",
+        )
+    )
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    distinct_toks = F.size(F.array_distinct(toks))
+    return {
+        "word_count_ok": (n_tok >= 10) & (n_tok <= 100_000),
+        "mean_word_len_ok": (nonspace >= n_tok * 2) & (nonspace <= n_tok * 12),
+        "symbol_ratio_ok": symbols * 10 <= n_chars * 3,
+        "has_stopwords": stop_hits >= 1,
+        "diversity_ok": distinct_toks * 5 >= n_tok,
+    }
+
+
 def gopher_quality_flags(documents: DataFrame) -> DataFrame:
     """Gopher-style rule-based quality gate: one boolean per rule plus
     the fused keep verdict — the canonical pre-training heuristic filter
@@ -604,28 +632,7 @@ def gopher_quality_flags(documents: DataFrame) -> DataFrame:
     - has_stopwords:     ≥ 1 English marker stopword
     - diversity_ok:      distinct tokens ≥ 20% of tokens
     """
-    toks = _norm_tokens()
-    n_tok = F.size(toks)
-    n_chars = F.length(
-        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    )
-    nonspace = n_chars - (n_tok - 1)
-    symbols = n_chars - F.length(
-        F.regexp_replace(
-            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")),
-            PUNCT_REGEX,
-            "",
-        )
-    )
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    distinct_toks = F.size(F.array_distinct(toks))
-    flags = {
-        "word_count_ok": (n_tok >= 10) & (n_tok <= 100_000),
-        "mean_word_len_ok": (nonspace >= n_tok * 2) & (nonspace <= n_tok * 12),
-        "symbol_ratio_ok": symbols * 10 <= n_chars * 3,
-        "has_stopwords": stop_hits >= 1,
-        "diversity_ok": distinct_toks * 5 >= n_tok,
-    }
+    flags = gopher_flag_columns()
     n_failed = None
     for c in flags.values():
         term = (~c).cast("int")

@@ -530,6 +530,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["curation_pipeline"] = lambda s, d: curation.curate(
         raw(s, d, "documents")
     )
+    # r5: whole-corpus dataset card (one-row scalars companion)
+    q["dataset_card"] = lambda s, d: curation.dataset_card(
+        raw(s, d, "documents")
+    )
     q["dedup_incremental_screen"] = lambda s, d: dedup.incremental_minhash_screen(
         raw(s, d, "documents"), docs=get_shingle_docs(s, d)
     )
@@ -753,6 +757,7 @@ _PROMOTED = [
     "tpch_small_quantity_revenue",
     "tpch_idle_rich_customers",
     "text_bm25",
+    "dataset_card",
 ]
 
 
