@@ -110,3 +110,22 @@ def test_value_quantile_sketch_accuracy(spark):
         for i, p in enumerate(["p50", "p90", "p99"]):
             e, a = r[p], approx[et]["q"][i]
             assert abs(a - e) / max(abs(e), 1e-9) <= 0.01, (et, p, e, a)
+
+
+def test_dataset_card_consistent_with_per_doc_surfaces(spark, snaps):
+    """The card's stated invariant: every scalar equals the aggregate of
+    the per-doc surface it summarizes (shared expressions, no drift)."""
+    from pyspark.sql import functions as F
+
+    from kafka_overwatch_spark.pipelines.curation import dataset_card
+    from kafka_overwatch_spark.pipelines.dedup import exact_dedup_keep
+    from kafka_overwatch_spark.pipelines.text import gopher_quality_flags
+
+    docs = spark.table("documents")
+    card = dataset_card(docs).collect()[0]
+    flags = gopher_quality_flags(docs)
+    assert card["n_docs"] == docs.count()
+    assert card["gopher_keep_docs"] == flags.filter(F.col("keep")).count()
+    # distinct fingerprints == the exact-dedup keeper count
+    assert card["distinct_fingerprints"] == exact_dedup_keep(docs).count()
+    assert card["dup_docs"] == card["n_docs"] - card["distinct_fingerprints"]
