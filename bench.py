@@ -110,6 +110,7 @@ EXTRA = [
     "tpch_idle_rich_customers",
     "text_bm25",
     "dataset_card",
+    "fuzzy_name_pairs",
 ]
 
 

@@ -928,3 +928,62 @@ def idle_rich_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
         F.count("*").alias("numcust"),
         F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
     )
+
+
+def fuzzy_name_pairs(part: DataFrame, max_edit: int = 2) -> DataFrame:
+    """Fuzzy string-similarity self-join (entity resolution): distinct
+    part names within Levenshtein distance ``max_edit`` of each other,
+    WITHOUT an all-pairs comparison.
+
+    Candidate scheme: SymSpell deletion neighborhoods — if
+    ``edit(a, b) ≤ k`` then deleting the edited positions from each
+    side yields a COMMON string, so ``D≤k(a) ∩ D≤k(b) ≠ ∅`` (delete
+    covers insert/delete/substitute). Each name emits its ≤2-deletion
+    variants (1 + L + L·(L-1)/2 signatures, bounded for name-length
+    strings), candidates share a signature, and the exact
+    ``levenshtein`` verify runs ONLY inside signature buckets. The
+    signature join shuffles on the signature key; at 100 TB that is
+    the spell-correction-index layout (signatures ARE the index),
+    never a cross product. Signature generation is a pure JVM
+    transform/flatten fan-out — no Python.
+
+    Oracle: brute-force all-pairs levenshtein over the (dim-sized)
+    distinct-name set — two different algorithms, same pairs."""
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    # NB: Spark's sequence(a, b) is DESCENDING when a > b, so every
+    # inner sequence is guarded — sequence(i+1, L) at i = L would emit
+    # [L+1, L] and fabricate variants
+    sigs = F.expr(
+        """
+        array_distinct(concat(
+          array(name),
+          CASE WHEN length(name) >= 1 THEN
+            transform(sequence(1, length(name)),
+              i -> concat(substring(name, 1, i - 1),
+                          substring(name, i + 1, 2147483647)))
+          ELSE array() END,
+          CASE WHEN length(name) >= 2 THEN
+            flatten(transform(sequence(1, length(name) - 1),
+              i -> transform(sequence(i + 1, length(name)),
+                j -> concat(substring(name, 1, i - 1),
+                            substring(name, i + 1, j - i - 1),
+                            substring(name, j + 1, 2147483647)))))
+          ELSE array() END
+        ))
+        """
+    )
+    tagged = names.select(
+        "name", F.explode(sigs).alias("sig")
+    )
+    a = tagged.select(F.col("sig"), F.col("name").alias("name_a"))
+    b = tagged.select(F.col("sig"), F.col("name").alias("name_b"))
+    return (
+        a.join(b, "sig")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+        .withColumn(
+            "distance", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter(F.col("distance") <= max_edit)
+    )

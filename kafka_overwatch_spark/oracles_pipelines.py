@@ -1221,6 +1221,16 @@ SELECT doc_id,
     AS keep
 FROM m"""
 
+    # fuzzy name self-join: the oracle brute-forces all-pairs
+    # levenshtein over the dim-sized distinct-name set; the Spark side
+    # goes through SymSpell deletion-neighborhood candidates
+    q["fuzzy_name_pairs"] = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+  CAST(levenshtein(a.name, b.name) AS BIGINT) AS distance
+FROM names a JOIN names b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2"""
+
     # schema-on-read over the JSON props column: the oracle parses with
     # a regex where Spark uses from_json — independent parsers, same
     # values

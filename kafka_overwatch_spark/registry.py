@@ -690,6 +690,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_idle_rich_customers"] = lambda s, d: relational.idle_rich_customers(
         raw(s, d, "customer"), raw(s, d, "orders")
     )
+    # r5: fuzzy string-similarity self-join (SymSpell deletion
+    # neighborhoods -> bucketed levenshtein verify, never all-pairs)
+    q["fuzzy_name_pairs"] = lambda s, d: relational.fuzzy_name_pairs(
+        raw(s, d, "part")
+    )
     q["events_topk_per_type"] = lambda s, d: relational.events_topk_per_type(
         raw(s, d, "events")
     )
@@ -758,6 +763,7 @@ _PROMOTED = [
     "tpch_idle_rich_customers",
     "text_bm25",
     "dataset_card",
+    "fuzzy_name_pairs",
 ]
 
 
