@@ -111,6 +111,7 @@ EXTRA = [
     "text_bm25",
     "dataset_card",
     "fuzzy_name_pairs",
+    "validation_report",
 ]
 
 

@@ -615,6 +615,81 @@ FROM lag_rows GROUP BY cluster, group_id, topic
 HAVING sum(lag) <> 0"""
     )
 
+    # deeq-style validation suite: 9 pinned checks, two of which FAIL
+    # on the fixture by design (events.value range, ghost group-offset
+    # topics) — all-zero violations would leave the machinery untested
+    q["validation_report"] = _snap("""
+c1 AS (
+  SELECT 'unique' AS "check", 'orders.o_orderkey' AS target,
+    CAST(count(*) AS BIGINT) AS checked,
+    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+  FROM orders
+),
+c2 AS (
+  SELECT 'unique', 'lineitem.(l_orderkey,l_linenumber)',
+    CAST(count(*) AS BIGINT),
+    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+  FROM lineitem
+),
+c3 AS (
+  SELECT 'referential', 'lineitem.l_orderkey->orders',
+    CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.l_orderkey = o.o_orderkey
+),
+c4 AS (
+  SELECT 'range', 'lineitem.l_discount in [0,1]',
+    CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+      AS BIGINT)
+  FROM lineitem
+),
+c5 AS (
+  SELECT 'accepted_values', 'customer.c_mktsegment',
+    CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE','BUILDING',
+      'FURNITURE','HOUSEHOLD','MACHINERY') THEN 1 ELSE 0 END) AS BIGINT)
+  FROM customer
+),
+c6 AS (
+  SELECT 'accepted_values', 'events.event_type',
+    CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN event_type NOT IN ('click','error','purchase',
+      'signup','view') THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+),
+c7 AS (
+  SELECT 'range', 'events.value <= 100',
+    CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+),
+c8 AS (
+  SELECT 'consistency', 'documents.n_chars == length(text)',
+    CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+      AS BIGINT)
+  FROM documents
+),
+c9 AS (
+  SELECT 'referential', 'group_offsets.topic->topics (ghost rows)',
+    CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN t.name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM group_offsets g
+  LEFT JOIN (SELECT DISTINCT name FROM topics) t ON g.topic = t.name
+),
+allc AS (
+  SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL
+  SELECT * FROM c3 UNION ALL SELECT * FROM c4 UNION ALL
+  SELECT * FROM c5 UNION ALL SELECT * FROM c6 UNION ALL
+  SELECT * FROM c7 UNION ALL SELECT * FROM c8 UNION ALL
+  SELECT * FROM c9
+)
+SELECT "check", target, checked, violations,
+  violations = 0 AS pass
+FROM allc""")
+
     # P12 extension: include/exclude regex scan filter
     q["topics_scan_filtered"] = _snap_plain(
         """

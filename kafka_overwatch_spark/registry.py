@@ -695,6 +695,13 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fuzzy_name_pairs"] = lambda s, d: relational.fuzzy_name_pairs(
         raw(s, d, "part")
     )
+    # r5: deequ-style validation suite over raw + snapshot tables
+    def _validation(s: SparkSession, d: str) -> DataFrame:
+        from .operators.validation import validation_report
+
+        return validation_report(get_raw_tables(s, d), get_snaps(s, d))
+
+    q["validation_report"] = _validation
     q["events_topk_per_type"] = lambda s, d: relational.events_topk_per_type(
         raw(s, d, "events")
     )
@@ -764,6 +771,7 @@ _PROMOTED = [
     "text_bm25",
     "dataset_card",
     "fuzzy_name_pairs",
+    "validation_report",
 ]
 
 
