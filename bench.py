@@ -112,6 +112,7 @@ EXTRA = [
     "dataset_card",
     "fuzzy_name_pairs",
     "validation_report",
+    "topic_throughput_trend",
 ]
 
 

@@ -141,3 +141,39 @@ def topic_throughput_timeseries(snaps: dict[str, DataFrame]) -> DataFrame:
             ).alias("messages_per_seconds"),
         )
     )
+
+
+def topic_throughput_trend(snaps: dict[str, DataFrame]) -> DataFrame:
+    """Per-(cluster, topic) throughput TREND: the least-squares slope of
+    total end_offset over scan wall-clock — is this topic's producer
+    rate growing or shrinking across the scan series? The regression
+    runs on the scan-grain rollup (one point per scan), so the linear
+    fit is over a bounded, dim-sized series per topic while the fact
+    scan contributes one map-side-combinable aggregation.
+
+    Uses the NATIVE regr_slope/regr_r2 aggregates (Spark ≥3.4 and
+    DuckDB both implement the standard sum-based formulas) — no UDF, no
+    collect. Slopes are ROUNDED doubles; topics with a constant series
+    (zero time variance is impossible here; zero offset variance gives
+    slope 0.0) keep exact zeros. Extension beyond the reference, which
+    only reports per-scan instantaneous rates (K4 Summary)."""
+    po = snaps["partition_offsets"]
+    per_scan = po.groupBy("cluster", "topic", "scan_id").agg(
+        F.sum("end_offset").alias("total_end"),
+        F.max(F.unix_timestamp("ts")).alias("ts_sec"),
+    )
+    return (
+        per_scan.groupBy("cluster", "topic")
+        .agg(
+            F.count("*").alias("scans"),
+            F.round(
+                F.expr("regr_slope(CAST(total_end AS DOUBLE), CAST(ts_sec AS DOUBLE))"),
+                6,
+            ).alias("slope_msgs_per_sec"),
+            F.round(
+                F.expr("regr_r2(CAST(total_end AS DOUBLE), CAST(ts_sec AS DOUBLE))"),
+                6,
+            ).alias("r2"),
+        )
+        .filter(F.col("scans") >= 2)
+    )

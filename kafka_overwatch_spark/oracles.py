@@ -690,6 +690,25 @@ SELECT "check", target, checked, violations,
   violations = 0 AS pass
 FROM allc""")
 
+    # least-squares throughput trend per topic (native regr_slope /
+    # regr_r2 in both engines — identical sum-based formulas)
+    q["topic_throughput_trend"] = _snap("""
+per_scan AS (
+  SELECT cluster, topic, scan_id,
+    sum(end_offset) AS total_end,
+    max(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts))
+      AS ts_sec
+  FROM partition_offsets GROUP BY 1, 2, 3
+)
+SELECT cluster, topic,
+  CAST(count(*) AS BIGINT) AS scans,
+  round(regr_slope(CAST(total_end AS DOUBLE), CAST(ts_sec AS DOUBLE)), 6)
+    AS slope_msgs_per_sec,
+  round(regr_r2(CAST(total_end AS DOUBLE), CAST(ts_sec AS DOUBLE)), 6)
+    AS r2
+FROM per_scan GROUP BY cluster, topic
+HAVING count(*) >= 2""")
+
     # P12 extension: include/exclude regex scan filter
     q["topics_scan_filtered"] = _snap_plain(
         """

@@ -321,6 +321,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["topic_throughput_timeseries"] = (
         lambda s, d: windows.topic_throughput_timeseries(get_snaps(s, d))
     )
+    q["topic_throughput_trend"] = lambda s, d: windows.topic_throughput_trend(
+        get_snaps(s, d)
+    )
     q["cluster_scan_summary"] = lambda s, d: windows.cluster_scan_summary(
         get_snaps(s, d)
     )
@@ -772,6 +775,7 @@ _PROMOTED = [
     "dataset_card",
     "fuzzy_name_pairs",
     "validation_report",
+    "topic_throughput_trend",
 ]
 
 
