@@ -56,6 +56,20 @@ def main(argv: list[str] | None = None) -> int:
     p_srb.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     p_srb.add_argument("--out", required=True)
 
+    p_val = sub.add_parser(
+        "validate", help="run the data-quality validation suite"
+    )
+    p_val.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    p_val.add_argument(
+        "--strict", action="store_true",
+        help="exit 1 if any check fails",
+    )
+
+    p_card = sub.add_parser(
+        "dataset-card", help="one-row corpus dataset card"
+    )
+    p_card.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+
     sub.add_parser("list", help="list registered queries")
 
     args = parser.parse_args(argv)
@@ -121,6 +135,32 @@ def main(argv: list[str] | None = None) -> int:
             queries[args.name](spark, args.sf_dir).show(
                 args.limit, truncate=False
             )
+        elif args.cmd == "validate":
+            from .operators.validation import validation_report
+
+            rows = validation_report(
+                registry.get_raw_tables(spark, args.sf_dir),
+                registry.get_snaps(spark, args.sf_dir),
+            ).collect()
+            failed = 0
+            for r in rows:
+                status = "PASS" if r["pass"] else "FAIL"
+                failed += 0 if r["pass"] else 1
+                print(
+                    f"{status}  {r['check']:16s} {r['target']:45s} "
+                    f"violations={r['violations']}/{r['checked']}"
+                )
+            print(f"{len(rows) - failed}/{len(rows)} checks passed")
+            if args.strict and failed:
+                return 1
+        elif args.cmd == "dataset-card":
+            from .pipelines.curation import dataset_card
+
+            row = dataset_card(
+                registry.get_raw_tables(spark, args.sf_dir)["documents"]
+            ).collect()[0]
+            for k, v in row.asDict().items():
+                print(f"{k}: {v}")
         elif args.cmd == "export":
             from .sinks.exports import export_dataframe
 

@@ -106,3 +106,24 @@ clusters:
     assert payload["governance"]["consumer_group_naming_convention"][
         "total"
     ] > 0
+
+
+def test_cli_validate_and_dataset_card(spark, snaps):
+    """The two r5 service commands run end-to-end; --strict propagates
+    the fixture's known failing checks as a nonzero exit."""
+    import kafka_overwatch_spark.cli as cli
+    from kafka_overwatch_spark.cli import main
+
+    orig_spark, orig_stop = cli._spark, spark.stop
+    cli._spark = lambda: spark
+    spark.stop = lambda: None
+    try:
+        assert main(["validate", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+        assert (
+            main(["validate", "--sf-dir", "/root/testdata/sf0.001", "--strict"])
+            == 1
+        )
+        assert main(["dataset-card", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    finally:
+        cli._spark = orig_spark
+        spark.stop = orig_stop
