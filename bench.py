@@ -113,6 +113,7 @@ EXTRA = [
     "fuzzy_name_pairs",
     "validation_report",
     "topic_throughput_trend",
+    "text_bigram_logprob",
 ]
 
 

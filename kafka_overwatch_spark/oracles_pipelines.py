@@ -1147,6 +1147,34 @@ SELECT
   round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS gopher_keep_frac
 FROM k"""
 
+    # bigram LM (conditional upgrade of the unigram proxy): add-one
+    # over the unigram vocab, same norm/tokenization
+    q["text_bigram_logprob"] = """
+WITH norm AS (SELECT doc_id,
+    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
+ta AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+db AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(toks) - 1),
+      i -> toks[i])) AS w1,
+    unnest(list_transform(generate_series(1, len(toks) - 1),
+      i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM ta WHERE len(toks) >= 2
+),
+bf AS (SELECT bg, count(*) AS cb FROM db GROUP BY bg),
+uf AS (
+  SELECT token, count(*) AS cu FROM (
+    SELECT unnest(string_split(t, ' ')) AS token FROM norm
+  ) GROUP BY token
+),
+v AS (SELECT count(*) AS V FROM uf)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_bigrams,
+  round(avg(ln((cb + 1.0) / (cu + V))), 6) AS avg_logprob,
+  round(min(ln((cb + 1.0) / (cu + V))), 6) AS min_logprob
+FROM db JOIN bf USING (bg) JOIN uf ON db.w1 = uf.token, v
+GROUP BY doc_id"""
+
     # BM25 against the pinned query terms; same norm/tokenization
     from .pipelines.text import BM25_B, BM25_K1, BM25_QUERY_TERMS
 

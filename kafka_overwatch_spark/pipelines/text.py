@@ -704,3 +704,62 @@ def bm25_scores(
             F.round(F.sum(term_score), 6).alias("bm25"),
         )
     )
+
+
+def bigram_logprob(documents: DataFrame) -> DataFrame:
+    """Corpus-trained BIGRAM LM score per document — the conditional
+    upgrade of `unigram_logprob` and a closer stand-in for the KenLM
+    perplexity filter: token probability is conditioned on its
+    predecessor, ``p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V)`` (add-one over the
+    unigram vocabulary), and a document scores the mean/min conditional
+    log-prob of its bigrams. Degenerate sequences (repeated rare
+    bigrams) score low even when their unigrams are common — the
+    failure mode the unigram proxy cannot see.
+
+    Scale shape: two zipfian count aggregations (bigram, predecessor),
+    both map-side combinable; the scoring join keys on the bigram (AQE
+    broadcasts while the bigram vocab fits; at 100 TB a pruned top-K
+    bigram table + OOV default keeps it broadcastable), then one
+    doc-keyed mean. Docs with <2 tokens have no bigrams and drop out
+    (same in the oracle)."""
+    toks = _norm_tokens()
+    bigrams = F.expr(
+        """
+        CASE WHEN size(toks) >= 2 THEN
+          transform(sequence(0, size(toks) - 2),
+            i -> struct(element_at(toks, i + 1) AS w1,
+                        concat(element_at(toks, i + 1), ' ',
+                               element_at(toks, i + 2)) AS bg))
+        ELSE array() END
+        """
+    )
+    doc_bigrams = (
+        spread(documents)
+        .select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.bg").alias("bg"))
+    )
+    bigram_freq = doc_bigrams.groupBy("bg").agg(F.count("*").alias("cb"))
+    unigram_freq = (
+        spread(documents)
+        .select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cu"))
+    )
+    vocab = unigram_freq.agg(F.count("*").alias("V"))
+    logp = F.log(
+        (F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("V"))
+    )
+    return (
+        doc_bigrams.join(bigram_freq, "bg")
+        .join(
+            unigram_freq.select(F.col("token").alias("w1"), "cu"), "w1"
+        )
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+            F.round(F.min(logp), 6).alias("min_logprob"),
+        )
+    )

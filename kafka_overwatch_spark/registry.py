@@ -518,6 +518,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_bm25"] = lambda s, d: textops.bm25_scores(
         raw(s, d, "documents")
     )
+    # r5: bigram-LM perplexity proxy (conditional log-probs)
+    q["text_bigram_logprob"] = lambda s, d: textops.bigram_logprob(
+        raw(s, d, "documents")
+    )
     q["text_line_dedup"] = lambda s, d: textops.line_dedup(
         raw(s, d, "documents")
     )
@@ -776,6 +780,7 @@ _PROMOTED = [
     "fuzzy_name_pairs",
     "validation_report",
     "topic_throughput_trend",
+    "text_bigram_logprob",
 ]
 
 
