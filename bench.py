@@ -114,6 +114,8 @@ EXTRA = [
     "validation_report",
     "topic_throughput_trend",
     "text_bigram_logprob",
+    "events_user_deciles",
+    "sampling_upsample_plan",
 ]
 
 

@@ -987,3 +987,46 @@ def fuzzy_name_pairs(part: DataFrame, max_edit: int = 2) -> DataFrame:
         )
         .filter(F.col("distance") <= max_edit)
     )
+
+
+def user_value_deciles(events: DataFrame) -> DataFrame:
+    """NTILE decile segmentation: users ranked into 10 equal-count
+    buckets by total spend, rolled up to one row per decile — the
+    standard customer-value segmentation shape. The NTILE input is
+    totally ordered (exact DECIMAL totals desc, user_id asc), so bucket
+    assignment is deterministic and engine-identical; both engines
+    implement SQL-standard NTILE (floor/ceil split of n rows into k
+    buckets).
+
+    Scale shape: one keyed aggregation to user grain, then a single
+    global-ordering window over |users| rows — the one legitimately
+    global sort in this file (segmentation is definitionally global).
+    At 100 TB replace with percentile thresholds from approx_percentile
+    and a broadcast-threshold bucket join; the decile summary itself is
+    dim-sized either way."""
+    from pyspark.sql.window import Window
+
+    totals = events.groupBy("user_id").agg(
+        F.count("*").alias("events"),
+        F.sum(_dec("value")).alias("d_total"),
+    )
+    w = Window.orderBy(F.col("d_total").desc(), F.col("user_id").asc())
+    return (
+        totals.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("users"),
+            F.sum("events").alias("events"),
+            F.sum("d_total").cast("double").alias("total_value"),
+            F.min(F.col("d_total").cast("double")).alias("min_value"),
+            F.max(F.col("d_total").cast("double")).alias("max_value"),
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "users",
+            "events",
+            "total_value",
+            "min_value",
+            "max_value",
+        )
+    )

@@ -1016,6 +1016,36 @@ SELECT lang,
     AS hapax_frac
 FROM counts GROUP BY lang"""
 
+    # deterministic fractional upsampling plan: same salted-md5 bucket
+    # family, base repeats + literal fractional thresholds
+    from .pipelines.sampling import (
+        UPSAMPLE_DEFAULT_RATE,
+        UPSAMPLE_RATES,
+        UPSAMPLE_SALT,
+    )
+
+    base_case = "CASE source " + " ".join(
+        f"WHEN '{s_}' THEN {int(r)}" for s_, r in UPSAMPLE_RATES.items()
+    ) + f" ELSE {int(UPSAMPLE_DEFAULT_RATE)} END"
+    frac_case = "CASE source " + " ".join(
+        f"WHEN '{s_}' THEN {int(round((r - int(r)) * 10000))}"
+        for s_, r in UPSAMPLE_RATES.items()
+    ) + (" ELSE "
+         f"{int(round((UPSAMPLE_DEFAULT_RATE - int(UPSAMPLE_DEFAULT_RATE)) * 10000))}"
+         " END")
+    q["sampling_upsample_plan"] = f"""
+WITH b AS (
+  SELECT doc_id, source,
+    CAST(concat('0x', substr(md5('{UPSAMPLE_SALT}:'
+      || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS bucket
+  FROM documents
+)
+SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket,
+  CAST(({base_case})
+    + CASE WHEN bucket < ({frac_case}) THEN 1 ELSE 0 END AS BIGINT)
+    AS repeats
+FROM b"""
+
     # deterministic source-mix audit: same salted-md5 bucket as the
     # split/stratified oracles, per-source rate thresholds exact over
     # SPLIT_BUCKETS
@@ -1248,6 +1278,26 @@ SELECT doc_id,
     + CASE WHEN distinct_toks * 5 >= n_tok THEN 0 ELSE 1 END) = 0
     AS keep
 FROM m"""
+
+    # NTILE decile segmentation: totally-ordered input (exact DECIMAL
+    # totals desc, user asc) makes bucket assignment engine-identical
+    q["events_user_deciles"] = """
+WITH totals AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS events,
+    sum(CAST(value AS DECIMAL(18,2))) AS d_total
+  FROM events GROUP BY user_id
+),
+bucketed AS (
+  SELECT *, ntile(10) OVER (ORDER BY d_total DESC, user_id ASC) AS decile
+  FROM totals
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+  CAST(count(*) AS BIGINT) AS users,
+  CAST(sum(events) AS BIGINT) AS events,
+  CAST(sum(d_total) AS DOUBLE) AS total_value,
+  CAST(min(d_total) AS DOUBLE) AS min_value,
+  CAST(max(d_total) AS DOUBLE) AS max_value
+FROM bucketed GROUP BY decile"""
 
     # fuzzy name self-join: the oracle brute-forces all-pairs
     # levenshtein over the dim-sized distinct-name set; the Spark side

@@ -321,3 +321,61 @@ def temperature_weights(
         F.round(prob, 6).alias("sample_prob"),
         F.round(F.least(rate, F.lit(1.0)), 6).alias("accept_rate"),
     )
+
+
+UPSAMPLE_RATES: dict[str, float] = {
+    "src0": 2.5,
+    "src1": 1.0,
+    "src2": 3.0,
+}
+UPSAMPLE_DEFAULT_RATE = 1.5
+UPSAMPLE_SALT = "upsample"
+
+
+def upsample_plan(
+    documents: DataFrame, salt: str = UPSAMPLE_SALT
+) -> DataFrame:
+    """Deterministic fractional UPSAMPLING — the other half of the
+    source-mixing story (`source_mix_keep` downsamples; rare-source
+    rates from `temperature_weights` often exceed 1). A rate of 2.5
+    means every doc repeats twice and HALF the docs (chosen by the same
+    partitioning-invariant hash bucketing as the split/mix family)
+    repeat a third time: repeats = ⌊rate⌋ + (bucket < frac·buckets),
+    with the fractional threshold computed ONCE in Python as an integer
+    literal (same engine-independence argument as the mix thresholds).
+    Expected copies per source converge to rate exactly; membership of
+    the extra copy is auditable per doc_id.
+
+    The plan (doc_id, source, repeats) is the cheap narrow artifact;
+    materializing is one explode fan-out (`materialize_upsample`),
+    which at 100 TB is write-amplification you schedule, not shuffle."""
+    bucket = hash_bucket(F.col("doc_id"), salt)
+    base = None
+    extra = None
+    for name, rate in UPSAMPLE_RATES.items():
+        cond = F.col("source") == name
+        b, thr = int(rate), int(round((rate - int(rate)) * SPLIT_BUCKETS))
+        base = F.when(cond, b) if base is None else base.when(cond, b)
+        extra = F.when(cond, thr) if extra is None else extra.when(cond, thr)
+    d_b = int(UPSAMPLE_DEFAULT_RATE)
+    d_t = int(round((UPSAMPLE_DEFAULT_RATE - d_b) * SPLIT_BUCKETS))
+    base = base.otherwise(d_b)
+    extra = extra.otherwise(d_t)
+    return spread(documents).select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket"),
+        (base + (bucket < extra).cast("int")).cast("long").alias("repeats"),
+    )
+
+
+def materialize_upsample(documents: DataFrame) -> DataFrame:
+    """Explode the plan into actual repeated rows (doc_id, copy_id)."""
+    plan = upsample_plan(documents)
+    return plan.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(F.lit(0), F.col("repeats").cast("int") - 1)
+        ).alias("copy_id"),
+    ).filter(F.col("copy_id") >= 0)

@@ -621,6 +621,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sampling_temperature_weights"] = (
         lambda s, d: sampling.temperature_weights(raw(s, d, "documents"))
     )
+    q["sampling_upsample_plan"] = lambda s, d: sampling.upsample_plan(
+        raw(s, d, "documents")
+    )
     # next-fit packing is sequential within a group (no ANSI-SQL
     # equivalent) → rows-only gate; python-reference parity in
     # tests/test_sampling.py
@@ -721,6 +724,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_running_totals"] = lambda s, d: relational.events_running_totals(
         raw(s, d, "events")
     )
+    q["events_user_deciles"] = lambda s, d: relational.user_value_deciles(
+        raw(s, d, "events")
+    )
     q["events_type_day_pivot"] = lambda s, d: relational.events_type_day_pivot(
         raw(s, d, "events")
     )
@@ -781,6 +787,8 @@ _PROMOTED = [
     "validation_report",
     "topic_throughput_trend",
     "text_bigram_logprob",
+    "events_user_deciles",
+    "sampling_upsample_plan",
 ]
 
 

@@ -231,3 +231,33 @@ def test_render_template_never_leaves_markers_property():
             assert signed in out
 
     check()
+
+
+def test_upsample_plan_rates_and_materialization(spark, snaps):
+    """Repeats are floor(rate) or floor(rate)+1, realized copy counts
+    track the configured rate, and materialization emits exactly
+    `repeats` rows per doc."""
+    from kafka_overwatch_spark.pipelines.sampling import (
+        UPSAMPLE_DEFAULT_RATE,
+        UPSAMPLE_RATES,
+        materialize_upsample,
+        upsample_plan,
+    )
+
+    docs = spark.table("documents")
+    plan = {r["doc_id"]: (r["source"], r["repeats"])
+            for r in upsample_plan(docs).collect()}
+    assert len(plan) == docs.count()
+    by_source: dict = {}
+    for src, rep in plan.values():
+        rate = UPSAMPLE_RATES.get(src, UPSAMPLE_DEFAULT_RATE)
+        assert rep in (int(rate), int(rate) + 1), (src, rep, rate)
+        tot, n = by_source.get(src, (0, 0))
+        by_source[src] = (tot + rep, n + 1)
+    for src, (tot, n) in by_source.items():
+        rate = UPSAMPLE_RATES.get(src, UPSAMPLE_DEFAULT_RATE)
+        assert abs(tot / n - rate) <= 0.5, (src, tot / n, rate)
+    copies: dict = {}
+    for r in materialize_upsample(docs).collect():
+        copies[r["doc_id"]] = copies.get(r["doc_id"], 0) + 1
+    assert copies == {d: rep for d, (_, rep) in plan.items()}
