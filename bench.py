@@ -116,6 +116,8 @@ EXTRA = [
     "text_bigram_logprob",
     "events_user_deciles",
     "sampling_upsample_plan",
+    "corpus_lang_source_assoc",
+    "corpus_split_drift_psi",
 ]
 
 

@@ -1279,6 +1279,65 @@ SELECT doc_id,
     AS keep
 FROM m"""
 
+    # chi-square contingency of (lang x source)
+    q["corpus_lang_source_assoc"] = """
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS observed
+  FROM documents GROUP BY 1, 2
+),
+lm AS (SELECT lang, sum(observed) AS lang_total FROM cells GROUP BY 1),
+sm AS (SELECT source, sum(observed) AS src_total FROM cells GROUP BY 1),
+t AS (SELECT sum(observed) AS total FROM cells)
+SELECT lang, source, observed,
+  round(CAST(lang_total AS DOUBLE) * src_total / total, 6) AS expected,
+  round(pow(observed - CAST(lang_total AS DOUBLE) * src_total / total, 2)
+    / (CAST(lang_total AS DOUBLE) * src_total / total), 6) AS chi2_term
+FROM cells JOIN lm USING (lang) JOIN sm USING (source), t"""
+
+    # PSI drift between the train/val hash splits over 16-token length
+    # buckets (Laplace-smoothed shares); split thresholds mirror
+    # sampling_split's
+    q["corpus_split_drift_psi"] = f"""
+WITH norm AS (SELECT doc_id,
+    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+  FROM documents),
+tagged AS (
+  SELECT doc_id,
+    CASE WHEN CAST(concat('0x', substr(md5('split:'
+        || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 9000
+      THEN 'train'
+      WHEN CAST(concat('0x', substr(md5('split:'
+        || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 9500
+      THEN 'val' ELSE 'test' END AS split,
+    len(string_split(t, ' ')) - len(string_split(t, ' ')) % 16
+      AS len_bucket
+  FROM norm
+),
+counts AS (
+  SELECT split, len_bucket, count(*) AS n FROM tagged
+  WHERE split IN ('train', 'val') GROUP BY 1, 2
+),
+a AS (SELECT len_bucket, n AS n_train FROM counts WHERE split = 'train'),
+b AS (SELECT len_bucket, n AS n_val FROM counts WHERE split = 'val'),
+j AS (
+  SELECT coalesce(a.len_bucket, b.len_bucket) AS len_bucket,
+    coalesce(n_train, 0) AS n_train, coalesce(n_val, 0) AS n_val
+  FROM a FULL OUTER JOIN b ON a.len_bucket = b.len_bucket
+),
+t AS (
+  SELECT sum(n_train) AS t_train, sum(n_val) AS t_val,
+    count(*) AS n_buckets
+  FROM j
+)
+SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
+  CAST(n_train AS BIGINT) AS n_train, CAST(n_val AS BIGINT) AS n_val,
+  round(
+    ((n_train + 1.0) / (t_train + n_buckets)
+      - (n_val + 1.0) / (t_val + n_buckets))
+    * ln(((n_train + 1.0) / (t_train + n_buckets))
+       / ((n_val + 1.0) / (t_val + n_buckets))), 6) AS psi_term
+FROM j, t"""
+
     # NTILE decile segmentation: totally-ordered input (exact DECIMAL
     # totals desc, user asc) makes bucket assignment engine-identical
     q["events_user_deciles"] = """

@@ -162,3 +162,98 @@ def dataset_card(documents: DataFrame) -> DataFrame:
             F.sum("keep").cast("double") / F.count("*"), 6
         ).alias("gopher_keep_frac"),
     )
+
+
+def lang_source_association(documents: DataFrame) -> DataFrame:
+    """Chi-square contingency profile of the (lang × source) grid: per
+    cell, observed count, expected count under independence
+    (row_total × col_total / N), and the χ² contribution — the corpus
+    "is language balanced across sources?" audit. Sparse contingency:
+    only OBSERVED cells appear; a zero-observed (lang, source)
+    combination contributes no row (its expected-only χ² mass is the
+    consumer's margin arithmetic, not a stored row).
+
+    One count aggregation + two broadcast margin frames — the χ²
+    arithmetic is a narrow map over the dim-sized cell table. Doubles
+    rounded to 6."""
+    cells = documents.groupBy("lang", "source").agg(
+        F.count("*").alias("observed")
+    )
+    lang_m = cells.groupBy("lang").agg(F.sum("observed").alias("lang_total"))
+    src_m = cells.groupBy("source").agg(F.sum("observed").alias("src_total"))
+    total = cells.agg(F.sum("observed").alias("total"))
+    expected = (
+        F.col("lang_total").cast("double")
+        * F.col("src_total").cast("double")
+        / F.col("total").cast("double")
+    )
+    return (
+        cells.join(F.broadcast(lang_m), "lang")
+        .join(F.broadcast(src_m), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            "observed",
+            F.round(expected, 6).alias("expected"),
+            F.round(
+                F.pow(F.col("observed") - expected, F.lit(2.0)) / expected, 6
+            ).alias("chi2_term"),
+        )
+    )
+
+
+def split_drift_psi(documents: DataFrame) -> DataFrame:
+    """Population Stability Index between the train and val hash splits
+    over 16-token length buckets — the drift gate a dataset release
+    runs before shipping a new split: PSI = Σ (p_a − p_b)·ln(p_a/p_b)
+    per bucket (summed by the consumer; emitted per bucket here so the
+    offending buckets are visible). Laplace-smoothed bucket shares
+    ((n+1)/(N+B)) keep empty buckets finite in both engines.
+
+    The split is the SAME deterministic hash assignment
+    `deterministic_split` ships, so this query audits exactly what the
+    split produces — no re-derivation drift. One narrow projection, two
+    bucket aggregations, a dim-sized join."""
+    from .sampling import hash_bucket, split_expr
+    from .text import _norm_tokens
+
+    bucket = hash_bucket(F.col("doc_id"), "split")
+    tagged = documents.select(
+        "doc_id",
+        split_expr(bucket).alias("split"),
+        (F.size(_norm_tokens()) - F.size(_norm_tokens()) % 16).alias(
+            "len_bucket"
+        ),
+    ).filter(F.col("split").isin("train", "val"))
+    counts = tagged.groupBy("split", "len_bucket").agg(
+        F.count("*").alias("n")
+    )
+    a = counts.filter(F.col("split") == "train").select(
+        "len_bucket", F.col("n").alias("n_train")
+    )
+    b = counts.filter(F.col("split") == "val").select(
+        "len_bucket", F.col("n").alias("n_val")
+    )
+    joined = a.join(b, "len_bucket", "full_outer").select(
+        "len_bucket",
+        F.coalesce("n_train", F.lit(0)).alias("n_train"),
+        F.coalesce("n_val", F.lit(0)).alias("n_val"),
+    )
+    totals = joined.agg(
+        F.sum("n_train").alias("t_train"),
+        F.sum("n_val").alias("t_val"),
+        F.count("*").alias("n_buckets"),
+    )
+    p_a = (F.col("n_train") + 1).cast("double") / (
+        F.col("t_train") + F.col("n_buckets")
+    )
+    p_b = (F.col("n_val") + 1).cast("double") / (
+        F.col("t_val") + F.col("n_buckets")
+    )
+    return joined.crossJoin(F.broadcast(totals)).select(
+        F.col("len_bucket").cast("long").alias("len_bucket"),
+        "n_train",
+        "n_val",
+        F.round((p_a - p_b) * F.log(p_a / p_b), 6).alias("psi_term"),
+    )

@@ -541,6 +541,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dataset_card"] = lambda s, d: curation.dataset_card(
         raw(s, d, "documents")
     )
+    q["corpus_lang_source_assoc"] = (
+        lambda s, d: curation.lang_source_association(raw(s, d, "documents"))
+    )
+    q["corpus_split_drift_psi"] = lambda s, d: curation.split_drift_psi(
+        raw(s, d, "documents")
+    )
     q["dedup_incremental_screen"] = lambda s, d: dedup.incremental_minhash_screen(
         raw(s, d, "documents"), docs=get_shingle_docs(s, d)
     )
@@ -789,6 +795,8 @@ _PROMOTED = [
     "text_bigram_logprob",
     "events_user_deciles",
     "sampling_upsample_plan",
+    "corpus_lang_source_assoc",
+    "corpus_split_drift_psi",
 ]
 
 
