@@ -1295,8 +1295,12 @@ SELECT lang, source, observed,
 FROM cells JOIN lm USING (lang) JOIN sm USING (source), t"""
 
     # PSI drift between the train/val hash splits over 16-token length
-    # buckets (Laplace-smoothed shares); split thresholds mirror
-    # sampling_split's
+    # buckets (Laplace-smoothed shares); split thresholds interpolated
+    # from the SAME weights dict sampling_split uses
+    from .pipelines.sampling import DEFAULT_WEIGHTS, SPLIT_BUCKETS as _SB
+
+    _train_end = int(DEFAULT_WEIGHTS["train"] * _SB)
+    _val_end = _train_end + int(DEFAULT_WEIGHTS["val"] * _SB)
     q["corpus_split_drift_psi"] = f"""
 WITH norm AS (SELECT doc_id,
     lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
@@ -1304,10 +1308,12 @@ WITH norm AS (SELECT doc_id,
 tagged AS (
   SELECT doc_id,
     CASE WHEN CAST(concat('0x', substr(md5('split:'
-        || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 9000
+        || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % {_SB}
+        < {_train_end}
       THEN 'train'
       WHEN CAST(concat('0x', substr(md5('split:'
-        || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 9500
+        || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % {_SB}
+        < {_val_end}
       THEN 'val' ELSE 'test' END AS split,
     len(string_split(t, ' ')) - len(string_split(t, ' ')) % 16
       AS len_bucket
