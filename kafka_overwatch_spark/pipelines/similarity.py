@@ -1053,3 +1053,271 @@ def ann_ivfpq_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ: the production refinement. Encoding raw vectors wastes
+# PQ's 8 bytes re-describing WHICH REGION of space a vector sits in —
+# information IVF's cell id already carries. Encoding the RESIDUAL
+# (v_norm − centroid_norm[cell]) spends all 64 code bits on the
+# within-cell offset, so the same 8 bytes describe a much smaller
+# subspace: score(q, v) ≈ q·centroid[cell] (exact, tiny broadcast
+# matrix) + q·residual_approx (ADC over residual codebooks).
+# ---------------------------------------------------------------------------
+
+
+def _raw_centers(model) -> np.ndarray:
+    return np.array([np.asarray(c) for c in model.clusterCenters()])
+
+
+def cell_means(embeddings: DataFrame, assigned: DataFrame) -> np.ndarray:
+    """Per-cell MEAN of the unit-normalized members — the correct
+    residual origin in the scoring space. Subtracting the unit-NORMALIZED
+    KMeans centroid instead inflates residuals (‖v−c‖ ≈ 1.2 for ‖v‖=1
+    when cells barely concentrate); the cell mean is the least-squares
+    origin by definition. Computed distributed (Summarizer.mean per
+    cell) and collected at cells × dim size."""
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.stat import Summarizer
+
+    vecs = embeddings.select("vec_id", "embedding").join(assigned, "vec_id")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    normed = vecs.select(
+        "cell",
+        array_to_vector(
+            F.transform(
+                "embedding", lambda x: x.cast("double") / F.greatest(norm, F.lit(1e-12))
+            )
+        ).alias("v"),
+    )
+    rows = (
+        normed.groupBy("cell")
+        .agg(Summarizer.mean(F.col("v")).alias("mean"))
+        .collect()
+    )
+    n_cells = max(r["cell"] for r in rows) + 1
+    out = np.zeros((n_cells, EMB_DIM), dtype=np.float64)
+    for r in rows:
+        out[r["cell"]] = np.asarray(r["mean"])
+    return out
+
+
+def pq_train_residual(
+    embeddings: DataFrame,
+    trained: tuple,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    seed: int = PQ_SEED,
+    sample: int = PQ_TRAIN_SAMPLE,
+) -> np.ndarray:
+    """Train PQ codebooks on IVF-cell residuals: the same bounded
+    md5-ordered sample, each vector assigned to its nearest RAW KMeans
+    center (mirroring the IVF assignment) and the residual taken in the
+    normalized scoring space."""
+    model = trained[0]
+    raw_c = _raw_centers(model)
+    norm_c = cell_means(embeddings, trained[1])
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))))
+        .limit(sample)
+        .collect()
+    )
+    raw = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    d2 = (
+        (raw * raw).sum(1, keepdims=True)
+        - 2.0 * (raw @ raw_c.T)
+        + (raw_c * raw_c).sum(1)
+    )
+    cells = d2.argmin(1)
+    mat = raw / np.maximum(np.linalg.norm(raw, axis=1, keepdims=True), 1e-12)
+    resid = mat - norm_c[cells]
+    sub = EMB_DIM // m
+    return np.stack(
+        [
+            _lloyd(resid[:, i * sub : (i + 1) * sub], k, seed + i)
+            for i in range(m)
+        ]
+    )
+
+
+PQ_CELL_CODE_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("cell", LongType()),
+        StructField("code", LongType()),
+    ]
+)
+
+
+def pq_encode_residual(
+    embeddings: DataFrame, trained: tuple, codebooks: np.ndarray
+) -> DataFrame:
+    """Encode every vector's within-cell residual: (vec_id, cell, code)
+    — still ~16 bytes/vector of index. One broadcast (centroids +
+    codebooks), one narrow Arrow pass over the cell-joined corpus."""
+    model, assigned = trained[0], trained[1]
+    norm_c = cell_means(embeddings, assigned)
+    m, k, sub = codebooks.shape
+    sc = embeddings.sparkSession.sparkContext
+    b_cb, b_nc = sc.broadcast(codebooks), sc.broadcast(norm_c)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books, centers = b_cb.value, b_nc.value
+        norms = [(c * c).sum(1) for c in books]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            mat = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            resid = mat - centers[cells]
+            packed = np.zeros(len(mat), dtype=np.int64)
+            for i in range(m):
+                block = resid[:, i * sub : (i + 1) * sub]
+                d2 = norms[i] - 2.0 * (block @ books[i].T)
+                packed |= d2.argmin(1).astype(np.int64) << (8 * i)
+            yield pd.DataFrame({"vec_id": ids, "cell": cells, "code": packed})
+
+    corpus = embeddings.select("vec_id", "embedding").join(assigned, "vec_id")
+    return _spread_gemm(corpus).mapInPandas(encode, PQ_CELL_CODE_SCHEMA)
+
+
+def ann_ivfpq_residual_topk(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = tuple(range(10)),
+    k: int = 5,
+    n_probe: int = 8,
+    rerank: int = 4,
+    trained: tuple | None = None,
+    codebooks: np.ndarray | None = None,
+    codes: DataFrame | None = None,
+    n_cells: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Residual IVF-PQ retrieval: probe cells, ADC over RESIDUAL codes
+    plus the exact q·centroid term, exact re-rank of the shortlist —
+    same output contract as ann_ivfpq_topk; recall at equal bytes and
+    probes is measured against the plain variant in tests."""
+    model, assigned = _resolve_trained(trained, embeddings, n_cells, seed)
+    cb = (
+        pq_train_residual(embeddings, (model, assigned))
+        if codebooks is None
+        else codebooks
+    )
+    coded = (
+        pq_encode_residual(embeddings, (model, assigned), cb)
+        if codes is None
+        else codes
+    )
+    m, kk, sub = cb.shape
+    sc = embeddings.sparkSession.sparkContext
+    norm_c = cell_means(embeddings, assigned)
+
+    q_rows = embeddings.filter(F.col("vec_id").isin(*query_ids)).select(
+        "vec_id", "embedding"
+    ).collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    cell_dots = q_mat @ norm_c.T  # nq × cells: the exact centroid term
+    # probe ranking still uses the DIRECTIONAL centroids — q·cell_mean
+    # under-ranks tight low-norm cells
+    probes = np.argsort(-(q_mat @ _normalized_centers(model).T), axis=1)[
+        :, :n_probe
+    ]
+    probe_df = embeddings.sparkSession.createDataFrame(
+        [
+            (int(q_ids[i]), int(c))
+            for i in range(len(q_ids))
+            for c in probes[i]
+        ],
+        ["query_id", "cell"],
+    )
+    tables = np.stack(
+        [q_mat[:, i * sub : (i + 1) * sub] @ cb[i].T for i in range(m)],
+        axis=1,
+    )
+    b_q, b_t, b_cd, b_qmat = (
+        sc.broadcast(q_ids),
+        sc.broadcast(tables),
+        sc.broadcast(cell_dots),
+        sc.broadcast(q_mat),
+    )
+
+    cand = coded.join(F.broadcast(probe_df), "cell")
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_q, all_t, all_cd = b_q.value, b_t.value, b_cd.value
+        qpos = {int(q): i for i, q in enumerate(all_q)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            code = pdf["code"].to_numpy(dtype=np.int64)
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            qi = pdf["query_id"].to_numpy(dtype=np.int64)
+            qrow = np.array([qpos[int(q)] for q in qi])
+            idx = np.stack(
+                [(code >> (8 * i)) & 0xFF for i in range(m)], axis=1
+            )
+            resid_score = all_t[
+                qrow[:, None], np.arange(m)[None, :], idx
+            ].sum(axis=1)
+            score = all_cd[qrow, cells] + resid_score
+            mask = vid != qi
+            yield pd.DataFrame(
+                {
+                    "query_id": qi[mask],
+                    "vec_id": vid[mask],
+                    "cosine": np.round(score[mask], 6),
+                }
+            )
+
+    shortlisted = cand.mapInPandas(adc, TOPK_SCORE_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        shortlisted.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k * rerank)
+        .select("query_id", "vec_id")
+    )
+
+    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_q, all_qmat = b_q.value, b_qmat.value
+        qpos = {int(q): i for i, q in enumerate(all_q)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            qi = pdf["query_id"].to_numpy(dtype=np.int64)
+            cos = np.round(
+                (mat * all_qmat[[qpos[int(q)] for q in qi]]).sum(axis=1), 6
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": qi,
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cosine": cos,
+                }
+            )
+
+    return (
+        shortlist.join(embeddings.select("vec_id", "embedding"), "vec_id")
+        .mapInPandas(exact, TOPK_SCORE_SCHEMA)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

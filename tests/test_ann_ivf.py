@@ -180,3 +180,48 @@ def test_ivfpq_recall_and_full_probe_equivalence(spark, emb):
         for r in ann_pq_topk(emb, codebooks=cb, codes=codes).collect()
     )
     assert full_probe == pq_only
+
+
+def test_residual_ivfpq_parity_with_plain(spark, emb):
+    """Residual IVF-PQ (codes on v − cell_mean, score = q·mean + ADC)
+    must hold recall parity with the plain variant on this corpus. The
+    fixture embeddings are near-isotropic (cell means have norm ~0.27,
+    residual norm ~0.96 of raw), so the residual trick has almost no
+    variance to remove — parity, not gain, is the correct expectation
+    here; the machinery (means, residual codebooks, two-term ADC) is
+    what this test locks."""
+    from kafka_overwatch_spark.pipelines.similarity import (
+        ann_ivfpq_residual_topk,
+        ann_ivfpq_topk,
+        brute_force_topk_vectorized,
+        ivf_index,
+        pq_encode,
+        pq_encode_residual,
+        pq_train,
+        pq_train_residual,
+    )
+
+    trained = ivf_index(emb)
+    exact = _topk_sets(brute_force_topk_vectorized(emb).collect())
+
+    def recall(rows):
+        ap = _topk_sets(rows)
+        return sum(
+            len(exact[q] & ap.get(q, set())) / len(exact[q]) for q in exact
+        ) / len(exact)
+
+    plain = recall(
+        ann_ivfpq_topk(
+            emb, trained=trained, codebooks=pq_train(emb),
+            codes=pq_encode(emb, pq_train(emb)),
+        ).collect()
+    )
+    cb_r = pq_train_residual(emb, trained)
+    resid = recall(
+        ann_ivfpq_residual_topk(
+            emb, trained=trained, codebooks=cb_r,
+            codes=pq_encode_residual(emb, trained, cb_r),
+        ).collect()
+    )
+    assert resid >= plain - 0.15, (resid, plain)
+    assert resid >= 0.5
