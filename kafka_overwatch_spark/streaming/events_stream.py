@@ -414,3 +414,27 @@ def streaming_click_attribution(
         "c_ts",
         "click_value",
     )
+
+
+def late_data_metrics(query) -> list[dict]:
+    """Per-batch late-data accounting from a streaming query's progress
+    history: one record per (batch, stateful operator) with the rows the
+    watermark dropped — the observability signal that says "your
+    watermark is too tight for this feed" BEFORE the aggregates silently
+    under-count. Zero extra passes: Spark already tracks
+    numRowsDroppedByWatermark per state operator; this surfaces it in
+    the same shape the Prometheus sink consumes (metric, labels,
+    value)."""
+    out: list[dict] = []
+    for p in query.recentProgress:
+        batch_id = p.get("batchId")
+        for op in p.get("stateOperators", []) or []:
+            out.append(
+                {
+                    "metric": "streaming_rows_dropped_by_watermark",
+                    "batch_id": batch_id,
+                    "operator": op.get("operatorName", "unknown"),
+                    "value": int(op.get("numRowsDroppedByWatermark", 0) or 0),
+                }
+            )
+    return out

@@ -498,3 +498,61 @@ def test_streaming_click_attribution_checkpoint_recovery(spark, snaps):
         for pid, (cnt, val) in got.items():
             assert cnt == want[pid][0], (pid, cnt, want[pid])
             assert abs(val - want[pid][1]) < 1e-6
+
+
+def test_late_data_metrics_surface_watermark_drops(spark, snaps):
+    """A feed replayed with an out-of-order tail and a tight watermark
+    must report dropped-late rows through the progress-based metrics —
+    and a well-ordered feed must report zero."""
+    from kafka_overwatch_spark.streaming import events_stream as es
+
+    def run(tmp, shuffle_tail):
+        ev = spark.table("events")
+        n = ev.count()
+        from pyspark.sql.window import Window
+
+        sliced = ev.withColumn(
+            "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+        )
+        per = (n + 3) // 4
+        order = [0, 1, 2, 3]
+        if shuffle_tail:
+            order = [1, 2, 3, 0]  # oldest quarter arrives LAST
+        import glob
+        import os
+        import time
+
+        t0 = time.time() - 100
+        seen: set = set()
+        for pos, i in enumerate(order):
+            part = sliced.filter(
+                (F.col("rn") > i * per) & (F.col("rn") <= (i + 1) * per)
+            ).drop("rn")
+            part.coalesce(1).write.mode("append").parquet(f"{tmp}/in")
+            for f in glob.glob(f"{tmp}/in/*.parquet"):
+                if f not in seen:
+                    os.utime(f, (t0 + pos, t0 + pos))
+                    seen.add(f)
+        q = (
+            es.windowed_counts(
+                es.event_stream(spark, f"{tmp}/in"), watermark="1 hour"
+            )
+            .writeStream.format("memory")
+            .queryName(f"late_{shuffle_tail}")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        return es.late_data_metrics(q)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        late = run(tmp, shuffle_tail=True)
+    with tempfile.TemporaryDirectory() as tmp:
+        ordered = run(tmp, shuffle_tail=False)
+    assert sum(m["value"] for m in late) > 0, late
+    assert all(
+        m["metric"] == "streaming_rows_dropped_by_watermark" for m in late
+    )
+    assert sum(m["value"] for m in ordered) == 0, ordered
