@@ -13,10 +13,11 @@ Scale design (100 TB of embeddings):
   bucket (hyperplane weights derived from md5 — deterministic, no
   stored model). Neighbor candidates share a bucket; recall is tuned by
   bits/tables. The bucketed self-join shuffles on the bucket key only.
-- An IVF variant would k-means the corpus and probe nearest centroids;
-  with no ML deps in this container, LSH is the implemented scale path
-  and IVF is listed as the alternative (same join shape: assign →
-  bucket join).
+- IVF (seeded pyspark.ml KMeans) probes the n_probe nearest cells per
+  query; PQ packs each vector into one int64 of subspace codes scored
+  by ADC table lookups + exact re-rank; the composed ann_ivfpq_topk
+  (and its residual-encoding variant) is the trillion-vector
+  architecture — see ANN_TRADEOFFS.md for measured recall/cost curves.
 
 Cosines are double-precision with fixed fold order (see dedup.cosine) —
 bit-stable vs the DuckDB oracle.
