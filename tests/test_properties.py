@@ -458,3 +458,44 @@ def test_asof_attribution_duplicate_view_ts_is_deterministic(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_fuzzy_join_complete_on_adversarial_strings(spark, snaps):
+    """The deletion-neighborhood candidate scheme must be COMPLETE on
+    inputs the fixture never exercises: length-1/2 strings, repeated
+    characters, unicode, near-empty — compared against brute-force
+    Levenshtein over all pairs (seeded generator, one Spark round)."""
+    import itertools
+    import random
+
+    from kafka_overwatch_spark.operators.relational import fuzzy_name_pairs
+
+    rng = random.Random(42)
+    alphabet = "abcdeé中 "
+    names = {"", "a", "aa", "ab"}
+    while len(names) < 60:
+        n = rng.randint(1, 8)
+        names.add("".join(rng.choice(alphabet) for _ in range(n)))
+    names = sorted(n for n in names if n)  # part names are non-empty
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(names, 2)
+        if a < b and lev(a, b) <= 2
+    }
+    df = spark.createDataFrame([(n,) for n in names], ["p_name"])
+    got = {
+        (r["name_a"], r["name_b"], r["distance"])
+        for r in fuzzy_name_pairs(df).collect()
+    }
+    assert got == want, (got ^ want)
