@@ -636,6 +636,15 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_chunks_packed"] = lambda s, d: sampling.pack_sequences(
         sampling.chunk_documents(raw(s, d, "documents"))
     )
+    # the documented 100 TB grouping: pack across documents within each
+    # SOURCE shard (bins amortize across docs; rows-only like its twin)
+    def _packed_by_source(s: SparkSession, d: str) -> DataFrame:
+        chunks = sampling.chunk_documents(raw(s, d, "documents")).join(
+            raw(s, d, "documents").select("doc_id", "source"), "doc_id"
+        )
+        return sampling.pack_sequences(chunks, group_col="source")
+
+    q["doc_chunks_packed_by_source"] = _packed_by_source
 
     # --- relational / events analytics ---
     q["tpch_pricing_summary"] = lambda s, d: relational.pricing_summary(
