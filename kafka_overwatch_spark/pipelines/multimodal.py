@@ -395,3 +395,87 @@ def resize_media(
         ]
     )
     return media.mapInPandas(resize_batches, schema)
+
+
+FRAME_PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def frame_phash(media: DataFrame, frame_bytes: int = 256) -> DataFrame:
+    """Per-FRAME perceptual hash for 'video'-style payloads: the same
+    32-segment positional aHash as `media_phash`, computed over each
+    fixed-size byte window instead of the whole body — the primitive
+    behind video segment matching (find shared/near-identical clips
+    between different videos, at frame granularity). Arrow-batched
+    numpy; the hash algebra is bit-identical to the document-level one
+    (python-reference parity tested)."""
+    seg = PHASH_SEGMENTS
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_doc, out_frame, out_hash = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                body = bytes(payload)[HEADER_LEN:]
+                n_frames = max(
+                    (max(len(body), 1) + frame_bytes - 1) // frame_bytes, 1
+                )
+                for f in range(n_frames):
+                    window = body[f * frame_bytes : (f + 1) * frame_bytes]
+                    cps = np.frombuffer(window, dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    h = 0
+                    n = len(cps)
+                    if n:
+                        total = int(cps.sum())
+                        for s_i in range(seg):
+                            lo = (s_i * n + seg - 1) // seg
+                            hi = ((s_i + 1) * n + seg - 1) // seg
+                            ss = int(cps[lo:hi].sum())
+                            if ss * n > total * (hi - lo):
+                                h |= 1 << s_i
+                    out_doc.append(int(doc_id))
+                    out_frame.append(f)
+                    out_hash.append(h)
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_id": out_frame, "phash": out_hash}
+            )
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        hashes, FRAME_PHASH_SCHEMA
+    )
+
+
+def frame_phash_pairs(
+    media: DataFrame,
+    frame_bytes: int = 256,
+    max_hamming: int = PHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Cross-VIDEO near-identical segment pairs: hamming-close frame
+    hashes between different docs, through the same pigeonhole chunk
+    join every fingerprint family here uses (bucketed candidates, never
+    all-pairs). Output: doc_a, frame_a, doc_b, frame_b, hamming."""
+    from .dedup import hamming_neighbor_pairs
+
+    FRAME_BASE = 1_000_000
+    keyed = frame_phash(media, frame_bytes).select(
+        (F.col("doc_id") * FRAME_BASE + F.col("frame_id")).alias("doc_id"),
+        "phash",
+    )
+    pairs = hamming_neighbor_pairs(keyed, "phash", max_hamming)
+    return pairs.select(
+        (F.col("doc_a") / FRAME_BASE).cast("long").alias("doc_a"),
+        F.pmod(F.col("doc_a"), F.lit(FRAME_BASE)).cast("long").alias("frame_a"),
+        (F.col("doc_b") / FRAME_BASE).cast("long").alias("doc_b"),
+        F.pmod(F.col("doc_b"), F.lit(FRAME_BASE)).cast("long").alias("frame_b"),
+        "hamming",
+    ).filter(
+        (F.col("doc_a") != F.col("doc_b"))
+    )

@@ -609,6 +609,15 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return mm.media_phash_pairs(_media(s, d))
 
     q["media_phash_pairs"] = _media_phash_pairs
+
+    # frame-granular video near-dup (rows-only: byte-window frames are
+    # Python-side; python-parity + constructed-recall tests)
+    def _frame_phash_pairs(s: SparkSession, d: str) -> DataFrame:
+        from .pipelines import multimodal as mm
+
+        return mm.frame_phash_pairs(_media(s, d))
+
+    q["media_frame_phash_pairs"] = _frame_phash_pairs
     # dataset assembly: reproducible hash-bucket splits/samples + fixed
     # token-window chunking (context packing)
     q["sampling_split"] = lambda s, d: sampling.deterministic_split(

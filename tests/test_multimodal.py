@@ -179,3 +179,59 @@ def test_media_phash_pairs_candidates_are_verified(spark, media):
     assert any(
         {r["doc_a"], r["doc_b"]} == {9001, 9002} for r in found
     ), found
+
+
+def test_frame_phash_matches_python_reference(spark, snaps):
+    """Spark per-frame hashes equal a straight-Python fold of the same
+    positional aHash over each 256-byte window."""
+    from kafka_overwatch_spark.pipelines.multimodal import (
+        HEADER_LEN,
+        PHASH_SEGMENTS,
+        frame_phash,
+        synth_media_from_documents,
+    )
+
+    docs = spark.table("documents").filter(F.col("doc_id") < 90)
+    media = synth_media_from_documents(docs)
+    got = {
+        (r["doc_id"], r["frame_id"]): r["phash"]
+        for r in frame_phash(media).collect()
+    }
+    want = {}
+    for r in media.filter(F.col("media_type") == "video").collect():
+        body = bytes(r["payload"])[HEADER_LEN:]
+        n_frames = max((max(len(body), 1) + 255) // 256, 1)
+        for f in range(n_frames):
+            w = body[f * 256 : (f + 1) * 256]
+            h, n, total = 0, len(w), sum(w)
+            for s_i in range(PHASH_SEGMENTS):
+                lo = (s_i * n + 31) // 32
+                hi = ((s_i + 1) * n + 31) // 32
+                if sum(w[lo:hi]) * n > total * (hi - lo):
+                    h |= 1 << s_i
+            want[(r["doc_id"], f)] = h
+    assert got == want and len(got) > 0
+
+
+def test_frame_phash_pairs_find_shared_segment(spark, snaps):
+    """Two constructed videos sharing one identical 256-byte segment at
+    different positions must produce a frame-level pair; the pair list
+    never contains same-doc frames."""
+    from kafka_overwatch_spark.pipelines.multimodal import (
+        frame_phash_pairs,
+        synth_media_from_documents,
+    )
+
+    shared = ("the quick brown fox jumps over the lazy dog " * 6)[:256]
+    a_text = shared + "A" * 300
+    b_text = "B" * 256 + shared + "C" * 100
+    docs = spark.createDataFrame(
+        [(2, a_text, "en", "s", len(a_text)), (5, b_text, "en", "s", len(b_text))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )  # doc_id % 3 == 2 → both 'video'
+    pairs = frame_phash_pairs(synth_media_from_documents(docs)).collect()
+    assert all(r["doc_a"] != r["doc_b"] for r in pairs)
+    assert any(
+        {r["doc_a"], r["doc_b"]} == {2, 5} and r["hamming"] <= 3
+        for r in pairs
+    ), pairs
