@@ -1030,3 +1030,190 @@ def user_value_deciles(events: DataFrame) -> DataFrame:
             "max_value",
         )
     )
+
+
+def top_revenue_suppliers(
+    lineitem: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q15-shaped: the supplier(s) whose quarterly revenue equals
+    the global maximum — the view + HAVING = MAX(view) shape. Revenue is
+    summed in DECIMAL so "equals the max" is an exact comparison, not a
+    float one (Q15's correctness trap: with DOUBLE sums the champion
+    can fail its own equality test under reassociation).
+
+    Plan shape: one keyed aggregate over the quarter's lineitems, a
+    1-row global max broadcast back onto it, then a broadcast supplier
+    dim join for the name. At 100 TB the only shuffle is the l_suppkey
+    aggregate; the max + equality is a dim-grain epilogue. Reference
+    parity: revenue-champion reporting over the scan window
+    (kafka_overwatch scans keep per-topic "most active" maxima the same
+    aggregate-then-compare way, `reporting/topics.py`)."""
+    quarter = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    per_supp = quarter.groupBy("l_suppkey").agg(
+        F.sum(
+            _dec("l_extendedprice")
+            * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+        ).alias("d_rev"),
+        F.count("*").alias("lineitems"),
+    )
+    top = per_supp.agg(F.max("d_rev").alias("d_max"))
+    return (
+        per_supp.crossJoin(F.broadcast(top))
+        .filter(F.col("d_rev") == F.col("d_max"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            F.round(F.col("d_rev").cast("double"), 2).alias("total_revenue"),
+            "lineitems",
+        )
+    )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+) -> DataFrame:
+    """TPC-H Q2-shaped: for every part, the cheapest in-region supplier —
+    the correlated MIN subquery, decorrelated into an aggregate + window
+    argmin. "Cost" is the minimum single-lineitem extendedprice the
+    supplier ever quoted for the part (a pure MIN — no division, so the
+    cross-engine comparison is exact DECIMAL end-to-end); ties break
+    deterministically to the lowest suppkey.
+
+    Plan shape at 100 TB: region→nation→supplier collapses to a
+    broadcast dim filter BEFORE the fact aggregate (only in-region
+    lineitems shuffle), one (partkey, suppkey) aggregate, then a
+    partkey-window row_number — the same key, so AQE plans agg + window
+    in one exchange. No join back onto lineitem."""
+    nations = (
+        region.filter(F.col("r_name") == region_name)
+        .join(nation, region.r_regionkey == nation.n_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    supp = supplier.join(
+        F.broadcast(nations), supplier.s_nationkey == nations.n_nationkey
+    ).select("s_suppkey", "s_name", "n_name")
+    offers = (
+        lineitem.join(
+            F.broadcast(supp), lineitem.l_suppkey == supp.s_suppkey
+        )
+        .groupBy("l_partkey", "l_suppkey", "s_name", "n_name")
+        .agg(F.min(_dec("l_extendedprice")).alias("d_cost"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("d_cost").asc(), F.col("l_suppkey").asc()
+    )
+    return (
+        offers.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+            F.col("d_cost").cast("double").alias("min_cost"),
+        )
+    )
+
+
+def exclusive_late_suppliers(
+    lineitem: DataFrame, orders: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q21-shaped: suppliers who were the ONLY late shipper in a
+    multi-supplier finished order — the EXISTS (another supplier) AND
+    NOT EXISTS (another LATE supplier) double-correlation. "Late" is
+    shipdate > orderdate + 180 days (this fixture has no
+    receipt/commit dates; the 180-day slack keeps lateness a minority
+    condition).
+
+    Instead of two correlated subqueries (two extra joins against the
+    same fact), the whole predicate folds into ONE per-order aggregate:
+    n_supp = countDistinct(suppkey), late_supp = countDistinct(suppkey
+    where late) — "exclusively late" is n_supp >= 2 AND late_supp == 1,
+    and the culprit is identifiable inside the same aggregate as
+    max(suppkey where late) without rejoining lineitem. One orderkey
+    shuffle total; the oracle states it as literal EXISTS/NOT EXISTS —
+    two different algorithms agreeing. At 100 TB the EXISTS forms are
+    two more fact-fact joins; the fold is why this shape scales."""
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = lineitem.join(
+        finished, lineitem.l_orderkey == finished.o_orderkey
+    ).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 180 DAYS"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("late_supp"),
+        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "culprit_suppkey"
+        ),
+    )
+    waiting = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("late_supp") == 1)
+    )
+    return (
+        waiting.groupBy("culprit_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(
+            F.broadcast(supplier),
+            F.col("culprit_suppkey") == supplier.s_suppkey,
+        )
+        .select(
+            F.col("culprit_suppkey").alias("s_suppkey"),
+            "s_name",
+            "numwait",
+        )
+    )
+
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14-shaped: monthly promo-revenue share — conditional
+    aggregation over a fact⋈dim join. Both sums are exact DECIMAL; only
+    the final share divides (identical DOUBLE inputs both engines, then
+    round 6 — the value_share pattern). The part dim broadcasts; one
+    month-key shuffle for the rollup. At 100 TB: l_shipdate month is
+    the natural partition key, so with date-partitioned storage the
+    rollup is partition-local until the final dim-sized exchange."""
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month")
+        )
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                F.lit(0).cast("decimal(38,4)")
+            )).alias("d_promo"),
+            F.sum(rev).alias("d_total"),
+            F.count("*").alias("lineitems"),
+        )
+        .select(
+            F.col("ship_month").cast("string").alias("ship_month"),
+            F.round(F.col("d_promo").cast("double"), 2).alias("promo_revenue"),
+            F.round(F.col("d_total").cast("double"), 2).alias("total_revenue"),
+            F.round(
+                (F.col("d_promo").cast("double") / F.col("d_total").cast("double")),
+                6,
+            ).alias("promo_share"),
+            "lineitems",
+        )
+    )

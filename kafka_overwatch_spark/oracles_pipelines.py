@@ -1592,4 +1592,103 @@ FROM p LEFT JOIN c
   AND c.c_ts <= p.p_ts
 GROUP BY 1, 2, 3"""
 
+    # Q15-shape: view + HAVING = MAX(view); DECIMAL revenue so the
+    # equality against the max is exact in both engines
+    q["tpch_top_supplier"] = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      AS d_rev,
+    count(*) AS lineitems
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT l_suppkey AS s_suppkey, s_name,
+  round(CAST(d_rev AS DOUBLE), 2) AS total_revenue,
+  CAST(lineitems AS BIGINT) AS lineitems
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE d_rev = (SELECT max(d_rev) FROM per_supp)"""
+
+    # Q2-shape: correlated MIN stated directly as a correlated subquery
+    # (the Spark side decorrelates into agg + window argmin — two
+    # different algorithms). Pure MIN of DECIMAL, no division; ties to
+    # the lowest suppkey.
+    q["tpch_min_cost_supplier"] = """
+WITH supp AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+offers AS (
+  SELECT l_partkey, l_suppkey, s_name, n_name,
+    min(CAST(l_extendedprice AS DECIMAL(18,2))) AS d_cost
+  FROM lineitem JOIN supp ON l_suppkey = s_suppkey
+  GROUP BY 1, 2, 3, 4
+)
+SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, s_name, n_name,
+  CAST(d_cost AS DOUBLE) AS min_cost
+FROM offers o
+WHERE (d_cost, l_suppkey) = (
+  SELECT (min(d_cost), min(i.l_suppkey)) FROM offers i
+  WHERE i.l_partkey = o.l_partkey
+    AND i.d_cost = (SELECT min(d_cost) FROM offers m
+                    WHERE m.l_partkey = o.l_partkey)
+)"""
+
+    # Q21-shape: the literal double correlation — EXISTS another
+    # supplier in the order, NOT EXISTS another LATE supplier (the
+    # Spark side folds both into one per-order aggregate)
+    q["tpch_waiting_orders"] = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+    (l_shipdate > o_orderdate + INTERVAL 180 DAY) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT l1.l_suppkey AS s_suppkey, s_name,
+  CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM li l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.is_late
+  AND EXISTS (
+    SELECT 1 FROM li l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM li l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late
+  )
+GROUP BY 1, 2"""
+
+    # Q14-shape: conditional aggregation share per month; sums DECIMAL,
+    # only the final share divides (then round 6 — the value_share
+    # pattern)
+    q["tpch_promo_share"] = """
+SELECT
+  CAST(CAST(date_trunc('month', l_shipdate) AS DATE) AS VARCHAR)
+    AS ship_month,
+  round(CAST(sum(CASE WHEN p_type = 'PROMO'
+    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+    ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE), 2) AS promo_revenue,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+    AS DOUBLE), 2) AS total_revenue,
+  round(CAST(sum(CASE WHEN p_type = 'PROMO'
+      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE)
+    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      AS DOUBLE), 6) AS promo_share,
+  CAST(count(*) AS BIGINT) AS lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1"""
+
     return q

@@ -724,6 +724,24 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_idle_rich_customers"] = lambda s, d: relational.idle_rich_customers(
         raw(s, d, "customer"), raw(s, d, "orders")
     )
+    # r5 late batch: Q15/Q2/Q21/Q14 shapes — max-over-view equality,
+    # decorrelated argmin, double-correlated EXISTS fold, conditional
+    # share
+    q["tpch_top_supplier"] = lambda s, d: relational.top_revenue_suppliers(
+        raw(s, d, "lineitem"), raw(s, d, "supplier")
+    )
+    q["tpch_min_cost_supplier"] = lambda s, d: relational.min_cost_supplier(
+        raw(s, d, "lineitem"),
+        raw(s, d, "supplier"),
+        raw(s, d, "nation"),
+        raw(s, d, "region"),
+    )
+    q["tpch_waiting_orders"] = lambda s, d: relational.exclusive_late_suppliers(
+        raw(s, d, "lineitem"), raw(s, d, "orders"), raw(s, d, "supplier")
+    )
+    q["tpch_promo_share"] = lambda s, d: relational.promo_revenue_share(
+        raw(s, d, "lineitem"), raw(s, d, "part")
+    )
     # r5: fuzzy string-similarity self-join (SymSpell deletion
     # neighborhoods -> bucketed levenshtein verify, never all-pairs)
     q["fuzzy_name_pairs"] = lambda s, d: relational.fuzzy_name_pairs(
@@ -815,6 +833,8 @@ _PROMOTED = [
     "sampling_upsample_plan",
     "corpus_lang_source_assoc",
     "corpus_split_drift_psi",
+    "tpch_min_cost_supplier",
+    "tpch_waiting_orders",
 ]
 
 
