@@ -1217,3 +1217,140 @@ def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             "lineitems",
         )
     )
+
+
+def events_session_window_native(
+    events: DataFrame, gap: str = "3 days", gap_seconds: int = 259200
+) -> DataFrame:
+    """Native session-window aggregation (``F.session_window``) — the
+    SAME operator Structured Streaming uses for stateful session aggs,
+    exercised in batch. Unlike ``sessionize_events`` (lag + cumulative
+    sum: two window passes), this is ONE aggregate with session merge —
+    Spark plans UpdatingSessionsExec + MergingSessionsExec over a single
+    (user_id)-keyed exchange, and the identical code runs on a stream.
+
+    Session semantics (exact, microsecond): an event extends the session
+    iff ts < prev_ts + gap; window.end = last_ts + gap. The oracle
+    states the gaps-and-islands form with exact INTERVAL comparisons —
+    two different algorithms, same sessions. At 100 TB sessionization is
+    THE canonical user-keyed shuffle; session_window keeps it to one
+    exchange and is the only form that transfers to streaming state."""
+    sw = F.session_window("ts", gap)
+    return (
+        events.groupBy("user_id", sw)
+        .agg(
+            F.count("*").alias("events"),
+            F.sum(_dec("value")).alias("d_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start"))
+            .cast("long")
+            .alias("session_start_sec"),
+            F.unix_timestamp(F.col("session_window.end"))
+            .cast("long")
+            .alias("session_end_sec"),
+            "events",
+            F.col("d_value").cast("double").alias("total_value"),
+        )
+    )
+
+
+def events_grouping_sets(events: DataFrame) -> DataFrame:
+    """GROUPING SETS with an explicit grouping_id — the general form of
+    ROLLUP/CUBE (events_rollup covers the ROLLUP special case). Sets:
+    (type, day), (type), (day), () — one Expand pass over the fact, one
+    shuffle, NOT four scans. grouping_id disambiguates the NULL-as-total
+    rows from genuine NULLs (the classic GROUPING SETS trap); both
+    engines bit-order grouping_id first-column-most-significant
+    (verified in the parity gate)."""
+    base = events.select(
+        "event_type",
+        (
+            F.floor(
+                F.unix_timestamp("ts") / F.lit(86400)
+            )
+        ).cast("long").alias("day_idx"),
+        "value",
+    )
+    return (
+        base.groupingSets(
+            [["event_type", "day_idx"], ["event_type"], ["day_idx"], []],
+            "event_type",
+            "day_idx",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select("event_type", "day_idx", "gid", "events", "total_value")
+    )
+
+
+def heavy_hitter_users(events: DataFrame, permille: int = 8) -> DataFrame:
+    """Exact heavy hitters: users holding > permille/1000 of all events
+    — threshold cross-multiplied to integers (``cnt·1000 > permille·N``),
+    no float boundary. One user-keyed aggregate + a 1-row broadcast
+    total. This is the exact anchor for the count-min-sketch surface
+    (``heavy_hitter_sketch_estimates``): at 100 TB the exact form
+    shuffles every (user, count) pair; the sketch form shuffles
+    constant-size state and answers the same membership question with a
+    one-sided error."""
+    per_user = events.groupBy("user_id").agg(F.count("*").alias("events"))
+    total = events.agg(F.count("*").alias("n_total"))
+    return (
+        per_user.crossJoin(F.broadcast(total))
+        .filter(F.col("events") * 1000 > F.lit(permille) * F.col("n_total"))
+        .select(
+            "user_id",
+            "events",
+            F.round(F.col("events") / F.col("n_total"), 6).alias("share"),
+        )
+    )
+
+
+def heavy_hitter_sketch_estimates(
+    events: DataFrame, permille: int = 8, eps: float = 0.001,
+    confidence: float = 0.99, seed: int = 42,
+) -> DataFrame:
+    """Approximate heavy hitters via Spark's mergeable Count-Min sketch
+    (`count_min_sketch` aggregate — JVM-side, partial-merged per
+    partition, constant sketch state over the wire instead of a
+    per-user shuffle). The sketch is decoded with Spark's own PUBLIC
+    `org.apache.spark.util.sketch.CountMinSketch.readFrom` (no
+    hand-rolled format parsing) and probed for the candidate set — here
+    the user dim (bounded); at 100 TB the probe set is whatever
+    candidate list the caller carries (the sketch answers point queries,
+    it does not enumerate).
+
+    CMS error is ONE-SIDED (estimate ≥ true count, ≤ true + eps·N
+    w.p. ≥ confidence), so every true heavy hitter is retained —
+    verified against the exact anchor in tests. Rows-only gate: the
+    estimates are implementation-defined."""
+    spark = events.sparkSession
+    row = events.agg(
+        F.expr(
+            f"count_min_sketch(user_id, {eps}d, {confidence}d, {seed})"
+        ).alias("sk"),
+        F.count("*").alias("n_total"),
+    ).collect()[0]
+    n_total = row.n_total
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(row.sk)
+    )
+    # bounded probe set: the user dim (150 at fixture; a dim table /
+    # candidate shortlist at scale — never the fact table)
+    users = [r.user_id for r in events.select("user_id").distinct().collect()]
+    ests = [
+        (int(u), int(cms.estimateCount(spark._jvm.java.lang.Long(int(u)))))
+        for u in sorted(users)
+    ]
+    out = spark.createDataFrame(
+        [(u, e) for (u, e) in ests if e * 1000 > permille * n_total],
+        "user_id long, est_events long",
+    )
+    return out.withColumn(
+        "share_lower",
+        F.round((F.col("est_events") - F.lit(int(eps * n_total))) / n_total, 6),
+    )

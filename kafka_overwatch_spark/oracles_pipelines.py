@@ -1691,4 +1691,54 @@ SELECT
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1"""
 
+    # native session_window's semantics stated as gaps-and-islands with
+    # EXACT microsecond interval comparisons (new session iff
+    # ts >= prev_ts + gap; window end = last_ts + gap)
+    q["events_session_window"] = """
+WITH marked AS (
+  SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS d_value,
+    CASE WHEN ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        + INTERVAL 3 DAY THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, d_value,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id,
+  CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', min(ts))
+    AS BIGINT) AS session_start_sec,
+  CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+    max(ts) + INTERVAL 3 DAY) AS BIGINT) AS session_end_sec,
+  CAST(count(*) AS BIGINT) AS events,
+  CAST(sum(d_value) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, sid"""
+
+    # GROUPING SETS + grouping-id bitmask (first column most
+    # significant in both engines)
+    q["events_grouping_sets"] = """
+SELECT event_type,
+  CAST(floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+    / 86400) AS BIGINT) AS day_idx,
+  CAST(GROUPING(event_type,
+    CAST(floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+      / 86400) AS BIGINT)) AS BIGINT) AS gid,
+  CAST(count(*) AS BIGINT) AS events,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((1, 2), (1), (2), ())"""
+
+    # exact heavy hitters: integer cross-multiplied share threshold
+    q["events_heavy_hitters"] = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS events FROM events GROUP BY user_id
+),
+t AS (SELECT count(*) AS n_total FROM events)
+SELECT user_id, CAST(events AS BIGINT) AS events,
+  round(CAST(events AS DOUBLE) / n_total, 6) AS share
+FROM per_user, t
+WHERE events * 1000 > 8 * n_total"""
+
     return q

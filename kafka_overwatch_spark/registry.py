@@ -742,6 +742,24 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_promo_share"] = lambda s, d: relational.promo_revenue_share(
         raw(s, d, "lineitem"), raw(s, d, "part")
     )
+    # native streaming-transferable session windows; GROUPING SETS;
+    # heavy hitters (exact anchor + CMS sketch surface, rows-only)
+    q["events_session_window"] = (
+        lambda s, d: relational.events_session_window_native(
+            raw(s, d, "events")
+        )
+    )
+    q["events_grouping_sets"] = lambda s, d: relational.events_grouping_sets(
+        raw(s, d, "events")
+    )
+    q["events_heavy_hitters"] = lambda s, d: relational.heavy_hitter_users(
+        raw(s, d, "events")
+    )
+    q["events_heavy_hitters_sketch"] = (
+        lambda s, d: relational.heavy_hitter_sketch_estimates(
+            raw(s, d, "events")
+        )
+    )
     # r5: fuzzy string-similarity self-join (SymSpell deletion
     # neighborhoods -> bucketed levenshtein verify, never all-pairs)
     q["fuzzy_name_pairs"] = lambda s, d: relational.fuzzy_name_pairs(
@@ -835,6 +853,8 @@ _PROMOTED = [
     "corpus_split_drift_psi",
     "tpch_min_cost_supplier",
     "tpch_waiting_orders",
+    "events_session_window",
+    "events_grouping_sets",
 ]
 
 

@@ -1,0 +1,102 @@
+"""Properties of the r5 relational additions that no SQL oracle can
+state: count-min sketch one-sided error + mergeability, and the native
+session_window agreeing with the independent lag+cumsum sessionizer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from kafka_overwatch_spark.operators import relational
+from kafka_overwatch_spark.registry import get_raw_tables
+
+
+def test_cms_one_sided_error_and_merge(spark):
+    """CMS estimate >= true count for EVERY key (one-sided), within
+    eps*N above it, and merging per-half sketches equals the full-data
+    sketch (the property that makes it a 100 TB aggregate)."""
+    events = get_raw_tables(spark, SF_DIR)["events"]
+    exact = {
+        r.user_id: r.cnt
+        for r in events.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    n_total = sum(exact.values())
+    eps, conf, seed = 0.001, 0.99, 42
+    jvm = spark._jvm
+
+    def sketch_of(df):
+        b = df.agg(
+            F.expr(f"count_min_sketch(user_id, {eps}d, {conf}d, {seed})").alias("s")
+        ).collect()[0].s
+        return jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(b))
+
+    full = sketch_of(events)
+    for u, c in exact.items():
+        est = full.estimateCount(jvm.java.lang.Long(int(u)))
+        assert est >= c, f"user {u}: est {est} < true {c}"
+        assert est <= c + eps * n_total * 10, (
+            f"user {u}: est {est} way above true {c} (eps*N={eps * n_total})"
+        )
+
+    # mergeability: two disjoint halves, merged, must answer identically
+    # to the full sketch (CMS merge is exact table addition)
+    lo = sketch_of(events.filter(F.col("event_id") % 2 == 0))
+    hi = sketch_of(events.filter(F.col("event_id") % 2 == 1))
+    lo.mergeInPlace(hi)
+    for u in list(exact)[:25]:
+        assert lo.estimateCount(jvm.java.lang.Long(int(u))) == full.estimateCount(
+            jvm.java.lang.Long(int(u))
+        )
+
+
+def test_sketch_heavy_hitters_superset_of_exact(spark):
+    events = get_raw_tables(spark, SF_DIR)["events"]
+    exact = {r.user_id for r in relational.heavy_hitter_users(events).collect()}
+    est = {
+        r.user_id
+        for r in relational.heavy_hitter_sketch_estimates(events).collect()
+    }
+    assert exact <= est, f"sketch lost true heavy hitters: {exact - est}"
+
+
+def test_native_session_window_matches_lag_cumsum(spark):
+    """Two independent sessionization algorithms — the native session
+    merge aggregate vs a lag+cumsum window fold with the SAME exact
+    microsecond semantics (new session iff ts >= prev + gap) — must
+    produce identical sessions. (sessionize_events is NOT the right
+    cross-check: it compares truncated seconds with a strict >, so
+    boundary events may legitimately differ.)"""
+    from pyspark.sql.window import Window
+
+    events = get_raw_tables(spark, SF_DIR)["events"]
+    native = relational.events_session_window_native(
+        events, gap="3 days", gap_seconds=259200
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    folded = (
+        events.withColumn(
+            "new_session",
+            (
+                F.col("ts")
+                >= F.lag("ts").over(w) + F.expr("INTERVAL 3 DAYS")
+            ).cast("int"),
+        )
+        .withColumn(
+            "sid",
+            F.sum(F.coalesce("new_session", F.lit(0))).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.unix_timestamp(F.min("ts")).cast("long").alias("session_start_sec"),
+            F.count("*").alias("events"),
+        )
+    )
+    n = {
+        (r.user_id, r.session_start_sec): r.events for r in native.collect()
+    }
+    c = {
+        (r.user_id, r.session_start_sec): r.events for r in folded.collect()
+    }
+    assert n == c
