@@ -177,3 +177,71 @@ def topic_throughput_trend(snaps: dict[str, DataFrame]) -> DataFrame:
         )
         .filter(F.col("scans") >= 2)
     )
+
+
+def partition_liveness_scd2(snaps: dict[str, DataFrame]) -> DataFrame:
+    """SCD type-2 interval compression of per-partition liveness: each
+    scan classifies a partition as 'advancing' (end_offset grew since
+    the previous scan) or 'stalled'; consecutive scans in the same state
+    collapse to ONE validity interval [valid_from_scan, valid_to_scan]
+    — the warehouse dimension-history shape (gaps-and-islands), applied
+    to the scan history the reference only ever inspects pairwise
+    (`overwatch_resources/topics.py` keeps just prev/current snapshots).
+
+    Plan: two passes over one (cluster, topic, partition_id)-keyed
+    window (lag → change marker → cumulative island id) + one aggregate
+    on the same key — a single exchange. At 100 TB this is the
+    append-only fact compaction job: output size is bounded by the
+    number of STATE CHANGES, not scans, which is why SCD2 is the right
+    storage shape for years of scan history."""
+    po = snaps["partition_offsets"]
+    w = Window.partitionBy("cluster", "topic", "partition_id").orderBy(
+        "scan_id"
+    )
+    state = po.select(
+        "cluster",
+        "topic",
+        "partition_id",
+        "scan_id",
+        "end_offset",
+        F.when(
+            F.col("end_offset")
+            > F.lag("end_offset").over(w),
+            F.lit("advancing"),
+        )
+        .otherwise(F.lit("stalled"))
+        .alias("state"),
+    )
+    marked = state.withColumn(
+        "changed",
+        F.when(
+            F.lag("state").over(w).isNull()
+            | (F.lag("state").over(w) != F.col("state")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("changed").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return marked.groupBy(
+        "cluster", "topic", "partition_id", "state", "island"
+    ).agg(
+        F.min("scan_id").cast("long").alias("valid_from_scan"),
+        F.max("scan_id").cast("long").alias("valid_to_scan"),
+        F.count("*").alias("scans"),
+        (F.max("end_offset") - F.min("end_offset"))
+        .cast("long")
+        .alias("offset_growth"),
+    ).select(
+        "cluster",
+        "topic",
+        "partition_id",
+        "state",
+        F.col("island").cast("long").alias("interval_seq"),
+        "valid_from_scan",
+        "valid_to_scan",
+        "scans",
+        "offset_growth",
+    )

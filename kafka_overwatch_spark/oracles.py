@@ -760,4 +760,35 @@ FROM topics t LEFT JOIN cfg c ON t.name = c.topic
 WHERE t.cluster = 'primary'"""
     )
 
+    # SCD2 interval compression of per-partition liveness (gaps and
+    # islands over the scan axis; scan 0 has no predecessor → 'stalled')
+    q["scd2_partition_liveness"] = _snap_plain(
+        """
+SELECT cluster, topic, partition_id, state,
+  CAST(island AS BIGINT) AS interval_seq,
+  CAST(min(scan_id) AS BIGINT) AS valid_from_scan,
+  CAST(max(scan_id) AS BIGINT) AS valid_to_scan,
+  CAST(count(*) AS BIGINT) AS scans,
+  CAST(max(end_offset) - min(end_offset) AS BIGINT) AS offset_growth
+FROM (
+  SELECT *, sum(changed) OVER (
+      PARTITION BY cluster, topic, partition_id ORDER BY scan_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM (
+    SELECT *, CASE WHEN lag(state) OVER w IS NULL
+        OR lag(state) OVER w <> state THEN 1 ELSE 0 END AS changed
+    FROM (
+      SELECT cluster, topic, partition_id, scan_id, end_offset,
+        CASE WHEN end_offset > lag(end_offset) OVER (
+            PARTITION BY cluster, topic, partition_id ORDER BY scan_id)
+          THEN 'advancing' ELSE 'stalled' END AS state
+      FROM partition_offsets
+    ) s
+    WINDOW w AS (PARTITION BY cluster, topic, partition_id
+      ORDER BY scan_id)
+  ) m
+) i
+GROUP BY cluster, topic, partition_id, state, island"""
+    )
+
     return q

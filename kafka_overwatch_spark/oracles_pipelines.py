@@ -1741,4 +1741,19 @@ SELECT user_id, CAST(events AS BIGINT) AS events,
 FROM per_user, t
 WHERE events * 1000 > 8 * n_total"""
 
+    # Z-order codes: the SAME generated bit-interleave expression the
+    # Spark side runs (sinks/layout.py morton_expr — one source of
+    # truth, two engines)
+    from .sinks.layout import morton_expr
+
+    q["events_zorder_codes"] = f"""
+SELECT event_id, ux, dy, {morton_expr("ux", "dy")} AS zkey
+FROM (
+  SELECT event_id,
+    user_id % 65536 AS ux,
+    CAST(floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+      / 86400) AS BIGINT) % 65536 AS dy
+  FROM events
+) b"""
+
     return q

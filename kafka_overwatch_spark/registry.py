@@ -318,6 +318,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["w3_first_offset_evolution"] = lambda s, d: windows.first_offset_evolution(
         get_snaps(s, d)
     )
+    q["scd2_partition_liveness"] = lambda s, d: windows.partition_liveness_scd2(
+        get_snaps(s, d)
+    )
     q["topic_throughput_timeseries"] = (
         lambda s, d: windows.topic_throughput_timeseries(get_snaps(s, d))
     )
@@ -760,6 +763,28 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             raw(s, d, "events")
         )
     )
+
+    # Z-order (Morton) clustering key — the layout primitive behind
+    # two-dimensional zone-map pruning; the expression generator is
+    # shared verbatim with the oracle (sinks/layout.py morton_expr)
+    def _zorder_codes(s: SparkSession, d: str) -> DataFrame:
+        from .sinks.layout import morton_expr
+
+        ev = raw(s, d, "events")
+        return ev.select(
+            "event_id",
+            (F.col("user_id") % 65536).alias("ux"),
+            (
+                F.floor(F.unix_timestamp("ts") / 86400) % 65536
+            ).cast("long").alias("dy"),
+        ).select(
+            "event_id",
+            "ux",
+            "dy",
+            F.expr(morton_expr("ux", "dy")).alias("zkey"),
+        )
+
+    q["events_zorder_codes"] = _zorder_codes
     # r5: fuzzy string-similarity self-join (SymSpell deletion
     # neighborhoods -> bucketed levenshtein verify, never all-pairs)
     q["fuzzy_name_pairs"] = lambda s, d: relational.fuzzy_name_pairs(
@@ -855,6 +880,8 @@ _PROMOTED = [
     "tpch_waiting_orders",
     "events_session_window",
     "events_grouping_sets",
+    "scd2_partition_liveness",
+    "events_zorder_codes",
 ]
 
 

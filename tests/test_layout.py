@@ -82,3 +82,64 @@ def test_bucketed_lag_join_has_no_exchange(spark, snaps):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS po_bucketed")
         spark.sql("DROP TABLE IF EXISTS go_bucketed")
+
+
+def test_zorder_layout_prunes_both_dimensions(spark):
+    """The measured claim behind morton_expr: files clustered by the
+    Morton key of (user, day) have tight min/max boxes in BOTH columns,
+    so a zone-map query on EITHER dimension overlaps a strict subset of
+    files — while a user-sorted layout degenerates to all-files for any
+    day predicate."""
+    from kafka_overwatch_spark.registry import get_raw_tables
+    from kafka_overwatch_spark.sinks.layout import zorder_write
+
+    events = get_raw_tables(spark, "/root/testdata/sf0.001")["events"].select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    )
+    n_files = 16
+    with tempfile.TemporaryDirectory() as tmp:
+        zorder_write(events, f"{tmp}/zorder", "user_id", "day", files=n_files)
+        (
+            events.repartitionByRange(n_files, "user_id")
+            .sortWithinPartitions("user_id")
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/bylinear")
+        )
+
+        def file_boxes(path):
+            df = spark.read.parquet(path).withColumn(
+                "f", F.input_file_name()
+            )
+            return df.groupBy("f").agg(
+                F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+                F.min("day").alias("dlo"), F.max("day").alias("dhi"),
+            ).collect()
+
+        def overlaps(boxes, ulo=None, uhi=None, dlo=None, dhi=None):
+            n = 0
+            for b in boxes:
+                if ulo is not None and (b.uhi < ulo or b.ulo > uhi):
+                    continue
+                if dlo is not None and (b.dhi < dlo or b.dlo > dhi):
+                    continue
+                n += 1
+            return n
+
+        z, lin = file_boxes(f"{tmp}/zorder"), file_boxes(f"{tmp}/bylinear")
+        # range partitioning may leave a few empty partitions; both
+        # layouts must still be genuinely multi-file
+        assert len(z) >= n_files // 2 and len(lin) >= n_files // 2
+        days = sorted({b.dlo for b in lin} | {b.dhi for b in lin})
+        dmid = days[len(days) // 2]
+        # day-range query: user-sorted layout cannot prune (every file
+        # spans all days); the z-order layout must prune
+        day_z = overlaps(z, dlo=dmid, dhi=dmid + 20)
+        day_lin = overlaps(lin, dlo=dmid, dhi=dmid + 20)
+        assert day_lin == len(lin)
+        assert day_z < len(z) // 2, f"zorder day-query hit {day_z}/{len(z)}"
+        # user-range query: z-order still prunes (not as tightly as the
+        # dedicated user sort, but sub-linear)
+        user_z = overlaps(z, ulo=10, uhi=20)
+        assert user_z < len(z), f"zorder user-query hit {user_z}/{len(z)}"
