@@ -1220,7 +1220,7 @@ def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
 
 
 def events_session_window_native(
-    events: DataFrame, gap: str = "3 days", gap_seconds: int = 259200
+    events: DataFrame, gap: str = "12 hours", gap_seconds: int = 43200
 ) -> DataFrame:
     """Native session-window aggregation (``F.session_window``) — the
     SAME operator Structured Streaming uses for stateful session aggs,

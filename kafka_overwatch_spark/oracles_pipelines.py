@@ -1698,7 +1698,7 @@ GROUP BY 1"""
 WITH marked AS (
   SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS d_value,
     CASE WHEN ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        + INTERVAL 3 DAY THEN 1 ELSE 0 END AS new_session
+        + INTERVAL 12 HOUR THEN 1 ELSE 0 END AS new_session
   FROM events
 ),
 sess AS (
@@ -1711,7 +1711,7 @@ SELECT user_id,
   CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', min(ts))
     AS BIGINT) AS session_start_sec,
   CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
-    max(ts) + INTERVAL 3 DAY) AS BIGINT) AS session_end_sec,
+    max(ts) + INTERVAL 12 HOUR) AS BIGINT) AS session_end_sec,
   CAST(count(*) AS BIGINT) AS events,
   CAST(sum(d_value) AS DOUBLE) AS total_value
 FROM sess GROUP BY user_id, sid"""

@@ -438,3 +438,34 @@ def late_data_metrics(query) -> list[dict]:
                 }
             )
     return out
+
+
+def streaming_session_windows(
+    stream: DataFrame, gap: str = "12 hours", watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming twin of ``relational.events_session_window_native`` —
+    the SAME ``session_window`` aggregate, now stateful: open sessions
+    live in the state store, merge as events arrive, and emit (append
+    mode) once the watermark passes session end. This is the §2.9 proof
+    that the batch sessionization operator transfers to a stream
+    verbatim — one groupBy, two deployment modes; streamed == batch is
+    asserted in tests/test_events_stream.py."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count("*").alias("events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("d_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start"))
+            .cast("long")
+            .alias("session_start_sec"),
+            F.unix_timestamp(F.col("session_window.end"))
+            .cast("long")
+            .alias("session_end_sec"),
+            "events",
+            F.col("d_value").cast("double").alias("total_value"),
+        )
+    )

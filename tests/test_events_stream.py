@@ -556,3 +556,49 @@ def test_late_data_metrics_surface_watermark_drops(spark, snaps):
         m["metric"] == "streaming_rows_dropped_by_watermark" for m in late
     )
     assert sum(m["value"] for m in ordered) == 0, ordered
+
+
+def test_streaming_session_windows_match_batch_native(spark, snaps):
+    """The native session_window aggregate must produce identical
+    sessions run as a stateful stream (append mode, sessions emitted on
+    watermark passage) and as a batch aggregate — minus at most the
+    trailing sessions the final watermark still holds open."""
+    from kafka_overwatch_spark.operators.relational import (
+        events_session_window_native,
+    )
+    from kafka_overwatch_spark.streaming import events_stream as es
+    from kafka_overwatch_spark.streaming.offsets import run_to_completion
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ev = _split_events(spark, tmp)
+        out = run_to_completion(
+            es.streaming_session_windows(es.event_stream(spark, f"{tmp}/in")),
+            f"{tmp}/ck",
+        )
+        got = {
+            (r["user_id"], r["session_start_sec"]): (
+                r["session_end_sec"], r["events"], r["total_value"],
+            )
+            for r in out
+        }
+        want = {
+            (r["user_id"], r["session_start_sec"]): (
+                r["session_end_sec"], r["events"], r["total_value"],
+            )
+            for r in events_session_window_native(ev).collect()
+        }
+        assert got, "stream emitted nothing"
+        for k, v in got.items():
+            assert want[k] == v, f"session {k}: stream {v} != batch {want[k]}"
+        missing = set(want) - set(got)
+        if missing:
+            # append mode may hold exactly the sessions whose END is not
+            # yet past the final watermark (global max ts - 1 day)
+            horizon = (
+                ev.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0] - 86400
+            )
+            held_ends = [want[k][0] for k in missing]
+            assert all(e >= horizon - 1 for e in held_ends), (
+                f"sessions ending before the watermark were never "
+                f"emitted: {sorted(held_ends)[:5]} vs horizon {horizon}"
+            )

@@ -62,7 +62,7 @@ def test_sketch_heavy_hitters_superset_of_exact(spark):
 def test_native_session_window_matches_lag_cumsum(spark):
     """Two independent sessionization algorithms — the native session
     merge aggregate vs a lag+cumsum window fold with the SAME exact
-    microsecond semantics (new session iff ts >= prev + gap) — must
+    microsecond semantics (new session iff ts >= prev + gap) - must
     produce identical sessions. (sessionize_events is NOT the right
     cross-check: it compares truncated seconds with a strict >, so
     boundary events may legitimately differ.)"""
@@ -70,7 +70,7 @@ def test_native_session_window_matches_lag_cumsum(spark):
 
     events = get_raw_tables(spark, SF_DIR)["events"]
     native = relational.events_session_window_native(
-        events, gap="3 days", gap_seconds=259200
+        events, gap="12 hours", gap_seconds=43200
     )
     w = Window.partitionBy("user_id").orderBy("ts")
     folded = (
@@ -78,7 +78,7 @@ def test_native_session_window_matches_lag_cumsum(spark):
             "new_session",
             (
                 F.col("ts")
-                >= F.lag("ts").over(w) + F.expr("INTERVAL 3 DAYS")
+                >= F.lag("ts").over(w) + F.expr("INTERVAL 12 HOURS")
             ).cast("int"),
         )
         .withColumn(
