@@ -763,3 +763,78 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
             F.round(F.min(logp), 6).alias("min_logprob"),
         )
     )
+
+
+def bpe_merges(documents: DataFrame, n_merges: int = 20) -> DataFrame:
+    """BPE merge-rule training — the iterative half of a real tokenizer
+    build (the other half, applying learned merges, is what
+    ``token_stats``'s BPE-ish regex approximates). Algorithm (Sennrich
+    et al. 2016): start from character sequences per WORD TYPE, then
+    repeatedly (1) count adjacent symbol pairs weighted by word
+    frequency, (2) merge the globally most frequent pair everywhere.
+
+    Spark shape: the corpus collapses to the word-TYPE table first (one
+    corpus-sized shuffle; types ≪ tokens — the classic trick that makes
+    distributed BPE tractable at 100 TB, where the type table is
+    dim-sized and the petabyte corpus is touched exactly once). Each
+    iteration is then explode-pairs → one small keyed aggregate →
+    collect exactly ONE row (the champion pair) → a narrow
+    regexp_replace rewrite, with ``localCheckpoint(eager)`` per round to
+    keep the 20-iteration lineage bounded (lesson #8, NOTES.md). Merge
+    application is Java-regex left-to-right non-overlapping — exactly
+    BPE's greedy within-word merge order; ties break (freq desc, pair
+    asc) so the rule sequence is deterministic. Rows-only gate (no SQL
+    oracle for an iterative fixpoint); python-fold parity in
+    tests/test_text_bpe.py."""
+    import re as _re
+
+    spark = documents.sparkSession
+    words = (
+        documents.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    sym = words.select(
+        F.concat_ws(" ", F.split(F.col("w"), "")).alias("syms"), "freq"
+    ).localCheckpoint(eager=True)
+
+    rules = []
+    for rank in range(n_merges):
+        a = F.split(F.col("syms"), " ")
+        pairs = (
+            sym.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(a, 1, F.size(a) - 1),
+                        F.slice(a, 2, F.size(a) - 1),
+                    )
+                ).alias("p"),
+            )
+            .select(
+                F.col("p")["0"].alias("left"),
+                F.col("p")["1"].alias("right"),
+                "freq",
+            )
+            .groupBy("left", "right")
+            .agg(F.sum("freq").alias("pair_freq"))
+            .orderBy(F.col("pair_freq").desc(), F.col("left"), F.col("right"))
+        )
+        top = pairs.limit(1).collect()
+        if not top or top[0].pair_freq < 2:
+            break
+        left, right, freq = top[0].left, top[0].right, int(top[0].pair_freq)
+        merged = left + right
+        pat = f"(?<=^| ){_re.escape(left)} {_re.escape(right)}(?=$| )"
+        repl = merged.replace("\\", "\\\\").replace("$", "\\$")
+        sym = sym.withColumn(
+            "syms", F.regexp_replace("syms", pat, repl)
+        ).localCheckpoint(eager=True)
+        rules.append((rank, left, right, merged, freq))
+
+    return spark.createDataFrame(
+        rules, "rank long, left string, right string, merged string, pair_freq long"
+    )

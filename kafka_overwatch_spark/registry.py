@@ -785,6 +785,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["events_zorder_codes"] = _zorder_codes
+    # iterative BPE merge-rule training (rows-only: iterative fixpoint;
+    # python-fold parity in tests/test_text_bpe.py)
+    q["text_bpe_merges"] = lambda s, d: textops.bpe_merges(
+        raw(s, d, "documents")
+    )
     # r5: fuzzy string-similarity self-join (SymSpell deletion
     # neighborhoods -> bucketed levenshtein verify, never all-pairs)
     q["fuzzy_name_pairs"] = lambda s, d: relational.fuzzy_name_pairs(
