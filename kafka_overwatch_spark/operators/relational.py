@@ -1354,3 +1354,274 @@ def heavy_hitter_sketch_estimates(
         "share_lower",
         F.round((F.col("est_events") - F.lit(int(eps * n_total))) / n_total, 6),
     )
+
+
+def shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q3-shaped: unshipped-order revenue for one market segment —
+    dim-filtered fact-fact join with the date predicates split across
+    BOTH fact sides (orderdate before / shipdate after the cutoff).
+    Customer prunes first and broadcasts; the only shuffle is
+    orders⋈lineitem on orderkey. Full keyed output (no LIMIT — top-N
+    without a total order is nondeterministic; rank in the caller)."""
+    cust = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    ords = orders.filter(F.col("o_orderdate") < F.lit("1996-07-01")).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    li = lineitem.filter(F.col("l_shipdate") > F.lit("1996-07-01"))
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            )
+            .alias("d_rev"),
+        )
+        .select(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").cast("long").alias(
+                "o_orderdate_sec"
+            ),
+            F.round("d_rev", 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+def forecast_revenue_change(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6-shaped: revenue a blanket discount change would add —
+    one selective scan, one global sum, zero joins. The predicate
+    triplet (year, discount band, quantity cap) must reach the parquet
+    scan as pushed filters; DECIMAL multiply keeps the sum exact."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .alias("d_delta"),
+            F.count("*").alias("lineitems"),
+        )
+        .select(
+            F.round("d_delta", 2).cast("double").alias("revenue_delta"),
+            "lineitems",
+        )
+    )
+
+
+def nation_trade_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_7",
+) -> DataFrame:
+    """TPC-H Q7-shaped: shipping volume BETWEEN two nations by year —
+    the both-directions join (supp_nation, cust_nation) ∈ {(A,B),(B,A)}.
+    Both nation sides broadcast onto the fact spine; the year comes off
+    l_shipdate so the rollup key is (supp_nation, cust_nation, year)."""
+    nat = nation.filter(F.col("n_name").isin(nation_a, nation_b))
+    supp = supplier.join(
+        F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = customer.join(
+        F.broadcast(nat), customer.c_nationkey == nat.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    return (
+        lineitem.join(F.broadcast(supp), lineitem.l_suppkey == supp.s_suppkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            )
+            .alias("d_vol"),
+            F.count("*").alias("lineitems"),
+        )
+        .select(
+            "supp_nation", "cust_nation", "l_year",
+            F.round("d_vol", 2).cast("double").alias("volume"), "lineitems",
+        )
+    )
+
+
+def product_type_profit(
+    part: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_fragment: str = "a",
+) -> DataFrame:
+    """TPC-H Q9-shaped: amount by (supplier nation, order year) for
+    parts whose name contains a fragment — the 5-table star join with a
+    substring dim filter and a two-level rollup key assembled from both
+    fact sides (year from orders, nation from supplier). This fixture
+    has no partsupp, so amount is revenue (the JOIN SHAPE — dims
+    broadcast, single fact-fact shuffle — is what Q9 exercises)."""
+    parts = part.filter(F.col("p_name").contains(name_fragment)).select(
+        "p_partkey"
+    )
+    supp = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    return (
+        lineitem.join(F.broadcast(parts), lineitem.l_partkey == parts.p_partkey)
+        .join(F.broadcast(supp), lineitem.l_suppkey == supp.s_suppkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            )
+            .alias("d_amt"),
+            F.count("*").alias("lineitems"),
+        )
+        .select(
+            "nation", "o_year",
+            F.round("d_amt", 2).cast("double").alias("amount"),
+            "lineitems",
+        )
+    )
+
+
+def returned_item_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q10-shaped: revenue lost to returns per customer in one
+    quarter — returnflag-filtered fact join rolled up to the customer
+    grain with the nation dim broadcast on at the end. Full output, no
+    LIMIT (rank in the caller; Q10's top-20 without a tie-break is
+    nondeterministic)."""
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    returned = lineitem.filter(F.col("l_returnflag") == "R")
+    return (
+        returned.join(ords, returned.l_orderkey == ords.o_orderkey)
+        .join(customer, ords.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            )
+            .alias("d_rev"),
+            F.count("*").alias("returned_lineitems"),
+        )
+        .select(
+            "c_custkey", "c_name", "n_name",
+            F.round("d_rev", 2).cast("double").alias("revenue"),
+            "returned_lineitems",
+        )
+    )
+
+
+def disjunctive_bracket_revenue(
+    lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """TPC-H Q19-shaped: revenue under a 3-branch disjunction of
+    (brand, size range, quantity range) brackets — the OR-of-ANDs
+    predicate that defeats naive pushdown. Expressed as one boolean
+    column over the broadcast part join so Catalyst can still prune
+    part columns and push the shared l_quantity bounds; one global
+    sum."""
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        lineitem.l_partkey == F.col("p_partkey"),
+    )
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity").between(1, 15))
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(5, 20))
+        & (F.col("l_quantity").between(10, 25))
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(15, 50))
+        & (F.col("l_quantity").between(20, 35))
+    )
+    return (
+        j.filter(b1 | b2 | b3)
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            )
+            .alias("d_rev"),
+            F.count("*").alias("lineitems"),
+        )
+        .select(F.round("d_rev", 2).cast("double").alias("revenue"), "lineitems")
+    )
+
+
+def excess_promo_suppliers(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q20-shaped: suppliers who moved an outsized share of PROMO
+    parts in one year — the nested IN-with-aggregate-threshold chain
+    (part dim filter → per-(supp, part) aggregate → threshold → semi
+    fold to supplier). The threshold (per-supplier-part 1996 quantity >
+    half its all-time quantity) is integer cross-multiplied in DECIMAL.
+    Dims broadcast; the two aggregates share the (suppkey, partkey)
+    key so AQE reuses one exchange."""
+    promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(promo), lineitem.l_partkey == promo.p_partkey
+    )
+    per_sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(
+            F.when(
+                (F.col("l_shipdate") >= F.lit("1996-01-01"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01")),
+                _dec("l_quantity"),
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        ).alias("qty_1996"),
+        F.sum(_dec("l_quantity")).alias("qty_all"),
+    )
+    hot = per_sp.filter(F.col("qty_1996") * 2 > F.col("qty_all"))
+    return (
+        hot.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("hot_parts"),
+            F.round(F.sum("qty_1996"), 2)
+            .cast("double")
+            .alias("qty_1996_total"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "hot_parts",
+            "qty_1996_total",
+        )
+    )

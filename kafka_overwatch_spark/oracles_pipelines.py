@@ -1756,4 +1756,120 @@ FROM (
   FROM events
 ) b"""
 
+    # Q3-shape: segment-filtered unshipped revenue per order
+    q["tpch_shipping_priority"] = """
+SELECT l_orderkey,
+  CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', o_orderdate)
+    AS BIGINT) AS o_orderdate_sec,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
+    AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY 1, 2"""
+
+    # Q6-shape: single selective scan, no joins
+    q["tpch_forecast_revenue"] = """
+SELECT
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+    * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue_delta,
+  CAST(count(*) AS BIGINT) AS lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24"""
+
+    # Q7-shape: both-directions bi-nation volume by ship year
+    q["tpch_nation_volume"] = """
+WITH nat AS (
+  SELECT n_nationkey, n_name FROM nation
+  WHERE n_name IN ('NATION_3', 'NATION_7')
+)
+SELECT s.n_name AS supp_nation, c.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
+    AS DOUBLE) AS volume,
+  CAST(count(*) AS BIGINT) AS lineitems
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nat s ON s_nationkey = s.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nat c ON c_nationkey = c.n_nationkey
+WHERE s.n_name <> c.n_name
+GROUP BY 1, 2, 3"""
+
+    # Q9-shape: substring-filtered 5-table star, (nation, order-year)
+    q["tpch_product_profit"] = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
+    AS DOUBLE) AS amount,
+  CAST(count(*) AS BIGINT) AS lineitems
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%a%'
+GROUP BY 1, 2"""
+
+    # Q10-shape: returned-revenue per customer for one quarter
+    q["tpch_returned_items"] = """
+SELECT c_custkey, c_name, n_name,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
+    AS DOUBLE) AS revenue,
+  CAST(count(*) AS BIGINT) AS returned_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY 1, 2, 3"""
+
+    # Q19-shape: OR-of-ANDs bracket predicate
+    q["tpch_disjunctive_revenue"] = """
+SELECT
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
+    AS DOUBLE) AS revenue,
+  CAST(count(*) AS BIGINT) AS lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE
+  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+    AND l_quantity BETWEEN 1 AND 15)
+  OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+    AND l_quantity BETWEEN 10 AND 25)
+  OR (p_brand = 'Brand#3' AND p_size BETWEEN 15 AND 50
+    AND l_quantity BETWEEN 20 AND 35)"""
+
+    # Q20-shape: nested aggregate threshold, DECIMAL cross-multiplied
+    q["tpch_excess_promo_suppliers"] = """
+WITH per_sp AS (
+  SELECT l_suppkey, l_partkey,
+    sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        THEN CAST(l_quantity AS DECIMAL(18,2))
+        ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty_1996,
+    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_all
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+  GROUP BY 1, 2
+)
+SELECT l_suppkey AS s_suppkey, s_name,
+  CAST(count(*) AS BIGINT) AS hot_parts,
+  CAST(round(sum(qty_1996), 2) AS DOUBLE) AS qty_1996_total
+FROM per_sp JOIN supplier ON l_suppkey = s_suppkey
+WHERE qty_1996 * 2 > qty_all
+GROUP BY 1, 2"""
+
     return q

@@ -745,6 +745,43 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_promo_share"] = lambda s, d: relational.promo_revenue_share(
         raw(s, d, "lineitem"), raw(s, d, "part")
     )
+    # TPC-H sweep completion: Q3/Q6/Q7/Q9/Q10/Q19/Q20 shapes
+    q["tpch_shipping_priority"] = lambda s, d: relational.shipping_priority(
+        raw(s, d, "customer"), raw(s, d, "orders"), raw(s, d, "lineitem")
+    )
+    q["tpch_forecast_revenue"] = (
+        lambda s, d: relational.forecast_revenue_change(raw(s, d, "lineitem"))
+    )
+    q["tpch_nation_volume"] = lambda s, d: relational.nation_trade_volume(
+        raw(s, d, "customer"),
+        raw(s, d, "orders"),
+        raw(s, d, "lineitem"),
+        raw(s, d, "supplier"),
+        raw(s, d, "nation"),
+    )
+    q["tpch_product_profit"] = lambda s, d: relational.product_type_profit(
+        raw(s, d, "part"),
+        raw(s, d, "lineitem"),
+        raw(s, d, "orders"),
+        raw(s, d, "supplier"),
+        raw(s, d, "nation"),
+    )
+    q["tpch_returned_items"] = lambda s, d: relational.returned_item_customers(
+        raw(s, d, "customer"),
+        raw(s, d, "orders"),
+        raw(s, d, "lineitem"),
+        raw(s, d, "nation"),
+    )
+    q["tpch_disjunctive_revenue"] = (
+        lambda s, d: relational.disjunctive_bracket_revenue(
+            raw(s, d, "lineitem"), raw(s, d, "part")
+        )
+    )
+    q["tpch_excess_promo_suppliers"] = (
+        lambda s, d: relational.excess_promo_suppliers(
+            raw(s, d, "lineitem"), raw(s, d, "part"), raw(s, d, "supplier")
+        )
+    )
     # native streaming-transferable session windows; GROUPING SETS;
     # heavy hitters (exact anchor + CMS sketch surface, rows-only)
     q["events_session_window"] = (
@@ -887,6 +924,8 @@ _PROMOTED = [
     "events_grouping_sets",
     "scd2_partition_liveness",
     "events_zorder_codes",
+    "tpch_excess_promo_suppliers",
+    "tpch_nation_volume",
 ]
 
 
