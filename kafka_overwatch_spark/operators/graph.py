@@ -1,0 +1,122 @@
+"""Graph analytics over the relational fixture: the co-purchase graph
+(parts co-occurring in an order) and PageRank over it.
+
+The reference has no graph surface; this family exists because a
+training-data platform needs graph signals (link-based quality, influence
+weighting) and because iterative algorithms are where naive Spark designs
+die — see ``pipelines/dedup.py`` connected components for the
+pointer-doubling variant of the same lesson.
+
+Scale shapes:
+- edge derivation: one (orderkey) shuffle to collect order baskets, one
+  explode to pairs, one (pair) aggregate — no all-pairs anywhere because
+  baskets are bounded (an order has ≤ ~7 lineitems; guard asserts it).
+- PageRank: each power iteration is ONE join on src + ONE aggregate on
+  dst, both on the same partkey key (AQE reuses the partitioning);
+  ``localCheckpoint(eager)`` per iteration keeps lineage flat (NOTES.md
+  lesson #8). Ranks are a dim-sized frame; edges stream from storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_BASKET = 64  # defensive: explode of C(n,2) pairs must stay bounded
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected weighted edges: (part_a < part_b, orders co-occurred).
+
+    Basket collect + within-basket pair explode. The C(n,2) blowup is
+    bounded by the basket size, asserted < MAX_BASKET — the same
+    bounded-key argument as the LSH bucket verify joins."""
+    baskets = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                f"""
+                CASE WHEN size(parts) > {MAX_BASKET}
+                  THEN raise_error('basket exceeds MAX_BASKET')
+                ELSE flatten(transform(parts, (a, i) ->
+                  transform(slice(parts, i + 2, size(parts)), b ->
+                    struct(a AS part_a, b AS part_b))))
+                END
+                """
+            )
+        ).alias("e")
+    ).select("e.part_a", "e.part_b")
+    return pairs.groupBy("part_a", "part_b").agg(
+        F.count("*").alias("weight")
+    )
+
+
+def part_degree(lineitem: DataFrame) -> DataFrame:
+    """Per-part co-purchase degree + total co-occurrence weight over the
+    undirected edge set (each edge counts for both endpoints)."""
+    edges = copurchase_edges(lineitem)
+    both = edges.select(
+        F.col("part_a").alias("part"), "weight"
+    ).unionAll(edges.select(F.col("part_b").alias("part"), "weight"))
+    return both.groupBy("part").agg(
+        F.count("*").alias("degree"),
+        F.sum("weight").cast("long").alias("total_weight"),
+    )
+
+
+def pagerank(
+    lineitem: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """Weighted PageRank by power iteration on the undirected
+    co-purchase graph (both edge directions materialized; transition
+    probability proportional to edge weight). No dangling nodes by
+    construction — every vertex in the edge set has degree ≥ 1 — so
+    total rank mass is conserved at 1.0 every iteration (asserted in
+    tests). Rows-only registry gate (iterative fixpoint); exact parity
+    against a Python power iteration in tests/test_graph.py."""
+    edges = copurchase_edges(lineitem)
+    directed = edges.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst"), "weight"
+    ).unionAll(
+        edges.select(
+            F.col("part_b").alias("src"), F.col("part_a").alias("dst"),
+            "weight",
+        )
+    )
+    out_w = directed.groupBy("src").agg(F.sum("weight").alias("w_out"))
+    # transition edges with normalized probability — static across
+    # iterations, cache once
+    trans = (
+        directed.join(out_w, "src")
+        .select("src", "dst", (F.col("weight") / F.col("w_out")).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = trans.select(F.col("src").alias("part")).distinct()
+    n = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contrib = (
+            trans.join(ranks, trans.src == ranks.part)
+            .select("dst", (F.col("rank") * F.col("p")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.part == contrib.dst, "left")
+            .select(
+                "part",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("part", F.round("rank", 8).alias("rank"))

@@ -1872,4 +1872,25 @@ FROM per_sp JOIN supplier ON l_suppkey = s_suppkey
 WHERE qty_1996 * 2 > qty_all
 GROUP BY 1, 2"""
 
+    # co-purchase degree: oracle derives edges via SELF-JOIN on order
+    # baskets (the Spark side explodes collected baskets — two different
+    # algorithms, same graph)
+    q["graph_part_degree"] = """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+    CAST(count(*) AS BIGINT) AS weight
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+b AS (
+  SELECT part_a AS part, weight FROM pairs
+  UNION ALL
+  SELECT part_b AS part, weight FROM pairs
+)
+SELECT part, CAST(count(*) AS BIGINT) AS degree,
+  CAST(sum(weight) AS BIGINT) AS total_weight
+FROM b GROUP BY part"""
+
     return q

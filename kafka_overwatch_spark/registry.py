@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from . import oracles, oracles_pipelines
 from .operators import governance as gov
+from .operators import graph
 from .operators import lag as lagops
 from .operators import metrics as metricsops
 from .operators import relational
@@ -827,6 +828,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_bpe_merges"] = lambda s, d: textops.bpe_merges(
         raw(s, d, "documents")
     )
+    # graph family over the co-purchase graph: degree (oracle: self-join
+    # edge derivation) + PageRank (rows-only iterative; python parity)
+    q["graph_part_degree"] = lambda s, d: graph.part_degree(
+        raw(s, d, "lineitem")
+    )
+    q["graph_pagerank"] = lambda s, d: graph.pagerank(raw(s, d, "lineitem"))
     # r5: fuzzy string-similarity self-join (SymSpell deletion
     # neighborhoods -> bucketed levenshtein verify, never all-pairs)
     q["fuzzy_name_pairs"] = lambda s, d: relational.fuzzy_name_pairs(

@@ -1,0 +1,49 @@
+"""Graph family: PageRank must match an independent Python power
+iteration exactly (same damping, same iteration count), conserve rank
+mass, and the degree surface is oracle-checked in the parity sweep."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from tests.conftest import SF_DIR
+from kafka_overwatch_spark.operators import graph
+from kafka_overwatch_spark.registry import get_raw_tables
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    lineitem = get_raw_tables(spark, SF_DIR)["lineitem"]
+    got = {r.part: r.rank for r in graph.pagerank(lineitem).collect()}
+
+    edges = graph.copurchase_edges(lineitem).collect()
+    out_w: dict = defaultdict(float)
+    adj: dict = defaultdict(list)
+    for e in edges:
+        out_w[e.part_a] += e.weight
+        out_w[e.part_b] += e.weight
+        adj[e.part_a].append((e.part_b, e.weight))
+        adj[e.part_b].append((e.part_a, e.weight))
+    nodes = sorted(out_w)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(10):
+        inflow: dict = defaultdict(float)
+        for src, outs in adj.items():
+            r = rank[src]
+            w = out_w[src]
+            for dst, wt in outs:
+                inflow[dst] += r * wt / w
+        rank = {v: 0.15 / n + 0.85 * inflow.get(v, 0.0) for v in nodes}
+
+    assert set(got) == set(rank)
+    worst = max(abs(got[v] - rank[v]) for v in nodes)
+    assert worst < 1e-6, f"max rank divergence {worst}"
+    # mass conservation: no dangling nodes in the co-purchase graph
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_degree_consistent_with_pagerank_nodes(spark):
+    lineitem = get_raw_tables(spark, SF_DIR)["lineitem"]
+    deg = {r.part for r in graph.part_degree(lineitem).collect()}
+    pr = {r.part for r in graph.pagerank(lineitem, iterations=1).collect()}
+    assert deg == pr
