@@ -120,3 +120,70 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("part", F.round("rank", 8).alias("rank"))
+
+
+def association_rules(
+    lineitem: DataFrame, min_cooccur: int = 3
+) -> DataFrame:
+    """Market-basket association rules a→b over the co-purchase graph:
+    support count, confidence = P(b|a), lift = P(a,b)/(P(a)P(b)). The
+    probability ratios divide ONLY at the end from exact integer counts
+    (identical doubles both engines, then round 6 — the value_share
+    pattern). Directed: each undirected edge emits both rules.
+
+    Scale: edges come from the bounded basket explode (no fact
+    self-join); the per-part order counts broadcast onto the edge set.
+    min_cooccur bounds output to rules with evidence."""
+    edges = copurchase_edges(lineitem).filter(
+        F.col("weight") >= min_cooccur
+    )
+    directed = edges.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "weight",
+    ).unionAll(
+        edges.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "weight",
+        )
+    )
+    per_part = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    n_total = (
+        lineitem.select("l_orderkey").distinct().agg(
+            F.count("*").alias("total_orders")
+        )
+    )
+    a_cnt = per_part.select(
+        F.col("l_partkey").alias("antecedent"),
+        F.col("n_orders").alias("orders_a"),
+    )
+    b_cnt = per_part.select(
+        F.col("l_partkey").alias("consequent"),
+        F.col("n_orders").alias("orders_b"),
+    )
+    return (
+        directed.join(F.broadcast(a_cnt), "antecedent")
+        .join(F.broadcast(b_cnt), "consequent")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("weight").alias("cooccur_orders"),
+            "orders_a",
+            "orders_b",
+            F.round(F.col("weight") / F.col("orders_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("weight") * F.col("total_orders"))
+                / (F.col("orders_a") * F.col("orders_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -1893,4 +1893,37 @@ SELECT part, CAST(count(*) AS BIGINT) AS degree,
   CAST(sum(weight) AS BIGINT) AS total_weight
 FROM b GROUP BY part"""
 
+    # association rules a→b: exact integer counts, ratios divide last
+    q["graph_association_rules"] = """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+    CAST(count(*) AS BIGINT) AS weight
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+directed AS (
+  SELECT part_a AS antecedent, part_b AS consequent, weight FROM pairs
+  UNION ALL
+  SELECT part_b AS antecedent, part_a AS consequent, weight FROM pairs
+),
+per_part AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM baskets GROUP BY 1
+),
+t AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS total_orders
+  FROM baskets
+)
+SELECT antecedent, consequent, weight AS cooccur_orders,
+  a.n_orders AS orders_a, b.n_orders AS orders_b,
+  round(CAST(weight AS DOUBLE) / a.n_orders, 6) AS confidence,
+  round(CAST(weight * total_orders AS DOUBLE)
+    / (a.n_orders * b.n_orders), 6) AS lift
+FROM directed
+JOIN per_part a ON antecedent = a.l_partkey
+JOIN per_part b ON consequent = b.l_partkey
+CROSS JOIN t"""
+
     return q

@@ -834,6 +834,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         raw(s, d, "lineitem")
     )
     q["graph_pagerank"] = lambda s, d: graph.pagerank(raw(s, d, "lineitem"))
+    q["graph_association_rules"] = lambda s, d: graph.association_rules(
+        raw(s, d, "lineitem")
+    )
     # r5: fuzzy string-similarity self-join (SymSpell deletion
     # neighborhoods -> bucketed levenshtein verify, never all-pairs)
     q["fuzzy_name_pairs"] = lambda s, d: relational.fuzzy_name_pairs(

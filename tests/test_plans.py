@@ -316,3 +316,68 @@ def test_running_totals_single_exchange(spark, snaps):
     plan = _final_plan(events_running_totals(spark.table("events")))
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "Window" in plan
+
+
+def test_session_window_single_exchange_no_python(spark, snaps):
+    """Native session windows: one merge-aggregate keyed exchange, no
+    Python anywhere (JVM session merge)."""
+    from kafka_overwatch_spark.operators.relational import (
+        events_session_window_native,
+    )
+
+    plan = _final_plan(events_session_window_native(spark.table("events")))
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Python" not in plan
+    assert "MergingSessions" in plan or "SessionWindow" in plan or \
+        "session_window" in plan
+
+
+def test_nation_volume_dims_broadcast(spark, snaps):
+    """Q7 shape: both nation-filtered sides broadcast; the only real
+    shuffle is the fact-fact orders join."""
+    from kafka_overwatch_spark.operators.relational import (
+        nation_trade_volume,
+    )
+
+    plan = _plan(
+        nation_trade_volume(
+            spark.table("customer"),
+            spark.table("orders"),
+            spark.table("lineitem"),
+            spark.table("supplier"),
+            spark.table("nation"),
+        )
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_copurchase_edges_no_cartesian(spark, snaps):
+    """Edge derivation is basket-explode, never a fact self-join."""
+    from kafka_overwatch_spark.operators.graph import copurchase_edges
+
+    plan = _plan(copurchase_edges(spark.table("lineitem")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # the bounded within-basket explode
+
+
+def test_waiting_orders_single_fact_aggregate(spark, snaps):
+    """Q21 shape: the double EXISTS folds into one per-order aggregate —
+    exactly one fact-fact join (lineitem⋈orders), no extra correlation
+    joins against lineitem."""
+    from kafka_overwatch_spark.operators.relational import (
+        exclusive_late_suppliers,
+    )
+
+    plan = _plan(
+        exclusive_late_suppliers(
+            spark.table("lineitem"),
+            spark.table("orders"),
+            spark.table("supplier"),
+        )
+    )
+    # lineitem appears once: one scan of the big fact
+    assert plan.count("lineitem.parquet") <= 1 or \
+        plan.count("Scan parquet") <= 3
+    assert "CartesianProduct" not in plan
