@@ -118,6 +118,27 @@ EXTRA = [
     "sampling_upsample_plan",
     "corpus_lang_source_assoc",
     "corpus_split_drift_psi",
+    # round 5, late session
+    "tpch_top_supplier",
+    "tpch_min_cost_supplier",
+    "tpch_waiting_orders",
+    "tpch_promo_share",
+    "tpch_shipping_priority",
+    "tpch_forecast_revenue",
+    "tpch_nation_volume",
+    "tpch_product_profit",
+    "tpch_returned_items",
+    "tpch_disjunctive_revenue",
+    "tpch_excess_promo_suppliers",
+    "events_session_window",
+    "events_grouping_sets",
+    "events_heavy_hitters",
+    "scd2_partition_liveness",
+    "events_zorder_codes",
+    "graph_part_degree",
+    "graph_pagerank",
+    "graph_association_rules",
+    "tpch_market_share",
 ]
 
 

@@ -1625,3 +1625,61 @@ def excess_promo_suppliers(
             "qty_1996_total",
         )
     )
+
+
+def nation_market_share(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    share_nation: str = "NATION_5",
+) -> DataFrame:
+    """TPC-H Q8-shaped: one supplier nation's share of a region's market
+    by order year — the conditional-aggregation ratio (sum(case)/sum)
+    over a 6-table star. Both sums are exact DECIMAL over the SAME rows;
+    only the share divides (identical doubles, then round 6). Customer
+    side prunes to the region and broadcasts; supplier nation rides a
+    broadcast dim; one fact-fact shuffle."""
+    rnat = (
+        region.filter(F.col("r_name") == region_name)
+        .join(nation, region.r_regionkey == nation.n_regionkey)
+        .select("n_nationkey")
+    )
+    cust = customer.join(
+        F.broadcast(rnat), customer.c_nationkey == rnat.n_nationkey
+    ).select("c_custkey")
+    supp = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(lineitem, F.col("o_orderkey") == lineitem.l_orderkey)
+        .join(F.broadcast(supp), lineitem.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == share_nation, rev).otherwise(
+                    F.lit(0).cast("decimal(38,4)")
+                )
+            ).alias("d_nation"),
+            F.sum(rev).alias("d_total"),
+            F.count("*").alias("lineitems"),
+        )
+        .select(
+            "o_year",
+            F.round("d_nation", 2).cast("double").alias("nation_revenue"),
+            F.round("d_total", 2).cast("double").alias("total_revenue"),
+            F.round(
+                F.col("d_nation").cast("double")
+                / F.col("d_total").cast("double"),
+                6,
+            ).alias("market_share"),
+            "lineitems",
+        )
+    )

@@ -1926,4 +1926,32 @@ JOIN per_part a ON antecedent = a.l_partkey
 JOIN per_part b ON consequent = b.l_partkey
 CROSS JOIN t"""
 
+    # Q8-shape: conditional-aggregation market share per order year
+    q["tpch_market_share"] = """
+WITH rnat AS (
+  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+j AS (
+  SELECT year(o_orderdate) AS o_year, n_name AS supp_nation,
+    CAST(l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN rnat ON c_nationkey = rnat.n_nationkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+  CAST(round(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev
+    ELSE CAST(0 AS DECIMAL(38,4)) END), 2) AS DOUBLE) AS nation_revenue,
+  CAST(round(sum(rev), 2) AS DOUBLE) AS total_revenue,
+  round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev
+      ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE)
+    / CAST(sum(rev) AS DOUBLE), 6) AS market_share,
+  CAST(count(*) AS BIGINT) AS lineitems
+FROM j GROUP BY 1"""
+
     return q

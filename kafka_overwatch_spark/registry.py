@@ -783,6 +783,14 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             raw(s, d, "lineitem"), raw(s, d, "part"), raw(s, d, "supplier")
         )
     )
+    q["tpch_market_share"] = lambda s, d: relational.nation_market_share(
+        raw(s, d, "customer"),
+        raw(s, d, "orders"),
+        raw(s, d, "lineitem"),
+        raw(s, d, "supplier"),
+        raw(s, d, "nation"),
+        raw(s, d, "region"),
+    )
     # native streaming-transferable session windows; GROUPING SETS;
     # heavy hitters (exact anchor + CMS sketch surface, rows-only)
     q["events_session_window"] = (
