@@ -162,7 +162,9 @@ from typing import Iterator  # noqa: E402
 import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
 from pyspark.sql.types import (  # noqa: E402
+    ArrayType,
     DoubleType,
+    FloatType,
     LongType,
     StructField,
     StructType,
@@ -412,10 +414,15 @@ def embedding_neardup_pairs_lsh(
             StructField("vec_id", LongType()),
             StructField("tbl", LongType()),
             StructField("bucket", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
         ]
     )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # the batch already holds the vectors — emit them WITH the bucket
+        # assignment so the verify groupBy is the ONLY shuffle (the
+        # previous assign→join-back plan re-shuffled every vector twice:
+        # once for the id join, once for the bucket exchange)
         planes = b_planes.value
         for pdf in batches:
             if pdf.empty:
@@ -423,25 +430,26 @@ def embedding_neardup_pairs_lsh(
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             m = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
             signs = (m @ planes.T) > 0  # n × (tables*bits)
-            out_ids, out_tbl, out_bucket = [], [], []
+            frames = []
             for t in range(tables):
                 chunk = signs[:, t * bits : (t + 1) * bits]
-                out_ids.append(ids)
-                out_tbl.append(np.full(len(ids), t, dtype=np.int64))
-                out_bucket.append((chunk * powers).sum(axis=1).astype(np.int64))
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.concatenate(out_ids),
-                    "tbl": np.concatenate(out_tbl),
-                    "bucket": np.concatenate(out_bucket),
-                }
-            )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": ids,
+                            "tbl": np.full(len(ids), t, dtype=np.int64),
+                            "bucket": (chunk * powers)
+                            .sum(axis=1)
+                            .astype(np.int64),
+                            "embedding": pdf["embedding"].to_numpy(),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
 
-    assigned = (
-        _spread_gemm(embeddings.select("vec_id", "embedding"))
-        .mapInPandas(assign, assign_schema)
-        .join(embeddings.select("vec_id", "embedding"), "vec_id")
-    )
+    assigned = _spread_gemm(
+        embeddings.select("vec_id", "embedding")
+    ).mapInPandas(assign, assign_schema)
 
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
