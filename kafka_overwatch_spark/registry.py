@@ -944,6 +944,9 @@ _PROMOTED = [
     "events_zorder_codes",
     "tpch_excess_promo_suppliers",
     "tpch_nation_volume",
+    "graph_association_rules",
+    "graph_part_degree",
+    "tpch_market_share",
 ]
 
 
