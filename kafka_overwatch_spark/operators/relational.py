@@ -1683,3 +1683,30 @@ def nation_market_share(
             "lineitems",
         )
     )
+
+
+def scd1_upsert(
+    target: DataFrame, updates: DataFrame, keys: list[str]
+) -> DataFrame:
+    """MERGE-shape SCD1 upsert on plain parquet frames: update rows win
+    on key match, unmatched target rows survive, unmatched update rows
+    insert — Delta/Iceberg's MERGE INTO, expressed as ONE full-outer
+    join + per-column coalesce (update side first). One keyed shuffle;
+    at 100 TB this is the partition-rewrite maintenance job, and the
+    join key is the natural bucketing key so a bucketed layout makes it
+    exchange-free (see sinks/layout.py).
+
+    The oracle states the other classic formulation — updates UNION ALL
+    (target ANTI JOIN updates) — two algorithms, same table."""
+    t = target.alias("t")
+    u = updates.alias("u")
+    cond = None
+    for k in keys:
+        c = F.col(f"t.{k}").eqNullSafe(F.col(f"u.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = t.join(u, cond, "full_outer")
+    cols = [
+        F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+        for c in target.columns
+    ]
+    return joined.select(*cols)

@@ -791,4 +791,24 @@ FROM (
 GROUP BY cluster, topic, partition_id, state, island"""
     )
 
+    # MERGE upsert stated as the OTHER classic form: updates ∪ (target
+    # ANTI JOIN updates) — the Spark side is one full-outer coalesce
+    q["snapshot_upsert_topics"] = _snap(
+        """
+upd AS (
+  SELECT cluster, name, CAST(partitions + 10 AS BIGINT) AS partitions,
+    retention_ms, cleanup_policy
+  FROM topics WHERE partitions >= 4
+  UNION ALL
+  SELECT 'primary', 'upsert.demo.topic', CAST(1 AS BIGINT),
+    CAST(60000 AS BIGINT), 'compact'
+)
+SELECT cluster, name, partitions, retention_ms, cleanup_policy FROM upd
+UNION ALL
+SELECT t.cluster, t.name, CAST(t.partitions AS BIGINT),
+  t.retention_ms, t.cleanup_policy
+FROM topics t
+ANTI JOIN upd u ON t.cluster = u.cluster AND t.name = u.name"""
+    )
+
     return q

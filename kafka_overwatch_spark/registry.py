@@ -322,6 +322,28 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["scd2_partition_liveness"] = lambda s, d: windows.partition_liveness_scd2(
         get_snaps(s, d)
     )
+
+    # MERGE-shape SCD1 upsert: deterministic update set (partitions>=4
+    # get +10) plus one synthetic insert; updates win on (cluster, name)
+    def _upsert_topics(s: SparkSession, d: str) -> DataFrame:
+        t = get_snaps(s, d)["topics"]
+        upd = t.filter(F.col("partitions") >= 4).select(
+            "cluster",
+            "name",
+            (F.col("partitions") + 10).alias("partitions"),
+            "retention_ms",
+            "cleanup_policy",
+        )
+        ins = s.createDataFrame(
+            [("primary", "upsert.demo.topic", 1, 60000, "compact")],
+            "cluster string, name string, partitions long, "
+            "retention_ms long, cleanup_policy string",
+        )
+        return relational.scd1_upsert(
+            t, upd.unionByName(ins), ["cluster", "name"]
+        )
+
+    q["snapshot_upsert_topics"] = _upsert_topics
     q["topic_throughput_timeseries"] = (
         lambda s, d: windows.topic_throughput_timeseries(get_snaps(s, d))
     )

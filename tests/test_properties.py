@@ -499,3 +499,38 @@ def test_fuzzy_join_complete_on_adversarial_strings(spark, snaps):
         for r in fuzzy_name_pairs(df).collect()
     }
     assert got == want, (got ^ want)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_morton_code_is_bijective(pairs):
+    """morton_expr must be a bijection on 16-bit pairs: decoding the
+    interleaved code recovers (x, y) exactly. Evaluated through DuckDB —
+    the SAME generated SQL string the Spark side runs (cross-engine
+    equality is covered by the events_zorder_codes oracle)."""
+    import duckdb
+
+    from kafka_overwatch_spark.sinks.layout import morton_expr
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
+    rows = con.execute(
+        f"SELECT x, y, {morton_expr('x', 'y')} AS z FROM t"
+    ).fetchall()
+    for x, y, z in rows:
+        dx = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+        dy = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (dx, dy) == (x, y), (x, y, z)
+    # order-of-magnitude locality: codes of equal (x, y) collide only
+    # for equal pairs
+    assert len({r[2] for r in rows}) == len({(x, y) for x, y in pairs})
