@@ -170,3 +170,54 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_cols: tuple[str, ...] = (),
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_bytes)`` files (optionally re-sorted so
+    zone maps stay tight), writing to a NEW directory — the caller swaps
+    the pointer (same generation-flip discipline as
+    streaming/events_stream.py's sketch state; an in-place overwrite
+    that dies mid-write torches the dataset).
+
+    Returns {files_before, files_after, bytes_total}. At 100 TB this is
+    the nightly maintenance job streaming-ingest tables need: thousands
+    of per-trigger micro-files → scan-sized files; the repartition count
+    comes from real byte size, not a guess."""
+    import math
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = p.getFileSystem(conf)
+    files = [
+        f
+        for f in fs.listStatus(p)
+        if f.getPath().getName().endswith(".parquet")
+    ]
+    bytes_total = sum(f.getLen() for f in files)
+    n_out = max(1, math.ceil(bytes_total / target_bytes))
+    df = spark.read.parquet(src_path)
+    out = df.repartitionByRange(n_out, *sort_cols) if sort_cols else \
+        df.coalesce(n_out)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").parquet(dst_path)
+    files_after = len(
+        [
+            f
+            for f in fs.listStatus(jvm.org.apache.hadoop.fs.Path(dst_path))
+            if f.getPath().getName().endswith(".parquet")
+        ]
+    )
+    return {
+        "files_before": len(files),
+        "files_after": files_after,
+        "bytes_total": int(bytes_total),
+    }

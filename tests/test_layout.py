@@ -143,3 +143,25 @@ def test_zorder_layout_prunes_both_dimensions(spark):
         # dedicated user sort, but sub-linear)
         user_z = overlaps(z, ulo=10, uhi=20)
         assert user_z < len(z), f"zorder user-query hit {user_z}/{len(z)}"
+
+
+def test_compaction_reduces_file_count_preserves_rows(spark):
+    """Many micro-files → byte-sized repartition → few files, identical
+    rows (the streaming-ingest maintenance job)."""
+    from kafka_overwatch_spark.registry import get_raw_tables
+    from kafka_overwatch_spark.sinks.layout import compact_small_files
+
+    events = get_raw_tables(spark, "/root/testdata/sf0.001")["events"]
+    with tempfile.TemporaryDirectory() as tmp:
+        # simulate per-trigger micro-files
+        events.repartition(40).write.mode("overwrite").parquet(f"{tmp}/in")
+        stats = compact_small_files(
+            spark, f"{tmp}/in", f"{tmp}/out",
+            target_bytes=512 * 1024, sort_cols=("ts",),
+        )
+        assert stats["files_before"] == 40
+        assert stats["files_after"] < 10
+        a = spark.read.parquet(f"{tmp}/in")
+        b = spark.read.parquet(f"{tmp}/out")
+        assert a.count() == b.count()
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
