@@ -381,3 +381,25 @@ def test_waiting_orders_single_fact_aggregate(spark, snaps):
     assert plan.count("lineitem.parquet") <= 1 or \
         plan.count("Scan parquet") <= 3
     assert "CartesianProduct" not in plan
+
+
+def test_join_strategy_hints_are_honored(spark, snaps):
+    """Strategy control for the big-big joins SCALE.md discusses: the
+    planner must honor SHUFFLE_HASH (skip the sort phase when one side
+    comfortably fits a partition-hash build) and MERGE hints — the knobs
+    a 100 TB deployment uses when statistics mislead the default."""
+    li = spark.table("lineitem").select("l_orderkey", "l_quantity")
+    orders = spark.table("orders").select("o_orderkey", "o_totalprice")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hashed = li.join(
+            orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+        )
+        assert "ShuffledHashJoin" in _plan(hashed)
+        merged = li.join(
+            orders.hint("merge"), li.l_orderkey == orders.o_orderkey
+        )
+        assert "SortMergeJoin" in _plan(merged)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
