@@ -1067,7 +1067,7 @@ def top_revenue_suppliers(
         .select(
             F.col("l_suppkey").alias("s_suppkey"),
             "s_name",
-            F.round(F.col("d_rev").cast("double"), 2).alias("total_revenue"),
+            F.round(F.col("d_rev"), 2).cast("double").alias("total_revenue"),
             "lineitems",
         )
     )
@@ -1208,8 +1208,8 @@ def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         )
         .select(
             F.col("ship_month").cast("string").alias("ship_month"),
-            F.round(F.col("d_promo").cast("double"), 2).alias("promo_revenue"),
-            F.round(F.col("d_total").cast("double"), 2).alias("total_revenue"),
+            F.round("d_promo", 2).cast("double").alias("promo_revenue"),
+            F.round("d_total", 2).cast("double").alias("total_revenue"),
             F.round(
                 (F.col("d_promo").cast("double") / F.col("d_total").cast("double")),
                 6,
@@ -1220,7 +1220,7 @@ def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
 
 
 def events_session_window_native(
-    events: DataFrame, gap: str = "12 hours", gap_seconds: int = 43200
+    events: DataFrame, gap: str = "12 hours"
 ) -> DataFrame:
     """Native session-window aggregation (``F.session_window``) — the
     SAME operator Structured Streaming uses for stateful session aggs,
@@ -1699,14 +1699,21 @@ def scd1_upsert(
     The oracle states the other classic formulation — updates UNION ALL
     (target ANTI JOIN updates) — two algorithms, same table."""
     t = target.alias("t")
-    u = updates.alias("u")
+    u = updates.withColumn("_is_update", F.lit(True)).alias("u")
     cond = None
     for k in keys:
         c = F.col(f"t.{k}").eqNullSafe(F.col(f"u.{k}"))
         cond = c if cond is None else (cond & c)
     joined = t.join(u, cond, "full_outer")
+    # the update row wins WHOLESALE on a key match (true MERGE
+    # semantics — a NULL update cell overwrites, it does not fall back
+    # to the target value; per-column coalesce would silently diverge
+    # from the oracle's updates-union-anti-join form)
+    matched = F.col("u._is_update").isNotNull()
     cols = [
-        F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+        F.when(matched, F.col(f"u.{c}"))
+        .otherwise(F.col(f"t.{c}"))
+        .alias(c)
         for c in target.columns
     ]
     return joined.select(*cols)

@@ -1607,7 +1607,7 @@ WITH per_supp AS (
   GROUP BY l_suppkey
 )
 SELECT l_suppkey AS s_suppkey, s_name,
-  round(CAST(d_rev AS DOUBLE), 2) AS total_revenue,
+  CAST(round(d_rev, 2) AS DOUBLE) AS total_revenue,
   CAST(lineitems AS BIGINT) AS lineitems
 FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
 WHERE d_rev = (SELECT max(d_rev) FROM per_supp)"""
@@ -1673,13 +1673,13 @@ GROUP BY 1, 2"""
 SELECT
   CAST(CAST(date_trunc('month', l_shipdate) AS DATE) AS VARCHAR)
     AS ship_month,
-  round(CAST(sum(CASE WHEN p_type = 'PROMO'
+  CAST(round(sum(CASE WHEN p_type = 'PROMO'
     THEN CAST(l_extendedprice AS DECIMAL(18,2))
       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-    ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE), 2) AS promo_revenue,
-  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-    AS DOUBLE), 2) AS total_revenue,
+    ELSE CAST(0 AS DECIMAL(38,4)) END), 2) AS DOUBLE) AS promo_revenue,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
+    AS DOUBLE) AS total_revenue,
   round(CAST(sum(CASE WHEN p_type = 'PROMO'
       THEN CAST(l_extendedprice AS DECIMAL(18,2))
         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))

@@ -196,11 +196,20 @@ def compact_small_files(
     conf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(src_path)
     fs = p.getFileSystem(conf)
-    files = [
-        f
-        for f in fs.listStatus(p)
-        if f.getPath().getName().endswith(".parquet")
-    ]
+
+    def _parquet_files(path):
+        # RECURSIVE walk: partitioned datasets keep files in key=...
+        # subdirectories — a flat listStatus would see only directories,
+        # size the rewrite at 0 bytes, and coalesce everything to 1 file
+        it = fs.listFiles(path, True)
+        out = []
+        while it.hasNext():
+            f = it.next()
+            if f.getPath().getName().endswith(".parquet"):
+                out.append(f)
+        return out
+
+    files = _parquet_files(p)
     bytes_total = sum(f.getLen() for f in files)
     n_out = max(1, math.ceil(bytes_total / target_bytes))
     df = spark.read.parquet(src_path)
@@ -210,11 +219,7 @@ def compact_small_files(
         out = out.sortWithinPartitions(*sort_cols)
     out.write.mode("overwrite").parquet(dst_path)
     files_after = len(
-        [
-            f
-            for f in fs.listStatus(jvm.org.apache.hadoop.fs.Path(dst_path))
-            if f.getPath().getName().endswith(".parquet")
-        ]
+        _parquet_files(jvm.org.apache.hadoop.fs.Path(dst_path))
     )
     return {
         "files_before": len(files),

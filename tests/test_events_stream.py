@@ -589,7 +589,9 @@ def test_streaming_session_windows_match_batch_native(spark, snaps):
         }
         assert got, "stream emitted nothing"
         for k, v in got.items():
-            assert want[k] == v, f"session {k}: stream {v} != batch {want[k]}"
+            assert want.get(k) == v, (
+                f"session {k}: stream {v} != batch {want.get(k)}"
+            )
         missing = set(want) - set(got)
         if missing:
             # append mode may hold exactly the sessions whose END is not

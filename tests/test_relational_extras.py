@@ -70,7 +70,7 @@ def test_native_session_window_matches_lag_cumsum(spark):
 
     events = get_raw_tables(spark, SF_DIR)["events"]
     native = relational.events_session_window_native(
-        events, gap="12 hours", gap_seconds=43200
+        events, gap="12 hours"
     )
     w = Window.partitionBy("user_id").orderBy("ts")
     folded = (

@@ -61,4 +61,8 @@ def test_bpe_merges_match_python_reference(spark):
         .collect()
     }
     want = _python_bpe(wf, 12)
-    assert got == want, f"first divergence: {next((g, w) for g, w in zip(got, want) if g != w)}"
+    diverge = next(
+        ((g, w) for g, w in zip(got, want) if g != w),
+        ("<no pairwise diff>", f"lengths {len(got)} vs {len(want)}"),
+    )
+    assert got == want, f"first divergence: {diverge}"
