@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .state import GenerationalState
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -167,7 +169,7 @@ def streaming_sessionize(
     )
 
 
-class ReachSketchMaintainer:
+class ReachSketchMaintainer(GenerationalState):
     """foreachBatch handler maintaining a per-(event_type, day) HLL
     sketch state table: each micro-batch is sketched
     (``hll_sketch_agg``) and unioned (``hll_union_agg``) into persisted
@@ -203,92 +205,18 @@ class ReachSketchMaintainer:
     new generation's lineage doesn't read the dir being replaced.
     """
 
-    POINTER = "CURRENT"
-
-    def __init__(self, state_dir: str) -> None:
-        self.state_dir = state_dir
-
-    # --- pointer protocol (Hadoop FS API: works on file:/hdfs:/s3a:) ---
-
-    def _fs(self, spark: SparkSession):
-        jvm = spark._jvm
-        root = jvm.org.apache.hadoop.fs.Path(self.state_dir)
-        return jvm, root.getFileSystem(spark._jsc.hadoopConfiguration())
-
-    def _path(self, spark: SparkSession, *parts: str):
-        return spark._jvm.org.apache.hadoop.fs.Path(
-            "/".join([self.state_dir.rstrip("/"), *parts])
-        )
-
-    def _read_small_file(self, spark: SparkSession, path) -> str:
-        _, fs = self._fs(spark)
-        stream = fs.open(path)
-        try:
-            data = bytearray()
-            b = stream.read()
-            while b != -1:  # pointer payload is ~16 bytes
-                data.append(b)
-                b = stream.read()
-        finally:
-            stream.close()
-        return data.decode("utf-8").strip()
-
-    def current_generation(self, spark: SparkSession) -> str | None:
-        """Resolve the committed generation dir name, promoting a
-        fully-written-but-unrenamed pointer if the last flip was torn.
-        Returns None only when NO state artifacts exist at all."""
-        jvm, fs = self._fs(spark)
-        ptr = self._path(spark, self.POINTER)
-        tmp = self._path(spark, self.POINTER + ".tmp")
-        if fs.exists(ptr):
-            return self._read_small_file(spark, ptr)
-        if fs.exists(tmp):
-            # crash between delete(CURRENT) and rename(tmp): the tmp was
-            # fully written+closed before the old pointer was touched
-            fs.rename(tmp, ptr)
-            return self._read_small_file(spark, ptr)
-        root = self._path(spark)
-        if fs.exists(root) and [
-            s for s in fs.listStatus(root)
-            if s.getPath().getName().startswith("gen-")
-        ]:
-            raise RuntimeError(
-                f"reach-sketch state dir {self.state_dir} contains "
-                "generation dirs but no CURRENT pointer — refusing to "
-                "treat existing state as 'first batch' (that would reset "
-                "accumulated reach history); repair or remove the dir"
-            )
-        return None
-
-    def _flip_pointer(self, spark: SparkSession, gen_name: str) -> None:
-        jvm, fs = self._fs(spark)
-        ptr = self._path(spark, self.POINTER)
-        tmp = self._path(spark, self.POINTER + ".tmp")
-        out = fs.create(tmp, True)
-        try:
-            out.write(bytearray(gen_name.encode("utf-8")))
-        finally:
-            out.close()
-        if fs.exists(ptr):
-            fs.delete(ptr, False)
-        fs.rename(tmp, ptr)
-
-    def _gc_generations(self, spark: SparkSession, keep: str) -> None:
-        jvm, fs = self._fs(spark)
-        root = self._path(spark)
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if name.startswith("gen-") and name != keep:
-                fs.delete(st.getPath(), True)
+    # pointer protocol + generation commit live in GenerationalState
+    # (streaming/state.py) — shared with the CDC dimension maintainer;
+    # crash cases are exercised against THIS class's state dir in
+    # test_reach_sketch_state_commit_protocol
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.relational import day_user_sketches
 
         spark = batch_df.sparkSession
         batch_sk = day_user_sketches(batch_df)
-        prev_gen = self.current_generation(spark)
-        if prev_gen is not None:
-            prev = spark.read.parquet(f"{self.state_dir}/{prev_gen}")
+        prev = self.read_current(spark)
+        if prev is not None:
             merged = (
                 prev.unionByName(batch_sk)
                 .groupBy("event_type", "day")
@@ -296,13 +224,7 @@ class ReachSketchMaintainer:
             )
         else:  # first batch: no state yet
             merged = batch_sk
-        merged = merged.localCheckpoint(eager=True)
-        gen_name = f"gen-{batch_id:010d}"
-        merged.write.mode("overwrite").parquet(
-            f"{self.state_dir}/{gen_name}"
-        )
-        self._flip_pointer(spark, gen_name)  # ← the commit point
-        self._gc_generations(spark, keep=gen_name)
+        self.commit(spark, merged.localCheckpoint(eager=True), batch_id)
 
 
 def run_reach_sketch_stream(
