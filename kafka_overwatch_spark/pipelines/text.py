@@ -838,3 +838,54 @@ def bpe_merges(documents: DataFrame, n_merges: int = 20) -> DataFrame:
     return spark.createDataFrame(
         rules, "rank long, left string, right string, merged string, pair_freq long"
     )
+
+
+def bpe_tokenize(
+    documents: DataFrame, rules: list[tuple[str, str]] | None = None,
+    n_merges: int = 20,
+) -> DataFrame:
+    """Apply learned BPE merge rules (train → APPLY, the serving half of
+    the tokenizer): each word is spaced into characters and the rule
+    list replays in rank order — exactly the greedy left-to-right merge
+    the trainer counted. The whole application compiles to ONE narrow
+    JVM map (a per-word lambda with a chained regexp_replace; no
+    shuffle, no Python), which is the property that lets a 100 TB corpus
+    be tokenized at scan speed: the rules are a broadcast-sized literal
+    baked into the expression.
+
+    Output per doc: token count, char count, chars-per-token
+    compression, md5 witness of the token stream. Rows-only gate
+    (the oracle engine's RE2 has no lookbehind); exact python parity in
+    tests/test_text_bpe.py."""
+    import re as _re
+
+    if rules is None:
+        rules = [
+            (r.left, r.right)
+            for r in bpe_merges(documents, n_merges=n_merges)
+            .orderBy("rank")
+            .collect()
+        ]
+    inner = "array_join(split(w, ''), ' ')"
+    for left, right in rules:
+        pat = f"(?<=^| ){_re.escape(left)} {_re.escape(right)}(?=$| )"
+        pat_lit = pat.replace("\\", "\\\\").replace("'", "\\'")
+        repl = (left + right).replace("\\", "\\\\").replace("$", "\\$")
+        repl_lit = repl.replace("'", "\\'")
+        inner = f"regexp_replace({inner}, '{pat_lit}', '{repl_lit}')"
+    tokens_expr = f"""
+      flatten(transform(
+        filter(split(lower(text), '\\\\s+'), w -> w != ''),
+        w -> split({inner}, ' ')))
+    """
+    return documents.select(
+        "doc_id",
+        F.expr(f"size({tokens_expr})").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(
+            F.length("text") / F.expr(f"size({tokens_expr})"), 4
+        ).alias("chars_per_token"),
+        F.md5(F.expr(f"array_join({tokens_expr}, ' ')")).alias(
+            "token_witness"
+        ),
+    )

@@ -858,6 +858,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_bpe_merges"] = lambda s, d: textops.bpe_merges(
         raw(s, d, "documents")
     )
+    # train → APPLY: tokenize the corpus with the learned merges (one
+    # narrow JVM map; rows-only — RE2 lacks the lookbehind the rule
+    # regex needs, python parity in tests/test_text_bpe.py)
+    q["text_bpe_tokenize"] = lambda s, d: textops.bpe_tokenize(
+        raw(s, d, "documents"), n_merges=8
+    )
     # graph family over the co-purchase graph: degree (oracle: self-join
     # edge derivation) + PageRank (rows-only iterative; python parity)
     q["graph_part_degree"] = lambda s, d: graph.part_degree(

@@ -403,3 +403,15 @@ def test_join_strategy_hints_are_honored(spark, snaps):
         assert "SortMergeJoin" in _plan(merged)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bpe_tokenize_is_narrow(spark, snaps):
+    """Tokenizer application must be a shuffle-free, Python-free map —
+    the property that lets it run at scan speed on 100 TB."""
+    from kafka_overwatch_spark.pipelines.text import bpe_tokenize
+
+    plan = _plan(
+        bpe_tokenize(spark.table("documents"), rules=[("t", "h"), ("e", "r")])
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan

@@ -66,3 +66,40 @@ def test_bpe_merges_match_python_reference(spark):
         ("<no pairwise diff>", f"lengths {len(got)} vs {len(want)}"),
     )
     assert got == want, f"first divergence: {diverge}"
+
+
+def test_bpe_tokenize_matches_python_apply(spark):
+    """Applying the learned merges through the JVM regexp chain must
+    tokenize every document exactly like the python reference apply."""
+    docs = get_raw_tables(spark, SF_DIR)["documents"]
+    rules_rows = (
+        textops.bpe_merges(docs, n_merges=8).orderBy("rank").collect()
+    )
+    rules = [(r.left, r.right) for r in rules_rows]
+    got = {
+        r.doc_id: (r.n_tokens, r.token_witness)
+        for r in textops.bpe_tokenize(docs, rules=rules).collect()
+    }
+
+    import hashlib
+
+    def apply_word(w):
+        syms = list(w)
+        for a, b in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for row in docs.select("doc_id", "text").collect():
+        toks = []
+        for w in row.text.lower().split():
+            toks.extend(apply_word(w))
+        witness = hashlib.md5(" ".join(toks).encode()).hexdigest()
+        assert got[row.doc_id] == (len(toks), witness), row.doc_id
