@@ -1717,3 +1717,54 @@ def scd1_upsert(
         for c in target.columns
     ]
     return joined.select(*cols)
+
+
+def table_column_stats(lineitem: DataFrame) -> DataFrame:
+    """ANALYZE-style optimizer statistics for the fact table's numeric
+    columns: exact NDV, null fraction, min/max, and a fixed-width
+    8-bucket histogram — the stats a cost-based optimizer (or a human
+    sizing a 100 TB join) reads before planning. Two column-pruned
+    passes per column (a 1-row stats pass broadcast onto the histogram
+    pass); the histogram is EXACT fixed-width
+    (bucket = floor(8·(v-min)/(max-min)), clamped), not a sample, so
+    the oracle can state it too. Long format: one row per
+    (column, bucket), stats repeated per row."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    frames = []
+    for c in cols:
+        stats = lineitem.agg(
+            F.min(c).alias("vmin"), F.max(c).alias("vmax"),
+            F.count("*").alias("n"),
+            F.sum(F.col(c).isNull().cast("long")).alias("nulls"),
+            F.countDistinct(c).alias("ndv"),
+        )
+        bucketed = (
+            lineitem.crossJoin(F.broadcast(stats))
+            .select(
+                F.least(
+                    F.lit(7),
+                    F.floor(
+                        (F.col(c) - F.col("vmin"))
+                        * 8.0
+                        / (F.col("vmax") - F.col("vmin"))
+                    ),
+                ).cast("long").alias("bucket"),
+                "vmin", "vmax", "n", "nulls", "ndv",
+            )
+            .groupBy("bucket", "vmin", "vmax", "n", "nulls", "ndv")
+            .agg(F.count("*").alias("rows"))
+            .select(
+                F.lit(c).alias("column"),
+                "bucket",
+                "rows",
+                F.round(F.col("vmin").cast("double"), 6).alias("vmin"),
+                F.round(F.col("vmax").cast("double"), 6).alias("vmax"),
+                F.col("ndv").cast("long").alias("ndv"),
+                F.round(F.col("nulls") / F.col("n"), 6).alias("null_frac"),
+            )
+        )
+        frames.append(bucketed)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

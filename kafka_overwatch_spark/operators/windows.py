@@ -245,3 +245,48 @@ def partition_liveness_scd2(snaps: dict[str, DataFrame]) -> DataFrame:
         "scans",
         "offset_growth",
     )
+
+
+def scd2_point_in_time(snaps: dict[str, DataFrame]) -> DataFrame:
+    """Point-in-time (temporal) join: every offset sample joined to the
+    SCD2 liveness interval covering its scan — the warehouse pattern for
+    "which dimension version was current when this fact happened".
+
+    The BETWEEN join (valid_from <= scan <= valid_to) is rewritten as an
+    EQUI-join by exploding each interval into its member scans — exact
+    because intervals partition the scan axis, and bounded because an
+    interval holds at most N_SCANS points (the same bucketize-the-range
+    trick as events_preceding_window_join; a BroadcastNestedLoopJoin
+    over the inequality would be the naive plan). At 100 TB the exploded
+    interval table is |state changes| × |scans in interval| =
+    O(total scans), the same as the fact — and both sides shuffle on
+    the (topic, partition, scan) key the layout already buckets."""
+    po = snaps["partition_offsets"]
+    intervals = partition_liveness_scd2(snaps)
+    exploded = intervals.select(
+        "cluster",
+        "topic",
+        "partition_id",
+        "state",
+        "interval_seq",
+        F.explode(
+            F.sequence(F.col("valid_from_scan"), F.col("valid_to_scan"))
+        ).alias("scan_id"),
+    )
+    return (
+        po.select(
+            "cluster", "topic", "partition_id",
+            F.col("scan_id").cast("long").alias("scan_id"),
+            "end_offset",
+        )
+        .join(exploded, ["cluster", "topic", "partition_id", "scan_id"])
+        .select(
+            "cluster",
+            "topic",
+            "partition_id",
+            "scan_id",
+            F.col("end_offset").cast("long").alias("end_offset"),
+            "state",
+            "interval_seq",
+        )
+    )

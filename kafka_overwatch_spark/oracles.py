@@ -811,4 +811,44 @@ FROM topics t
 ANTI JOIN upd u ON t.cluster = u.cluster AND t.name = u.name"""
     )
 
+    # point-in-time temporal join stated as the literal BETWEEN join
+    # (the Spark side explodes intervals into an equi-join — two
+    # different algorithms, same rows)
+    q["scd2_point_in_time"] = _snap(
+        """
+st AS (
+  SELECT cluster, topic, partition_id, scan_id, end_offset,
+    CASE WHEN end_offset > lag(end_offset) OVER (
+        PARTITION BY cluster, topic, partition_id ORDER BY scan_id)
+      THEN 'advancing' ELSE 'stalled' END AS state
+  FROM partition_offsets
+),
+mk AS (
+  SELECT *, CASE WHEN lag(state) OVER w IS NULL
+      OR lag(state) OVER w <> state THEN 1 ELSE 0 END AS changed
+  FROM st
+  WINDOW w AS (PARTITION BY cluster, topic, partition_id ORDER BY scan_id)
+),
+isl AS (
+  SELECT *, sum(changed) OVER (
+      PARTITION BY cluster, topic, partition_id ORDER BY scan_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM mk
+),
+iv AS (
+  SELECT cluster, topic, partition_id, state,
+    CAST(island AS BIGINT) AS interval_seq,
+    min(scan_id) AS f, max(scan_id) AS t
+  FROM isl GROUP BY cluster, topic, partition_id, state, island
+)
+SELECT po.cluster, po.topic, po.partition_id,
+  CAST(po.scan_id AS BIGINT) AS scan_id,
+  CAST(po.end_offset AS BIGINT) AS end_offset,
+  iv.state, iv.interval_seq
+FROM partition_offsets po
+JOIN iv ON po.cluster = iv.cluster AND po.topic = iv.topic
+  AND po.partition_id = iv.partition_id
+  AND po.scan_id BETWEEN iv.f AND iv.t"""
+    )
+
     return q

@@ -1954,4 +1954,30 @@ SELECT CAST(o_year AS BIGINT) AS o_year,
   CAST(count(*) AS BIGINT) AS lineitems
 FROM j GROUP BY 1"""
 
+    # ANALYZE-style exact column stats + fixed-width histogram; the
+    # bucket arithmetic is the IDENTICAL double expression order
+    # ((v - vmin) * 8.0 / (vmax - vmin)) in both engines
+    def _colstats(c: str) -> str:
+        return f"""
+SELECT '{c}' AS "column",
+  CAST(least(7, floor(({c} - vmin) * 8.0 / (vmax - vmin))) AS BIGINT)
+    AS bucket,
+  CAST(count(*) AS BIGINT) AS rows,
+  round(CAST(vmin AS DOUBLE), 6) AS vmin,
+  round(CAST(vmax AS DOUBLE), 6) AS vmax,
+  CAST(ndv AS BIGINT) AS ndv,
+  round(CAST(nulls AS DOUBLE) / n, 6) AS null_frac
+FROM lineitem CROSS JOIN (
+  SELECT min({c}) AS vmin, max({c}) AS vmax, count(*) AS n,
+    sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nulls,
+    count(DISTINCT {c}) AS ndv
+  FROM lineitem
+) s
+GROUP BY 1, 2, vmin, vmax, n, nulls, ndv"""
+
+    q["table_column_stats"] = "\nUNION ALL\n".join(
+        _colstats(c)
+        for c in ("l_quantity", "l_extendedprice", "l_discount")
+    )
+
     return q

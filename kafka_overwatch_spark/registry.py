@@ -344,6 +344,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["snapshot_upsert_topics"] = _upsert_topics
+    q["scd2_point_in_time"] = lambda s, d: windows.scd2_point_in_time(
+        get_snaps(s, d)
+    )
     q["topic_throughput_timeseries"] = (
         lambda s, d: windows.topic_throughput_timeseries(get_snaps(s, d))
     )
@@ -804,6 +807,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda s, d: relational.excess_promo_suppliers(
             raw(s, d, "lineitem"), raw(s, d, "part"), raw(s, d, "supplier")
         )
+    )
+    q["table_column_stats"] = lambda s, d: relational.table_column_stats(
+        raw(s, d, "lineitem")
     )
     q["tpch_market_share"] = lambda s, d: relational.nation_market_share(
         raw(s, d, "customer"),
