@@ -415,3 +415,39 @@ def test_bpe_tokenize_is_narrow(spark, snaps):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_forecast_revenue_pushes_all_predicates(spark, snaps):
+    """Q6 shape: the date/discount/quantity triplet must reach the
+    parquet scan as PushedFilters — Q6 is PURE scan efficiency."""
+    from kafka_overwatch_spark.operators.relational import (
+        forecast_revenue_change,
+    )
+
+    plan = _plan(forecast_revenue_change(spark.table("lineitem")))
+    pushed = plan.split("PushedFilters:")[-1].split("ReadSchema")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    # and the scan reads only the needed columns
+    read = plan.split("ReadSchema:")[-1]
+    assert "l_orderkey" not in read
+
+
+def test_scd2_single_window_exchange(spark, snaps):
+    """SCD2 compression: lag → marker → cumsum → aggregate all share the
+    (cluster, topic, partition_id) key — ONE hash exchange. Measured
+    over a materialized parquet copy so the fixture-derivation lineage
+    (which has its own exchanges) doesn't pollute the operator plan."""
+    import tempfile
+
+    from kafka_overwatch_spark.operators.windows import (
+        partition_liveness_scd2,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        snaps["partition_offsets"].write.mode("overwrite").parquet(
+            f"{tmp}/po"
+        )
+        po = spark.read.parquet(f"{tmp}/po")
+        plan = _final_plan(partition_liveness_scd2({"partition_offsets": po}))
+        assert plan.count("Exchange hashpartitioning") <= 1
