@@ -70,6 +70,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_card.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
 
+    p_explain = sub.add_parser(
+        "explain", help="print a registered query's physical plan"
+    )
+    p_explain.add_argument("--name", required=True)
+    p_explain.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    p_explain.add_argument(
+        "--mode",
+        choices=["simple", "extended", "formatted", "cost"],
+        default="formatted",
+    )
+
     sub.add_parser("list", help="list registered queries")
 
     args = parser.parse_args(argv)
@@ -135,6 +146,12 @@ def main(argv: list[str] | None = None) -> int:
             queries[args.name](spark, args.sf_dir).show(
                 args.limit, truncate=False
             )
+        elif args.cmd == "explain":
+            queries = registry.spark_queries()
+            if args.name not in queries:
+                print(f"unknown query: {args.name}", file=sys.stderr)
+                return 2
+            queries[args.name](spark, args.sf_dir).explain(mode=args.mode)
         elif args.cmd == "validate":
             from .operators.validation import validation_report
 

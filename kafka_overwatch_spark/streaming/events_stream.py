@@ -65,9 +65,29 @@ def windowed_counts(stream: DataFrame, watermark: str = "2 days") -> DataFrame:
 
 
 def streaming_dedup(stream: DataFrame, watermark: str = "2 days") -> DataFrame:
-    """Streaming exact dedup on event_id within the watermark horizon —
-    `dropDuplicates` with bounded state."""
+    """Streaming exact dedup on event_id. CAVEAT (the classic state
+    trap): because the event-time column is NOT part of the dedup
+    subset, `dropDuplicates` keeps every key in state FOREVER — the
+    watermark only gates late rows, it does not evict dedup state. Fine
+    for bounded replays; at 100 TB use
+    `streaming_dedup_within_watermark`, which evicts each key once the
+    watermark passes it."""
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def streaming_dedup_within_watermark(
+    stream: DataFrame, watermark: str = "2 days"
+) -> DataFrame:
+    """State-BOUNDED streaming dedup: `dropDuplicatesWithinWatermark`
+    guarantees exact dedup for duplicates arriving within the watermark
+    horizon of first sight and EVICTS each key's state once the
+    watermark passes — state size is O(events per horizon), not
+    O(history). This is the only form that survives an unbounded stream;
+    kafka replays / at-least-once producers re-deliver within seconds,
+    far inside any sane horizon."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 SESSION_SCHEMA = StructType(

@@ -604,3 +604,22 @@ def test_streaming_session_windows_match_batch_native(spark, snaps):
                 f"sessions ending before the watermark were never "
                 f"emitted: {sorted(held_ends)[:5]} vs horizon {horizon}"
             )
+
+
+def test_streaming_dedup_within_watermark_bounded_state(spark, snaps):
+    """The state-bounded dedup must drop a replayed batch exactly like
+    the state-forever form (duplicates arrive within the horizon), while
+    evicting old keys — streamed distinct count equals the batch one."""
+    from kafka_overwatch_spark.streaming import events_stream as es
+    from kafka_overwatch_spark.streaming.offsets import run_to_completion
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ev = _split_events(spark, tmp, duplicate_last=True)
+        out = run_to_completion(
+            es.streaming_dedup_within_watermark(
+                es.event_stream(spark, f"{tmp}/in")
+            ),
+            f"{tmp}/ck3",
+        )
+        ids = [r["event_id"] for r in out]
+        assert len(ids) == len(set(ids)) == ev.count()
