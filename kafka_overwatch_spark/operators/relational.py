@@ -1768,3 +1768,56 @@ def table_column_stats(lineitem: DataFrame) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def user_event_window_battery(events: DataFrame) -> DataFrame:
+    """Window-function battery over each user's event sequence:
+    percent_rank / cume_dist on value within user, first/last value
+    with explicit frames, nth_value, and lead gap — the §2.6 analytic
+    function surface in one pass. All functions share ONE
+    (user_id)-window, so the plan is a single exchange + sort; ties in
+    the ordering are broken by event_id so every function is
+    deterministic and oracle-exact."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    full = seq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.percent_rank().over(w), 6).alias("value_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("value_cume_dist"),
+        F.first("event_id").over(full).alias("first_event_id"),
+        F.last("event_id").over(full).alias("last_event_id"),
+        F.nth_value("event_id", 2).over(full).alias("second_event_id"),
+        (
+            F.unix_timestamp(F.lead("ts").over(seq))
+            - F.unix_timestamp("ts")
+        ).cast("long").alias("gap_to_next_sec"),
+    )
+
+
+def purchase_error_set_ops(events: DataFrame) -> DataFrame:
+    """Set-operation surface (§2.7): users who purchased AND errored
+    (INTERSECT), purchased only (EXCEPT), either (UNION) — emitted as
+    one labeled frame. Distinct-set semantics on both engines; at scale
+    these are the same keyed shuffles as any distinct aggregation."""
+    purchasers = events.filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id").distinct()
+    errored = events.filter(
+        F.col("event_type") == "error"
+    ).select("user_id").distinct()
+    both = purchasers.intersect(errored).withColumn(
+        "cohort", F.lit("purchase_and_error")
+    )
+    only = purchasers.exceptAll(errored).withColumn(
+        "cohort", F.lit("purchase_only")
+    )
+    either = purchasers.union(errored).distinct().withColumn(
+        "cohort", F.lit("purchase_or_error")
+    )
+    return both.unionByName(only).unionByName(either).select(
+        "cohort", "user_id"
+    )

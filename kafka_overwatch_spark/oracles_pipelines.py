@@ -1980,4 +1980,35 @@ GROUP BY 1, 2, vmin, vmax, n, nulls, ndv"""
         for c in ("l_quantity", "l_extendedprice", "l_discount")
     )
 
+    # §2.6 analytic-function battery: one user-keyed window
+    q["events_window_functions"] = """
+SELECT user_id, event_id,
+  round(percent_rank() OVER vw, 6) AS value_pct_rank,
+  round(cume_dist() OVER vw, 6) AS value_cume_dist,
+  first_value(event_id) OVER fw AS first_event_id,
+  last_value(event_id) OVER fw AS last_event_id,
+  nth_value(event_id, 2) OVER fw AS second_event_id,
+  CAST(date_diff('second', ts, lead(ts) OVER sw) AS BIGINT)
+    AS gap_to_next_sec
+FROM events
+WINDOW
+  vw AS (PARTITION BY user_id ORDER BY value, event_id),
+  sw AS (PARTITION BY user_id ORDER BY ts, event_id),
+  fw AS (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+
+    # §2.7 set operations: INTERSECT / EXCEPT ALL / UNION
+    q["events_set_ops"] = """
+WITH p AS (SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase'),
+e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+SELECT 'purchase_and_error' AS cohort, user_id
+FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
+UNION ALL
+SELECT 'purchase_only', user_id
+FROM (SELECT user_id FROM p EXCEPT ALL SELECT user_id FROM e)
+UNION ALL
+SELECT 'purchase_or_error', user_id
+FROM (SELECT user_id FROM p UNION SELECT user_id FROM e)"""
+
     return q

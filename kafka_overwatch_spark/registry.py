@@ -811,6 +811,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["table_column_stats"] = lambda s, d: relational.table_column_stats(
         raw(s, d, "lineitem")
     )
+    q["events_window_functions"] = (
+        lambda s, d: relational.user_event_window_battery(raw(s, d, "events"))
+    )
+    q["events_set_ops"] = lambda s, d: relational.purchase_error_set_ops(
+        raw(s, d, "events")
+    )
     q["tpch_market_share"] = lambda s, d: relational.nation_market_share(
         raw(s, d, "customer"),
         raw(s, d, "orders"),
