@@ -1821,3 +1821,86 @@ def purchase_error_set_ops(events: DataFrame) -> DataFrame:
     return both.unionByName(only).unionByName(either).select(
         "cohort", "user_id"
     )
+
+
+def time_weighted_value(events: DataFrame) -> DataFrame:
+    """Time-weighted average value per (event_type): each sample is
+    weighted by its holding interval (seconds until the same type's
+    next event) — the TWAP shape for irregularly-sampled series, where
+    a plain AVG over-weights bursts. The last sample per type has no
+    successor and is excluded from the weighting (stated identically in
+    the oracle). One type-keyed window + one aggregate — single
+    exchange; second-exact integer weights, the ratio divides last."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    weighted = events.select(
+        "event_type",
+        _dec("value").alias("d_value"),
+        (
+            F.unix_timestamp(F.lead("ts").over(w))
+            - F.unix_timestamp("ts")
+        ).cast("long").alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    return weighted.groupBy("event_type").agg(
+        F.count("*").alias("samples"),
+        F.sum("dt").alias("total_sec"),
+        F.round(
+            (F.sum(F.col("d_value") * F.col("dt")) / F.sum("dt")).cast(
+                "double"
+            ),
+            6,
+        ).alias("time_weighted_value"),
+        F.round(
+            (F.sum("d_value") / F.count("*")).cast("double"), 6
+        ).alias("plain_avg"),
+    )
+
+
+def daily_locf_resample(events: DataFrame) -> DataFrame:
+    """Gap-fill + last-observation-carried-forward resampling: each
+    (event_type) series becomes a REGULAR daily grid; days with no
+    events inherit the previous day's closing value (LOCF) and are
+    flagged. The grid is generated with sequence/explode off each
+    type's own [min_day, max_day] span (no calendar table needed), the
+    carry-forward is one `last(value, ignorenulls=True)` window — the
+    standard irregular→regular conversion, two exchanges total (grid
+    join + window share the type key)."""
+    from pyspark.sql.window import Window
+
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = (
+        events.select("event_type", day.alias("day"), _dec("value").alias("v"),
+                      "ts", "event_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type", "day").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("event_type", "day", F.col("v").alias("close_value"))
+    )
+    spans = events.groupBy("event_type").agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        grid.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.last("close_value", ignorenulls=True).over(w)
+            .cast("double")
+            .alias("value"),
+            F.col("close_value").isNull().cast("long").alias("gap_filled"),
+        )
+    )

@@ -2011,4 +2011,56 @@ UNION ALL
 SELECT 'purchase_or_error', user_id
 FROM (SELECT user_id FROM p UNION SELECT user_id FROM e)"""
 
+    # TWAP: interval-weighted mean for irregular samples; the last
+    # sample per type (no successor) is excluded on both sides
+    q["events_time_weighted_avg"] = """
+WITH wgt AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS d_value,
+    CAST(date_diff('second', ts, lead(ts) OVER (
+      PARTITION BY event_type ORDER BY ts, event_id)) AS BIGINT) AS dt
+  FROM events
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS samples,
+  CAST(sum(dt) AS BIGINT) AS total_sec,
+  round(CAST(sum(d_value * dt) / sum(dt) AS DOUBLE), 6)
+    AS time_weighted_value,
+  round(CAST(sum(d_value) / count(*) AS DOUBLE), 6) AS plain_avg
+FROM wgt WHERE dt IS NOT NULL
+GROUP BY event_type"""
+
+    # daily grid + LOCF gap fill (generate_series vs sequence/explode —
+    # different grid generators, same series)
+    q["events_daily_locf"] = """
+WITH base AS (
+  SELECT event_type,
+    CAST(floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+      / 86400) AS BIGINT) AS day,
+    CAST(value AS DECIMAL(18,2)) AS v, ts, event_id
+  FROM events
+),
+daily AS (
+  SELECT event_type, day, v AS close_value FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type, day
+      ORDER BY ts DESC, event_id DESC) AS rn
+    FROM base
+  ) WHERE rn = 1
+),
+spans AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM base
+  GROUP BY event_type
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(d0, d1)) AS day FROM spans
+)
+SELECT g.event_type, g.day,
+  CAST(last_value(d.close_value IGNORE NULLS) OVER (
+    PARTITION BY g.event_type ORDER BY g.day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS value,
+  CAST(CASE WHEN d.close_value IS NULL THEN 1 ELSE 0 END AS BIGINT)
+    AS gap_filled
+FROM grid g LEFT JOIN daily d
+  ON g.event_type = d.event_type AND g.day = d.day"""
+
     return q

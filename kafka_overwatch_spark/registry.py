@@ -817,6 +817,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_set_ops"] = lambda s, d: relational.purchase_error_set_ops(
         raw(s, d, "events")
     )
+    q["events_time_weighted_avg"] = (
+        lambda s, d: relational.time_weighted_value(raw(s, d, "events"))
+    )
+    q["events_daily_locf"] = lambda s, d: relational.daily_locf_resample(
+        raw(s, d, "events")
+    )
     q["tpch_market_share"] = lambda s, d: relational.nation_market_share(
         raw(s, d, "customer"),
         raw(s, d, "orders"),
