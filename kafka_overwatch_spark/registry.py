@@ -993,6 +993,12 @@ _PROMOTED = [
     "graph_association_rules",
     "graph_part_degree",
     "tpch_market_share",
+    "scd2_point_in_time",
+    "snapshot_upsert_topics",
+    "table_column_stats",
+    "events_window_functions",
+    "events_daily_locf",
+    "events_time_weighted_avg",
 ]
 
 
