@@ -139,6 +139,13 @@ EXTRA = [
     "graph_pagerank",
     "graph_association_rules",
     "tpch_market_share",
+    "table_column_stats",
+    "events_window_functions",
+    "events_set_ops",
+    "events_time_weighted_avg",
+    "events_daily_locf",
+    "scd2_point_in_time",
+    "snapshot_upsert_topics",
 ]
 
 
