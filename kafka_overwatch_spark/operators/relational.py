@@ -1904,3 +1904,70 @@ def daily_locf_resample(events: DataFrame) -> DataFrame:
             F.col("close_value").isNull().cast("long").alias("gap_filled"),
         )
     )
+
+
+def daily_ewma_cusum(
+    events: DataFrame, alpha: float = 0.3, slack: float = 0.5
+) -> DataFrame:
+    """EWMA smoothing + one-sided CUSUM drift detection over each
+    type's daily value series — the streaming-SRE anomaly pair. Both
+    are NONLINEAR recurrences (ewma_t = α·x_t + (1-α)·ewma_{t-1};
+    cusum_t = max(0, cusum_{t-1} + x_t - mean - slack·stddev)), which
+    no window function expresses — instead each type's (bounded,
+    dim-sized after the daily rollup) series is folded with a JVM
+    higher-order ``aggregate`` over the sorted array: zero Python, zero
+    extra shuffles beyond the daily rollup itself. At 100 TB the rollup
+    is the only fact-sized work; the folds run on |types|×|days| rows.
+    Rows-only gate (recurrences aren't ANSI-SQL); exact python-fold
+    parity in tests/test_relational_extras.py."""
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = events.groupBy(
+        "event_type", day.alias("day")
+    ).agg(F.sum(_dec("value")).cast("double").alias("x"))
+    per_type = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "x"))
+        ).alias("series"),
+        F.avg("x").alias("mu"),
+        F.stddev_pop("x").alias("sigma"),
+    )
+    folded = per_type.select(
+        "event_type",
+        "mu",
+        "sigma",
+        F.expr(
+            f"""
+            aggregate(
+              series,
+              struct(
+                CAST(NULL AS DOUBLE) AS prev,
+                CAST(0.0 AS DOUBLE) AS cusum,
+                CAST(array() AS ARRAY<STRUCT<day: BIGINT, x: DOUBLE,
+                  ewma: DOUBLE, cusum: DOUBLE>>) AS out
+              ),
+              (acc, s) -> struct(
+                CASE WHEN acc.prev IS NULL THEN s.x
+                  ELSE {alpha} * s.x + {1 - alpha} * acc.prev END AS prev,
+                greatest(0.0D,
+                  acc.cusum + s.x - mu - {slack} * sigma) AS cusum,
+                array_append(acc.out, struct(
+                  s.day AS day, s.x AS x,
+                  CASE WHEN acc.prev IS NULL THEN s.x
+                    ELSE {alpha} * s.x + {1 - alpha} * acc.prev END AS ewma,
+                  greatest(0.0D,
+                    acc.cusum + s.x - mu - {slack} * sigma) AS cusum)) AS out
+              ),
+              acc -> acc.out
+            )
+            """
+        ).alias("out"),
+    )
+    return folded.select(
+        "event_type", F.explode("out").alias("o")
+    ).select(
+        "event_type",
+        F.col("o.day").alias("day"),
+        F.round("o.x", 6).alias("value"),
+        F.round("o.ewma", 6).alias("ewma"),
+        F.round("o.cusum", 6).alias("cusum"),
+    )

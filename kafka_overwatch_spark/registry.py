@@ -823,6 +823,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_daily_locf"] = lambda s, d: relational.daily_locf_resample(
         raw(s, d, "events")
     )
+    # EWMA/CUSUM recurrences via JVM aggregate folds (rows-only: no
+    # ANSI-SQL recurrence; python parity in tests/test_relational_extras)
+    q["events_ewma_cusum"] = lambda s, d: relational.daily_ewma_cusum(
+        raw(s, d, "events")
+    )
     q["tpch_market_share"] = lambda s, d: relational.nation_market_share(
         raw(s, d, "customer"),
         raw(s, d, "orders"),

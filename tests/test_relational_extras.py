@@ -100,3 +100,42 @@ def test_native_session_window_matches_lag_cumsum(spark):
         (r.user_id, r.session_start_sec): r.events for r in folded.collect()
     }
     assert n == c
+
+
+def test_ewma_cusum_matches_python_fold(spark):
+    """The JVM aggregate fold must reproduce the textbook recurrences
+    exactly (same float operation order)."""
+    events = get_raw_tables(spark, SF_DIR)["events"]
+    got = {
+        (r.event_type, r.day): (r.value, r.ewma, r.cusum)
+        for r in relational.daily_ewma_cusum(events).collect()
+    }
+
+    daily_rows = (
+        events.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("x"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily_rows:
+        series.setdefault(r.event_type, []).append((r.day, r.x))
+    alpha, slack = 0.3, 0.5
+    want = {}
+    for et, pts in series.items():
+        pts.sort()
+        xs = [x for _, x in pts]
+        mu = sum(xs) / len(xs)
+        sigma = (sum((x - mu) ** 2 for x in xs) / len(xs)) ** 0.5
+        prev, cusum = None, 0.0
+        for day, x in pts:
+            ewma = x if prev is None else alpha * x + (1 - alpha) * prev
+            cusum = max(0.0, cusum + x - mu - slack * sigma)
+            want[(et, day)] = (round(x, 6), round(ewma, 6), round(cusum, 6))
+            prev = ewma
+    assert set(got) == set(want)
+    for k in got:
+        for a, b in zip(got[k], want[k]):
+            assert abs(a - b) < 1e-6, (k, got[k], want[k])
