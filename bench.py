@@ -146,6 +146,9 @@ EXTRA = [
     "events_daily_locf",
     "scd2_point_in_time",
     "snapshot_upsert_topics",
+    "events_ewma_cusum",
+    "events_equi_depth_hist",
+    "events_type_transitions",
 ]
 
 

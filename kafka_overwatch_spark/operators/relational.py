@@ -1971,3 +1971,60 @@ def daily_ewma_cusum(
         F.round("o.ewma", 6).alias("ewma"),
         F.round("o.cusum", 6).alias("cusum"),
     )
+
+
+def value_equi_depth_histogram(events: DataFrame, buckets: int = 8) -> DataFrame:
+    """Equi-DEPTH histogram per event type (ntile over the exact value
+    order): every bucket holds the same row count and the boundaries
+    land on real data values — the optimizer-statistics complement to
+    table_column_stats' equi-width form (equi-depth is what skewed
+    columns need). Deterministic: the ntile order is total (value,
+    event_id). One keyed window + one aggregate on the same key."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        events.select(
+            "event_type", "value",
+            F.ntile(buckets).over(w).cast("long").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("rows"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+def event_type_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: P(next_type | type) from exact bigram counts — the
+    sequence prior a behavioral model starts from. Counts are exact
+    integers; the probability divides last (identical doubles, round
+    6). One user-keyed window for the lead + one (from, to) aggregate."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bigrams = (
+        events.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("transitions"))
+    )
+    totals = bigrams.groupBy("from_type").agg(
+        F.sum("transitions").alias("n_from")
+    )
+    return (
+        bigrams.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "transitions",
+            F.col("n_from").cast("long").alias("n_from"),
+            F.round(F.col("transitions") / F.col("n_from"), 6).alias("p"),
+        )
+    )

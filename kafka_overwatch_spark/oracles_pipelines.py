@@ -2063,4 +2063,39 @@ SELECT g.event_type, g.day,
 FROM grid g LEFT JOIN daily d
   ON g.event_type = d.event_type AND g.day = d.day"""
 
+    # equi-depth histogram via ntile over a TOTAL order (deterministic)
+    q["events_equi_depth_hist"] = """
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+  CAST(count(*) AS BIGINT) AS rows,
+  round(min(value), 6) AS lo, round(max(value), 6) AS hi
+FROM (
+  SELECT event_type, value,
+    ntile(8) OVER (PARTITION BY event_type ORDER BY value, event_id)
+      AS bucket
+  FROM events
+)
+GROUP BY 1, 2"""
+
+    # first-order Markov transition matrix: exact bigram counts,
+    # probability divides last
+    q["events_type_transitions"] = """
+WITH bg AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS transitions
+  FROM (
+    SELECT event_type AS from_type,
+      lead(event_type) OVER (PARTITION BY user_id
+        ORDER BY ts, event_id) AS to_type
+    FROM events
+  )
+  WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT from_type, CAST(sum(transitions) AS BIGINT) AS n_from
+  FROM bg GROUP BY 1
+)
+SELECT bg.from_type, bg.to_type, bg.transitions, t.n_from,
+  round(CAST(bg.transitions AS DOUBLE) / t.n_from, 6) AS p
+FROM bg JOIN t ON bg.from_type = t.from_type"""
+
     return q

@@ -828,6 +828,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_ewma_cusum"] = lambda s, d: relational.daily_ewma_cusum(
         raw(s, d, "events")
     )
+    q["events_equi_depth_hist"] = (
+        lambda s, d: relational.value_equi_depth_histogram(raw(s, d, "events"))
+    )
+    q["events_type_transitions"] = (
+        lambda s, d: relational.event_type_transitions(raw(s, d, "events"))
+    )
     q["tpch_market_share"] = lambda s, d: relational.nation_market_share(
         raw(s, d, "customer"),
         raw(s, d, "orders"),
