@@ -149,6 +149,7 @@ EXTRA = [
     "events_ewma_cusum",
     "events_equi_depth_hist",
     "events_type_transitions",
+    "events_mad_anomalies",
 ]
 
 

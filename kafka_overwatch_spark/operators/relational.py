@@ -2028,3 +2028,47 @@ def event_type_transitions(events: DataFrame) -> DataFrame:
             F.round(F.col("transitions") / F.col("n_from"), 6).alias("p"),
         )
     )
+
+
+def daily_mad_anomalies(events: DataFrame, k: float = 2.0) -> DataFrame:
+    """Robust anomaly flags per (event_type, day): |x - median| >
+    k·1.4826·MAD — the median/median-absolute-deviation detector that
+    survives the outliers a mean/stddev z-score is wrecked by (compare
+    events_anomalous_days, the classic form). Exact medians
+    (`percentile`, linear interpolation — engine-identical to DuckDB's
+    quantile_cont) over the dim-sized daily rollup; the two aggregate
+    passes share the type key and the medians broadcast back."""
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = events.groupBy("event_type", day.alias("day")).agg(
+        F.sum(_dec("value")).cast("double").alias("x")
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(x, 0.5)").alias("med")
+    )
+    mad = (
+        daily.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(abs(x - med), 0.5)").alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    return (
+        daily.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.round("x", 6).alias("value"),
+            F.round("med", 6).alias("median"),
+            F.round("mad", 6).alias("mad"),
+            F.round(
+                F.abs(F.col("x") - F.col("med"))
+                / (F.lit(1.4826) * F.col("mad")),
+                6,
+            ).alias("robust_z"),
+            (
+                F.abs(F.col("x") - F.col("med"))
+                > F.lit(k) * F.lit(1.4826) * F.col("mad")
+            ).cast("long").alias("is_anomaly"),
+        )
+    )

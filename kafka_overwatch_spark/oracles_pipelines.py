@@ -2098,4 +2098,31 @@ SELECT bg.from_type, bg.to_type, bg.transitions, t.n_from,
   round(CAST(bg.transitions AS DOUBLE) / t.n_from, 6) AS p
 FROM bg JOIN t ON bg.from_type = t.from_type"""
 
+    # robust MAD anomaly flags; exact interpolated medians both engines
+    q["events_mad_anomalies"] = """
+WITH daily AS (
+  SELECT event_type,
+    CAST(floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+      / 86400) AS BIGINT) AS day,
+    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, quantile_cont(x, 0.5) AS med FROM daily GROUP BY 1
+),
+mad AS (
+  SELECT d.event_type, quantile_cont(abs(d.x - m.med), 0.5) AS mad,
+    any_value(m.med) AS med
+  FROM daily d JOIN med m ON d.event_type = m.event_type
+  GROUP BY 1
+)
+SELECT d.event_type, d.day,
+  round(d.x, 6) AS value,
+  round(a.med, 6) AS median,
+  round(a.mad, 6) AS mad,
+  round(abs(d.x - a.med) / (1.4826 * a.mad), 6) AS robust_z,
+  CAST(CASE WHEN abs(d.x - a.med) > 2.0 * 1.4826 * a.mad
+    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM daily d JOIN mad a ON d.event_type = a.event_type"""
+
     return q

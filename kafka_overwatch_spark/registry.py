@@ -834,6 +834,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_type_transitions"] = (
         lambda s, d: relational.event_type_transitions(raw(s, d, "events"))
     )
+    q["events_mad_anomalies"] = lambda s, d: relational.daily_mad_anomalies(
+        raw(s, d, "events")
+    )
     q["tpch_market_share"] = lambda s, d: relational.nation_market_share(
         raw(s, d, "customer"),
         raw(s, d, "orders"),
