@@ -2072,3 +2072,41 @@ def daily_mad_anomalies(events: DataFrame, k: float = 2.0) -> DataFrame:
             ).cast("long").alias("is_anomaly"),
         )
     )
+
+
+def cohort_overlap_sketch(events: DataFrame) -> DataFrame:
+    """Approximate cohort overlap via mergeable HLL sketches:
+    |purchasers ∩ errored| estimated by inclusion-exclusion
+    (|A| + |B| - |A∪B|) where |A∪B| comes from a sketch UNION — no
+    exact distinct-intersect shuffle. This is the 100 TB form of
+    events_set_ops' INTERSECT: each cohort's sketch is a few KB of
+    mergeable state (computable per partition/day and unioned), while
+    the exact form shuffles every (user) row of both cohorts. Error
+    vs the exact anchors is gated in tests. Rows-only: estimates are
+    implementation-defined."""
+    sk = events.agg(
+        F.expr(
+            "hll_sketch_agg(CASE WHEN event_type = 'purchase' "
+            "THEN user_id END)"
+        ).alias("sk_p"),
+        F.expr(
+            "hll_sketch_agg(CASE WHEN event_type = 'error' "
+            "THEN user_id END)"
+        ).alias("sk_e"),
+    )
+    return sk.select(
+        F.expr("hll_sketch_estimate(sk_p)").cast("long").alias(
+            "est_purchasers"
+        ),
+        F.expr("hll_sketch_estimate(sk_e)").cast("long").alias(
+            "est_errored"
+        ),
+        F.expr(
+            "hll_sketch_estimate(hll_union(sk_p, sk_e))"
+        ).cast("long").alias("est_union"),
+        (
+            F.expr("hll_sketch_estimate(sk_p)")
+            + F.expr("hll_sketch_estimate(sk_e)")
+            - F.expr("hll_sketch_estimate(hll_union(sk_p, sk_e))")
+        ).cast("long").alias("est_intersection"),
+    )

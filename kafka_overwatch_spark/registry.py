@@ -837,6 +837,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_mad_anomalies"] = lambda s, d: relational.daily_mad_anomalies(
         raw(s, d, "events")
     )
+    # the 100 TB form of events_set_ops' INTERSECT: mergeable-sketch
+    # inclusion-exclusion (rows-only; ≤5% error gate in tests)
+    q["events_set_ops_sketch"] = lambda s, d: relational.cohort_overlap_sketch(
+        raw(s, d, "events")
+    )
     q["tpch_market_share"] = lambda s, d: relational.nation_market_share(
         raw(s, d, "customer"),
         raw(s, d, "orders"),

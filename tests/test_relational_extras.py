@@ -139,3 +139,21 @@ def test_ewma_cusum_matches_python_fold(spark):
     for k in got:
         for a, b in zip(got[k], want[k]):
             assert abs(a - b) < 1e-6, (k, got[k], want[k])
+
+
+def test_cohort_overlap_sketch_error_bound(spark):
+    """Inclusion-exclusion over HLL sketches must land within 5% of the
+    exact cohort sizes (fixture cardinalities ~150)."""
+    events = get_raw_tables(spark, SF_DIR)["events"]
+    row = relational.cohort_overlap_sketch(events).collect()[0]
+    p = {r.user_id for r in events.filter(F.col("event_type") == "purchase")
+         .select("user_id").distinct().collect()}
+    e = {r.user_id for r in events.filter(F.col("event_type") == "error")
+         .select("user_id").distinct().collect()}
+    for est, exact in [
+        (row.est_purchasers, len(p)),
+        (row.est_errored, len(e)),
+        (row.est_union, len(p | e)),
+        (row.est_intersection, len(p & e)),
+    ]:
+        assert abs(est - exact) <= max(2, 0.05 * exact), (est, exact)
