@@ -451,3 +451,39 @@ def test_scd2_single_window_exchange(spark, snaps):
         po = spark.read.parquet(f"{tmp}/po")
         plan = _final_plan(partition_liveness_scd2({"partition_offsets": po}))
         assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, snaps):
+    """AQE runtime filters: a selective dim-side predicate must inject a
+    bloom-filter `might_contain` onto the fact scan. The size thresholds
+    default to 10 GB fact scans — exactly the 100 TB case — so the test
+    lowers them to fire at fixture scale; production needs NO tuning."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        orders = spark.read.parquet(
+            "/root/testdata/sf0.001/orders.parquet"
+        ).filter(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
