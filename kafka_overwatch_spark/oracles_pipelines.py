@@ -2125,4 +2125,27 @@ SELECT d.event_type, d.day,
     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
 FROM daily d JOIN mad a ON d.event_type = a.event_type"""
 
+    # Zipf fit: log-log regression over deterministic vocabulary ranks
+    q["text_zipf_fit"] = """
+WITH words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+    FROM documents
+  )
+  WHERE w <> ''
+  GROUP BY w
+),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, w ASC) AS rank
+  FROM words
+)
+SELECT CAST(count(*) AS BIGINT) AS n_types,
+  CAST(sum(freq) AS BIGINT) AS n_tokens,
+  round(regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+    AS zipf_slope,
+  round(regr_r2(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+    AS r2
+FROM ranked"""
+
     return q

@@ -889,3 +889,47 @@ def bpe_tokenize(
             "token_witness"
         ),
     )
+
+
+def zipf_fit(documents: DataFrame) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: regression slope of
+    log(freq) on log(rank) (natural text ≈ -1; synthetic/boilerplate
+    corpora diverge hard — a one-row dataset-card diagnostic). Exact
+    integer type counts, deterministic ranks (freq desc, word asc), and
+    the regression runs over identical doubles in both engines via the
+    native regr_slope/regr_r2 aggregates (the regr_* surface
+    topic_throughput_trend introduced)."""
+    from pyspark.sql.window import Window
+
+    words = (
+        documents.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = words.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("w").asc())
+        ),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_types"),
+        F.sum("freq").alias("n_tokens"),
+        F.round(
+            F.expr(
+                "regr_slope(ln(CAST(freq AS DOUBLE)), "
+                "ln(CAST(rank AS DOUBLE)))"
+            ),
+            6,
+        ).alias("zipf_slope"),
+        F.round(
+            F.expr(
+                "regr_r2(ln(CAST(freq AS DOUBLE)), "
+                "ln(CAST(rank AS DOUBLE)))"
+            ),
+            6,
+        ).alias("r2"),
+    )

@@ -901,6 +901,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_bpe_tokenize"] = lambda s, d: textops.bpe_tokenize(
         raw(s, d, "documents"), n_merges=8
     )
+    q["text_zipf_fit"] = lambda s, d: textops.zipf_fit(
+        raw(s, d, "documents")
+    )
     # graph family over the co-purchase graph: degree (oracle: self-join
     # edge derivation) + PageRank (rows-only iterative; python parity)
     q["graph_part_degree"] = lambda s, d: graph.part_degree(

@@ -85,3 +85,77 @@ def run_scd1_stream(
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError("scd1 stream did not drain within 300s")
+
+
+class HeavyHitterSketchMaintainer(GenerationalState):
+    """foreachBatch handler maintaining a Count-Min sketch of user
+    activity across micro-batches: each batch is sketched JVM-side
+    (`count_min_sketch` aggregate), merged into the committed sketch
+    with Spark's public `CountMinSketch.mergeInPlace` (exact table
+    addition — same params/seed), and committed generationally. State
+    is ONE ~8 KB binary row regardless of history size: the incremental
+    heavy-hitter table for an unbounded stream, answering point queries
+    at any time from kilobytes.
+
+    NOTE on replay: unlike the HLL reach maintainer (max-merge =
+    idempotent), CMS merge ADDS counts — a replayed batch double-counts.
+    The generation name is keyed by batch_id, so a crash-and-replay
+    OVERWRITES the uncommitted generation rather than re-merging into a
+    committed one; the commit point (pointer flip) keeps exactly-once.
+    Streamed == full-batch equality is asserted in
+    tests/test_streaming_upsert.py."""
+
+    EPS, CONF, SEED = 0.001, 0.99, 42
+
+    def __init__(self, state_dir: str) -> None:
+        super().__init__(state_dir)
+
+    def _batch_sketch_bytes(self, batch_df: DataFrame) -> bytes:
+        row = batch_df.agg(
+            F.expr(
+                f"count_min_sketch(user_id, {self.EPS}d, {self.CONF}d, "
+                f"{self.SEED})"
+            ).alias("sk"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        return bytes(row.sk), int(row.n)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sk_bytes, n = self._batch_sketch_bytes(batch_df)
+        prev = self.read_current(spark)
+        if prev is not None:
+            jvm = spark._jvm
+            cms_cls = jvm.org.apache.spark.util.sketch.CountMinSketch
+            prev_row = prev.collect()[0]
+            merged = cms_cls.readFrom(bytes(prev_row.sketch))
+            merged.mergeInPlace(cms_cls.readFrom(sk_bytes))
+            out_bytes = bytes(jvm_bytes_to_py(spark, merged))
+            total = int(prev_row.n_total) + n
+        else:
+            out_bytes, total = sk_bytes, n
+        state = spark.createDataFrame(
+            [(bytearray(out_bytes), total)], "sketch binary, n_total long"
+        )
+        self.commit(spark, state, batch_id)
+
+    def estimate(self, spark: SparkSession, user_ids: list[int]) -> dict:
+        cur = self.read_current(spark)
+        if cur is None:
+            return {}
+        row = cur.collect()[0]
+        cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            bytes(row.sketch)
+        )
+        return {
+            int(u): int(
+                cms.estimateCount(spark._jvm.java.lang.Long(int(u)))
+            )
+            for u in user_ids
+        }
+
+
+def jvm_bytes_to_py(spark: SparkSession, cms) -> bytes:
+    """Serialize a JVM CountMinSketch back to python bytes via its
+    public toByteArray."""
+    return cms.toByteArray()

@@ -103,3 +103,47 @@ def test_maintainer_matches_sequential_scd1(spark, snaps):
             ).collect()
         }
         assert got == want
+
+
+def test_streaming_cms_equals_full_batch_sketch(spark, snaps):
+    """Per-batch CMS sketches merged across micro-batches must answer
+    point queries IDENTICALLY to one sketch over all the data (CMS merge
+    is exact table addition at equal params/seed)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_overwatch_spark.streaming.upsert import (
+        HeavyHitterSketchMaintainer,
+    )
+
+    events = spark.table("events")
+    with tempfile.TemporaryDirectory() as tmp:
+        m = HeavyHitterSketchMaintainer(f"{tmp}/state")
+        for i in range(4):
+            m(events.filter(F.col("event_id") % 4 == i), batch_id=i)
+        users = [
+            r.user_id
+            for r in events.select("user_id").distinct().limit(40).collect()
+        ]
+        streamed = m.estimate(spark, users)
+
+        jvm = spark._jvm
+        full_bytes = events.agg(
+            F.expr(
+                f"count_min_sketch(user_id, {m.EPS}d, {m.CONF}d, {m.SEED})"
+            ).alias("sk")
+        ).collect()[0].sk
+        full = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            bytes(full_bytes)
+        )
+        exact = {
+            r.user_id: r.cnt
+            for r in events.groupBy("user_id")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        for u in users:
+            want = full.estimateCount(jvm.java.lang.Long(int(u)))
+            assert streamed[u] == want, (u, streamed[u], want)
+            assert streamed[u] >= exact[u]  # one-sided, preserved by merge
