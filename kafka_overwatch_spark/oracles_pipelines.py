@@ -2148,4 +2148,27 @@ SELECT CAST(count(*) AS BIGINT) AS n_types,
     AS r2
 FROM ranked"""
 
+    # embedding split drift: per-dim centroids via list indexing
+    # (Spark posexplodes — two different element-extraction algorithms)
+    q["emb_split_centroid_drift"] = """
+WITH per_dim AS (
+  SELECT CASE WHEN vec_id % 10 < 8 THEN 'train' ELSE 'val' END AS split,
+    g.i AS dim,
+    sum(CAST(embedding[g.i + 1] AS DOUBLE)) / count(*) AS mu
+  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i) g
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT t.dim, t.mu AS mu_t, v.mu AS mu_v
+  FROM (SELECT dim, mu FROM per_dim WHERE split = 'train') t
+  JOIN (SELECT dim, mu FROM per_dim WHERE split = 'val') v
+    ON t.dim = v.dim
+)
+SELECT CAST(count(*) AS BIGINT) AS dims,
+  round(sqrt(sum((mu_t - mu_v) * (mu_t - mu_v))), 6) AS l2_drift,
+  round(sum(mu_t * mu_v)
+    / (sqrt(sum(mu_t * mu_t)) * sqrt(sum(mu_v * mu_v))), 6)
+    AS centroid_cosine
+FROM j"""
+
     return q

@@ -1330,3 +1330,58 @@ def ann_ivfpq_residual_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def split_centroid_drift(embeddings: DataFrame) -> DataFrame:
+    """Embedding-space drift between deterministic train/val splits:
+    per-dimension centroids of each split (posexplode → one (split,
+    dim) aggregate) reduced to L2 distance and cosine between the two
+    centroid vectors — the embedding-space analog of the PSI length
+    drift gate (corpus_split_drift_psi). A healthy random split shows
+    near-zero drift; a skewed assignment (time- or source-correlated)
+    shows up immediately. All arithmetic is sum/count exact-order
+    aggregation over identical doubles; the scalar division happens
+    once at the end (round 6).
+
+    At 100 TB: one narrow posexplode + ONE (split, dim)-keyed aggregate
+    (dims are bounded: EMB_DIM cells), then a dim-sized reduction —
+    no vector ever leaves its partition except as per-dim partial
+    sums."""
+    split = F.when(
+        F.col("vec_id") % 10 < 8, F.lit("train")
+    ).otherwise(F.lit("val"))
+    per_dim = (
+        embeddings.select(
+            split.alias("split"),
+            F.posexplode("embedding").alias("dim", "w"),
+        )
+        .groupBy("split", "dim")
+        .agg(
+            F.sum(F.col("w").cast("double")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "split", "dim", (F.col("s") / F.col("n")).alias("mu")
+        )
+    )
+    t = per_dim.filter(F.col("split") == "train").select(
+        "dim", F.col("mu").alias("mu_t")
+    )
+    v = per_dim.filter(F.col("split") == "val").select(
+        "dim", F.col("mu").alias("mu_v")
+    )
+    j = t.join(v, "dim")
+    return j.agg(
+        F.count("*").alias("dims"),
+        F.round(
+            F.sqrt(F.sum(F.pow(F.col("mu_t") - F.col("mu_v"), 2))), 6
+        ).alias("l2_drift"),
+        F.round(
+            F.sum(F.col("mu_t") * F.col("mu_v"))
+            / (
+                F.sqrt(F.sum(F.pow("mu_t", 2)))
+                * F.sqrt(F.sum(F.pow("mu_v", 2)))
+            ),
+            6,
+        ).alias("centroid_cosine"),
+    )

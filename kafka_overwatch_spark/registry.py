@@ -904,6 +904,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_zipf_fit"] = lambda s, d: textops.zipf_fit(
         raw(s, d, "documents")
     )
+    q["emb_split_centroid_drift"] = (
+        lambda s, d: similarity.split_centroid_drift(
+            get_raw_tables(s, d)["embeddings"]
+        )
+    )
     # graph family over the co-purchase graph: degree (oracle: self-join
     # edge derivation) + PageRank (rows-only iterative; python parity)
     q["graph_part_degree"] = lambda s, d: graph.part_degree(
