@@ -2110,3 +2110,38 @@ def cohort_overlap_sketch(events: DataFrame) -> DataFrame:
             - F.expr("hll_sketch_estimate(hll_union(sk_p, sk_e))")
         ).cast("long").alias("est_intersection"),
     )
+
+
+def events_session_window_dynamic(events: DataFrame) -> DataFrame:
+    """Dynamic-gap session windows: each event proposes its own session
+    extension (clicks are bursty → 2 h gap; other types → 12 h), and
+    sessions merge while the proposed intervals OVERLAP — Spark's
+    dynamic `session_window(ts, expr)` form. NB the semantics differ
+    from fixed-gap: the merge rule is interval union
+    (new session iff ts >= running max of prior ends), NOT
+    gap-from-previous-event; the oracle states exactly that running-max
+    formulation. Per (user_id, event_type) so each type's cadence
+    sessionizes independently; still ONE merge-aggregate exchange."""
+    gap = F.when(
+        F.col("event_type") == "click", F.lit("2 hours")
+    ).otherwise(F.lit("12 hours"))
+    sw = F.session_window("ts", gap)
+    return (
+        events.groupBy("user_id", "event_type", sw)
+        .agg(
+            F.count("*").alias("events"),
+            F.sum(_dec("value")).alias("d_value"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_timestamp(F.col("session_window.start"))
+            .cast("long")
+            .alias("session_start_sec"),
+            F.unix_timestamp(F.col("session_window.end"))
+            .cast("long")
+            .alias("session_end_sec"),
+            "events",
+            F.col("d_value").cast("double").alias("total_value"),
+        )
+    )

@@ -2171,4 +2171,36 @@ SELECT CAST(count(*) AS BIGINT) AS dims,
     AS centroid_cosine
 FROM j"""
 
+    # dynamic-gap session windows: interval-UNION semantics — a new
+    # session starts iff ts >= the running max of prior proposed ends
+    q["events_session_window_dynamic"] = """
+WITH g AS (
+  SELECT user_id, event_type, ts,
+    CAST(value AS DECIMAL(18,2)) AS d_value,
+    ts + CASE WHEN event_type = 'click' THEN INTERVAL 2 HOUR
+      ELSE INTERVAL 12 HOUR END AS pend
+  FROM events
+),
+mk AS (
+  SELECT *, CASE WHEN max(pend) OVER (
+      PARTITION BY user_id, event_type ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) <= ts
+    THEN 1 ELSE 0 END AS new_session
+  FROM g
+),
+sess AS (
+  SELECT *, sum(new_session) OVER (
+      PARTITION BY user_id, event_type ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM mk
+)
+SELECT user_id, event_type,
+  CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', min(ts))
+    AS BIGINT) AS session_start_sec,
+  CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', max(pend))
+    AS BIGINT) AS session_end_sec,
+  CAST(count(*) AS BIGINT) AS events,
+  CAST(sum(d_value) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, event_type, sid"""
+
     return q

@@ -860,6 +860,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_grouping_sets"] = lambda s, d: relational.events_grouping_sets(
         raw(s, d, "events")
     )
+    q["events_session_window_dynamic"] = (
+        lambda s, d: relational.events_session_window_dynamic(
+            raw(s, d, "events")
+        )
+    )
     q["events_heavy_hitters"] = lambda s, d: relational.heavy_hitter_users(
         raw(s, d, "events")
     )
