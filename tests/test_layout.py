@@ -165,3 +165,41 @@ def test_compaction_reduces_file_count_preserves_rows(spark):
         b = spark.read.parquet(f"{tmp}/out")
         assert a.count() == b.count()
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_days(spark):
+    """partitionOverwriteMode=dynamic: rewriting ONE day's slice must
+    leave every other partition untouched (static mode would truncate
+    the whole table) — the idempotent-backfill write mode for
+    partitioned facts."""
+    from kafka_overwatch_spark.registry import get_raw_tables
+
+    events = get_raw_tables(spark, "/root/testdata/sf0.001")["events"].select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            events.write.partitionBy("day").mode("overwrite").parquet(
+                f"{tmp}/t"
+            )
+            total = events.count()
+            day0 = events.agg(F.min("day")).collect()[0][0]
+            n_day0 = events.filter(F.col("day") == day0).count()
+            # backfill day0 with HALF its rows (simulating a corrected
+            # re-run) — dynamic mode must replace only that partition
+            corrected = events.filter(
+                (F.col("day") == day0) & (F.col("event_id") % 2 == 0)
+            )
+            n_corrected = corrected.count()
+            corrected.write.partitionBy("day").mode("overwrite").parquet(
+                f"{tmp}/t"
+            )
+            after = spark.read.parquet(f"{tmp}/t")
+            assert after.count() == total - n_day0 + n_corrected
+            assert after.filter(F.col("day") == day0).count() == n_corrected
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
