@@ -2203,4 +2203,13 @@ SELECT user_id, event_type,
   CAST(sum(d_value) AS DOUBLE) AS total_value
 FROM sess GROUP BY user_id, event_type, sid"""
 
+    # salted two-phase aggregate: the oracle is the DIRECT single-pass
+    # aggregate — associativity is the claim under test
+    q["events_top_users_salted"] = """
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+    AS total_value
+FROM events GROUP BY user_id"""
+
     return q

@@ -705,6 +705,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_top_users"] = lambda s, d: relational.top_users_by_activity(
         raw(s, d, "events")
     )
+    q["events_top_users_salted"] = lambda s, d: relational.top_users_salted(
+        raw(s, d, "events")
+    )
     q["events_sessionize"] = lambda s, d: relational.sessionize_events(
         raw(s, d, "events")
     )

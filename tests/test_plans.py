@@ -487,3 +487,12 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, snaps):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_salted_aggregate_two_phases(spark, snaps):
+    """The salted aggregate must plan BOTH keyed aggregates (salt phase
+    + fold phase) — and still equal the direct aggregate (oracle)."""
+    from kafka_overwatch_spark.operators.relational import top_users_salted
+
+    plan = _final_plan(top_users_salted(spark.table("events")))
+    assert plan.count("Exchange hashpartitioning") == 2
