@@ -24,7 +24,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _EXT_FORMAT = {
     ".parquet": "parquet",
@@ -116,3 +116,35 @@ def _csv_opts(rw):
         .option("escape", '"')
         .option("nullValue", "\\N")
     )
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE CSV ingest with explicit malformed-row accounting:
+    rows that fail the pinned schema land in a quarantine frame (raw
+    line preserved via columnNameOfCorruptRecord) instead of becoming
+    silent NULLs — the ingest-edge contract a 100 TB pipeline needs
+    (count the damage, keep the line, never guess). Returns
+    (clean, quarantined); the caller decides whether the quarantine
+    rate fails the batch (cf. operators/validation.py).
+
+    NB Spark requires the corrupt-record column to be *selected* for it
+    to be populated, and caches the parsed batch so the two frames are
+    consistent views of one read."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    aug = StructType(schema.fields + [StructField("_corrupt", StringType())])
+    raw = (
+        _ts_opts(_csv_opts(spark.read.schema(aug)))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        .cache()
+    )
+    clean = raw.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    quarantined = raw.filter(F.col("_corrupt").isNotNull()).select(
+        F.col("_corrupt").alias("raw_line")
+    )
+    return clean, quarantined

@@ -152,3 +152,32 @@ def test_end_offsets_from_records_transform(spark):
         ("t1", 1): (7, 2, 3),
         ("t2", 0): (7, 100, 101),
     }
+
+
+def test_csv_quarantine_accounts_for_malformed_rows(spark):
+    """PERMISSIVE + corrupt-record column: bad rows are counted and
+    preserved verbatim; clean rows parse exactly; nothing becomes a
+    silent NULL row."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from kafka_overwatch_spark.sources.files import read_csv_with_quarantine
+
+    schema = StructType(
+        [StructField("a", LongType()), StructField("b", LongType())]
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        with open(f"{tmp}/data.csv", "w") as fh:
+            fh.write("a,b\n1,2\nnot_a_number,3\n4,5\n6,junk,extra\n7,8\n")
+        clean, quarantined = read_csv_with_quarantine(
+            spark, f"{tmp}/data.csv", schema
+        )
+        got = sorted((r.a, r.b) for r in clean.collect())
+        assert got == [(1, 2), (4, 5), (7, 8)]
+        bad = sorted(r.raw_line for r in quarantined.collect())
+        assert bad == ["6,junk,extra", "not_a_number,3"]
