@@ -2175,3 +2175,54 @@ def top_users_salted(events: DataFrame, salt_buckets: int = 16) -> DataFrame:
             F.round("total_value", 2).alias("total_value"),
         )
     )
+
+
+def pseudonymize_events(events: DataFrame, salt: str = "pepper-42") -> DataFrame:
+    """Deterministic pseudonymization of the user identifier: md5 over
+    a salted encoding replaces user_id with a stable opaque token —
+    joinable across tables (same salt → same token) but not reversible
+    without the salt. The privacy-pipeline step between raw logs and a
+    training corpus; pure narrow JVM map (pushdown/codegen unaffected).
+    Value and type survive; the token is hex (collision prob ~2^-64 at
+    any realistic cardinality)."""
+    token = F.md5(
+        F.concat(F.lit(salt), F.lit(":"), F.col("user_id").cast("string"))
+    )
+    return events.select(
+        "event_id",
+        token.alias("user_token"),
+        "ts",
+        "event_type",
+        "value",
+    )
+
+
+def winsorized_value_stats(events: DataFrame) -> DataFrame:
+    """Winsorized per-type statistics: mean/stddev before and after
+    clipping values to the exact [p01, p99] band — the standard
+    outlier-robust normalization stats computed BEFORE scaling features
+    or loss-weighting documents. Exact interpolated percentiles both
+    engines; clipping via least/greatest; one pass for the quantiles +
+    one conditional-aggregation pass sharing the type key."""
+    q = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    j = events.join(F.broadcast(q), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.first("p01"), 6).alias("p01"),
+            F.round(F.first("p99"), 6).alias("p99"),
+            F.round(F.avg("value"), 6).alias("mean_raw"),
+            F.round(F.avg(clipped), 6).alias("mean_winsorized"),
+            F.sum(
+                (
+                    (F.col("value") < F.col("p01"))
+                    | (F.col("value") > F.col("p99"))
+                ).cast("long")
+            ).alias("clipped_rows"),
+        )
+    )

@@ -2212,4 +2212,32 @@ SELECT user_id,
     AS total_value
 FROM events GROUP BY user_id"""
 
+    # deterministic pseudonymization: identical md5 both engines
+    q["events_pseudonymized"] = """
+SELECT event_id,
+  md5('pepper-42:' || CAST(user_id AS VARCHAR)) AS user_token,
+  ts, event_type, value
+FROM events"""
+
+    # winsorized stats: exact interpolated percentiles, least/greatest
+    # clipping, one conditional pass
+    q["events_winsorized_stats"] = """
+WITH q AS (
+  SELECT event_type,
+    quantile_cont(value, 0.01) AS p01,
+    quantile_cont(value, 0.99) AS p99
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  round(any_value(q.p01), 6) AS p01,
+  round(any_value(q.p99), 6) AS p99,
+  round(avg(e.value), 6) AS mean_raw,
+  round(avg(least(greatest(e.value, q.p01), q.p99)), 6)
+    AS mean_winsorized,
+  CAST(sum(CASE WHEN e.value < q.p01 OR e.value > q.p99
+    THEN 1 ELSE 0 END) AS BIGINT) AS clipped_rows
+FROM events e JOIN q ON e.event_type = q.event_type
+GROUP BY e.event_type"""
+
     return q

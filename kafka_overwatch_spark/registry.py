@@ -708,6 +708,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_top_users_salted"] = lambda s, d: relational.top_users_salted(
         raw(s, d, "events")
     )
+    q["events_pseudonymized"] = lambda s, d: relational.pseudonymize_events(
+        raw(s, d, "events")
+    )
+    q["events_winsorized_stats"] = (
+        lambda s, d: relational.winsorized_value_stats(raw(s, d, "events"))
+    )
     q["events_sessionize"] = lambda s, d: relational.sessionize_events(
         raw(s, d, "events")
     )

@@ -181,3 +181,26 @@ def test_csv_quarantine_accounts_for_malformed_rows(spark):
         assert got == [(1, 2), (4, 5), (7, 8)]
         bad = sorted(r.raw_line for r in quarantined.collect())
         assert bad == ["6,junk,extra", "not_a_number,3"]
+
+
+def test_schema_evolution_merge_and_null_fill(spark):
+    """Additive schema evolution on plain parquet: generation 2 adds a
+    column; mergeSchema reads both generations as one table with the
+    missing cells NULL — and WITHOUT mergeSchema the footer-sampled
+    schema silently wins (documented trap, asserted both ways)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    with tempfile.TemporaryDirectory() as tmp:
+        v1 = spark.range(5).select(F.col("id"), F.lit("a").alias("x"))
+        v2 = spark.range(5, 8).select(
+            F.col("id"), F.lit("b").alias("x"), F.lit(1.5).alias("score")
+        )
+        v1.write.parquet(f"{tmp}/t/gen=1")
+        v2.write.parquet(f"{tmp}/t/gen=2")
+        merged = spark.read.option("mergeSchema", "true").parquet(f"{tmp}/t")
+        assert set(merged.columns) >= {"id", "x", "score"}
+        assert merged.count() == 8
+        assert merged.filter(F.col("score").isNull()).count() == 5
+        assert merged.filter(F.col("score") == 1.5).count() == 3
