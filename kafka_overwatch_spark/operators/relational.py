@@ -2226,3 +2226,74 @@ def winsorized_value_stats(events: DataFrame) -> DataFrame:
             ).alias("clipped_rows"),
         )
     )
+
+
+def k_anonymity_audit(events: DataFrame, k: int = 5) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier (event_type, day):
+    how many equivalence classes are smaller than k — i.e., rows whose
+    QI combination alone narrows them to <k candidates (the release
+    gate that pairs with pseudonymize_events: tokens stop direct
+    identification, k-anonymity bounds QI re-identification). One
+    QI-keyed aggregate + a dim-sized rollup."""
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    classes = events.groupBy(
+        "event_type", day.alias("day")
+    ).agg(F.count("*").alias("class_size"))
+    return classes.agg(
+        F.count("*").alias("qi_classes"),
+        F.sum((F.col("class_size") < k).cast("long")).alias(
+            "classes_below_k"
+        ),
+        F.sum(
+            F.when(F.col("class_size") < k, F.col("class_size")).otherwise(
+                F.lit(0)
+            )
+        ).cast("long").alias("rows_below_k"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+    )
+
+
+def ab_test_conversion(events: DataFrame) -> DataFrame:
+    """Two-proportion A/B test on purchase conversion: users split
+    deterministically (user_id % 2), conversion = the user made >= 14
+    purchases (the fixture's every user purchases at least once, which
+    would degenerate both proportions to 1.0 and the pooled SE to
+    zero); the pooled two-proportion z statistic computed EXACTLY
+    from integer counts (the only divisions happen once, on identical
+    doubles, round 6). The analyst-facing significance primitive a
+    platform needs natively rather than via a pandas export."""
+    per_user = events.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("long")) >= 14
+        ).cast("long").alias("converted")
+    ).select(
+        (F.col("user_id") % 2).alias("grp"), "converted"
+    )
+    g = per_user.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("converted").alias("conv"),
+    )
+    a = g.filter(F.col("grp") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = g.filter(F.col("grp") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    j = a.crossJoin(b)
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    p_pool = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        p_pool * (1 - p_pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    return j.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round((p_a - p_b) / se, 6).alias("z_stat"),
+    )

@@ -2240,4 +2240,48 @@ SELECT e.event_type,
 FROM events e JOIN q ON e.event_type = q.event_type
 GROUP BY e.event_type"""
 
+    # k-anonymity audit over the (event_type, day) quasi-identifier
+    q["events_k_anonymity"] = """
+WITH classes AS (
+  SELECT event_type,
+    CAST(floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+      / 86400) AS BIGINT) AS day,
+    count(*) AS class_size
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS qi_classes,
+  CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+    AS classes_below_k,
+  CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+    AS BIGINT) AS rows_below_k,
+  CAST(min(class_size) AS BIGINT) AS min_class_size
+FROM classes"""
+
+    # two-proportion z: exact integer counts, divisions once at the end
+    q["events_ab_test"] = """
+WITH per_user AS (
+  SELECT user_id % 2 AS grp,
+    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      >= 14 THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT grp, count(*) AS n, sum(converted) AS conv
+  FROM per_user GROUP BY grp
+),
+a AS (SELECT n AS n_a, conv AS conv_a FROM g WHERE grp = 0),
+b AS (SELECT n AS n_b, conv AS conv_b FROM g WHERE grp = 1)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+  CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+  round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+  round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+  round(
+    (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+    / sqrt(
+        (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)
+      ), 6) AS z_stat
+FROM a, b"""
+
     return q

@@ -714,6 +714,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_winsorized_stats"] = (
         lambda s, d: relational.winsorized_value_stats(raw(s, d, "events"))
     )
+    q["events_k_anonymity"] = lambda s, d: relational.k_anonymity_audit(
+        raw(s, d, "events")
+    )
+    q["events_ab_test"] = lambda s, d: relational.ab_test_conversion(
+        raw(s, d, "events")
+    )
     q["events_sessionize"] = lambda s, d: relational.sessionize_events(
         raw(s, d, "events")
     )
