@@ -150,6 +150,15 @@ EXTRA = [
     "events_equi_depth_hist",
     "events_type_transitions",
     "events_mad_anomalies",
+    "events_session_window_dynamic",
+    "events_top_users_salted",
+    "events_pseudonymized",
+    "events_winsorized_stats",
+    "events_k_anonymity",
+    "events_ab_test",
+    "events_bot_scores",
+    "text_zipf_fit",
+    "emb_split_centroid_drift",
 ]
 
 

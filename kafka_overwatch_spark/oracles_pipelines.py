@@ -2284,4 +2284,29 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
       ), 6) AS z_stat
 FROM a, b"""
 
+    # inter-event gap regularity (bot heuristic): population stddev +
+    # exact median; the CV ratio divides rounded values on BOTH sides
+    q["events_bot_scores"] = """
+WITH gaps AS (
+  SELECT user_id,
+    CAST(date_diff('second',
+      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+      AS DOUBLE) AS gap
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+    CAST(count(*) AS BIGINT) AS gaps,
+    round(avg(gap), 6) AS mean_gap_sec,
+    round(stddev_pop(gap), 6) AS stddev_gap_sec,
+    round(quantile_cont(gap, 0.5), 6) AS median_gap_sec
+  FROM gaps WHERE gap IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, gaps, mean_gap_sec, stddev_gap_sec, median_gap_sec,
+  round(stddev_gap_sec / mean_gap_sec, 6) AS gap_cv,
+  CAST(CASE WHEN stddev_gap_sec / mean_gap_sec < 0.3 AND gaps >= 10
+    THEN 1 ELSE 0 END AS BIGINT) AS bot_flag
+FROM per_user"""
+
     return q

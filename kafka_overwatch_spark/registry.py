@@ -720,6 +720,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_ab_test"] = lambda s, d: relational.ab_test_conversion(
         raw(s, d, "events")
     )
+    q["events_bot_scores"] = lambda s, d: relational.bot_likeness_scores(
+        raw(s, d, "events")
+    )
     q["events_sessionize"] = lambda s, d: relational.sessionize_events(
         raw(s, d, "events")
     )
