@@ -1049,6 +1049,9 @@ _PROMOTED = [
     "events_window_functions",
     "events_daily_locf",
     "events_time_weighted_avg",
+    "events_session_window_dynamic",
+    "events_winsorized_stats",
+    "events_ab_test",
 ]
 
 
