@@ -341,11 +341,40 @@ def lsh_neighbor_pairs_vectorized(
     """LSH pairs with vectorized bucket assignment + bucket-local GEMM
     verify (applyInPandas per bucket — the exact shape that replaces the
     global broadcast at 100 TB)."""
-    from pyspark.sql.types import ArrayType, FloatType
+    sc = embeddings.sparkSession.sparkContext
+    b_planes = sc.broadcast(_plane_matrix(bits, EMB_DIM))
+    powers = np.power(2, np.arange(bits)).astype(np.int64)
 
-    assigned = lsh_bucket_assignments_vectorized(embeddings, bits).join(
-        embeddings.select("vec_id", "embedding"), "vec_id"
+    carry_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("bucket", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
     )
+
+    def assign_carry(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # carry the vectors WITH the assignment (same fusion as
+        # embedding_neardup_pairs_lsh): the verify groupBy becomes the
+        # only shuffle instead of assign→join-back→bucket exchange
+        planes = b_planes.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+            signs = (m @ planes.T) > 0
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "bucket": (signs * powers).sum(axis=1).astype(np.int64),
+                    "embedding": pdf["embedding"].to_numpy(),
+                }
+            )
+
+    assigned = _spread_gemm(
+        embeddings.select("vec_id", "embedding")
+    ).mapInPandas(assign_carry, carry_schema)
 
     out_schema = StructType(
         [
