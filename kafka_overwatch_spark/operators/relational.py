@@ -1739,15 +1739,22 @@ def table_column_stats(lineitem: DataFrame) -> DataFrame:
             F.countDistinct(c).alias("ndv"),
         )
         bucketed = (
-            lineitem.crossJoin(F.broadcast(stats))
+            lineitem.filter(F.col(c).isNotNull())
+            .crossJoin(F.broadcast(stats))
             .select(
-                F.least(
-                    F.lit(7),
-                    F.floor(
-                        (F.col(c) - F.col("vmin"))
-                        * 8.0
-                        / (F.col("vmax") - F.col("vmin"))
-                    ),
+                # NULLs are excluded above (least() would otherwise
+                # swallow a NULL bucket into 7); a constant column
+                # (vmax == vmin) maps every row to bucket 0
+                F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+                .otherwise(
+                    F.least(
+                        F.lit(7),
+                        F.floor(
+                            (F.col(c) - F.col("vmin"))
+                            * 8.0
+                            / (F.col("vmax") - F.col("vmin"))
+                        ),
+                    )
                 ).cast("long").alias("bucket"),
                 "vmin", "vmax", "n", "nulls", "ndv",
             )
@@ -2269,24 +2276,27 @@ def ab_test_conversion(events: DataFrame) -> DataFrame:
     ).select(
         (F.col("user_id") % 2).alias("grp"), "converted"
     )
-    g = per_user.groupBy("grp").agg(
-        F.count("*").alias("n"),
-        F.sum("converted").alias("conv"),
+    # ONE conditional aggregation row — an empty arm yields n=0 and a
+    # NULL z-stat, never a silent zero-row result
+    j = per_user.agg(
+        F.sum((F.col("grp") == 0).cast("long")).alias("n_a"),
+        F.sum(F.when(F.col("grp") == 0, F.col("converted")).otherwise(0))
+        .alias("conv_a"),
+        F.sum((F.col("grp") == 1).cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("grp") == 1, F.col("converted")).otherwise(0))
+        .alias("conv_b"),
     )
-    a = g.filter(F.col("grp") == 0).select(
-        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
-    )
-    b = g.filter(F.col("grp") == 1).select(
-        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
-    )
-    j = a.crossJoin(b)
-    p_a = F.col("conv_a") / F.col("n_a")
-    p_b = F.col("conv_b") / F.col("n_b")
+    nz = lambda num, den: F.when(F.col(den) > 0, num / F.col(den))  # noqa: E731
+    p_a = nz(F.col("conv_a"), "n_a")
+    p_b = nz(F.col("conv_b"), "n_b")
     p_pool = (F.col("conv_a") + F.col("conv_b")) / (
         F.col("n_a") + F.col("n_b")
     )
-    se = F.sqrt(
-        p_pool * (1 - p_pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    se = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.sqrt(
+            p_pool * (1 - p_pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+        ),
     )
     return j.select(
         "n_a",
@@ -2295,7 +2305,9 @@ def ab_test_conversion(events: DataFrame) -> DataFrame:
         "conv_b",
         F.round(p_a, 6).alias("rate_a"),
         F.round(p_b, 6).alias("rate_b"),
-        F.round((p_a - p_b) / se, 6).alias("z_stat"),
+        F.round(
+            F.when(se > 0, (p_a - p_b) / se), 6
+        ).alias("z_stat"),
     )
 
 

@@ -1960,14 +1960,16 @@ FROM j GROUP BY 1"""
     def _colstats(c: str) -> str:
         return f"""
 SELECT '{c}' AS "column",
-  CAST(least(7, floor(({c} - vmin) * 8.0 / (vmax - vmin))) AS BIGINT)
-    AS bucket,
+  CAST(CASE WHEN vmax = vmin THEN 0
+    ELSE least(7, floor(({c} - vmin) * 8.0 / (vmax - vmin))) END
+    AS BIGINT) AS bucket,
   CAST(count(*) AS BIGINT) AS rows,
   round(CAST(vmin AS DOUBLE), 6) AS vmin,
   round(CAST(vmax AS DOUBLE), 6) AS vmax,
   CAST(ndv AS BIGINT) AS ndv,
   round(CAST(nulls AS DOUBLE) / n, 6) AS null_frac
-FROM lineitem CROSS JOIN (
+FROM (SELECT * FROM lineitem WHERE {c} IS NOT NULL) li
+CROSS JOIN (
   SELECT min({c}) AS vmin, max({c}) AS vmax, count(*) AS n,
     sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nulls,
     count(DISTINCT {c}) AS ndv
@@ -2266,23 +2268,29 @@ WITH per_user AS (
   FROM events GROUP BY user_id
 ),
 g AS (
-  SELECT grp, count(*) AS n, sum(converted) AS conv
-  FROM per_user GROUP BY grp
-),
-a AS (SELECT n AS n_a, conv AS conv_a FROM g WHERE grp = 0),
-b AS (SELECT n AS n_b, conv AS conv_b FROM g WHERE grp = 1)
+  SELECT
+    sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_a,
+    sum(CASE WHEN grp = 0 THEN converted ELSE 0 END) AS conv_a,
+    sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_b,
+    sum(CASE WHEN grp = 1 THEN converted ELSE 0 END) AS conv_b
+  FROM per_user
+)
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
   CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
-  round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
-  round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
-  round(
-    (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
-    / sqrt(
-        (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-        * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-        * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)
-      ), 6) AS z_stat
-FROM a, b"""
+  round(CASE WHEN n_a > 0 THEN CAST(conv_a AS DOUBLE) / n_a END, 6)
+    AS rate_a,
+  round(CASE WHEN n_b > 0 THEN CAST(conv_b AS DOUBLE) / n_b END, 6)
+    AS rate_b,
+  round(CASE WHEN n_a > 0 AND n_b > 0
+      AND (conv_a + conv_b) > 0 AND (conv_a + conv_b) < (n_a + n_b)
+    THEN
+      (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+      / sqrt(
+          (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+          * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+          * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)
+        ) END, 6) AS z_stat
+FROM g"""
 
     # inter-event gap regularity (bot heuristic): population stddev +
     # exact median; the CV ratio divides rounded values on BOTH sides

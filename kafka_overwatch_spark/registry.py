@@ -929,7 +929,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["emb_split_centroid_drift"] = (
         lambda s, d: similarity.split_centroid_drift(
-            get_raw_tables(s, d)["embeddings"]
+            raw(s, d, "embeddings")
         )
     )
     # graph family over the co-purchase graph: degree (oracle: self-join

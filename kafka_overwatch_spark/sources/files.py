@@ -120,14 +120,16 @@ def _csv_opts(rw):
 
 def read_csv_with_quarantine(
     spark: SparkSession, path: str, schema: StructType
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """PERMISSIVE CSV ingest with explicit malformed-row accounting:
     rows that fail the pinned schema land in a quarantine frame (raw
     line preserved via columnNameOfCorruptRecord) instead of becoming
     silent NULLs — the ingest-edge contract a 100 TB pipeline needs
     (count the damage, keep the line, never guess). Returns
-    (clean, quarantined); the caller decides whether the quarantine
-    rate fails the batch (cf. operators/validation.py).
+    (clean, quarantined, raw); the caller decides whether the
+    quarantine rate fails the batch (cf. operators/validation.py) and
+    OWNS the cache — call ``raw.unpersist()`` once both frames are
+    materialized, or the parsed batch stays pinned for the session.
 
     NB Spark requires the corrupt-record column to be *selected* for it
     to be populated, and caches the parsed batch so the two frames are
@@ -147,4 +149,4 @@ def read_csv_with_quarantine(
     quarantined = raw.filter(F.col("_corrupt").isNotNull()).select(
         F.col("_corrupt").alias("raw_line")
     )
-    return clean, quarantined
+    return clean, quarantined, raw

@@ -98,17 +98,17 @@ class HeavyHitterSketchMaintainer(GenerationalState):
     at any time from kilobytes.
 
     NOTE on replay: unlike the HLL reach maintainer (max-merge =
-    idempotent), CMS merge ADDS counts — a replayed batch double-counts.
-    The generation name is keyed by batch_id, so a crash-and-replay
-    OVERWRITES the uncommitted generation rather than re-merging into a
-    committed one; the commit point (pointer flip) keeps exactly-once.
+    idempotent), CMS merge ADDS counts — a replayed batch double-counts
+    unless guarded. Two crash windows exist: (a) crash BEFORE the
+    pointer flip → the replay overwrites the uncommitted generation
+    (safe); (b) crash AFTER the flip but BEFORE the streaming
+    checkpoint records the batch → the replayed batch would re-merge
+    into a state that already contains it, so __call__ explicitly
+    SKIPS when the committed generation already carries this batch_id.
     Streamed == full-batch equality is asserted in
     tests/test_streaming_upsert.py."""
 
     EPS, CONF, SEED = 0.001, 0.99, 42
-
-    def __init__(self, state_dir: str) -> None:
-        super().__init__(state_dir)
 
     def _batch_sketch_bytes(self, batch_df: DataFrame) -> bytes:
         row = batch_df.agg(
@@ -122,6 +122,10 @@ class HeavyHitterSketchMaintainer(GenerationalState):
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # replay guard for crash window (b): the committed state already
+        # contains this batch — re-merging would double-count (CMS adds)
+        if self.current_generation(spark) == f"gen-{batch_id:010d}":
+            return
         sk_bytes, n = self._batch_sketch_bytes(batch_df)
         prev = self.read_current(spark)
         if prev is not None:
@@ -130,7 +134,7 @@ class HeavyHitterSketchMaintainer(GenerationalState):
             prev_row = prev.collect()[0]
             merged = cms_cls.readFrom(bytes(prev_row.sketch))
             merged.mergeInPlace(cms_cls.readFrom(sk_bytes))
-            out_bytes = bytes(jvm_bytes_to_py(spark, merged))
+            out_bytes = bytes(merged.toByteArray())
             total = int(prev_row.n_total) + n
         else:
             out_bytes, total = sk_bytes, n
@@ -153,9 +157,3 @@ class HeavyHitterSketchMaintainer(GenerationalState):
             )
             for u in user_ids
         }
-
-
-def jvm_bytes_to_py(spark: SparkSession, cms) -> bytes:
-    """Serialize a JVM CountMinSketch back to python bytes via its
-    public toByteArray."""
-    return cms.toByteArray()

@@ -174,13 +174,14 @@ def test_csv_quarantine_accounts_for_malformed_rows(spark):
     with tempfile.TemporaryDirectory() as tmp:
         with open(f"{tmp}/data.csv", "w") as fh:
             fh.write("a,b\n1,2\nnot_a_number,3\n4,5\n6,junk,extra\n7,8\n")
-        clean, quarantined = read_csv_with_quarantine(
+        clean, quarantined, raw = read_csv_with_quarantine(
             spark, f"{tmp}/data.csv", schema
         )
         got = sorted((r.a, r.b) for r in clean.collect())
         assert got == [(1, 2), (4, 5), (7, 8)]
         bad = sorted(r.raw_line for r in quarantined.collect())
         assert bad == ["6,junk,extra", "not_a_number,3"]
+        raw.unpersist()
 
 
 def test_schema_evolution_merge_and_null_fill(spark):
