@@ -147,3 +147,32 @@ def test_streaming_cms_equals_full_batch_sketch(spark, snaps):
             want = full.estimateCount(jvm.java.lang.Long(int(u)))
             assert streamed[u] == want, (u, streamed[u], want)
             assert streamed[u] >= exact[u]  # one-sided, preserved by merge
+
+
+def test_streaming_cms_replay_after_commit_is_noop(spark, snaps):
+    """Crash window (b): the batch committed (pointer flipped) but the
+    streaming checkpoint missed it — the replayed __call__ must NOT
+    re-merge (CMS adds; estimates would inflate)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_overwatch_spark.streaming.upsert import (
+        HeavyHitterSketchMaintainer,
+    )
+
+    events = spark.table("events")
+    with tempfile.TemporaryDirectory() as tmp:
+        m = HeavyHitterSketchMaintainer(f"{tmp}/state")
+        m(events, batch_id=0)
+        users = [
+            r.user_id
+            for r in events.select("user_id").distinct().limit(10).collect()
+        ]
+        before = m.estimate(spark, users)
+        m(events, batch_id=0)  # replay of an already-committed batch
+        assert m.estimate(spark, users) == before
+        # a genuinely NEW batch still merges
+        m(events, batch_id=1)
+        after = m.estimate(spark, users)
+        assert all(after[u] >= 2 * before[u] for u in users if before[u] > 0)
