@@ -159,6 +159,9 @@ EXTRA = [
     "events_bot_scores",
     "text_zipf_fit",
     "emb_split_centroid_drift",
+    "tpch_fulfillment_latency",
+    "tpch_supplier_hhi",
+    "events_value_gini",
 ]
 
 

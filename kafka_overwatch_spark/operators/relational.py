@@ -2350,3 +2350,107 @@ def bot_likeness_scores(events: DataFrame) -> DataFrame:
             & (F.col("gaps") >= 10)
         ).cast("long").alias("bot_flag"),
     )
+
+
+def fulfillment_latency(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: exact
+    p50/p90/max of (shipdate - orderdate) in days — the operational-SLA
+    shape (the lag-percentile question, asked of the order pipeline
+    instead of consumer groups; cf. lag_distribution). One fact-fact
+    join on orderkey + one priority-keyed aggregate; day diffs are
+    exact integers, percentiles interpolate identically in both
+    engines."""
+    j = lineitem.join(
+        orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").cast("double").alias(
+            "latency_days"
+        ),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("lineitems"),
+        F.round(F.expr("percentile(latency_days, 0.5)"), 6).alias("p50_days"),
+        F.round(F.expr("percentile(latency_days, 0.9)"), 6).alias("p90_days"),
+        F.max("latency_days").cast("long").alias("max_days"),
+    )
+
+
+def supplier_concentration_hhi(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration of supplier revenue within
+    each nation: HHI = Σ share_i² = Σ rev_i² / (Σ rev_i)² — both sums
+    exact DECIMAL, ONE division at the end (round 6). HHI → 1 means one
+    supplier owns the nation's volume; → 1/n means perfect competition.
+    Two aggregates sharing the supplier key, dims broadcast."""
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    per_supp = (
+        lineitem.join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(nation),
+                    supplier.s_nationkey == nation.n_nationkey,
+                ).select("s_suppkey", "n_name")
+            ),
+            lineitem.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("n_name", "l_suppkey")
+        .agg(F.sum(rev).alias("d_rev"))
+    )
+    return (
+        per_supp.groupBy("n_name")
+        .agg(
+            F.count("*").alias("suppliers"),
+            F.sum(F.col("d_rev") * F.col("d_rev")).alias("d_sq"),
+            F.sum("d_rev").alias("d_tot"),
+        )
+        .select(
+            "n_name",
+            "suppliers",
+            F.round(
+                F.col("d_sq").cast("double")
+                / (F.col("d_tot").cast("double") * F.col("d_tot").cast("double")),
+                6,
+            ).alias("hhi"),
+            F.round(F.col("d_tot"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def user_value_gini(events: DataFrame) -> DataFrame:
+    """Gini coefficient of per-user total value — the inequality scalar
+    behind 'whales vs long tail'. Computed from the exact rank-weighted
+    identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over DECIMAL user totals
+    ranked by (total asc, user_id asc) — deterministic, and the only
+    division happens once on identical doubles (round 6)."""
+    from pyspark.sql.window import Window
+
+    totals = events.groupBy("user_id").agg(
+        F.sum(_dec("value")).alias("d_total")
+    )
+    ranked = totals.withColumn(
+        "i",
+        F.row_number().over(
+            Window.orderBy(F.col("d_total").asc(), F.col("user_id").asc())
+        ),
+    )
+    return ranked.agg(
+        F.count("*").alias("users"),
+        F.round(F.sum("d_total"), 2).cast("double").alias("total_value"),
+        F.round(
+            (
+                F.lit(2.0)
+                * F.sum(F.col("i") * F.col("d_total")).cast("double")
+                / (
+                    F.count("*")
+                    * F.sum("d_total").cast("double")
+                )
+            )
+            - (F.count("*") + F.lit(1)) / F.count("*"),
+            6,
+        ).alias("gini"),
+    )

@@ -2317,4 +2317,56 @@ SELECT user_id, gaps, mean_gap_sec, stddev_gap_sec, median_gap_sec,
     THEN 1 ELSE 0 END AS BIGINT) AS bot_flag
 FROM per_user"""
 
+    # fulfillment latency percentiles per priority (exact day diffs)
+    q["tpch_fulfillment_latency"] = """
+SELECT o_orderpriority,
+  CAST(count(*) AS BIGINT) AS lineitems,
+  round(quantile_cont(CAST(date_diff('day', o_orderdate, l_shipdate)
+    AS DOUBLE), 0.5), 6) AS p50_days,
+  round(quantile_cont(CAST(date_diff('day', o_orderdate, l_shipdate)
+    AS DOUBLE), 0.9), 6) AS p90_days,
+  CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+    AS max_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority"""
+
+    # HHI concentration: exact DECIMAL sums, one division
+    q["tpch_supplier_hhi"] = """
+WITH per_supp AS (
+  SELECT n_name, l_suppkey,
+    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      AS d_rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name,
+  CAST(count(*) AS BIGINT) AS suppliers,
+  round(CAST(sum(d_rev * d_rev) AS DOUBLE)
+    / (CAST(sum(d_rev) AS DOUBLE) * CAST(sum(d_rev) AS DOUBLE)), 6)
+    AS hhi,
+  CAST(round(sum(d_rev), 2) AS DOUBLE) AS total_revenue
+FROM per_supp GROUP BY n_name"""
+
+    # Gini coefficient via the exact rank-weighted identity
+    q["events_value_gini"] = """
+WITH totals AS (
+  SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS d_total
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT d_total,
+    row_number() OVER (ORDER BY d_total ASC, user_id ASC) AS i
+  FROM totals
+)
+SELECT CAST(count(*) AS BIGINT) AS users,
+  CAST(round(sum(d_total), 2) AS DOUBLE) AS total_value,
+  round(
+    2.0 * CAST(sum(i * d_total) AS DOUBLE)
+      / (count(*) * CAST(sum(d_total) AS DOUBLE))
+    - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+FROM ranked"""
+
     return q

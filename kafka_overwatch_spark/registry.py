@@ -723,6 +723,19 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_bot_scores"] = lambda s, d: relational.bot_likeness_scores(
         raw(s, d, "events")
     )
+    q["tpch_fulfillment_latency"] = (
+        lambda s, d: relational.fulfillment_latency(
+            raw(s, d, "orders"), raw(s, d, "lineitem")
+        )
+    )
+    q["tpch_supplier_hhi"] = (
+        lambda s, d: relational.supplier_concentration_hhi(
+            raw(s, d, "lineitem"), raw(s, d, "supplier"), raw(s, d, "nation")
+        )
+    )
+    q["events_value_gini"] = lambda s, d: relational.user_value_gini(
+        raw(s, d, "events")
+    )
     q["events_sessionize"] = lambda s, d: relational.sessionize_events(
         raw(s, d, "events")
     )
