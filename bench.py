@@ -162,6 +162,8 @@ EXTRA = [
     "tpch_fulfillment_latency",
     "tpch_supplier_hhi",
     "events_value_gini",
+    "events_cohort_retention",
+    "events_stickiness",
 ]
 
 

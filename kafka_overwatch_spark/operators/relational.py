@@ -2454,3 +2454,66 @@ def user_value_gini(events: DataFrame) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def cohort_retention_matrix(events: DataFrame) -> DataFrame:
+    """The classic cohort-retention triangle: users grouped by first-
+    activity week (cohort), counted in each subsequent week offset —
+    retention = share of the cohort still active. Two aggregates: a
+    user-keyed first-touch pass (broadcast back), then one
+    (cohort, offset) rollup; rates divide exact integers once, round
+    6. Generalizes events_retention's fixed day-1/day-7 scalars to the
+    full matrix."""
+    week = (F.floor(F.unix_timestamp("ts") / 604800)).cast("long")
+    first = events.groupBy("user_id").agg(
+        F.min(week).alias("cohort_week")
+    )
+    active = events.select(
+        "user_id", week.alias("week")
+    ).distinct()
+    cohort_sizes = first.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users")
+    )
+    cells = (
+        active.join(F.broadcast(first), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    return (
+        cells.join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            "cohort_users",
+            F.round(
+                F.col("active_users") / F.col("cohort_users"), 6
+            ).alias("retention"),
+        )
+    )
+
+
+def engagement_stickiness(events: DataFrame) -> DataFrame:
+    """DAU/MAU stickiness: mean daily active users over the span,
+    divided by span-wide actives — the engagement scalar product teams
+    track. Exact distinct counts; one division, round 6."""
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = events.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    return daily.agg(
+        F.count("*").alias("days"),
+        F.round(F.avg("dau"), 6).alias("avg_dau"),
+    ).crossJoin(
+        F.broadcast(
+            events.agg(F.countDistinct("user_id").alias("mau"))
+        )
+    ).select(
+        "days",
+        "avg_dau",
+        "mau",
+        F.round(F.col("avg_dau") / F.col("mau"), 6).alias("stickiness"),
+    )

@@ -2369,4 +2369,45 @@ SELECT CAST(count(*) AS BIGINT) AS users,
     - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
 FROM ranked"""
 
+    # cohort retention triangle: first-touch week × week offset
+    q["events_cohort_retention"] = """
+WITH wk AS (
+  SELECT user_id,
+    CAST(floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+      / 604800) AS BIGINT) AS week
+  FROM events
+),
+first AS (
+  SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id
+),
+active AS (SELECT DISTINCT user_id, week FROM wk),
+sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+  FROM first GROUP BY cohort_week
+),
+cells AS (
+  SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+    CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+  FROM active a JOIN first f ON a.user_id = f.user_id
+  GROUP BY 1, 2
+)
+SELECT c.cohort_week, c.week_offset, c.active_users, s.cohort_users,
+  round(CAST(c.active_users AS DOUBLE) / s.cohort_users, 6) AS retention
+FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week"""
+
+    # DAU/MAU stickiness scalar
+    q["events_stickiness"] = """
+WITH daily AS (
+  SELECT CAST(floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+      ts) / 86400) AS BIGINT) AS day,
+    count(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1
+),
+m AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS mau FROM events)
+SELECT CAST(count(*) AS BIGINT) AS days,
+  round(avg(dau), 6) AS avg_dau,
+  mau,
+  round(avg(dau) / mau, 6) AS stickiness
+FROM daily, m GROUP BY mau"""
+
     return q

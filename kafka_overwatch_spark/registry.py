@@ -736,6 +736,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_value_gini"] = lambda s, d: relational.user_value_gini(
         raw(s, d, "events")
     )
+    q["events_cohort_retention"] = (
+        lambda s, d: relational.cohort_retention_matrix(raw(s, d, "events"))
+    )
+    q["events_stickiness"] = lambda s, d: relational.engagement_stickiness(
+        raw(s, d, "events")
+    )
     q["events_sessionize"] = lambda s, d: relational.sessionize_events(
         raw(s, d, "events")
     )
