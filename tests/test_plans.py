@@ -496,3 +496,38 @@ def test_salted_aggregate_two_phases(spark, snaps):
 
     plan = _final_plan(top_users_salted(spark.table("events")))
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_association_rules_counts_broadcast(spark, snaps):
+    """Association rules: the per-part order counts and the 1-row total
+    must broadcast onto the edge set — no fact-fact shuffle beyond the
+    edge aggregation itself."""
+    from kafka_overwatch_spark.operators.graph import association_rules
+
+    plan = _plan(association_rules(spark.table("lineitem")))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_winsorized_stats_quantiles_broadcast(spark, snaps):
+    """Winsorized stats: the per-type quantile frame is dim-sized and
+    must broadcast back onto the fact scan."""
+    from kafka_overwatch_spark.operators.relational import (
+        winsorized_value_stats,
+    )
+
+    plan = _plan(winsorized_value_stats(spark.table("events")))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cohort_retention_first_touch_broadcast(spark, snaps):
+    """Cohort retention: first-touch and cohort-size frames are
+    user/week-grain dims — both joins broadcast."""
+    from kafka_overwatch_spark.operators.relational import (
+        cohort_retention_matrix,
+    )
+
+    plan = _plan(cohort_retention_matrix(spark.table("events")))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
