@@ -164,6 +164,8 @@ EXTRA = [
     "events_value_gini",
     "events_cohort_retention",
     "events_stickiness",
+    "tpch_return_rate_control",
+    "events_decile_lift",
 ]
 
 

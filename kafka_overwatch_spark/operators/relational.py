@@ -2517,3 +2517,91 @@ def engagement_stickiness(events: DataFrame) -> DataFrame:
         "mau",
         F.round(F.col("avg_dau") / F.col("mau"), 6).alias("stickiness"),
     )
+
+
+def return_rate_control_chart(
+    lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """Statistical process control (p-chart) over per-brand return
+    rates: each brand's rate compared against the GLOBAL rate ±3σ
+    binomial control limits (σ = sqrt(p̄(1-p̄)/n_brand)) — the
+    quality-control shape for "which segment misbehaves beyond
+    sampling noise". Counts are exact integers; p̄ and the limits
+    divide once on identical doubles (round 6). Brand dim broadcasts;
+    one brand-keyed aggregate + a 1-row global broadcast."""
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        lineitem.l_partkey == F.col("p_partkey"),
+    ).select(
+        "p_brand", (F.col("l_returnflag") == "R").cast("long").alias("ret")
+    )
+    per_brand = j.groupBy("p_brand").agg(
+        F.count("*").alias("n"), F.sum("ret").alias("returns")
+    )
+    overall = j.agg(
+        F.count("*").alias("n_all"), F.sum("ret").alias("ret_all")
+    )
+    p_bar = F.col("ret_all") / F.col("n_all")
+    sigma = F.sqrt(p_bar * (1 - p_bar) / F.col("n"))
+    rate = F.col("returns") / F.col("n")
+    return (
+        per_brand.crossJoin(F.broadcast(overall))
+        .select(
+            "p_brand",
+            "n",
+            "returns",
+            F.round(rate, 6).alias("return_rate"),
+            F.round(p_bar, 6).alias("global_rate"),
+            F.round(p_bar - 3 * sigma, 6).alias("lcl"),
+            F.round(p_bar + 3 * sigma, 6).alias("ucl"),
+            (
+                (rate > p_bar + 3 * sigma) | (rate < p_bar - 3 * sigma)
+            ).cast("long").alias("out_of_control"),
+        )
+    )
+
+
+def conversion_decile_lift(events: DataFrame) -> DataFrame:
+    """Lift/gains table: users ranked into value deciles (exact DECIMAL
+    totals desc), each decile's conversion rate (>= 14 purchases, the
+    events_ab_test definition) compared to the overall rate — the
+    model-evaluation table scoring pipelines emit. Exact counts,
+    deterministic NTILE order, divisions once (round 6)."""
+    from pyspark.sql.window import Window
+
+    per_user = events.groupBy("user_id").agg(
+        F.sum(_dec("value")).alias("d_total"),
+        (
+            F.sum((F.col("event_type") == "purchase").cast("long")) >= 14
+        ).cast("long").alias("converted"),
+    )
+    ranked = per_user.withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.orderBy(F.col("d_total").desc(), F.col("user_id").asc())
+        ).cast("long"),
+    )
+    overall = ranked.agg(
+        F.count("*").alias("n_all"), F.sum("converted").alias("conv_all")
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count("*").alias("users"),
+            F.sum("converted").alias("converters"),
+        )
+        .crossJoin(F.broadcast(overall))
+        .select(
+            "decile",
+            "users",
+            "converters",
+            F.round(F.col("converters") / F.col("users"), 6).alias(
+                "conversion_rate"
+            ),
+            F.round(
+                (F.col("converters") / F.col("users"))
+                / (F.col("conv_all") / F.col("n_all")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -2410,4 +2410,61 @@ SELECT CAST(count(*) AS BIGINT) AS days,
   round(avg(dau) / mau, 6) AS stickiness
 FROM daily, m GROUP BY mau"""
 
+    # p-chart control limits per brand vs the global return rate
+    q["tpch_return_rate_control"] = """
+WITH j AS (
+  SELECT p_brand,
+    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+per_brand AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(ret) AS BIGINT) AS returns
+  FROM j GROUP BY p_brand
+),
+o AS (SELECT count(*) AS n_all, sum(ret) AS ret_all FROM j)
+SELECT p_brand, n, returns,
+  round(CAST(returns AS DOUBLE) / n, 6) AS return_rate,
+  round(CAST(ret_all AS DOUBLE) / n_all, 6) AS global_rate,
+  round(CAST(ret_all AS DOUBLE) / n_all
+    - 3 * sqrt((CAST(ret_all AS DOUBLE) / n_all)
+      * (1 - CAST(ret_all AS DOUBLE) / n_all) / n), 6) AS lcl,
+  round(CAST(ret_all AS DOUBLE) / n_all
+    + 3 * sqrt((CAST(ret_all AS DOUBLE) / n_all)
+      * (1 - CAST(ret_all AS DOUBLE) / n_all) / n), 6) AS ucl,
+  CAST(CASE WHEN CAST(returns AS DOUBLE) / n
+      > CAST(ret_all AS DOUBLE) / n_all
+        + 3 * sqrt((CAST(ret_all AS DOUBLE) / n_all)
+          * (1 - CAST(ret_all AS DOUBLE) / n_all) / n)
+    OR CAST(returns AS DOUBLE) / n
+      < CAST(ret_all AS DOUBLE) / n_all
+        - 3 * sqrt((CAST(ret_all AS DOUBLE) / n_all)
+          * (1 - CAST(ret_all AS DOUBLE) / n_all) / n)
+    THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+FROM per_brand, o"""
+
+    # decile lift table over value-ranked users
+    q["events_decile_lift"] = """
+WITH per_user AS (
+  SELECT user_id,
+    sum(CAST(value AS DECIMAL(18,2))) AS d_total,
+    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      >= 14 THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT converted,
+    ntile(10) OVER (ORDER BY d_total DESC, user_id ASC) AS decile
+  FROM per_user
+),
+o AS (SELECT count(*) AS n_all, sum(converted) AS conv_all FROM ranked)
+SELECT CAST(decile AS BIGINT) AS decile,
+  CAST(count(*) AS BIGINT) AS users,
+  CAST(sum(converted) AS BIGINT) AS converters,
+  round(CAST(sum(converted) AS DOUBLE) / count(*), 6)
+    AS conversion_rate,
+  round((CAST(sum(converted) AS DOUBLE) / count(*))
+    / (CAST(conv_all AS DOUBLE) / n_all), 6) AS lift
+FROM ranked, o GROUP BY decile, n_all, conv_all"""
+
     return q

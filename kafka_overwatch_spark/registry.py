@@ -742,6 +742,14 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_stickiness"] = lambda s, d: relational.engagement_stickiness(
         raw(s, d, "events")
     )
+    q["tpch_return_rate_control"] = (
+        lambda s, d: relational.return_rate_control_chart(
+            raw(s, d, "lineitem"), raw(s, d, "part")
+        )
+    )
+    q["events_decile_lift"] = lambda s, d: relational.conversion_decile_lift(
+        raw(s, d, "events")
+    )
     q["events_sessionize"] = lambda s, d: relational.sessionize_events(
         raw(s, d, "events")
     )
