@@ -998,21 +998,29 @@ def user_value_deciles(events: DataFrame) -> DataFrame:
     implement SQL-standard NTILE (floor/ceil split of n rows into k
     buckets).
 
-    Scale shape: one keyed aggregation to user grain, then a single
-    global-ordering window over |users| rows — the one legitimately
-    global sort in this file (segmentation is definitionally global).
-    At 100 TB replace with percentile thresholds from approx_percentile
-    and a broadcast-threshold bucket join; the decile summary itself is
-    dim-sized either way."""
-    from pyspark.sql.window import Window
+    Scale shape: one keyed aggregation to user grain, then an EXACT
+    range-partitioned global rank (``exact_global_rank``: range
+    exchange + per-slice row_number + tiny cumulative-offset broadcast
+    — every stage parallel, no single-partition WindowExec) with the
+    NTILE bucket derived arithmetically from (rank, n). Bit-identical
+    to the window-NTILE form the oracle runs, but survives 100×: the
+    old ``Window.orderBy`` shuffled every user total to one task."""
+    from ..pipelines.util import exact_global_rank, ntile_from_rank
 
     totals = events.groupBy("user_id").agg(
         F.count("*").alias("events"),
         F.sum(_dec("value")).alias("d_total"),
     )
-    w = Window.orderBy(F.col("d_total").desc(), F.col("user_id").asc())
+    ranked = exact_global_rank(
+        totals,
+        [F.col("d_total").desc(), F.col("user_id").asc()],
+        rank_col="i",
+        total_col="n_users",
+    )
     return (
-        totals.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn(
+            "decile", ntile_from_rank(F.col("i"), F.col("n_users"), 10)
+        )
         .groupBy("decile")
         .agg(
             F.count("*").alias("users"),
@@ -1986,14 +1994,49 @@ def value_equi_depth_histogram(events: DataFrame, buckets: int = 8) -> DataFrame
     land on real data values — the optimizer-statistics complement to
     table_column_stats' equi-width form (equi-depth is what skewed
     columns need). Deterministic: the ntile order is total (value,
-    event_id). One keyed window + one aggregate on the same key."""
-    from pyspark.sql.window import Window
+    event_id).
 
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    Scale shape: ``event_type`` is low-cardinality, so the obvious
+    ``Window.partitionBy(event_type)`` puts each type's ENTIRE fact
+    history on one task — the skewed-key cousin of the global sort.
+    Instead the rank is global over (event_type, value, event_id) via
+    ``exact_global_rank`` (fully parallel range slices), the per-type
+    rank is recovered by subtracting the type's cumulative start offset
+    (a |types|-sized broadcast), and the NTILE bucket is derived
+    arithmetically — bit-identical to the keyed-window form the oracle
+    runs."""
+    from ..pipelines.util import exact_global_rank, ntile_from_rank
+
+    base = events.select("event_type", "value", "event_id")
+    ranked = exact_global_rank(
+        base,
+        [
+            F.col("event_type").asc(),
+            F.col("value").asc(),
+            F.col("event_id").asc(),
+        ],
+        rank_col="gi",
+    )
+    type_counts = base.groupBy("event_type").agg(
+        F.count("*").alias("n_type")
+    )
+    lower = type_counts.select(
+        F.col("event_type").alias("et_b"), F.col("n_type").alias("n_b")
+    )
+    type_offsets = (
+        type_counts.join(
+            lower, F.col("et_b") < F.col("event_type"), "left"
+        )
+        .groupBy("event_type", "n_type")
+        .agg(F.coalesce(F.sum("n_b"), F.lit(0)).alias("t_off"))
+    )
     return (
-        events.select(
-            "event_type", "value",
-            F.ntile(buckets).over(w).cast("long").alias("bucket"),
+        ranked.join(F.broadcast(type_offsets), "event_type")
+        .withColumn(
+            "bucket",
+            ntile_from_rank(
+                F.col("gi") - F.col("t_off"), F.col("n_type"), buckets
+            ),
         )
         .groupBy("event_type", "bucket")
         .agg(
@@ -2426,17 +2469,21 @@ def user_value_gini(events: DataFrame) -> DataFrame:
     behind 'whales vs long tail'. Computed from the exact rank-weighted
     identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over DECIMAL user totals
     ranked by (total asc, user_id asc) — deterministic, and the only
-    division happens once on identical doubles (round 6)."""
-    from pyspark.sql.window import Window
+    division happens once on identical doubles (round 6).
+
+    Scale shape: the rank comes from ``exact_global_rank`` (range
+    exchange + per-slice row_number + cumulative-offset broadcast), not
+    a bare ``Window.orderBy`` — same exact ranks, no single-partition
+    sort at 100×."""
+    from ..pipelines.util import exact_global_rank
 
     totals = events.groupBy("user_id").agg(
         F.sum(_dec("value")).alias("d_total")
     )
-    ranked = totals.withColumn(
-        "i",
-        F.row_number().over(
-            Window.orderBy(F.col("d_total").asc(), F.col("user_id").asc())
-        ),
+    ranked = exact_global_rank(
+        totals,
+        [F.col("d_total").asc(), F.col("user_id").asc()],
+        rank_col="i",
     )
     return ranked.agg(
         F.count("*").alias("users"),
@@ -2566,8 +2613,10 @@ def conversion_decile_lift(events: DataFrame) -> DataFrame:
     totals desc), each decile's conversion rate (>= 14 purchases, the
     events_ab_test definition) compared to the overall rate — the
     model-evaluation table scoring pipelines emit. Exact counts,
-    deterministic NTILE order, divisions once (round 6)."""
-    from pyspark.sql.window import Window
+    deterministic NTILE order, divisions once (round 6). The decile
+    comes from ``exact_global_rank`` + arithmetic NTILE (no
+    single-partition window sort — see user_value_deciles)."""
+    from ..pipelines.util import exact_global_rank, ntile_from_rank
 
     per_user = events.groupBy("user_id").agg(
         F.sum(_dec("value")).alias("d_total"),
@@ -2575,11 +2624,13 @@ def conversion_decile_lift(events: DataFrame) -> DataFrame:
             F.sum((F.col("event_type") == "purchase").cast("long")) >= 14
         ).cast("long").alias("converted"),
     )
-    ranked = per_user.withColumn(
-        "decile",
-        F.ntile(10).over(
-            Window.orderBy(F.col("d_total").desc(), F.col("user_id").asc())
-        ).cast("long"),
+    ranked = exact_global_rank(
+        per_user,
+        [F.col("d_total").desc(), F.col("user_id").asc()],
+        rank_col="i",
+        total_col="n_users",
+    ).withColumn(
+        "decile", ntile_from_rank(F.col("i"), F.col("n_users"), 10)
     )
     overall = ranked.agg(
         F.count("*").alias("n_all"), F.sum("converted").alias("conv_all")

@@ -898,8 +898,11 @@ def zipf_fit(documents: DataFrame) -> DataFrame:
     integer type counts, deterministic ranks (freq desc, word asc), and
     the regression runs over identical doubles in both engines via the
     native regr_slope/regr_r2 aggregates (the regr_* surface
-    topic_throughput_trend introduced)."""
-    from pyspark.sql.window import Window
+    topic_throughput_trend introduced). The rank is an
+    ``exact_global_rank`` (range-partitioned, parallel), not a bare
+    global window — the vocabulary of a 100 TB corpus does not fit one
+    task."""
+    from .util import exact_global_rank
 
     words = (
         documents.select(
@@ -909,11 +912,10 @@ def zipf_fit(documents: DataFrame) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )
-    ranked = words.withColumn(
-        "rank",
-        F.row_number().over(
-            Window.orderBy(F.col("freq").desc(), F.col("w").asc())
-        ),
+    ranked = exact_global_rank(
+        words,
+        [F.col("freq").desc(), F.col("w").asc()],
+        rank_col="rank",
     )
     return ranked.agg(
         F.count("*").alias("n_types"),

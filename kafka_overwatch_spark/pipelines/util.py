@@ -2,7 +2,10 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def spread(df: DataFrame, factor: int = 1) -> DataFrame:
@@ -24,3 +27,99 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     if n_files >= target:
         return df
     return df.repartition(target)
+
+
+def exact_global_rank(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    rank_col: str = "i",
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global ``row_number`` over a total order WITHOUT the
+    single-partition sort a bare ``Window.orderBy`` plans (the classic
+    100 TB scale-killer: every row shuffles to ONE task).
+
+    Plan shape: ``repartitionByRange`` on the order keys gives each task
+    one contiguous slice of the total order; a ``row_number`` window
+    partitioned by ``spark_partition_id()`` ranks each slice locally (in
+    parallel); then each slice shifts by the cumulative row count of the
+    slices before it — a partition-count-sized (tiny) triangular
+    aggregate that broadcasts back. Every stage is parallel; the only
+    data-sized shuffles are the range exchange and the pid hash
+    exchange, both balanced by construction. Result is bit-identical to
+    the global-window form (exact rank, same total order), so DuckDB
+    oracles keep passing unchanged.
+
+    ``total_col`` optionally attaches the total row count to every row
+    (needed by :func:`ntile_from_rank`)."""
+    spark = df.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    from pyspark.sql.window import Window
+
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        "_egr_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_egr_rn",
+        F.row_number().over(
+            Window.partitionBy("_egr_pid").orderBy(*order_cols)
+        ),
+    )
+    counts = ranged.groupBy("_egr_pid").agg(
+        F.count("*").alias("_egr_cnt")
+    )
+    # cumulative offsets over the (≤ num_partitions)-row counts frame via
+    # a triangular self-join — O(P²) on a tiny frame, and unlike a bare
+    # window it introduces no Exchange SinglePartition anywhere
+    lower = counts.select(
+        F.col("_egr_pid").alias("_egr_pid_b"),
+        F.col("_egr_cnt").alias("_egr_cnt_b"),
+    )
+    offsets = (
+        counts.join(
+            lower, F.col("_egr_pid_b") < F.col("_egr_pid"), "left"
+        )
+        .groupBy("_egr_pid")
+        .agg(F.coalesce(F.sum("_egr_cnt_b"), F.lit(0)).alias("_egr_off"))
+    )
+    out = (
+        local.join(F.broadcast(offsets), "_egr_pid")
+        .withColumn(
+            rank_col,
+            (F.col("_egr_off") + F.col("_egr_rn")).cast("long"),
+        )
+        .drop("_egr_pid", "_egr_rn", "_egr_off")
+    )
+    if total_col is not None:
+        total = counts.agg(
+            F.coalesce(F.sum("_egr_cnt"), F.lit(0))
+            .cast("long")
+            .alias(total_col)
+        )
+        out = out.crossJoin(F.broadcast(total))
+    return out
+
+
+def ntile_from_rank(i: Column, n: Column, k: int) -> Column:
+    """SQL-standard ``NTILE(k)`` computed arithmetically from an exact
+    1-based rank ``i`` over ``n`` rows: the first ``n % k`` buckets hold
+    ``ceil(n/k)`` rows, the rest ``floor(n/k)`` — bit-identical to the
+    window NTILE both Spark and DuckDB implement, but expressible on top
+    of :func:`exact_global_rank` with no global-sort window."""
+    q = F.floor(n / F.lit(k)).cast("long")
+    r = (n % F.lit(k)).cast("long")
+    big = r * (q + F.lit(1))
+    return (
+        F.when(i <= big, F.floor((i - F.lit(1)) / (q + F.lit(1))) + F.lit(1))
+        .otherwise(
+            r
+            + F.floor(
+                (i - big - F.lit(1)) / F.greatest(q, F.lit(1))
+            )
+            + F.lit(1)
+        )
+        .cast("long")
+    )

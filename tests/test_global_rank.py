@@ -1,0 +1,142 @@
+"""The de-global-sorted segmentation family (VERDICT r5 #1): the
+``exact_global_rank`` helper must be bit-identical to a bare
+``Window.orderBy`` rank, the arithmetic NTILE must match SQL-standard
+``F.ntile``, and the rewritten queries' physical plans must contain no
+single-partition window sort (the 100× scale-killer the rewrite
+removes)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def assert_no_single_partition_sort(df) -> None:
+    """Fail if any ``Exchange SinglePartition`` feeds a Sort/Window —
+    the physical signature of a global-order window. A SinglePartition
+    exchange under a scalar HashAggregate (one partial row per task) is
+    fine and expected."""
+    lines = _plan(df).split("\n")
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        parent = lines[i - 1] if i else ""
+        assert not re.search(r"\bSort \[", parent), (
+            "single-partition sort in plan:\n" + parent + "\n" + line
+        )
+        assert "Window" not in parent, (
+            "single-partition window in plan:\n" + parent + "\n" + line
+        )
+
+
+def test_exact_global_rank_matches_window_rank(spark):
+    """Rank parity on the real user-totals frame, desc + tiebreak order,
+    against the single-partition window form it replaces."""
+    from pyspark.sql.window import Window
+
+    from kafka_overwatch_spark.pipelines.util import exact_global_rank
+
+    totals = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("d_total"))
+    )
+    order = [F.col("d_total").desc(), F.col("user_id").asc()]
+    got = {
+        r.user_id: r.i
+        for r in exact_global_rank(totals, order, rank_col="i").collect()
+    }
+    want = {
+        r.user_id: r.i
+        for r in totals.withColumn(
+            "i", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want and len(got) >= 10
+
+    # and on a frame much larger than the partition count, with ties in
+    # the leading key (exercises the tiebreak across slice boundaries)
+    big = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    )
+    border = [F.col("k").asc(), F.col("id").desc()]
+    got_b = {
+        r.id: r.i
+        for r in exact_global_rank(big, border, rank_col="i").collect()
+    }
+    want_b = {
+        r.id: r.i
+        for r in big.withColumn(
+            "i", F.row_number().over(Window.orderBy(*border))
+        ).collect()
+    }
+    assert got_b == want_b
+
+
+def test_exact_global_rank_total_col(spark):
+    from kafka_overwatch_spark.pipelines.util import exact_global_rank
+
+    df = spark.range(0, 137).select(F.col("id"))
+    out = exact_global_rank(
+        df, [F.col("id").desc()], rank_col="i", total_col="n"
+    ).collect()
+    assert all(r.n == 137 for r in out)
+    assert sorted(r.i for r in out) == list(range(1, 138))
+    # desc order: id 136 gets rank 1
+    assert {r.id: r.i for r in out}[136] == 1
+
+
+@pytest.mark.parametrize("n,k", [(7, 10), (10, 10), (25, 10), (100, 8), (137, 9)])
+def test_ntile_from_rank_matches_sql_ntile(spark, n, k):
+    from pyspark.sql.window import Window
+
+    from kafka_overwatch_spark.pipelines.util import ntile_from_rank
+
+    df = spark.range(0, n).select(F.col("id"))
+    w = Window.orderBy("id")
+    both = df.select(
+        "id",
+        F.ntile(k).over(w).cast("long").alias("want"),
+        ntile_from_rank(
+            F.row_number().over(w).cast("long"), F.lit(n).cast("long"), k
+        ).alias("got"),
+    ).collect()
+    assert all(r.want == r.got for r in both)
+
+
+def test_segmentation_family_plans_have_no_global_sort(spark):
+    """The three named scale-killers (VERDICT r5 What's-wrong #1) plus
+    decile lift and zipf: no single-partition sort, no window NTILE."""
+    from kafka_overwatch_spark.operators import relational
+    from kafka_overwatch_spark.pipelines import text as textops
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    frames = [
+        relational.user_value_deciles(ev),
+        relational.user_value_gini(ev),
+        relational.value_equi_depth_histogram(ev),
+        relational.conversion_decile_lift(ev),
+        textops.zipf_fit(docs),
+    ]
+    for df in frames:
+        assert_no_single_partition_sort(df)
+        assert "ntile(" not in _plan(df)
+
+
+def test_equi_depth_has_no_low_cardinality_window(spark):
+    """The old form windowed on event_type (every type's full history on
+    one task). The new plan's only row_number window partitions on the
+    range-slice pid."""
+    from kafka_overwatch_spark.operators import relational
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _plan(relational.value_equi_depth_histogram(ev))
+    for m in re.finditer(r"windowspecdefinition\((\w+)#", plan):
+        assert m.group(1) == "_egr_pid", plan[m.start() : m.start() + 120]
