@@ -189,7 +189,12 @@ def compact_small_files(
     Returns {files_before, files_after, bytes_total}. At 100 TB this is
     the nightly maintenance job streaming-ingest tables need: thousands
     of per-trigger micro-files → scan-sized files; the repartition count
-    comes from real byte size, not a guess."""
+    comes from real byte size, not a guess.
+
+    Hive-partitioned sources (key=... subdirs) are rewritten WITH the
+    same partitionBy — silently flattening them would turn partition
+    columns into data columns and drop partition pruning for every
+    downstream reader of the compacted copy (ADVICE r5)."""
     import math
 
     jvm = spark._jvm
@@ -212,12 +217,30 @@ def compact_small_files(
     files = _parquet_files(p)
     bytes_total = sum(f.getLen() for f in files)
     n_out = max(1, math.ceil(bytes_total / target_bytes))
+    # infer Hive partition columns from the key=value path segments of
+    # the leaf files (in directory order), so the rewrite preserves them
+    part_cols: list[str] = []
+    if files:
+        rel = str(files[0].getPath().toUri().getPath())
+        base = str(p.getFileSystem(conf).makeQualified(p).toUri().getPath())
+        for seg in rel[len(base):].strip("/").split("/")[:-1]:
+            if "=" in seg:
+                part_cols.append(seg.split("=", 1)[0])
     df = spark.read.parquet(src_path)
-    out = df.repartitionByRange(n_out, *sort_cols) if sort_cols else \
-        df.coalesce(n_out)
     if sort_cols:
-        out = out.sortWithinPartitions(*sort_cols)
-    out.write.mode("overwrite").parquet(dst_path)
+        out = df.repartitionByRange(
+            n_out, *sort_cols
+        ).sortWithinPartitions(*sort_cols)
+    elif part_cols:
+        # cluster by the partition keys so each task writes few files
+        # per partition directory instead of one per (task, key)
+        out = df.repartition(n_out, *part_cols)
+    else:
+        out = df.coalesce(n_out)
+    writer = out.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(dst_path)
     files_after = len(
         _parquet_files(jvm.org.apache.hadoop.fs.Path(dst_path))
     )

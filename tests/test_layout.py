@@ -167,6 +167,59 @@ def test_compaction_reduces_file_count_preserves_rows(spark):
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_compaction_preserves_hive_partitioning(spark):
+    """A key=... partitioned source must be rewritten WITH the same
+    partitionBy — flattening would silently drop partition pruning for
+    downstream readers of the compacted copy (ADVICE r5)."""
+    from kafka_overwatch_spark.registry import get_raw_tables
+    from kafka_overwatch_spark.sinks.layout import compact_small_files
+
+    events = get_raw_tables(spark, "/root/testdata/sf0.001")["events"]
+    with tempfile.TemporaryDirectory() as tmp:
+        (
+            events.repartition(8)
+            .write.partitionBy("event_type")
+            .mode("overwrite")
+            .parquet(f"{tmp}/in")
+        )
+        stats = compact_small_files(
+            spark, f"{tmp}/in", f"{tmp}/out", target_bytes=512 * 1024
+        )
+        assert stats["files_after"] < stats["files_before"]
+        out = spark.read.parquet(f"{tmp}/out")
+        a = spark.read.parquet(f"{tmp}/in")
+        assert a.count() == out.count()
+        # partition pruning still works: a type filter prunes to that
+        # type's directory only
+        pruned = out.filter(out.event_type == "view")
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "event_type=view" in plan or "PartitionFilters" in plan
+        # and the key=... layout physically exists in the output
+        import os
+
+        assert any(
+            d.startswith("event_type=") for d in os.listdir(f"{tmp}/out")
+        )
+
+
+def test_scd1_marker_collision_safe(spark):
+    """A user column literally named _is_update must not corrupt the
+    MERGE match predicate (ADVICE r5)."""
+    from kafka_overwatch_spark.operators.relational import scd1_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", True), (2, "b", False)], "k long, v string, _is_update boolean"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", None), (3, "c", True)], "k long, v string, _is_update boolean"
+    )
+    out = {r.k: (r.v, r._is_update) for r in scd1_upsert(
+        target, updates, ["k"]
+    ).collect()}
+    # wholesale MERGE: update row wins on match (even its NULL cells)
+    assert out == {1: ("a", True), 2: ("B", None), 3: ("c", True)}
+
+
 def test_dynamic_partition_overwrite_replaces_only_touched_days(spark):
     """partitionOverwriteMode=dynamic: rewriting ONE day's slice must
     leave every other partition untouched (static mode would truncate
