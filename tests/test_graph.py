@@ -42,6 +42,60 @@ def test_pagerank_matches_python_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
 
 
+def test_pagerank_large_path_matches_broadcast_path(spark):
+    """broadcast_vertex_limit=0 forces the shuffle-join path; ranks must
+    be identical to the broadcast path (same float op order: the join
+    strategy doesn't touch the arithmetic)."""
+    lineitem = get_raw_tables(spark, SF_DIR)["lineitem"]
+    small = {r.part: r.rank for r in graph.pagerank(lineitem).collect()}
+    large = {
+        r.part: r.rank
+        for r in graph.pagerank(
+            lineitem, broadcast_vertex_limit=0
+        ).collect()
+    }
+    assert set(small) == set(large)
+    assert max(abs(small[v] - large[v]) for v in small) < 1e-9
+    assert abs(sum(large.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_large_path_step_is_shuffle_join(spark):
+    """At the large setting the per-iteration join must NOT broadcast
+    the vertex-dim rank frame (the 100× breaker): shuffle-hash join
+    with the transition side pre-partitioned on the join key."""
+    from pyspark.sql import functions as F
+
+    lineitem = get_raw_tables(spark, SF_DIR)["lineitem"]
+    edges = graph.copurchase_edges(lineitem)
+    directed = edges.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst"),
+        F.col("weight"),
+    ).unionAll(
+        edges.select(
+            F.col("part_b").alias("src"), F.col("part_a").alias("dst"),
+            F.col("weight"),
+        )
+    )
+    out_w = directed.groupBy("src").agg(F.sum("weight").alias("w_out"))
+    trans = (
+        directed.join(out_w, "src")
+        .select("src", "dst", (F.col("weight") / F.col("w_out")).alias("p"))
+        .repartition(8, "src")
+        .localCheckpoint(eager=True)
+    )
+    nodes = trans.select(F.col("src").alias("part")).distinct()
+    n = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    step = graph.pagerank_step(trans, ranks, n, 0.85, small=False)
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    # the checkpointed transition side arrives pre-partitioned: exactly
+    # one exchange feeds the join (the dim-sized rank side)
+    join_part = plan.split("ShuffledHashJoin")[1].split("HashAggregate")[0]
+    assert join_part.count("Exchange hashpartitioning") == 1
+
+
 def test_degree_consistent_with_pagerank_nodes(spark):
     lineitem = get_raw_tables(spark, SF_DIR)["lineitem"]
     deg = {r.part for r in graph.part_degree(lineitem).collect()}
