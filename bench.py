@@ -173,6 +173,25 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def host_load() -> dict:
+    """Concurrent-load probe recorded next to each pass (VERDICT r5 next
+    #7): driver-vs-builder numbers have differed ~40% purely on host
+    load, so every BENCH artifact carries the evidence needed to
+    attribute a delta to code vs to a busy host. load1 is the 1-min
+    runqueue average; busy_frac is load1 / cpu count (>~0.5 with our own
+    JVM idle means a loaded host)."""
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        return {"load1": None, "cpus": os.cpu_count(), "busy_frac": None}
+    cpus = os.cpu_count() or 1
+    return {
+        "load1": round(load1, 2),
+        "cpus": cpus,
+        "busy_frac": round(load1 / cpus, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -203,8 +222,10 @@ def main() -> None:
     timed = HEADLINE + HEADLINE2
     samples: dict[str, list[float]] = {name: [] for name in timed}
     pass_totals = []
+    pass_loads = []
     n_passes = 3
     for pass_no in range(n_passes):
+        pass_loads.append(host_load())
         t_pass = time.time()
         for name in timed:
             t0 = time.time()
@@ -304,6 +325,7 @@ def main() -> None:
     detail = {
         "queries_min": per_query_min,
         "pass_totals": pass_totals,
+        "pass_loads": pass_loads,
         "setup_sec": setup_sec,
         "input_rows": input_rows,
         "extra_queries": extra_queries,
@@ -327,6 +349,14 @@ def main() -> None:
                 "queries": per_query,
                 "headline2": headline2,
                 "headline2_total": total2,
+                # min-of-3 total: the steady-state floor, the stable
+                # cross-host statistic (p50 stays the headline for
+                # round-over-round comparability with r1-r5)
+                "total_min": round(
+                    sum(v for k, v in per_query_min.items() if k in HEADLINE),
+                    3,
+                ),
+                "pass_loads": pass_loads,
                 "stat": "p50_of_3",
                 "sf": float(sf),
                 "n_queries": len(per_query),

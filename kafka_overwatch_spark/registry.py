@@ -1030,6 +1030,22 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # lowest information — still swept by tests/test_oracle_parity.py) sink
 # to the END. Everything else keeps its registration order.
 _PROMOTED = [
+    # r6 rotation (VERDICT r5 next #5): the final-wave r5 queries that
+    # have never been driver-checked, plus everything re-planned this
+    # round (the de-global-sorted segmentation family), go FIRST
+    "tpch_return_rate_control",
+    "events_decile_lift",
+    "events_cohort_retention",
+    "events_stickiness",
+    "tpch_supplier_hhi",
+    "tpch_fulfillment_latency",
+    "events_value_gini",
+    "events_winsorized_stats",
+    "events_user_deciles",
+    "events_equi_depth_hist",
+    "text_zipf_fit",
+    "events_heavy_hitters",
+    # riskiest algorithmic oracles, carried from r5
     "text_line_dedup",
     "events_asof_attribution",
     "tpch_local_supplier_volume",
@@ -1062,7 +1078,6 @@ _PROMOTED = [
     "validation_report",
     "topic_throughput_trend",
     "text_bigram_logprob",
-    "events_user_deciles",
     "sampling_upsample_plan",
     "corpus_lang_source_assoc",
     "corpus_split_drift_psi",
@@ -1084,7 +1099,6 @@ _PROMOTED = [
     "events_daily_locf",
     "events_time_weighted_avg",
     "events_session_window_dynamic",
-    "events_winsorized_stats",
     "events_ab_test",
 ]
 

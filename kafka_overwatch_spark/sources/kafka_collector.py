@@ -108,9 +108,100 @@ def collect_snapshot(
     return SnapshotRows(po, tp, cg, go, tc)
 
 
-def confluent_client(bootstrap_servers: str, **config):  # pragma: no cover
-    """The live binding — requires confluent-kafka (not in this
-    container)."""
+class ConfluentClusterClient:  # pragma: no cover — needs a live broker
+    """Live ``ClusterClient`` over confluent-kafka's public Admin/Consumer
+    API, mapping 1:1 onto the reference's calls:
+
+    - list/describe topics → ``AdminClient.list_topics`` metadata
+      (`kafka_resources/topics.py:28-53`)
+    - configs → ``describe_configs`` non-default entries
+      (`topics.py:80-92`)
+    - watermarks → ``Consumer.get_watermark_offsets`` per partition
+      (`topics.py:168-178`)
+    - groups → ``list/describe_consumer_groups``
+      (`kafka_resources/groups.py:23-108`)
+    - committed → ``list_consumer_group_offsets`` one group per call
+      (`groups.py:149-170`)
+
+    Exercised by tests/test_kafka_integration.py, which skips (not
+    absent) until confluent-kafka + $KAFKA_BOOTSTRAP exist."""
+
+    def __init__(self, bootstrap_servers: str, timeout: float = 10.0, **config):
+        from confluent_kafka import Consumer
+        from confluent_kafka.admin import AdminClient
+
+        conf = {"bootstrap.servers": bootstrap_servers, **config}
+        self._timeout = timeout
+        self._admin = AdminClient(dict(conf))
+        self._consumer = Consumer(
+            {
+                **conf,
+                "group.id": "kafka-overwatch-spark-collector",
+                "enable.auto.commit": False,
+            }
+        )
+
+    def list_topics(self) -> list[str]:
+        md = self._admin.list_topics(timeout=self._timeout)
+        # internal topics (__consumer_offsets, ...) excluded like the
+        # reference's scan
+        return sorted(t for t in md.topics if not t.startswith("__"))
+
+    def describe_topic(self, topic: str) -> list[int]:
+        md = self._admin.list_topics(topic=topic, timeout=self._timeout)
+        return sorted(md.topics[topic].partitions)
+
+    def topic_config(self, topic: str) -> dict[str, str]:
+        from confluent_kafka.admin import ConfigResource
+
+        res = ConfigResource(ConfigResource.Type.TOPIC, topic)
+        cfg = self._admin.describe_configs([res])[res].result(self._timeout)
+        return {
+            k: v.value
+            for k, v in cfg.items()
+            if v.value is not None and not v.is_default
+        }
+
+    def watermarks(self, topic: str, partition: int) -> tuple[int, int]:
+        from confluent_kafka import TopicPartition
+
+        lo, hi = self._consumer.get_watermark_offsets(
+            TopicPartition(topic, partition), timeout=self._timeout
+        )
+        return int(lo), int(hi)
+
+    def list_groups(self) -> list[str]:
+        res = self._admin.list_consumer_groups(
+            request_timeout=self._timeout
+        ).result()
+        return sorted(g.group_id for g in res.valid)
+
+    def describe_group(self, group_id: str) -> tuple[str, int]:
+        d = self._admin.describe_consumer_groups(
+            [group_id], request_timeout=self._timeout
+        )[group_id].result()
+        state = str(d.state).rsplit(".", 1)[-1]
+        return state, len(d.members)
+
+    def committed_offsets(self, group_id: str) -> list[tuple[str, int, int]]:
+        from confluent_kafka import ConsumerGroupTopicPartitions
+
+        req = ConsumerGroupTopicPartitions(group_id)
+        res = self._admin.list_consumer_group_offsets([req])[
+            group_id
+        ].result()
+        return sorted(
+            (tp.topic, int(tp.partition), int(tp.offset))
+            for tp in res.topic_partitions
+            if tp.offset is not None and tp.offset >= 0
+        )
+
+
+def confluent_client(
+    bootstrap_servers: str, **config
+) -> "ConfluentClusterClient":
+    """The live binding — requires confluent-kafka (absent from this
+    container; import-guarded so the seam stays testable with fakes)."""
     try:
         from confluent_kafka.admin import AdminClient  # noqa: F401
     except ImportError as exc:
@@ -118,4 +209,4 @@ def confluent_client(bootstrap_servers: str, **config):  # pragma: no cover
             "confluent-kafka is not installed; use a ClusterClient "
             "implementation (see tests/test_collector.py for the shape)"
         ) from exc
-    raise NotImplementedError("live binding is wired in a Kafka-enabled env")
+    return ConfluentClusterClient(bootstrap_servers, **config)
