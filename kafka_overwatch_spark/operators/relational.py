@@ -583,23 +583,39 @@ def events_topk_per_type(events: DataFrame, k: int = 3) -> DataFrame:
     as DECIMAL so the rank key is exact and the tie-break (total desc,
     user_id asc) is deterministic across engines.
 
-    Scale shape: one keyed aggregation, then a window over the already
-    aggregated (type, user) grain — the window's sort is per-partition
-    after a shuffle on event_type. With few types that shuffle is skewed;
-    the 100 TB variant pre-aggregates (map-side combine does the heavy
-    lifting) so the window input is |types|×|users|, not |events|.
+    Scale shape: one keyed aggregation, then SALTED two-stage top-k.
+    ``event_type`` is low-cardinality, so a bare
+    ``Window.partitionBy(event_type)`` puts every type's full user set
+    on one task. Instead: local top-k per (type, salt-of-user) slice —
+    a balanced window whose input is the aggregated grain spread over
+    ``n_salts`` slices — then the final per-type window ranks only the
+    surviving |types|·n_salts·k rows (bounded, tiny). Exact: the global
+    top-k of a type is contained in the union of its slice-local
+    top-ks, and both stages share the (total desc, user asc) order.
     """
     from pyspark.sql.window import Window
 
+    n_salts = 32
     totals = events.groupBy("event_type", "user_id").agg(
         F.count("*").alias("events"),
         F.sum(_dec("value")).alias("d_total"),
     )
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("d_total").desc(), F.col("user_id").asc()
+    order = [F.col("d_total").desc(), F.col("user_id").asc()]
+    local = (
+        totals.withColumn(
+            "_salt", F.pmod(F.hash("user_id"), F.lit(n_salts))
+        )
+        .withColumn(
+            "_lr",
+            F.row_number().over(
+                Window.partitionBy("event_type", "_salt").orderBy(*order)
+            ),
+        )
+        .filter(F.col("_lr") <= k)
     )
+    w = Window.partitionBy("event_type").orderBy(*order)
     return (
-        totals.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "event_type",
@@ -1860,19 +1876,38 @@ def time_weighted_value(events: DataFrame) -> DataFrame:
     next event) — the TWAP shape for irregularly-sampled series, where
     a plain AVG over-weights bursts. The last sample per type has no
     successor and is excluded from the weighting (stated identically in
-    the oracle). One type-keyed window + one aggregate — single
-    exchange; second-exact integer weights, the ratio divides last."""
-    from pyspark.sql.window import Window
+    the oracle).
 
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    weighted = events.select(
-        "event_type",
-        _dec("value").alias("d_value"),
-        (
-            F.unix_timestamp(F.lead("ts").over(w))
-            - F.unix_timestamp("ts")
-        ).cast("long").alias("dt"),
-    ).filter(F.col("dt").isNotNull())
+    Scale shape: the obvious per-type LEAD window puts each type's
+    ENTIRE event history on one task (event_type is low-cardinality).
+    Instead: one ``exact_global_rank`` over (event_type, ts, event_id)
+    — types are contiguous in that total order, so "this type's next
+    event" is simply rank+1 when the neighbor shares the type — then a
+    balanced self-join on the rank. More exchanges than the window
+    form, but every one is uniform-key; nothing serializes on a type."""
+    from ..pipelines.util import exact_global_rank
+
+    ranked = exact_global_rank(
+        events.select("event_type", "ts", "event_id", _dec("value").alias("d_value")),
+        [F.col("event_type").asc(), F.col("ts").asc(), F.col("event_id").asc()],
+        rank_col="gi",
+    )
+    nxt = ranked.select(
+        (F.col("gi") - 1).alias("gi"),
+        F.col("event_type").alias("n_type"),
+        F.col("ts").alias("n_ts"),
+    )
+    weighted = (
+        ranked.join(nxt, "gi")
+        .filter(F.col("n_type") == F.col("event_type"))
+        .select(
+            "event_type",
+            "d_value",
+            (
+                F.unix_timestamp("n_ts") - F.unix_timestamp("ts")
+            ).cast("long").alias("dt"),
+        )
+    )
     return weighted.groupBy("event_type").agg(
         F.count("*").alias("samples"),
         F.sum("dt").alias("total_sec"),

@@ -59,8 +59,18 @@ def exact_global_rank(
     )
     from pyspark.sql.window import Window
 
-    ranged = df.repartitionByRange(n, *order_cols).withColumn(
-        "_egr_pid", F.spark_partition_id()
+    # localCheckpoint pins the (row → slice) assignment: range boundaries
+    # come from SAMPLING seeded per materialized RDD, so without the pin
+    # two consumers of this frame inside one plan (the counts subtree
+    # here, or a caller's self-join on the rank) can each re-execute the
+    # exchange with DIFFERENT boundaries whenever exchange reuse fails
+    # to kick in — silently corrupting ranks. The checkpoint makes every
+    # consumer read the one materialized assignment; lazy (eager=False)
+    # keeps construction job-free.
+    ranged = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("_egr_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     local = ranged.withColumn(
         "_egr_rn",

@@ -110,6 +110,43 @@ def test_ntile_from_rank_matches_sql_ntile(spark, n, k):
     assert all(r.want == r.got for r in both)
 
 
+def test_exact_global_rank_self_join_is_consistent(spark):
+    """Regression: rank boundaries come from per-RDD-seeded sampling, so
+    a SELF-JOIN of the ranked frame (rank → rank+1 successor lookup, the
+    time_weighted_value shape) silently corrupted neighbors whenever the
+    two subtrees re-executed the range exchange with different
+    boundaries. The helper pins the assignment with a localCheckpoint;
+    this asserts every rank-successor pair really is adjacent in the
+    total order, repeatedly."""
+    from kafka_overwatch_spark.pipelines.util import exact_global_rank
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "ts", "event_id"
+    )
+    order = [
+        F.col("event_type").asc(),
+        F.col("ts").asc(),
+        F.col("event_id").asc(),
+    ]
+    for _ in range(3):
+        ranked = exact_global_rank(ev, order, rank_col="gi")
+        nxt = ranked.select(
+            (F.col("gi") - 1).alias("gi"),
+            F.col("event_type").alias("n_type"),
+            F.col("ts").alias("n_ts"),
+            F.col("event_id").alias("n_id"),
+        )
+        pairs = ranked.join(nxt, "gi").collect()
+        n = ev.count()
+        assert len(pairs) == n - 1
+        for r in pairs:
+            assert (r.event_type, r.ts, r.event_id) < (
+                r.n_type,
+                r.n_ts,
+                r.n_id,
+            ), f"rank {r.gi}: successor precedes it in the total order"
+
+
 def test_segmentation_family_plans_have_no_global_sort(spark):
     """The three named scale-killers (VERDICT r5 What's-wrong #1) plus
     decile lift and zipf: no single-partition sort, no window NTILE."""
