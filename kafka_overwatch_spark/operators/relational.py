@@ -1880,33 +1880,58 @@ def time_weighted_value(events: DataFrame) -> DataFrame:
 
     Scale shape: the obvious per-type LEAD window puts each type's
     ENTIRE event history on one task (event_type is low-cardinality).
-    Instead: one ``exact_global_rank`` over (event_type, ts, event_id)
-    — types are contiguous in that total order, so "this type's next
-    event" is simply rank+1 when the neighbor shares the type — then a
-    balanced self-join on the rank. More exchanges than the window
-    form, but every one is uniform-key; nothing serializes on a type."""
-    from ..pipelines.util import exact_global_rank
+    Instead the successor lookup is TIME-BUCKETED: a (type, bucket)
+    window finds the next event within the bucket (balanced — a bucket
+    holds one ``bucket_sec`` span, not the whole history), and each
+    bucket's LAST event takes its successor from a bucket-grain frame
+    of per-bucket first timestamps (the next OCCUPIED bucket's min ts —
+    a window over the tiny (type, bucket) rollup, then a broadcast
+    join). Exactly the LEAD semantics: the successor's ts is the same
+    value whichever event wins the (ts, event_id) tie-break. Shrink
+    ``bucket_sec`` if a single type-bucket could still overwhelm a task
+    at the target scale."""
+    return time_weighted_value_bucketed(events)
 
-    ranked = exact_global_rank(
-        events.select("event_type", "ts", "event_id", _dec("value").alias("d_value")),
-        [F.col("event_type").asc(), F.col("ts").asc(), F.col("event_id").asc()],
-        rank_col="gi",
+
+def time_weighted_value_bucketed(
+    events: DataFrame, bucket_sec: int = 86400
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    bucket = F.floor(F.unix_timestamp("ts") / bucket_sec).cast("long")
+    base = events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        _dec("value").alias("d_value"),
+        bucket.alias("bkt"),
     )
-    nxt = ranked.select(
-        (F.col("gi") - 1).alias("gi"),
-        F.col("event_type").alias("n_type"),
-        F.col("ts").alias("n_ts"),
+    wb = Window.partitionBy("event_type", "bkt").orderBy("ts", "event_id")
+    with_lead = base.withColumn("in_bucket_next", F.lead("ts").over(wb))
+    firsts = base.groupBy("event_type", "bkt").agg(
+        F.min("ts").alias("first_ts")
+    )
+    # next occupied bucket's first ts: window over the (type, bucket)
+    # rollup — dim-grain (|types|·|buckets|), never event-grain
+    wn = Window.partitionBy("event_type").orderBy("bkt")
+    nxt_bucket = firsts.select(
+        "event_type",
+        "bkt",
+        F.lead("first_ts").over(wn).alias("next_bucket_ts"),
     )
     weighted = (
-        ranked.join(nxt, "gi")
-        .filter(F.col("n_type") == F.col("event_type"))
+        with_lead.join(F.broadcast(nxt_bucket), ["event_type", "bkt"])
         .select(
             "event_type",
             "d_value",
             (
-                F.unix_timestamp("n_ts") - F.unix_timestamp("ts")
+                F.unix_timestamp(
+                    F.coalesce("in_bucket_next", "next_bucket_ts")
+                )
+                - F.unix_timestamp("ts")
             ).cast("long").alias("dt"),
         )
+        .filter(F.col("dt").isNotNull())
     )
     return weighted.groupBy("event_type").agg(
         F.count("*").alias("samples"),
@@ -2512,6 +2537,38 @@ def supplier_concentration_hhi(
             ).alias("hhi"),
             F.round(F.col("d_tot"), 2).cast("double").alias("total_revenue"),
         )
+    )
+
+
+def value_quantile_normalized(events: DataFrame) -> DataFrame:
+    """Global rank-based quantile normalization of the value column —
+    the quantile-transform / rank-gauss feature step ML pipelines apply
+    to heavy-tailed columns before training: value_pct = (rank−1)/(n−1)
+    over the exact total order (value, event_id), plus the exact centile
+    bucket. Deterministic (unique tie-break), division of identical
+    integers happens once (round 6).
+
+    Scale shape: the global rank is ``exact_global_rank`` (range
+    slices, parallel) — the op a bare percent_rank() window makes a
+    single-task sort of the ENTIRE fact table. Output is event-grain
+    (it's a feature column, joined back by event_id downstream)."""
+    from ..pipelines.util import exact_global_rank, ntile_from_rank
+
+    ranked = exact_global_rank(
+        events.select("event_id", "value"),
+        [F.col("value").asc(), F.col("event_id").asc()],
+        rank_col="rn",
+        total_col="n",
+    )
+    return ranked.select(
+        "event_id",
+        "value",
+        F.round(
+            (F.col("rn") - 1).cast("double")
+            / (F.col("n") - 1).cast("double"),
+            6,
+        ).alias("value_pct"),
+        ntile_from_rank(F.col("rn"), F.col("n"), 100).alias("centile"),
     )
 
 

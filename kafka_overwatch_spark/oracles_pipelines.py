@@ -2467,4 +2467,56 @@ SELECT CAST(decile AS BIGINT) AS decile,
     / (CAST(conv_all AS DOUBLE) / n_all), 6) AS lift
 FROM ranked, o GROUP BY decile, n_all, conv_all"""
 
+    # r6: global rank-based quantile normalization (feature transform);
+    # the Spark side ranks via exact_global_rank, the oracle via the
+    # window the rewrite is provably identical to
+    q["events_quantile_norm"] = """
+WITH r AS (
+  SELECT event_id, value,
+    row_number() OVER (ORDER BY value, event_id) AS rn,
+    count(*) OVER () AS n
+  FROM events
+)
+SELECT event_id, value,
+  round(CAST(rn - 1 AS DOUBLE) / (n - 1), 6) AS value_pct,
+  CAST(ntile(100) OVER (ORDER BY value, event_id) AS BIGINT) AS centile
+FROM r"""
+
+    # r6: deterministic per-user event cap (frequent-key downweighting);
+    # salted-md5 keep order shared with the Spark side verbatim
+    q["sampling_user_cap"] = """
+WITH ranked AS (
+  SELECT user_id, event_id,
+    row_number() OVER (
+      PARTITION BY user_id
+      ORDER BY md5('cap-v1:' || CAST(event_id AS VARCHAR)) ASC,
+        event_id ASC
+    ) AS keep_rank
+  FROM events
+)
+SELECT user_id, event_id, CAST(keep_rank AS BIGINT) AS keep_rank
+FROM ranked WHERE keep_rank <= 20"""
+
+    q["sampling_user_cap_summary"] = """
+WITH ranked AS (
+  SELECT user_id,
+    row_number() OVER (
+      PARTITION BY user_id
+      ORDER BY md5('cap-v1:' || CAST(event_id AS VARCHAR)) ASC,
+        event_id ASC
+    ) AS keep_rank
+  FROM events
+),
+totals AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS events FROM events
+  GROUP BY user_id
+),
+kept AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS kept FROM ranked
+  WHERE keep_rank <= 20 GROUP BY user_id
+)
+SELECT t.user_id, t.events, k.kept,
+  CAST(t.events - k.kept AS BIGINT) AS dropped
+FROM totals t JOIN kept k ON t.user_id = k.user_id"""
+
     return q

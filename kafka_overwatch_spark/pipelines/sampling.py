@@ -379,3 +379,59 @@ def materialize_upsample(documents: DataFrame) -> DataFrame:
             F.sequence(F.lit(0), F.col("repeats").cast("int") - 1)
         ).alias("copy_id"),
     ).filter(F.col("copy_id") >= 0)
+
+
+def per_key_cap(
+    events: DataFrame,
+    key: str = "user_id",
+    k: int = 20,
+    salt: str = "cap-v1",
+) -> DataFrame:
+    """Deterministic per-key event cap: keep at most ``k`` rows per key,
+    chosen by salted-md5 order (not recency, so the sample is unbiased
+    across each key's history) — the frequent-user downweighting step a
+    training pipeline applies before user-level aggregates are dominated
+    by bots/whales. Tie-break by event_id makes the keep set exact and
+    engine-identical.
+
+    Scale shape: one window partitioned by the HIGH-cardinality key —
+    balanced (contrast events_topk_per_type's salted two-stage, needed
+    only because its partition key is low-cardinality). The md5 order is
+    computed per row, map-side."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(
+        F.concat(
+            F.lit(salt + ":"), F.col("event_id").cast("string")
+        )
+    )
+    w = Window.partitionBy(key).orderBy(h.asc(), F.col("event_id").asc())
+    return (
+        events.withColumn("keep_rank", F.row_number().over(w))
+        .filter(F.col("keep_rank") <= k)
+        .select(
+            F.col(key),
+            "event_id",
+            F.col("keep_rank").cast("long").alias("keep_rank"),
+        )
+    )
+
+
+def per_key_cap_summary(
+    events: DataFrame, key: str = "user_id", k: int = 20
+) -> DataFrame:
+    """Dim-grain companion of :func:`per_key_cap`: per key, rows before
+    vs after the cap — the audit table the downweighting step logs."""
+    kept = per_key_cap(events, key=key, k=k).groupBy(key).agg(
+        F.count("*").alias("kept")
+    )
+    totals = events.groupBy(key).agg(F.count("*").alias("events"))
+    return (
+        totals.join(kept, key)
+        .select(
+            F.col(key),
+            "events",
+            "kept",
+            (F.col("events") - F.col("kept")).alias("dropped"),
+        )
+    )

@@ -691,6 +691,18 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sampling_temperature_weights"] = (
         lambda s, d: sampling.temperature_weights(raw(s, d, "documents"))
     )
+    # r6: deterministic per-user event cap + global quantile transform
+    q["sampling_user_cap"] = lambda s, d: sampling.per_key_cap(
+        raw(s, d, "events")
+    )
+    q["sampling_user_cap_summary"] = (
+        lambda s, d: sampling.per_key_cap_summary(raw(s, d, "events"))
+    )
+    q["events_quantile_norm"] = (
+        lambda s, d: relational.value_quantile_normalized(
+            raw(s, d, "events")
+        )
+    )
     q["sampling_upsample_plan"] = lambda s, d: sampling.upsample_plan(
         raw(s, d, "documents")
     )
@@ -1068,6 +1080,9 @@ _PROMOTED = [
     "events_equi_depth_hist",
     "text_zipf_fit",
     "events_heavy_hitters",
+    "events_quantile_norm",
+    "sampling_user_cap",
+    "sampling_user_cap_summary",
     # riskiest algorithmic oracles, carried from r5
     "text_line_dedup",
     "events_asof_attribution",

@@ -160,6 +160,7 @@ def test_segmentation_family_plans_have_no_global_sort(spark):
         relational.user_value_gini(ev),
         relational.value_equi_depth_histogram(ev),
         relational.conversion_decile_lift(ev),
+        relational.value_quantile_normalized(ev),
         textops.zipf_fit(docs),
     ]
     for df in frames:
