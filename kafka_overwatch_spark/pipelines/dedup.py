@@ -423,24 +423,36 @@ def ngram_jaccard_pairs_lsh(
 
 def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     """32-bit SimHash per document: per bit, sum ±1 over token hash bits
-    (token multiplicity = natural weighting); bit set iff the sum > 0."""
-    toks = spread(documents).select(
-        "doc_id", F.explode(F.split(_norm_text(), " ")).alias("token")
-    ).withColumn("h", _hash64(F.col("token")))
-    # NB: integer bit ops, not float division — h is 60-bit and a double
-    # round-trip corrupts the low bits. `2*bit - 1` maps {0,1}→{-1,+1}
-    # branch-free (measurably faster than div/mod + CASE in codegen).
-    bit_sums = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(F.expr(f"2 * ((h >> {b}) & 1) - 1")).alias(f"s{b}")
-            for b in range(SIMHASH_BITS)
-        ]
+    (token multiplicity = natural weighting); bit set iff the sum > 0.
+
+    Physical shape (r6): ONE narrow per-document map — the token loop is
+    a higher-order ``aggregate`` over the split array with a
+    32-long accumulator, so there is no token explode and NO SHUFFLE
+    anywhere in the fingerprint derivation (the previous form exploded
+    to token grain and paid a doc-keyed groupBy). NB: integer bit ops,
+    not float division — h is 60-bit and a double round-trip corrupts
+    the low bits. `2*bit - 1` maps {0,1}→{-1,+1} branch-free; the
+    fingerprints are bit-identical to the explode+groupBy form (tested)
+    and to the DuckDB oracle's."""
+    norm = r"lower(regexp_replace(trim(text), '\\s+', ' '))"
+    sums = (
+        "aggregate("
+        f"  transform(split({norm}, ' '),"
+        "    t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),"
+        f"  array_repeat(0L, {SIMHASH_BITS}),"
+        f"  (acc, h) -> zip_with(acc, sequence(0L, {SIMHASH_BITS - 1}L),"
+        "      (a, b) -> a + 2 * ((h >> b) & 1) - 1)"
+        ")"
     )
-    fp = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
-    return bit_sums.select("doc_id", fp.cast("long").alias("simhash"))
+    fp = (
+        f"aggregate(zip_with({sums}, sequence(0L, {SIMHASH_BITS - 1}L),"
+        "  (s, b) -> CASE WHEN s > 0 THEN shiftleft(1L, cast(b as int))"
+        "            ELSE 0L END),"
+        "  0L, (a, x) -> a + x)"
+    )
+    return spread(documents).select(
+        "doc_id", F.expr(fp).cast("long").alias("simhash")
+    )
 
 
 def hamming_neighbor_pairs(
