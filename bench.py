@@ -166,11 +166,10 @@ EXTRA = [
     "events_stickiness",
     "tpch_return_rate_control",
     "events_decile_lift",
-    # round 6
+    # round 6 (events_topk_per_type already timed in the r5 block)
     "events_quantile_norm",
     "sampling_user_cap",
     "sampling_user_cap_summary",
-    "events_topk_per_type",
 ]
 
 

@@ -1351,7 +1351,12 @@ def heavy_hitter_sketch_estimates(
     construction (> permille/1000 of N caps it at 1000/permille rows).
     NEVER the fact table's distinct keys — that driver-side enumeration
     is exactly the per-user scan the sketch exists to avoid at 100 TB
-    (VERDICT r5 What's-wrong #2).
+    (VERDICT r5 What's-wrong #2). Note the DEFAULT runs the exact
+    anchor's per-user aggregate, so it exists for parity/verification
+    against the exact form, not for savings: the sketch only beats the
+    exact query when the caller supplies an external candidate
+    shortlist (a dim table, yesterday's heavy hitters, an alert list) —
+    which is the real production shape.
 
     Note this registry entry executes eagerly at DataFrame-construction
     time (sketch build + bounded candidate collect — two Spark jobs).
@@ -2093,18 +2098,13 @@ def value_equi_depth_histogram(events: DataFrame, buckets: int = 8) -> DataFrame
         ],
         rank_col="gi",
     )
+    from ..pipelines.util import cumulative_offsets
+
     type_counts = base.groupBy("event_type").agg(
         F.count("*").alias("n_type")
     )
-    lower = type_counts.select(
-        F.col("event_type").alias("et_b"), F.col("n_type").alias("n_b")
-    )
-    type_offsets = (
-        type_counts.join(
-            lower, F.col("et_b") < F.col("event_type"), "left"
-        )
-        .groupBy("event_type", "n_type")
-        .agg(F.coalesce(F.sum("n_b"), F.lit(0)).alias("t_off"))
+    type_offsets = cumulative_offsets(
+        type_counts, "event_type", "n_type", "t_off"
     )
     return (
         ranked.join(F.broadcast(type_offsets), "event_type")
@@ -2563,11 +2563,13 @@ def value_quantile_normalized(events: DataFrame) -> DataFrame:
     return ranked.select(
         "event_id",
         "value",
-        F.round(
+        # n=1 guard: a single sample maps to 0.0, not 0/0 = NaN (the
+        # oracle states the same CASE)
+        F.when(F.col("n") > 1, F.round(
             (F.col("rn") - 1).cast("double")
             / (F.col("n") - 1).cast("double"),
             6,
-        ).alias("value_pct"),
+        )).otherwise(F.lit(0.0)).alias("value_pct"),
         ntile_from_rank(F.col("rn"), F.col("n"), 100).alias("centile"),
     )
 

@@ -2478,7 +2478,9 @@ WITH r AS (
   FROM events
 )
 SELECT event_id, value,
-  round(CAST(rn - 1 AS DOUBLE) / (n - 1), 6) AS value_pct,
+  CASE WHEN n > 1
+    THEN round(CAST(rn - 1 AS DOUBLE) / (n - 1), 6)
+    ELSE 0.0 END AS value_pct,
   CAST(ntile(100) OVER (ORDER BY value, event_id) AS BIGINT) AS centile
 FROM r"""
 

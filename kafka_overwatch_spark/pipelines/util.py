@@ -29,6 +29,31 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     return df.repartition(target)
 
 
+def cumulative_offsets(
+    counts: DataFrame,
+    key_col: str,
+    cnt_col: str,
+    off_col: str,
+) -> DataFrame:
+    """Per-key cumulative start offsets over a SMALL counts frame via a
+    triangular self-join (sum of counts of all strictly-smaller keys;
+    0 for the first key) — O(K²) on a bounded frame, and unlike a bare
+    cumulative window it introduces no Exchange SinglePartition. Shared
+    by exact_global_rank (slice offsets) and the per-group rank
+    recovery in value_equi_depth_histogram (type offsets)."""
+    lower = counts.select(
+        F.col(key_col).alias("_co_key_b"),
+        F.col(cnt_col).alias("_co_cnt_b"),
+    )
+    return (
+        counts.join(
+            lower, F.col("_co_key_b") < F.col(key_col), "left"
+        )
+        .groupBy(key_col, cnt_col)
+        .agg(F.coalesce(F.sum("_co_cnt_b"), F.lit(0)).alias(off_col))
+    )
+
+
 def exact_global_rank(
     df: DataFrame,
     order_cols: Sequence[Column],
@@ -81,20 +106,9 @@ def exact_global_rank(
     counts = ranged.groupBy("_egr_pid").agg(
         F.count("*").alias("_egr_cnt")
     )
-    # cumulative offsets over the (≤ num_partitions)-row counts frame via
-    # a triangular self-join — O(P²) on a tiny frame, and unlike a bare
-    # window it introduces no Exchange SinglePartition anywhere
-    lower = counts.select(
-        F.col("_egr_pid").alias("_egr_pid_b"),
-        F.col("_egr_cnt").alias("_egr_cnt_b"),
-    )
-    offsets = (
-        counts.join(
-            lower, F.col("_egr_pid_b") < F.col("_egr_pid"), "left"
-        )
-        .groupBy("_egr_pid")
-        .agg(F.coalesce(F.sum("_egr_cnt_b"), F.lit(0)).alias("_egr_off"))
-    )
+    offsets = cumulative_offsets(
+        counts, "_egr_pid", "_egr_cnt", "_egr_off"
+    ).select("_egr_pid", "_egr_off")
     out = (
         local.join(F.broadcast(offsets), "_egr_pid")
         .withColumn(

@@ -226,11 +226,26 @@ def compact_small_files(
         for seg in rel[len(base):].strip("/").split("/")[:-1]:
             if "=" in seg:
                 part_cols.append(seg.split("=", 1)[0])
-    df = spark.read.parquet(src_path)
+    # partition values must round-trip byte-for-byte: with type
+    # inference on, key=01 re-reads as int 1 and the rewrite would emit
+    # key=1 — a silent value change for downstream readers. Inference
+    # off keeps the directory names identical, so a default reader of
+    # the compacted copy infers exactly what it would on the source.
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    infer_old = spark.conf.get(infer_key)
+    spark.conf.set(infer_key, "false")
+    try:
+        df = spark.read.parquet(src_path)
+    finally:
+        spark.conf.set(infer_key, infer_old)
     if sort_cols:
+        # cluster on the partition keys FIRST, then the sort key: a
+        # range purely on sort_cols would spread every partition value
+        # across every task and the partitioned writer would emit up to
+        # n_out×K files — the small-file problem this function removes
         out = df.repartitionByRange(
-            n_out, *sort_cols
-        ).sortWithinPartitions(*sort_cols)
+            n_out, *part_cols, *sort_cols
+        ).sortWithinPartitions(*part_cols, *sort_cols)
     elif part_cols:
         # cluster by the partition keys so each task writes few files
         # per partition directory instead of one per (task, key)

@@ -392,6 +392,14 @@ def build_snapshots(
     metrics fixed cost at sf0.1) dwarfs the dim-sized recompute the
     cache avoids. The checkpointed frames are persisted
     (MEMORY_AND_DISK) and their plans collapse to an RDD scan.
+
+    Fault-tolerance tradeoff, stated: localCheckpoint blocks are NOT
+    recomputable from lineage — on a multi-executor cluster, losing an
+    executor that held blocks fails later readers instead of silently
+    recomputing as .cache() would. Single-JVM local mode (this target)
+    has no such executor loss; on a real cluster the memoized derived
+    frames should be WRITTEN tables (see SCALE.md), which is also the
+    100 TB posture.
     """
     register_raw_tables(spark, sf_dir)
     out: dict[str, DataFrame] = {}

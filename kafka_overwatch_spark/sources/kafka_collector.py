@@ -196,6 +196,18 @@ class ConfluentClusterClient:  # pragma: no cover — needs a live broker
             if tp.offset is not None and tp.offset >= 0
         )
 
+    def close(self) -> None:
+        """Release the consumer's broker connections — a per-interval
+        scheduler must close (or reuse) clients, or librdkafka keeps
+        sockets/threads alive until process exit."""
+        self._consumer.close()
+
+    def __enter__(self) -> "ConfluentClusterClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
 
 def confluent_client(
     bootstrap_servers: str, **config
