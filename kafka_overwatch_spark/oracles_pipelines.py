@@ -162,6 +162,21 @@ pairs AS (
 )
 SELECT lang, doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.35"""
 
+    # r6: DIRECTIONAL containment (asymmetric near-dup) — the oracle
+    # brute-forces all ordered pairs; the Spark side routes through the
+    # pigeonhole-exact prefix filter (recall 1.0 by construction)
+    q["dedup_containment"] = f"""
+WITH {SHINGLE_CTE},
+pairs AS (
+  SELECT da.lang, da.doc_id AS doc_a, db.doc_id AS doc_b,
+    round(CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x)))
+      AS DOUBLE) / len(da.sh), 6) AS containment
+  FROM docs da JOIN docs db
+    ON da.lang = db.lang AND da.doc_id <> db.doc_id
+)
+SELECT lang, doc_a, doc_b, containment FROM pairs
+WHERE containment >= 0.8"""
+
     bit_sums = ",\n    ".join(
         f"sum(CASE WHEN (h // {2**b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
         for b in range(SIMHASH_BITS)

@@ -348,6 +348,137 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    max_rows: int | None = MAX_QUADRATIC_ROWS,
+) -> DataFrame:
+    """Brute-force DIRECTIONAL containment pairs, blocked by lang:
+    containment(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ threshold — the
+    asymmetric near-dup Jaccard misses (a short doc quoted wholesale
+    inside a long one has high containment but low Jaccard). Quadratic
+    verifier baseline; ``containment_pairs_prefix`` is the scale path."""
+    _guard_quadratic(documents, "containment_pairs", max_rows)
+    docs = spread(documents).select(
+        "doc_id", "lang", _shingles().alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = docs.select(
+        F.col("lang"), F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = docs.select(
+        F.col("lang"), F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    return (
+        a.join(b, "lang")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            "lang",
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size("sh_a"),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def containment_pairs_prefix(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    max_bucket: int = 10_000,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Same output contract as ``containment_pairs`` WITHOUT the
+    all-pairs block — the registered, scale-valid surface via PREFIX
+    FILTERING with an EXACT pigeonhole guarantee: if containment(A→B)
+    ≥ t then fewer than (1−t)·|A| + 1 of A's shingles are missing from
+    B, so probing A's ⌊(1−t)·|A|⌋ + 1 RAREST shingles (rarity =
+    corpus-wide shingle frequency; ties by shingle) must hit at least
+    one shingle that B also holds. Recall is therefore 1.0 by
+    construction — not an s-curve — and every candidate is verified
+    with the exact intersection. Probing the RAREST shingles also
+    minimizes posting-list sizes, so the candidate join is bounded by
+    rare-bucket width, not vocabulary skew.
+
+    Scale shape: one shingle-frequency aggregate (broadcast back), one
+    per-doc window on the HIGH-cardinality doc_id key to pick probes,
+    one bucketed (shingle) candidate join against the posting list
+    (``max_bucket`` caps degenerate boilerplate shingles — a capped
+    bucket can, in principle, cost recall for docs whose every probe is
+    boilerplate; raise the cap or pre-strip boilerplate if that
+    matters), then the exact verify join on doc_id."""
+    from pyspark.sql.window import Window
+
+    if docs is None:
+        docs = shingle_docs(documents)
+    postings = docs.select("doc_id", F.explode("sh").alias("s"))
+    freq = postings.groupBy("s").agg(F.count("*").alias("df"))
+    # probes: per doc, the floor((1-t)*|sh|)+1 rarest shingles
+    doc_sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    # freq is vocabulary-grain (corpus-sized at 100 TB) — keyed shuffle
+    # join, never broadcast
+    ranked = (
+        postings.join(freq, "s")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("df").asc(), F.col("s").asc()
+                )
+            ),
+        )
+        .join(doc_sizes, "doc_id")
+        .filter(
+            F.col("rn")
+            <= F.floor(F.lit(1.0 - threshold) * F.col("n_sh")) + 1
+        )
+        .select(F.col("doc_id").alias("doc_a"), "s")
+    )
+    capped = (
+        postings.withColumn(
+            "bucket_n", F.count("*").over(Window.partitionBy("s"))
+        )
+        .filter(F.col("bucket_n") <= max_bucket)
+        .select(F.col("doc_id").alias("doc_b"), "s")
+    )
+    cand = (
+        ranked.join(capped, "s")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = docs.join(documents.select("doc_id", "lang"), "doc_id")
+    sh_a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("lang").alias("lang_a"),
+    )
+    sh_b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("lang").alias("lang_b"),
+    )
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .filter(F.col("lang_a") == F.col("lang_b"))
+        .select(
+            F.col("lang_a").alias("lang"),
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size("sh_a"),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs_lsh(
     documents: DataFrame,
     threshold: float = 0.35,

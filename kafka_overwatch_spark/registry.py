@@ -698,6 +698,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sampling_user_cap_summary"] = (
         lambda s, d: sampling.per_key_cap_summary(raw(s, d, "events"))
     )
+    q["dedup_containment"] = (
+        lambda s, d: dedup.containment_pairs_prefix(
+            raw(s, d, "documents"), docs=get_shingle_docs(s, d)
+        )
+    )
     q["events_quantile_norm"] = (
         lambda s, d: relational.value_quantile_normalized(
             raw(s, d, "events")
@@ -1083,6 +1088,7 @@ _PROMOTED = [
     "events_quantile_norm",
     "sampling_user_cap",
     "sampling_user_cap_summary",
+    "dedup_containment",
     # riskiest algorithmic oracles, carried from r5
     "text_line_dedup",
     "events_asof_attribution",

@@ -146,3 +146,63 @@ def test_quantized_ann_recall(spark, snaps):
     total = sum(len(exact[q]) for q in exact)
     recall = hits / total
     assert recall >= 0.9, f"quantized recall@5 = {recall}"
+
+
+def test_containment_prefix_route_equals_allpairs(spark, snaps):
+    """The registered dedup_containment surface (pigeonhole prefix
+    filter, recall 1.0 by construction) must equal the quadratic
+    verifier exactly on the fixture corpus."""
+    from kafka_overwatch_spark.pipelines.dedup import (
+        containment_pairs,
+        containment_pairs_prefix,
+    )
+    docs = spark.table("documents")
+    allpairs = sorted(tuple(r) for r in containment_pairs(docs).collect())
+    routed = sorted(
+        tuple(r) for r in containment_pairs_prefix(docs).collect()
+    )
+    assert routed == allpairs
+
+
+def test_containment_finds_asymmetric_pairs_jaccard_misses(spark):
+    """The op's reason to exist: a short doc quoted wholesale inside a
+    much longer one (containment 1.0, jaccard << threshold) must be
+    found — including at partial containment just above the 0.8
+    threshold — and sub-threshold pairs must not."""
+    from pyspark.sql import functions as F
+
+    from kafka_overwatch_spark.pipelines.dedup import (
+        containment_pairs_prefix,
+        ngram_jaccard_pairs,
+    )
+
+    long_text = " ".join(f"w{j} q{j}x z{j}y" for j in range(40))  # 120 toks
+    short_full = " ".join(long_text.split()[:20])  # fully contained
+    # partial: 20 contained tokens + 3 novel → shingles ~0.85 contained
+    short_part = short_full + " nov1 nov2 nov3"
+    # below threshold: 10 contained + 10 novel
+    short_low = " ".join(long_text.split()[:10]) + " " + " ".join(
+        f"nv{j}" for j in range(10)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, long_text, "en"),
+            (2, short_full, "en"),
+            (3, short_part, "en"),
+            (4, short_low, "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs_prefix(docs).collect()
+    }
+    assert got.get((2, 1)) == 1.0
+    assert (3, 1) in got and got[(3, 1)] >= 0.8
+    assert (4, 1) not in got
+    # and jaccard at its own threshold misses the fully-contained pair
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs).collect()
+    }
+    assert (2, 1) not in jac and (1, 2) not in jac
