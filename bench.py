@@ -170,6 +170,7 @@ EXTRA = [
     "events_quantile_norm",
     "sampling_user_cap",
     "sampling_user_cap_summary",
+    "dedup_containment",
 ]
 
 
