@@ -178,3 +178,31 @@ def test_equi_depth_has_no_low_cardinality_window(spark):
     plan = _plan(relational.value_equi_depth_histogram(ev))
     for m in re.finditer(r"windowspecdefinition\((\w+)#", plan):
         assert m.group(1) == "_egr_pid", plan[m.start() : m.start() + 120]
+
+
+def test_ntile_formula_property(spark):
+    """Pure-python re-statement of the arithmetic NTILE vs the SQL
+    standard (first n%k buckets get ceil(n/k) rows) across a broad
+    (n, k) grid — cheap exhaustive coverage beyond the Spark-side
+    parametrized cases."""
+    import math
+
+    def sql_ntile(i, n, k):
+        q, r = divmod(n, k)
+        big = r * (q + 1)
+        if i <= big:
+            return (i - 1) // (q + 1) + 1
+        return r + (i - big - 1) // max(q, 1) + 1
+
+    for n in list(range(1, 40)) + [97, 128, 1000]:
+        for k in (1, 2, 3, 7, 10, 100):
+            buckets = [sql_ntile(i, n, k) for i in range(1, n + 1)]
+            # SQL NTILE invariants: non-decreasing, starts at 1, sizes
+            # differ by at most 1, larger buckets come first
+            assert buckets[0] == 1
+            assert all(b2 - b1 in (0, 1) for b1, b2 in zip(buckets, buckets[1:]))
+            sizes = [buckets.count(b) for b in sorted(set(buckets))]
+            assert max(sizes) - min(sizes) <= 1
+            assert sizes == sorted(sizes, reverse=True)
+            assert len(set(buckets)) == min(n, k)
+            assert sizes[0] == math.ceil(n / k)
