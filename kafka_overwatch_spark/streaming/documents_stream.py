@@ -132,3 +132,154 @@ def run_contamination_screen(
             "document screen did not drain within 300s — failing loudly"
         )
     return q
+
+
+def init_growing_index(
+    spark: SparkSession, corpus_shingles: DataFrame, base_path: str
+) -> None:
+    """Seed the growing dedup index with the pre-existing corpus (lands
+    in the batch_id=-1 partition, ordered before every stream batch)."""
+    from ..pipelines.dedup import minhash_bands
+
+    (
+        corpus_shingles.withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(f"{base_path}/shingles")
+    )
+    (
+        minhash_bands(corpus_shingles)
+        .withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(f"{base_path}/bands")
+    )
+
+
+class GrowingDedupScreen:
+    """foreachBatch handler for GROWING-corpus streaming dedup — the real
+    training-data ingestion shape: each arriving batch dedups against
+    everything previously ACCEPTED (seed corpus + earlier batches'
+    survivors), and this batch's survivors join the persisted index so
+    later batches see them. Contrast ``DedupScreen``, whose corpus is
+    fixed.
+
+    Batch-internal policy matches the batch engine's keeper convention
+    (``neardup_components``): near-dup clusters WITHIN a batch keep the
+    component-minimum doc_id.
+
+    Replay-safe: the index reads prune to ``batch_id < N`` (partition
+    columns), so a batch re-screens against exactly the pre-N state, and
+    its own appends dynamic-overwrite the batch_id=N partitions — a
+    crash between write and checkpoint replays to the identical index.
+
+    Scale: the index is a written parquet table (shingles + band index,
+    batch_id-partitioned); a batch pays the keyed screen joins only —
+    never all-corpus pairwise work, and the corpus text is never
+    rescanned."""
+
+    def __init__(self, base_path: str, out_dir: str) -> None:
+        self.base = base_path
+        self.out_dir = out_dir
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..pipelines.dedup import (
+            minhash_bands,
+            neardup_components,
+            screen_against_corpus,
+            shingle_docs,
+        )
+
+        spark = batch_df.sparkSession
+        sh_new = shingle_docs(batch_df).localCheckpoint(eager=True)
+        corpus_sh = (
+            spark.read.parquet(f"{self.base}/shingles")
+            .filter(F.col("batch_id") < batch_id)
+            .select("doc_id", "sh")
+        )
+        corpus_bands = (
+            spark.read.parquet(f"{self.base}/bands")
+            .filter(F.col("batch_id") < batch_id)
+            .select("doc_id", "band_id", "band_key")
+        )
+        hits = screen_against_corpus(
+            sh_new, corpus_sh, corpus_bands=corpus_bands
+        )
+        dup_vs_corpus = hits.select(
+            F.col("new_doc").alias("doc_id")
+        ).distinct()
+        survivors = sh_new.join(
+            dup_vs_corpus, "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        # intra-batch clusters: self-screen for edges, component-min keeps
+        self_hits = screen_against_corpus(survivors, survivors).filter(
+            F.col("new_doc") != F.col("corpus_doc")
+        )
+        edges = self_hits.select(
+            F.least("new_doc", "corpus_doc").alias("vec_a"),
+            F.greatest("new_doc", "corpus_doc").alias("vec_b"),
+        ).distinct()
+        comp = neardup_components(
+            edges, survivors.select(F.col("doc_id").alias("vec_id"))
+        )
+        keepers = comp.filter(F.col("vec_id") == F.col("component")).select(
+            F.col("vec_id").alias("doc_id")
+        )
+        kept = survivors.join(keepers, "doc_id")
+        # verdicts (audit trail): every rejected doc + why
+        rejected = dup_vs_corpus.withColumn(
+            "reason", F.lit("corpus_near_dup")
+        ).unionByName(
+            comp.filter(F.col("vec_id") != F.col("component"))
+            .select(F.col("vec_id").alias("doc_id"))
+            .withColumn("reason", F.lit("intra_batch_near_dup"))
+        )
+        _write_idempotent(rejected, self.out_dir, batch_id)
+        # grow the index: this batch's survivors become corpus
+        for frame, name in (
+            (kept.select("doc_id", "sh"), "shingles"),
+            (minhash_bands(kept.select("doc_id", "sh")), "bands"),
+        ):
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                (
+                    frame.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(f"{self.base}/{name}")
+                )
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+
+
+def run_growing_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    base_path: str,
+    out_dir: str,
+    checkpoint: str,
+):
+    """Drain the document feed through the growing-corpus dedup screen
+    (availableNow, one file per trigger so arrival order is the file
+    order)."""
+    q = (
+        doc_stream(spark, input_dir)
+        .writeStream.foreachBatch(GrowingDedupScreen(base_path, out_dir))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            "growing dedup screen did not drain within 300s"
+        )
+    return q
