@@ -1773,53 +1773,75 @@ def table_column_stats(lineitem: DataFrame) -> DataFrame:
     pass); the histogram is EXACT fixed-width
     (bucket = floor(8·(v-min)/(max-min)), clamped), not a sample, so
     the oracle can state it too. Long format: one row per
-    (column, bucket), stats repeated per row."""
+    (column, bucket), stats repeated per row.
+
+    Physical shape (r6 fusion): TWO scans total, not two per column —
+    one conditional-aggregate pass computes every column's
+    min/max/nulls/NDV (Spark expands the multi-distinct into one
+    scan), a ``stack`` reshapes the 1-row result to column grain for a
+    broadcast, and one unpivoted value pass buckets all columns in a
+    single (column, bucket) aggregate. At 100 TB scan count is the
+    cost — 6 passes → 2."""
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
-    frames = []
-    for c in cols:
-        stats = lineitem.agg(
-            F.min(c).alias("vmin"), F.max(c).alias("vmax"),
-            F.count("*").alias("n"),
-            F.sum(F.col(c).isNull().cast("long")).alias("nulls"),
-            F.countDistinct(c).alias("ndv"),
-        )
-        bucketed = (
-            lineitem.filter(F.col(c).isNotNull())
-            .crossJoin(F.broadcast(stats))
-            .select(
-                # NULLs are excluded above (least() would otherwise
-                # swallow a NULL bucket into 7); a constant column
-                # (vmax == vmin) maps every row to bucket 0
-                F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
-                .otherwise(
-                    F.least(
-                        F.lit(7),
-                        F.floor(
-                            (F.col(c) - F.col("vmin"))
-                            * 8.0
-                            / (F.col("vmax") - F.col("vmin"))
-                        ),
-                    )
-                ).cast("long").alias("bucket"),
-                "vmin", "vmax", "n", "nulls", "ndv",
+    aggs = [F.count("*").alias("n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.min(c).alias(f"vmin_{i}"),
+            F.max(c).alias(f"vmax_{i}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{i}"),
+            F.countDistinct(c).alias(f"ndv_{i}"),
+        ]
+    wide = lineitem.agg(*aggs)
+    stats = wide.select(
+        "n",
+        F.expr(
+            f"stack({len(cols)}, "
+            + ", ".join(
+                f"'{c}', vmin_{i}, vmax_{i}, nulls_{i}, ndv_{i}"
+                for i, c in enumerate(cols)
             )
-            .groupBy("bucket", "vmin", "vmax", "n", "nulls", "ndv")
-            .agg(F.count("*").alias("rows"))
-            .select(
-                F.lit(c).alias("column"),
-                "bucket",
-                "rows",
-                F.round(F.col("vmin").cast("double"), 6).alias("vmin"),
-                F.round(F.col("vmax").cast("double"), 6).alias("vmax"),
-                F.col("ndv").cast("long").alias("ndv"),
-                F.round(F.col("nulls") / F.col("n"), 6).alias("null_frac"),
-            )
+            + ") AS (column, vmin, vmax, nulls, ndv)"
+        ),
+    )
+    vals = lineitem.select(
+        F.expr(
+            f"stack({len(cols)}, "
+            + ", ".join(f"'{c}', {c}" for c in cols)
+            + ") AS (column, v)"
         )
-        frames.append(bucketed)
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    ).filter(F.col("v").isNotNull())
+    return (
+        vals.join(F.broadcast(stats), "column")
+        .select(
+            "column",
+            # NULLs are excluded above (least() would otherwise swallow
+            # a NULL bucket into 7); a constant column (vmax == vmin)
+            # maps every row to bucket 0
+            F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(7),
+                    F.floor(
+                        (F.col("v") - F.col("vmin"))
+                        * 8.0
+                        / (F.col("vmax") - F.col("vmin"))
+                    ),
+                )
+            ).cast("long").alias("bucket"),
+            "vmin", "vmax", "n", "nulls", "ndv",
+        )
+        .groupBy("column", "bucket", "vmin", "vmax", "n", "nulls", "ndv")
+        .agg(F.count("*").alias("rows"))
+        .select(
+            "column",
+            "bucket",
+            "rows",
+            F.round(F.col("vmin").cast("double"), 6).alias("vmin"),
+            F.round(F.col("vmax").cast("double"), 6).alias("vmax"),
+            F.col("ndv").cast("long").alias("ndv"),
+            F.round(F.col("nulls") / F.col("n"), 6).alias("null_frac"),
+        )
+    )
 
 
 def user_event_window_battery(events: DataFrame) -> DataFrame:
