@@ -171,6 +171,7 @@ EXTRA = [
     "sampling_user_cap",
     "sampling_user_cap_summary",
     "dedup_containment",
+    "split_leakage",
 ]
 
 

@@ -177,6 +177,8 @@ pairs AS (
 SELECT lang, doc_a, doc_b, containment FROM pairs
 WHERE containment >= 0.8"""
 
+
+
     bit_sums = ",\n    ".join(
         f"sum(CASE WHEN (h // {2**b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
         for b in range(SIMHASH_BITS)
@@ -405,6 +407,37 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(bucket AS BIGINT) AS bucket,
        WHEN bucket < {val_end} THEN 'val'
        ELSE 'test' END AS split
 FROM b"""
+
+    # r6: split-leakage audit — all cross-split pairs brute-forced; the
+    # Spark side composes the deterministic split with the banded screen
+    q["split_leakage"] = f"""
+WITH {SHINGLE_CTE},
+sp AS (
+  SELECT doc_id,
+    CASE WHEN bucket < {train_end} THEN 'train'
+         WHEN bucket < {val_end} THEN 'val'
+         ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+      CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+        1, 15)) AS BIGINT) % {SPLIT_BUCKETS} AS bucket
+    FROM documents
+  )
+)
+SELECT de.doc_id AS eval_doc, se.split AS eval_split,
+  dt.doc_id AS train_doc,
+  round(CAST(len(list_filter(de.sh, x -> list_contains(dt.sh, x)))
+    AS DOUBLE) / (len(de.sh) + len(dt.sh)
+    - len(list_filter(de.sh, x -> list_contains(dt.sh, x)))), 6)
+    AS jaccard
+FROM docs de
+JOIN sp se ON de.doc_id = se.doc_id AND se.split <> 'train'
+JOIN docs dt ON dt.doc_id <> de.doc_id
+JOIN sp st ON dt.doc_id = st.doc_id AND st.split = 'train'
+WHERE CAST(len(list_filter(de.sh, x -> list_contains(dt.sh, x)))
+    AS DOUBLE) / (len(de.sh) + len(dt.sh)
+    - len(list_filter(de.sh, x -> list_contains(dt.sh, x)))) >= 0.5"""
+
 
     q["sampling_stratified"] = f"""
 WITH b AS (

@@ -257,3 +257,50 @@ def split_drift_psi(documents: DataFrame) -> DataFrame:
         "n_val",
         F.round((p_a - p_b) * F.log(p_a / p_b), 6).alias("psi_term"),
     )
+
+
+def split_leakage_audit(
+    documents: DataFrame, docs: DataFrame | None = None
+) -> DataFrame:
+    """Train/eval split-leakage audit: near-duplicate pairs that CROSS
+    the split boundary (an eval doc ≥ JACCARD_THRESHOLD similar to a
+    train doc) — the eval-integrity check a training pipeline runs
+    before trusting any benchmark number, because hash-random splits
+    happily put both copies of a near-dup on opposite sides.
+
+    Composition of the engine's own primitives: the deterministic hash
+    split (sampling.deterministic_split) + the banded-minhash corpus
+    screen (dedup.screen_against_corpus) with train as the corpus side
+    and val/test as the probe side — so at 100 TB it inherits the
+    screen's shape (keyed band join + exact verify, never all-pairs).
+    Candidate recall is the screen's banding s-curve at the 0.5
+    threshold (the same property dedup_minhash_lsh is oracle-proven
+    under). Output: eval_doc, eval_split, train_doc, jaccard."""
+    from .dedup import screen_against_corpus, shingle_docs
+
+    from .sampling import deterministic_split
+
+    if docs is None:
+        docs = shingle_docs(documents)
+    splits = deterministic_split(documents).select("doc_id", "split")
+    sh = docs.join(splits, "doc_id")
+    train = sh.filter(F.col("split") == "train").select("doc_id", "sh")
+    ev = sh.filter(F.col("split") != "train").select(
+        "doc_id", "sh", "split"
+    )
+    hits = screen_against_corpus(ev.select("doc_id", "sh"), train)
+    return (
+        hits.join(
+            ev.select(
+                F.col("doc_id").alias("new_doc"),
+                F.col("split").alias("eval_split"),
+            ),
+            "new_doc",
+        )
+        .select(
+            F.col("new_doc").alias("eval_doc"),
+            "eval_split",
+            F.col("corpus_doc").alias("train_doc"),
+            "jaccard",
+        )
+    )

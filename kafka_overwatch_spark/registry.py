@@ -698,6 +698,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sampling_user_cap_summary"] = (
         lambda s, d: sampling.per_key_cap_summary(raw(s, d, "events"))
     )
+    q["split_leakage"] = lambda s, d: curation.split_leakage_audit(
+        raw(s, d, "documents"), docs=get_shingle_docs(s, d)
+    )
     q["dedup_containment"] = (
         lambda s, d: dedup.containment_pairs_prefix(
             raw(s, d, "documents"), docs=get_shingle_docs(s, d)
@@ -1089,6 +1092,7 @@ _PROMOTED = [
     "sampling_user_cap",
     "sampling_user_cap_summary",
     "dedup_containment",
+    "split_leakage",
     # riskiest algorithmic oracles, carried from r5
     "text_line_dedup",
     "events_asof_attribution",
