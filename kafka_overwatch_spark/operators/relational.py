@@ -347,6 +347,10 @@ def events_funnel(
         counts = counts.unionByName(f)
     from pyspark.sql.window import Window
 
+    # global window over the STEP-GRAIN counts frame: |funnel steps|
+    # rows by construction (one per step), so the single-partition sort
+    # is over a handful of scalars — bounded at any data scale, unlike
+    # the fact-grain global sorts exact_global_rank replaces
     w = Window.orderBy("step_idx")
     return counts.select(
         "step_idx",
