@@ -480,15 +480,18 @@ def embedding_neardup_pairs_lsh(
         embeddings.select("vec_id", "embedding")
     ).mapInPandas(assign, assign_schema)
 
-    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _verify_block(pdf: pd.DataFrame) -> pd.DataFrame | None:
+        """Exact cosine verify of ONE bucket's rows."""
         if len(pdf) < 2:
-            return pd.DataFrame(columns=["vec_a", "vec_b", "cosine"])
+            return None
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         m = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         cos = np.round(m @ m.T, 6)
         ai, bj = np.nonzero(cos >= threshold)
         mask = ids[ai] < ids[bj]
+        if not mask.any():
+            return None
         return pd.DataFrame(
             {
                 "vec_a": ids[ai][mask],
@@ -497,9 +500,51 @@ def embedding_neardup_pairs_lsh(
             }
         )
 
+    def verify_partition(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        """Bucket verify at PARTITION grain: most LSH buckets are
+        singletons, and applyInPandas pays a pandas invocation per
+        bucket — thousands of near-empty calls. Rows arrive sorted by
+        (tbl, bucket) within the partition, so one python call can
+        drop singleton buckets wholesale and GEMM only the true
+        collision groups; the trailing (possibly batch-straddling)
+        bucket is buffered until its key changes (Arrow batches split
+        partitions at arbitrary row boundaries)."""
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if pdf.empty:
+                continue
+            last_tbl = pdf["tbl"].iloc[-1]
+            last_bkt = pdf["bucket"].iloc[-1]
+            tail = (pdf["tbl"] == last_tbl) & (pdf["bucket"] == last_bkt)
+            pending = pdf[tail]
+            head = pdf[~tail]
+            if head.empty:
+                continue
+            sizes = head.groupby(["tbl", "bucket"])["vec_id"].transform(
+                "size"
+            )
+            head = head[sizes >= 2]
+            for _, grp in head.groupby(["tbl", "bucket"], sort=False):
+                out = _verify_block(grp)
+                if out is not None:
+                    yield out
+        if pending is not None and len(pending) >= 2:
+            out = _verify_block(pending)
+            if out is not None:
+                yield out
+
+    n_part = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     return (
-        assigned.groupBy("tbl", "bucket")
-        .applyInPandas(verify, PAIR_SCHEMA)
+        assigned.repartition(n_part, "tbl", "bucket")
+        .sortWithinPartitions("tbl", "bucket")
+        .mapInPandas(verify_partition, PAIR_SCHEMA)
         .distinct()
     )
 
