@@ -2643,10 +2643,17 @@ def cohort_retention_matrix(events: DataFrame) -> DataFrame:
     """The classic cohort-retention triangle: users grouped by first-
     activity week (cohort), counted in each subsequent week offset —
     retention = share of the cohort still active. Two aggregates: a
-    user-keyed first-touch pass (broadcast back), then one
+    user-keyed first-touch pass joined back by key, then one
     (cohort, offset) rollup; rates divide exact integers once, round
     6. Generalizes events_retention's fixed day-1/day-7 scalars to the
-    full matrix."""
+    full matrix.
+
+    Scale shape (r6 verdict #2): the first-touch frame is USER-grain —
+    10^8-10^9 rows on a real event corpus — so it is NEVER broadcast;
+    both sides of the attach are keyed on user_id and AQE picks the
+    strategy (broadcast at fixture scale, shuffle join at 100 TB). The
+    cohort_sizes attach stays a broadcast: week-grain, bounded by the
+    corpus time span."""
     week = (F.floor(F.unix_timestamp("ts") / 604800)).cast("long")
     first = events.groupBy("user_id").agg(
         F.min(week).alias("cohort_week")
@@ -2658,7 +2665,7 @@ def cohort_retention_matrix(events: DataFrame) -> DataFrame:
         F.count("*").alias("cohort_users")
     )
     cells = (
-        active.join(F.broadcast(first), "user_id")
+        active.join(first, "user_id")
         .groupBy(
             "cohort_week",
             (F.col("week") - F.col("cohort_week")).alias("week_offset"),

@@ -16,12 +16,14 @@ from __future__ import annotations
 
 from .pipelines.dedup import (
     COSINE_THRESHOLD,
+    HAMMING_MAX_BUCKET,
     JACCARD_THRESHOLD,
     NUM_BANDS,
     NUM_HASHES,
     ROWS_PER_BAND,
     SHINGLE_K,
     SIMHASH_BITS,
+    SIMHASH_CHUNK_BITS,
     SIMHASH_MAX_HAMMING,
 )
 
@@ -179,13 +181,25 @@ WHERE containment >= 0.8"""
 
 
 
+    # 64-bit token hash = first 16 md5 hex chars, reproduced from two
+    # unsigned 32-bit halves (DuckDB can't cast 16 hex chars to BIGINT):
+    # hi = chars 1-8 (bits 63..32), lo = chars 9-16 (bits 31..0) — the
+    # same bits Spark's signed conv(md5[1:16], 16, -10) reads.
     bit_sums = ",\n    ".join(
-        f"sum(CASE WHEN (h // {2**b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        "sum(CASE WHEN ({src} // {p}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}".format(
+            src="lo" if b < 32 else "hi", p=2 ** (b % 32), b=b
+        )
         for b in range(SIMHASH_BITS)
     )
+    # bit 63's weight is Long.MIN_VALUE (signed two's complement) — the
+    # ascending + chain keeps every partial sum inside BIGINT range
     fp_terms = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+        f"(CASE WHEN s{b} > 0 THEN "
+        + ("(-9223372036854775807 - 1)" if b == 63 else str(2**b))
+        + " ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
     )
+    chunk_mod = 2**SIMHASH_CHUNK_BITS
     q["dedup_simhash_pairs"] = f"""
 WITH {NORM_CTE},
 tokens AS (
@@ -193,7 +207,8 @@ tokens AS (
 ),
 hashed AS (
   SELECT doc_id,
-    CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS h
+    CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) AS hi,
+    CAST(concat('0x', substr(md5(token), 9, 8)) AS BIGINT) AS lo
   FROM tokens
 ),
 bits AS (
@@ -206,13 +221,22 @@ fps AS (
 ),
 chunks AS (
   SELECT doc_id, simhash, c.chunk_id,
-    (simhash // CAST(pow(2, 8 * c.chunk_id) AS BIGINT)) % 256 AS chunk_val
+    CAST(((CAST(simhash AS HUGEINT)
+           + CASE WHEN simhash < 0 THEN 18446744073709551616 ELSE 0 END)
+          // CAST(pow(2, {SIMHASH_CHUNK_BITS} * c.chunk_id) AS HUGEINT))
+         % {chunk_mod} AS BIGINT) AS chunk_val
   FROM fps, (SELECT unnest(generate_series(0, 3)) AS chunk_id) c
+),
+sized AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY chunk_id, chunk_val) AS bucket_n
+    FROM chunks
+  ) WHERE bucket_n <= {HAMMING_MAX_BUCKET}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
     a.simhash AS fp_a, b.simhash AS fp_b
-  FROM chunks a JOIN chunks b
+  FROM sized a JOIN sized b
     ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
    AND a.doc_id < b.doc_id
 )
@@ -644,12 +668,14 @@ SELECT doc_id,
 FROM documents"""
 
     # media perceptual-hash near-dup: the synth payload body IS the
-    # document text, so the 32-bit positional aHash (segment mean vs
+    # document text, so the 64-bit positional aHash (segment mean vs
     # global mean over body code points, cross-multiplied to stay
     # integer-exact) is a closed-form function of `text` — the oracle
     # recomputes it character-relationally and verifies the pair set
-    # all-pairs (DuckDB-cheap at fixture scale; the Spark side is the
-    # bucketed pigeonhole join)
+    # all-pairs (DuckDB-cheap at fixture scale, and stronger than
+    # mirroring the Spark side's bucketed pigeonhole join: it also
+    # witnesses the pigeonhole's recall). Segment 63's weight is
+    # Long.MIN_VALUE — 1<<63 overflows DuckDB's checked BIGINT shift.
     q["media_phash_pairs"] = """
 WITH chars AS (
   SELECT doc_id,
@@ -663,7 +689,7 @@ totals AS (
   FROM chars GROUP BY doc_id
 ),
 seg AS (
-  SELECT c.doc_id, ((p - 1) * 32) // t.n AS s,
+  SELECT c.doc_id, ((p - 1) * 64) // t.n AS s,
     sum(ord(ch)) AS ssum, count(*) AS slen
   FROM chars c JOIN totals t USING (doc_id)
   GROUP BY c.doc_id, s
@@ -671,7 +697,9 @@ seg AS (
 bits AS (
   SELECT seg.doc_id,
     CAST(sum(CASE WHEN ssum * t.n > t.total * slen
-      THEN (1::BIGINT << CAST(s AS INT)) ELSE 0 END) AS BIGINT) AS phash
+      THEN (CASE WHEN s = 63 THEN (-9223372036854775807 - 1)
+            ELSE (1::BIGINT << CAST(s AS INT)) END)
+      ELSE 0 END) AS BIGINT) AS phash
   FROM seg JOIN totals t USING (doc_id) GROUP BY seg.doc_id
 ),
 ph AS (

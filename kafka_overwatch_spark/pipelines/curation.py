@@ -273,6 +273,9 @@ def split_leakage_audit(
     screen (dedup.screen_against_corpus) with train as the corpus side
     and val/test as the probe side — so at 100 TB it inherits the
     screen's shape (keyed band join + exact verify, never all-pairs).
+    The probe side here is a CONSTANT FRACTION of the corpus, not an
+    ingest micro-batch, so the screen runs with broadcast_probe=False
+    (ADVICE r6): both probe attaches are keyed shuffle joins.
     Candidate recall is the screen's banding s-curve at the 0.5
     threshold (the same property dedup_minhash_lsh is oracle-proven
     under). Output: eval_doc, eval_split, train_doc, jaccard."""
@@ -288,7 +291,9 @@ def split_leakage_audit(
     ev = sh.filter(F.col("split") != "train").select(
         "doc_id", "sh", "split"
     )
-    hits = screen_against_corpus(ev.select("doc_id", "sh"), train)
+    hits = screen_against_corpus(
+        ev.select("doc_id", "sh"), train, broadcast_probe=False
+    )
     return (
         hits.join(
             ev.select(

@@ -13,9 +13,10 @@ Design for 100 TB:
   verify runs only inside buckets. Giant buckets (boilerplate docs) are
   the skew risk: cap bucket size / salt in a real deployment (noted
   below, enforced via ``max_bucket`` here).
-- **SimHash** pairs via the pigeonhole trick: hamming ≤ k ⇒ two
-  fingerprints share one of k+1 byte-chunks ⇒ equi-join on (chunk_id,
-  chunk_value), then verify with ``bit_count(xor)``.
+- **SimHash** pairs via the pigeonhole trick: hamming ≤ k ⇒ two 64-bit
+  fingerprints share one of k+1 16-bit chunks ⇒ equi-join on (chunk_id,
+  chunk_value) over a 65,536-value domain (expected occupancy N/2^16),
+  then verify with ``bit_count(xor)``; degenerate buckets capped.
 - **Brute-force n-gram Jaccard / embedding cosine** are the *verifier*
   baselines — quadratic within blocks; at scale they only ever run on
   LSH-bucketed candidates.
@@ -39,8 +40,14 @@ NUM_BANDS = 4
 ROWS_PER_BAND = 3
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.5
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
+SIMHASH_CHUNK_BITS = 16
 SIMHASH_MAX_HAMMING = 3
+# Pigeonhole-join skew cap (r6 verdict #1): with 16-bit chunks the
+# expected (chunk_id, chunk_val) occupancy is N/2^16, so any bucket
+# larger than this is a degenerate near-constant fingerprint cluster
+# (all-blank docs, solid-color media) — cap it like the MinHash path.
+HAMMING_MAX_BUCKET = 10_000
 COSINE_THRESHOLD = 0.4
 
 
@@ -276,6 +283,7 @@ def screen_against_corpus(
     threshold: float = JACCARD_THRESHOLD,
     max_bucket: int = 1000,
     corpus_bands: DataFrame | None = None,
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """Core of the incremental screen over pre-shingled frames — shared
     by the batch query and the streaming ingest screen
@@ -283,7 +291,15 @@ def screen_against_corpus(
     Pass ``corpus_bands`` to screen against a PERSISTED band index
     (`sinks/layout.write_minhash_index`) instead of re-deriving the
     corpus signatures in-query — the production path once the corpus no
-    longer recomputes per batch."""
+    longer recomputes per batch.
+
+    ``broadcast_probe`` (ADVICE r6): the broadcast hints on the probe
+    side assume a SMALL new-batch frame (an ingest micro-batch). A
+    caller screening a corpus-fraction probe — `split_leakage_audit`
+    routes the whole eval split through here — must pass False so both
+    screens run as keyed shuffle joins on (band_id, band_key) /
+    new_doc, the same vocabulary-grain rule as
+    `containment_pairs_prefix`'s freq join."""
     if corpus_bands is None:
         corpus_bands = minhash_bands(corpus_shingles)
     corpus_bands = corpus_bands.withColumn(
@@ -293,19 +309,23 @@ def screen_against_corpus(
     new_bands = minhash_bands(new_shingles).select(
         F.col("doc_id").alias("new_doc"), "band_id", "band_key"
     )
+    if broadcast_probe:
+        new_bands = F.broadcast(new_bands)
     cand = (
-        corpus_bands.join(F.broadcast(new_bands), ["band_id", "band_key"])
+        corpus_bands.join(new_bands, ["band_id", "band_key"])
         .select(F.col("doc_id").alias("corpus_doc"), "new_doc")
         .distinct()
     )
     sh_new = new_shingles.select(
         F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_n")
     )
+    if broadcast_probe:
+        sh_new = F.broadcast(sh_new)
     sh_corpus = corpus_shingles.select(
         F.col("doc_id").alias("corpus_doc"), F.col("sh").alias("sh_c")
     )
     return (
-        cand.join(F.broadcast(sh_new), "new_doc")
+        cand.join(sh_new, "new_doc")
         .join(sh_corpus, "corpus_doc")
         .select(
             "new_doc",
@@ -385,6 +405,68 @@ def containment_pairs(
     )
 
 
+def _containment_probes(
+    docs: DataFrame, threshold: float, max_bucket: int
+) -> tuple[DataFrame, DataFrame]:
+    """Per-doc probe shingles for the prefix filter: each doc's
+    ⌊(1−t)·|sh|⌋ + 1 shingles ordered CAPPED-LAST then rarest-first
+    (ties by shingle). The pigeonhole guarantee holds for ANY probe set
+    of that size, so preferring uncapped shingles costs nothing and
+    confines recall risk to docs with fewer uncapped shingles than
+    their budget — exactly the rows where probe_capped survives the
+    budget filter. Returns (probes(doc_id, s, probe_capped),
+    doc_sizes)."""
+    postings = docs.select("doc_id", F.explode("sh").alias("s"))
+    freq = postings.groupBy("s").agg(F.count("*").alias("df"))
+    doc_sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    # freq is vocabulary-grain (corpus-sized at 100 TB) — keyed shuffle
+    # join, never broadcast
+    probes = (
+        postings.join(freq, "s")
+        .withColumn("probe_capped", F.col("df") > max_bucket)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("probe_capped").asc(),
+                    F.col("df").asc(),
+                    F.col("s").asc(),
+                )
+            ),
+        )
+        .join(doc_sizes, "doc_id")
+        .filter(
+            F.col("rn")
+            <= F.floor(F.lit(1.0 - threshold) * F.col("n_sh")) + 1
+        )
+        .select("doc_id", "s", "probe_capped")
+    )
+    return probes, doc_sizes
+
+
+def containment_probe_audit(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    max_bucket: int = 10_000,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Observability companion to ``containment_pairs_prefix`` (ADVICE
+    r6): ONE row (docs_total, docs_at_risk) where docs_at_risk counts
+    docs with at least one CAPPED probe shingle — the only docs whose
+    true pairs the bucket cap can drop, because a doc probes a capped
+    shingle only when it has fewer uncapped shingles than its
+    pigeonhole budget. Run it next to the pair query (it shares the
+    shingle frame) and alert when docs_at_risk > 0; the fix is raising
+    ``max_bucket`` or an upstream boilerplate strip."""
+    if docs is None:
+        docs = shingle_docs(documents)
+    probes, _ = _containment_probes(docs, threshold, max_bucket)
+    at_risk = probes.filter(F.col("probe_capped")).select("doc_id").distinct()
+    return docs.agg(
+        F.count_distinct("doc_id").alias("docs_total")
+    ).crossJoin(at_risk.agg(F.count("*").alias("docs_at_risk")))
+
+
 def containment_pairs_prefix(
     documents: DataFrame,
     threshold: float = 0.8,
@@ -406,37 +488,25 @@ def containment_pairs_prefix(
     Scale shape: one shingle-frequency aggregate (broadcast back), one
     per-doc window on the HIGH-cardinality doc_id key to pick probes,
     one bucketed (shingle) candidate join against the posting list
-    (``max_bucket`` caps degenerate boilerplate shingles — a capped
-    bucket can, in principle, cost recall for docs whose every probe is
-    boilerplate; raise the cap or pre-strip boilerplate if that
-    matters), then the exact verify join on doc_id."""
+    (``max_bucket`` caps degenerate boilerplate shingles), then the
+    exact verify join on doc_id.
+
+    Cap-vs-recall (ADVICE r6): a capped posting bucket never yields
+    candidates, so a doc whose probes all land in capped buckets could
+    silently lose true pairs. Two mitigations: probes prefer UNCAPPED
+    shingles (ordered capped-last, then rarest-first — the pigeonhole
+    holds for ANY ⌊(1−t)·n⌋+1 of the doc's shingles, rarity is purely a
+    cost heuristic), so a doc only probes a capped shingle when it has
+    fewer uncapped shingles than its probe budget; and
+    `containment_probe_audit` reports exactly those residual at-risk
+    docs so the loss is measurable instead of silent."""
     from pyspark.sql.window import Window
 
     if docs is None:
         docs = shingle_docs(documents)
+    ranked, _ = _containment_probes(docs, threshold, max_bucket)
+    ranked = ranked.select(F.col("doc_id").alias("doc_a"), "s")
     postings = docs.select("doc_id", F.explode("sh").alias("s"))
-    freq = postings.groupBy("s").agg(F.count("*").alias("df"))
-    # probes: per doc, the floor((1-t)*|sh|)+1 rarest shingles
-    doc_sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
-    # freq is vocabulary-grain (corpus-sized at 100 TB) — keyed shuffle
-    # join, never broadcast
-    ranked = (
-        postings.join(freq, "s")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(
-                    F.col("df").asc(), F.col("s").asc()
-                )
-            ),
-        )
-        .join(doc_sizes, "doc_id")
-        .filter(
-            F.col("rn")
-            <= F.floor(F.lit(1.0 - threshold) * F.col("n_sh")) + 1
-        )
-        .select(F.col("doc_id").alias("doc_a"), "s")
-    )
     capped = (
         postings.withColumn(
             "bucket_n", F.count("*").over(Window.partitionBy("s"))
@@ -553,23 +623,39 @@ def ngram_jaccard_pairs_lsh(
 
 
 def simhash_fingerprints(documents: DataFrame) -> DataFrame:
-    """32-bit SimHash per document: per bit, sum ±1 over token hash bits
+    """64-bit SimHash per document: per bit, sum ±1 over token hash bits
     (token multiplicity = natural weighting); bit set iff the sum > 0.
+
+    Width is 64 bits (r6 verdict #1 — the 32-bit form's 8-bit pigeonhole
+    chunks gave a 256-value join domain, quadratic candidates in corpus
+    size; 64 bits chunk into four 16-bit values). The token hash is the
+    first 16 md5 hex chars read as a SIGNED 64-bit value
+    (``conv(…, 16, -10)`` — two's complement, so bit extraction
+    ``(h >> b) & 1`` is still exact for every b including 63, and the
+    DuckDB oracle reproduces the same bits from two unsigned 32-bit
+    halves). The final fold emits ``shiftleft(1L, b)`` per set bit;
+    the b=63 term is Long.MIN_VALUE and the running sum stays in
+    [-2^63, 2^63) at every step (distinct powers 0..62 sum to < 2^63),
+    so the fold is ANSI-safe.
 
     Physical shape (r6): ONE narrow per-document map — the token loop is
     a higher-order ``aggregate`` over the split array with a
-    32-long accumulator, so there is no token explode and NO SHUFFLE
+    64-long accumulator, so there is no token explode and NO SHUFFLE
     anywhere in the fingerprint derivation (the previous form exploded
     to token grain and paid a doc-keyed groupBy). NB: integer bit ops,
-    not float division — h is 60-bit and a double round-trip corrupts
-    the low bits. `2*bit - 1` maps {0,1}→{-1,+1} branch-free; the
-    fingerprints are bit-identical to the explode+groupBy form (tested)
-    and to the DuckDB oracle's."""
+    not float division — a double round-trip corrupts the low bits.
+    `2*bit - 1` maps {0,1}→{-1,+1} branch-free; the fingerprints are
+    bit-identical to the explode+groupBy form (tested) and to the
+    DuckDB oracle's.
+
+    NULL-text docs are dropped (matching the historical explode+groupBy
+    output contract, ADVICE r6: ``aggregate`` over a NULL array would
+    otherwise emit a NULL-fingerprint row downstream)."""
     norm = r"lower(regexp_replace(trim(text), '\\s+', ' '))"
     sums = (
         "aggregate("
         f"  transform(split({norm}, ' '),"
-        "    t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),"
+        "    t -> cast(conv(substring(md5(t), 1, 16), 16, -10) as bigint)),"
         f"  array_repeat(0L, {SIMHASH_BITS}),"
         f"  (acc, h) -> zip_with(acc, sequence(0L, {SIMHASH_BITS - 1}L),"
         "      (a, b) -> a + 2 * ((h >> b) & 1) - 1)"
@@ -581,8 +667,10 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
         "            ELSE 0L END),"
         "  0L, (a, x) -> a + x)"
     )
-    return spread(documents).select(
-        "doc_id", F.expr(fp).cast("long").alias("simhash")
+    return (
+        spread(documents)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.expr(fp).cast("long").alias("simhash"))
     )
 
 
@@ -591,7 +679,8 @@ def hamming_neighbor_pairs(
     fp_col: str,
     max_hamming: int,
     n_chunks: int = 4,
-    chunk_bits: int = 8,
+    chunk_bits: int = SIMHASH_CHUNK_BITS,
+    max_bucket: int = HAMMING_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs with hamming(fp) ≤ max_hamming via the pigeonhole
     chunk join: hamming ≤ k with n_chunks > k ⇒ at least one chunk of
@@ -599,7 +688,17 @@ def hamming_neighbor_pairs(
     chunk_val), verify with ``bit_count(xor)``. Shared by the SimHash
     text surface and the media perceptual-hash surface
     (`pipelines/multimodal.media_phash_pairs`). Input: (doc_id,
-    <fp_col>); output: doc_a, doc_b, hamming."""
+    <fp_col>); output: doc_a, doc_b, hamming.
+
+    Scale shape (r6 verdict #1): 16-bit chunks give a 65,536-value join
+    domain per chunk — expected bucket occupancy N/2^16, so candidate
+    volume grows ~linearly until true near-dup clusters dominate.
+    Chunk extraction uses ``shiftrightunsigned`` so a fingerprint with
+    bit 63 set (negative long) chunks exactly like its unsigned
+    reading. ``max_bucket`` drops degenerate buckets (near-constant
+    fingerprints: all-blank docs, solid-color media) exactly like the
+    MinHash band cap — at fixture scale no bucket comes near it, and
+    the DuckDB oracle applies the identical cap."""
     if n_chunks <= max_hamming:
         raise ValueError(
             f"pigeonhole needs n_chunks > max_hamming "
@@ -615,8 +714,9 @@ def hamming_neighbor_pairs(
                     F.struct(
                         F.lit(c).cast("long").alias("chunk_id"),
                         F.expr(
-                            f"CAST(({fp_col} div {2 ** (chunk_bits * c)}) "
-                            f"% {2 ** chunk_bits} AS BIGINT)"
+                            f"CAST(shiftrightunsigned({fp_col}, "
+                            f"{chunk_bits * c}) & {2 ** chunk_bits - 1} "
+                            "AS BIGINT)"
                         ).alias("chunk_val"),
                     )
                     for c in range(n_chunks)
@@ -624,6 +724,10 @@ def hamming_neighbor_pairs(
             )
         ).alias("ch"),
     ).select("doc_id", "fp", "ch.chunk_id", "ch.chunk_val")
+    chunks = chunks.withColumn(
+        "bucket_n",
+        F.count("*").over(Window.partitionBy("chunk_id", "chunk_val")),
+    ).filter(F.col("bucket_n") <= max_bucket)
     a = chunks.select(
         F.col("doc_id").alias("doc_a"),
         F.col("fp").alias("fp_a"),
@@ -651,13 +755,18 @@ def hamming_neighbor_pairs(
 
 
 def simhash_pairs(
-    documents: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+    documents: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    max_bucket: int = HAMMING_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming via the
-    pigeonhole chunk join (hamming ≤ 3 ⇒ some 8-bit chunk of the 32-bit
-    fingerprint matches exactly)."""
+    pigeonhole chunk join (hamming ≤ 3 ⇒ some 16-bit chunk of the
+    64-bit fingerprint matches exactly)."""
     return hamming_neighbor_pairs(
-        simhash_fingerprints(documents), "simhash", max_hamming
+        simhash_fingerprints(documents),
+        "simhash",
+        max_hamming,
+        max_bucket=max_bucket,
     )
 
 

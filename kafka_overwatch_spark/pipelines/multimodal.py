@@ -218,12 +218,12 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(feats, FEATURE_SCHEMA)
 
 
-PHASH_SEGMENTS = 32
+PHASH_SEGMENTS = 64
 PHASH_MAX_HAMMING = 3
 
 
 def media_phash(media: DataFrame) -> DataFrame:
-    """32-bit positional average-hash (aHash) per media payload — the
+    """64-bit positional average-hash (aHash) per media payload — the
     perceptual-fingerprint stage of media near-dup, over the
     deterministic fake decode (codecs are absent; a real deployment
     swaps the decoded-pixel source, the hash algebra is identical).
@@ -274,9 +274,14 @@ def media_phash(media: DataFrame) -> DataFrame:
             f"aggregate(slice(cps, {start} + 1, {end} - {start}), "
             "0L, (a, x) -> a + x)"
         )
+        # shiftleft, not a 2**s literal: segment 63's weight is
+        # Long.MIN_VALUE (64-bit hash, signed two's complement) and
+        # 9223372036854775808L won't parse; the running sum of distinct
+        # powers 0..62 plus one MIN_VALUE term stays in long range at
+        # every fold step, so the + fold is ANSI-safe.
         bits.append(
             f"(CASE WHEN {ss} * n > total * ({end} - {start}) "
-            f"THEN {2 ** s}L ELSE 0L END)"
+            f"THEN shiftleft(1L, {s}) ELSE 0L END)"
         )
     return arr.select(
         "doc_id", F.expr(" + ".join(bits)).cast("long").alias("phash")
@@ -408,7 +413,7 @@ FRAME_PHASH_SCHEMA = StructType(
 
 def frame_phash(media: DataFrame, frame_bytes: int = 256) -> DataFrame:
     """Per-FRAME perceptual hash for 'video'-style payloads: the same
-    32-segment positional aHash as `media_phash`, computed over each
+    64-segment positional aHash as `media_phash`, computed over each
     fixed-size byte window instead of the whole body — the primitive
     behind video segment matching (find shared/near-identical clips
     between different videos, at frame granularity). Arrow-batched
@@ -441,6 +446,11 @@ def frame_phash(media: DataFrame, frame_bytes: int = 256) -> DataFrame:
                             ss = int(cps[lo:hi].sum())
                             if ss * n > total * (hi - lo):
                                 h |= 1 << s_i
+                        # signed two's-complement wrap: bit 63 set makes
+                        # the unsigned reading exceed int64; the LongType
+                        # column (and the SQL-side hash) is signed
+                        if h >= 1 << 63:
+                            h -= 1 << 64
                     out_doc.append(int(doc_id))
                     out_frame.append(f)
                     out_hash.append(h)

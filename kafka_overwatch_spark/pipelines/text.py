@@ -368,11 +368,15 @@ def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     the keyword/topic-signal pass of a corpus statistics pipeline.
 
     Scale shape: one (doc_id, token) count aggregation, a token-keyed
-    document-frequency aggregation whose result is dim-sized (the
-    vocabulary) and broadcast back onto the term counts, then a window
-    partitioned by doc_id for the top-k — no corpus-sized shuffle beyond
-    the term count, skew bounded by the largest single document.
-    Deterministic tie-break: tfidf desc, then token asc.
+    document-frequency aggregation joined back BY KEY onto the term
+    counts — the df table is VOCABULARY-grain (10^8+ distinct tokens on
+    100 TB of noisy text), so it is never broadcast (r6 verdict #3;
+    same rule `dedup.containment_pairs_prefix` documents for its
+    shingle-frequency table) — then a window partitioned by doc_id for
+    the top-k. No corpus-sized shuffle beyond the term count, skew
+    bounded by the largest single document. The scalar n_docs cross
+    join stays a broadcast (one row). Deterministic tie-break: tfidf
+    desc, then token asc.
     """
     toks = _norm_tokens()
     terms = (
@@ -388,7 +392,7 @@ def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
         F.countDistinct("doc_id").alias("df")
     )
     scored = (
-        terms.join(F.broadcast(df_tbl), "token")
+        terms.join(df_tbl, "token")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

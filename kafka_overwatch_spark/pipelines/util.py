@@ -40,15 +40,24 @@ def cumulative_offsets(
     0 for the first key) — O(K²) on a bounded frame, and unlike a bare
     cumulative window it introduces no Exchange SinglePartition. Shared
     by exact_global_rank (slice offsets) and the per-group rank
-    recovery in value_equi_depth_histogram (type offsets)."""
+    recovery in value_equi_depth_histogram (type offsets).
+
+    NULL keys sort FIRST (offset 0), matching Spark's default
+    NULLS-FIRST ascending order that exact_global_rank's range
+    partitioner uses — a bare ``<`` would evaluate NULL < key to NULL
+    and silently drop the NULL group's counts from every offset
+    (ADVICE r6), so the join condition spells the null ordering out."""
     lower = counts.select(
         F.col(key_col).alias("_co_key_b"),
         F.col(cnt_col).alias("_co_cnt_b"),
     )
+    # "strictly smaller" under NULLS-FIRST: NULL < every non-null key,
+    # no key < NULL
+    smaller = (F.col("_co_key_b") < F.col(key_col)) | (
+        F.col("_co_key_b").isNull() & F.col(key_col).isNotNull()
+    )
     return (
-        counts.join(
-            lower, F.col("_co_key_b") < F.col(key_col), "left"
-        )
+        counts.join(lower, smaller, "left")
         .groupBy(key_col, cnt_col)
         .agg(F.coalesce(F.sum("_co_cnt_b"), F.lit(0)).alias(off_col))
     )

@@ -1073,81 +1073,64 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # lowest information — still swept by tests/test_oracle_parity.py) sink
 # to the END. Everything else keeps its registration order.
 _PROMOTED = [
-    # r6 rotation (VERDICT r5 next #5): the final-wave r5 queries that
-    # have never been driver-checked, plus everything re-planned this
-    # round (the de-global-sorted segmentation family), go FIRST
-    "tpch_return_rate_control",
-    "events_decile_lift",
-    "events_cohort_retention",
-    "events_stickiness",
-    "tpch_supplier_hhi",
-    "tpch_fulfillment_latency",
-    "events_value_gini",
-    "events_winsorized_stats",
-    "events_user_deciles",
-    "events_equi_depth_hist",
-    "text_zipf_fit",
-    "events_heavy_hitters",
-    "events_quantile_norm",
-    "sampling_user_cap",
-    "sampling_user_cap_summary",
-    "dedup_containment",
-    "split_leakage",
-    # riskiest algorithmic oracles, carried from r5
-    "text_line_dedup",
-    "events_asof_attribution",
-    "tpch_local_supplier_volume",
-    "curation_pipeline",
-    "dedup_incremental_screen",
-    "text_contamination",
-    "media_phash_pairs",
-    "media_header_meta",
-    # r5 additions — new algorithms go inside the check window first
-    "events_preceding_window_join",
-    "events_rollup",
-    "events_topk_per_type",
-    "tpch_customer_distribution",
-    "tpch_order_priority",
-    "tpch_brand_supplier_stats",
-    "sampling_source_mix",
-    "sampling_temperature_weights",
-    "text_unigram_logprob",
-    "tpch_important_parts",
-    "tpch_large_quantity_orders",
-    "text_gopher_flags",
-    "events_running_totals",
-    "events_type_day_pivot",
-    "events_props_stats",
-    "tpch_small_quantity_revenue",
-    "tpch_idle_rich_customers",
-    "text_bm25",
-    "dataset_card",
-    "fuzzy_name_pairs",
-    "validation_report",
-    "topic_throughput_trend",
-    "text_bigram_logprob",
-    "sampling_upsample_plan",
-    "corpus_lang_source_assoc",
-    "corpus_split_drift_psi",
-    "tpch_min_cost_supplier",
-    "tpch_waiting_orders",
-    "events_session_window",
-    "events_grouping_sets",
-    "scd2_partition_liveness",
-    "events_zorder_codes",
-    "tpch_excess_promo_suppliers",
-    "tpch_nation_volume",
-    "graph_association_rules",
-    "graph_part_degree",
-    "tpch_market_share",
-    "scd2_point_in_time",
-    "snapshot_upsert_topics",
-    "table_column_stats",
-    "events_window_functions",
-    "events_daily_locf",
+    # r7 rotation (VERDICT r6 next #4): the 42 oracle-able queries that
+    # have NEVER appeared in any CORRECTNESS_r* driver window
+    # (judge-verified at sf0.01 in r6, but driver-unwitnessed) go
+    # FIRST, so CORRECTNESS_r07 finally witnesses the tail
+    "events_sessionize",
     "events_time_weighted_avg",
+    "events_daily_locf",
+    "text_tfidf",
+    "text_repetition",
+    "tpch_shipping_priority",
+    "tpch_top_supplier",
+    "sampling_split",
+    "emb_quantize_int8",
+    "events_k_anonymity",
     "events_session_window_dynamic",
     "events_ab_test",
+    "text_fingerprints",
+    "text_ngram_freq",
+    "text_redact_pii",
+    "text_typicality",
+    "text_length_histogram",
+    "text_vocab_stats",
+    "source_quality_summary",
+    "sampling_stratified",
+    "doc_chunks",
+    "tpch_pricing_summary",
+    "tpch_big_order_revenue",
+    "events_daily_rollup",
+    "events_top_users",
+    "events_top_users_salted",
+    "events_pseudonymized",
+    "events_bot_scores",
+    "events_retention",
+    "events_funnel",
+    "events_anomalous_days",
+    "events_user_reach",
+    "events_value_quantiles",
+    "tpch_promo_share",
+    "tpch_forecast_revenue",
+    "tpch_product_profit",
+    "tpch_returned_items",
+    "tpch_disjunctive_revenue",
+    "events_set_ops",
+    "events_type_transitions",
+    "events_mad_anomalies",
+    "emb_split_centroid_drift",
+    # everything re-planned THIS round (r7: 64-bit SimHash/pHash with
+    # 16-bit pigeonhole chunks + bucket cap, de-broadcast cohort
+    # retention, keyed tfidf df join [already above], probe-shuffled
+    # split leakage, capped-probe containment) re-enters the window
+    "dedup_simhash_pairs",
+    "media_phash_pairs",
+    "events_cohort_retention",
+    "split_leakage",
+    "dedup_containment",
+    "dedup_minhash_lsh",
+    "dedup_incremental_screen",
+    "curation_pipeline",
 ]
 
 

@@ -206,3 +206,21 @@ def test_ntile_formula_property(spark):
             assert sizes == sorted(sizes, reverse=True)
             assert len(set(buckets)) == min(n, k)
             assert sizes[0] == math.ceil(n / k)
+
+
+def test_cumulative_offsets_null_key_sorts_first(spark):
+    """ADVICE r6: a NULL grouping key must behave like Spark's
+    NULLS-FIRST ascending order that exact_global_rank's range
+    partitioner uses — the NULL group gets offset 0 and its count is
+    included in every non-null key's offset (a bare ``<`` join
+    condition silently dropped it)."""
+    from kafka_overwatch_spark.pipelines.util import cumulative_offsets
+
+    counts = spark.createDataFrame(
+        [(None, 4), ("a", 2), ("b", 3)], "k string, c long"
+    )
+    got = {
+        r["k"]: r["off"]
+        for r in cumulative_offsets(counts, "k", "c", "off").collect()
+    }
+    assert got == {None: 0, "a": 4, "b": 6}

@@ -126,8 +126,9 @@ def test_feature_extraction_matches_python(media):
         assert abs(sum(got["feature"]) - 1.0) < 1e-4
 
 
-def _phash_py(text: str, segments: int = 32) -> int:
-    """Straight-Python reference of the 32-bit positional aHash."""
+def _phash_py(text: str, segments: int = 64) -> int:
+    """Straight-Python reference of the 64-bit positional aHash
+    (signed two's complement, matching the LongType column)."""
     cps = [ord(c) for c in text]
     n = len(cps)
     if n == 0:
@@ -138,7 +139,7 @@ def _phash_py(text: str, segments: int = 32) -> int:
         seg = [cp for p, cp in enumerate(cps) if (p * segments) // n == s]
         if sum(seg) * n > total * len(seg):
             fp |= 1 << s
-    return fp
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
 
 
 def test_media_phash_matches_python_reference(spark, media):
@@ -204,11 +205,14 @@ def test_frame_phash_matches_python_reference(spark, snaps):
         for f in range(n_frames):
             w = body[f * 256 : (f + 1) * 256]
             h, n, total = 0, len(w), sum(w)
-            for s_i in range(PHASH_SEGMENTS):
-                lo = (s_i * n + 31) // 32
-                hi = ((s_i + 1) * n + 31) // 32
+            seg = PHASH_SEGMENTS
+            for s_i in range(seg):
+                lo = (s_i * n + seg - 1) // seg
+                hi = ((s_i + 1) * n + seg - 1) // seg
                 if sum(w[lo:hi]) * n > total * (hi - lo):
                     h |= 1 << s_i
+            if h >= 1 << 63:
+                h -= 1 << 64
             want[(r["doc_id"], f)] = h
     assert got == want and len(got) > 0
 

@@ -206,3 +206,33 @@ def test_containment_finds_asymmetric_pairs_jaccard_misses(spark):
         for r in ngram_jaccard_pairs(docs).collect()
     }
     assert (2, 1) not in jac and (1, 2) not in jac
+
+
+def test_containment_probe_audit_counts_at_risk_docs(spark):
+    """ADVICE r6: capped-bucket recall loss must be observable. With a
+    cap small enough that the shared boilerplate shingles exceed it,
+    docs built ENTIRELY of boilerplate (every probe capped) must be
+    counted at risk; docs with enough rare shingles must not be. On the
+    same corpus with the default cap, at-risk is zero."""
+    from kafka_overwatch_spark.pipelines.dedup import (
+        containment_pairs_prefix,
+        containment_probe_audit,
+    )
+
+    boiler = "copy right all rights reserved by the site owner today"
+    docs = spark.createDataFrame(
+        [(i, boiler, "en") for i in range(8)]
+        + [(100 + i, boiler + f" unique{i} tail{i} words{i}", "en") for i in range(3)],
+        "doc_id long, text string, lang string",
+    )
+    audit = containment_probe_audit(docs, max_bucket=5).collect()[0]
+    assert audit["docs_total"] == 11
+    # the 8 pure-boilerplate docs have no uncapped shingle to probe
+    assert audit["docs_at_risk"] == 8
+    relaxed = containment_probe_audit(docs, max_bucket=10_000).collect()[0]
+    assert relaxed["docs_at_risk"] == 0
+    # and the audit's risk signal is real: the tiny cap does lose pairs
+    # the default cap finds, all anchored on the at-risk docs
+    full = containment_pairs_prefix(docs).count()
+    capped = containment_pairs_prefix(docs, max_bucket=5).count()
+    assert full > 0 and capped < full
