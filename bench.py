@@ -319,6 +319,51 @@ def main() -> None:
         "inc_per_batch_sec": inc_per_batch,
         "full_recompute_sec_at_b10": full_recompute,
     }
+    # growing-corpus streaming dedup (r6 verdict #6): per-batch wall
+    # while the accepted index grows — the screen is parity-tested in
+    # tests/test_streaming_growing_dedup.py; this tracks its COST curve
+    # (each batch pays keyed screens against a strictly larger persisted
+    # index) the way `incremental` tracks running-total upkeep.
+    import shutil
+    import tempfile
+
+    from kafka_overwatch_spark.pipelines.dedup import shingle_docs
+    from kafka_overwatch_spark.streaming.documents_stream import (
+        GrowingDedupScreen,
+        init_growing_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g_batches = 4
+    seed = docs.filter(F.col("doc_id") % (g_batches + 1) == 0)
+    gtmp = tempfile.mkdtemp(prefix="growing_dedup_bench_")
+    g_per_batch, g_index_rows = [], []
+    try:
+        init_growing_index(spark, shingle_docs(seed), f"{gtmp}/index")
+        screen = GrowingDedupScreen(f"{gtmp}/index", f"{gtmp}/out")
+        for i in range(g_batches):
+            batch = docs.filter(
+                F.col("doc_id") % (g_batches + 1) == i + 1
+            )
+            g_index_rows.append(
+                spark.read.parquet(f"{gtmp}/index/shingles").count()
+            )
+            t0 = time.time()
+            screen(batch, i)
+            g_per_batch.append(round(time.time() - t0, 3))
+            print(
+                f"  bench growing_dedup b{i}: {g_per_batch[-1]}s "
+                f"(index {g_index_rows[-1]} rows)",
+                file=sys.stderr,
+            )
+    finally:
+        shutil.rmtree(gtmp, ignore_errors=True)
+    growing_dedup = {
+        "batches": g_batches,
+        "per_batch_sec": g_per_batch,
+        "index_rows_before_batch": g_index_rows,
+    }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # throughput context: total input rows of the tables the headline
     # queries scan (lineitem dominates), per steady-state second
@@ -336,6 +381,7 @@ def main() -> None:
         "input_rows": input_rows,
         "extra_queries": extra_queries,
         "incremental": incremental,
+        "growing_dedup": growing_dedup,
         "headline2": headline2,
         "stat": "p50_of_3",
         "sf": float(sf),
@@ -363,6 +409,7 @@ def main() -> None:
                     3,
                 ),
                 "pass_loads": pass_loads,
+                "growing_dedup": growing_dedup,
                 "stat": "p50_of_3",
                 "sf": float(sf),
                 "n_queries": len(per_query),

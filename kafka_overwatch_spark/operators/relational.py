@@ -1338,6 +1338,59 @@ def heavy_hitter_users(events: DataFrame, permille: int = 8) -> DataFrame:
     )
 
 
+def _cms_read(buf: bytes) -> tuple[int, int, int, list[int], list[list[int]]]:
+    """Decode Spark's serialized Count-Min sketch (the PUBLIC V1 format
+    `org.apache.spark.util.sketch.CountMinSketch.writeTo` emits:
+    big-endian int version, long totalCount, int depth, int width,
+    long hashA[depth], long table[depth][width]). Pure Python so the
+    decode works under Spark Connect too, where `spark._jvm` does not
+    exist (r6 verdict #7); parity with the JVM reader is pinned by
+    tests/test_relational_extras.py."""
+    import struct
+
+    off = 0
+    (version,) = struct.unpack_from(">i", buf, off)
+    off += 4
+    if version != 1:
+        raise ValueError(f"unsupported CountMinSketch format v{version}")
+    (total,) = struct.unpack_from(">q", buf, off)
+    off += 8
+    (depth,) = struct.unpack_from(">i", buf, off)
+    off += 4
+    (width,) = struct.unpack_from(">i", buf, off)
+    off += 4
+    hash_a = list(struct.unpack_from(f">{depth}q", buf, off))
+    off += 8 * depth
+    table = [
+        list(struct.unpack_from(f">{width}q", buf, off + 8 * width * i))
+        for i in range(depth)
+    ]
+    return total, depth, width, hash_a, table
+
+
+def _cms_estimate_long(
+    sk: tuple[int, int, int, list[int], list[list[int]]], item: int
+) -> int:
+    """Point estimate for a long key — the same AMS-style row hash the
+    JVM implementation uses (hashA[i]*item with Java 64-bit wrap, plus
+    its arithmetic >>32, masked to 2^31-1, mod width), min over rows."""
+    _, depth, width, hash_a, table = sk
+    prime = (1 << 31) - 1
+
+    def s64(x: int) -> int:
+        x &= (1 << 64) - 1
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    res = None
+    for i in range(depth):
+        h = s64(hash_a[i] * item)
+        h = s64(h + (h >> 32))
+        idx = (h & prime) % width
+        v = table[i][idx]
+        res = v if res is None else min(res, v)
+    return int(res or 0)
+
+
 def heavy_hitter_sketch_estimates(
     events: DataFrame, permille: int = 8, eps: float = 0.001,
     confidence: float = 0.99, seed: int = 42,
@@ -1346,9 +1399,12 @@ def heavy_hitter_sketch_estimates(
     """Approximate heavy hitters via Spark's mergeable Count-Min sketch
     (`count_min_sketch` aggregate — JVM-side, partial-merged per
     partition, constant sketch state over the wire instead of a
-    per-user shuffle). The sketch is decoded with Spark's own PUBLIC
-    `org.apache.spark.util.sketch.CountMinSketch.readFrom` (no
-    hand-rolled format parsing) and probed for ``candidates`` — a
+    per-user shuffle). The sketch bytes are decoded driver-side by
+    `_cms_read` — a pure-Python reader of Spark's public V1 wire
+    format, so the query also runs under Spark Connect where the
+    previous `spark._jvm` CountMinSketch.readFrom gateway call does
+    not exist (r6 verdict #7; JVM parity pinned in tests) — and
+    probed for ``candidates`` — a
     caller-supplied shortlist (the sketch answers point queries, it
     does not enumerate a key domain). Default: the exact heavy-hitter
     anchor's output (``heavy_hitter_users``), which is dim-sized by
@@ -1377,16 +1433,14 @@ def heavy_hitter_sketch_estimates(
         F.count("*").alias("n_total"),
     ).collect()[0]
     n_total = row.n_total
-    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        bytes(row.sk)
-    )
+    cms = _cms_read(bytes(row.sk))
     if candidates is None:
         candidates = heavy_hitter_users(events, permille)
     # bounded probe set: ≤ 1000/permille rows for the default anchor, a
     # dim table / shortlist otherwise — never a fact-derived distinct
     users = [r.user_id for r in candidates.select("user_id").collect()]
     ests = [
-        (int(u), int(cms.estimateCount(spark._jvm.java.lang.Long(int(u)))))
+        (int(u), _cms_estimate_long(cms, int(u)))
         for u in sorted(set(users))
     ]
     out = spark.createDataFrame(

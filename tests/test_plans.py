@@ -531,3 +531,22 @@ def test_cohort_retention_first_touch_broadcast(spark, snaps):
     plan = _plan(cohort_retention_matrix(spark.table("events")))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_no_fact_grain_broadcast_hints(spark, snaps):
+    """r6 verdict #2/#3: the only broadcast HINTS allowed in these
+    plans are bounded-grain frames — cohort retention keeps exactly one
+    (the week-grain cohort_sizes attach; the USER-grain first-touch
+    join must carry no hint, AQE picks its strategy), and tfidf keeps
+    exactly one (the single-row n_docs cross join; the
+    VOCABULARY-grain document-frequency table must be a keyed join)."""
+    from kafka_overwatch_spark import registry
+
+    q = registry.spark_queries()
+    for name in ("events_cohort_retention", "text_tfidf"):
+        df = q[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("strategy=broadcast") == 1, (
+            name,
+            [ln for ln in plan.split("\n") if "roadcast" in ln],
+        )

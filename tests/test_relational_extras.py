@@ -157,3 +157,30 @@ def test_cohort_overlap_sketch_error_bound(spark):
         (row.est_intersection, len(p & e)),
     ]:
         assert abs(est - exact) <= max(2, 0.05 * exact), (est, exact)
+
+
+def test_cms_python_decode_matches_jvm_reader(spark):
+    """The pure-Python CMS decode (Spark-Connect-safe, r6 verdict #7)
+    must agree bit-for-bit with Spark's own JVM
+    CountMinSketch.readFrom/estimateCount on every probed key — this
+    test pins the V1 wire format and the AMS row-hash semantics; if a
+    Spark upgrade ever changes either, this fails before any query
+    silently drifts."""
+    from kafka_overwatch_spark.operators.relational import (
+        _cms_estimate_long,
+        _cms_read,
+    )
+
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 53).alias("user_id")
+    )
+    buf = bytes(
+        df.agg(
+            F.expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").alias("sk")
+        ).collect()[0]["sk"]
+    )
+    sk = _cms_read(buf)
+    jvm = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(buf)
+    for u in list(range(53)) + [10**12, -5]:
+        want = jvm.estimateCount(spark._jvm.java.lang.Long(int(u)))
+        assert _cms_estimate_long(sk, u) == want, u
