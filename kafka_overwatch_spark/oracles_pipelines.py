@@ -179,6 +179,37 @@ pairs AS (
 SELECT lang, doc_a, doc_b, containment FROM pairs
 WHERE containment >= 0.8"""
 
+    # r7: capped-probe recall audit (ADVICE r6 observability). The
+    # oracle re-derives the capped-last probe selection relationally.
+    # The probe budget is floor((1.0-0.8)·n_sh)+1 where Spark computes
+    # 1.0-0.8 in IEEE doubles (= 0.19999999999999996); DuckDB's
+    # DECIMAL literal arithmetic would give an exact 0.2 and disagree
+    # on every doc whose shingle count is a multiple of 5, so the
+    # exact double is spelled out.
+    budget_eps = repr(1.0 - 0.8)
+    q["dedup_containment_audit"] = f"""
+WITH {SHINGLE_CTE},
+postings AS (
+  SELECT doc_id, unnest(sh) AS s FROM docs
+),
+freq AS (SELECT s, count(*) AS df FROM postings GROUP BY s),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM docs),
+ranked AS (
+  SELECT p.doc_id, (f.df > 2) AS probe_capped,
+    row_number() OVER (PARTITION BY p.doc_id
+      ORDER BY (f.df > 2) ASC, f.df ASC, p.s ASC) AS rn,
+    z.n_sh
+  FROM postings p JOIN freq f USING (s) JOIN sizes z USING (doc_id)
+),
+probes AS (
+  SELECT * FROM ranked
+  WHERE rn <= floor({budget_eps}::DOUBLE * n_sh) + 1
+)
+SELECT
+  (SELECT count(DISTINCT doc_id) FROM docs) AS docs_total,
+  (SELECT count(DISTINCT doc_id) FROM probes WHERE probe_capped)
+    AS docs_at_risk"""
+
 
 
     # 64-bit token hash = first 16 md5 hex chars, reproduced from two

@@ -706,6 +706,17 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             raw(s, d, "documents"), docs=get_shingle_docs(s, d)
         )
     )
+    # recall-risk observability for the bucket cap (ADVICE r6):
+    # registered with a deliberately TIGHT cap so the at-risk count is
+    # non-zero at fixture scale and the oracle exercises the full
+    # capped-last probe-selection logic, not a constant zero
+    q["dedup_containment_audit"] = (
+        lambda s, d: dedup.containment_probe_audit(
+            raw(s, d, "documents"),
+            max_bucket=2,
+            docs=get_shingle_docs(s, d),
+        )
+    )
     q["events_quantile_norm"] = (
         lambda s, d: relational.value_quantile_normalized(
             raw(s, d, "events")
@@ -1128,9 +1139,9 @@ _PROMOTED = [
     "events_cohort_retention",
     "split_leakage",
     "dedup_containment",
+    "dedup_containment_audit",
     "dedup_minhash_lsh",
     "dedup_incremental_screen",
-    "curation_pipeline",
 ]
 
 
