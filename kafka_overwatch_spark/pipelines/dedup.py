@@ -407,15 +407,14 @@ def containment_pairs(
 
 def _containment_probes(
     docs: DataFrame, threshold: float, max_bucket: int
-) -> tuple[DataFrame, DataFrame]:
+) -> DataFrame:
     """Per-doc probe shingles for the prefix filter: each doc's
     ⌊(1−t)·|sh|⌋ + 1 shingles ordered CAPPED-LAST then rarest-first
     (ties by shingle). The pigeonhole guarantee holds for ANY probe set
     of that size, so preferring uncapped shingles costs nothing and
     confines recall risk to docs with fewer uncapped shingles than
     their budget — exactly the rows where probe_capped survives the
-    budget filter. Returns (probes(doc_id, s, probe_capped),
-    doc_sizes)."""
+    budget filter. Returns (doc_id, s, probe_capped)."""
     postings = docs.select("doc_id", F.explode("sh").alias("s"))
     freq = postings.groupBy("s").agg(F.count("*").alias("df"))
     doc_sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
@@ -441,7 +440,7 @@ def _containment_probes(
         )
         .select("doc_id", "s", "probe_capped")
     )
-    return probes, doc_sizes
+    return probes
 
 
 def containment_probe_audit(
@@ -460,7 +459,7 @@ def containment_probe_audit(
     ``max_bucket`` or an upstream boilerplate strip."""
     if docs is None:
         docs = shingle_docs(documents)
-    probes, _ = _containment_probes(docs, threshold, max_bucket)
+    probes = _containment_probes(docs, threshold, max_bucket)
     at_risk = probes.filter(F.col("probe_capped")).select("doc_id").distinct()
     return docs.agg(
         F.count_distinct("doc_id").alias("docs_total")
@@ -485,7 +484,8 @@ def containment_pairs_prefix(
     minimizes posting-list sizes, so the candidate join is bounded by
     rare-bucket width, not vocabulary skew.
 
-    Scale shape: one shingle-frequency aggregate (broadcast back), one
+    Scale shape: one shingle-frequency aggregate joined back BY KEY
+    (vocabulary-grain, never broadcast — see _containment_probes), one
     per-doc window on the HIGH-cardinality doc_id key to pick probes,
     one bucketed (shingle) candidate join against the posting list
     (``max_bucket`` caps degenerate boilerplate shingles), then the
@@ -500,12 +500,11 @@ def containment_pairs_prefix(
     fewer uncapped shingles than its probe budget; and
     `containment_probe_audit` reports exactly those residual at-risk
     docs so the loss is measurable instead of silent."""
-    from pyspark.sql.window import Window
-
     if docs is None:
         docs = shingle_docs(documents)
-    ranked, _ = _containment_probes(docs, threshold, max_bucket)
-    ranked = ranked.select(F.col("doc_id").alias("doc_a"), "s")
+    ranked = _containment_probes(docs, threshold, max_bucket).select(
+        F.col("doc_id").alias("doc_a"), "s"
+    )
     postings = docs.select("doc_id", F.explode("sh").alias("s"))
     capped = (
         postings.withColumn(
