@@ -172,6 +172,10 @@ EXTRA = [
     "sampling_user_cap_summary",
     "dedup_containment",
     "split_leakage",
+    # round 7
+    "dedup_containment_audit",
+    "text_winnow_fingerprints",
+    "text_shared_passages",
 ]
 
 

@@ -210,6 +210,57 @@ SELECT
   (SELECT count(DISTINCT doc_id) FROM probes WHERE probe_capped)
     AS docs_at_risk"""
 
+    # r7: winnowing fingerprints + shared-passage pairs (Schleimer/
+    # Wilkes/Aiken 2003). k=4-gram 60-bit md5-prefix hashes, w=8
+    # windows, LEFTMOST-minimum selection; short docs winnow one
+    # truncated window (list slicing truncates identically in both
+    # engines); the pair query caps degenerate gram-hash buckets at
+    # 1000 and thresholds shared fingerprints at 2.
+    _winnow_fp_cte = """
+norm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+hashed AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 4 THEN
+      list_transform(generate_series(1, len(toks) - 4 + 1),
+        i -> CAST(concat('0x',
+          substr(md5(array_to_string(toks[i:i+3], ' ')), 1, 15))
+          AS BIGINT))
+    ELSE [] END AS hs
+  FROM tok
+),
+fp AS (
+  SELECT DISTINCT doc_id,
+    CAST(i - 1 + list_position(hs[i:i+7], list_min(hs[i:i+7]))
+         AS BIGINT) AS pos,
+    list_min(hs[i:i+7]) AS gram_hash
+  FROM hashed,
+    unnest(generate_series(1, greatest(len(hs) - 8 + 1, 1))) AS u(i)
+  WHERE len(hs) > 0
+)"""
+    q["text_winnow_fingerprints"] = f"""
+WITH {_winnow_fp_cte}
+SELECT doc_id, pos, gram_hash FROM fp"""
+
+    q["text_shared_passages"] = f"""
+WITH {_winnow_fp_cte},
+posting AS (SELECT DISTINCT doc_id, gram_hash FROM fp),
+capped AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY gram_hash) AS bucket_n
+    FROM posting
+  ) WHERE bucket_n <= 1000
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  count(DISTINCT a.gram_hash) AS shared_fps
+FROM capped a JOIN capped b
+  ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+HAVING count(DISTINCT a.gram_hash) >= 2"""
+
 
 
     # 64-bit token hash = first 16 md5 hex chars, reproduced from two

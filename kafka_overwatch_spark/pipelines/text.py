@@ -185,6 +185,118 @@ def _norm_tokens() -> F.Column:
     )
 
 
+# Winnowing parameters (Schleimer, Wilkes & Aiken, "Winnowing: Local
+# Algorithms for Document Fingerprinting", SIGMOD 2003 — public
+# algorithm): k-token grams, window of w consecutive gram hashes. The
+# guarantee: any shared token run of ≥ w + k - 1 tokens contributes at
+# least one identical selected fingerprint to both documents.
+WINNOW_K = 4
+WINNOW_W = 8
+
+
+def winnow_fingerprints(
+    documents: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Winnowed document fingerprints: per doc, hash every complete
+    k-token gram (60-bit md5 prefix, the engine's standard
+    cross-engine-exact integer hash), slide a w-gram window and select
+    each window's minimal (hash, position) pair — the classic MOSS
+    selection, with the LEFTMOST minimal hash as the deterministic
+    tie-break so the DuckDB oracle reproduces the exact set. Output:
+    (doc_id, pos, gram_hash), pos = 1-based gram index.
+
+    Physical shape: gram hashing is a narrow map; selection is ONE
+    doc-keyed window (``min(struct(hash, pos))`` over ROWS [CURRENT, w-1
+    FOLLOWING]) — no lambda-bound array slicing (which falls off
+    whole-stage codegen, see minhash_bands), no shuffle beyond the
+    doc_id hash partitioning, skew bounded by the longest document.
+    Docs shorter than w grams winnow their single truncated window
+    (every doc with ≥ k tokens yields ≥ 1 fingerprint); docs with
+    < k tokens emit nothing, same as the oracle."""
+    toks = _norm_tokens()
+    grams = _full_grams(toks, k)
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
+            "bigint"
+        ),
+    )
+    exploded = (
+        spread(documents)
+        .select(
+            "doc_id",
+            F.size(grams).alias("n_grams"),
+            F.posexplode(hashes).alias("pos0", "h"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            (F.col("pos0") + 1).alias("pos"),
+            "h",
+        )
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        exploded.withColumn("sel", F.min(F.struct("h", "pos")).over(win))
+        # classic winnowing uses only FULL windows (start pos ≤
+        # n_grams - w + 1); the greatest() keeps one truncated window
+        # for short docs
+        .filter(
+            F.col("pos")
+            <= F.greatest(F.col("n_grams") - w + 1, F.lit(1))
+        )
+        .select(
+            "doc_id",
+            F.col("sel.pos").alias("pos"),
+            F.col("sel.h").alias("gram_hash"),
+        )
+        .distinct()
+    )
+
+
+def shared_passage_pairs(
+    documents: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Cross-document shared-passage pairs from winnowed fingerprints —
+    the scalable "which docs share verbatim runs of ≥ w+k-1 tokens"
+    query (MOSS at corpus scale; the passage-grain complement of
+    line_dedup and the n-gram contamination probe). Pairs share
+    ``shared_fps`` distinct selected gram hashes, thresholded at
+    ``min_shared`` to suppress single-collision noise.
+
+    Scale shape: the posting list is keyed on gram_hash with the
+    standard degenerate-bucket cap (ubiquitous boilerplate passages
+    are exactly MinHash's giant-band problem, same treatment); the
+    pair aggregation shuffles on (doc_a, doc_b) — bounded by true
+    shared-passage mass, not corpus size. Output: doc_a, doc_b,
+    shared_fps."""
+    posting = (
+        winnow_fingerprints(documents, k, w)
+        .select("doc_id", "gram_hash")
+        .distinct()
+    )
+    capped = posting.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("gram_hash"))
+    ).filter(F.col("bucket_n") <= max_bucket)
+    a = capped.select(F.col("doc_id").alias("doc_a"), "gram_hash")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "gram_hash")
+    return (
+        a.join(b, "gram_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count_distinct("gram_hash").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def _full_grams(toks: F.Column, n: int) -> F.Column:
     """All COMPLETE n-gram strings of a token array (no partial tail gram —
     unlike the 1-permutation shingles above, repetition/contamination stats

@@ -543,6 +543,15 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_fingerprints"] = lambda s, d: textops.fingerprints(
         raw(s, d, "documents")
     )
+    # r7: winnowing (SIGMOD'03) — selected k-gram fingerprints and the
+    # cross-doc shared-passage pairs they imply (verbatim token runs of
+    # ≥ w+k-1 = 11 tokens are guaranteed to collide)
+    q["text_winnow_fingerprints"] = (
+        lambda s, d: textops.winnow_fingerprints(raw(s, d, "documents"))
+    )
+    q["text_shared_passages"] = (
+        lambda s, d: textops.shared_passage_pairs(raw(s, d, "documents"))
+    )
     q["text_ngram_freq"] = lambda s, d: textops.ngram_frequencies(
         raw(s, d, "documents")
     )
@@ -1140,8 +1149,11 @@ _PROMOTED = [
     "split_leakage",
     "dedup_containment",
     "dedup_containment_audit",
-    "dedup_minhash_lsh",
-    "dedup_incremental_screen",
+    # brand-new r7 algorithms (winnowing) — new algorithms enter the
+    # window first; minhash/incremental-screen rotate out (driver-
+    # witnessed green in r6, unchanged plans this round)
+    "text_winnow_fingerprints",
+    "text_shared_passages",
 ]
 
 

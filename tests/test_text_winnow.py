@@ -1,0 +1,84 @@
+"""Winnowing fingerprints (Schleimer/Wilkes/Aiken 2003): bit parity
+with a straight-Python reference, the w+k-1 shared-run detection
+guarantee, and the JVM-only plan shape."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from kafka_overwatch_spark.pipelines.text import (
+    WINNOW_K,
+    WINNOW_W,
+    shared_passage_pairs,
+    winnow_fingerprints,
+)
+
+
+def _py_winnow(text: str, k: int = WINNOW_K, w: int = WINNOW_W):
+    toks = " ".join(text.strip().split()).lower().split(" ")
+    if len(toks) < k:
+        return set()
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    out = set()
+    for i in range(max(len(hs) - w + 1, 1)):
+        win = hs[i : i + w]
+        m = min(win)
+        out.add((i + 1 + win.index(m), m))
+    return out
+
+
+def test_winnow_matches_python_reference(spark, snaps):
+    docs = spark.table("documents").filter(F.col("doc_id") < 80)
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(docs).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["gram_hash"]))
+    want = {
+        r["doc_id"]: _py_winnow(r["text"])
+        for r in docs.select("doc_id", "text").collect()
+    }
+    want = {d: s for d, s in want.items() if s}
+    assert got == want and len(got) > 0
+
+
+def test_winnow_guarantee_shared_run_detected(spark):
+    """Any shared token run of ≥ w + k - 1 tokens must contribute at
+    least one identical fingerprint to both docs — the paper's
+    guarantee, exercised with a run of exactly w + k - 1 embedded in
+    otherwise-disjoint documents."""
+    run = " ".join(f"shared{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    a = "alpha beta gamma " + run + " delta epsilon"
+    b = "one two three four five " + run + " six seven"
+    c = "entirely different content with no overlap at all here okay"
+    docs = spark.createDataFrame(
+        [(1, a, "en"), (2, b, "en"), (3, c, "en")],
+        "doc_id long, text string, lang string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in shared_passage_pairs(docs, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_short_doc_single_window(spark):
+    """A doc with ≥ k tokens but < w grams winnows its one truncated
+    window (exactly one fingerprint); a doc with < k tokens emits
+    nothing."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e", "en"), (2, "x y", "en")],
+        "doc_id long, text string, lang string",
+    )
+    rows = winnow_fingerprints(docs).collect()
+    assert {r["doc_id"] for r in rows} == {1}
+    assert len(rows) == 1
+
+
+def test_winnow_plan_jvm_only(spark, snaps):
+    df = winnow_fingerprints(spark.table("documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
