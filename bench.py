@@ -176,6 +176,7 @@ EXTRA = [
     "dedup_containment_audit",
     "text_winnow_fingerprints",
     "text_shared_passages",
+    "sampling_weighted",
 ]
 
 

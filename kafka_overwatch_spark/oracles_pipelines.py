@@ -2644,6 +2644,21 @@ FROM r"""
 
     # r6: deterministic per-user event cap (frequent-key downweighting);
     # salted-md5 keep order shared with the Spark side verbatim
+    # r7: A-ES weighted WOR sample — key = u^(1/w), u = (60-bit md5 of
+    # salt:doc_id + 1)/2^60; order by the UNROUNDED key (the rounded
+    # display key would tie heavily near 1.0), ties by doc_id
+    q["sampling_weighted"] = """
+WITH keyed AS (
+  SELECT doc_id, n_chars AS weight,
+    pow((CAST(concat('0x',
+          substr(md5(concat('aes-v1:', CAST(doc_id AS VARCHAR))), 1, 15))
+        AS BIGINT) + 1) / 1152921504606846976.0,
+      1.0 / greatest(n_chars, 1)) AS k
+  FROM documents
+)
+SELECT doc_id, weight, round(k, 6) AS sample_key
+FROM keyed ORDER BY k DESC, doc_id ASC LIMIT 100"""
+
     q["sampling_user_cap"] = """
 WITH ranked AS (
   SELECT user_id, event_id,

@@ -435,3 +435,56 @@ def per_key_cap_summary(
             (F.col("events") - F.col("kept")).alias("dropped"),
         )
     )
+
+
+def weighted_sample(
+    documents: DataFrame,
+    k: int = 500,
+    weight_col: str = "n_chars",
+    salt: str = "aes-v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
+    A-ES scheme (Inf. Proc. Letters 2006 — public algorithm): each row
+    draws key = u^(1/w) with u uniform in (0, 1] and w its weight; the
+    k largest keys are exactly a weighted WOR draw. The "uniform" is
+    the engine's standard deterministic md5 construction (60-bit hash
+    of salt:doc_id, +1, / 2^60), so the sample is reproducible across
+    partitionings, engines, and re-runs — the same reason the split
+    family avoids ``df.sample()``.
+
+    Scale shape: a pure narrow map plus a global top-k
+    (TakeOrderedAndProject: per-partition heap + driver merge of k
+    rows, NOT a global sort shuffle). Weights clamp to ≥ 1 so
+    zero-length docs stay drawable. Output: doc_id, weight, sample_key
+    (rounded for display; ordering uses the unrounded key, ties broken
+    by doc_id).
+    """
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + ":"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    u = (h + 1).cast("double") / F.lit(float(2**60))
+    w = F.greatest(F.col(weight_col), F.lit(1)).cast("double")
+    key = F.pow(u, F.lit(1.0) / w)
+    return (
+        spread(documents)
+        .select(
+            "doc_id",
+            F.col(weight_col).alias("weight"),
+            key.alias("_key"),
+        )
+        .orderBy(F.col("_key").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "weight", F.round("_key", 6).alias("sample_key"))
+    )

@@ -701,6 +701,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda s, d: sampling.temperature_weights(raw(s, d, "documents"))
     )
     # r6: deterministic per-user event cap + global quantile transform
+    # r7: A-ES weighted WOR draw (k=100 keeps the gate set small but
+    # selection-sensitive — a one-row rank flip changes the hash)
+    q["sampling_weighted"] = lambda s, d: sampling.weighted_sample(
+        raw(s, d, "documents"), k=100
+    )
     q["sampling_user_cap"] = lambda s, d: sampling.per_key_cap(
         raw(s, d, "events")
     )

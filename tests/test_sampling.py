@@ -261,3 +261,39 @@ def test_upsample_plan_rates_and_materialization(spark, snaps):
     for r in materialize_upsample(docs).collect():
         copies[r["doc_id"]] = copies.get(r["doc_id"], 0) + 1
     assert copies == {d: rep for d, (_, rep) in plan.items()}
+
+
+def test_weighted_sample_matches_python_reference(spark, snaps):
+    """A-ES draw equals a straight-Python fold of the same md5-uniform
+    and pow key, including the top-k cut and the doc_id tie-break."""
+    import hashlib
+
+    from kafka_overwatch_spark.pipelines.sampling import weighted_sample
+
+    docs = spark.table("documents")
+    rows = docs.select("doc_id", "n_chars").collect()
+    keyed = []
+    for r in rows:
+        h = int(
+            hashlib.md5(f"aes-v1:{r['doc_id']}".encode()).hexdigest()[:15], 16
+        )
+        u = (h + 1) / float(2**60)
+        keyed.append((u ** (1.0 / max(r["n_chars"], 1)), r["doc_id"]))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    want = [d for _, d in keyed[:50]]
+    got = [r["doc_id"] for r in weighted_sample(docs, k=50).collect()]
+    assert sorted(got) == sorted(want)
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Weighting property: with weights 1000 vs 1 over two halves of a
+    200-row frame, a k=50 draw must be dominated by the heavy half."""
+    from kafka_overwatch_spark.pipelines.sampling import weighted_sample
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, 1000).otherwise(1).alias("n_chars"),
+    )
+    got = weighted_sample(df, k=50).collect()
+    heavy = sum(1 for r in got if r["doc_id"] < 100)
+    assert heavy >= 45
