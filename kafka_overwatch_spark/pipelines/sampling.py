@@ -145,57 +145,54 @@ def pack_sequences(
     n_tokens, bin_fill.
 
     Next-fit is inherently sequential — the bin boundary depends on every
-    predecessor — so this is one of the few legitimately
-    ``applyInPandas``-shaped ops: packing parallelizes across groups
-    (source/shard), and within a group the loop is a vectorizable numpy
-    cumulation over an already-small chunk list. At 100 TB: group by
-    shard/source, not doc, so bins amortize across documents."""
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql.types import (
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    out_schema = StructType(
-        [
-            StructField("group", StringType()),
-            StructField("bin_id", LongType()),
-            StructField("doc_id", LongType()),
-            StructField("chunk_id", LongType()),
-            StructField("n_tokens", LongType()),
-            StructField("bin_fill", LongType()),
-        ]
-    )
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
-        toks = pdf["n_tokens"].to_numpy(dtype=np.int64)
-        bins = np.zeros(len(toks), dtype=np.int64)
-        fill = np.zeros(len(toks), dtype=np.int64)
-        cur_bin, cur_fill = 0, 0
-        for i, t in enumerate(toks):
-            if cur_fill > 0 and cur_fill + t > budget_tokens:
-                cur_bin += 1
-                cur_fill = 0
-            cur_fill += int(t)
-            bins[i] = cur_bin
-            fill[i] = cur_fill
-        return pd.DataFrame(
-            {
-                "group": pdf[group_col].astype(str),
-                "bin_id": bins,
-                "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
-                "chunk_id": pdf["chunk_id"].to_numpy(dtype=np.int64),
-                "n_tokens": toks,
-                "bin_fill": fill,
-            }
+    predecessor — but "sequential within a bounded group" does not need
+    Python: the group's chunk list is collected to an array (the same
+    whole-group-in-memory contract the previous ``applyInPandas`` form
+    had) and folded with a higher-order ``aggregate``, entirely JVM-side.
+    The rewrite exists because the Pandas form paid a per-GROUP Python
+    round-trip — ~13 s for 5k tiny doc-grain groups at sf0.1, vs <1 s
+    for the fold (python-reference parity unchanged, tested). At 100 TB:
+    group by shard/source, not doc, so bins amortize across documents —
+    group size, not group count, is the memory bound either way."""
+    b = int(budget_tokens)
+    # sort_array orders the (doc_id, chunk_id, n_tokens) structs
+    # lexicographically by field order = the (doc_id, chunk_id) sort the
+    # pandas form used. The fold appends (bin_id, bin_fill) per element;
+    # the O(n²) array append is bounded by group size (the contract).
+    over = f"acc.fill > 0 AND acc.fill + c.n_tokens > {b}"
+    fold = f"""
+aggregate(
+  cs,
+  named_struct(
+    'bin', cast(0 as bigint), 'fill', cast(0 as bigint),
+    'out', cast(array() as array<struct<bin_id: bigint, bin_fill: bigint>>)),
+  (acc, c) -> named_struct(
+    'bin',  CASE WHEN {over} THEN acc.bin + 1 ELSE acc.bin END,
+    'fill', CASE WHEN {over} THEN cast(c.n_tokens as bigint)
+            ELSE acc.fill + c.n_tokens END,
+    'out', acc.out || array(named_struct(
+      'bin_id',  CASE WHEN {over} THEN acc.bin + 1 ELSE acc.bin END,
+      'bin_fill', CASE WHEN {over} THEN cast(c.n_tokens as bigint)
+                  ELSE acc.fill + c.n_tokens END))),
+  acc -> acc.out)"""
+    return (
+        chunks.groupBy(F.col(group_col).cast("string").alias("group"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "chunk_id", "n_tokens"))
+            ).alias("cs")
         )
-
-    return chunks.groupBy(group_col).applyInPandas(pack, out_schema)
+        .withColumn("out", F.expr(fold))
+        .select("group", F.explode(F.arrays_zip("cs", "out")).alias("e"))
+        .select(
+            "group",
+            F.col("e.out.bin_id").alias("bin_id"),
+            F.col("e.cs.doc_id").alias("doc_id"),
+            F.col("e.cs.chunk_id").alias("chunk_id"),
+            F.col("e.cs.n_tokens").alias("n_tokens"),
+            F.col("e.out.bin_fill").alias("bin_fill"),
+        )
+    )
 
 
 # Source-mixing policy for the registered `sampling_source_mix` query:
