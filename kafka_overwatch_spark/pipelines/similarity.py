@@ -339,8 +339,12 @@ def lsh_neighbor_pairs_vectorized(
     embeddings: DataFrame, threshold: float = 0.3, bits: int = LSH_BITS
 ) -> DataFrame:
     """LSH pairs with vectorized bucket assignment + bucket-local GEMM
-    verify (applyInPandas per bucket — the exact shape that replaces the
-    global broadcast at 100 TB)."""
+    verify at PARTITION grain (r7, mirroring the r6
+    `embedding_neardup_pairs_lsh` fix): most buckets are singletons, and
+    per-bucket ``applyInPandas`` pays a pandas invocation per bucket —
+    partition-grain ``mapInPandas`` over bucket-sorted rows drops
+    singletons wholesale and GEMMs only true collision groups. This is
+    the shape that replaces the global broadcast at 100 TB."""
     sc = embeddings.sparkSession.sparkContext
     b_planes = sc.broadcast(_plane_matrix(bits, EMB_DIM))
     powers = np.power(2, np.arange(bits)).astype(np.int64)
@@ -385,9 +389,9 @@ def lsh_neighbor_pairs_vectorized(
         ]
     )
 
-    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _verify(pdf: pd.DataFrame) -> pd.DataFrame | None:
         if len(pdf) < 2:
-            return pd.DataFrame(columns=["bucket", "vec_a", "vec_b", "cosine"])
+            return None
         bucket = int(pdf["bucket"].iloc[0])
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         m = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
@@ -395,6 +399,8 @@ def lsh_neighbor_pairs_vectorized(
         cos = np.round(m @ m.T, 6)
         ai, bj = np.nonzero(cos >= threshold)
         mask = ids[ai] < ids[bj]
+        if not mask.any():
+            return None
         return pd.DataFrame(
             {
                 "bucket": bucket,
@@ -404,7 +410,44 @@ def lsh_neighbor_pairs_vectorized(
             }
         )
 
-    return assigned.groupBy("bucket").applyInPandas(verify, out_schema)
+    def verify_partition(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        # rows arrive bucket-sorted within the partition; the trailing
+        # (possibly batch-straddling) bucket is buffered until its key
+        # changes, since Arrow batches split partitions at arbitrary
+        # row boundaries
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if pdf.empty:
+                continue
+            tail = pdf["bucket"] == pdf["bucket"].iloc[-1]
+            pending = pdf[tail]
+            head = pdf[~tail]
+            if head.empty:
+                continue
+            sizes = head.groupby("bucket")["vec_id"].transform("size")
+            head = head[sizes >= 2]
+            for _, grp in head.groupby("bucket", sort=False):
+                out = _verify(grp)
+                if out is not None:
+                    yield out
+        if pending is not None and len(pending) >= 2:
+            out = _verify(pending)
+            if out is not None:
+                yield out
+
+    n_part = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    return (
+        assigned.repartition(n_part, "bucket")
+        .sortWithinPartitions("bucket")
+        .mapInPandas(verify_partition, out_schema)
+    )
 
 
 # ---------------------------------------------------------------------------
