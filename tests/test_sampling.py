@@ -297,3 +297,46 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     got = weighted_sample(df, k=50).collect()
     heavy = sum(1 for r in got if r["doc_id"] < 100)
     assert heavy >= 45
+
+
+def test_pack_fold_matches_python_next_fit_property(spark):
+    """Property test for the r7 JVM fold rewrite: on adversarial chunk
+    shapes (oversized chunks, exact-budget fits, singletons) the fold
+    must equal the textbook next-fit loop — including the rule that an
+    over-budget chunk opens its own bin rather than splitting."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kafka_overwatch_spark.pipelines.sampling import pack_sequences
+
+    budget = 16
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.integers(min_value=1, max_value=40), min_size=1, max_size=30
+        )
+    )
+    def check(sizes):
+        rows = [(0, i, int(t)) for i, t in enumerate(sizes)]
+        chunks = spark.createDataFrame(
+            rows, "doc_id long, chunk_id long, n_tokens long"
+        )
+        got = {
+            (r["chunk_id"]): (r["bin_id"], r["bin_fill"])
+            for r in pack_sequences(chunks, budget_tokens=budget).collect()
+        }
+        cur_bin, cur_fill, want = 0, 0, {}
+        for i, t in enumerate(sizes):
+            if cur_fill > 0 and cur_fill + t > budget:
+                cur_bin += 1
+                cur_fill = 0
+            cur_fill += t
+            want[i] = (cur_bin, cur_fill)
+        assert got == want
+
+    check()
