@@ -177,6 +177,7 @@ EXTRA = [
     "text_winnow_fingerprints",
     "text_shared_passages",
     "sampling_weighted",
+    "text_shared_passage_spans",
 ]
 
 

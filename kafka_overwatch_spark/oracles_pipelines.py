@@ -261,6 +261,29 @@ FROM capped a JOIN capped b
 GROUP BY doc_a, doc_b
 HAVING count(DISTINCT a.gram_hash) >= 2"""
 
+    # span-level view: matched fingerprints with their positions, for
+    # pairs that meet the same min_shared bar (cap here is
+    # position-grain — same value at fixture scale)
+    q["text_shared_passage_spans"] = f"""
+WITH {_winnow_fp_cte},
+capped AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY gram_hash) AS bucket_n FROM fp
+  ) WHERE bucket_n <= 1000
+),
+spans AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.gram_hash,
+    a.pos AS pos_a, b.pos AS pos_b
+  FROM capped a JOIN capped b
+    ON a.gram_hash = b.gram_hash AND a.doc_id < b.doc_id
+),
+q AS (
+  SELECT doc_a, doc_b FROM spans
+  GROUP BY doc_a, doc_b HAVING count(DISTINCT gram_hash) >= 2
+)
+SELECT s.doc_a, s.doc_b, s.gram_hash, s.pos_a, s.pos_b
+FROM spans s JOIN q USING (doc_a, doc_b)"""
+
 
 
     # 64-bit token hash = first 16 md5 hex chars, reproduced from two

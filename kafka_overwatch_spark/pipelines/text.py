@@ -296,6 +296,47 @@ def shared_passage_pairs(
     )
 
 
+def shared_passage_spans(
+    documents: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Span-level localization of ``shared_passage_pairs``: for every
+    qualifying pair, the matched fingerprints WITH their 1-based gram
+    positions in each document — the forensic view ("WHERE is the
+    shared run") that drives passage-grain removal or citation. A
+    matched gram_hash at (pos_a, pos_b) anchors a shared token run
+    covering tokens [pos, pos + k - 1] on each side.
+
+    Scale shape: the same capped gram_hash-keyed join as the pair
+    query, positions carried through; the pair-qualification semi-join
+    is fingerprint-grain on (doc_a, doc_b) — bounded by true shared
+    mass. Output: doc_a, doc_b, gram_hash, pos_a, pos_b."""
+    fps = winnow_fingerprints(documents, k, w)
+    capped = fps.withColumn(
+        "bucket_n",
+        F.count("*").over(Window.partitionBy("gram_hash")),
+    ).filter(F.col("bucket_n") <= max_bucket)
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "gram_hash"
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "gram_hash"
+    )
+    spans = a.join(b, "gram_hash").filter(F.col("doc_a") < F.col("doc_b"))
+    qualified = (
+        spans.groupBy("doc_a", "doc_b")
+        .agg(F.count_distinct("gram_hash").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+        .select("doc_a", "doc_b")
+    )
+    return spans.join(qualified, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "gram_hash", "pos_a", "pos_b"
+    )
+
+
 def _full_grams(toks: F.Column, n: int) -> F.Column:
     """All COMPLETE n-gram strings of a token array (no partial tail gram —
     unlike the 1-permutation shingles above, repetition/contamination stats

@@ -552,6 +552,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_shared_passages"] = (
         lambda s, d: textops.shared_passage_pairs(raw(s, d, "documents"))
     )
+    q["text_shared_passage_spans"] = (
+        lambda s, d: textops.shared_passage_spans(raw(s, d, "documents"))
+    )
     q["text_ngram_freq"] = lambda s, d: textops.ngram_frequencies(
         raw(s, d, "documents")
     )

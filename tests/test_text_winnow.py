@@ -82,3 +82,25 @@ def test_winnow_plan_jvm_only(spark, snaps):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_shared_passage_spans_localize_the_run(spark):
+    """Span output must point INSIDE the shared run: every matched
+    fingerprint's k-gram at (pos_a) in doc A textually equals the
+    k-gram at (pos_b) in doc B."""
+    from kafka_overwatch_spark.pipelines.text import shared_passage_spans
+
+    run = " ".join(f"shared{i}" for i in range(WINNOW_W + WINNOW_K + 4))
+    a = "alpha beta gamma " + run + " delta epsilon"
+    b = "one two three four five " + run + " six seven"
+    docs = spark.createDataFrame(
+        [(1, a, "en"), (2, b, "en")],
+        "doc_id long, text string, lang string",
+    )
+    toks = {1: a.lower().split(), 2: b.lower().split()}
+    rows = shared_passage_spans(docs, min_shared=1).collect()
+    assert rows
+    for r in rows:
+        ga = toks[r["doc_a"]][r["pos_a"] - 1 : r["pos_a"] - 1 + WINNOW_K]
+        gb = toks[r["doc_b"]][r["pos_b"] - 1 : r["pos_b"] - 1 + WINNOW_K]
+        assert ga == gb, (r, ga, gb)
