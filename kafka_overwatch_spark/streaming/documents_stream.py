@@ -283,3 +283,115 @@ def run_growing_dedup(
             "growing dedup screen did not drain within 300s"
         )
     return q
+
+
+# ---------------------------------------------------------------------------
+# Streaming weighted reservoir (r7): the stateful mirror of
+# `pipelines/sampling.weighted_sample`. A-ES top-k is MERGEABLE — the k
+# largest keys of a union are the k largest of (state ∪ batch) — so a
+# per-source reservoir kept in group state converges to exactly the
+# batch answer regardless of how the feed is micro-batched (parity
+# tested). State is three parallel arrays bounded at k; each trigger
+# emits the group's CURRENT reservoir (update semantics).
+
+RESERVOIR_K = 50
+RESERVOIR_SALT = "aes-v1"
+
+
+def _reservoir_output_schema():
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("source", StringType()),
+            StructField("doc_id", LongType()),
+            StructField("weight", LongType()),
+            StructField("sample_key", DoubleType()),
+        ]
+    )
+
+
+def _reservoir_state_schema():
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("doc_ids", ArrayType(LongType())),
+            StructField("keys", ArrayType(DoubleType())),
+            StructField("weights", ArrayType(LongType())),
+        ]
+    )
+
+
+def streaming_weighted_sample(
+    stream: DataFrame,
+    k: int = RESERVOIR_K,
+    weight_col: str = "n_chars",
+    salt: str = RESERVOIR_SALT,
+) -> DataFrame:
+    """Per-source A-ES weighted reservoir over the streaming documents
+    feed. The md5-uniform and pow key are the EXACT formula of the
+    batch `weighted_sample` (hashlib here, md5()/conv()/pow() there —
+    both IEEE-double-identical, parity tested), so the final reservoir
+    equals the batch per-source top-k on everything ingested. The
+    digest is the one per-row python cost (Arrow-batched per group —
+    the same class as any content hash; there is no vectorized md5)."""
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        (source,) = key
+        if state.exists:
+            ids, keys, ws = (list(x) for x in state.get)
+        else:
+            ids, keys, ws = [], [], []
+        for pdf in pdf_iter:
+            for doc_id, w in zip(pdf["doc_id"], pdf[weight_col]):
+                h = int(
+                    hashlib.md5(
+                        f"{salt}:{int(doc_id)}".encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                u = (h + 1) / float(2**60)
+                ids.append(int(doc_id))
+                keys.append(u ** (1.0 / max(int(w), 1)))
+                ws.append(int(w))
+        order = sorted(
+            range(len(ids)), key=lambda i: (-keys[i], ids[i])
+        )[:k]
+        ids = [ids[i] for i in order]
+        keys = [keys[i] for i in order]
+        ws = [ws[i] for i in order]
+        state.update((ids, keys, ws))
+        yield pd.DataFrame(
+            {
+                "source": source,
+                "doc_id": ids,
+                "weight": ws,
+                "sample_key": [round(x, 6) for x in keys],
+            }
+        )
+
+    return stream.groupBy("source").applyInPandasWithState(
+        fn,
+        outputStructType=_reservoir_output_schema(),
+        stateStructType=_reservoir_state_schema(),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
