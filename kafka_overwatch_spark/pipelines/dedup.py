@@ -196,6 +196,7 @@ def minhash_lsh_pairs(
     threshold: float = JACCARD_THRESHOLD,
     max_bucket: int = 1000,
     docs: DataFrame | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified by true shingle
     Jaccard ≥ threshold. Output: doc_a, doc_b, jaccard.
@@ -207,11 +208,14 @@ def minhash_lsh_pairs(
     ``docs``: pre-built (ideally cached) shingle_docs frame; derived ad
     hoc when absent. The frame feeds three branches (signatures + both
     sides of the verify join) — without caching the md5-heavy chain runs
-    three times per action.
-    """
+    three times per action. ``bands``: pre-built (ideally checkpointed)
+    band index (registry.get_minhash_bands); without it the signature
+    chain runs once per SIDE of the band self-join — the broadcast side
+    does not plan as a ReusedExchange."""
     if docs is None:
         docs = shingle_docs(documents)
-    bands = minhash_bands(docs)
+    if bands is None:
+        bands = minhash_bands(docs)
 
     # skew guard: drop degenerate buckets (boilerplate clusters) — at real
     # scale these are handled by a dedicated exact-dup pre-pass

@@ -87,6 +87,7 @@ def get_topics_df(
 
 
 _SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_BANDS_CACHE: dict[tuple[int, str], DataFrame] = {}
 _LAG_CACHE: dict[tuple[int, str], DataFrame] = {}
 _GROUPS_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
 _RAW_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
@@ -212,6 +213,21 @@ def get_shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             get_raw_tables(spark, sf_dir)["documents"]
         ).cache()
     return _SHINGLE_CACHE[key]
+
+
+def get_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized MinHash band index (r7): the 12-permutation md5
+    signature chain is the expensive half of the LSH query, and the
+    band self-join's broadcast side does NOT plan as a ReusedExchange —
+    without a memo the whole chain executes once per join branch.
+    localCheckpoint, not cache: same lineage-truncation rationale as
+    the snapshot memos (NOTES r6 #4)."""
+    key = (id(spark), sf_dir)
+    if key not in _BANDS_CACHE:
+        _BANDS_CACHE[key] = dedup.minhash_bands(
+            get_shingle_docs(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+    return _BANDS_CACHE[key]
 
 
 def _cluster_statistics_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,7 +493,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         raw(s, d, "documents")
     )
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
-        raw(s, d, "documents"), docs=get_shingle_docs(s, d)
+        raw(s, d, "documents"),
+        docs=get_shingle_docs(s, d),
+        bands=get_minhash_bands(s, d),
     )
     # registered surface is the LSH-candidate route (scale-valid: no
     # all-pairs block, no size guard to trip); the guarded quadratic
