@@ -761,15 +761,20 @@ def simhash_pairs(
     documents: DataFrame,
     max_hamming: int = SIMHASH_MAX_HAMMING,
     max_bucket: int = HAMMING_MAX_BUCKET,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming via the
     pigeonhole chunk join (hamming ≤ 3 ⇒ some 16-bit chunk of the
-    64-bit fingerprint matches exactly)."""
+    64-bit fingerprint matches exactly).
+
+    ``fps``: pre-built (ideally checkpointed) fingerprint frame
+    (registry.get_simhash_fps) — the chunk self-join's broadcast side
+    does not plan as a ReusedExchange, so without it the whole md5
+    fingerprint fold executes once per join side."""
+    if fps is None:
+        fps = simhash_fingerprints(documents)
     return hamming_neighbor_pairs(
-        simhash_fingerprints(documents),
-        "simhash",
-        max_hamming,
-        max_bucket=max_bucket,
+        fps, "simhash", max_hamming, max_bucket=max_bucket
     )
 
 

@@ -289,15 +289,21 @@ def media_phash(media: DataFrame) -> DataFrame:
 
 
 def media_phash_pairs(
-    media: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+    media: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Perceptual near-dup media pairs: hamming(phash) ≤ max_hamming via
     the shared pigeonhole chunk join (`dedup.hamming_neighbor_pairs`) —
     bucketed candidates, never all-pairs. Output: doc_a, doc_b,
-    hamming."""
+    hamming. ``fps``: pre-built (ideally checkpointed) phash frame —
+    without it the codepoint-fold hash executes once per side of the
+    chunk self-join (no ReusedExchange)."""
     from .dedup import hamming_neighbor_pairs
 
-    return hamming_neighbor_pairs(media_phash(media), "phash", max_hamming)
+    if fps is None:
+        fps = media_phash(media)
+    return hamming_neighbor_pairs(fps, "phash", max_hamming)
 
 
 def sample_frames(media: DataFrame, frame_bytes: int = 256) -> DataFrame:

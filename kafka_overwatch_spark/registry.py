@@ -88,6 +88,8 @@ def get_topics_df(
 
 _SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
 _BANDS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SIMHASH_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PHASH_CACHE: dict[tuple[int, str], DataFrame] = {}
 _LAG_CACHE: dict[tuple[int, str], DataFrame] = {}
 _GROUPS_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
 _RAW_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
@@ -213,6 +215,18 @@ def get_shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             get_raw_tables(spark, sf_dir)["documents"]
         ).cache()
     return _SHINGLE_CACHE[key]
+
+
+def get_simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized SimHash fingerprint frame (r7): same no-ReusedExchange
+    rationale as get_minhash_bands — the chunk self-join otherwise runs
+    the md5 fingerprint fold once per side."""
+    key = (id(spark), sf_dir)
+    if key not in _SIMHASH_CACHE:
+        _SIMHASH_CACHE[key] = dedup.simhash_fingerprints(
+            get_raw_tables(spark, sf_dir)["documents"]
+        ).localCheckpoint(eager=True)
+    return _SIMHASH_CACHE[key]
 
 
 def get_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,7 +519,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         raw(s, d, "documents"), docs=get_shingle_docs(s, d)
     )
     q["dedup_simhash_pairs"] = lambda s, d: dedup.simhash_pairs(
-        raw(s, d, "documents")
+        raw(s, d, "documents"), fps=get_simhash_fps(s, d)
     )
     # registered near-dup surface is the multi-table LSH bucket-local
     # plan (no driver-side corpus collect); the all-pairs variants stay
@@ -691,7 +705,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _media_phash_pairs(s: SparkSession, d: str) -> DataFrame:
         from .pipelines import multimodal as mm
 
-        return mm.media_phash_pairs(_media(s, d))
+        key = (id(s), d)
+        if key not in _PHASH_CACHE:
+            _PHASH_CACHE[key] = mm.media_phash(_media(s, d)).localCheckpoint(
+                eager=True
+            )
+        return mm.media_phash_pairs(_media(s, d), fps=_PHASH_CACHE[key])
 
     q["media_phash_pairs"] = _media_phash_pairs
 
