@@ -178,6 +178,8 @@ EXTRA = [
     "text_shared_passages",
     "sampling_weighted",
     "text_shared_passage_spans",
+    "sampling_dsir_weights",
+    "sampling_dsir_topk",
 ]
 
 

@@ -2682,6 +2682,62 @@ WITH keyed AS (
 SELECT doc_id, weight, round(k, 6) AS sample_key
 FROM keyed ORDER BY k DESC, doc_id ASC LIMIT 100"""
 
+    # r7: DSIR (Xie et al. 2023) — hashed-unigram importance weights and
+    # the Gumbel-top-k resample. The Gumbel key adds noise to the
+    # ROUNDED log_ratio (the published column), so the selection cut is
+    # engine-stable.
+    _dsir_cte = """
+norm AS (
+  SELECT doc_id, source,
+    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, source, unnest(string_split(t, ' ')) AS token FROM norm
+),
+bt AS (
+  SELECT doc_id, source,
+    CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) % 4096 AS b
+  FROM toks
+),
+lm AS (
+  SELECT b,
+    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+    sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS cr
+  FROM bt GROUP BY b
+),
+tot AS (
+  SELECT CAST(sum(ct) AS DOUBLE) AS tt, CAST(sum(cr) AS DOUBLE) AS tr
+  FROM lm
+),
+ld AS (
+  SELECT b, ln((ct + 1.0) / (tt + 4096)) - ln((cr + 1.0) / (tr + 4096))
+    AS logdiff
+  FROM lm, tot
+),
+w AS (
+  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
+    round(sum(logdiff), 6) AS log_ratio
+  FROM bt JOIN ld USING (b)
+  GROUP BY doc_id, source
+)"""
+    q["sampling_dsir_weights"] = f"""
+WITH {_dsir_cte}
+SELECT doc_id, source, n_tokens, log_ratio FROM w"""
+
+    q["sampling_dsir_topk"] = f"""
+WITH {_dsir_cte},
+keyed AS (
+  SELECT doc_id, source, log_ratio,
+    log_ratio + (-ln(-ln(
+      (CAST(concat('0x',
+         substr(md5(concat('dsir-v1:', CAST(doc_id AS VARCHAR))), 1, 15))
+       AS BIGINT) + 1) / 1152921504606846976.0))) AS k
+  FROM w
+)
+SELECT doc_id, source, log_ratio
+FROM keyed ORDER BY k DESC, doc_id ASC LIMIT 100"""
+
     q["sampling_user_cap"] = """
 WITH ranked AS (
   SELECT user_id, event_id,

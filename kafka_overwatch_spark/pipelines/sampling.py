@@ -485,3 +485,115 @@ def weighted_sample(
         .limit(k)
         .select("doc_id", "weight", F.round("_key", 6).alias("sample_key"))
     )
+
+
+DSIR_BUCKETS = 4096
+DSIR_SALT = "dsir-v1"
+
+
+def dsir_weights(
+    documents: DataFrame,
+    target_source: str = "src0",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023 — public
+    algorithm): hashed-unigram bag features (md5 mod ``buckets``),
+    add-one-smoothed unigram LMs of the TARGET domain (rows whose
+    ``source`` equals ``target_source``) and of the RAW rest, and per
+    document the bag log-likelihood ratio
+    Σ_tokens [ln p_target(b) − ln p_raw(b)] — the score that makes raw
+    data distributed like the target under exp-weighted resampling.
+    Output: doc_id, source, n_tokens, log_ratio (round 6; ln()
+    agreement beyond 6 decimals is not part of the contract, same as
+    unigram_logprob).
+
+    Scale shape: one bucket-keyed conditional-count aggregation whose
+    result is FIXED-size (``buckets`` rows — legitimately broadcastable
+    at ANY corpus size, the deliberate contrast with the
+    vocabulary-grain never-broadcast rule: hashing collapses the
+    unbounded vocabulary to a constant feature space), a broadcast
+    2-scalar totals row, then a doc-keyed sum. No corpus-sized shuffle
+    beyond the token explode."""
+    toks = spread(documents).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.split(
+                F.lower(
+                    F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+                ),
+                " ",
+            )
+        ).alias("token"),
+    )
+    b = F.pmod(
+        F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+    bucketed = toks.withColumn("b", b)
+    is_t = (F.col("source") == target_source).cast("long")
+    lm = bucketed.groupBy("b").agg(
+        F.sum(is_t).alias("ct"),
+        F.sum(1 - is_t).alias("cr"),
+    )
+    totals = lm.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    lm = lm.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("tt") + buckets))
+            - F.log((F.col("cr") + 1.0) / (F.col("tr") + buckets))
+        ).alias("logdiff"),
+    )
+    return (
+        bucketed.join(F.broadcast(lm), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("logdiff"), 6).alias("log_ratio"),
+        )
+    )
+
+
+def dsir_resample(
+    documents: DataFrame,
+    k: int = 100,
+    target_source: str = "src0",
+    buckets: int = DSIR_BUCKETS,
+    salt: str = DSIR_SALT,
+) -> DataFrame:
+    """DSIR's selection step: Gumbel-top-k over the importance weights —
+    adding independent Gumbel noise g = −ln(−ln u) to each log weight
+    and taking the k largest draws a sample WITHOUT replacement with
+    P(doc) ∝ exp(log_ratio), the exp-weighted resampling the paper
+    prescribes. The uniform is the engine's deterministic md5
+    construction, so the selected set is reproducible across engines
+    and partitionings; the top-k plans as per-partition heaps
+    (TakeOrderedAndProject), never a global sort. Output: doc_id,
+    source, log_ratio."""
+    w = dsir_weights(documents, target_source, buckets)
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + ":"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    u = (h + 1).cast("double") / F.lit(float(2**60))
+    gumbel = -F.log(-F.log(u))
+    return (
+        w.withColumn("_key", F.col("log_ratio") + gumbel)
+        .orderBy(F.col("_key").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "source", "log_ratio")
+    )

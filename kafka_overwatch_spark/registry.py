@@ -746,6 +746,14 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sampling_weighted"] = lambda s, d: sampling.weighted_sample(
         raw(s, d, "documents"), k=100
     )
+    # r7: DSIR importance weights + Gumbel-top-k resample (Xie et al.
+    # 2023) — target domain proxied by source='src0'
+    q["sampling_dsir_weights"] = lambda s, d: sampling.dsir_weights(
+        raw(s, d, "documents")
+    )
+    q["sampling_dsir_topk"] = lambda s, d: sampling.dsir_resample(
+        raw(s, d, "documents")
+    )
     q["sampling_user_cap"] = lambda s, d: sampling.per_key_cap(
         raw(s, d, "events")
     )

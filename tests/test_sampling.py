@@ -340,3 +340,62 @@ def test_pack_fold_matches_python_next_fit_property(spark):
         assert got == want
 
     check()
+
+
+def test_dsir_weights_match_python_reference(spark, snaps):
+    """DSIR log-likelihood-ratio weights equal a straight-Python fold of
+    the same hashed-unigram LMs (add-one smoothing, 4096 buckets)."""
+    import hashlib
+    import math
+
+    from kafka_overwatch_spark.pipelines.sampling import dsir_weights
+
+    docs = spark.table("documents")
+    rows = docs.select("doc_id", "source", "text").collect()
+    B = 4096
+    ct, cr = [0] * B, [0] * B
+    doc_buckets = {}
+    for r in rows:
+        toks = " ".join(r["text"].strip().split()).lower().split(" ")
+        bs = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % B
+            for t in toks
+        ]
+        doc_buckets[r["doc_id"]] = (r["source"], bs)
+        for b in bs:
+            if r["source"] == "src0":
+                ct[b] += 1
+            else:
+                cr[b] += 1
+    tt, tr = sum(ct), sum(cr)
+    ld = [
+        math.log((ct[b] + 1.0) / (tt + B)) - math.log((cr[b] + 1.0) / (tr + B))
+        for b in range(B)
+    ]
+    want = {
+        d: round(sum(ld[b] for b in bs), 6)
+        for d, (_, bs) in doc_buckets.items()
+    }
+    got = {
+        r["doc_id"]: r["log_ratio"] for r in dsir_weights(docs).collect()
+    }
+    assert got == want and len(got) == 500
+
+
+def test_dsir_prefers_target_domain(spark, snaps):
+    """Directional property: PER-TOKEN, the target LM assigns its own
+    domain's unigrams higher likelihood, so the mean per-token log
+    ratio of target docs must exceed raw docs'. (The summed weight is
+    deliberately length-biased — the paper's bag-LM weight — so the
+    check normalizes by n_tokens.)"""
+    from kafka_overwatch_spark.pipelines.sampling import dsir_weights
+
+    docs = spark.table("documents")
+    w = dsir_weights(docs)
+    means = {
+        r["is_t"]: r["m"]
+        for r in w.groupBy((F.col("source") == "src0").alias("is_t"))
+        .agg(F.avg(F.col("log_ratio") / F.col("n_tokens")).alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
