@@ -180,6 +180,7 @@ EXTRA = [
     "text_shared_passage_spans",
     "sampling_dsir_weights",
     "sampling_dsir_topk",
+    "source_classifier_nb",
 ]
 
 

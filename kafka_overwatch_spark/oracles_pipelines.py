@@ -2738,6 +2738,53 @@ keyed AS (
 SELECT doc_id, source, log_ratio
 FROM keyed ORDER BY k DESC, doc_id ASC LIMIT 100"""
 
+    # r7: multinomial NB provenance classifier over the DSIR feature
+    # space; argmax on the ROUNDED score, ties to the lexicographically
+    # largest source (Spark's max-of-struct order)
+    q["source_classifier_nb"] = """
+WITH norm AS (
+  SELECT doc_id, source,
+    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, source, unnest(string_split(t, ' ')) AS token FROM norm
+),
+bt AS (
+  SELECT doc_id, source,
+    CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) % 4096 AS b
+  FROM toks
+),
+lm AS (SELECT b, source AS s, count(*) AS c FROM bt GROUP BY b, source),
+src_tot AS (SELECT source AS s, count(*) AS tot FROM bt GROUP BY source),
+doc_counts AS (
+  SELECT source AS s, count(*) AS docs FROM documents GROUP BY source
+),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+bdim AS (SELECT DISTINCT b FROM lm),
+dense AS (
+  SELECT bd.b, st.s,
+    ln((coalesce(l.c, 0) + 1.0) / (st.tot + 4096)) AS lp
+  FROM bdim bd CROSS JOIN src_tot st
+  LEFT JOIN lm l ON l.b = bd.b AND l.s = st.s
+),
+prior AS (SELECT dc.s, ln(dc.docs / n) AS lprior FROM doc_counts dc, nd),
+scores AS (
+  SELECT bt.doc_id, bt.source, d.s, sum(d.lp) AS ll
+  FROM bt JOIN dense d USING (b)
+  GROUP BY bt.doc_id, bt.source, d.s
+),
+final AS (
+  SELECT doc_id, source, s,
+    round(ll + p.lprior, 6) AS log_score,
+    row_number() OVER (PARTITION BY doc_id
+      ORDER BY round(ll + p.lprior, 6) DESC, s DESC) AS rn
+  FROM scores JOIN prior p USING (s)
+)
+SELECT doc_id, source, s AS predicted_source, log_score,
+  (s = source) AS correct
+FROM final WHERE rn = 1"""
+
     q["sampling_user_cap"] = """
 WITH ranked AS (
   SELECT user_id, event_id,

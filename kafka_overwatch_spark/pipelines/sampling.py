@@ -597,3 +597,99 @@ def dsir_resample(
         .limit(k)
         .select("doc_id", "source", "log_ratio")
     )
+
+
+def nb_source_classifier(
+    documents: DataFrame, buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """Multinomial Naive-Bayes provenance classifier over the same
+    hashed-unigram feature space as DSIR: per source s, an add-one-
+    smoothed bucket LM and a log prior ln(docs_s/docs); a document's
+    score for s is ln prior + Σ_tokens ln p_s(b), prediction = argmax
+    over the ROUNDED score (ties: lexicographically largest source —
+    the natural max-of-struct order, mirrored in the oracle). The production use is
+    classifying UNKNOWN-provenance documents against LMs fit on labeled
+    sources; self-classification on the labeled corpus (tested) is the
+    sanity check that the feature space carries domain signal.
+
+    Scale shape: one (bucket, source) conditional-count aggregation —
+    FIXED size (buckets × |sources|), broadcastable at any corpus
+    scale — then a token→LM join and a doc-keyed argmax via
+    max_by(struct). Output: doc_id, source, predicted_source,
+    log_score (round 6), correct."""
+    toks = spread(documents).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.split(
+                F.lower(
+                    F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+                ),
+                " ",
+            )
+        ).alias("token"),
+    )
+    b = F.pmod(
+        F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+    bucketed = toks.withColumn("b", b)
+    # per-source token counts per bucket + totals (fixed-size tables)
+    lm = bucketed.groupBy("b", F.col("source").alias("s")).agg(
+        F.count("*").alias("c")
+    )
+    src_tot = bucketed.groupBy(F.col("source").alias("s")).agg(
+        F.count("*").alias("tot")
+    )
+    doc_counts = documents.groupBy(F.col("source").alias("s")).agg(
+        F.count("*").alias("docs")
+    )
+    n_docs = documents.agg(F.count("*").alias("n"))
+    # dense (bucket × source) log-prob table: OBSERVED buckets only is
+    # not enough — a bucket unseen under source s still contributes the
+    # smoothed floor ln(1/(tot_s + buckets)) — so cross join the
+    # observed-bucket dim with the source dim and left-join counts
+    bdim = lm.select("b").distinct()
+    dense = (
+        bdim.crossJoin(src_tot)
+        .join(lm, ["b", "s"], "left")
+        .select(
+            "b",
+            "s",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                / (F.col("tot") + buckets)
+            ).alias("lp"),
+        )
+    )
+    prior = (
+        doc_counts.crossJoin(F.broadcast(n_docs))
+        .select("s", F.log(F.col("docs") / F.col("n")).alias("lprior"))
+    )
+    scores = (
+        bucketed.join(F.broadcast(dense), "b")
+        .groupBy("doc_id", "source", "s")
+        .agg(F.sum("lp").alias("ll"))
+        .join(F.broadcast(prior), "s")
+        .select(
+            "doc_id",
+            "source",
+            "s",
+            (F.col("ll") + F.col("lprior")).alias("score"),
+        )
+    )
+    best = scores.groupBy("doc_id", "source").agg(
+        F.max(
+            F.struct(
+                F.round("score", 6).alias("log_score"),
+                F.col("s").alias("predicted_source"),
+            )
+        ).alias("top")
+    )
+    return best.select(
+        "doc_id",
+        "source",
+        F.col("top.predicted_source").alias("predicted_source"),
+        F.col("top.log_score").alias("log_score"),
+        (F.col("top.predicted_source") == F.col("source")).alias("correct"),
+    )

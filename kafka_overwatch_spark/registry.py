@@ -754,6 +754,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sampling_dsir_topk"] = lambda s, d: sampling.dsir_resample(
         raw(s, d, "documents")
     )
+    q["source_classifier_nb"] = lambda s, d: sampling.nb_source_classifier(
+        raw(s, d, "documents")
+    )
     q["sampling_user_cap"] = lambda s, d: sampling.per_key_cap(
         raw(s, d, "events")
     )
