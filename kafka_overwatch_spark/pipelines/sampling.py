@@ -515,6 +515,14 @@ def dsir_weights(
     unbounded vocabulary to a constant feature space), a broadcast
     2-scalar totals row, then a doc-keyed sum. No corpus-sized shuffle
     beyond the token explode."""
+    return dsir_score(
+        documents, dsir_lm(documents, target_source, buckets), buckets
+    )
+
+
+def _dsir_bucketed(documents: DataFrame, buckets: int) -> DataFrame:
+    """(doc_id, source, b) hashed-token rows — the shared feature
+    derivation of the DSIR family."""
     toks = spread(documents).select(
         "doc_id",
         "source",
@@ -531,7 +539,19 @@ def dsir_weights(
         F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long"),
         F.lit(buckets),
     )
-    bucketed = toks.withColumn("b", b)
+    return toks.withColumn("b", b)
+
+
+def dsir_lm(
+    documents: DataFrame,
+    target_source: str = "src0",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """The fitted DSIR LM table: (b, logdiff) over observed buckets —
+    FIXED size (≤ ``buckets`` rows), the persistable model a production
+    pipeline fits ONCE on labeled corpora and ships to every ingest
+    screen (`streaming/documents_stream.write_dsir_lm`)."""
+    bucketed = _dsir_bucketed(documents, buckets)
     is_t = (F.col("source") == target_source).cast("long")
     lm = bucketed.groupBy("b").agg(
         F.sum(is_t).alias("ct"),
@@ -540,19 +560,34 @@ def dsir_weights(
     totals = lm.agg(
         F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
     )
-    lm = lm.crossJoin(F.broadcast(totals)).select(
+    return lm.crossJoin(F.broadcast(totals)).select(
         "b",
         (
             F.log((F.col("ct") + 1.0) / (F.col("tt") + buckets))
             - F.log((F.col("cr") + 1.0) / (F.col("tr") + buckets))
         ).alias("logdiff"),
     )
+
+
+def dsir_score(
+    documents: DataFrame, lm: DataFrame, buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """Score documents against a (possibly persisted) DSIR LM table:
+    per-doc bag log-likelihood ratio. Tokens whose bucket is absent
+    from the LM (never observed at fit time) contribute 0 — the two
+    smoothed floors cancel to ln(tr+B)−ln(tt+B)… only approximately, so
+    the screen fits the LM on the FULL labeled corpus where every
+    observed bucket is present; the left-join keeps the behavior
+    explicit instead of silently dropping unseen-bucket tokens."""
+    bucketed = _dsir_bucketed(documents, buckets)
     return (
-        bucketed.join(F.broadcast(lm), "b")
+        bucketed.join(F.broadcast(lm), "b", "left")
         .groupBy("doc_id", "source")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.sum("logdiff"), 6).alias("log_ratio"),
+            F.round(
+                F.sum(F.coalesce(F.col("logdiff"), F.lit(0.0))), 6
+            ).alias("log_ratio"),
         )
     )
 

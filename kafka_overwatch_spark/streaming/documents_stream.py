@@ -395,3 +395,75 @@ def streaming_weighted_sample(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming DSIR screen (r7): the online form of importance-based data
+# selection. The LM table is fitted ONCE on labeled corpora
+# (write_dsir_lm) and persisted; each arriving micro-batch is scored
+# against it and kept iff log_ratio ≥ tau — the threshold variant of
+# DSIR's top-k resample (a global top-k is not defined over an unbounded
+# stream; a fixed weight threshold is the standard online substitute).
+# Stateless across batches: a verdict depends only on the doc and the
+# frozen LM, so the screen is a foreachBatch like the contamination and
+# fixed-corpus dedup screens above.
+
+
+def write_dsir_lm(
+    spark: SparkSession,
+    labeled_documents: DataFrame,
+    base_path: str,
+    target_source: str = "src0",
+) -> None:
+    """Fit the DSIR LM on the labeled corpus and persist it (≤ 4096
+    rows — the constant-size model every screen instance reads)."""
+    from ..pipelines.sampling import dsir_lm
+
+    dsir_lm(labeled_documents, target_source).write.mode(
+        "overwrite"
+    ).parquet(f"{base_path}/dsir_lm")
+
+
+class DsirScreen:
+    """foreachBatch handler: score the batch against the persisted LM,
+    append (doc_id, source, n_tokens, log_ratio, keep) verdicts."""
+
+    def __init__(self, lm: DataFrame, out_dir: str, tau: float) -> None:
+        self.lm = lm
+        self.out_dir = out_dir
+        self.tau = tau
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..pipelines.sampling import dsir_score
+
+        verdicts = dsir_score(batch_df, self.lm).withColumn(
+            "keep", F.col("log_ratio") >= self.tau
+        )
+        _write_idempotent(verdicts, self.out_dir, batch_id)
+
+
+def run_dsir_screen(
+    spark: SparkSession,
+    input_dir: str,
+    base_path: str,
+    out_dir: str,
+    checkpoint: str,
+    tau: float = 0.0,
+):
+    """Drain the document feed through the DSIR screen (availableNow);
+    the LM is read once from the persisted table."""
+    lm = spark.read.parquet(f"{base_path}/dsir_lm")
+    q = (
+        doc_stream(spark, input_dir)
+        .writeStream.foreachBatch(DsirScreen(lm, out_dir, tau))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            "dsir screen did not drain within 300s — failing loudly"
+        )
+    return q
