@@ -2856,3 +2856,106 @@ def conversion_decile_lift(events: DataFrame) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+def ship_latency_priority(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q12-shaped shipping-priority check: among lines shipped in
+    one calendar year, bucket each by its order→ship latency (30-day
+    buckets) and count how many belong to critical-priority orders
+    (1-URGENT / 2-HIGH) vs everything else — Q12's join + CASE-WHEN
+    conditional-aggregation shape, with the latency bucket standing in
+    for ``l_shipmode`` (the synthetic lineitem carries no ship mode /
+    commit / receipt columns; reference semantics per TPC-H spec Q12).
+
+    Scale shape: ONE keyed join on orderkey (both sides bucketed by it
+    at 100 TB → co-located), the year filter pushed to the lineitem
+    scan, and a conditional aggregate over the tiny latency-bucket
+    domain. No second pass, no pivot-style distinct-values job.
+    """
+    lines = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).select("l_orderkey", "l_shipdate")
+    joined = lines.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        lines.l_orderkey == orders.o_orderkey,
+    )
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.withColumn(
+            "latency_bucket", F.floor(delay / F.lit(30)).cast("long")
+        )
+        .groupBy("latency_bucket")
+        .agg(
+            F.sum(is_high.cast("long")).alias("high_line_count"),
+            F.sum((~is_high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+def user_rfm_segments(events: DataFrame) -> DataFrame:
+    """RFM customer segmentation rolled up to segment grain: each user
+    scored 1-5 on Recency (days since last event, fewer = better),
+    Frequency (event count, more = better) and Monetary (DECIMAL-exact
+    total value, more = better) via SQL-standard NTILE(5), then counted
+    per (r, f, m) cell — the classic marketing segmentation cube
+    (at most 125 output rows at any scale).
+
+    Determinism: every quintile's input is a TOTAL order (metric, then
+    user_id), so bucket assignment is engine-identical; recency is an
+    integer day count anchored to the corpus max event date (a 1-row
+    broadcast), never wall-clock.
+
+    Scale shape: one keyed aggregation to user grain, then three EXACT
+    range-partitioned global ranks (``exact_global_rank`` — no
+    single-partition WindowExec anywhere), each a balanced range
+    exchange over the user-grain frame. Output is bounded by 5^3.
+    """
+    from ..pipelines.util import exact_global_rank, ntile_from_rank
+
+    per_user = events.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+        F.count("*").alias("frequency"),
+        F.sum(_dec("value")).alias("d_monetary"),
+    )
+    anchor = per_user.agg(F.max("last_day").alias("anchor_day"))
+    scored = per_user.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days",
+        F.datediff(F.col("anchor_day"), F.col("last_day")).cast("long"),
+    )
+    # three independent exact quintiles; each rank's order is total
+    for metric, order, out in [
+        ("recency_days", [F.col("recency_days").asc(), F.col("user_id").asc()], "r_score"),
+        ("frequency", [F.col("frequency").desc(), F.col("user_id").asc()], "f_score"),
+        ("d_monetary", [F.col("d_monetary").desc(), F.col("user_id").asc()], "m_score"),
+    ]:
+        scored = exact_global_rank(
+            scored, order, rank_col="_rfm_i", total_col="_rfm_n"
+        ).withColumn(
+            out, ntile_from_rank(F.col("_rfm_i"), F.col("_rfm_n"), 5)
+        ).drop("_rfm_i", "_rfm_n")
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("users"),
+            F.round(F.avg("recency_days"), 6).alias("avg_recency_days"),
+            F.round(F.avg("frequency"), 6).alias("avg_frequency"),
+            F.round(
+                F.avg(F.col("d_monetary").cast("double")), 6
+            ).alias("avg_monetary"),
+        )
+        .select(
+            F.col("r_score").cast("long").alias("r_score"),
+            F.col("f_score").cast("long").alias("f_score"),
+            F.col("m_score").cast("long").alias("m_score"),
+            "users",
+            "avg_recency_days",
+            "avg_frequency",
+            "avg_monetary",
+        )
+    )

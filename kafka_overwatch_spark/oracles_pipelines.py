@@ -2820,4 +2820,70 @@ SELECT t.user_id, t.events, k.kept,
   CAST(t.events - k.kept AS BIGINT) AS dropped
 FROM totals t JOIN kept k ON t.user_id = k.user_id"""
 
+    # Q12-shape: join + CASE-WHEN conditional aggregation over a
+    # derived latency bucket (synthetic lineitem has no shipmode)
+    q["tpch_shipmode_priority"] = """
+SELECT CAST(floor(date_diff('day', CAST(o_orderdate AS DATE),
+    CAST(l_shipdate AS DATE)) / 30.0) AS BIGINT) AS latency_bucket,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY latency_bucket"""
+
+    # RFM segmentation: three independent total-order NTILE(5) scores
+    # rolled up to the (r, f, m) cube
+    q["events_rfm_segments"] = """
+WITH per_user AS (
+  SELECT user_id, CAST(max(ts) AS DATE) AS last_day,
+    CAST(count(*) AS BIGINT) AS frequency,
+    sum(CAST(value AS DECIMAL(18,2))) AS d_monetary
+  FROM events GROUP BY user_id
+),
+anch AS (SELECT max(last_day) AS anchor_day FROM per_user),
+scored AS (
+  SELECT user_id, frequency, d_monetary,
+    CAST(date_diff('day', last_day, anchor_day) AS BIGINT)
+      AS recency_days
+  FROM per_user, anch
+),
+b AS (
+  SELECT *,
+    ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS r_score,
+    ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS f_score,
+    ntile(5) OVER (ORDER BY d_monetary DESC, user_id ASC) AS m_score
+  FROM scored
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+  CAST(f_score AS BIGINT) AS f_score,
+  CAST(m_score AS BIGINT) AS m_score,
+  CAST(count(*) AS BIGINT) AS users,
+  round(avg(recency_days), 6) AS avg_recency_days,
+  round(avg(frequency), 6) AS avg_frequency,
+  round(avg(CAST(d_monetary AS DOUBLE)), 6) AS avg_monetary
+FROM b GROUP BY r_score, f_score, m_score"""
+
+    # token-budget epoch planner: temperature mixture in token units
+    q["sampling_epoch_mix"] = """
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS docs,
+    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+      AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(tokens) AS DOUBLE) AS total_tokens,
+    sum(pow(tokens, 0.5)) AS pow_sum
+  FROM counts
+)
+SELECT source, docs, tokens,
+  round(tokens / total_tokens, 6) AS token_share,
+  round(pow(tokens, 0.5) / pow_sum, 6) AS mix_weight,
+  round(pow(tokens, 0.5) / pow_sum * 1000000.0, 2) AS token_alloc,
+  round(pow(tokens, 0.5) / pow_sum * 1000000.0 / tokens, 6) AS epochs
+FROM counts, tot"""
+
     return q

@@ -728,3 +728,49 @@ def nb_source_classifier(
         F.col("top.log_score").alias("log_score"),
         (F.col("top.predicted_source") == F.col("source")).alias("correct"),
     )
+
+
+def epoch_mix_plan(
+    documents: DataFrame,
+    token_budget: int = 1_000_000,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Training-mixture epoch planner: given a global token budget and a
+    temperature-scaled target mixture (weight_s ∝ tokens_s^τ, the same
+    τ<1 flattening recipe as :func:`temperature_weights` but measured in
+    TOKENS, the unit an LM trainer budgets in), emit per source its
+    token count, target mixture weight, the token allocation, and the
+    implied epoch count (allocation / available tokens — >1 means the
+    source repeats, the number data-mixing papers report). Token count
+    is whitespace tokens of the trimmed text, matching the corpus-wide
+    convention used by ``token_stats``.
+
+    Scale shape: one narrow map (``size(split(...))`` — no explode, the
+    corpus characters never shuffle) into a keyed aggregation on the
+    source key, then one |sources|-row broadcast of the totals. Output
+    is source-grain, bounded. All derived doubles are ROUNDED: pow() is
+    IEEE libm in both engines, agreement beyond 6 decimals is not part
+    of the contract.
+    """
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    counts = documents.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum(n_tok.cast("long")).alias("tokens"),
+    )
+    totals = counts.agg(
+        F.sum("tokens").alias("total_tokens"),
+        F.sum(F.pow(F.col("tokens"), F.lit(tau))).alias("pow_sum"),
+    )
+    weight = F.pow(F.col("tokens"), F.lit(tau)) / F.col("pow_sum")
+    alloc = weight * F.lit(float(token_budget))
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "docs",
+        "tokens",
+        F.round(F.col("tokens") / F.col("total_tokens"), 6).alias(
+            "token_share"
+        ),
+        F.round(weight, 6).alias("mix_weight"),
+        F.round(alloc, 2).alias("token_alloc"),
+        F.round(alloc / F.col("tokens"), 6).alias("epochs"),
+    )

@@ -757,6 +757,20 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["source_classifier_nb"] = lambda s, d: sampling.nb_source_classifier(
         raw(s, d, "documents")
     )
+    # r7 late: token-budget epoch planner (temperature mixture in
+    # token units) + RFM segmentation cube + the Q12 conditional-agg
+    # shape that completed the TPC-H sweep
+    q["sampling_epoch_mix"] = lambda s, d: sampling.epoch_mix_plan(
+        raw(s, d, "documents")
+    )
+    q["events_rfm_segments"] = lambda s, d: relational.user_rfm_segments(
+        raw(s, d, "events")
+    )
+    q["tpch_shipmode_priority"] = (
+        lambda s, d: relational.ship_latency_priority(
+            raw(s, d, "orders"), raw(s, d, "lineitem")
+        )
+    )
     q["sampling_user_cap"] = lambda s, d: sampling.per_key_cap(
         raw(s, d, "events")
     )

@@ -184,3 +184,63 @@ def test_cms_python_decode_matches_jvm_reader(spark):
     for u in list(range(53)) + [10**12, -5]:
         want = jvm.estimateCount(spark._jvm.java.lang.Long(int(u)))
         assert _cms_estimate_long(sk, u) == want, u
+
+
+def test_rfm_segments_invariants(spark):
+    """RFM cube: scores live in 1..5, user counts tile the user set, and
+    each quintile axis splits users into 5 near-equal groups."""
+    from kafka_overwatch_spark.operators.relational import user_rfm_segments
+    from tests.conftest import SF_DIR
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    rows = user_rfm_segments(events).collect()
+    n_users = events.select("user_id").distinct().count()
+    assert sum(r.users for r in rows) == n_users
+    for axis in ("r_score", "f_score", "m_score"):
+        per = {}
+        for r in rows:
+            v = r[axis]
+            assert 1 <= v <= 5, (axis, v)
+            per[v] = per.get(v, 0) + r.users
+        # SQL-standard NTILE: bucket sizes differ by at most 1
+        assert set(per) == {1, 2, 3, 4, 5}
+        assert max(per.values()) - min(per.values()) <= 1, (axis, per)
+
+
+def test_epoch_mix_budget_conserved(spark):
+    """Epoch planner: mixture weights sum to 1 and allocations tile the
+    token budget; a source's epochs exceed 1 iff it is upsampled."""
+    from kafka_overwatch_spark.pipelines.sampling import epoch_mix_plan
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    budget = 1_000_000
+    rows = epoch_mix_plan(docs, token_budget=budget).collect()
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.token_alloc for r in rows) - budget) < 1.0
+    for r in rows:
+        assert (r.epochs > 1.0) == (r.token_alloc > r.tokens)
+
+
+def test_shipmode_priority_counts_tile_window(spark):
+    """Q12 shape: high+low line counts across buckets equal the number
+    of lineitem rows in the ship-date window (the join is 1:1 on order)."""
+    import pyspark.sql.functions as F
+
+    from kafka_overwatch_spark.operators.relational import (
+        ship_latency_priority,
+    )
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    rows = ship_latency_priority(orders, lineitem).collect()
+    in_window = lineitem.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    ).count()
+    assert sum(r.high_line_count + r.low_line_count for r in rows) == in_window
+    # synthetic data ships some lines before the order date; floor()
+    # buckets negatives consistently in both engines, so just pin that
+    # the bucket axis is bounded (|delay| < ~7 years of days / 30)
+    assert all(abs(r.latency_bucket) < 100 for r in rows)
