@@ -495,6 +495,7 @@ def dsir_weights(
     documents: DataFrame,
     target_source: str = "src0",
     buckets: int = DSIR_BUCKETS,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al., "Data Selection for Language
     Models via Importance Resampling", NeurIPS 2023 — public
@@ -516,7 +517,10 @@ def dsir_weights(
     2-scalar totals row, then a doc-keyed sum. No corpus-sized shuffle
     beyond the token explode."""
     return dsir_score(
-        documents, dsir_lm(documents, target_source, buckets), buckets
+        documents,
+        dsir_lm(documents, target_source, buckets, bucketed=bucketed),
+        buckets,
+        bucketed=bucketed,
     )
 
 
@@ -546,12 +550,16 @@ def dsir_lm(
     documents: DataFrame,
     target_source: str = "src0",
     buckets: int = DSIR_BUCKETS,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """The fitted DSIR LM table: (b, logdiff) over observed buckets —
     FIXED size (≤ ``buckets`` rows), the persistable model a production
     pipeline fits ONCE on labeled corpora and ships to every ingest
-    screen (`streaming/documents_stream.write_dsir_lm`)."""
-    bucketed = _dsir_bucketed(documents, buckets)
+    screen (`streaming/documents_stream.write_dsir_lm`). ``bucketed``
+    lets callers share one materialized hashed-token frame across the
+    DSIR family (the explode+md5 chain is the expensive half)."""
+    if bucketed is None:
+        bucketed = _dsir_bucketed(documents, buckets)
     is_t = (F.col("source") == target_source).cast("long")
     lm = bucketed.groupBy("b").agg(
         F.sum(is_t).alias("ct"),
@@ -570,7 +578,10 @@ def dsir_lm(
 
 
 def dsir_score(
-    documents: DataFrame, lm: DataFrame, buckets: int = DSIR_BUCKETS
+    documents: DataFrame,
+    lm: DataFrame,
+    buckets: int = DSIR_BUCKETS,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Score documents against a (possibly persisted) DSIR LM table:
     per-doc bag log-likelihood ratio. Tokens whose bucket is absent
@@ -579,7 +590,8 @@ def dsir_score(
     the screen fits the LM on the FULL labeled corpus where every
     observed bucket is present; the left-join keeps the behavior
     explicit instead of silently dropping unseen-bucket tokens."""
-    bucketed = _dsir_bucketed(documents, buckets)
+    if bucketed is None:
+        bucketed = _dsir_bucketed(documents, buckets)
     return (
         bucketed.join(F.broadcast(lm), "b", "left")
         .groupBy("doc_id", "source")
@@ -598,6 +610,7 @@ def dsir_resample(
     target_source: str = "src0",
     buckets: int = DSIR_BUCKETS,
     salt: str = DSIR_SALT,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR's selection step: Gumbel-top-k over the importance weights —
     adding independent Gumbel noise g = −ln(−ln u) to each log weight
@@ -608,7 +621,7 @@ def dsir_resample(
     and partitionings; the top-k plans as per-partition heaps
     (TakeOrderedAndProject), never a global sort. Output: doc_id,
     source, log_ratio."""
-    w = dsir_weights(documents, target_source, buckets)
+    w = dsir_weights(documents, target_source, buckets, bucketed=bucketed)
     h = (
         F.conv(
             F.substring(
@@ -635,7 +648,9 @@ def dsir_resample(
 
 
 def nb_source_classifier(
-    documents: DataFrame, buckets: int = DSIR_BUCKETS
+    documents: DataFrame,
+    buckets: int = DSIR_BUCKETS,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Multinomial Naive-Bayes provenance classifier over the same
     hashed-unigram feature space as DSIR: per source s, an add-one-
@@ -659,23 +674,8 @@ def nb_source_classifier(
     see bench). Per-group state is bounded: ≤ ``buckets`` arrays of
     |sources| doubles per document. Output: doc_id, source,
     predicted_source, log_score (round 6), correct."""
-    toks = spread(documents).select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.split(
-                F.lower(
-                    F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
-                ),
-                " ",
-            )
-        ).alias("token"),
-    )
-    b = F.pmod(
-        F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast("long"),
-        F.lit(buckets),
-    )
-    bucketed = toks.withColumn("b", b)
+    if bucketed is None:
+        bucketed = _dsir_bucketed(documents, buckets)
     # per-source token counts per bucket + totals (fixed-size tables)
     lm = bucketed.groupBy("b", F.col("source").alias("s")).agg(
         F.count("*").alias("c")

@@ -244,6 +244,26 @@ def get_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _BANDS_CACHE[key]
 
 
+_DSIR_BUCKETED_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def get_dsir_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized hashed-unigram (doc_id, source, b) token frame (r7):
+    shared by the DSIR family and the NB classifier. Without the memo
+    dsir_weights derives the explode+md5 chain TWICE per query (LM fit
+    + scoring) and each of the three registered queries re-derives it
+    from scratch. localCheckpoint, not cache: lineage truncation, same
+    rationale as the snapshot memos (NOTES r6 #4)."""
+    key = (id(spark), sf_dir)
+    if key not in _DSIR_BUCKETED_CACHE:
+        from .pipelines.sampling import DSIR_BUCKETS, _dsir_bucketed
+
+        _DSIR_BUCKETED_CACHE[key] = _dsir_bucketed(
+            get_raw_tables(spark, sf_dir)["documents"], DSIR_BUCKETS
+        ).localCheckpoint(eager=True)
+    return _DSIR_BUCKETED_CACHE[key]
+
+
 def _cluster_statistics_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cluster_statistics for every cluster in the snapshot: the
     per-cluster report loop (`overwatch.py:92-120`) as a driver-side loop
@@ -749,13 +769,13 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r7: DSIR importance weights + Gumbel-top-k resample (Xie et al.
     # 2023) — target domain proxied by source='src0'
     q["sampling_dsir_weights"] = lambda s, d: sampling.dsir_weights(
-        raw(s, d, "documents")
+        raw(s, d, "documents"), bucketed=get_dsir_bucketed(s, d)
     )
     q["sampling_dsir_topk"] = lambda s, d: sampling.dsir_resample(
-        raw(s, d, "documents")
+        raw(s, d, "documents"), bucketed=get_dsir_bucketed(s, d)
     )
     q["source_classifier_nb"] = lambda s, d: sampling.nb_source_classifier(
-        raw(s, d, "documents")
+        raw(s, d, "documents"), bucketed=get_dsir_bucketed(s, d)
     )
     # r7 late: token-budget epoch planner (temperature mixture in
     # token units) + RFM segmentation cube + the Q12 conditional-agg
