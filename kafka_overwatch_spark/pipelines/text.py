@@ -263,6 +263,7 @@ def shared_passage_pairs(
     w: int = WINNOW_W,
     min_shared: int = 2,
     max_bucket: int = 1000,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-document shared-passage pairs from winnowed fingerprints —
     the scalable "which docs share verbatim runs of ≥ w+k-1 tokens"
@@ -302,6 +303,7 @@ def shared_passage_spans(
     w: int = WINNOW_W,
     min_shared: int = 2,
     max_bucket: int = 1000,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Span-level localization of ``shared_passage_pairs``: for every
     qualifying pair, the matched fingerprints WITH their 1-based gram
@@ -314,7 +316,8 @@ def shared_passage_spans(
     query, positions carried through; the pair-qualification semi-join
     is fingerprint-grain on (doc_a, doc_b) — bounded by true shared
     mass. Output: doc_a, doc_b, gram_hash, pos_a, pos_b."""
-    fps = winnow_fingerprints(documents, k, w)
+    if fps is None:
+        fps = winnow_fingerprints(documents, k, w)
     capped = fps.withColumn(
         "bucket_n",
         F.count("*").over(Window.partitionBy("gram_hash")),

@@ -244,6 +244,22 @@ def get_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _BANDS_CACHE[key]
 
 
+_WINNOW_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def get_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized winnowed fingerprint frame (r7): shared by the
+    fingerprint query and both shared-passage queries, whose gram_hash
+    self-joins otherwise execute the winnow chain once per join side
+    (no ReusedExchange — same rationale as get_minhash_bands)."""
+    key = (id(spark), sf_dir)
+    if key not in _WINNOW_CACHE:
+        _WINNOW_CACHE[key] = textops.winnow_fingerprints(
+            get_raw_tables(spark, sf_dir)["documents"]
+        ).localCheckpoint(eager=True)
+    return _WINNOW_CACHE[key]
+
+
 _DSIR_BUCKETED_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
@@ -598,14 +614,14 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r7: winnowing (SIGMOD'03) — selected k-gram fingerprints and the
     # cross-doc shared-passage pairs they imply (verbatim token runs of
     # ≥ w+k-1 = 11 tokens are guaranteed to collide)
-    q["text_winnow_fingerprints"] = (
-        lambda s, d: textops.winnow_fingerprints(raw(s, d, "documents"))
-    )
-    q["text_shared_passages"] = (
-        lambda s, d: textops.shared_passage_pairs(raw(s, d, "documents"))
+    q["text_winnow_fingerprints"] = lambda s, d: get_winnow_fps(s, d)
+    q["text_shared_passages"] = lambda s, d: textops.shared_passage_pairs(
+        raw(s, d, "documents"), fps=get_winnow_fps(s, d)
     )
     q["text_shared_passage_spans"] = (
-        lambda s, d: textops.shared_passage_spans(raw(s, d, "documents"))
+        lambda s, d: textops.shared_passage_spans(
+            raw(s, d, "documents"), fps=get_winnow_fps(s, d)
+        )
     )
     q["text_ngram_freq"] = lambda s, d: textops.ngram_frequencies(
         raw(s, d, "documents")
