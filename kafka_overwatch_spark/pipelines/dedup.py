@@ -452,6 +452,7 @@ def containment_probe_audit(
     threshold: float = 0.8,
     max_bucket: int = 10_000,
     docs: DataFrame | None = None,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """Observability companion to ``containment_pairs_prefix`` (ADVICE
     r6): ONE row (docs_total, docs_at_risk) where docs_at_risk counts
@@ -463,7 +464,8 @@ def containment_probe_audit(
     ``max_bucket`` or an upstream boilerplate strip."""
     if docs is None:
         docs = shingle_docs(documents)
-    probes = _containment_probes(docs, threshold, max_bucket)
+    if probes is None:
+        probes = _containment_probes(docs, threshold, max_bucket)
     at_risk = probes.filter(F.col("probe_capped")).select("doc_id").distinct()
     return docs.agg(
         F.count_distinct("doc_id").alias("docs_total")
@@ -475,6 +477,7 @@ def containment_pairs_prefix(
     threshold: float = 0.8,
     max_bucket: int = 10_000,
     docs: DataFrame | None = None,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """Same output contract as ``containment_pairs`` WITHOUT the
     all-pairs block — the registered, scale-valid surface via PREFIX
@@ -506,9 +509,9 @@ def containment_pairs_prefix(
     docs so the loss is measurable instead of silent."""
     if docs is None:
         docs = shingle_docs(documents)
-    ranked = _containment_probes(docs, threshold, max_bucket).select(
-        F.col("doc_id").alias("doc_a"), "s"
-    )
+    if probes is None:
+        probes = _containment_probes(docs, threshold, max_bucket)
+    ranked = probes.select(F.col("doc_id").alias("doc_a"), "s")
     postings = docs.select("doc_id", F.explode("sh").alias("s"))
     capped = (
         postings.withColumn(
