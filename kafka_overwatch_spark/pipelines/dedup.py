@@ -555,6 +555,106 @@ def containment_pairs_prefix(
     )
 
 
+def screen_containment_against_corpus(
+    new_shingles: DataFrame,
+    corpus_shingles: DataFrame,
+    threshold: float = 0.8,
+    max_bucket: int = 10_000,
+    corpus_postings: DataFrame | None = None,
+    corpus_freq: DataFrame | None = None,
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """Directional containment screen over pre-shingled frames: which
+    NEW docs are largely contained (containment(new→corpus) ≥ t) in any
+    ACCEPTED corpus doc — the asymmetric complement of
+    ``screen_against_corpus`` (Jaccard misses a short doc swallowed by
+    a long one; this is the quote/excerpt ingest gate). Shared by the
+    batch path and ``streaming/documents_stream.GrowingContainmentScreen``.
+
+    Probe selection mirrors ``containment_pairs_prefix``: the
+    pigeonhole guarantee needs ANY ⌊(1−t)·|new|⌋+1 of the new doc's
+    shingles, so recall vs the UNCAPPED corpus is 1.0 by construction;
+    rarity (corpus document frequency, unseen shingles df=0 — the
+    best possible probes) orders them only to minimize posting-list
+    cost, capped-last so a doc probes a capped shingle only when it
+    lacks enough uncapped ones.
+
+    Scale shape: ``corpus_postings`` / ``corpus_freq`` are meant to be
+    PERSISTED index tables (batch_id-partitioned in the streaming
+    screen) so the corpus text is never rescanned; the freq join is
+    vocabulary-grain — keyed, never broadcast; the candidate join is
+    probe ⋈ capped posting lists; the exact verify joins shingle sets
+    by doc key. ``broadcast_probe``: same micro-batch-sized-probe
+    contract as ``screen_against_corpus`` — pass False for
+    corpus-fraction probes. Returns (new_doc, corpus_doc, containment ≥
+    threshold)."""
+    if corpus_postings is None:
+        corpus_postings = corpus_shingles.select(
+            "doc_id", F.explode("sh").alias("s")
+        )
+    if corpus_freq is None:
+        corpus_freq = corpus_postings.groupBy("s").agg(
+            F.count("*").alias("df")
+        )
+    new_post = new_shingles.select("doc_id", F.explode("sh").alias("s"))
+    sizes = new_shingles.select("doc_id", F.size("sh").alias("n_sh"))
+    scored = new_post.join(corpus_freq, "s", "left").withColumn(
+        "df", F.coalesce(F.col("df"), F.lit(0))
+    )
+    probes = (
+        scored.withColumn("probe_capped", F.col("df") > max_bucket)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("probe_capped").asc(),
+                    F.col("df").asc(),
+                    F.col("s").asc(),
+                )
+            ),
+        )
+        .join(sizes, "doc_id")
+        .filter(
+            F.col("rn")
+            <= F.floor(F.lit(1.0 - threshold) * F.col("n_sh")) + 1
+        )
+        .select(F.col("doc_id").alias("new_doc"), "s")
+    )
+    if broadcast_probe:
+        probes = F.broadcast(probes)
+    capped = corpus_postings.join(
+        corpus_freq.filter(F.col("df") <= max_bucket).select("s"), "s"
+    ).select(F.col("doc_id").alias("corpus_doc"), "s")
+    cand = (
+        probes.join(capped, "s")
+        .filter(F.col("new_doc") != F.col("corpus_doc"))
+        .select("new_doc", "corpus_doc")
+        .distinct()
+    )
+    sh_new = new_shingles.select(
+        F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_new")
+    )
+    if broadcast_probe:
+        sh_new = F.broadcast(sh_new)
+    sh_c = corpus_shingles.select(
+        F.col("doc_id").alias("corpus_doc"), F.col("sh").alias("sh_c")
+    )
+    return (
+        cand.join(sh_new, "new_doc")
+        .join(sh_c, "corpus_doc")
+        .select(
+            "new_doc",
+            "corpus_doc",
+            F.round(
+                F.size(F.array_intersect("sh_new", "sh_c")).cast("double")
+                / F.size("sh_new"),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs_lsh(
     documents: DataFrame,
     threshold: float = 0.35,

@@ -467,3 +467,185 @@ def run_dsir_screen(
             "dsir screen did not drain within 300s — failing loudly"
         )
     return q
+
+
+# ---------------------------------------------------------------------------
+# Growing-corpus CONTAINMENT screen (r7): the asymmetric complement of
+# GrowingDedupScreen. Jaccard misses a short doc swallowed by a long
+# accepted one; this screen rejects arrivals largely CONTAINED in any
+# previously-accepted doc. The persisted index carries, per accepted
+# batch: shingle sets (exact verify), a posting list (candidate join),
+# and a vocabulary-grain df DELTA table — summing deltas per shingle
+# reconstructs corpus document frequency without re-aggregating the
+# posting list, so a batch pays keyed joins only.
+
+
+def init_containment_index(
+    spark: SparkSession, corpus_shingles: DataFrame, base_path: str
+) -> None:
+    """Seed the containment index with the pre-existing corpus
+    (batch_id=-1, ordered before every stream batch)."""
+    postings = corpus_shingles.select("doc_id", F.explode("sh").alias("s"))
+    for frame, name in (
+        (corpus_shingles, "shingles"),
+        (postings, "postings"),
+        (postings.groupBy("s").agg(F.count("*").alias("df")), "freq"),
+    ):
+        (
+            frame.withColumn("batch_id", F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(f"{base_path}/{name}")
+        )
+
+
+class GrowingContainmentScreen:
+    """foreachBatch handler for growing-corpus containment dedup: each
+    arriving batch is screened for docs contained in anything
+    previously ACCEPTED (seed + earlier survivors); survivors append
+    their shingles, postings, and df deltas so later batches see them.
+
+    Intra-batch policy: containment edges WITHIN a batch (either
+    direction) are treated as undirected near-dup links and resolved to
+    the component-minimum keeper — the same convention as
+    ``GrowingDedupScreen`` / ``neardup_components``, so a chain
+    A⊂B, B⊂C keeps exactly one representative deterministically.
+
+    Replay-safe exactly like the Jaccard screen: index reads prune to
+    ``batch_id < N`` partitions and writes dynamic-overwrite the
+    batch_id=N partitions."""
+
+    def __init__(
+        self,
+        base_path: str,
+        out_dir: str,
+        threshold: float = 0.8,
+        max_bucket: int = 10_000,
+    ) -> None:
+        self.base = base_path
+        self.out_dir = out_dir
+        self.threshold = threshold
+        self.max_bucket = max_bucket
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..pipelines.dedup import (
+            neardup_components,
+            screen_containment_against_corpus,
+            shingle_docs,
+        )
+
+        spark = batch_df.sparkSession
+        sh_new = shingle_docs(batch_df).localCheckpoint(eager=True)
+        corpus_sh = (
+            spark.read.parquet(f"{self.base}/shingles")
+            .filter(F.col("batch_id") < batch_id)
+            .select("doc_id", "sh")
+        )
+        corpus_postings = (
+            spark.read.parquet(f"{self.base}/postings")
+            .filter(F.col("batch_id") < batch_id)
+            .select("doc_id", "s")
+        )
+        corpus_freq = (
+            spark.read.parquet(f"{self.base}/freq")
+            .filter(F.col("batch_id") < batch_id)
+            .groupBy("s")
+            .agg(F.sum("df").alias("df"))
+        )
+        hits = screen_containment_against_corpus(
+            sh_new,
+            corpus_sh,
+            threshold=self.threshold,
+            max_bucket=self.max_bucket,
+            corpus_postings=corpus_postings,
+            corpus_freq=corpus_freq,
+        )
+        contained = hits.select(
+            F.col("new_doc").alias("doc_id")
+        ).distinct()
+        survivors = sh_new.join(
+            contained, "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        # intra-batch containment either way → undirected edge
+        self_hits = screen_containment_against_corpus(
+            survivors,
+            survivors,
+            threshold=self.threshold,
+            max_bucket=self.max_bucket,
+        )
+        edges = self_hits.select(
+            F.least("new_doc", "corpus_doc").alias("vec_a"),
+            F.greatest("new_doc", "corpus_doc").alias("vec_b"),
+        ).distinct()
+        comp = neardup_components(
+            edges, survivors.select(F.col("doc_id").alias("vec_id"))
+        )
+        keepers = comp.filter(F.col("vec_id") == F.col("component")).select(
+            F.col("vec_id").alias("doc_id")
+        )
+        kept = survivors.join(keepers, "doc_id").localCheckpoint(eager=True)
+        rejected = contained.withColumn(
+            "reason", F.lit("contained_in_corpus")
+        ).unionByName(
+            comp.filter(F.col("vec_id") != F.col("component"))
+            .select(F.col("vec_id").alias("doc_id"))
+            .withColumn("reason", F.lit("intra_batch_contained"))
+        )
+        _write_idempotent(rejected, self.out_dir, batch_id)
+        kept_postings = kept.select("doc_id", F.explode("sh").alias("s"))
+        for frame, name in (
+            (kept.select("doc_id", "sh"), "shingles"),
+            (kept_postings, "postings"),
+            (
+                kept_postings.groupBy("s").agg(F.count("*").alias("df")),
+                "freq",
+            ),
+        ):
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                (
+                    frame.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(f"{self.base}/{name}")
+                )
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+
+
+def run_growing_containment(
+    spark: SparkSession,
+    input_dir: str,
+    base_path: str,
+    out_dir: str,
+    checkpoint: str,
+    threshold: float = 0.8,
+    max_bucket: int = 10_000,
+):
+    """Drain the document feed through the growing containment screen
+    (availableNow, one file per trigger = arrival order is file order)."""
+    q = (
+        doc_stream(spark, input_dir)
+        .writeStream.foreachBatch(
+            GrowingContainmentScreen(
+                base_path, out_dir, threshold, max_bucket
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            "growing containment screen did not drain within 300s"
+        )
+    return q
