@@ -181,6 +181,10 @@ EXTRA = [
     "sampling_dsir_weights",
     "sampling_dsir_topk",
     "source_classifier_nb",
+    # round 7, late session
+    "tpch_shipmode_priority",
+    "events_rfm_segments",
+    "sampling_epoch_mix",
 ]
 
 

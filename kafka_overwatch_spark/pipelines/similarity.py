@@ -1502,3 +1502,118 @@ def split_centroid_drift(embeddings: DataFrame) -> DataFrame:
             6,
         ).alias("centroid_cosine"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ZCA whitening (r7): the standard embedding post-processing step before
+# cosine retrieval / semantic dedup (decorrelates dimensions, equalizes
+# variance — the isotropy fix the residual-PQ diagnosis in
+# ANN_TRADEOFFS.md pointed at). Fit is a distributed moment pass with
+# CONSTANT-size partial state; the d×d eigendecomposition is a driver
+# epilogue (d = 64 — this never grows with the corpus).
+
+WHITEN_EPS = 1e-6
+
+_MOMENT_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", ArrayType(DoubleType())),
+        StructField("xtx", ArrayType(DoubleType())),
+    ]
+)
+
+WHITEN_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("white", ArrayType(DoubleType())),
+        StructField("white_norm", DoubleType()),
+    ]
+)
+
+
+def pca_whiten_model(
+    embeddings: DataFrame, eps: float = WHITEN_EPS
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fit ZCA whitening W = V diag(1/√(λ+eps)) Vᵀ over the corpus
+    covariance. ONE mapInPandas pass emits per-PARTITION moments
+    (count, Σx, XᵀX — constant-size state, a numpy GEMM per Arrow
+    batch); the collect is bounded by partition count; the eigh runs on
+    the driver over a d×d matrix. ZCA's V…Vᵀ sandwich is
+    eigenvector-SIGN-invariant, so the transform is deterministic
+    across BLAS builds (plain PCA whitening V-only is not). Returns
+    (mean[d], W[d,d])."""
+    d = EMB_DIM
+
+    def moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = np.zeros(d)
+        xtx = np.zeros((d, d))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+            n += X.shape[0]
+            s += X.sum(axis=0)
+            xtx += X.T @ X
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "xtx": [xtx.ravel().tolist()]}
+            )
+
+    parts = (
+        _spread_gemm(embeddings.select("embedding"))
+        .mapInPandas(moments, _MOMENT_SCHEMA)
+        .collect()  # bounded: ≤ one row per partition
+    )
+    if not parts:
+        raise ValueError("pca_whiten_model: empty embeddings input")
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.array(r["s"]) for r in parts], axis=0)
+    xtx = np.sum(
+        [np.array(r["xtx"]).reshape(d, d) for r in parts], axis=0
+    )
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    lam, V = np.linalg.eigh((cov + cov.T) / 2.0)
+    W = V @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + eps)) @ V.T
+    return mean, W
+
+
+def pca_whiten(
+    embeddings: DataFrame,
+    eps: float = WHITEN_EPS,
+    model: tuple[np.ndarray, np.ndarray] | None = None,
+) -> DataFrame:
+    """Whitened embeddings: white = W(x − mean), plus the whitened L2
+    norm as a scalar gate surface. Projection is a broadcast of the two
+    small model arrays + one vectorized batch GEMM — the same physical
+    shape as the int8 quantizer's read path. Values ROUNDED to 6: the
+    eigh/GEMM pipeline is IEEE-order-sensitive beyond that. Pass a
+    prefit ``model`` to apply train-once/project-many (the production
+    path; registry memoizes it)."""
+    if model is None:
+        model = pca_whiten_model(embeddings, eps)
+    mean, W = model
+    sc = embeddings.sparkSession.sparkContext
+    b_mean, b_w = sc.broadcast(mean), sc.broadcast(W)
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m, w = b_mean.value, b_w.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+            Y = np.round((X - m) @ w.T, 6)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "white": list(Y.tolist()),
+                    "white_norm": np.round(
+                        np.linalg.norm(Y, axis=1), 6
+                    ),
+                }
+            )
+
+    return _spread_gemm(embeddings.select("vec_id", "embedding")).mapInPandas(
+        project, WHITEN_SCHEMA
+    )

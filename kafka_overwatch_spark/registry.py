@@ -244,6 +244,22 @@ def get_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _BANDS_CACHE[key]
 
 
+_WHITEN_CACHE: dict[tuple[int, str], tuple] = {}
+
+
+def get_whiten_model(spark: SparkSession, sf_dir: str) -> tuple:
+    """Memoized ZCA whitening model per (session, sf_dir) —
+    train-once/project-many like get_ivf/get_pq: the moment pass +
+    driver eigh is the expensive fit, the projection is the per-query
+    work."""
+    key = (id(spark), sf_dir)
+    if key not in _WHITEN_CACHE:
+        _WHITEN_CACHE[key] = similarity.pca_whiten_model(
+            get_raw_tables(spark, sf_dir)["embeddings"]
+        )
+    return _WHITEN_CACHE[key]
+
+
 _WINNOW_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
@@ -1187,6 +1203,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (iterative trainer); invariants locked in tests/test_ann_ivf.py
     q["emb_cluster_summary"] = lambda s, d: similarity.kmeans_cluster_summary(
         raw(s, d, "embeddings"), trained=get_ivf(s, d)
+    )
+    # ZCA whitening (r7 late) → rows-only gate (driver-side eigh is not
+    # SQL-expressible); cov≈I + full-numpy parity in
+    # tests/test_similarity_paths.py
+    q["emb_pca_whiten"] = lambda s, d: similarity.pca_whiten(
+        raw(s, d, "embeddings"), model=get_whiten_model(s, d)
     )
 
     return _driver_check_order(q)

@@ -236,3 +236,49 @@ def test_containment_probe_audit_counts_at_risk_docs(spark):
     full = containment_pairs_prefix(docs).count()
     capped = containment_pairs_prefix(docs, max_bucket=5).count()
     assert full > 0 and capped < full
+
+
+def test_pca_whiten_covariance_is_identity(spark):
+    """The whitened corpus must have (near-)identity sample covariance —
+    the defining property of ZCA — and zero mean."""
+    import numpy as np
+
+    from kafka_overwatch_spark.pipelines.similarity import pca_whiten
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = pca_whiten(emb).collect()
+    Y = np.array([list(r.white) for r in rows])
+    assert abs(Y.mean(axis=0)).max() < 1e-3
+    cov = np.cov(Y, rowvar=False, bias=True)
+    assert np.abs(cov - np.eye(Y.shape[1])).max() < 1e-2
+    for r in rows:
+        assert abs(r.white_norm - float(np.linalg.norm(r.white))) < 1e-4
+
+
+def test_pca_whiten_matches_pure_numpy(spark):
+    """Distributed moment pass + projection == single-process numpy ZCA
+    on the collected matrix (round-6 agreement, the op's contract)."""
+    import numpy as np
+
+    from kafka_overwatch_spark.pipelines.similarity import (
+        WHITEN_EPS,
+        pca_whiten,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = {
+        r.vec_id: np.array(list(r.white))
+        for r in pca_whiten(emb).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    mean = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False, bias=True)
+    lam, V = np.linalg.eigh((cov + cov.T) / 2.0)
+    W = V @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + WHITEN_EPS)) @ V.T
+    want = np.round((X - mean) @ W.T, 6)
+    for i, vid in enumerate(ids):
+        assert np.abs(got[vid] - want[i]).max() < 2e-5, vid
