@@ -2354,6 +2354,38 @@ SELECT CAST(count(*) AS BIGINT) AS dims,
     AS centroid_cosine
 FROM j"""
 
+    # Rocchio nearest-label-centroid classification: per-dim avg
+    # centroids via list indexing (Spark posexplodes), cosine argmax
+    # with ties to the LARGEST label — row_number (cosine DESC, cand
+    # DESC) mirrors Spark's max-of-struct order
+    q["emb_label_centroids"] = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings
+),
+cent AS (
+  SELECT label, g.i AS dim,
+    sum(emb[g.i + 1]) / count(*) AS mu
+  FROM e, (SELECT unnest(generate_series(0, 63)) AS i) g
+  GROUP BY 1, 2
+),
+centv AS (
+  SELECT label, list(mu ORDER BY dim) AS c FROM cent GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label, cv.label AS cand,
+    round(list_cosine_similarity(e.emb, cv.c), 6) AS cosine
+  FROM e CROSS JOIN centv cv
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, cand DESC) AS rn
+  FROM scored
+)
+SELECT vec_id, label, cand AS predicted_label, cosine,
+  (cand = label) AS correct
+FROM ranked WHERE rn = 1"""
+
     # dynamic-gap session windows: interval-UNION semantics — a new
     # session starts iff ts >= the running max of prior proposed ends
     q["events_session_window_dynamic"] = """

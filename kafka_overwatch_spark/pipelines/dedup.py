@@ -1035,6 +1035,45 @@ def neardup_components(
     return labels
 
 
+def minhash_fuzzy_dedup(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    docs: DataFrame | None = None,
+    bands: DataFrame | None = None,
+) -> DataFrame:
+    """Text fuzzy dedup end-to-end (the NeMo-Curator/ Lee et al. shape):
+    MinHash-LSH candidate pairs verified at true Jaccard ≥ threshold →
+    connected components over the pair graph → one keep/drop decision
+    per document (keeper = min doc_id per cluster). The text twin of
+    ``embedding_semantic_dedup`` — same CC machinery, lexical pair
+    source instead of embedding-cosine.
+
+    Cluster grain matters: pairwise dedup alone can drop both B and C
+    of a chain A~B, B~C, A≁C if keeper choice is made per-pair;
+    component-min keeps exactly one doc per transitive cluster, the
+    contract a training-set keep-list needs.
+
+    Every document appears in the output (docs with no verified pair —
+    including empty/NULL-text docs that produce no shingles — are
+    singleton keepers). Iterative label propagation → no single SQL
+    equivalent (rows-only gate); python union-find parity in
+    tests/test_components.py. Returns doc_id, cluster, keep."""
+    if docs is None:
+        docs = shingle_docs(documents)
+    pairs = minhash_lsh_pairs(documents, threshold, docs=docs, bands=bands)
+    comps = neardup_components(
+        pairs.select(
+            F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
+        ),
+        documents.select(F.col("doc_id").alias("vec_id")),
+    )
+    return comps.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        (F.col("vec_id") == F.col("component")).alias("keep"),
+    )
+
+
 def embedding_semantic_dedup(
     embeddings: DataFrame, threshold: float = COSINE_THRESHOLD
 ) -> DataFrame:

@@ -1617,3 +1617,143 @@ def pca_whiten(
     return _spread_gemm(embeddings.select("vec_id", "embedding")).mapInPandas(
         project, WHITEN_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Supervised embedding surfaces (r7 continuation): nearest-label-centroid
+# classification (Rocchio) and k-center greedy coreset selection.
+
+
+def label_centroid_classify(embeddings: DataFrame) -> DataFrame:
+    """Nearest-label-centroid (Rocchio) classification: per-label
+    centroid = per-dimension mean over the label's vectors; every
+    vector is assigned the label whose centroid has the highest cosine
+    (rounded to 6; ties → largest label, the max-of-struct order,
+    mirrored in the oracle). Centroids are fit on the FULL corpus
+    (standard Rocchio — no leave-one-out), so self-classification
+    accuracy is the optimistic fit diagnostic, and the production use
+    is labeling UNLABELED vectors against centroids fit on a labeled
+    set.
+
+    Scale shape: one narrow posexplode into a (label, dim)-keyed
+    aggregate — the only data-sized shuffle, carrying per-dim partial
+    sums, never vectors — then the |labels| × dim centroid table
+    (bounded: 10 × 64 doubles) collapses to ONE broadcast row and
+    scoring is a shuffle-free narrow map folding the centroid array
+    per vector (JVM higher-order functions, no Python). Output:
+    vec_id, label, predicted_label, cosine, correct."""
+    e = embeddings.select("vec_id", "label", "embedding")
+    per_dim = (
+        e.select("label", F.posexplode("embedding").alias("dim", "w"))
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(F.col("w").cast("double")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select("label", "dim", (F.col("s") / F.col("n")).alias("mu"))
+    )
+    cent = per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+            lambda x: x["mu"],
+        ).alias("c")
+    )
+    # all centroids in ONE row: array of (label, centroid) structs —
+    # label-grain, bounded, the broadcastable model table
+    cents = cent.agg(
+        F.array_sort(F.collect_list(F.struct("label", "c"))).alias("cents")
+    )
+    top = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda x: F.struct(
+                F.round(cosine(F.col("embedding"), x["c"]), 6).alias(
+                    "cosine"
+                ),
+                x["label"].alias("predicted_label"),
+            ),
+        )
+    )
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "label", top.alias("top"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("top.predicted_label").alias("predicted_label"),
+            F.col("top.cosine").alias("cosine"),
+            (F.col("top.predicted_label") == F.col("label")).alias(
+                "correct"
+            ),
+        )
+    )
+
+
+def kcenter_select(embeddings: DataFrame, k: int = 16) -> DataFrame:
+    """k-center greedy (Gonzalez farthest-point) coreset selection in
+    cosine distance: start from the min vec_id, then k−1 times pick the
+    vector farthest (max over the corpus of its min distance to the
+    chosen set) and fold it in — the classic 2-approximation to the
+    k-center objective, used for diversity-maximizing training-subset /
+    eval-set selection (coreset papers; active-learning "core-set"
+    selection).
+
+    Output: one row per selected center — pick_order (1-based), vec_id,
+    radius — where radius is the max-min-distance the pick covered (the
+    monotone non-increasing k-center radius sequence; NULL for the
+    seed pick). Distances are rounded to 6 before the argmax so the
+    selection is stable across engines/partitionings; ties break to the
+    smaller vec_id.
+
+    Scale shape: a driver-paced loop of k iterations (inherent to the
+    greedy — each pick depends on all previous), each iteration ONE
+    narrow map over the corpus (update running min-distance against the
+    single broadcast new center — vectors never shuffle) plus a
+    TakeOrdered argmax (per-partition heaps, no global sort).
+    localCheckpoint per iteration truncates the iterated lineage
+    exactly like neardup_components. Iterative → rows-only gate;
+    python/numpy greedy parity in tests/test_similarity_paths.py."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    state = (
+        embeddings.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "emb"
+            ),
+            F.lit(None).cast("double").alias("mind"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    seed = state.orderBy("vec_id").limit(1).collect()[0]
+    picks = [(1, seed["vec_id"], None)]
+    center = seed["emb"]
+    for i in range(2, k + 1):
+        c = F.array(*[F.lit(float(v)) for v in center])
+        d = F.round(1.0 - cosine(F.col("emb"), c), 6)
+        # picked centers leave the state: they can contribute nothing
+        # (their min-distance is 0) and dropping them makes a
+        # duplicate pick structurally impossible even on a degenerate
+        # all-identical corpus
+        state = (
+            state.filter(F.col("vec_id") != picks[-1][1])
+            .select(
+                "vec_id",
+                "emb",
+                F.least(F.coalesce("mind", d), d).alias("mind"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        far_rows = (
+            state.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not far_rows:  # k >= corpus size: every vector selected
+            break
+        far = far_rows[0]
+        picks.append((i, far["vec_id"], float(far["mind"])))
+        center = far["emb"]
+    return embeddings.sparkSession.createDataFrame(
+        picks, "pick_order long, vec_id long, radius double"
+    )

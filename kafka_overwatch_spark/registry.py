@@ -1210,6 +1210,25 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_pca_whiten"] = lambda s, d: similarity.pca_whiten(
         raw(s, d, "embeddings"), model=get_whiten_model(s, d)
     )
+    # r7 continuation: Rocchio nearest-label-centroid classification
+    # (fully oracle-able — centroids are per-dim means, argmax mirrors
+    # max-of-struct)
+    q["emb_label_centroids"] = lambda s, d: similarity.label_centroid_classify(
+        raw(s, d, "embeddings")
+    )
+    # k-center greedy (Gonzalez) coreset selection → rows-only gate
+    # (driver-paced greedy); numpy parity in tests/test_similarity_paths.py
+    q["emb_kcenter_coreset"] = lambda s, d: similarity.kcenter_select(
+        raw(s, d, "embeddings")
+    )
+    # text fuzzy dedup end-to-end (MinHash pairs → connected components
+    # → keeper) → rows-only gate (iterative CC); union-find parity in
+    # tests/test_components.py
+    q["dedup_fuzzy_clusters"] = lambda s, d: dedup.minhash_fuzzy_dedup(
+        raw(s, d, "documents"),
+        docs=get_shingle_docs(s, d),
+        bands=get_minhash_bands(s, d),
+    )
 
     return _driver_check_order(q)
 
@@ -1282,6 +1301,7 @@ _PROMOTED = [
     # witnessed green in r6, unchanged plans this round)
     "text_winnow_fingerprints",
     "text_shared_passages",
+    "emb_label_centroids",
 ]
 
 

@@ -113,3 +113,28 @@ def test_curate_semantic_subset_of_curate(spark, snaps):
     assert sem <= base
     assert sem == base & keep
     assert len(sem) > 0
+
+
+def test_minhash_fuzzy_dedup_matches_union_find(spark, snaps):
+    """Text fuzzy dedup clusters == python union-find over the verified
+    LSH pairs, and every document (including shingle-less ones) appears
+    exactly once with component-min keeper semantics."""
+    from kafka_overwatch_spark.pipelines.dedup import (
+        minhash_fuzzy_dedup,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.table("documents")
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs).collect()
+    ]
+    assert pairs  # fixture has true near-dup text pairs
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    want = _union_find(ids, pairs)
+    rows = minhash_fuzzy_dedup(docs).collect()
+    got = {r["doc_id"]: r["cluster"] for r in rows}
+    assert got == want
+    assert len(rows) == len(ids)  # total: every doc decided
+    for r in rows:
+        assert r["keep"] == (r["doc_id"] == r["cluster"])

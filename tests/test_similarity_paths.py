@@ -282,3 +282,72 @@ def test_pca_whiten_matches_pure_numpy(spark):
     want = np.round((X - mean) @ W.T, 6)
     for i, vid in enumerate(ids):
         assert np.abs(got[vid] - want[i]).max() < 2e-5, vid
+
+
+def test_label_centroids_beat_chance_and_match_self_fit(spark, snaps):
+    """Rocchio self-classification: on a corpus whose labels carry ANY
+    geometric signal, nearest-own-centroid accuracy beats the 1/|labels|
+    chance floor; and on a perfectly separated synthetic set it is
+    exact."""
+    from kafka_overwatch_spark.pipelines.similarity import (
+        label_centroid_classify,
+    )
+
+    out = label_centroid_classify(spark.table("embeddings")).collect()
+    n_labels = len({r["label"] for r in out})
+    acc = sum(r["correct"] for r in out) / len(out)
+    assert acc > 1.5 / n_labels
+
+    # separable witness: axis-aligned one-hot clusters → accuracy 1.0
+    rows = [
+        (int(lab * 10 + i), [0.0] * 64, int(lab))
+        for lab in range(3)
+        for i in range(4)
+    ]
+    for lab in range(3):
+        for i in range(4):
+            rows[lab * 4 + i][1][lab] = 1.0 + 0.1 * i
+    synth = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sout = label_centroid_classify(synth).collect()
+    assert all(r["correct"] for r in sout)
+
+
+def test_kcenter_matches_numpy_greedy(spark, snaps):
+    """k-center greedy == the numpy reference fold (same seed, same
+    rounded cosine distances, same tie order), radii monotone
+    non-increasing, picks distinct."""
+    import numpy as np
+
+    from kafka_overwatch_spark.pipelines.similarity import kcenter_select
+
+    emb = spark.table("embeddings")
+    rows = sorted(
+        (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        for r in emb.collect()
+    )
+    ids = np.array([r[0] for r in rows])
+    X = np.stack([r[1] for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+
+    k = 16
+    picked = [0]  # index of min vec_id (rows sorted)
+    mind = np.full(len(ids), np.inf)
+    want = [(1, int(ids[0]), None)]
+    for step in range(2, k + 1):
+        d = np.round(1.0 - Xn @ Xn[picked[-1]], 6)
+        mind = np.minimum(mind, d)
+        mind[picked] = -np.inf  # picked rows leave the race
+        far = int(np.lexsort((ids, -mind))[0])
+        want.append((step, int(ids[far]), float(mind[far])))
+        picked.append(far)
+
+    got = [
+        (r["pick_order"], r["vec_id"], r["radius"])
+        for r in kcenter_select(emb, k=k).orderBy("pick_order").collect()
+    ]
+    assert got == want
+    radii = [r[2] for r in got[1:]]
+    assert radii == sorted(radii, reverse=True)
+    assert len({r[1] for r in got}) == k
