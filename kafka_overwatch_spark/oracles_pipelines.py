@@ -74,6 +74,17 @@ WITH {NORM_CTE}
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(t) AS fingerprint
 FROM norm GROUP BY md5(t)"""
 
+    # cross-source duplicate overlap: NULL-text docs drop out in both
+    # engines (md5(NULL) joins nothing under NULL-equality semantics)
+    q["dedup_source_overlap"] = f"""
+WITH {NORM_CTE},
+fp AS (SELECT DISTINCT source, md5(t) AS fingerprint FROM norm)
+SELECT a.source AS src_a, b.source AS src_b,
+  CAST(count(*) AS BIGINT) AS shared_fingerprints
+FROM fp a JOIN fp b
+  ON a.fingerprint = b.fingerprint AND a.source <= b.source
+GROUP BY 1, 2"""
+
     q["dedup_minhash_lsh"] = f"""
 WITH {SHINGLE_CTE},
 sig AS (

@@ -260,7 +260,9 @@ def split_drift_psi(documents: DataFrame) -> DataFrame:
 
 
 def split_leakage_audit(
-    documents: DataFrame, docs: DataFrame | None = None
+    documents: DataFrame,
+    docs: DataFrame | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Train/eval split-leakage audit: near-duplicate pairs that CROSS
     the split boundary (an eval doc ≥ JACCARD_THRESHOLD similar to a
@@ -291,8 +293,24 @@ def split_leakage_audit(
     ev = sh.filter(F.col("split") != "train").select(
         "doc_id", "sh", "split"
     )
+    # band values are per-doc, so a memoized whole-corpus band frame
+    # (registry.get_minhash_bands) sliced by split membership equals
+    # in-query derivation — neither side re-runs the signature chain
+    corpus_bands = new_bands = None
+    if bands is not None:
+        with_split = bands.join(splits, "doc_id")
+        corpus_bands = with_split.filter(
+            F.col("split") == "train"
+        ).select("doc_id", "band_id", "band_key")
+        new_bands = with_split.filter(F.col("split") != "train").select(
+            "doc_id", "band_id", "band_key"
+        )
     hits = screen_against_corpus(
-        ev.select("doc_id", "sh"), train, broadcast_probe=False
+        ev.select("doc_id", "sh"),
+        train,
+        corpus_bands=corpus_bands,
+        new_bands=new_bands,
+        broadcast_probe=False,
     )
     return (
         hits.join(
@@ -308,4 +326,36 @@ def split_leakage_audit(
             F.col("corpus_doc").alias("train_doc"),
             "jaccard",
         )
+    )
+
+
+def source_overlap_matrix(documents: DataFrame) -> DataFrame:
+    """Cross-source exact-duplicate overlap matrix: for every ordered
+    source pair (src_a ≤ src_b, self-pairs included), how many distinct
+    normalized-text fingerprints appear in BOTH — the dataset-report
+    diagnostic for which sources copy from which (mirror sites, scraped
+    re-posts, benchmark text syndicated across crawls). The self-pair
+    row counts fingerprints the source holds at all, giving the
+    marginals the off-diagonal cells are read against.
+
+    Scale shape: one distinct on (source, fingerprint) — the only
+    data-sized shuffle, keyed on the 128-bit fingerprint — then a
+    fingerprint-keyed self-join whose per-key fan-out is bounded by
+    |sources|² (sources are a bounded dimension, so a fingerprint
+    shared by every source still produces only |sources|² rows), and a
+    |sources|²-sized aggregate. No broadcast of anything corpus-sized.
+    Output: src_a, src_b, shared_fingerprints."""
+    fp = (
+        documents.select(
+            "source", F.md5(_norm_text()).alias("fingerprint")
+        )
+        .distinct()
+    )
+    a = fp.select(F.col("source").alias("src_a"), "fingerprint")
+    b = fp.select(F.col("source").alias("src_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("src_a") <= F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("shared_fingerprints"))
     )

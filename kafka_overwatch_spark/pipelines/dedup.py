@@ -288,6 +288,7 @@ def screen_against_corpus(
     max_bucket: int = 1000,
     corpus_bands: DataFrame | None = None,
     broadcast_probe: bool = True,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Core of the incremental screen over pre-shingled frames — shared
     by the batch query and the streaming ingest screen
@@ -295,7 +296,11 @@ def screen_against_corpus(
     Pass ``corpus_bands`` to screen against a PERSISTED band index
     (`sinks/layout.write_minhash_index`) instead of re-deriving the
     corpus signatures in-query — the production path once the corpus no
-    longer recomputes per batch.
+    longer recomputes per batch. ``new_bands`` likewise: a pre-built
+    (doc_id, band_id, band_key) frame for the PROBE side (band values
+    are per-doc, so a slice of a memoized whole-corpus band frame is
+    identical to in-query derivation — `split_leakage_audit` uses
+    this).
 
     ``broadcast_probe`` (ADVICE r6): the broadcast hints on the probe
     side assume a SMALL new-batch frame (an ingest micro-batch). A
@@ -310,7 +315,9 @@ def screen_against_corpus(
         "bucket_n",
         F.count("*").over(Window.partitionBy("band_id", "band_key")),
     ).filter(F.col("bucket_n") <= max_bucket)
-    new_bands = minhash_bands(new_shingles).select(
+    if new_bands is None:
+        new_bands = minhash_bands(new_shingles)
+    new_bands = new_bands.select(
         F.col("doc_id").alias("new_doc"), "band_id", "band_key"
     )
     if broadcast_probe:
@@ -472,12 +479,32 @@ def containment_probe_audit(
     ).crossJoin(at_risk.agg(F.count("*").alias("docs_at_risk")))
 
 
+def containment_capped_postings(
+    docs: DataFrame, max_bucket: int = 10_000
+) -> DataFrame:
+    """The capped posting list (doc_id → shingle, degenerate boilerplate
+    shingles above ``max_bucket`` dropped) — the other persistable index
+    artifact of the containment family besides the probe frame: the
+    bucket-size window over corpus-grain postings is the most expensive
+    single step of `containment_pairs_prefix`, and at 100 TB both live
+    as written tables next to the band index. Returns (doc_b, s)."""
+    postings = docs.select("doc_id", F.explode("sh").alias("s"))
+    return (
+        postings.withColumn(
+            "bucket_n", F.count("*").over(Window.partitionBy("s"))
+        )
+        .filter(F.col("bucket_n") <= max_bucket)
+        .select(F.col("doc_id").alias("doc_b"), "s")
+    )
+
+
 def containment_pairs_prefix(
     documents: DataFrame,
     threshold: float = 0.8,
     max_bucket: int = 10_000,
     docs: DataFrame | None = None,
     probes: DataFrame | None = None,
+    capped_postings: DataFrame | None = None,
 ) -> DataFrame:
     """Same output contract as ``containment_pairs`` WITHOUT the
     all-pairs block — the registered, scale-valid surface via PREFIX
@@ -512,13 +539,10 @@ def containment_pairs_prefix(
     if probes is None:
         probes = _containment_probes(docs, threshold, max_bucket)
     ranked = probes.select(F.col("doc_id").alias("doc_a"), "s")
-    postings = docs.select("doc_id", F.explode("sh").alias("s"))
     capped = (
-        postings.withColumn(
-            "bucket_n", F.count("*").over(Window.partitionBy("s"))
-        )
-        .filter(F.col("bucket_n") <= max_bucket)
-        .select(F.col("doc_id").alias("doc_b"), "s")
+        capped_postings
+        if capped_postings is not None
+        else containment_capped_postings(docs, max_bucket)
     )
     cand = (
         ranked.join(capped, "s")

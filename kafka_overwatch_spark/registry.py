@@ -295,6 +295,22 @@ def get_containment_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CONTAINMENT_PROBES_CACHE[key]
 
 
+_CONTAINMENT_CAPPED_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def get_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized capped posting list at the default max_bucket — the
+    bucket-size window over corpus-grain postings is the most expensive
+    single step of the containment query; persisted-index twin of
+    get_containment_probes."""
+    key = (id(spark), sf_dir)
+    if key not in _CONTAINMENT_CAPPED_CACHE:
+        _CONTAINMENT_CAPPED_CACHE[key] = dedup.containment_capped_postings(
+            get_shingle_docs(spark, sf_dir), 10_000
+        ).localCheckpoint(eager=True)
+    return _CONTAINMENT_CAPPED_CACHE[key]
+
+
 _DSIR_BUCKETED_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
@@ -849,13 +865,16 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda s, d: sampling.per_key_cap_summary(raw(s, d, "events"))
     )
     q["split_leakage"] = lambda s, d: curation.split_leakage_audit(
-        raw(s, d, "documents"), docs=get_shingle_docs(s, d)
+        raw(s, d, "documents"),
+        docs=get_shingle_docs(s, d),
+        bands=get_minhash_bands(s, d),
     )
     q["dedup_containment"] = (
         lambda s, d: dedup.containment_pairs_prefix(
             raw(s, d, "documents"),
             docs=get_shingle_docs(s, d),
             probes=get_containment_probes(s, d),
+            capped_postings=get_containment_capped(s, d),
         )
     )
     # recall-risk observability for the bucket cap (ADVICE r6):
@@ -1241,6 +1260,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (driver-paced greedy); numpy parity in tests/test_similarity_paths.py
     q["emb_kcenter_coreset"] = lambda s, d: similarity.kcenter_select(
         raw(s, d, "embeddings")
+    )
+    # cross-source duplicate overlap matrix (dataset-report diagnostic;
+    # fully oracle-able)
+    q["dedup_source_overlap"] = lambda s, d: curation.source_overlap_matrix(
+        raw(s, d, "documents")
     )
     # text fuzzy dedup end-to-end (MinHash pairs → connected components
     # → keeper) → rows-only gate (iterative CC); union-find parity in

@@ -534,3 +534,57 @@ def test_morton_code_is_bijective(pairs):
     # order-of-magnitude locality: codes of equal (x, y) collide only
     # for equal pairs
     assert len({r[2] for r in rows}) == len({(x, y) for x, y in pairs})
+
+
+def test_source_overlap_marginals(spark, snaps):
+    """Overlap-matrix laws: the self-pair row equals the source's own
+    distinct-fingerprint count, and every off-diagonal cell is bounded
+    by the smaller of its two marginals."""
+    from pyspark.sql import functions as F
+
+    from kafka_overwatch_spark.pipelines.curation import (
+        source_overlap_matrix,
+    )
+    from kafka_overwatch_spark.pipelines.dedup import _norm_text
+
+    docs = spark.table("documents")
+    rows = source_overlap_matrix(docs).collect()
+    diag = {
+        r["src_a"]: r["shared_fingerprints"]
+        for r in rows
+        if r["src_a"] == r["src_b"]
+    }
+    own = {
+        r["source"]: r["n"]
+        for r in docs.select(
+            "source", F.md5(_norm_text()).alias("fp")
+        )
+        .filter(F.col("fp").isNotNull())
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert diag == own
+    for r in rows:
+        if r["src_a"] != r["src_b"]:
+            assert r["shared_fingerprints"] <= min(
+                diag[r["src_a"]], diag[r["src_b"]]
+            )
+    # the fixture's dup clusters are within-source by construction, so a
+    # constructed cross-source witness proves the off-diagonal counts:
+    # "same text" crosses A↔B (and whitespace-normalizes equal), "b only"
+    # stays in B
+    synth = spark.createDataFrame(
+        [
+            (1, "same text", "en", "A", 9),
+            (2, "same  TEXT ", "en", "B", 11),
+            (3, "b only", "en", "B", 6),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    cells = {
+        (r["src_a"], r["src_b"]): r["shared_fingerprints"]
+        for r in source_overlap_matrix(synth).collect()
+    }
+    assert cells == {("A", "A"): 1, ("A", "B"): 1, ("B", "B"): 2}
