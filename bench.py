@@ -185,6 +185,11 @@ EXTRA = [
     "tpch_shipmode_priority",
     "events_rfm_segments",
     "sampling_epoch_mix",
+    # round 7, continuation
+    "emb_label_centroids",
+    "dedup_source_overlap",
+    "dedup_fuzzy_clusters",
+    "emb_kcenter_coreset",
 ]
 
 

@@ -553,3 +553,37 @@ def test_no_fact_grain_broadcast_hints(spark, snaps):
             name,
             [ln for ln in plan.split("\n") if "roadcast" in ln],
         )
+
+
+def test_label_centroids_scoring_is_jvm_and_bounded(spark, snaps):
+    """Rocchio plan locks: zero Python in the plan (scoring is JVM
+    higher-order folds), no shuffle of vector rows after the centroid
+    fit — the only exchanges carry per-dim partial sums / the one-row
+    centroid table — and the corpus side reaches the scorer via a
+    broadcast of the ONE-row centroid frame, never the reverse."""
+    from kafka_overwatch_spark.pipelines.similarity import (
+        label_centroid_classify,
+    )
+
+    plan = _final_plan(label_centroid_classify(spark.table("embeddings")))
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row centroid crossJoin
+    assert "CartesianProduct" not in plan
+    # bounded exchange count: per-dim agg (partial+final pairs), the
+    # label-grain collect_list, the one-row collect — NOT a vec-grain
+    # join shuffle (which would add exchanges on vec_id)
+    assert plan.count("Exchange") <= 8
+
+
+def test_source_overlap_no_cartesian(spark, snaps):
+    """The overlap matrix joins by fingerprint KEY — a cartesian (or
+    broadcast nested loop) over the corpus would be the quadratic
+    anti-pattern this plan lock pins out."""
+    from kafka_overwatch_spark.pipelines.curation import (
+        source_overlap_matrix,
+    )
+
+    plan = _final_plan(source_overlap_matrix(spark.table("documents")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
