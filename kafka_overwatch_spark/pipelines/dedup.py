@@ -1059,6 +1059,60 @@ def neardup_components(
     return labels
 
 
+def minhash_source_overlap(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    docs: DataFrame | None = None,
+    bands: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-source NEAR-duplicate overlap: the verified MinHash-LSH
+    pairs rolled up to source-pair grain — the fuzzy companion of
+    `curation.source_overlap_matrix` (exact fingerprints catch mirrors;
+    this catches templated rewrites and boilerplate families that
+    differ by a few tokens). Source pairs are order-normalized
+    (src_a ≤ src_b); self-pairs count within-source near-dup mass.
+
+    jaccard mass is summed as DECIMAL(10,6) over the already-rounded
+    pair values — order-independent, bit-identical in the oracle — and
+    cast to double once at the end.
+
+    Scale shape: the pair frame inherits the banded-LSH shape; source
+    attribution rides two doc-keyed joins (per-doc source is
+    corpus-grain — keyed, never broadcast); the rollup is a
+    |sources|²-bounded aggregate. Output: src_a, src_b, pair_count,
+    jaccard_sum."""
+    pairs = minhash_lsh_pairs(documents, threshold, docs=docs, bands=bands)
+    src = documents.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("sb"),
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+            F.col("jaccard").cast("decimal(10,6)").alias("jd"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").alias("pair_count"),
+            F.sum("jd").cast("double").alias("jaccard_sum"),
+        )
+    )
+
+
 def minhash_fuzzy_dedup(
     documents: DataFrame,
     threshold: float = JACCARD_THRESHOLD,

@@ -1266,6 +1266,15 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_source_overlap"] = lambda s, d: curation.source_overlap_matrix(
         raw(s, d, "documents")
     )
+    # fuzzy companion: verified MinHash near-dup pairs at source-pair
+    # grain (oracle wraps the LSH pair SQL as a subquery)
+    q["dedup_source_overlap_fuzzy"] = (
+        lambda s, d: dedup.minhash_source_overlap(
+            raw(s, d, "documents"),
+            docs=get_shingle_docs(s, d),
+            bands=get_minhash_bands(s, d),
+        )
+    )
     # text fuzzy dedup end-to-end (MinHash pairs → connected components
     # → keeper) → rows-only gate (iterative CC); union-find parity in
     # tests/test_components.py

@@ -588,3 +588,61 @@ def test_source_overlap_marginals(spark, snaps):
         for r in source_overlap_matrix(synth).collect()
     }
     assert cells == {("A", "A"): 1, ("A", "B"): 1, ("B", "B"): 2}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # label
+            st.lists(
+                st.integers(-50, 50).map(lambda v: v / 10.0),
+                min_size=4,
+                max_size=4,
+            ).filter(lambda v: any(x != 0 for x in v)),
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_label_centroids_match_numpy(spark, rows):
+    """Rocchio vs a straight-numpy reimplementation on generated
+    low-dim vectors: same centroids, same rounded cosines, same
+    argmax incl. the ties-to-largest-label order."""
+    import numpy as np
+
+    from kafka_overwatch_spark.pipelines.similarity import (
+        label_centroid_classify,
+    )
+
+    df = spark.createDataFrame(
+        [(i, vec, lab) for i, (lab, vec) in enumerate(rows)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        r["vec_id"]: (r["predicted_label"], r["cosine"])
+        for r in label_centroid_classify(df).collect()
+    }
+
+    # float32 ingestion first — Spark stores array<float>
+    X = np.array(
+        [np.array(vec, dtype=np.float32) for _, vec in rows],
+        dtype=np.float64,
+    )
+    labs = np.array([lab for lab, _ in rows])
+    cents = {
+        lab: X[labs == lab].mean(axis=0) for lab in sorted(set(labs))
+    }
+    for i in range(len(rows)):
+        best = None
+        for lab in sorted(cents):
+            c = cents[lab]
+            denom = np.linalg.norm(X[i]) * np.linalg.norm(c)
+            cos = round(float(X[i] @ c) / denom, 6) if denom else None
+            if cos is None:
+                continue
+            if best is None or (cos, lab) > best:
+                best = (cos, lab)
+        if best is None:
+            continue  # zero-norm centroid: cosine undefined, skip
+        assert got[i] == (best[1], best[0]), (i, got[i], best)
