@@ -188,6 +188,7 @@ EXTRA = [
     # round 7, continuation
     "emb_label_centroids",
     "dedup_source_overlap",
+    "dedup_source_overlap_fuzzy",
     "dedup_fuzzy_clusters",
     "emb_kcenter_coreset",
 ]
