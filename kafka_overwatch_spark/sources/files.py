@@ -12,6 +12,10 @@ CSV. What differs per format is only schema fidelity:
 - csv: schema MUST be pinned AND timestamps round-trip through ISO
   strings; `timestampFormat` below matches `df.write.csv`'s default
   serialization.
+- orc: the other columnar format (built into Spark, no extra package) —
+  self-describing like parquet, native timestamp types, same
+  per-stripe split parallelism; the schema is still pinned on read for
+  cross-format stability.
 
 At 100 TB the rule is: columnar in (parquet/ORC) for analytics, row
 formats only at the ingest edge — JSON/CSV readers here exist for edge
@@ -31,6 +35,7 @@ _EXT_FORMAT = {
     ".json": "json",
     ".jsonl": "json",
     ".csv": "csv",
+    ".orc": "orc",
 }
 
 # NTZ timestamps serialize via timestampNTZFormat (timestampFormat only
@@ -69,6 +74,8 @@ def read_table(
     reader = spark.read.schema(schema)
     if fmt == "parquet":
         return reader.parquet(path)
+    if fmt == "orc":
+        return reader.orc(path)
     if fmt == "json":
         return _ts_opts(reader).json(path)
     if fmt == "csv":
@@ -82,6 +89,8 @@ def write_table(df: DataFrame, path: str, fmt: str) -> None:
     writer = df.write.mode("overwrite")
     if fmt == "parquet":
         writer.parquet(path)
+    elif fmt == "orc":
+        writer.orc(path)
     elif fmt == "json":
         _ts_opts(writer).json(path)
     elif fmt == "csv":

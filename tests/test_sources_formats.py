@@ -1,5 +1,5 @@
-"""Source-format seam: the same table read from parquet, JSON lines, and
-CSV (pinned schema) yields identical rows, and a registered query over
+"""Source-format seam: the same table read from parquet, ORC, JSON lines,
+and CSV (pinned schema) yields identical rows, and a registered query over
 the non-parquet copy matches the DuckDB oracle over the parquet one."""
 
 from __future__ import annotations
@@ -19,7 +19,7 @@ def test_round_trip_all_formats_identical(spark):
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     want = sorted(map(tuple, ev.collect()))
     with tempfile.TemporaryDirectory() as tmp:
-        for fmt in ("parquet", "json", "csv"):
+        for fmt in ("parquet", "orc", "json", "csv"):
             path = f"{tmp}/events_{fmt}"
             write_table(ev, path, fmt)
             got = read_table(spark, path, ev.schema, fmt)
