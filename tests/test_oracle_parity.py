@@ -34,3 +34,15 @@ def test_parity_all(spark, oracle):
         except Exception as exc:  # noqa: BLE001 — collect engine errors too
             failures.append(f"{qname}: ERROR {type(exc).__name__}: {exc}")
     assert not failures, "\n".join(failures)
+
+
+def test_promoted_names_all_resolve():
+    """_driver_check_order silently drops unknown names — a typo in
+    _PROMOTED would silently eject a query from the driver window, so
+    pin that every promoted name is registered."""
+    from kafka_overwatch_spark import registry
+
+    q = registry.spark_queries()
+    missing = [n for n in registry._PROMOTED if n not in q]
+    assert not missing, missing
+    assert len(set(registry._PROMOTED)) == len(registry._PROMOTED)
