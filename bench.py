@@ -191,6 +191,7 @@ EXTRA = [
     "dedup_source_overlap_fuzzy",
     "dedup_fuzzy_clusters",
     "emb_kcenter_coreset",
+    "events_survival_km",
 ]
 
 

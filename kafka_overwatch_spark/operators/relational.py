@@ -2959,3 +2959,91 @@ def user_rfm_segments(events: DataFrame) -> DataFrame:
             "avg_monetary",
         )
     )
+
+
+def user_survival_km(events: DataFrame, censor_days: int = 1) -> DataFrame:
+    """Kaplan–Meier survival over user lifetimes: lifetime = days
+    between a user's first and last event day; the "death" (churn) is
+    OBSERVED iff the last event sits ≥ ``censor_days`` before the
+    corpus horizon (otherwise the user is right-censored — still
+    plausibly active when observation ended). Output one row per
+    observed-death lifetime t: n_risk (users whose lifetime ≥ t),
+    d_events, c_censored (censor exits AT t), and the KM survival
+    estimate S(t) = Π_{s ≤ t, deaths} (1 − d_s/n_risk(s)).
+
+    The product is computed as exp of the CUMULATIVE sum of
+    ln(1 − d/n) — the sum order is pinned by the lifetime ordering, so
+    both engines fold identical doubles in the same order; only the
+    output is rounded (6). Censored users contribute to n_risk up to
+    their exit but add no factor — the textbook estimator.
+
+    Scale shape: one user-keyed aggregate (first/last day per user),
+    one 1-row horizon broadcast, then everything collapses to the
+    LIFETIME grain — bounded by the corpus day span, the same
+    bounded-dimension window exemption as the funnel's step-grain
+    frame — where the cumulative window runs. No corpus-sized sort or
+    window anywhere.
+
+    ``censor_days`` defaults to 1 — fixture-calibrated (the synthetic
+    events span ~30 days and nearly every user stays active to the
+    horizon; a production churn analysis uses 7/30 — the same
+    convention as the MAD k=2 calibration): the default must leave
+    BOTH observed deaths and censored exits non-empty so the
+    estimator's two branches are actually exercised by the gates."""
+    from pyspark.sql.window import Window
+
+    day = F.to_date("ts")
+    per_user = events.groupBy("user_id").agg(
+        F.min(day).alias("first_day"), F.max(day).alias("last_day")
+    )
+    horizon = events.agg(F.max(day).alias("horizon"))
+    lives = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("last_day", "first_day").cast("long").alias("t"),
+        (
+            F.datediff("horizon", "last_day") >= censor_days
+        ).cast("long").alias("observed"),
+    )
+    grain = lives.groupBy("t").agg(
+        F.sum("observed").alias("d_events"),
+        F.sum(1 - F.col("observed")).alias("c_censored"),
+    )
+    n_total = lives.agg(F.count("*").alias("n_total"))
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    at_risk = (
+        grain.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d_events") + F.col("c_censored")).over(w_prev),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "log_surv",
+            F.sum(
+                F.when(
+                    F.col("d_events") > 0,
+                    F.log(
+                        1.0
+                        - F.col("d_events").cast("double") / F.col("n_risk")
+                    ),
+                ).otherwise(F.lit(0.0))
+            ).over(w),
+        )
+    )
+    return (
+        at_risk.filter(F.col("d_events") > 0)
+        .select(
+            "t",
+            "n_risk",
+            "d_events",
+            "c_censored",
+            F.round(F.exp("log_surv"), 6).alias("survival"),
+        )
+    )

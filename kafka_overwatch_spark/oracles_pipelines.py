@@ -2378,6 +2378,47 @@ SELECT CAST(count(*) AS BIGINT) AS dims,
     AS centroid_cosine
 FROM j"""
 
+    # Kaplan–Meier user-lifetime survival: cumulative exp-sum-ln
+    # product over the bounded lifetime grain; sum order pinned by the
+    # lifetime ordering in both engines
+    q["events_survival_km"] = """
+WITH per_user AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l
+  FROM events GROUP BY user_id
+),
+horizon AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+lives AS (
+  SELECT CAST(datediff('day', f, l) AS BIGINT) AS t,
+    CASE WHEN datediff('day', l, h) >= 1 THEN 1 ELSE 0 END AS observed
+  FROM per_user, horizon
+),
+grain AS (
+  SELECT t, sum(observed) AS d_events,
+    sum(1 - observed) AS c_censored
+  FROM lives GROUP BY t
+),
+n AS (SELECT count(*) AS n_total FROM lives),
+ar AS (
+  SELECT g.t, g.d_events, g.c_censored, n.n_total
+    - coalesce(sum(g.d_events + g.c_censored) OVER (
+        ORDER BY g.t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      ), 0) AS n_risk
+  FROM grain g, n
+),
+s AS (
+  SELECT *, sum(CASE WHEN d_events > 0
+      THEN ln(1.0 - CAST(d_events AS DOUBLE) / n_risk)
+      ELSE 0.0 END) OVER (
+      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS log_surv
+  FROM ar
+)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+  CAST(d_events AS BIGINT) AS d_events,
+  CAST(c_censored AS BIGINT) AS c_censored,
+  round(exp(log_surv), 6) AS survival
+FROM s WHERE d_events > 0"""
+
     # Rocchio nearest-label-centroid classification: per-dim avg
     # centroids via list indexing (Spark posexplodes), cosine argmax
     # with ties to the LARGEST label — row_number (cosine DESC, cand

@@ -970,6 +970,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_stickiness"] = lambda s, d: relational.engagement_stickiness(
         raw(s, d, "events")
     )
+    # r7 continuation: Kaplan–Meier churn survival curve (oracle-able)
+    q["events_survival_km"] = lambda s, d: relational.user_survival_km(
+        raw(s, d, "events")
+    )
     q["tpch_return_rate_control"] = (
         lambda s, d: relational.return_rate_control_chart(
             raw(s, d, "lineitem"), raw(s, d, "part")
@@ -1356,6 +1360,7 @@ _PROMOTED = [
     "text_winnow_fingerprints",
     "text_shared_passages",
     "emb_label_centroids",
+    "events_survival_km",
 ]
 
 

@@ -244,3 +244,41 @@ def test_shipmode_priority_counts_tile_window(spark):
     # buckets negatives consistently in both engines, so just pin that
     # the bucket axis is bounded (|delay| < ~7 years of days / 30)
     assert all(abs(r.latency_bucket) < 100 for r in rows)
+
+
+def test_survival_km_textbook_fixture(spark):
+    """Hand-computed KM on a constructed cohort: deaths at t=2 (x2) and
+    t=5, censored exits at t=0 and t=6 (horizon-day users) — censored
+    exits shrink n_risk but contribute NO survival factor, and
+    non-death lifetimes emit no output row."""
+    import datetime
+
+    from kafka_overwatch_spark.operators.relational import user_survival_km
+
+    def ev(i, uid, day):
+        return (
+            i,
+            datetime.datetime(2024, 1, day, 12, 0, 0),
+            uid,
+            "click",
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        ev(0, 1, 1), ev(1, 1, 3),    # t=2, death
+        ev(2, 2, 5), ev(3, 2, 7),    # t=2, death
+        ev(4, 3, 1), ev(5, 3, 6),    # t=5, death
+        ev(6, 4, 25), ev(7, 4, 31),  # t=6, censored (last = horizon)
+        ev(8, 5, 31),                # t=0, censored; pins horizon
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = [
+        (r["t"], r["n_risk"], r["d_events"], r["c_censored"], r["survival"])
+        for r in user_survival_km(df).orderBy("t").collect()
+    ]
+    # N=5; exits before t=2: the t=0 censor → n_risk(2)=4, S=1-2/4=0.5
+    # exits before t=5: 1 censor + 2 deaths → n_risk(5)=2, S=0.5*(1-1/2)
+    assert got == [(2, 4, 2, 0, 0.5), (5, 2, 1, 0, 0.25)]
