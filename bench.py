@@ -192,6 +192,7 @@ EXTRA = [
     "dedup_fuzzy_clusters",
     "emb_kcenter_coreset",
     "events_survival_km",
+    "events_daily_acf",
 ]
 
 

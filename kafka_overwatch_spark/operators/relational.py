@@ -3047,3 +3047,55 @@ def user_survival_km(events: DataFrame, censor_days: int = 1) -> DataFrame:
             F.round(F.exp("log_surv"), 6).alias("survival"),
         )
     )
+
+
+def daily_acf(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags
+    1..max_lag — the seasonality diagnostic (a weekly cycle shows as a
+    lag-7 peak). Pearson r per lag over (c(day), c(day − lag)) pairs,
+    computed from INTEGER-EXACT co-moments (n, Σx, Σy, Σxy, Σx², Σy²
+    are all long sums of integer counts — bit-identical in any engine
+    and any aggregation order) with ONE double formula + round(6) at
+    the end; no float accumulates across rows.
+
+    Scale shape: one day-grain aggregate off the fact table, then
+    everything lives on the bounded day grain: a max_lag-wide explode
+    (bounded fan-out), a (day+lag)-keyed equi-join of the day series
+    against itself, and a |lags|-row aggregate. Output: lag, n_pairs,
+    acf."""
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = events.groupBy(day.alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    lags = F.explode(
+        F.sequence(F.lit(1), F.lit(max_lag))
+    ).alias("lag")
+    x = daily.select("day", F.col("c").alias("x"), lags)
+    y = daily.select(
+        (F.col("day")).alias("yday"), F.col("c").alias("y")
+    )
+    pairs = x.join(
+        y, x.day - F.col("lag") == F.col("yday")
+    ).select("lag", "x", "y")
+    # co-moments as DECIMAL(38,0): exact at any scale (day counts can
+    # reach 1e10 at 100 TB — a long×long product would overflow), and
+    # DuckDB's BIGINT sums promote to HUGEINT with the same exactness
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    m = pairs.groupBy("lag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "lag", "n_pairs", F.round(num / den, 6).alias("acf")
+    ).orderBy("lag")

@@ -2378,6 +2378,36 @@ SELECT CAST(count(*) AS BIGINT) AS dims,
     AS centroid_cosine
 FROM j"""
 
+    # Daily-count autocorrelation: integer-exact co-moments (BIGINT
+    # sums promote to HUGEINT) then ONE double formula, like Spark's
+    # decimal(38,0) sums — no float accumulates across rows
+    q["events_daily_acf"] = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+    count(*) AS c
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT l.lag, x.c AS x, y.c AS y
+  FROM daily x
+  CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l
+  JOIN daily y ON x.day - l.lag = y.day
+),
+m AS (
+  SELECT lag, count(*) AS n_pairs,
+    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+    sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+  round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
+FROM m"""
+
     # Kaplan–Meier user-lifetime survival: cumulative exp-sum-ln
     # product over the bounded lifetime grain; sum order pinned by the
     # lifetime ordering in both engines

@@ -974,6 +974,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_survival_km"] = lambda s, d: relational.user_survival_km(
         raw(s, d, "events")
     )
+    # r7 continuation: daily-count autocorrelation (seasonality
+    # diagnostic; integer-exact co-moments, oracle-able)
+    q["events_daily_acf"] = lambda s, d: relational.daily_acf(
+        raw(s, d, "events")
+    )
     q["tpch_return_rate_control"] = (
         lambda s, d: relational.return_rate_control_chart(
             raw(s, d, "lineitem"), raw(s, d, "part")
@@ -1361,6 +1366,7 @@ _PROMOTED = [
     "text_shared_passages",
     "emb_label_centroids",
     "events_survival_km",
+    "events_daily_acf",
 ]
 
 

@@ -282,3 +282,37 @@ def test_survival_km_textbook_fixture(spark):
     # N=5; exits before t=2: the t=0 censor → n_risk(2)=4, S=1-2/4=0.5
     # exits before t=5: 1 censor + 2 deaths → n_risk(5)=2, S=0.5*(1-1/2)
     assert got == [(2, 4, 2, 0, 0.5), (5, 2, 1, 0, 0.25)]
+
+
+def test_daily_acf_matches_numpy(spark):
+    """ACF values equal numpy's Pearson r on the same lagged pairs."""
+    import numpy as np
+
+    from kafka_overwatch_spark.operators.relational import daily_acf
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from pyspark.sql import functions as F
+
+    daily = {
+        r["day"]: r["c"]
+        for r in ev.groupBy(
+            (F.floor(F.unix_timestamp("ts") / 86400)).cast("long").alias("day")
+        )
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    got = {
+        r["lag"]: (r["n_pairs"], r["acf"])
+        for r in daily_acf(ev).collect()
+    }
+    for lag in range(1, 8):
+        xs, ys = [], []
+        for d, c in daily.items():
+            if d - lag in daily:
+                xs.append(c)
+                ys.append(daily[d - lag])
+        if len(xs) < 2:
+            assert lag not in got or got[lag][0] == len(xs)
+            continue
+        want = round(float(np.corrcoef(xs, ys)[0, 1]), 6)
+        assert got[lag] == (len(xs), want), (lag, got[lag], want)
