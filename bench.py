@@ -193,6 +193,7 @@ EXTRA = [
     "emb_kcenter_coreset",
     "events_survival_km",
     "events_daily_acf",
+    "text_encode_fake",
 ]
 
 

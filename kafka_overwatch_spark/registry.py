@@ -1284,6 +1284,16 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             bands=get_minhash_bands(s, d),
         )
     )
+    # text → embedding encoder seam (deterministic fake model; real
+    # model import-guarded) → rows-only gate (md5-seeded PCG64 stream
+    # is not SQL-expressible); determinism/unit-norm/end-to-end tests
+    # in tests/test_encode.py
+    def _encode(s_, d_):
+        from .pipelines.encode import encode_documents
+
+        return encode_documents(raw(s_, d_, "documents"))
+
+    q["text_encode_fake"] = _encode
     # text fuzzy dedup end-to-end (MinHash pairs → connected components
     # → keeper) → rows-only gate (iterative CC); union-find parity in
     # tests/test_components.py
