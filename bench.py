@@ -194,6 +194,7 @@ EXTRA = [
     "events_survival_km",
     "events_daily_acf",
     "text_encode_fake",
+    "events_holt_forecast",
 ]
 
 

@@ -3099,3 +3099,68 @@ def daily_acf(events: DataFrame, max_lag: int = 7) -> DataFrame:
     return m.select(
         "lag", "n_pairs", F.round(num / den, 6).alias("acf")
     ).orderBy("lag")
+
+
+def daily_holt_forecast(
+    events: DataFrame, alpha: float = 0.3, beta: float = 0.1
+) -> DataFrame:
+    """Holt linear-trend exponential smoothing over each type's daily
+    value series, with 1-day and 7-day-ahead forecasts — the
+    capacity-planning primitive one step up from the regr_slope trend
+    (topic_throughput_trend): the trend state ADAPTS instead of
+    fitting one global line. Textbook init (Hyndman & Athanasopoulos):
+    l₁ = x₁, b₁ = x₂ − x₁, then for t ≥ 2
+    l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1}),
+    b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1};
+    ŷ(h) = l_n + h·b_n. (With this init l₂ = x₂ and b₂ = x₂ − x₁
+    exactly — the fold exploits that.) A 1-day series has no trend
+    estimate: trend/forecasts NULL-propagate honestly.
+
+    Scale shape: identical to daily_ewma_cusum — the daily rollup is
+    the only fact-sized work; the nonlinear recurrence folds each
+    type's bounded day series with a JVM higher-order ``aggregate``
+    (zero Python). Rows-only gate (recurrences aren't ANSI-SQL); exact
+    python-fold parity in tests/test_relational_extras.py. Output:
+    event_type, days, level, trend, forecast_1, forecast_7."""
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = events.groupBy(
+        "event_type", day.alias("day")
+    ).agg(F.sum(_dec("value")).cast("double").alias("x"))
+    per_type = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("series")
+    )
+    a, b = alpha, beta
+    folded = per_type.select(
+        "event_type",
+        F.size("series").alias("days"),
+        F.expr(
+            f"""
+            aggregate(
+              series,
+              struct(CAST(0 AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS l,
+                     CAST(NULL AS DOUBLE) AS b),
+              (acc, s) -> CASE
+                WHEN acc.n = 0 THEN
+                  struct(CAST(1 AS BIGINT) AS n, s.x AS l,
+                         CAST(NULL AS DOUBLE) AS b)
+                WHEN acc.n = 1 THEN
+                  struct(CAST(2 AS BIGINT) AS n, s.x AS l,
+                         s.x - acc.l AS b)
+                ELSE
+                  struct(acc.n + 1 AS n,
+                    {a} * s.x + {1 - a} * (acc.l + acc.b) AS l,
+                    {b} * ({a} * s.x + {1 - a} * (acc.l + acc.b)
+                      - acc.l) + {1 - b} * acc.b AS b)
+              END
+            )
+            """
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        "days",
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.b"), 6).alias("trend"),
+        F.round(F.col("st.l") + F.col("st.b"), 6).alias("forecast_1"),
+        F.round(F.col("st.l") + 7 * F.col("st.b"), 6).alias("forecast_7"),
+    )

@@ -979,6 +979,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_daily_acf"] = lambda s, d: relational.daily_acf(
         raw(s, d, "events")
     )
+    # r7 continuation: Holt linear-trend smoothing + h-step forecast
+    # (nonlinear recurrence → rows-only; python-fold parity)
+    q["events_holt_forecast"] = lambda s, d: relational.daily_holt_forecast(
+        raw(s, d, "events")
+    )
     q["tpch_return_rate_control"] = (
         lambda s, d: relational.return_rate_control_chart(
             raw(s, d, "lineitem"), raw(s, d, "part")

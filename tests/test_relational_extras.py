@@ -316,3 +316,62 @@ def test_daily_acf_matches_numpy(spark):
             continue
         want = round(float(np.corrcoef(xs, ys)[0, 1]), 6)
         assert got[lag] == (len(xs), want), (lag, got[lag], want)
+
+
+def test_holt_forecast_matches_python_fold(spark):
+    """Holt level/trend == the exact python recursion on every type's
+    sorted daily series (same init, same rounding), and the 1-day
+    series NULL-propagates its trend."""
+    from pyspark.sql import functions as F
+
+    from kafka_overwatch_spark.operators.relational import daily_holt_forecast
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    alpha, beta = 0.3, 0.1
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("x")
+        )
+        .collect()
+    )
+    series: dict[str, list[tuple[int, float]]] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["x"]))
+    got = {r["event_type"]: r for r in daily_holt_forecast(ev).collect()}
+    for et, pts in series.items():
+        xs = [x for _, x in sorted(pts)]
+        l, b = xs[0], None
+        for i, x in enumerate(xs):
+            if i == 0:
+                continue
+            if i == 1:
+                l, b = x, x - l
+            else:
+                lnew = alpha * x + (1 - alpha) * (l + b)
+                b = beta * (lnew - l) + (1 - beta) * b
+                l = lnew
+        r = got[et]
+        assert r["days"] == len(xs)
+        assert r["level"] == round(l, 6)
+        if b is None:
+            assert r["trend"] is None and r["forecast_7"] is None
+        else:
+            assert r["trend"] == round(b, 6)
+            assert r["forecast_1"] == round(l + b, 6)
+            assert r["forecast_7"] == round(l + 7 * b, 6)
+
+    # 1-point series: trend is honestly NULL
+    import datetime
+
+    one = spark.createDataFrame(
+        [(0, datetime.datetime(2024, 1, 1), 1, "solo", 5.0, "{}")],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    r = daily_holt_forecast(one).collect()[0]
+    assert (r["days"], r["level"], r["trend"]) == (1, 5.0, None)
