@@ -195,6 +195,7 @@ EXTRA = [
     "events_daily_acf",
     "text_encode_fake",
     "events_holt_forecast",
+    "events_dow_seasonality",
 ]
 
 

@@ -3164,3 +3164,39 @@ def daily_holt_forecast(
         F.round(F.col("st.l") + F.col("st.b"), 6).alias("forecast_1"),
         F.round(F.col("st.l") + 7 * F.col("st.b"), 6).alias("forecast_7"),
     )
+
+
+def dow_seasonality(events: DataFrame) -> DataFrame:
+    """Day-of-week seasonal index of event volume: mean daily count per
+    weekday slot divided by the overall mean daily count — the additive
+    companion to daily_acf's lag-7 diagnostic (ACF says "there is a
+    weekly cycle"; this says what it looks like). The weekday is
+    ``epoch_day % 7`` — pure integer arithmetic, identical in any
+    engine, deliberately NOT a calendar dayofweek() (whose week origin
+    differs across engines/locales); slot 0 is 1970-01-01 (a Thursday).
+
+    All means are exact-integer sums divided once; the index divides
+    two such rationals (round 6). One day-grain rollup off the fact
+    table, then everything is ≤7 rows. Output: dow_slot, n_days,
+    avg_events, seasonal_index."""
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = events.groupBy(day.alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    overall = daily.agg(F.avg("c").alias("overall_avg"))
+    return (
+        daily.groupBy((F.col("day") % 7).alias("dow_slot"))
+        .agg(
+            F.count("*").alias("n_days"),
+            F.avg("c").alias("raw_avg"),
+        )
+        .crossJoin(F.broadcast(overall))
+        .select(
+            "dow_slot",
+            "n_days",
+            F.round(F.col("raw_avg"), 6).alias("avg_events"),
+            F.round(
+                F.col("raw_avg") / F.col("overall_avg"), 6
+            ).alias("seasonal_index"),
+        )
+    )

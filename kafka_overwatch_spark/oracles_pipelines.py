@@ -2408,6 +2408,22 @@ SELECT CAST(lag AS BIGINT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
 FROM m"""
 
+    # Day-of-week seasonal index: weekday slot is epoch_day % 7 (pure
+    # integer arithmetic — NOT dayofweek(), whose week origin differs
+    # across engines); means are exact-integer rationals divided once
+    q["events_dow_seasonality"] = """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+    count(*) AS c
+  FROM events GROUP BY 1
+),
+overall AS (SELECT avg(c) AS overall_avg FROM daily)
+SELECT day % 7 AS dow_slot, CAST(count(*) AS BIGINT) AS n_days,
+  round(avg(c), 6) AS avg_events,
+  round(avg(c) / any_value(overall_avg), 6) AS seasonal_index
+FROM daily, overall
+GROUP BY day % 7"""
+
     # Kaplan–Meier user-lifetime survival: cumulative exp-sum-ln
     # product over the bounded lifetime grain; sum order pinned by the
     # lifetime ordering in both engines

@@ -979,6 +979,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_daily_acf"] = lambda s, d: relational.daily_acf(
         raw(s, d, "events")
     )
+    # r7 continuation: day-of-week seasonal index (oracle-able; pure
+    # modular arithmetic weekday)
+    q["events_dow_seasonality"] = lambda s, d: relational.dow_seasonality(
+        raw(s, d, "events")
+    )
     # r7 continuation: Holt linear-trend smoothing + h-step forecast
     # (nonlinear recurrence → rows-only; python-fold parity)
     q["events_holt_forecast"] = lambda s, d: relational.daily_holt_forecast(
@@ -1382,6 +1387,7 @@ _PROMOTED = [
     "emb_label_centroids",
     "events_survival_km",
     "events_daily_acf",
+    "events_dow_seasonality",
 ]
 
 
