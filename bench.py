@@ -388,6 +388,42 @@ def main() -> None:
         "index_rows_before_batch": g_index_rows,
     }
 
+    # growing SEMANTIC screen (r7 continuation): encode-on-ingest +
+    # keyed screens against the persisted embedding/bucket index —
+    # same cost-curve tracking as growing_dedup
+    from kafka_overwatch_spark.streaming.documents_stream import (
+        GrowingSemanticScreen,
+        init_semantic_index,
+    )
+
+    stmp = tempfile.mkdtemp(prefix="growing_semantic_bench_")
+    s_per_batch, s_index_rows = [], []
+    try:
+        init_semantic_index(spark, seed, f"{stmp}/index")
+        sscreen = GrowingSemanticScreen(f"{stmp}/index", f"{stmp}/out")
+        for i in range(g_batches):
+            batch = docs.filter(
+                F.col("doc_id") % (g_batches + 1) == i + 1
+            )
+            s_index_rows.append(
+                spark.read.parquet(f"{stmp}/index/embeddings").count()
+            )
+            t0 = time.time()
+            sscreen(batch, i)
+            s_per_batch.append(round(time.time() - t0, 3))
+            print(
+                f"  bench growing_semantic b{i}: {s_per_batch[-1]}s "
+                f"(index {s_index_rows[-1]} vectors)",
+                file=sys.stderr,
+            )
+    finally:
+        shutil.rmtree(stmp, ignore_errors=True)
+    growing_semantic = {
+        "batches": g_batches,
+        "per_batch_sec": s_per_batch,
+        "index_rows_before_batch": s_index_rows,
+    }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # throughput context: total input rows of the tables the headline
     # queries scan (lineitem dominates), per steady-state second
@@ -406,6 +442,7 @@ def main() -> None:
         "extra_queries": extra_queries,
         "incremental": incremental,
         "growing_dedup": growing_dedup,
+        "growing_semantic": growing_semantic,
         "headline2": headline2,
         "stat": "p50_of_3",
         "sf": float(sf),
@@ -434,6 +471,7 @@ def main() -> None:
                 ),
                 "pass_loads": pass_loads,
                 "growing_dedup": growing_dedup,
+                "growing_semantic": growing_semantic,
                 "stat": "p50_of_3",
                 "sf": float(sf),
                 "n_queries": len(per_query),

@@ -1757,3 +1757,127 @@ def kcenter_select(embeddings: DataFrame, k: int = 16) -> DataFrame:
     return embeddings.sparkSession.createDataFrame(
         picks, "pick_order long, vec_id long, radius double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-set embedding screen (r7 continuation): the batch core of the
+# growing-corpus SEMANTIC ingest screen (streaming/documents_stream.
+# GrowingSemanticScreen) — new vectors vs an accepted-corpus index,
+# never all-pairs. Completes the screen trio: lexical MinHash
+# (screen_against_corpus), directional containment
+# (screen_containment_against_corpus), and semantic cosine (this).
+
+
+def multi_table_buckets(
+    embeddings: DataFrame,
+    bits: int = LSH_BITS,
+    tables: int = NEARDUP_TABLES,
+) -> DataFrame:
+    """(vec_id, tbl, bucket) multi-table hyperplane assignments WITHOUT
+    the carried vector — the persistable LSH index-table shape (the
+    streaming screen writes this next to the embedding table,
+    batch_id-partitioned). Same planes as embedding_neardup_pairs_lsh,
+    so buckets agree bit-for-bit with the in-query path."""
+    sc = embeddings.sparkSession.sparkContext
+    b_planes = sc.broadcast(_plane_matrix(bits * tables, EMB_DIM))
+    powers = np.power(2, np.arange(bits)).astype(np.int64)
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("tbl", LongType()),
+            StructField("bucket", LongType()),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = b_planes.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m = np.array(
+                [list(v) for v in pdf["embedding"]], dtype=np.float64
+            )
+            signs = (m @ planes.T) > 0
+            frames = []
+            for t in range(tables):
+                chunk = signs[:, t * bits : (t + 1) * bits]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": ids,
+                            "tbl": np.full(len(ids), t, dtype=np.int64),
+                            "bucket": (chunk * powers)
+                            .sum(axis=1)
+                            .astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return _spread_gemm(
+        embeddings.select("vec_id", "embedding")
+    ).mapInPandas(assign, schema)
+
+
+def screen_embeddings_against_corpus(
+    new_emb: DataFrame,
+    corpus_emb: DataFrame,
+    corpus_buckets: DataFrame | None = None,
+    threshold: float = 0.9,
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """Semantic near-dup screen: which NEW vectors sit within cosine ≥
+    threshold of any ACCEPTED corpus vector. Both inputs are (vec_id,
+    embedding); pass ``corpus_buckets`` to screen against a PERSISTED
+    multi-table index instead of re-assigning the corpus per batch (the
+    production path — same contract as screen_against_corpus's
+    ``corpus_bands``).
+
+    Scale shape: candidates come from the (tbl, bucket) equi-join of
+    the probe's assignments against the index — the corpus pays keyed
+    shuffles only, never all-pairs; the exact verify is a per-pair JVM
+    cosine fold over key-joined vectors (candidate volume is
+    probe-bounded, so no bucket-local GEMM stage is needed here).
+    ``broadcast_probe``: micro-batch-sized-probe contract, pass False
+    for corpus-fraction probes. Output: new_doc, corpus_doc, cosine ≥
+    threshold."""
+    from .dedup import cosine
+
+    if corpus_buckets is None:
+        corpus_buckets = multi_table_buckets(corpus_emb)
+    new_b = multi_table_buckets(new_emb).select(
+        F.col("vec_id").alias("new_doc"), "tbl", "bucket"
+    )
+    if broadcast_probe:
+        new_b = F.broadcast(new_b)
+    cand = (
+        corpus_buckets.select(
+            F.col("vec_id").alias("corpus_doc"), "tbl", "bucket"
+        )
+        .join(new_b, ["tbl", "bucket"])
+        .select("new_doc", "corpus_doc")
+        .distinct()
+    )
+    e_new = new_emb.select(
+        F.col("vec_id").alias("new_doc"), F.col("embedding").alias("emb_n")
+    )
+    if broadcast_probe:
+        e_new = F.broadcast(e_new)
+    e_c = corpus_emb.select(
+        F.col("vec_id").alias("corpus_doc"),
+        F.col("embedding").alias("emb_c"),
+    )
+    return (
+        cand.join(e_new, "new_doc")
+        .join(e_c, "corpus_doc")
+        .select(
+            "new_doc",
+            "corpus_doc",
+            F.round(cosine(F.col("emb_n"), F.col("emb_c")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -649,3 +649,167 @@ def run_growing_containment(
             "growing containment screen did not drain within 300s"
         )
     return q
+
+
+# ---------------------------------------------------------------------------
+# Growing-corpus SEMANTIC screen (r7 continuation): the embedding-space
+# member of the screen trio (lexical GrowingDedupScreen, directional
+# GrowingContainmentScreen, semantic this). Arrivals are ENCODED
+# in-engine (pipelines/encode.py — deterministic fake model; the real
+# model slots into the same seam), screened against everything
+# previously accepted via the persisted multi-table LSH index, and
+# survivors' vectors + bucket assignments join the index so later
+# batches see them.
+
+
+def init_semantic_index(
+    spark: SparkSession, corpus_docs: DataFrame, base_path: str
+) -> None:
+    """Seed the growing semantic index: encode the pre-existing corpus
+    and write its embedding table + multi-table bucket index (batch_id
+    = -1, ordered before every stream batch)."""
+    from ..pipelines.encode import encode_documents
+    from ..pipelines.similarity import multi_table_buckets
+
+    emb = (
+        encode_documents(corpus_docs)
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        .localCheckpoint(eager=True)
+    )
+    (
+        emb.withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(f"{base_path}/embeddings")
+    )
+    (
+        multi_table_buckets(emb)
+        .withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(f"{base_path}/buckets")
+    )
+
+
+class GrowingSemanticScreen:
+    """foreachBatch handler for growing-corpus SEMANTIC dedup: encode
+    the batch, reject docs whose vector sits within cosine ≥ threshold
+    of any accepted vector, resolve intra-batch clusters to component
+    minima, and append survivors' vectors + buckets to the persisted
+    index. Replay-safe exactly like GrowingDedupScreen: reads prune to
+    batch_id < N, writes dynamic-overwrite batch_id = N.
+
+    Scale: the index is a written (embedding, bucket) table pair; a
+    batch pays the encode map + keyed screen joins only — the corpus is
+    never re-encoded and never re-bucketed."""
+
+    def __init__(
+        self, base_path: str, out_dir: str, threshold: float = 0.9
+    ) -> None:
+        self.base = base_path
+        self.out_dir = out_dir
+        self.threshold = threshold
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..pipelines.dedup import neardup_components
+        from ..pipelines.encode import encode_documents
+        from ..pipelines.similarity import (
+            multi_table_buckets,
+            screen_embeddings_against_corpus,
+        )
+
+        spark = batch_df.sparkSession
+        emb_new = (
+            encode_documents(batch_df)
+            .select(F.col("doc_id").alias("vec_id"), "embedding")
+            .localCheckpoint(eager=True)
+        )
+        corpus_emb = (
+            spark.read.parquet(f"{self.base}/embeddings")
+            .filter(F.col("batch_id") < batch_id)
+            .select("vec_id", "embedding")
+        )
+        corpus_buckets = (
+            spark.read.parquet(f"{self.base}/buckets")
+            .filter(F.col("batch_id") < batch_id)
+            .select("vec_id", "tbl", "bucket")
+        )
+        hits = screen_embeddings_against_corpus(
+            emb_new, corpus_emb, corpus_buckets, self.threshold
+        )
+        dup_vs_corpus = hits.select(
+            F.col("new_doc").alias("vec_id")
+        ).distinct()
+        survivors = emb_new.join(
+            dup_vs_corpus, "vec_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        self_hits = screen_embeddings_against_corpus(
+            survivors, survivors, threshold=self.threshold
+        ).filter(F.col("new_doc") != F.col("corpus_doc"))
+        edges = self_hits.select(
+            F.least("new_doc", "corpus_doc").alias("vec_a"),
+            F.greatest("new_doc", "corpus_doc").alias("vec_b"),
+        ).distinct()
+        comp = neardup_components(edges, survivors.select("vec_id"))
+        keepers = comp.filter(
+            F.col("vec_id") == F.col("component")
+        ).select("vec_id")
+        kept = survivors.join(keepers, "vec_id")
+        rejected = dup_vs_corpus.select(
+            F.col("vec_id").alias("doc_id")
+        ).withColumn("reason", F.lit("corpus_semantic_dup")).unionByName(
+            comp.filter(F.col("vec_id") != F.col("component"))
+            .select(F.col("vec_id").alias("doc_id"))
+            .withColumn("reason", F.lit("intra_batch_semantic_dup"))
+        )
+        _write_idempotent(rejected, self.out_dir, batch_id)
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            for frame, name in (
+                (kept.select("vec_id", "embedding"), "embeddings"),
+                (multi_table_buckets(kept), "buckets"),
+            ):
+                (
+                    frame.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(f"{self.base}/{name}")
+                )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+
+def run_growing_semantic(
+    spark: SparkSession,
+    input_dir: str,
+    base_path: str,
+    out_dir: str,
+    checkpoint: str,
+    threshold: float = 0.9,
+):
+    """Drain the document feed through the growing semantic screen
+    (availableNow, one file per trigger — arrival order is file
+    order)."""
+    q = (
+        doc_stream(spark, input_dir)
+        .writeStream.foreachBatch(
+            GrowingSemanticScreen(base_path, out_dir, threshold)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            "growing semantic screen did not drain within 300s"
+        )
+    return q

@@ -1,0 +1,162 @@
+"""Growing-corpus streaming SEMANTIC dedup: encode-on-ingest (fake
+model), screen vs the persisted embedding/bucket index, survivors grow
+the index. Streamed == a plain sequential loop over the same
+primitives; later batches are screened against earlier batches'
+SURVIVORS; replay is idempotent."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+DOC_COLS = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows], DOC_COLS
+    )
+
+
+def _corpus_and_batches(spark):
+    corpus = _docs(
+        spark,
+        [(i, f"corpus document number {i} body text") for i in range(20)],
+    )
+    b1 = _docs(
+        spark,
+        [
+            (100, "Corpus  document number 3 body TEXT"),  # dup of corpus 3
+            (101, "fresh batch one story alpha"),
+            (102, "fresh batch one story beta"),
+            (103, "FRESH batch one story  beta"),  # intra-batch dup of 102
+        ],
+    )
+    b2 = _docs(
+        spark,
+        [
+            (200, "fresh  batch one story ALPHA"),  # dup of b1 survivor 101
+            (201, "corpus document number 7 body text"),  # dup of corpus 7
+            (202, "brand new batch two material"),
+        ],
+    )
+    return corpus, [b1, b2]
+
+
+def _sequential_reference(spark, corpus, batches, threshold=0.9):
+    from kafka_overwatch_spark.pipelines.dedup import neardup_components
+    from kafka_overwatch_spark.pipelines.encode import encode_documents
+    from kafka_overwatch_spark.pipelines.similarity import (
+        screen_embeddings_against_corpus,
+    )
+
+    def enc(df):
+        return (
+            encode_documents(df)
+            .select(F.col("doc_id").alias("vec_id"), "embedding")
+            .localCheckpoint(eager=True)
+        )
+
+    accepted = enc(corpus)
+    kept_ids: list[int] = []
+    for b in batches:
+        emb = enc(b)
+        hits = screen_embeddings_against_corpus(
+            emb, accepted, threshold=threshold
+        )
+        survivors = emb.join(
+            hits.select(F.col("new_doc").alias("vec_id")).distinct(),
+            "vec_id",
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        self_hits = screen_embeddings_against_corpus(
+            survivors, survivors, threshold=threshold
+        ).filter(F.col("new_doc") != F.col("corpus_doc"))
+        edges = self_hits.select(
+            F.least("new_doc", "corpus_doc").alias("vec_a"),
+            F.greatest("new_doc", "corpus_doc").alias("vec_b"),
+        ).distinct()
+        comp = neardup_components(edges, survivors.select("vec_id"))
+        keepers = comp.filter(F.col("vec_id") == F.col("component")).select(
+            "vec_id"
+        )
+        kept = survivors.join(keepers, "vec_id").localCheckpoint(eager=True)
+        kept_ids.extend(r.vec_id for r in kept.select("vec_id").collect())
+        accepted = accepted.unionByName(kept).localCheckpoint(eager=True)
+    return sorted(kept_ids)
+
+
+def test_growing_semantic_stream_equals_sequential(spark):
+    from kafka_overwatch_spark.streaming.documents_stream import (
+        init_semantic_index,
+        run_growing_semantic,
+    )
+
+    corpus, batches = _corpus_and_batches(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        os.makedirs(f"{tmp}/feed")
+        for i, b in enumerate(batches):
+            b.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in/b{i}")
+            src = glob.glob(f"{tmp}/in/b{i}/part-*.parquet")[0]
+            dst = f"{tmp}/feed/{i:04d}.parquet"
+            shutil.copy(src, dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+        init_semantic_index(spark, corpus, f"{tmp}/index")
+        run_growing_semantic(
+            spark, f"{tmp}/feed", f"{tmp}/index", f"{tmp}/q", f"{tmp}/ckpt"
+        )
+        streamed_kept = sorted(
+            r.vec_id
+            for r in spark.read.parquet(f"{tmp}/index/embeddings")
+            .filter(F.col("batch_id") >= 0)
+            .select("vec_id")
+            .collect()
+        )
+        assert streamed_kept == _sequential_reference(spark, corpus, batches)
+        # the constructed verdicts, spelled out:
+        # b1: 100 dups corpus, 103 dups 102 intra-batch → kept 101, 102
+        # b2: 200 dups b1-SURVIVOR 101 (growing property), 201 dups
+        #     corpus → kept 202
+        assert streamed_kept == [101, 102, 202]
+        rejected = {
+            r.doc_id: r.reason
+            for r in spark.read.parquet(f"{tmp}/q").collect()
+        }
+        assert rejected == {
+            100: "corpus_semantic_dup",
+            103: "intra_batch_semantic_dup",
+            200: "corpus_semantic_dup",
+            201: "corpus_semantic_dup",
+        }
+
+
+def test_growing_semantic_replay_is_idempotent(spark):
+    from kafka_overwatch_spark.streaming.documents_stream import (
+        GrowingSemanticScreen,
+        init_semantic_index,
+    )
+
+    corpus, batches = _corpus_and_batches(spark)
+    with tempfile.TemporaryDirectory() as tmp:
+        init_semantic_index(spark, corpus, f"{tmp}/index")
+        screen = GrowingSemanticScreen(f"{tmp}/index", f"{tmp}/q")
+        screen(batches[0], 0)
+        first = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{tmp}/index/embeddings")
+            .select("vec_id", "batch_id")
+            .collect()
+        )
+        screen(batches[0], 0)  # replay
+        second = sorted(
+            tuple(r)
+            for r in spark.read.parquet(f"{tmp}/index/embeddings")
+            .select("vec_id", "batch_id")
+            .collect()
+        )
+        assert first == second
