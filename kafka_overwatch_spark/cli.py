@@ -7,6 +7,7 @@ SURVEY §3.1/§3.3) in batch-over-snapshot form.
     python -m kafka_overwatch_spark export --name groups_df --fmt csv --out DIR
     python -m kafka_overwatch_spark restore-script --sf-dir DIR --out restore.sh
     python -m kafka_overwatch_spark sr-backup --sf-dir DIR --out DIR
+    python -m kafka_overwatch_spark curate-corpus --sf-dir DIR --out DIR
     python -m kafka_overwatch_spark list
 """
 
@@ -69,6 +70,16 @@ def main(argv: list[str] | None = None) -> int:
         "dataset-card", help="one-row corpus dataset card"
     )
     p_card.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+
+    p_cur = sub.add_parser(
+        "curate-corpus",
+        help="end-to-end corpus curation: quality gate -> exact dedup "
+        "-> fuzzy dedup; writes corpus/ rejected/ card.json "
+        "manifest.json",
+    )
+    p_cur.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    p_cur.add_argument("--out", required=True)
+    p_cur.add_argument("--quality-threshold", type=float, default=None)
 
     p_explain = sub.add_parser(
         "explain", help="print a registered query's physical plan"
@@ -178,6 +189,27 @@ def main(argv: list[str] | None = None) -> int:
             ).collect()[0]
             for k, v in row.asDict().items():
                 print(f"{k}: {v}")
+        elif args.cmd == "curate-corpus":
+            import os
+
+            from .pipelines.curation import (
+                QUALITY_THRESHOLD,
+                curate_corpus_artifacts,
+            )
+
+            os.makedirs(args.out, exist_ok=True)
+            manifest = curate_corpus_artifacts(
+                registry.get_raw_tables(spark, args.sf_dir)["documents"],
+                args.out,
+                quality_threshold=(
+                    args.quality_threshold
+                    if args.quality_threshold is not None
+                    else QUALITY_THRESHOLD
+                ),
+            )
+            for k in sorted(manifest):
+                print(f"{k}: {manifest[k]}")
+            print(f"wrote {args.out}", file=sys.stderr)
         elif args.cmd == "export":
             from .sinks.exports import export_dataframe
 

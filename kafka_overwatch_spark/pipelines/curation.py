@@ -359,3 +359,85 @@ def source_overlap_matrix(documents: DataFrame) -> DataFrame:
         .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("shared_fingerprints"))
     )
+
+
+def curate_corpus_artifacts(
+    documents: DataFrame,
+    out_dir: str,
+    quality_threshold: float = QUALITY_THRESHOLD,
+) -> dict:
+    """End-to-end corpus curation with a written artifact set — the
+    composition a training-data team actually ships, as one call:
+
+    quality gate → exact-dedup keeper (``curate``) → FUZZY-dedup keeper
+    (``dedup.minhash_fuzzy_dedup`` cluster minima, semi-joined like
+    ``curate_semantic``'s embedding keep-set) → artifacts:
+
+    - ``corpus/``    kept docs (full text + split/quality columns),
+                     parquet partitioned by split
+    - ``rejected/``  every dropped doc_id with its FIRST failing stage
+                     (quality_fail | exact_dup | fuzzy_dup)
+    - ``card.json``  dataset card of the KEPT corpus
+    - ``manifest.json`` per-stage counts (the audit trail)
+
+    Returns the manifest dict. Scale shape: each stage is the already-
+    audited plan of its operator; the composition adds only doc_id-keyed
+    semi/anti joins, and every artifact write is a distributed parquet
+    write (the card's one row and the manifest are the only driver-side
+    values)."""
+    import json as _json
+    import os as _os
+
+    from .dedup import minhash_fuzzy_dedup
+    from .text import quality_columns as _qc
+
+    total = documents.count()
+    scored = spread(documents).select(
+        "doc_id", _qc()["quality_score"].alias("quality_score")
+    )
+    quality_fail = scored.filter(
+        F.col("quality_score") < quality_threshold
+    ).select("doc_id")
+    base = curate(documents, quality_threshold)  # quality ∧ exact-keeper
+    exact_dup = (
+        scored.join(quality_fail, "doc_id", "left_anti")
+        .join(base.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id")
+    )
+    fuzzy_keepers = (
+        minhash_fuzzy_dedup(documents)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    kept_ids = base.join(fuzzy_keepers, "doc_id", "semi")
+    fuzzy_dup = base.select("doc_id").join(
+        fuzzy_keepers, "doc_id", "left_anti"
+    )
+    kept = documents.join(
+        kept_ids.select("doc_id", "split", "n_tokens", "quality_score"),
+        "doc_id",
+    )
+    rejected = (
+        quality_fail.withColumn("reason", F.lit("quality_fail"))
+        .unionByName(exact_dup.withColumn("reason", F.lit("exact_dup")))
+        .unionByName(fuzzy_dup.withColumn("reason", F.lit("fuzzy_dup")))
+    )
+    kept.write.mode("overwrite").partitionBy("split").parquet(
+        f"{out_dir}/corpus"
+    )
+    rejected.write.mode("overwrite").parquet(f"{out_dir}/rejected")
+    card = dataset_card(kept.drop("split", "n_tokens", "quality_score"))
+    card_row = card.collect()[0].asDict()
+    with open(_os.path.join(out_dir, "card.json"), "w") as fh:
+        _json.dump(card_row, fh, indent=1, sort_keys=True, default=str)
+    manifest = {
+        "total_docs": total,
+        "quality_fail": quality_fail.count(),
+        "exact_dup": exact_dup.count(),
+        "fuzzy_dup": fuzzy_dup.count(),
+        "kept": kept_ids.count(),
+        "quality_threshold": quality_threshold,
+    }
+    with open(_os.path.join(out_dir, "manifest.json"), "w") as fh:
+        _json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest

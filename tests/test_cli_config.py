@@ -127,3 +127,60 @@ def test_cli_validate_and_dataset_card(spark, snaps):
     finally:
         cli._spark = orig_spark
         spark.stop = orig_stop
+
+
+def test_cli_curate_corpus_writes_artifacts(spark, tmp_path):
+    """curate-corpus writes corpus/rejected/card/manifest; kept +
+    rejected partition the corpus; every artifact count matches the
+    manifest; the kept set equals quality∧exact∧fuzzy computed
+    directly."""
+    import json
+
+    from kafka_overwatch_spark import cli
+    from kafka_overwatch_spark.cli import main
+    from kafka_overwatch_spark.pipelines.curation import curate
+    from kafka_overwatch_spark.pipelines.dedup import minhash_fuzzy_dedup
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "artifacts")
+    orig_spark, orig_stop = cli._spark, spark.stop
+    cli._spark = lambda: spark
+    spark.stop = lambda: None
+    try:
+        assert main(["curate-corpus", "--sf-dir", sf, "--out", out]) == 0
+    finally:
+        cli._spark, spark.stop = orig_spark, orig_stop
+
+    manifest = json.load(open(f"{out}/manifest.json"))
+    card = json.load(open(f"{out}/card.json"))
+    kept = spark.read.parquet(f"{out}/corpus")
+    rejected = spark.read.parquet(f"{out}/rejected")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+    assert kept.count() == manifest["kept"] == card["n_docs"]
+    assert rejected.count() == manifest["total_docs"] - manifest["kept"]
+    assert (
+        manifest["quality_fail"] + manifest["exact_dup"]
+        + manifest["fuzzy_dup"] + manifest["kept"]
+        == manifest["total_docs"] == docs.count()
+    )
+    # kept ∪ rejected partitions the corpus, disjointly
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    rej_ids = {r.doc_id for r in rejected.select("doc_id").collect()}
+    assert kept_ids.isdisjoint(rej_ids)
+    assert kept_ids | rej_ids == {
+        r.doc_id for r in docs.select("doc_id").collect()
+    }
+    # composition law: kept == curate ∩ fuzzy keepers
+    base = {r.doc_id for r in curate(docs).select("doc_id").collect()}
+    fuzzy = {
+        r.doc_id
+        for r in minhash_fuzzy_dedup(docs)
+        .filter(F.col("keep"))
+        .select("doc_id")
+        .collect()
+    }
+    assert kept_ids == base & fuzzy
+    # kept rows carry text + split + quality columns
+    assert {"text", "split", "quality_score", "n_tokens"} <= set(kept.columns)
