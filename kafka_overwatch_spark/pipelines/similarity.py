@@ -1624,7 +1624,34 @@ def pca_whiten(
 # classification (Rocchio) and k-center greedy coreset selection.
 
 
-def label_centroid_classify(embeddings: DataFrame) -> DataFrame:
+def fit_label_centroids(embeddings: DataFrame) -> DataFrame:
+    """The Rocchio model table: (label, c array<double>) — per-label
+    per-dimension means, |labels| rows. The persistable
+    train-once/serve-forever artifact (`sinks/layout.write_centroid_model`);
+    the fit's only data-sized shuffle carries (label, dim) partial
+    sums, never whole vectors."""
+    per_dim = (
+        embeddings.select(
+            "label", F.posexplode("embedding").alias("dim", "w")
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(F.col("w").cast("double")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select("label", "dim", (F.col("s") / F.col("n")).alias("mu"))
+    )
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+            lambda x: x["mu"],
+        ).alias("c")
+    )
+
+
+def label_centroid_classify(
+    embeddings: DataFrame, centroids: DataFrame | None = None
+) -> DataFrame:
     """Nearest-label-centroid (Rocchio) classification: per-label
     centroid = per-dimension mean over the label's vectors; every
     vector is assigned the label whose centroid has the highest cosine
@@ -1640,23 +1667,14 @@ def label_centroid_classify(embeddings: DataFrame) -> DataFrame:
     sums, never vectors — then the |labels| × dim centroid table
     (bounded: 10 × 64 doubles) collapses to ONE broadcast row and
     scoring is a shuffle-free narrow map folding the centroid array
-    per vector (JVM higher-order functions, no Python). Output:
-    vec_id, label, predicted_label, cosine, correct."""
+    per vector (JVM higher-order functions, no Python). Pass a prefit
+    ``centroids`` frame (fit_label_centroids / a persisted model read
+    back via sinks/layout.read_centroid_model) to apply
+    train-once/serve-many. Output: vec_id, label, predicted_label,
+    cosine, correct."""
     e = embeddings.select("vec_id", "label", "embedding")
-    per_dim = (
-        e.select("label", F.posexplode("embedding").alias("dim", "w"))
-        .groupBy("label", "dim")
-        .agg(
-            F.sum(F.col("w").cast("double")).alias("s"),
-            F.count("*").alias("n"),
-        )
-        .select("label", "dim", (F.col("s") / F.col("n")).alias("mu"))
-    )
-    cent = per_dim.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "mu"))),
-            lambda x: x["mu"],
-        ).alias("c")
+    cent = (
+        fit_label_centroids(embeddings) if centroids is None else centroids
     )
     # all centroids in ONE row: array of (label, centroid) structs —
     # label-grain, bounded, the broadcastable model table
@@ -1827,13 +1845,17 @@ def screen_embeddings_against_corpus(
     corpus_buckets: DataFrame | None = None,
     threshold: float = 0.9,
     broadcast_probe: bool = True,
+    new_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic near-dup screen: which NEW vectors sit within cosine ≥
     threshold of any ACCEPTED corpus vector. Both inputs are (vec_id,
     embedding); pass ``corpus_buckets`` to screen against a PERSISTED
     multi-table index instead of re-assigning the corpus per batch (the
     production path — same contract as screen_against_corpus's
-    ``corpus_bands``).
+    ``corpus_bands``); ``new_buckets`` likewise lets a caller derive
+    the probe assignments ONCE and reuse them across screens (bucket
+    values are per-vector, so any slice of a precomputed frame equals
+    in-query derivation).
 
     Scale shape: candidates come from the (tbl, bucket) equi-join of
     the probe's assignments against the index — the corpus pays keyed
@@ -1847,7 +1869,9 @@ def screen_embeddings_against_corpus(
 
     if corpus_buckets is None:
         corpus_buckets = multi_table_buckets(corpus_emb)
-    new_b = multi_table_buckets(new_emb).select(
+    if new_buckets is None:
+        new_buckets = multi_table_buckets(new_emb)
+    new_b = new_buckets.select(
         F.col("vec_id").alias("new_doc"), "tbl", "bucket"
     )
     if broadcast_probe:

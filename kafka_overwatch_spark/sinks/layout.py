@@ -264,3 +264,32 @@ def compact_small_files(
         "files_after": files_after,
         "bytes_total": int(bytes_total),
     }
+
+
+def write_centroid_model(embeddings: DataFrame, base_path: str) -> None:
+    """Persist the Rocchio label-centroid model as a flat (label, dim,
+    mu) parquet — engine-neutral like the PQ codebook tensor; |labels|
+    × dims rows, trivially re-loadable anywhere. Train-once/serve-
+    forever: classification of unlabeled vectors only ever needs this
+    table, never the training corpus."""
+    from ..pipelines.similarity import fit_label_centroids
+
+    flat = fit_label_centroids(embeddings).select(
+        "label", F.posexplode("c").alias("dim", "mu")
+    )
+    flat.coalesce(1).write.mode("overwrite").parquet(
+        f"{base_path}/centroids"
+    )
+
+
+def read_centroid_model(spark: SparkSession, base_path: str) -> DataFrame:
+    """(label, c array<double>) back from storage — index-positional
+    rebuild, so a persisted model classifies bit-identically to the
+    inline fit (asserted in tests/test_persisted_index.py)."""
+    flat = spark.read.parquet(f"{base_path}/centroids")
+    return flat.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+            lambda x: x["mu"],
+        ).alias("c")
+    )

@@ -724,6 +724,13 @@ class GrowingSemanticScreen:
             .select(F.col("doc_id").alias("vec_id"), "embedding")
             .localCheckpoint(eager=True)
         )
+        # batch bucket assignments derived ONCE (checkpointed) — the
+        # corpus screen, the self screen (both sides), and the index
+        # append all slice this frame instead of re-running the GEMM
+        # map per consumer
+        new_buckets = multi_table_buckets(emb_new).localCheckpoint(
+            eager=True
+        )
         corpus_emb = (
             spark.read.parquet(f"{self.base}/embeddings")
             .filter(F.col("batch_id") < batch_id)
@@ -735,7 +742,11 @@ class GrowingSemanticScreen:
             .select("vec_id", "tbl", "bucket")
         )
         hits = screen_embeddings_against_corpus(
-            emb_new, corpus_emb, corpus_buckets, self.threshold
+            emb_new,
+            corpus_emb,
+            corpus_buckets,
+            self.threshold,
+            new_buckets=new_buckets,
         )
         dup_vs_corpus = hits.select(
             F.col("new_doc").alias("vec_id")
@@ -743,8 +754,15 @@ class GrowingSemanticScreen:
         survivors = emb_new.join(
             dup_vs_corpus, "vec_id", "left_anti"
         ).localCheckpoint(eager=True)
+        surv_buckets = new_buckets.join(
+            survivors.select("vec_id"), "vec_id"
+        )
         self_hits = screen_embeddings_against_corpus(
-            survivors, survivors, threshold=self.threshold
+            survivors,
+            survivors,
+            corpus_buckets=surv_buckets,
+            threshold=self.threshold,
+            new_buckets=surv_buckets,
         ).filter(F.col("new_doc") != F.col("corpus_doc"))
         edges = self_hits.select(
             F.least("new_doc", "corpus_doc").alias("vec_a"),
@@ -772,7 +790,9 @@ class GrowingSemanticScreen:
         try:
             for frame, name in (
                 (kept.select("vec_id", "embedding"), "embeddings"),
-                (multi_table_buckets(kept), "buckets"),
+                # slice of the checkpointed batch assignments — not a
+                # third GEMM pass
+                (new_buckets.join(keepers, "vec_id"), "buckets"),
             ):
                 (
                     frame.withColumn("batch_id", F.lit(batch_id))

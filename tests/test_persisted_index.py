@@ -94,3 +94,28 @@ def test_persisted_pq_index_serves_identical_topk(spark, snaps):
             for r in ann_pq_topk(emb, codebooks=cb2, codes=codes2).collect()
         )
     assert persisted == inline
+
+
+def test_persisted_centroid_model_classifies_identically(spark, tmp_path):
+    """Rocchio via a persisted (label, dim, mu) model == the inline fit,
+    row for row — train-once/serve-forever like the PQ index."""
+    from kafka_overwatch_spark.pipelines.similarity import (
+        label_centroid_classify,
+    )
+    from kafka_overwatch_spark.sinks.layout import (
+        read_centroid_model,
+        write_centroid_model,
+    )
+
+    emb = spark.table("embeddings")
+    base = str(tmp_path / "rocchio")
+    write_centroid_model(emb, base)
+    model = read_centroid_model(spark, base)
+    inline = sorted(
+        tuple(r) for r in label_centroid_classify(emb).collect()
+    )
+    persisted = sorted(
+        tuple(r)
+        for r in label_centroid_classify(emb, centroids=model).collect()
+    )
+    assert inline == persisted
