@@ -196,6 +196,7 @@ EXTRA = [
     "text_encode_fake",
     "events_holt_forecast",
     "events_dow_seasonality",
+    "sampling_curriculum",
 ]
 
 

@@ -643,6 +643,37 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
   n_tokens, quality_score
 FROM ranked WHERE rn = 1"""
 
+    # curriculum ordering: same quality formula, total order by ROUNDED
+    # quality desc, n_tokens asc, doc_id — the rank oracle is the plain
+    # global window the Spark side deliberately avoids planning
+    q["sampling_curriculum"] = """
+WITH base AS (
+  SELECT doc_id, text,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+      AS n_tokens,
+    CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS BIGINT)
+      AS nonpunct,
+    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+      t -> t IN ('the','a','of','to','and','is'))) AS BIGINT) AS stop_hits
+  FROM documents WHERE text IS NOT NULL
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+    round(
+      least(CAST(n_tokens AS DOUBLE) / 100, 1.0) * 0.4
+      + least(CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1) * 5, 1.0)
+        * 0.4
+      + (1 - least(CAST(n_chars - nonpunct AS DOUBLE) / n_chars * 10, 1.0))
+        * 0.2, 6) AS quality_score
+  FROM base
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, quality_score, n_tokens,
+  CAST(row_number() OVER (
+    ORDER BY quality_score DESC, n_tokens ASC, doc_id ASC
+  ) AS BIGINT) AS curriculum_rank
+FROM scored"""
+
     # per-source corpus health: same quality formula as text_quality,
     # same fingerprint as dedup_exact, rolled up per source
     q["source_quality_summary"] = """

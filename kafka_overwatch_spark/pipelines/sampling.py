@@ -814,3 +814,46 @@ def epoch_mix_plan(
         F.round(alloc, 2).alias("token_alloc"),
         F.round(alloc / F.col("tokens"), 6).alias("epochs"),
     )
+
+
+def curriculum_order(documents: DataFrame) -> DataFrame:
+    """Deterministic curriculum ordering: a total training order over
+    the corpus — ascending length within ascending complexity proxy
+    (here: quality DESCENDING first, so the cleanest documents lead,
+    then shorter-before-longer, doc_id as the final tiebreak) — the
+    data-ordering step of curriculum-learning recipes. Emits the exact
+    1-based global position per doc.
+
+    Scale shape: the total order is materialized by
+    :func:`pipelines.util.exact_global_rank` — range exchange +
+    per-slice row_number + cumulative-offset broadcast — NOT a bare
+    global window (the single-partition sort scale-killer the r6
+    de-global-sort pass removed everywhere else). Oracle states the
+    equivalent row_number() window. Output: doc_id, quality_score,
+    n_tokens, curriculum_rank."""
+    from ..pipelines.text import quality_columns
+    from .util import exact_global_rank
+    from pyspark.sql import functions as F
+
+    cols = quality_columns()
+    # NULL-text docs are dropped (no orderable signals; also avoids
+    # engine-dependent NULL collation in the order keys — Spark asc is
+    # NULLS FIRST, DuckDB's default is NULLS LAST)
+    scored = (
+        spread(documents)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.round(cols["quality_score"], 6).alias("quality_score"),
+            cols["n_tokens"].alias("n_tokens"),
+        )
+    )
+    return exact_global_rank(
+        scored,
+        [
+            F.col("quality_score").desc(),
+            F.col("n_tokens").asc(),
+            F.col("doc_id").asc(),
+        ],
+        rank_col="curriculum_rank",
+    ).select("doc_id", "quality_score", "n_tokens", "curriculum_rank")

@@ -844,6 +844,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["source_classifier_nb"] = lambda s, d: sampling.nb_source_classifier(
         raw(s, d, "documents"), bucketed=get_dsir_bucketed(s, d)
     )
+    # r7 continuation: curriculum training order (exact global rank
+    # without a single-partition sort; oracle states the plain window)
+    q["sampling_curriculum"] = lambda s, d: sampling.curriculum_order(
+        raw(s, d, "documents")
+    )
     # r7 late: token-budget epoch planner (temperature mixture in
     # token units) + RFM segmentation cube + the Q12 conditional-agg
     # shape that completed the TPC-H sweep
@@ -1388,6 +1393,7 @@ _PROMOTED = [
     "events_survival_km",
     "events_daily_acf",
     "events_dow_seasonality",
+    "sampling_curriculum",
 ]
 
 
