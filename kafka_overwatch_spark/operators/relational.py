@@ -3096,9 +3096,12 @@ def daily_acf(events: DataFrame, max_lag: int = 7) -> DataFrame:
         (n * F.col("sxx") - F.col("sx") * F.col("sx"))
         * (n * F.col("syy") - F.col("sy") * F.col("sy"))
     )
+    # no presentation orderBy: it would plan a (7-row, but needless)
+    # global sort exchange, and every consumer (driver hash compare,
+    # tests) is order-insensitive
     return m.select(
         "lag", "n_pairs", F.round(num / den, 6).alias("acf")
-    ).orderBy("lag")
+    )
 
 
 def daily_holt_forecast(
