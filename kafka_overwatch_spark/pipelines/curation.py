@@ -392,24 +392,45 @@ def curate_corpus_artifacts(
     from .text import quality_columns as _qc
 
     total = documents.count()
-    scored = spread(documents).select(
-        "doc_id", _qc()["quality_score"].alias("quality_score")
+    # localCheckpoint each stage frame: five artifacts/counts consume
+    # them, and the full-corpus quality+fingerprint pass must run once,
+    # not once per action (same convention as the streaming screens)
+    scored = (
+        spread(documents)
+        .select("doc_id", _qc()["quality_score"].alias("quality_score"))
+        .localCheckpoint(eager=True)
     )
+    # null-safe: a NULL-text doc has a NULL score — it has no scoreable
+    # content, so it fails the quality gate (a plain `< threshold`
+    # filter would drop it from EVERY stage and the remainder bucket
+    # would mislabel it exact_dup)
     quality_fail = scored.filter(
-        F.col("quality_score") < quality_threshold
+        ~(F.col("quality_score") >= quality_threshold)
+        | F.col("quality_score").isNull()
     ).select("doc_id")
-    base = curate(documents, quality_threshold)  # quality ∧ exact-keeper
+    base = curate(documents, quality_threshold).localCheckpoint(
+        eager=True
+    )  # quality ∧ exact-keeper
     exact_dup = (
         scored.join(quality_fail, "doc_id", "left_anti")
         .join(base.select("doc_id"), "doc_id", "left_anti")
         .select("doc_id")
     )
+    # fuzzy clusters among the BASE SURVIVORS — not the full corpus: a
+    # quality-rejected (or exact-dropped) cluster keeper must never
+    # shadow its quality-passing near-dups (the same
+    # quality-surviving-set principle curate() applies to exact dedup)
     fuzzy_keepers = (
-        minhash_fuzzy_dedup(documents)
+        minhash_fuzzy_dedup(
+            documents.join(base.select("doc_id"), "doc_id", "semi")
+        )
         .filter(F.col("keep"))
         .select("doc_id")
+        .localCheckpoint(eager=True)
     )
-    kept_ids = base.join(fuzzy_keepers, "doc_id", "semi")
+    kept_ids = base.join(
+        fuzzy_keepers, "doc_id", "semi"
+    ).localCheckpoint(eager=True)
     fuzzy_dup = base.select("doc_id").join(
         fuzzy_keepers, "doc_id", "left_anti"
     )

@@ -983,14 +983,6 @@ def neardup_components(
         # loop AND the fail-loudly guard, silently returning identity
         # labels (exactly the split-components bug the guard prevents)
         raise ValueError("max_iterations must be >= 1")
-    # empty pair graph (the COMMON case for an ingest batch that has no
-    # intra-batch dups): every node is its own component — skip the
-    # edge cache and the whole iteration loop (each iteration is
-    # several jobs, pure overhead here)
-    if pairs.limit(1).count() == 0:
-        return ids.select(
-            F.col("vec_id"), F.col("vec_id").alias("component")
-        )
     edges = (
         pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
         .unionByName(
@@ -999,6 +991,17 @@ def neardup_components(
         .distinct()
         .cache()
     )
+    # empty pair graph (the COMMON case for an ingest batch that has no
+    # intra-batch dups): every node is its own component — skip the
+    # whole iteration loop (each iteration is several jobs, pure
+    # overhead here). The probe runs on the CACHED edge frame so a
+    # non-empty graph pays the pair derivation once, not once for the
+    # probe and again at first loop use.
+    if edges.limit(1).count() == 0:
+        edges.unpersist()
+        return ids.select(
+            F.col("vec_id"), F.col("vec_id").alias("component")
+        )
     labels = ids.select(
         F.col("vec_id"), F.col("vec_id").alias("component")
     ).localCheckpoint(eager=True)

@@ -77,7 +77,7 @@ def encode_documents(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         if use_real_model:
-            try:  # pragma: no cover - container has no model runtime
+            try:
                 from sentence_transformers import (  # noqa: F401
                     SentenceTransformer,
                 )
@@ -87,13 +87,26 @@ def encode_documents(
                     "(not present in this environment); use "
                     "use_real_model=False"
                 ) from exc
+            # the runtime being importable is NOT enough — the model
+            # load/encode wiring is the seam a GPU deployment fills in;
+            # silently falling through to the fake encoder here would
+            # label md5 noise with a real model's name
+            raise NotImplementedError(
+                "real-model encode is not wired in this build: replace "
+                "this branch with SentenceTransformer(model).encode "
+                "over the batch"
+            )
         import re
 
         for pdf in batches:
             if pdf.empty:
                 continue
+            # EXACT python mirror of dedup._norm_text — Spark trim()
+            # strips SPACES only, so strip(" ") here, not strip() (a
+            # bare strip() would also eat tab/newline edges and merge
+            # texts the fingerprint family keeps distinct)
             norm = [
-                re.sub(r"\s+", " ", t.strip()).lower()
+                re.sub(r"\s+", " ", t.strip(" ")).lower()
                 for t in pdf["text"]
             ]
             vecs = [

@@ -1743,7 +1743,12 @@ def kcenter_select(embeddings: DataFrame, k: int = 16) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    seed = state.orderBy("vec_id").limit(1).collect()[0]
+    seed_rows = state.orderBy("vec_id").limit(1).collect()
+    if not seed_rows:  # empty corpus slice: nothing to select
+        return embeddings.sparkSession.createDataFrame(
+            [], "pick_order long, vec_id long, radius double"
+        )
+    seed = seed_rows[0]
     picks = [(1, seed["vec_id"], None)]
     center = seed["emb"]
     for i in range(2, k + 1):

@@ -172,15 +172,20 @@ def test_cli_curate_corpus_writes_artifacts(spark, tmp_path):
     assert kept_ids | rej_ids == {
         r.doc_id for r in docs.select("doc_id").collect()
     }
-    # composition law: kept == curate ∩ fuzzy keepers
-    base = {r.doc_id for r in curate(docs).select("doc_id").collect()}
+    # composition law: fuzzy keepers are elected among the BASE
+    # survivors (a quality-rejected cluster keeper must never shadow
+    # its quality-passing near-dups), so kept == the keep-set of
+    # minhash_fuzzy_dedup restricted to curate()'s output
+    base_df = curate(docs).select("doc_id")
+    base = {r.doc_id for r in base_df.collect()}
     fuzzy = {
         r.doc_id
-        for r in minhash_fuzzy_dedup(docs)
+        for r in minhash_fuzzy_dedup(docs.join(base_df, "doc_id", "semi"))
         .filter(F.col("keep"))
         .select("doc_id")
         .collect()
     }
-    assert kept_ids == base & fuzzy
+    assert fuzzy <= base
+    assert kept_ids == fuzzy
     # kept rows carry text + split + quality columns
     assert {"text", "split", "quality_score", "n_tokens"} <= set(kept.columns)
