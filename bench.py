@@ -197,6 +197,7 @@ EXTRA = [
     "events_holt_forecast",
     "events_dow_seasonality",
     "sampling_curriculum",
+    "graph_clustering",
 ]
 
 

@@ -239,3 +239,50 @@ def association_rules(
             ).alias("lift"),
         )
     )
+
+
+def clustering_coefficient(
+    lineitem: DataFrame, edges: DataFrame | None = None
+) -> DataFrame:
+    """Global clustering of the co-purchase graph: triangle count,
+    wedge count (open 2-paths = Σ_v C(deg_v, 2)), and the global
+    clustering coefficient 3·triangles / wedges — the one-row "how
+    clique-ish is the product graph" diagnostic next to degree/
+    PageRank/association rules.
+
+    Triangle counting is three keyed self-joins of the a<b edge list
+    ((a,b) ⋈ (b,c) ⋈ (a,c) with a<b<c counts each triangle exactly
+    once); wedges come from the degree frame — both bounded by the
+    basket-capped edge set, no vertex ever broadcast. The coefficient
+    divides two exact integers once (round 6). Output: triangles,
+    wedges, global_clustering."""
+    if edges is None:
+        edges = copurchase_edges(lineitem)
+    e = edges.select("part_a", "part_b")
+    ab = e.select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+    bc = e.select(F.col("part_a").alias("b"), F.col("part_b").alias("c"))
+    ac = e.select(F.col("part_a").alias("a"), F.col("part_b").alias("c"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"])
+        .agg(F.count("*").alias("triangles"))
+    )
+    deg = (
+        e.select(F.col("part_a").alias("part"))
+        .unionAll(e.select(F.col("part_b").alias("part")))
+        .groupBy("part")
+        .agg(F.count("*").alias("d"))
+    )
+    # integer-exact: d·(d−1) is even, so `div 2` loses nothing, and the
+    # long sum never routes through doubles (which drop exactness past
+    # 2^53 — reachable wedge counts on a 100 TB graph)
+    wedges = deg.agg(
+        F.expr("sum((d * (d - 1)) div 2)").cast("long").alias("wedges")
+    )
+    return tri.crossJoin(F.broadcast(wedges)).select(
+        "triangles",
+        "wedges",
+        F.round(
+            3.0 * F.col("triangles") / F.col("wedges"), 6
+        ).alias("global_clustering"),
+    )

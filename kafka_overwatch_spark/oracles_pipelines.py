@@ -2129,6 +2129,31 @@ SELECT part, CAST(count(*) AS BIGINT) AS degree,
   CAST(sum(weight) AS BIGINT) AS total_weight
 FROM b GROUP BY part"""
 
+    # triangles via three keyed self-joins of the a<b edge list (each
+    # triangle counted once); wedges = Σ C(deg,2); one division, round 6
+    q["graph_clustering"] = """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS triangles
+  FROM e ab JOIN e bc ON ab.part_b = bc.part_a
+  JOIN e ac ON ac.part_a = ab.part_a AND ac.part_b = bc.part_b
+),
+deg AS (
+  SELECT part, count(*) AS d FROM (
+    SELECT part_a AS part FROM e
+    UNION ALL SELECT part_b AS part FROM e
+  ) GROUP BY part
+),
+w AS (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS wedges FROM deg)
+SELECT triangles, wedges,
+  round(3.0 * triangles / wedges, 6) AS global_clustering
+FROM tri, w"""
+
     # association rules a→b: exact integer counts, ratios divide last
     q["graph_association_rules"] = """
 WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

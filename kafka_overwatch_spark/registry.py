@@ -1224,6 +1224,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["graph_association_rules"] = lambda s, d: graph.association_rules(
         raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
     )
+    # r7 continuation: triangle count + global clustering coefficient
+    # (oracle-able; three keyed self-joins, no vertex broadcast)
+    q["graph_clustering"] = lambda s, d: graph.clustering_coefficient(
+        raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
+    )
     # r5: fuzzy string-similarity self-join (SymSpell deletion
     # neighborhoods -> bucketed levenshtein verify, never all-pairs)
     q["fuzzy_name_pairs"] = lambda s, d: relational.fuzzy_name_pairs(
@@ -1394,6 +1399,7 @@ _PROMOTED = [
     "events_daily_acf",
     "events_dow_seasonality",
     "sampling_curriculum",
+    "graph_clustering",
 ]
 
 

@@ -101,3 +101,21 @@ def test_degree_consistent_with_pagerank_nodes(spark):
     deg = {r.part for r in graph.part_degree(lineitem).collect()}
     pr = {r.part for r in graph.pagerank(lineitem, iterations=1).collect()}
     assert deg == pr
+
+
+def test_clustering_coefficient_known_graph(spark):
+    """Constructed graph: one triangle {1,2,3} plus an isolated edge
+    {4,5} → triangles=1, wedges=3 (one per triangle vertex), global
+    coefficient exactly 1.0 (the isolated edge adds no wedge)."""
+    from kafka_overwatch_spark.operators.graph import clustering_coefficient
+
+    rows = [(100, p) for p in (1, 2, 3)] + [(200, p) for p in (4, 5)]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    )
+    r = clustering_coefficient(li).collect()[0]
+    assert (r["triangles"], r["wedges"], r["global_clustering"]) == (
+        1,
+        3,
+        1.0,
+    )
