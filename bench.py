@@ -198,6 +198,7 @@ EXTRA = [
     "events_dow_seasonality",
     "sampling_curriculum",
     "graph_clustering",
+    "graph_local_clustering",
 ]
 
 

@@ -286,3 +286,55 @@ def clustering_coefficient(
             3.0 * F.col("triangles") / F.col("wedges"), 6
         ).alias("global_clustering"),
     )
+
+
+def local_clustering(
+    lineitem: DataFrame, edges: DataFrame | None = None
+) -> DataFrame:
+    """Per-node clustering coefficient over the co-purchase graph:
+    triangles through each node divided by its wedge capacity
+    C(deg, 2) — the node-grain companion of
+    :func:`clustering_coefficient` (which products sit inside tight
+    cliques vs broad hubs). Nodes with degree < 2 have no defined
+    coefficient and are excluded (a CASE-to-NULL would also differ
+    from DuckDB's divide-by-zero semantics).
+
+    Same scale shape as the global form: three keyed self-joins of the
+    a<b edge list, each found triangle attributed to its three
+    vertices; one keyed degree aggregate; all integer arithmetic until
+    the final rounded division. Output: part, degree, triangles,
+    local_clustering."""
+    if edges is None:
+        edges = copurchase_edges(lineitem)
+    e = edges.select("part_a", "part_b")
+    ab = e.select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+    bc = e.select(F.col("part_a").alias("b"), F.col("part_b").alias("c"))
+    ac = e.select(F.col("part_a").alias("a"), F.col("part_b").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    per_node = (
+        tri.select(F.col("a").alias("part"))
+        .unionAll(tri.select(F.col("b").alias("part")))
+        .unionAll(tri.select(F.col("c").alias("part")))
+        .groupBy("part")
+        .agg(F.count("*").alias("triangles"))
+    )
+    deg = (
+        e.select(F.col("part_a").alias("part"))
+        .unionAll(e.select(F.col("part_b").alias("part")))
+        .groupBy("part")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(per_node, "part", "left")
+        .select(
+            "part",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.round(
+                F.coalesce("triangles", F.lit(0))
+                / F.expr("(degree * (degree - 1)) div 2"),
+                6,
+            ).alias("local_clustering"),
+        )
+    )

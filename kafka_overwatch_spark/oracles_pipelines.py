@@ -2154,6 +2154,40 @@ SELECT triangles, wedges,
   round(3.0 * triangles / wedges, 6) AS global_clustering
 FROM tri, w"""
 
+    # per-node clustering: triangles attributed to all three vertices,
+    # wedge capacity C(d,2), degree-<2 nodes excluded in both engines
+    q["graph_local_clustering"] = """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT ab.part_a AS a, ab.part_b AS b, bc.part_b AS c
+  FROM e ab JOIN e bc ON ab.part_b = bc.part_a
+  JOIN e ac ON ac.part_a = ab.part_a AND ac.part_b = bc.part_b
+),
+per_node AS (
+  SELECT part, count(*) AS triangles FROM (
+    SELECT a AS part FROM tri
+    UNION ALL SELECT b AS part FROM tri
+    UNION ALL SELECT c AS part FROM tri
+  ) GROUP BY part
+),
+deg AS (
+  SELECT part, count(*) AS degree FROM (
+    SELECT part_a AS part FROM e
+    UNION ALL SELECT part_b AS part FROM e
+  ) GROUP BY part
+)
+SELECT d.part, CAST(d.degree AS BIGINT) AS degree,
+  CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+  round(CAST(coalesce(p.triangles, 0) AS DOUBLE)
+    / ((d.degree * (d.degree - 1)) // 2), 6) AS local_clustering
+FROM deg d LEFT JOIN per_node p ON d.part = p.part
+WHERE d.degree >= 2"""
+
     # association rules a→b: exact integer counts, ratios divide last
     q["graph_association_rules"] = """
 WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

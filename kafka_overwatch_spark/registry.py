@@ -1229,6 +1229,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["graph_clustering"] = lambda s, d: graph.clustering_coefficient(
         raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
     )
+    q["graph_local_clustering"] = lambda s, d: graph.local_clustering(
+        raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
+    )
     # r5: fuzzy string-similarity self-join (SymSpell deletion
     # neighborhoods -> bucketed levenshtein verify, never all-pairs)
     q["fuzzy_name_pairs"] = lambda s, d: relational.fuzzy_name_pairs(
@@ -1400,6 +1403,7 @@ _PROMOTED = [
     "events_dow_seasonality",
     "sampling_curriculum",
     "graph_clustering",
+    "graph_local_clustering",
 ]
 
 

@@ -160,3 +160,39 @@ def test_growing_semantic_replay_is_idempotent(spark):
             .collect()
         )
         assert first == second
+
+
+def test_growing_semantic_empty_batch_is_noop(spark):
+    """foreachBatch can deliver an EMPTY micro-batch (e.g. a trigger
+    with no new files): the handler must not crash, must leave the
+    accepted index unchanged, and must quarantine nothing."""
+    from pyspark.sql import functions as F
+
+    from kafka_overwatch_spark.streaming.documents_stream import (
+        GrowingSemanticScreen,
+        init_semantic_index,
+    )
+    import tempfile
+
+    corpus, batches = _corpus_and_batches(spark)
+    empty = batches[0].filter(F.lit(False))
+    with tempfile.TemporaryDirectory() as tmp:
+        init_semantic_index(spark, corpus, f"{tmp}/index")
+        before = sorted(
+            r.vec_id
+            for r in spark.read.parquet(f"{tmp}/index/embeddings").collect()
+        )
+        GrowingSemanticScreen(f"{tmp}/index", f"{tmp}/q")(empty, 0)
+        after = sorted(
+            r.vec_id
+            for r in spark.read.parquet(f"{tmp}/index/embeddings").collect()
+        )
+        assert after == before
+        # an empty partitioned write emits no parquet footers, so the
+        # quarantine is either schema-less (nothing ever rejected) or
+        # readable with zero rows for this batch
+        try:
+            rejected = spark.read.parquet(f"{tmp}/q")
+            assert rejected.filter(F.col("batch_id") == 0).count() == 0
+        except Exception as exc:
+            assert "UNABLE_TO_INFER_SCHEMA" in str(exc)
