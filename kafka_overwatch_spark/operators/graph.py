@@ -129,7 +129,9 @@ def pagerank(
     )
     if not small:
         spark = lineitem.sparkSession
-        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        from ..pipelines.util import shuffle_partitions
+
+        shuffle_n = shuffle_partitions(spark)
         trans = trans.repartition(shuffle_n, "src")
     trans = trans.localCheckpoint(eager=True)
     nodes = out_w.select(F.col("src").alias("part"))

@@ -122,12 +122,13 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}"
 
     # fuzzy source overlap: the verified LSH pair query (above) as a
     # FROM-subquery, attributed to source pairs; jaccard mass summed as
-    # DECIMAL(10,6) over the rounded pair values (order-independent)
+    # DECIMAL(38,6) over the rounded pair values (order-independent;
+    # 38 digits so >10k-pair source pairs never saturate — ADVICE r7)
     q["dedup_source_overlap_fuzzy"] = f"""
 SELECT least(a.source, b.source) AS src_a,
   greatest(a.source, b.source) AS src_b,
   CAST(count(*) AS BIGINT) AS pair_count,
-  CAST(sum(CAST(p.jaccard AS DECIMAL(10,6))) AS DOUBLE) AS jaccard_sum
+  CAST(sum(CAST(p.jaccard AS DECIMAL(38,6))) AS DOUBLE) AS jaccard_sum
 FROM ({q["dedup_minhash_lsh"]}) p
 JOIN documents a ON p.doc_a = a.doc_id
 JOIN documents b ON p.doc_b = b.doc_id

@@ -1083,9 +1083,11 @@ def minhash_source_overlap(
     differ by a few tokens). Source pairs are order-normalized
     (src_a ≤ src_b); self-pairs count within-source near-dup mass.
 
-    jaccard mass is summed as DECIMAL(10,6) over the already-rounded
+    jaccard mass is summed as DECIMAL(38,6) over the already-rounded
     pair values — order-independent, bit-identical in the oracle — and
-    cast to double once at the end.
+    cast to double once at the end. 38 digits because the ACCUMULATOR
+    grain is source-pair near-dup mass: DECIMAL(10,6) saturates at
+    ~10k pairs and Spark's non-ANSI decimal overflow is a silent NULL.
 
     Scale shape: the pair frame inherits the banded-LSH shape; source
     attribution rides two doc-keyed joins (per-doc source is
@@ -1114,7 +1116,11 @@ def minhash_source_overlap(
         j.select(
             F.least("sa", "sb").alias("src_a"),
             F.greatest("sa", "sb").alias("src_b"),
-            F.col("jaccard").cast("decimal(10,6)").alias("jd"),
+            # DECIMAL(38,6): the accumulator, not the value grain —
+            # DECIMAL(10,6) saturates at 9999.999999, i.e. ~10k verified
+            # near-dup pairs per source pair, routine at 100 TB, and
+            # non-ANSI Spark overflows to NULL silently (ADVICE r7)
+            F.col("jaccard").cast("decimal(38,6)").alias("jd"),
         )
         .groupBy("src_a", "src_b")
         .agg(

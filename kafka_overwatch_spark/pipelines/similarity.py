@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .dedup import MAX_QUADRATIC_ROWS, _guard_quadratic, _hash64, cosine
-from .util import spread
+from .util import shuffle_partitions, spread
 
 LSH_BITS = 8  # 8 hyperplanes → 256 buckets
 EMB_DIM = 64
@@ -440,9 +440,7 @@ def lsh_neighbor_pairs_vectorized(
             if out is not None:
                 yield out
 
-    n_part = int(
-        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    n_part = shuffle_partitions(embeddings.sparkSession)
     return (
         assigned.repartition(n_part, "bucket")
         .sortWithinPartitions("bucket")
@@ -581,9 +579,7 @@ def embedding_neardup_pairs_lsh(
             if out is not None:
                 yield out
 
-    n_part = int(
-        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    n_part = shuffle_partitions(embeddings.sparkSession)
     return (
         assigned.repartition(n_part, "tbl", "bucket")
         .sortWithinPartitions("tbl", "bucket")

@@ -276,13 +276,14 @@ def shared_passage_pairs(
     standard degenerate-bucket cap (ubiquitous boilerplate passages
     are exactly MinHash's giant-band problem, same treatment); the
     pair aggregation shuffles on (doc_a, doc_b) — bounded by true
-    shared-passage mass, not corpus size. Output: doc_a, doc_b,
+    shared-passage mass, not corpus size. ``fps``: pass the memoized
+    fingerprint frame (registry get_winnow_fps) so the winnow chain is
+    derived ONCE per scan and shared with shared_passage_spans — both
+    sides of the gram_hash self-join slice it. Output: doc_a, doc_b,
     shared_fps."""
-    posting = (
-        winnow_fingerprints(documents, k, w)
-        .select("doc_id", "gram_hash")
-        .distinct()
-    )
+    if fps is None:
+        fps = winnow_fingerprints(documents, k, w)
+    posting = fps.select("doc_id", "gram_hash").distinct()
     capped = posting.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("gram_hash"))
     ).filter(F.col("bucket_n") <= max_bucket)

@@ -8,6 +8,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def shuffle_partitions(spark) -> int:
+    """Numeric shuffle width with a platform-safe fallback:
+    ``spark.sql.shuffle.partitions`` is the string ``"auto"`` on
+    AQE-managed platforms (e.g. Databricks), where a bare ``int()``
+    raises ValueError (ADVICE r7). Fall back to the cluster's default
+    parallelism — the same order of magnitude AQE would pick as its
+    initial width."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     """Repartition a (possibly single-file) input so per-row-heavy
     operators use the whole cluster. Small testdata arrives as one parquet
@@ -88,9 +101,7 @@ def exact_global_rank(
     ``total_col`` optionally attaches the total row count to every row
     (needed by :func:`ntile_from_rank`)."""
     spark = df.sparkSession
-    n = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions")
-    )
+    n = num_partitions or shuffle_partitions(spark)
     from pyspark.sql.window import Window
 
     # localCheckpoint pins the (row → slice) assignment: range boundaries

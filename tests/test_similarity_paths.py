@@ -351,3 +351,22 @@ def test_kcenter_matches_numpy_greedy(spark, snaps):
     radii = [r[2] for r in got[1:]]
     assert radii == sorted(radii, reverse=True)
     assert len({r[1] for r in got}) == k
+
+
+def test_shuffle_partitions_auto_fallback(spark):
+    """ADVICE r7: spark.sql.shuffle.partitions is the string "auto" on
+    AQE-managed platforms (local Spark refuses to SET it, so stub the
+    conf); the helper must fall back to defaultParallelism instead of
+    raising ValueError inside lsh_neighbor_pairs_vectorized et al."""
+    from types import SimpleNamespace
+
+    from kafka_overwatch_spark.pipelines.util import shuffle_partitions
+
+    fake = SimpleNamespace(
+        conf=SimpleNamespace(get=lambda k: "auto"),
+        sparkContext=SimpleNamespace(defaultParallelism=7),
+    )
+    assert shuffle_partitions(fake) == 7
+    assert shuffle_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )

@@ -104,3 +104,27 @@ def test_shared_passage_spans_localize_the_run(spark):
         ga = toks[r["doc_a"]][r["pos_a"] - 1 : r["pos_a"] - 1 + WINNOW_K]
         gb = toks[r["doc_b"]][r["pos_b"] - 1 : r["pos_b"] - 1 + WINNOW_K]
         assert ga == gb, (r, ga, gb)
+
+
+def test_shared_passage_pairs_honors_fps(spark):
+    """ADVICE r7: a passed-in fps frame must actually feed the posting
+    list (the registry hands the memoized winnow frame in; silently
+    re-deriving from documents double-executes the winnow chain AND
+    ignores a caller's custom fingerprints). Hand a synthetic fps with
+    a fabricated shared hash and assert the pair comes from IT, not
+    from the (overlap-free) documents."""
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg hh", "en"),
+         (2, "qq rr ss tt uu vv ww xx", "en")],
+        "doc_id long, text string, lang string",
+    )
+    # overlap-free docs: the document-derived posting list yields no pair
+    assert shared_passage_pairs(docs, min_shared=1).count() == 0
+    fake_fps = spark.createDataFrame(
+        [(1, 1, 777), (1, 2, 778), (2, 5, 777), (2, 6, 778)],
+        "doc_id long, pos long, gram_hash long",
+    )
+    got = shared_passage_pairs(docs, min_shared=2, fps=fake_fps).collect()
+    assert [(r["doc_a"], r["doc_b"], r["shared_fps"]) for r in got] == [
+        (1, 2, 2)
+    ]
