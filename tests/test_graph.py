@@ -119,3 +119,63 @@ def test_clustering_coefficient_known_graph(spark):
         3,
         1.0,
     )
+
+
+def test_triangles_match_three_join_enumeration(spark):
+    """The degree-oriented single-pass enumeration (r8 re-plan) must
+    count exactly the triangles of the naive a<b three-join form, and
+    attribute them to the same vertices."""
+    from pyspark.sql import functions as F
+
+    lineitem = get_raw_tables(spark, SF_DIR)["lineitem"]
+    e = graph.copurchase_edges(lineitem).localCheckpoint()
+    ab = e.select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+    bc = e.select(F.col("part_a").alias("b"), F.col("part_b").alias("c"))
+    ac = e.select(F.col("part_a").alias("a"), F.col("part_b").alias("c"))
+    old = ab.join(bc, "b").join(ac, ["a", "c"])
+    assert graph.triangles(lineitem, edges=e).count() == old.count()
+    per_old = defaultdict(int)
+    for r in old.collect():
+        for v in (r["a"], r["b"], r["c"]):
+            per_old[v] += 1
+    got = {
+        r["part"]: r["triangles"]
+        for r in graph.local_clustering(lineitem, edges=e).collect()
+    }
+    deg: dict = defaultdict(int)
+    for r in e.collect():
+        deg[r["part_a"]] += 1
+        deg[r["part_b"]] += 1
+    want = {p: per_old.get(p, 0) for p, d in deg.items() if d >= 2}
+    assert got == want
+
+
+def test_degree_orientation_kills_hub_wedges(spark):
+    """Skew fixture (VERDICT r7 next #2): a star around hub id 0 — with
+    id-ordered orientation every wedge roots at the hub (C(20,2) = 190
+    candidates for zero triangles); degree orientation points every
+    edge AT the hub, so the wedge join input is empty."""
+    li = spark.createDataFrame(
+        [(i, 0) for i in range(1, 21)] + [(i, i) for i in range(1, 21)],
+        "l_orderkey long, l_partkey long",
+    )
+    e = graph.copurchase_edges(li)
+    cand = graph.wedge_candidates(graph.oriented_edges(e))
+    assert cand.count() == 0
+    assert graph.triangles(li).count() == 0
+
+
+def test_local_clustering_single_triangle_pass(spark):
+    """VERDICT r7 What's-wrong #1: the per-node query must consume the
+    triangle derivation ONCE (explode of the triangle row), not via a
+    three-branch union that re-executes the join tree per branch. The
+    only Union left in the plan is the degree aggregate's; exactly one
+    Generate (the explode) attributes triangles to vertices. Edges
+    arrive checkpointed, as the registry memo delivers them — the plan
+    under test is the derivation DOWNSTREAM of the edge table."""
+    lineitem = get_raw_tables(spark, SF_DIR)["lineitem"]
+    e = graph.copurchase_edges(lineitem).localCheckpoint()
+    df = graph.local_clustering(lineitem, edges=e)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Union") <= 1
+    assert plan.count("Generate") == 1
