@@ -399,14 +399,18 @@ def main() -> None:
         init_semantic_index,
     )
 
+    # 9 batches so the index ~10×s start→end (VERDICT r7 #3: the flat
+    # claim must be witnessed across an order of magnitude of growth)
+    s_batches = 9
+    s_seed = docs.filter(F.col("doc_id") % (s_batches + 1) == 0)
     stmp = tempfile.mkdtemp(prefix="growing_semantic_bench_")
     s_per_batch, s_index_rows = [], []
     try:
-        init_semantic_index(spark, seed, f"{stmp}/index")
+        init_semantic_index(spark, s_seed, f"{stmp}/index")
         sscreen = GrowingSemanticScreen(f"{stmp}/index", f"{stmp}/out")
-        for i in range(g_batches):
+        for i in range(s_batches):
             batch = docs.filter(
-                F.col("doc_id") % (g_batches + 1) == i + 1
+                F.col("doc_id") % (s_batches + 1) == i + 1
             )
             s_index_rows.append(
                 spark.read.parquet(f"{stmp}/index/embeddings").count()
@@ -422,7 +426,7 @@ def main() -> None:
     finally:
         shutil.rmtree(stmp, ignore_errors=True)
     growing_semantic = {
-        "batches": g_batches,
+        "batches": s_batches,
         "per_batch_sec": s_per_batch,
         "index_rows_before_batch": s_index_rows,
     }
