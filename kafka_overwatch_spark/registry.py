@@ -1362,74 +1362,38 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # lowest information — still swept by tests/test_oracle_parity.py) sink
 # to the END. Everything else keeps its registration order.
 _PROMOTED = [
-    # r7 rotation (VERDICT r6 next #4): the 42 oracle-able queries that
+    # r8 rotation (VERDICT r7 next #4): the 17 oracle-able queries that
     # have NEVER appeared in any CORRECTNESS_r* driver window
-    # (judge-verified at sf0.01 in r6, but driver-unwitnessed) go
-    # FIRST, so CORRECTNESS_r07 finally witnesses the tail
-    "events_sessionize",
-    "events_time_weighted_avg",
-    "events_daily_locf",
-    "text_tfidf",
-    "text_repetition",
-    "tpch_shipping_priority",
-    "tpch_top_supplier",
-    "sampling_split",
-    "emb_quantize_int8",
-    "events_k_anonymity",
-    "events_session_window_dynamic",
-    "events_ab_test",
-    "text_fingerprints",
-    "text_ngram_freq",
-    "text_redact_pii",
-    "text_typicality",
-    "text_length_histogram",
-    "text_vocab_stats",
-    "source_quality_summary",
-    "sampling_stratified",
-    "doc_chunks",
-    "tpch_pricing_summary",
-    "tpch_big_order_revenue",
-    "events_daily_rollup",
-    "events_top_users",
-    "events_top_users_salted",
-    "events_pseudonymized",
-    "events_bot_scores",
-    "events_retention",
-    "events_funnel",
-    "events_anomalous_days",
-    "events_user_reach",
-    "events_value_quantiles",
-    "tpch_promo_share",
-    "tpch_forecast_revenue",
-    "tpch_product_profit",
-    "tpch_returned_items",
-    "tpch_disjunctive_revenue",
-    "events_set_ops",
-    "events_type_transitions",
-    "events_mad_anomalies",
-    "emb_split_centroid_drift",
-    # everything re-planned THIS round (r7: 64-bit SimHash/pHash with
-    # 16-bit pigeonhole chunks + bucket cap, de-broadcast cohort
-    # retention, keyed tfidf df join [already above], probe-shuffled
-    # split leakage, capped-probe containment) re-enters the window
-    "dedup_simhash_pairs",
-    "media_phash_pairs",
-    "events_cohort_retention",
-    "split_leakage",
-    "dedup_containment",
-    "dedup_containment_audit",
-    # brand-new r7 algorithms (winnowing) — new algorithms enter the
-    # window first; minhash/incremental-screen rotate out (driver-
-    # witnessed green in r6, unchanged plans this round)
-    "text_winnow_fingerprints",
-    "text_shared_passages",
+    # (judge-verified at sf0.01 in r7, but driver-unwitnessed) go
+    # FIRST — after this round every oracle-able registered query has a
+    # driver-witnessed green row
+    "dedup_source_overlap",
+    "dedup_source_overlap_fuzzy",
     "emb_label_centroids",
-    "events_survival_km",
     "events_daily_acf",
     "events_dow_seasonality",
-    "sampling_curriculum",
+    "events_rfm_segments",
+    "events_survival_km",
     "graph_clustering",
     "graph_local_clustering",
+    "sampling_curriculum",
+    "sampling_dsir_topk",
+    "sampling_dsir_weights",
+    "sampling_epoch_mix",
+    "sampling_weighted",
+    "source_classifier_nb",
+    "text_shared_passage_spans",
+    "tpch_shipmode_priority",
+    # everything re-planned THIS round (r8: degree-oriented single-pass
+    # triangles [clustering pair already above], fps-honoring winnow
+    # posting list, DECIMAL(38,6) overlap accumulator [fuzzy overlap
+    # already above]) re-enters the window
+    "text_shared_passages",
+    "text_winnow_fingerprints",
+    "graph_part_degree",
+    # new r8 algorithms enter the window first (appended as built);
+    # the r7 42-query rotation is driver-witnessed green in
+    # CORRECTNESS_r07 and rotates out
 ]
 
 
