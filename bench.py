@@ -199,6 +199,14 @@ EXTRA = [
     "sampling_curriculum",
     "graph_clustering",
     "graph_local_clustering",
+    # round 8
+    "events_l_diversity",
+    "events_dp_noisy_counts",
+    "events_bootstrap_ci",
+    "events_attribution_models",
+    "text_mojibake",
+    "dedup_minhash_calibration",
+    "emb_mips_topk",
 ]
 
 

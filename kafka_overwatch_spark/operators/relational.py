@@ -3203,3 +3203,245 @@ def dow_seasonality(events: DataFrame) -> DataFrame:
             ).alias("seasonal_index"),
         )
     )
+
+
+def _hash64_col(col: F.Column) -> F.Column:
+    """60-bit non-negative integer hash of a string column — first 15
+    hex chars of md5, identical in DuckDB (dialect.py @HASH64); the
+    deterministic-randomness primitive the privacy/bootstrap family
+    shares with the sampling pipelines."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_HASH64_SPAN = float(16**15)  # conv of 15 hex chars: [0, 16^15)
+
+
+def l_diversity_audit(events: DataFrame, l: int = 3) -> DataFrame:
+    """l-diversity audit over the (event_type, day) quasi-identifier
+    with user_id as the sensitive attribute: k-anonymity bounds how
+    FEW rows share a QI combination, but a class where every row
+    belongs to ONE user still leaks membership — distinct-l-diversity
+    requires ≥ l distinct sensitive values per class. The release-gate
+    companion of :func:`k_anonymity_audit` (same QI, same one-pass
+    shape: one QI-keyed aggregate with a count-distinct, then a
+    dim-sized rollup). Output: qi_classes, classes_below_l,
+    rows_below_l, min_l."""
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    classes = events.groupBy("event_type", day.alias("day")).agg(
+        F.count("*").alias("class_size"),
+        F.count_distinct("user_id").alias("l_distinct"),
+    )
+    return classes.agg(
+        F.count("*").alias("qi_classes"),
+        F.sum((F.col("l_distinct") < l).cast("long")).alias(
+            "classes_below_l"
+        ),
+        F.sum(
+            F.when(F.col("l_distinct") < l, F.col("class_size")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rows_below_l"),
+        F.min("l_distinct").cast("long").alias("min_l"),
+    )
+
+
+def dp_noisy_counts(
+    events: DataFrame, epsilon: float = 0.1, salt: str = "dp-42"
+) -> DataFrame:
+    """Per-type event counts with Laplace noise at sensitivity 1 —
+    the ε-differentially-private release primitive (b = 1/ε). The
+    noise is DETERMINISTIC: a salted 60-bit md5 hash of the group key
+    maps to uniform u ∈ (−½, ½), inverted through the Laplace CDF
+    (−b·sgn(u)·ln(1−2|u|)) — so the release is reproducible, testable,
+    and bit-identical in the DuckDB oracle, exactly like the engine's
+    hash-bucket sampling. A production release would rotate the salt
+    per release and publish ONLY noisy_count; true_count is emitted
+    here because this is the calibration/audit surface.
+
+    One map-side-combined aggregate; noise math is a literal-width
+    scalar expression on the (tiny) group frame. Output: event_type,
+    true_count, noise, noisy_count."""
+    b = 1.0 / epsilon
+    counts = events.groupBy("event_type").agg(
+        F.count("*").alias("true_count")
+    )
+    u = (
+        _hash64_col(
+            F.concat(F.lit(salt), F.lit(":"), F.col("event_type"))
+        )
+        / F.lit(_HASH64_SPAN)
+        - F.lit(0.5)
+    )
+    # guard ln(0) at the u = ±half extreme (reachable only for hash
+    # values straddling the exact span edge; the greatest() keeps the
+    # expression total either way)
+    noise = (
+        -F.lit(b)
+        * F.signum(u)
+        * F.log(F.greatest(1.0 - 2.0 * F.abs(u), F.lit(1e-15)))
+    )
+    return counts.select(
+        "event_type",
+        "true_count",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+    )
+
+
+# Poisson(1) CDF prefix — the inverse-CDF table the bootstrap weights
+# read; literal constants so Spark and DuckDB evaluate the identical
+# doubles (e^-1 · Σ 1/j!)
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+)
+
+
+def _poisson1_weight(u: F.Column) -> F.Column:
+    """Poisson(1) inverse CDF of a uniform u ∈ [0, 1) via the literal
+    CDF table (k capped at 9; P(k > 9) < 1.2e-7)."""
+    w = F.lit(9)
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def bootstrap_value_ci(
+    events: DataFrame, replicates: int = 100, salt: str = "boot-42"
+) -> DataFrame:
+    """Per-type mean event value with a 95% bootstrap CI via the
+    POISSON bootstrap — the resampling scheme that actually
+    distributes: classic bootstrap draws n rows WITH replacement per
+    replicate (a global shuffle per replicate, unusable at 100 TB);
+    Poisson(1) weights are an iid per-row draw, so ALL replicates
+    compute in ONE pass — each row explodes to (row, rep) with a
+    deterministic hash-seeded Poisson weight, one map-side-combined
+    aggregate forms replicate means, and exact interpolated
+    percentiles of the replicate means give the CI. Weight draws are
+    md5-seeded on (salt, event_id, rep): reproducible at any
+    parallelism, bit-identical in the oracle.
+
+    Scale: fan-out is × replicates on the fact scan (bounded, user
+    constant), then everything is (type × rep) grain. Output:
+    event_type, n, mean_value, ci_lo, ci_hi."""
+    rep = F.explode(
+        F.sequence(F.lit(0), F.lit(replicates - 1))
+    ).alias("rep")
+    u = _hash64_col(
+        F.concat(
+            F.lit(salt),
+            F.lit(":"),
+            F.col("event_id").cast("string"),
+            F.lit(":"),
+            F.col("rep").cast("string"),
+        )
+    ) / F.lit(_HASH64_SPAN)
+    per_rep = (
+        events.select("event_type", "event_id", "value", rep)
+        .withColumn("w", _poisson1_weight(u))
+        .groupBy("event_type", "rep")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("value"))
+                / F.sum(F.col("w")).cast("double")
+            ).alias("mean_r")
+        )
+        # a replicate whose weights all drew 0 (P ≈ e^-n per type) is
+        # a NULL mean — drop it rather than poison the percentile
+        .filter(F.col("mean_r").isNotNull())
+    )
+    ci = per_rep.groupBy("event_type").agg(
+        F.expr("percentile(mean_r, 0.025)").alias("ci_lo"),
+        F.expr("percentile(mean_r, 0.975)").alias("ci_hi"),
+    )
+    base = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("mean_value"),
+    )
+    return base.join(ci, "event_type").select(
+        "event_type",
+        "n",
+        F.round("mean_value", 6).alias("mean_value"),
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"),
+    )
+
+
+def attribution_models(
+    events: DataFrame, lookback_days: int = 7
+) -> DataFrame:
+    """Multi-touch attribution over the event log: every purchase is a
+    conversion; the user's non-purchase events in the preceding
+    ``lookback_days`` are its touchpoints; each channel (event_type)
+    is credited under the four standard models side by side —
+    first-touch, last-touch, linear (1/n each), and position-based
+    (40% first, 40% last, 20% split across middles; 100%/50-50 for
+    1-/2-touch paths). Model disagreement IS the signal the analyst
+    reads off this table.
+
+    Scale shape: one user-keyed join fans each purchase out to its
+    same-user lookback events — bounded by per-user activity in the
+    window, the same bound as events_preceding_window_join; per-path
+    ranks come from two windows on the (conversion) key, already
+    partitioned by the join. Credits sum exactly (integer counts and
+    1/n rationals), divided/rounded once at the end. Output:
+    channel, conversions_first, conversions_last, credit_linear,
+    credit_position."""
+    from pyspark.sql.window import Window
+
+    conv = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touches = events.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_id").alias("touch_id"),
+    )
+    lb = F.expr(f"INTERVAL {lookback_days} DAYS")
+    path = conv.join(touches, "cu").filter(
+        (F.col("touch_ts") < F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - lb)
+    )
+    wa = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_ts").asc(), F.col("touch_id").asc()
+    )
+    wd = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_ts").desc(), F.col("touch_id").desc()
+    )
+    ranked = (
+        path.withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .withColumn("n", F.count("*").over(Window.partitionBy("conv_id")))
+    )
+    is_first = F.col("rn_a") == 1
+    is_last = F.col("rn_d") == 1
+    position = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .otherwise(
+            F.when(is_first | is_last, F.lit(0.4)).otherwise(
+                F.lit(0.2) / (F.col("n") - 2)
+            )
+        )
+    )
+    return (
+        ranked.groupBy("channel")
+        .agg(
+            F.sum(is_first.cast("long")).alias("conversions_first"),
+            F.sum(is_last.cast("long")).alias("conversions_last"),
+            F.round(F.sum(1.0 / F.col("n")), 6).alias("credit_linear"),
+            F.round(F.sum(position), 6).alias("credit_position"),
+        )
+    )

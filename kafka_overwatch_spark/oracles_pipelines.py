@@ -3120,4 +3120,218 @@ SELECT source, docs, tokens,
   round(pow(tokens, 0.5) / pow_sum * 1000000.0 / tokens, 6) AS epochs
 FROM counts, tot"""
 
+    # --- r8 wave: privacy, bootstrap, attribution, encoding audit ---
+
+    # distinct-l-diversity over the same (event_type, day) QI as the
+    # k-anonymity gate; sensitive attribute = user_id
+    q["events_l_diversity"] = """
+WITH classes AS (
+  SELECT event_type,
+    CAST(floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+      / 86400) AS BIGINT) AS day,
+    count(*) AS class_size,
+    count(DISTINCT user_id) AS l_distinct
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS qi_classes,
+  CAST(sum(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END) AS BIGINT)
+    AS classes_below_l,
+  CAST(sum(CASE WHEN l_distinct < 3 THEN class_size ELSE 0 END)
+    AS BIGINT) AS rows_below_l,
+  CAST(min(l_distinct) AS BIGINT) AS min_l
+FROM classes"""
+
+    # deterministic-Laplace DP counts: salted @HASH64 → uniform in
+    # (−½, ½) → inverse Laplace CDF; b = 1/ε = 10, identical doubles
+    q["events_dp_noisy_counts"] = """
+WITH c AS (
+  SELECT event_type, count(*) AS true_count FROM events GROUP BY 1
+),
+n AS (
+  SELECT event_type, true_count,
+    (CAST(concat('0x', substr(md5('dp-42:' || event_type), 1, 15))
+      AS BIGINT) / 1152921504606846976.0 - 0.5) AS u
+  FROM c
+)
+SELECT event_type, CAST(true_count AS BIGINT) AS true_count,
+  round(-10.0 * sign(u) * ln(greatest(1.0 - 2.0 * abs(u), 1e-15)), 6)
+    AS noise,
+  round(true_count
+    + (-10.0 * sign(u) * ln(greatest(1.0 - 2.0 * abs(u), 1e-15))), 6)
+    AS noisy_count
+FROM n"""
+
+    # Poisson bootstrap: per-(row, replicate) md5-seeded Poisson(1)
+    # weights (literal CDF table), replicate means, exact percentiles
+    q["events_bootstrap_ci"] = """
+WITH reps AS (SELECT unnest(generate_series(0, 99)) AS rep),
+w AS (
+  SELECT e.event_type, e.value, r.rep,
+    (CAST(concat('0x', substr(md5('boot-42:'
+        || CAST(e.event_id AS VARCHAR) || ':'
+        || CAST(r.rep AS VARCHAR)), 1, 15)) AS BIGINT)
+      / 1152921504606846976.0) AS u
+  FROM events e, reps r
+),
+pw AS (
+  SELECT event_type, rep, value,
+    CASE WHEN u < 0.36787944117144233 THEN 0
+         WHEN u < 0.7357588823428847 THEN 1
+         WHEN u < 0.9196986029286058 THEN 2
+         WHEN u < 0.9810118431238463 THEN 3
+         WHEN u < 0.9963401531726563 THEN 4
+         WHEN u < 0.9994058151824183 THEN 5
+         WHEN u < 0.999916758850712 THEN 6
+         WHEN u < 0.9999897508033253 THEN 7
+         WHEN u < 0.999998874797402 THEN 8
+         ELSE 9 END AS wgt
+  FROM w
+),
+per_rep AS (
+  SELECT event_type, rep,
+    sum(wgt * value) / CAST(sum(wgt) AS DOUBLE) AS mean_r
+  FROM pw GROUP BY 1, 2 HAVING sum(wgt) > 0
+),
+ci AS (
+  SELECT event_type,
+    quantile_cont(mean_r, 0.025) AS ci_lo,
+    quantile_cont(mean_r, 0.975) AS ci_hi
+  FROM per_rep GROUP BY 1
+),
+base AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+    avg(value) AS mean_value
+  FROM events GROUP BY 1
+)
+SELECT b.event_type, b.n, round(b.mean_value, 6) AS mean_value,
+  round(ci.ci_lo, 6) AS ci_lo, round(ci.ci_hi, 6) AS ci_hi
+FROM base b JOIN ci ON b.event_type = ci.event_type"""
+
+    # multi-touch attribution: purchases credit their user's preceding
+    # 7-day touches under first/last/linear/position models
+    q["events_attribution_models"] = """
+WITH conv AS (
+  SELECT user_id AS cu, event_id AS conv_id, ts AS conv_ts
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id AS cu, event_type AS channel, ts AS touch_ts,
+    event_id AS touch_id
+  FROM events WHERE event_type != 'purchase'
+),
+path AS (
+  SELECT c.conv_id, t.channel, t.touch_ts, t.touch_id
+  FROM conv c JOIN touches t ON c.cu = t.cu
+  WHERE t.touch_ts < c.conv_ts
+    AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY
+),
+ranked AS (
+  SELECT conv_id, channel,
+    row_number() OVER (PARTITION BY conv_id
+      ORDER BY touch_ts ASC, touch_id ASC) AS rn_a,
+    row_number() OVER (PARTITION BY conv_id
+      ORDER BY touch_ts DESC, touch_id DESC) AS rn_d,
+    count(*) OVER (PARTITION BY conv_id) AS n
+  FROM path
+)
+SELECT channel,
+  CAST(sum(CASE WHEN rn_a = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS conversions_first,
+  CAST(sum(CASE WHEN rn_d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS conversions_last,
+  round(sum(1.0 / n), 6) AS credit_linear,
+  round(sum(CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
+    WHEN rn_a = 1 OR rn_d = 1 THEN 0.4
+    ELSE 0.2 / (n - 2) END), 6) AS credit_position
+FROM ranked GROUP BY channel"""
+
+    # encoding-anomaly audit: length-difference counting, RE2/Java
+    # char classes agree on these code-point ranges
+    q["text_mojibake"] = """
+WITH counts AS (
+  SELECT doc_id, length(text) AS nc,
+    length(text) - length(regexp_replace(text, '�', '', 'g'))
+      AS repl,
+    length(text) - length(regexp_replace(text,
+      '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]', '', 'g'))
+      AS ctrl,
+    length(regexp_replace(text, '[\\x00-\\x7f]', '', 'g')) AS nonascii
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, CAST(nc AS BIGINT) AS n_chars_text,
+  CAST(repl AS BIGINT) AS repl_chars,
+  CAST(ctrl AS BIGINT) AS ctrl_chars,
+  CAST(nonascii AS BIGINT) AS nonascii_chars,
+  round((3.0 * repl + 1.0 * ctrl + 0.1 * nonascii)
+    / CAST(greatest(nc, 1) AS DOUBLE), 6) AS mojibake_score
+FROM counts"""
+
+    # MinHash estimator calibration on the LSH candidate population:
+    # signature-agreement estimate vs exact Jaccard, decile-binned
+    q["dedup_minhash_calibration"] = f"""
+WITH {SHINGLE_CTE},
+sig AS (
+  SELECT doc_id, sh,
+    list_transform(generate_series(0, {NUM_HASHES - 1}),
+      h -> list_min(list_transform(sh,
+        s -> md5(CAST(h AS STRING) || ':' || s)))) AS sig
+  FROM docs
+),
+bands AS (
+  SELECT doc_id, b.band_id,
+    md5(array_to_string(
+      sig[b.band_id*{ROWS_PER_BAND}+1 : b.band_id*{ROWS_PER_BAND}+{ROWS_PER_BAND}],
+      '|')) AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, {NUM_BANDS - 1})) AS band_id) b
+),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bucket_n
+  FROM bands
+),
+keep AS (SELECT * FROM sized WHERE bucket_n <= 1000),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
+  FROM keep a JOIN keep bb
+    ON a.band_id = bb.band_id AND a.band_key = bb.band_key
+   AND a.doc_id < bb.doc_id
+),
+pairs AS (
+  SELECT
+    round(CAST(len(list_filter(generate_series(1, {NUM_HASHES}),
+      i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / {NUM_HASHES}, 6) AS est,
+    {_JACCARD} AS exact
+  FROM cand c
+  JOIN docs da ON c.doc_a = da.doc_id
+  JOIN docs db ON c.doc_b = db.doc_id
+  JOIN sig sa ON c.doc_a = sa.doc_id
+  JOIN sig sb ON c.doc_b = sb.doc_id
+)
+SELECT least(floor(exact * 10), 9) / 10.0 AS exact_bin,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  round(avg(est), 6) AS avg_est,
+  round(avg(exact), 6) AS avg_exact,
+  round(avg(abs(est - exact)), 6) AS mae
+FROM pairs GROUP BY 1"""
+
+    # exact MIPS baseline: unnormalized dot top-k, rounded-score rank
+    q["emb_mips_topk"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+    round(list_dot_product(q.q_emb, v.emb), 6) AS dot
+  FROM queries q, e v WHERE v.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY dot DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, dot, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5"""
+
     return q

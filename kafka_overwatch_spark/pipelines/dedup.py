@@ -1208,3 +1208,93 @@ def embedding_semantic_dedup(
         "component",
         (F.col("vec_id") == F.col("component")).alias("keep"),
     )
+
+
+def minhash_calibration(
+    documents: DataFrame,
+    max_bucket: int = 1000,
+    docs: DataFrame | None = None,
+    bands: DataFrame | None = None,
+) -> DataFrame:
+    """Estimator-calibration audit of the MinHash screen (r8): on the
+    LSH CANDIDATE pairs (pre-verify — the population the estimator
+    actually gates), compare the signature estimate (share of agreeing
+    MinHash positions, the unbiased Jaccard estimator) against exact
+    shingle Jaccard, bucketed by exact-Jaccard decile. The honest
+    answer to "can I skip the exact verify at 100 TB and trust the
+    sketch?" — read n_pairs/mae per bin before loosening the gate.
+
+    Scale shape: inherits the banded candidate join (capped buckets);
+    adds one signature fetch per pair side (sig rows are
+    NUM_HASHES-string arrays, doc-grain) and a decile-grain rollup.
+    Output: exact_bin, n_pairs, avg_est, avg_exact, mae."""
+    if docs is None:
+        docs = shingle_docs(documents)
+    if bands is None:
+        bands = minhash_bands(docs)
+    sized = bands.withColumn(
+        "bucket_n",
+        F.count("*").over(Window.partitionBy("band_id", "band_key")),
+    ).filter(F.col("bucket_n") <= max_bucket)
+    cand = (
+        sized.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+        .join(
+            sized.select(
+                F.col("doc_id").alias("doc_b"), "band_id", "band_key"
+            ),
+            ["band_id", "band_key"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sig = minhash_signatures(docs)
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    est = F.round(agree.cast("double") / F.lit(NUM_HASHES), 6)
+    pairs = (
+        cand.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+            ),
+            "doc_b",
+        )
+        .join(
+            sig.select(
+                F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sig.select(
+                F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            est.alias("est"),
+            _jaccard(F.col("sh_a"), F.col("sh_b")).alias("exact"),
+        )
+    )
+    bin_ = F.least(F.floor(F.col("exact") * 10), F.lit(9)) / 10.0
+    return (
+        pairs.groupBy(bin_.alias("exact_bin"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("est"), 6).alias("avg_est"),
+            F.round(F.avg("exact"), 6).alias("avg_exact"),
+            F.round(F.avg(F.abs(F.col("est") - F.col("exact"))), 6).alias(
+                "mae"
+            ),
+        )
+    )

@@ -1982,3 +1982,56 @@ def screen_embeddings_against_corpus(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def mips_topk(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = tuple(range(10)),
+    k: int = 5,
+) -> DataFrame:
+    """Exact maximum-inner-product top-k per query vector (excluding
+    self) — the UNNORMALIZED companion of :func:`brute_force_topk`:
+    recommendation/reranking scores are dot products, and the cosine
+    queries silently re-rank when vector norms carry meaning. Exact
+    JVM fold (zip_with/aggregate), broadcast query side, one window on
+    the query key; the scale path is the standard norm-augmentation
+    reduction (append √(M²−‖x‖²) to corpus vectors, 0 to queries) which
+    turns MIPS into the cosine problem the LSH/IVF paths already
+    solve — this query is the exact baseline those would be gated
+    against. Output: query_id, vec_id, dot, rank."""
+    queries = embeddings.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q_emb"),
+            F.col("emb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        embeddings.repartition(par)
+        .select(F.col("vec_id"), F.col("embedding").alias("emb"))
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "vec_id", F.round(dot, 6).alias("dot")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            "dot",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

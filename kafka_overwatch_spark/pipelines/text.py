@@ -1095,3 +1095,42 @@ def zipf_fit(documents: DataFrame) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+def mojibake_score(documents: DataFrame) -> DataFrame:
+    """Per-doc encoding-anomaly audit (r8): counts of U+FFFD
+    replacement characters (the smoking gun of a decode-with-wrong-
+    charset), C0/C1 control characters outside tab/newline/CR, and
+    non-ASCII characters (context for the other two — high non-ASCII
+    alone is just non-English text), plus a blended mojibake score.
+    The ingest-gate companion of text_quality for crawl corpora where
+    double-encoded UTF-8 and latin-1 mixups are endemic.
+
+    All counts are length-difference arithmetic over regexp_replace —
+    pure JVM narrow map, zero shuffle, codegen-friendly; identical RE2/
+    Java char-class semantics in the DuckDB oracle. Output: doc_id,
+    n_chars_text, repl_chars, ctrl_chars, nonascii_chars,
+    mojibake_score."""
+    n = F.length("text")
+    repl = n - F.length(F.regexp_replace("text", "�", ""))
+    ctrl = n - F.length(
+        F.regexp_replace(
+            "text",
+            "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]",
+            "",
+        )
+    )
+    nonascii = F.length(F.regexp_replace("text", "[\\x00-\\x7f]", ""))
+    score = F.round(
+        (3.0 * repl + 1.0 * ctrl + 0.1 * nonascii)
+        / F.greatest(n, F.lit(1)).cast("double"),
+        6,
+    )
+    return documents.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        n.cast("long").alias("n_chars_text"),
+        repl.cast("long").alias("repl_chars"),
+        ctrl.cast("long").alias("ctrl_chars"),
+        nonascii.cast("long").alias("nonascii_chars"),
+        score.alias("mojibake_score"),
+    )

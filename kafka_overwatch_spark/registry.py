@@ -630,6 +630,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash_pairs"] = lambda s, d: dedup.simhash_pairs(
         raw(s, d, "documents"), fps=get_simhash_fps(s, d)
     )
+    # r8: estimator-calibration audit on the LSH candidate population
+    q["dedup_minhash_calibration"] = lambda s, d: dedup.minhash_calibration(
+        raw(s, d, "documents"),
+        docs=get_shingle_docs(s, d),
+        bands=get_minhash_bands(s, d),
+    )
     # registered near-dup surface is the multi-table LSH bucket-local
     # plan (no driver-side corpus collect); the all-pairs variants stay
     # available as guarded small-N verifiers
@@ -639,6 +645,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
     q["ann_cosine_topk"] = lambda s, d: similarity.brute_force_topk_vectorized(
+        raw(s, d, "embeddings")
+    )
+    # r8: exact MIPS baseline (unnormalized dot; norm-augmentation is
+    # the documented scale reduction onto the LSH/IVF cosine paths)
+    q["emb_mips_topk"] = lambda s, d: similarity.mips_topk(
         raw(s, d, "embeddings")
     )
     q["ann_lsh_buckets"] = (
@@ -695,6 +706,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda s, d: textops.shared_passage_spans(
             raw(s, d, "documents"), fps=get_winnow_fps(s, d)
         )
+    )
+    # r8: encoding-anomaly audit (U+FFFD / stray-control / non-ASCII)
+    q["text_mojibake"] = lambda s, d: textops.mojibake_score(
+        raw(s, d, "documents")
     )
     q["text_ngram_freq"] = lambda s, d: textops.ngram_frequencies(
         raw(s, d, "documents")
@@ -974,6 +989,22 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["events_ab_test"] = lambda s, d: relational.ab_test_conversion(
         raw(s, d, "events")
+    )
+    # r8 wave: privacy extensions (distinct-l-diversity next to the k-
+    # anonymity gate; deterministic-Laplace DP release), the Poisson
+    # bootstrap (the resampling scheme that distributes), and
+    # multi-touch attribution
+    q["events_l_diversity"] = lambda s, d: relational.l_diversity_audit(
+        raw(s, d, "events")
+    )
+    q["events_dp_noisy_counts"] = lambda s, d: relational.dp_noisy_counts(
+        raw(s, d, "events")
+    )
+    q["events_bootstrap_ci"] = lambda s, d: relational.bootstrap_value_ci(
+        raw(s, d, "events")
+    )
+    q["events_attribution_models"] = (
+        lambda s, d: relational.attribution_models(raw(s, d, "events"))
     )
     q["events_bot_scores"] = lambda s, d: relational.bot_likeness_scores(
         raw(s, d, "events")
@@ -1391,9 +1422,16 @@ _PROMOTED = [
     "text_shared_passages",
     "text_winnow_fingerprints",
     "graph_part_degree",
-    # new r8 algorithms enter the window first (appended as built);
-    # the r7 42-query rotation is driver-witnessed green in
-    # CORRECTNESS_r07 and rotates out
+    # new r8 algorithms enter the window first; the r7 42-query
+    # rotation is driver-witnessed green in CORRECTNESS_r07 and
+    # rotates out
+    "events_l_diversity",
+    "events_dp_noisy_counts",
+    "events_bootstrap_ci",
+    "events_attribution_models",
+    "text_mojibake",
+    "dedup_minhash_calibration",
+    "emb_mips_topk",
 ]
 
 

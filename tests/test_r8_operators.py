@@ -1,0 +1,232 @@
+"""r8 operator wave: privacy extensions (l-diversity, deterministic-
+Laplace DP counts), the Poisson bootstrap, multi-touch attribution,
+encoding-anomaly audit, MinHash calibration, and exact MIPS — unit
+semantics on constructed fixtures (the oracle sweep covers the parity
+side at sf0.01)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kafka_overwatch_spark.operators import relational
+
+EVENT_COLS = "event_id long, user_id long, ts timestamp, event_type string, value double"
+
+
+def _events(spark, rows):
+    import datetime as dt
+
+    return spark.createDataFrame(
+        [
+            (i, u, dt.datetime(2024, 1, d, h, 0, 0), t, v)
+            for i, (u, d, h, t, v) in enumerate(rows)
+        ],
+        EVENT_COLS,
+    )
+
+
+def test_l_diversity_flags_single_user_classes(spark):
+    # day 1 'click': 3 rows but ONE user (k-anonymous at k=3, yet l=1);
+    # day 2 'view': 3 rows, 3 users (l=3, passes)
+    ev = _events(
+        spark,
+        [(7, 1, 9, "click", 1.0)] * 3
+        + [(u, 2, 9, "view", 1.0) for u in (1, 2, 3)],
+    )
+    r = relational.l_diversity_audit(ev, l=3).collect()[0]
+    assert (
+        r["qi_classes"],
+        r["classes_below_l"],
+        r["rows_below_l"],
+        r["min_l"],
+    ) == (2, 1, 3, 1)
+
+
+def test_dp_noisy_counts_laplace_properties(spark):
+    ev = _events(
+        spark,
+        [(u, 1, 9, t, 1.0) for u in range(20) for t in ("click", "view")],
+    )
+    rows = {r["event_type"]: r for r in relational.dp_noisy_counts(ev).collect()}
+    assert rows["click"]["true_count"] == 20
+    for r in rows.values():
+        # noise is the deterministic inverse-Laplace of the salted hash:
+        # recompute it independently
+        import hashlib
+
+        h = int(
+            hashlib.md5(f"dp-42:{r['event_type']}".encode()).hexdigest()[:15],
+            16,
+        )
+        u = h / float(16**15) - 0.5
+        want = -10.0 * math.copysign(1.0, u) * math.log(
+            max(1.0 - 2.0 * abs(u), 1e-15)
+        )
+        assert abs(r["noise"] - want) < 1e-6
+        assert abs(r["noisy_count"] - (r["true_count"] + want)) < 1e-5
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    ev = _events(
+        spark,
+        [(u, 1 + u % 5, 9, "click", float(10 + (u % 7))) for u in range(80)],
+    )
+    r1 = relational.bootstrap_value_ci(ev).collect()[0]
+    r2 = relational.bootstrap_value_ci(ev).collect()[0]
+    assert r1 == r2  # hash-seeded: bit-identical across runs
+    assert r1["ci_lo"] <= r1["mean_value"] <= r1["ci_hi"]
+    # CI of an 80-row mean of values in [10, 16] is well inside [10, 16]
+    assert 10.0 < r1["ci_lo"] and r1["ci_hi"] < 16.0
+
+
+def test_poisson_weight_table_matches_scipy_free_reference(spark):
+    # inverse-CDF at the exact table boundaries: u just below c0 -> 0,
+    # just above -> 1, etc.
+    df = spark.createDataFrame(
+        [(0.0,), (0.36787945,), (0.73575889,), (0.9999989,)], "u double"
+    )
+    w = [
+        r["w"]
+        for r in df.select(
+            relational._poisson1_weight(F.col("u")).alias("w")
+        ).collect()
+    ]
+    assert w == [0, 1, 2, 9]
+
+
+def test_attribution_models_constructed_path(spark):
+    # user 1: click(d1) -> view(d2) -> email(d3) -> purchase(d4): n=3
+    #   first: click, last: email, linear 1/3 each,
+    #   position .4 click / .2 view / .4 email
+    # user 2: view(d1) -> purchase(d2): n=1 -> view gets 1.0 everywhere
+    ev = _events(
+        spark,
+        [
+            (1, 1, 9, "click", 1.0),
+            (1, 2, 9, "view", 1.0),
+            (1, 3, 9, "email", 1.0),
+            (1, 4, 9, "purchase", 5.0),
+            (2, 5, 9, "view", 1.0),
+            (2, 6, 9, "purchase", 3.0),
+        ],
+    )
+    got = {
+        r["channel"]: (
+            r["conversions_first"],
+            r["conversions_last"],
+            r["credit_linear"],
+            r["credit_position"],
+        )
+        for r in relational.attribution_models(ev).collect()
+    }
+    assert got["click"] == (1, 0, round(1 / 3, 6), 0.4)
+    assert got["email"] == (0, 1, round(1 / 3, 6), 0.4)
+    assert got["view"] == (1, 1, round(1 / 3 + 1.0, 6), 1.2)
+
+
+def test_attribution_lookback_excludes_stale_touches(spark):
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, dt.datetime(2024, 1, 1), "click", 1.0),
+            (2, 1, dt.datetime(2024, 1, 20), "purchase", 5.0),
+        ],
+        EVENT_COLS,
+    )
+    assert relational.attribution_models(ev).count() == 0
+
+
+def test_mojibake_counts_constructed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "clean ascii text"),
+            (2, "bad �� decode"),
+            (3, "ctrl\x07char café"),
+        ],
+        "doc_id long, text string",
+    )
+    from kafka_overwatch_spark.pipelines.text import mojibake_score
+
+    got = {
+        r["doc_id"]: (
+            r["repl_chars"],
+            r["ctrl_chars"],
+            r["nonascii_chars"],
+        )
+        for r in mojibake_score(docs).collect()
+    }
+    assert got[1] == (0, 0, 0)
+    assert got[2] == (2, 0, 2)  # U+FFFD is also non-ASCII
+    assert got[3] == (0, 1, 1)  # bell is ctrl; é is non-ASCII
+
+
+def test_minhash_calibration_est_tracks_exact(spark):
+    # near-duplicate docs: high exact jaccard bin must carry a high
+    # estimate; the calibration row count is bounded by 10 bins
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "s", len(base)),
+            (2, base + " ok", "en", "s", len(base) + 3),
+            (3, "a completely different document body here", "en", "s", 41),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from kafka_overwatch_spark.pipelines.dedup import minhash_calibration
+
+    rows = minhash_calibration(docs).collect()
+    assert 1 <= len(rows) <= 10
+    top = max(rows, key=lambda r: r["exact_bin"])
+    assert top["exact_bin"] >= 0.7 and top["avg_est"] >= 0.5
+    assert all(0.0 <= r["mae"] <= 1.0 for r in rows)
+
+
+def test_mips_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    mat = rng.randn(40, 64) * rng.uniform(0.5, 3.0, size=(40, 1))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    from kafka_overwatch_spark.pipelines.similarity import mips_topk
+
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in mips_topk(emb, query_ids=(0, 1, 2), k=3).collect()
+    }
+    for q in (0, 1, 2):
+        dots = mat @ mat[q]
+        # deterministic reference: sort by (-rounded dot, vec_id)
+        ref = sorted(
+            (i for i in range(40) if i != q),
+            key=lambda i: (-round(float(dots[i]), 6), i),
+        )
+        for rank in (1, 2, 3):
+            assert got[(q, rank)] == ref[rank - 1]
+
+
+def test_mips_differs_from_cosine_when_norms_vary(spark):
+    # a long vector slightly off-axis must beat a short aligned one on
+    # dot but lose on cosine — the reason MIPS is its own query
+    import numpy as np
+
+    q = [1.0] * 8 + [0.0] * 56
+    aligned_short = [0.1] * 8 + [0.0] * 56
+    long_off = [5.0] * 8 + [4.0] * 56
+    emb = spark.createDataFrame(
+        [(0, q), (1, aligned_short), (2, long_off)],
+        "vec_id long, embedding array<double>",
+    )
+    from kafka_overwatch_spark.pipelines.similarity import mips_topk
+
+    top = (
+        mips_topk(emb, query_ids=(0,), k=1).collect()[0]
+    )
+    assert top["vec_id"] == 2
+    np_dot = float(np.dot(q, long_off))
+    assert abs(top["dot"] - round(np_dot, 6)) < 1e-9
