@@ -207,6 +207,8 @@ EXTRA = [
     "text_mojibake",
     "dedup_minhash_calibration",
     "emb_mips_topk",
+    "events_session_paths",
+    "events_pareto_share",
 ]
 
 

@@ -3445,3 +3445,130 @@ def attribution_models(
             F.round(F.sum(position), 6).alias("credit_position"),
         )
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_seconds: int = 86400,
+    max_steps: int = 5,
+    min_sessions: int = 5,
+) -> DataFrame:
+    """Clickstream path analysis: the first ``max_steps`` event types
+    of each gap-based session joined into a path string, counted
+    across sessions — the "what do user journeys actually look like"
+    rollup on top of :func:`sessionize_events` (same session
+    definition, so the two queries agree on boundaries). Thresholded
+    by ``min_sessions`` instead of top-k so the result is
+    order-insensitive (the ngram_frequencies convention).
+
+    Scale shape: one (user_id)-windowed pass marks session starts,
+    then sessions aggregate by (user, session) with a sorted
+    collect_list bounded by session length; path cardinality is
+    bounded by |event_types|^max_steps, so the final rollup is small.
+    Output: path, sessions, avg_events, share."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+            > gap_seconds,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    ).withColumn(
+        "session_id",
+        (
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            + 1
+        ).cast("long"),
+    )
+    sessions = marked.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                max_steps,
+            ),
+            ">",
+        ).alias("path"),
+        F.count("*").alias("n_events"),
+    )
+    total = sessions.agg(F.count("*").alias("total_sessions"))
+    return (
+        sessions.groupBy("path")
+        .agg(
+            F.count("*").alias("sessions"),
+            F.round(F.avg("n_events"), 6).alias("avg_events"),
+        )
+        .filter(F.col("sessions") >= min_sessions)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "path",
+            "sessions",
+            "avg_events",
+            F.round(
+                F.col("sessions") / F.col("total_sessions").cast("double"),
+                6,
+            ).alias("share"),
+        )
+    )
+
+
+def pareto_value_share(events: DataFrame) -> DataFrame:
+    """Whale concentration: the share of total value contributed by the
+    top 1% / 10% / 20% of users (per-user totals ranked desc) — the
+    fixed-percentile inverse of the Lorenz curve behind
+    :func:`user_value_gini` (gini says HOW unequal; this says where
+    the mass sits). Thresholds are ceil(p·n) ranks, shares divide
+    DECIMAL-exact sums once (round 6).
+
+    Scale shape: ranks come from exact_global_rank (range exchange +
+    slice row_number + offset broadcast — no single-partition sort);
+    the share computation is one conditional aggregate over the ranked
+    user-grain frame. Output: one row — n_users, total_value,
+    top1pct_users, top1pct_share, top10pct_share, top20pct_share."""
+    from ..pipelines.util import exact_global_rank
+
+    totals = events.groupBy("user_id").agg(
+        F.sum(_dec("value")).alias("d_total")
+    )
+    ranked = exact_global_rank(
+        totals,
+        [F.col("d_total").desc(), F.col("user_id").asc()],
+        rank_col="i",
+        total_col="n",
+    )
+    def share(p: float) -> F.Column:
+        k = F.ceil(F.lit(p) * F.col("n"))
+        return F.round(
+            F.sum(F.when(F.col("i") <= k, F.col("d_total"))).cast("double")
+            / F.sum("d_total").cast("double"),
+            6,
+        )
+
+    return ranked.agg(
+        F.count("*").alias("n_users"),
+        F.round(F.sum("d_total"), 2).cast("double").alias("total_value"),
+        F.max(F.ceil(F.lit(0.01) * F.col("n"))).cast("long").alias(
+            "top1pct_users"
+        ),
+        share(0.01).alias("top1pct_share"),
+        share(0.10).alias("top10pct_share"),
+        share(0.20).alias("top20pct_share"),
+    )

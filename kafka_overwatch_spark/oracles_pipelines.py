@@ -3313,6 +3313,61 @@ SELECT least(floor(exact * 10), 9) / 10.0 AS exact_bin,
   round(avg(abs(est - exact)), 6) AS mae
 FROM pairs GROUP BY 1"""
 
+    # clickstream paths: first-5-type session paths, thresholded
+    q["events_session_paths"] = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN date_diff('second',
+        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+        > 86400 THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+    sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS session_id
+  FROM marked
+),
+paths AS (
+  SELECT user_id, session_id,
+    array_to_string((list(event_type ORDER BY ts, event_id))[1:5], '>')
+      AS path,
+    count(*) AS n_events
+  FROM sess GROUP BY user_id, session_id
+),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS total_sessions FROM paths)
+SELECT path, CAST(count(*) AS BIGINT) AS sessions,
+  round(avg(n_events), 6) AS avg_events,
+  round(count(*) / total_sessions, 6) AS share
+FROM paths, tot GROUP BY path, total_sessions
+HAVING count(*) >= 5"""
+
+    # whale concentration: top-1/10/20%-of-users value shares; ranks
+    # stated as the plain desc window (the Spark side uses
+    # exact_global_rank — same ranks, no single-partition sort)
+    q["events_pareto_share"] = """
+WITH totals AS (
+  SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS d_total
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT d_total,
+    row_number() OVER (ORDER BY d_total DESC, user_id ASC) AS i,
+    count(*) OVER () AS n
+  FROM totals
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+  CAST(round(sum(d_total), 2) AS DOUBLE) AS total_value,
+  CAST(max(ceil(0.01 * n)) AS BIGINT) AS top1pct_users,
+  round(CAST(sum(CASE WHEN i <= ceil(0.01 * n) THEN d_total END)
+    AS DOUBLE) / CAST(sum(d_total) AS DOUBLE), 6) AS top1pct_share,
+  round(CAST(sum(CASE WHEN i <= ceil(0.10 * n) THEN d_total END)
+    AS DOUBLE) / CAST(sum(d_total) AS DOUBLE), 6) AS top10pct_share,
+  round(CAST(sum(CASE WHEN i <= ceil(0.20 * n) THEN d_total END)
+    AS DOUBLE) / CAST(sum(d_total) AS DOUBLE), 6) AS top20pct_share
+FROM ranked"""
+
     # exact MIPS baseline: unnormalized dot top-k, rounded-score rank
     q["emb_mips_topk"] = """
 WITH e AS (

@@ -1006,6 +1006,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_attribution_models"] = (
         lambda s, d: relational.attribution_models(raw(s, d, "events"))
     )
+    q["events_session_paths"] = lambda s, d: relational.session_paths(
+        raw(s, d, "events")
+    )
+    q["events_pareto_share"] = lambda s, d: relational.pareto_value_share(
+        raw(s, d, "events")
+    )
     q["events_bot_scores"] = lambda s, d: relational.bot_likeness_scores(
         raw(s, d, "events")
     )
@@ -1432,6 +1438,8 @@ _PROMOTED = [
     "text_mojibake",
     "dedup_minhash_calibration",
     "emb_mips_topk",
+    "events_session_paths",
+    "events_pareto_share",
 ]
 
 

@@ -411,3 +411,80 @@ def streaming_session_windows(
             F.col("d_value").cast("double").alias("total_value"),
         )
     )
+
+
+class DpCountsRelease:
+    """foreachBatch handler for a PRIVACY-PRESERVING streaming metrics
+    release: each micro-batch's per-type counts are published with
+    ε-DP Laplace noise (``operators.relational.dp_noisy_counts``) under
+    a per-batch salt derived from (base_salt, batch_id) — so a REPLAYED
+    batch re-derives byte-identical noise (exactly-once release
+    semantics survive crash-replay), while distinct batches draw
+    independent noise (no correlation an observer could average out
+    across the stream). Writes are batch_id-partitioned dynamic
+    overwrites, the engine's standard idempotent-append shape.
+
+    Per-batch ε composes: publishing T batches of the same metric
+    costs T·ε under sequential composition — pick ε per the stream's
+    release cadence. Scale: one map-side-combined aggregate per batch;
+    noise math is scalar arithmetic on the (tiny) type-grain frame."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        epsilon: float = 0.1,
+        base_salt: str = "dp-stream-42",
+    ) -> None:
+        self.out_dir = out_dir
+        self.epsilon = epsilon
+        self.base_salt = base_salt
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.relational import dp_noisy_counts
+
+        spark = batch_df.sparkSession
+        release = dp_noisy_counts(
+            batch_df,
+            epsilon=self.epsilon,
+            salt=f"{self.base_salt}:{batch_id}",
+        ).select("event_type", "noisy_count")  # true_count NEVER leaves
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            (
+                release.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(self.out_dir)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+
+def run_dp_counts_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    epsilon: float = 0.1,
+    timeout_sec: int = 300,
+) -> None:
+    """Drain the events feed through the DP release (availableNow; a
+    production deployment uses a processing-time trigger at the
+    release cadence the ε budget was priced for)."""
+    q = (
+        event_stream(spark, input_dir)
+        .writeStream.foreachBatch(DpCountsRelease(out_dir, epsilon))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError("dp counts stream did not drain in time")

@@ -230,3 +230,120 @@ def test_mips_differs_from_cosine_when_norms_vary(spark):
     assert top["vec_id"] == 2
     np_dot = float(np.dot(q, long_off))
     assert abs(top["dot"] - round(np_dot, 6)) < 1e-9
+
+
+def test_session_paths_constructed(spark):
+    import datetime as dt
+
+    # user 1: two sessions (>1 day gap): [click>view], [view]
+    # user 2: one session [click>view]
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 9), "click", 1.0),
+        (2, 1, dt.datetime(2024, 1, 1, 10), "view", 1.0),
+        (3, 1, dt.datetime(2024, 1, 5, 9), "view", 1.0),
+        (4, 2, dt.datetime(2024, 1, 1, 9), "click", 1.0),
+        (5, 2, dt.datetime(2024, 1, 1, 9, 30), "view", 1.0),
+    ]
+    ev = spark.createDataFrame(rows, EVENT_COLS)
+    got = {
+        r["path"]: (r["sessions"], r["share"])
+        for r in relational.session_paths(ev, min_sessions=1).collect()
+    }
+    assert got == {
+        "click>view": (2, round(2 / 3, 6)),
+        "view": (1, round(1 / 3, 6)),
+    }
+
+
+def test_session_paths_truncates_to_max_steps(spark):
+    import datetime as dt
+
+    rows = [
+        (i, 1, dt.datetime(2024, 1, 1, 9, i), f"t{i}", 1.0)
+        for i in range(8)
+    ]
+    ev = spark.createDataFrame(rows, EVENT_COLS)
+    r = relational.session_paths(ev, max_steps=5, min_sessions=1).collect()
+    assert len(r) == 1
+    assert r[0]["path"] == "t0>t1>t2>t3>t4"  # 8 events, 5 shown
+    assert r[0]["avg_events"] == 8.0
+
+
+def test_pareto_share_constructed(spark):
+    import datetime as dt
+
+    # 10 users; user 0 holds 91 of 100 total value -> top 10% (1 user)
+    # holds .91; top 20% (2 users) .92
+    rows = []
+    for u in range(10):
+        v = 91.0 if u == 0 else 1.0
+        rows.append((u, u, dt.datetime(2024, 1, 1, 9), "click", v))
+    ev = spark.createDataFrame(rows, EVENT_COLS)
+    r = relational.pareto_value_share(ev).collect()[0]
+    assert r["n_users"] == 10 and r["total_value"] == 100.0
+    assert r["top1pct_users"] == 1
+    assert r["top1pct_share"] == 0.91
+    assert r["top10pct_share"] == 0.91
+    assert r["top20pct_share"] == 0.92
+
+
+def test_streaming_dp_release_replay_deterministic(spark, tmp_path):
+    """The per-batch salted noise must be byte-identical under replay
+    (exactly-once release), differ across batch ids (no averaging-out),
+    and the release must never contain the true count column."""
+    import datetime as dt
+
+    from kafka_overwatch_spark.streaming.events_stream import (
+        DpCountsRelease,
+    )
+
+    ev = spark.createDataFrame(
+        [(i, i % 3, dt.datetime(2024, 1, 1, 9), "click", 1.0)
+         for i in range(30)],
+        EVENT_COLS,
+    ).withColumn("props", F.lit(None).cast("string"))
+    out = str(tmp_path / "dp")
+    rel = DpCountsRelease(out)
+    rel(ev, 0)
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(out)
+        .filter(F.col("batch_id") == 0).collect()
+    )
+    rel(ev, 0)  # replay
+    again = sorted(
+        tuple(r) for r in spark.read.parquet(out)
+        .filter(F.col("batch_id") == 0).collect()
+    )
+    assert first == again and len(first) == 1
+    rel(ev, 1)
+    other = spark.read.parquet(out).filter(F.col("batch_id") == 1).collect()
+    assert other[0]["noisy_count"] != first[0][1]
+    cols = spark.read.parquet(out).columns
+    assert "true_count" not in cols and "noisy_count" in cols
+
+
+def test_streaming_dp_release_end_to_end(spark, tmp_path):
+    import datetime as dt
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from kafka_overwatch_spark.streaming.events_stream import (
+        run_dp_counts_stream,
+    )
+
+    ev = spark.createDataFrame(
+        [(i, i % 3, dt.datetime(2024, 1, 1, 9), "click", 1.0)
+         for i in range(10)],
+        EVENT_COLS,
+    ).withColumn("props", F.lit(None).cast("string"))
+    feed = str(tmp_path / "feed")
+    _os.makedirs(feed)
+    ev.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "in"))
+    src = _glob.glob(str(tmp_path / "in" / "part-*.parquet"))[0]
+    _shutil.copy(src, f"{feed}/0000.parquet")
+    run_dp_counts_stream(
+        spark, feed, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert len(rows) == 1 and rows[0]["event_type"] == "click"
