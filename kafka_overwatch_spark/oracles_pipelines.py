@@ -3161,17 +3161,24 @@ SELECT event_type, CAST(true_count AS BIGINT) AS true_count,
     AS noisy_count
 FROM n"""
 
-    # Poisson bootstrap: per-(row, replicate) md5-seeded Poisson(1)
-    # weights (literal CDF table), replicate means, exact percentiles
+    # Poisson bootstrap: ONE md5 per row (mod prime P < 2^30), then a
+    # per-replicate uniform from two multiply-mod LCG steps — mirrors
+    # relational.bootstrap_value_ci token-for-token (r8 verdict weak
+    # #1 re-plan: the draw no longer md5-hashes per (row × replicate))
     q["events_bootstrap_ci"] = """
 WITH reps AS (SELECT unnest(generate_series(0, 99)) AS rep),
+seeded AS (
+  SELECT event_type, value,
+    (CAST(concat('0x', substr(md5('boot-42:'
+        || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 1073741789) AS seed
+  FROM events
+),
 w AS (
   SELECT e.event_type, e.value, r.rep,
-    (CAST(concat('0x', substr(md5('boot-42:'
-        || CAST(e.event_id AS VARCHAR) || ':'
-        || CAST(r.rep AS VARCHAR)), 1, 15)) AS BIGINT)
-      / 1152921504606846976.0) AS u
-  FROM events e, reps r
+    (((e.seed * 1103515245 + r.rep * 12345 + 12345) % 1073741789)
+       * 1103515245 + r.rep) % 1073741789 / 1073741789.0 AS u
+  FROM seeded e, reps r
 ),
 pw AS (
   SELECT event_type, rep, value,
