@@ -2094,8 +2094,10 @@ def daily_ewma_cusum(
     higher-order ``aggregate`` over the sorted array: zero Python, zero
     extra shuffles beyond the daily rollup itself. At 100 TB the rollup
     is the only fact-sized work; the folds run on |types|×|days| rows.
-    Rows-only gate (recurrences aren't ANSI-SQL); exact python-fold
-    parity in tests/test_relational_extras.py."""
+    Oracle-able since r9: the recurrence is mirrored in DuckDB with a
+    recursive CTE over the ordered daily frame (one recursion step per
+    day, token-identical arithmetic); exact python-fold parity in
+    tests/test_relational_extras.py besides."""
     day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
     daily = events.groupBy(
         "event_type", day.alias("day")
@@ -3122,9 +3124,11 @@ def daily_holt_forecast(
     Scale shape: identical to daily_ewma_cusum — the daily rollup is
     the only fact-sized work; the nonlinear recurrence folds each
     type's bounded day series with a JVM higher-order ``aggregate``
-    (zero Python). Rows-only gate (recurrences aren't ANSI-SQL); exact
-    python-fold parity in tests/test_relational_extras.py. Output:
-    event_type, days, level, trend, forecast_1, forecast_7."""
+    (zero Python). Oracle-able since r9 via a DuckDB recursive CTE
+    over the ordered daily frame (token-identical update arithmetic);
+    exact python-fold parity in tests/test_relational_extras.py
+    besides. Output: event_type, days, level, trend, forecast_1,
+    forecast_7."""
     day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
     daily = events.groupBy(
         "event_type", day.alias("day")
@@ -3135,7 +3139,7 @@ def daily_holt_forecast(
     a, b = alpha, beta
     folded = per_type.select(
         "event_type",
-        F.size("series").alias("days"),
+        F.size("series").cast("long").alias("days"),
         F.expr(
             f"""
             aggregate(

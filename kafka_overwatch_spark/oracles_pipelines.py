@@ -3396,4 +3396,86 @@ ranked AS (
 SELECT query_id, vec_id, dot, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 5"""
 
+    # --- r9 wave: the two deterministic day-grain recurrences move
+    # from rows-only to oracle-able via recursive CTEs over the
+    # ordered daily frame (VERDICT r8 next #3). Each iteration of the
+    # recursion advances every event_type one day (rn → rn + 1), so
+    # the recursion depth is the longest per-type day series; the
+    # recurrence arithmetic mirrors the Spark fold token-for-token
+    # (literals 0.3/0.7, 0.1/0.9, 0.5; left-assoc order preserved).
+
+    # Holt linear-trend smoothing: l1 = x1, b1 = NULL; rn 2 sets
+    # l2 = x2, b2 = x2 - x1; rn >= 3 applies the update. Final row per
+    # type (rn = days) carries level/trend and the h=1/h=7 forecasts.
+    q["events_holt_forecast"] = """
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+ord AS (
+  SELECT event_type, x,
+    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+),
+rec AS (
+  SELECT event_type, rn, x AS l, CAST(NULL AS DOUBLE) AS b
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.rn,
+    CASE WHEN r.rn = 1 THEN o.x
+         ELSE 0.3 * o.x + 0.7 * (r.l + r.b) END AS l,
+    CASE WHEN r.rn = 1 THEN o.x - r.l
+         ELSE 0.1 * (0.3 * o.x + 0.7 * (r.l + r.b) - r.l)
+              + 0.9 * r.b END AS b
+  FROM rec r JOIN ord o
+    ON o.event_type = r.event_type AND o.rn = r.rn + 1
+),
+finals AS (
+  SELECT event_type, max(rn) AS days FROM rec GROUP BY 1
+)
+SELECT r.event_type, CAST(f.days AS BIGINT) AS days,
+  round(r.l, 6) AS level, round(r.b, 6) AS trend,
+  round(r.l + r.b, 6) AS forecast_1,
+  round(r.l + 7 * r.b, 6) AS forecast_7
+FROM rec r JOIN finals f
+  ON r.event_type = f.event_type AND r.rn = f.days"""
+
+    # EWMA + one-sided CUSUM: ewma1 = x1; ewma_t = 0.3·x_t +
+    # 0.7·ewma_{t-1}; cusum_t = max(0, cusum_{t-1} + x_t - mu -
+    # 0.5·sigma) with cusum_0 = 0 and per-type mu/sigma_pop over the
+    # daily series. Every (type, day) row is emitted.
+    q["events_ewma_cusum"] = """
+WITH RECURSIVE daily AS (
+  SELECT event_type,
+    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, avg(x) AS mu, stddev_pop(x) AS sigma
+  FROM daily GROUP BY 1
+),
+ord AS (
+  SELECT d.event_type, d.day, d.x, s.mu, s.sigma,
+    row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn
+  FROM daily d JOIN stats s USING (event_type)
+),
+rec AS (
+  SELECT event_type, day, x, mu, sigma, rn,
+    x AS ewma,
+    greatest(0.0, 0.0 + x - mu - 0.5 * sigma) AS cusum
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.day, o.x, o.mu, o.sigma, o.rn,
+    0.3 * o.x + 0.7 * r.ewma AS ewma,
+    greatest(0.0, r.cusum + o.x - o.mu - 0.5 * o.sigma) AS cusum
+  FROM rec r JOIN ord o
+    ON o.event_type = r.event_type AND o.rn = r.rn + 1
+)
+SELECT event_type, day, round(x, 6) AS value,
+  round(ewma, 6) AS ewma, round(cusum, 6) AS cusum
+FROM rec"""
+
     return q

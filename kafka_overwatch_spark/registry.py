@@ -1399,47 +1399,48 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # lowest information — still swept by tests/test_oracle_parity.py) sink
 # to the END. Everything else keeps its registration order.
 _PROMOTED = [
-    # r8 rotation (VERDICT r7 next #4): the 17 oracle-able queries that
-    # have NEVER appeared in any CORRECTNESS_r* driver window
-    # (judge-verified at sf0.01 in r7, but driver-unwitnessed) go
-    # FIRST — after this round every oracle-able registered query has a
-    # driver-witnessed green row
-    "dedup_source_overlap",
-    "dedup_source_overlap_fuzzy",
-    "emb_label_centroids",
-    "events_daily_acf",
-    "events_dow_seasonality",
-    "events_rfm_segments",
-    "events_survival_km",
-    "graph_clustering",
-    "graph_local_clustering",
-    "sampling_curriculum",
-    "sampling_dsir_topk",
-    "sampling_dsir_weights",
-    "sampling_epoch_mix",
-    "sampling_weighted",
-    "source_classifier_nb",
-    "text_shared_passage_spans",
-    "tpch_shipmode_priority",
-    # everything re-planned THIS round (r8: degree-oriented single-pass
-    # triangles [clustering pair already above], fps-honoring winnow
-    # posting list, DECIMAL(38,6) overlap accumulator [fuzzy overlap
-    # already above]) re-enters the window
-    "text_shared_passages",
-    "text_winnow_fingerprints",
-    "graph_part_degree",
-    # new r8 algorithms enter the window first; the r7 42-query
-    # rotation is driver-witnessed green in CORRECTNESS_r07 and
-    # rotates out
+    # r9 rotation (VERDICT r8 next #4: every query whose plan changed
+    # in r9 leads the window): the bootstrap draw was re-planned
+    # (md5-once-per-row + integer replicate mixing, new mirrored
+    # oracle), and the two recurrence queries moved from rows-only to
+    # oracle-able via recursive-CTE oracles — all three must be
+    # driver-witnessed this round
+    "events_bootstrap_ci",
+    "events_holt_forecast",
+    "events_ewma_cusum",
+    # the rest of the r8 wave stays up front (witnessed in r8 but the
+    # youngest gates in the registry; attribution/session-path family
+    # is also the one being scale-curved this round)
+    "events_attribution_models",
+    "events_session_paths",
+    "events_pareto_share",
     "events_l_diversity",
     "events_dp_noisy_counts",
-    "events_bootstrap_ci",
-    "events_attribution_models",
     "text_mojibake",
     "dedup_minhash_calibration",
     "emb_mips_topk",
-    "events_session_paths",
-    "events_pareto_share",
+    # backfill with the longest-unwitnessed driver rows (measured from
+    # the CORRECTNESS_r* history: the five r1-vintage rows, then the
+    # r4 batch) so windows keep maximal marginal information
+    "ann_lsh_buckets",
+    "ann_lsh_pairs",
+    "text_language_id",
+    "text_quality",
+    "text_token_stats",
+    "ann_cosine_topk",
+    "cluster_report_scalars",
+    "cluster_report_scalars_by_cluster",
+    "cluster_scan_summary",
+    "cluster_statistics_by_cluster",
+    "dedup_embedding_cosine",
+    "dedup_exact_groups",
+    "dedup_exact_keep",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "group_topic_matrix",
+    "metrics_snapshot",
+    "partition_balance",
+    "restore_commands",
 ]
 
 
