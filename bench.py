@@ -209,6 +209,8 @@ EXTRA = [
     "emb_mips_topk",
     "events_session_paths",
     "events_pareto_share",
+    # round 9
+    "events_attribution_capped",
 ]
 
 

@@ -3396,6 +3396,51 @@ ranked AS (
 SELECT query_id, vec_id, dot, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 5"""
 
+    # capped attribution (r9, VERDICT r8 next #2): identical to
+    # events_attribution_models but each user's touch stream is first
+    # truncated to the most recent 50 touches (deterministic
+    # (ts, event_id) order) — the bot-skew guard that bounds the
+    # conversion × touch fan-out at purchases × cap per user
+    q["events_attribution_capped"] = """
+WITH conv AS (
+  SELECT user_id AS cu, event_id AS conv_id, ts AS conv_ts
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT cu, channel, touch_ts, touch_id FROM (
+    SELECT user_id AS cu, event_type AS channel, ts AS touch_ts,
+      event_id AS touch_id,
+      row_number() OVER (PARTITION BY user_id
+        ORDER BY ts DESC, event_id DESC) AS u_rn
+    FROM events WHERE event_type != 'purchase'
+  ) WHERE u_rn <= 50
+),
+path AS (
+  SELECT c.conv_id, t.channel, t.touch_ts, t.touch_id
+  FROM conv c JOIN touches t ON c.cu = t.cu
+  WHERE t.touch_ts < c.conv_ts
+    AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY
+),
+ranked AS (
+  SELECT conv_id, channel,
+    row_number() OVER (PARTITION BY conv_id
+      ORDER BY touch_ts ASC, touch_id ASC) AS rn_a,
+    row_number() OVER (PARTITION BY conv_id
+      ORDER BY touch_ts DESC, touch_id DESC) AS rn_d,
+    count(*) OVER (PARTITION BY conv_id) AS n
+  FROM path
+)
+SELECT channel,
+  CAST(sum(CASE WHEN rn_a = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS conversions_first,
+  CAST(sum(CASE WHEN rn_d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS conversions_last,
+  round(sum(1.0 / n), 6) AS credit_linear,
+  round(sum(CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
+    WHEN rn_a = 1 OR rn_d = 1 THEN 0.4
+    ELSE 0.2 / (n - 2) END), 6) AS credit_position
+FROM ranked GROUP BY channel"""
+
     # --- r9 wave: the two deterministic day-grain recurrences move
     # from rows-only to oracle-able via recursive CTEs over the
     # ordered daily frame (VERDICT r8 next #3). Each iteration of the

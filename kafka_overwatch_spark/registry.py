@@ -1006,6 +1006,14 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_attribution_models"] = (
         lambda s, d: relational.attribution_models(raw(s, d, "events"))
     )
+    # bot-skew-guarded variant (r9): each user's touch stream truncated
+    # to its most recent 50 touches BEFORE the conversion join, so one
+    # bot-grade user cannot make the fan-out quadratic
+    q["events_attribution_capped"] = (
+        lambda s, d: relational.attribution_models(
+            raw(s, d, "events"), max_touches_per_user=50
+        )
+    )
     q["events_session_paths"] = lambda s, d: relational.session_paths(
         raw(s, d, "events")
     )
@@ -1412,6 +1420,7 @@ _PROMOTED = [
     # youngest gates in the registry; attribution/session-path family
     # is also the one being scale-curved this round)
     "events_attribution_models",
+    "events_attribution_capped",
     "events_session_paths",
     "events_pareto_share",
     "events_l_diversity",
