@@ -237,6 +237,29 @@ def host_load() -> dict:
     }
 
 
+def settle_host(threshold: float = 0.25, max_wait: float = 120.0) -> dict:
+    """Quiet-host discipline (VERDICT r8 next #5): r8's +5.6% headline
+    was attributable to ~1.7× ambient load (busy_frac 0.25-0.31 vs
+    r7's 0.16-0.20), so before each timed pass wait (bounded) for the
+    1-min runqueue to drain below the threshold. Our own idle JVM
+    contributes ~0; a busy neighbor shows up directly. Returns the
+    load record actually in force when the pass starts, plus how long
+    we waited — committed in pass_loads so the delta is attributable
+    either way."""
+    waited = 0.0
+    probe = host_load()
+    while (
+        probe["busy_frac"] is not None
+        and probe["busy_frac"] > threshold
+        and waited < max_wait
+    ):
+        time.sleep(10.0)
+        waited += 10.0
+        probe = host_load()
+    probe["settle_wait_sec"] = round(waited, 1)
+    return probe
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -270,7 +293,7 @@ def main() -> None:
     pass_loads = []
     n_passes = 3
     for pass_no in range(n_passes):
-        pass_loads.append(host_load())
+        pass_loads.append(settle_host())
         t_pass = time.time()
         for name in timed:
             t0 = time.time()

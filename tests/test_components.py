@@ -85,7 +85,10 @@ def test_non_convergence_raises(spark):
     )
     ids = spark.createDataFrame([(i,) for i in range(n)], "vec_id long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        neardup_components(pairs, ids, max_iterations=1)
+        # driver_max_edges=0 forces the distributed loop (the fast
+        # path would solve this 12-node path exactly without ever
+        # touching the iteration budget)
+        neardup_components(pairs, ids, max_iterations=1, driver_max_edges=0)
 
 
 def test_curate_semantic_subset_of_curate(spark, snaps):
@@ -138,3 +141,36 @@ def test_minhash_fuzzy_dedup_matches_union_find(spark, snaps):
     assert len(rows) == len(ids)  # total: every doc decided
     for r in rows:
         assert r["keep"] == (r["doc_id"] == r["cluster"])
+
+
+def test_driver_fast_path_matches_distributed_loop(spark):
+    """The r9 small-graph union-find fast path must label identically
+    to the distributed pointer-doubling loop on the same graph."""
+    import random
+
+    from kafka_overwatch_spark.pipelines.dedup import neardup_components
+
+    rng = random.Random(9)
+    n = 60
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(45)
+        }
+    )
+    pairs = spark.createDataFrame(edges, "vec_a long, vec_b long")
+    ids = spark.createDataFrame([(i,) for i in range(n)], "vec_id long")
+    fast = {
+        r["vec_id"]: r["component"]
+        for r in neardup_components(pairs, ids).collect()
+    }
+    dist = {
+        r["vec_id"]: r["component"]
+        for r in neardup_components(
+            pairs, ids, driver_max_edges=0
+        ).collect()
+    }
+    assert fast == dist
+    # min-label convention: every component labels by its min member
+    for v, c in fast.items():
+        assert c <= v
