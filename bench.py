@@ -211,6 +211,11 @@ EXTRA = [
     "events_pareto_share",
     # round 9
     "events_attribution_capped",
+    "text_readability",
+    "events_benford_audit",
+    "events_t_closeness",
+    "emb_matryoshka_audit",
+    "sampling_neyman_allocation",
 ]
 
 

@@ -3408,6 +3408,126 @@ def bootstrap_value_ci(
     )
 
 
+def benford_audit(events: DataFrame) -> DataFrame:
+    """First-significant-digit distribution of event values vs the
+    Benford expectation log10(1 + 1/d) — the classic fabricated-data
+    / instrumentation-bug screen: organically-scaled positive values
+    follow Benford; clamped, defaulted, or synthesized values pile up
+    on specific digits. The audit REPORTS the deviation; whether the
+    corpus should be Benford-like is the analyst's call (bounded
+    uniform values legitimately aren't).
+
+    The digit is extracted engine-identically: value → integer
+    micro-units (round(value·1e6), exact for money-grain data) →
+    integer-to-string → first char. No log10-of-value anywhere — the
+    float log10 of a near-power-of-10 rounds differently across
+    engines; integer decimal rendering never does. One fact-scan
+    aggregate, 9-row output: digit, n, share, benford_expected,
+    excess."""
+    micros = F.round(F.col("value") * 1e6, 0).cast("long")
+    digit = F.substring(micros.cast("string"), 1, 1).cast("int")
+    counts = (
+        events.filter(F.col("value") > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("total").cast("double"), 6).alias(
+                "share"
+            ),
+            F.round(expected, 6).alias("benford_expected"),
+            F.round(
+                F.col("n") / F.col("total").cast("double") - expected, 6
+            ).alias("excess"),
+        )
+    )
+
+
+def t_closeness_audit(
+    events: DataFrame, buckets: int = 8, t: float = 0.2
+) -> DataFrame:
+    """t-closeness audit over the same (event_type, day) QI classes as
+    k_anonymity_audit / l_diversity_audit — the third rung of the
+    release-gate ladder: k-anonymity bounds class size, l-diversity
+    bounds sensitive-value VARIETY, t-closeness bounds how much a
+    class's sensitive-value DISTRIBUTION deviates from the global one
+    (a class can be k-anonymous and l-diverse yet still reveal "this
+    class skews high-value"). Sensitive attribute: value, bucketed
+    into ``buckets`` equal-width bins over the global range; distance:
+    total variation (½·L1) between class and global bin shares —
+    the discrete-metric Earth-Mover's distance.
+
+    Shapes: one fact-scan groupBy (class × bin), then class-grain
+    frames; the class × bin completion (absent bins contribute their
+    full global share) is a broadcast cross join against the ≤
+    ``buckets``-row global frame. Output: qi_classes,
+    classes_above_t, max_tvd, avg_tvd."""
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    rng = events.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    binned = (
+        events.crossJoin(F.broadcast(rng))
+        .select(
+            "event_type",
+            day.alias("day"),
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    / (
+                        (F.col("vmax") - F.col("vmin"))
+                        / F.lit(float(buckets))
+                    )
+                ),
+                F.lit(buckets - 1),
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+    )
+    class_bin = binned.groupBy("event_type", "day", "bin").agg(
+        F.count("*").alias("cn")
+    )
+    class_tot = binned.groupBy("event_type", "day").agg(
+        F.count("*").alias("ct")
+    )
+    glob = binned.groupBy("bin").agg(F.count("*").alias("gn"))
+    gtot = binned.agg(F.count("*").alias("gt"))
+    gshare = glob.crossJoin(F.broadcast(gtot)).select(
+        "bin", (F.col("gn") / F.col("gt").cast("double")).alias("gs")
+    )
+    # complete the class × bin grid so absent bins contribute |0 - gs|
+    grid = class_tot.crossJoin(F.broadcast(gshare))
+    tvd = (
+        grid.join(class_bin, ["event_type", "day", "bin"], "left")
+        .select(
+            "event_type",
+            "day",
+            (
+                F.abs(
+                    F.coalesce(F.col("cn"), F.lit(0))
+                    / F.col("ct").cast("double")
+                    - F.col("gs")
+                )
+            ).alias("ad"),
+        )
+        .groupBy("event_type", "day")
+        .agg((F.sum("ad") / 2.0).alias("tvd"))
+    )
+    return tvd.agg(
+        F.count("*").alias("qi_classes"),
+        F.sum((F.col("tvd") > t).cast("long")).alias("classes_above_t"),
+        F.round(F.max("tvd"), 6).alias("max_tvd"),
+        F.round(F.avg("tvd"), 6).alias("avg_tvd"),
+    )
+
+
 def attribution_models(
     events: DataFrame,
     lookback_days: int = 7,

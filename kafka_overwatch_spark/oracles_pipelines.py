@@ -3523,4 +3523,157 @@ SELECT event_type, day, round(x, 6) AS value,
   round(ewma, 6) AS ewma, round(cusum, 6) AS cusum
 FROM rec"""
 
+    # r9: Flesch / FK readability — regexp-countable proxies, floors
+    # mirrored (greatest 1 on words/sentences)
+    q["text_readability"] = """
+WITH c AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+    len(regexp_extract_all(text, '[.!?]+')) AS n_sentences,
+    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(n_sentences AS BIGINT) AS n_sentences,
+  CAST(n_syllables AS BIGINT) AS n_syllables,
+  round(206.835
+    - 1.015 * (CAST(greatest(n_words, 1) AS DOUBLE)
+               / CAST(greatest(n_sentences, 1) AS DOUBLE))
+    - 84.6 * (CAST(n_syllables AS DOUBLE)
+              / CAST(greatest(n_words, 1) AS DOUBLE)), 6)
+    AS flesch_reading_ease,
+  round(0.39 * (CAST(greatest(n_words, 1) AS DOUBLE)
+                / CAST(greatest(n_sentences, 1) AS DOUBLE))
+    + 11.8 * (CAST(n_syllables AS DOUBLE)
+              / CAST(greatest(n_words, 1) AS DOUBLE))
+    - 15.59, 6) AS fk_grade
+FROM c"""
+
+    # r9: Benford first-digit audit — the digit comes from integer
+    # micro-units rendered as decimal text (no float log10 anywhere)
+    q["events_benford_audit"] = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(value * 1000000.0, 0) AS BIGINT)
+      AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM events WHERE value > 0
+),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+t AS (SELECT sum(n) AS total FROM c)
+SELECT digit, CAST(n AS BIGINT) AS n,
+  round(n / CAST(total AS DOUBLE), 6) AS share,
+  round(log10(1.0 + 1.0 / digit), 6) AS benford_expected,
+  round(n / CAST(total AS DOUBLE) - log10(1.0 + 1.0 / digit), 6)
+    AS excess
+FROM c, t"""
+
+    # r9: t-closeness over the (event_type, day) QI — total-variation
+    # distance between class and global value-bin distributions; the
+    # class × bin grid is completed so absent bins contribute |0 - gs|
+    q["events_t_closeness"] = """
+WITH rng AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+b AS (
+  SELECT event_type,
+    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+    CAST(least(floor((value - vmin) / ((vmax - vmin) / 8.0)), 7)
+      AS INT) AS bin
+  FROM events, rng
+),
+class_bin AS (
+  SELECT event_type, day, bin, count(*) AS cn FROM b GROUP BY 1, 2, 3
+),
+class_tot AS (
+  SELECT event_type, day, count(*) AS ct FROM b GROUP BY 1, 2
+),
+gshare AS (
+  SELECT bin, count(*) / CAST((SELECT count(*) FROM b) AS DOUBLE) AS gs
+  FROM b GROUP BY bin
+),
+grid AS (SELECT * FROM class_tot, gshare),
+tvd AS (
+  SELECT g.event_type, g.day,
+    sum(abs(coalesce(cb.cn, 0) / CAST(g.ct AS DOUBLE) - g.gs)) / 2.0
+      AS tvd
+  FROM grid g LEFT JOIN class_bin cb
+    ON g.event_type = cb.event_type AND g.day = cb.day
+      AND g.bin = cb.bin
+  GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS qi_classes,
+  CAST(sum(CASE WHEN tvd > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS classes_above_t,
+  round(max(tvd), 6) AS max_tvd,
+  round(avg(tvd), 6) AS avg_tvd
+FROM tvd"""
+
+    # r9: Matryoshka truncation audit — cosine at 64/32/16 dims, ranks
+    # tie-broken (rounded score desc, vec_id asc), top-5 overlap + MAE
+    q["emb_matryoshka_audit"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+    round(list_dot_product(q.q_emb, v.emb)
+      / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+         * sqrt(list_dot_product(v.emb, v.emb))), 6) AS c_full,
+    round(list_dot_product(q.q_emb[1:32], v.emb[1:32])
+      / (sqrt(list_dot_product(q.q_emb[1:32], q.q_emb[1:32]))
+         * sqrt(list_dot_product(v.emb[1:32], v.emb[1:32]))), 6)
+      AS c_half,
+    round(list_dot_product(q.q_emb[1:16], v.emb[1:16])
+      / (sqrt(list_dot_product(q.q_emb[1:16], q.q_emb[1:16]))
+         * sqrt(list_dot_product(v.emb[1:16], v.emb[1:16]))), 6)
+      AS c_quarter
+  FROM queries q, e v WHERE v.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY c_full DESC, vec_id ASC) AS r_full,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY c_half DESC, vec_id ASC) AS r_half,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY c_quarter DESC, vec_id ASC) AS r_quarter
+  FROM scored
+)
+SELECT query_id,
+  CAST(sum(CASE WHEN r_full <= 5 AND r_half <= 5 THEN 1 ELSE 0 END)
+    AS BIGINT) AS overlap_half,
+  CAST(sum(CASE WHEN r_full <= 5 AND r_quarter <= 5 THEN 1 ELSE 0 END)
+    AS BIGINT) AS overlap_quarter,
+  round(avg(abs(c_full - c_half)), 6) AS mae_half,
+  round(avg(abs(c_full - c_quarter)), 6) AS mae_quarter
+FROM ranked GROUP BY query_id"""
+
+    # r9: Neyman allocation — N_h·σ_h share of the budget per source;
+    # σ from exact integer moments (identical doubles in any engine)
+    q["sampling_neyman_allocation"] = """
+WITH strata AS (
+  SELECT source, count(*) AS n_docs,
+    sum(CAST(n_chars AS BIGINT)) AS s1,
+    sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS s2
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs,
+    sqrt(CAST(s2 AS DOUBLE) / n_docs
+      - (CAST(s1 AS DOUBLE) / n_docs) * (CAST(s1 AS DOUBLE) / n_docs))
+      AS sigma,
+    n_docs * sqrt(CAST(s2 AS DOUBLE) / n_docs
+      - (CAST(s1 AS DOUBLE) / n_docs) * (CAST(s1 AS DOUBLE) / n_docs))
+      AS wt
+  FROM strata
+),
+t AS (SELECT sum(wt) AS wsum FROM w)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+  round(sigma, 6) AS sigma_chars,
+  round(wt, 6) AS weight,
+  round(wt / wsum, 6) AS alloc_frac,
+  CAST(floor(1000 * wt / wsum) AS BIGINT) AS alloc_n
+FROM w, t"""
+
     return q

@@ -857,3 +857,60 @@ def curriculum_order(documents: DataFrame) -> DataFrame:
         ],
         rank_col="curriculum_rank",
     ).select("doc_id", "quality_score", "n_tokens", "curriculum_rank")
+
+
+def neyman_allocation(
+    documents: DataFrame, budget: int = 1000
+) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation over source
+    strata (r9): for a fixed label/inspection budget, the
+    variance-minimizing share of stratum h is N_h·σ_h / Σ N_j·σ_j —
+    big AND internally-diverse sources get proportionally more budget
+    than big-but-uniform ones (proportional allocation ignores σ and
+    oversamples homogeneous strata). σ here is the population stddev
+    of document length (n_chars), the cheap always-available
+    dispersion proxy; any per-doc score column slots in identically.
+
+    One stratum-grain aggregate off the corpus scan, then a broadcast
+    scalar normalizer — dim-sized all the way after the scan.
+    ``alloc_n`` floors the real-valued allocation; the remainder is
+    the analyst's rounding policy, and Σ floor ≤ budget always holds.
+    Output: source, n_docs, sigma_chars, weight, alloc_frac,
+    alloc_n."""
+    # σ from EXACT integer moments (Σx, Σx² are exact BIGINTs in any
+    # engine, so σ = √(S2/n − (S1/n)²) is the identical double
+    # everywhere — stddev_pop's streaming-merge algorithm differs
+    # across engines by ulps that the n·σ weight would amplify past
+    # the round-6 grain)
+    strata = documents.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("s1"),
+        F.sum(
+            F.col("n_chars").cast("long") * F.col("n_chars").cast("long")
+        ).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n_docs")
+    sigma = F.sqrt(F.col("s2").cast("double") / F.col("n_docs") - mu * mu)
+    # single-doc strata have σ = 0 (population, not sample): they get
+    # zero Neyman budget, which is correct — one doc cannot reduce
+    # within-stratum variance estimates
+    weighted = strata.select(
+        "source",
+        "n_docs",
+        sigma.alias("sigma"),
+        (F.col("n_docs") * sigma).alias("w"),
+    )
+    tot = weighted.agg(F.sum("w").alias("wsum"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round("sigma", 6).alias("sigma_chars"),
+            F.round("w", 6).alias("weight"),
+            F.round(F.col("w") / F.col("wsum"), 6).alias("alloc_frac"),
+            F.floor(F.lit(budget) * F.col("w") / F.col("wsum"))
+            .cast("long")
+            .alias("alloc_n"),
+        )
+    )

@@ -2035,3 +2035,77 @@ def mips_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def matryoshka_audit(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = tuple(range(10)),
+    k: int = 5,
+) -> DataFrame:
+    """Truncated-dimension retrieval audit (r9) — the measurement
+    behind Matryoshka-style embedding serving: if the first 32 (or 16)
+    of 64 dims retrieve nearly the same neighbors, the ANN index can
+    run at half/quarter width and exact-rerank with full vectors.
+    For each sampled query: top-k overlap between full-width cosine
+    ranking and the 32-/16-dim truncated rankings, plus the mean
+    absolute cosine error of each truncation over the whole corpus.
+
+    Same plan shape as mips_topk (broadcast query side, one corpus
+    scan scoring all three widths at once, windows on the query key);
+    ranking ties broken by (rounded score desc, vec_id asc) — the
+    engine's deterministic rank convention. Output: query_id,
+    overlap_half, overlap_quarter, mae_half, mae_quarter."""
+    queries = embeddings.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    scored = (
+        embeddings.repartition(par)
+        .select("vec_id", F.col("embedding").alias("emb"))
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("c_full"),
+            F.round(
+                cosine(
+                    F.slice(F.col("q_emb"), 1, 32),
+                    F.slice(F.col("emb"), 1, 32),
+                ),
+                6,
+            ).alias("c_half"),
+            F.round(
+                cosine(
+                    F.slice(F.col("q_emb"), 1, 16),
+                    F.slice(F.col("emb"), 1, 16),
+                ),
+                6,
+            ).alias("c_quarter"),
+        )
+    )
+    ranked = scored
+    for col in ("c_full", "c_half", "c_quarter"):
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(col).desc(), F.col("vec_id").asc()
+        )
+        ranked = ranked.withColumn(f"r_{col}", F.row_number().over(w))
+    return ranked.groupBy("query_id").agg(
+        F.sum(
+            (
+                (F.col("r_c_full") <= k) & (F.col("r_c_half") <= k)
+            ).cast("long")
+        ).alias("overlap_half"),
+        F.sum(
+            (
+                (F.col("r_c_full") <= k) & (F.col("r_c_quarter") <= k)
+            ).cast("long")
+        ).alias("overlap_quarter"),
+        F.round(F.avg(F.abs(F.col("c_full") - F.col("c_half"))), 6).alias(
+            "mae_half"
+        ),
+        F.round(
+            F.avg(F.abs(F.col("c_full") - F.col("c_quarter"))), 6
+        ).alias("mae_quarter"),
+    )

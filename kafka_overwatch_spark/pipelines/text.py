@@ -1097,6 +1097,40 @@ def zipf_fit(documents: DataFrame) -> DataFrame:
     )
 
 
+def readability_scores(documents: DataFrame) -> DataFrame:
+    """Per-doc readability (r9): Flesch reading ease and
+    Flesch–Kincaid grade from three regexp-countable proxies — words
+    (letter runs), sentences (terminal-punctuation runs, floor 1),
+    syllables (vowel-group runs, the standard cheap approximation).
+    The curation knob this feeds: filtering a training corpus to a
+    readability band is a common quality heuristic alongside
+    text_quality's ratio screens.
+
+    Pure JVM narrow map (regexp_extract_all + size), zero shuffle;
+    identical RE2-compatible character classes in the DuckDB oracle.
+    Guards: words/sentences floored at 1 so empty docs stay finite.
+    Output: doc_id, n_words, n_sentences, n_syllables,
+    flesch_reading_ease, fk_grade."""
+    words = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]+"), 0))
+    sents = F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), 0))
+    sylls = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)
+    )
+    w = F.greatest(words, F.lit(1)).cast("double")
+    s = F.greatest(sents, F.lit(1)).cast("double")
+    y = sylls.cast("double")
+    flesch = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+    grade = 0.39 * (w / s) + 11.8 * (y / w) - 15.59
+    return documents.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        sylls.cast("long").alias("n_syllables"),
+        F.round(flesch, 6).alias("flesch_reading_ease"),
+        F.round(grade, 6).alias("fk_grade"),
+    )
+
+
 def mojibake_score(documents: DataFrame) -> DataFrame:
     """Per-doc encoding-anomaly audit (r8): counts of U+FFFD
     replacement characters (the smoking gun of a decode-with-wrong-

@@ -652,6 +652,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_mips_topk"] = lambda s, d: similarity.mips_topk(
         raw(s, d, "embeddings")
     )
+    # r9: Matryoshka truncation audit (top-k overlap + cosine MAE at
+    # half/quarter width — the half-width-serving go/no-go table)
+    q["emb_matryoshka_audit"] = lambda s, d: similarity.matryoshka_audit(
+        raw(s, d, "embeddings")
+    )
     q["ann_lsh_buckets"] = (
         lambda s, d: similarity.lsh_bucket_assignments_vectorized(
             raw(s, d, "embeddings")
@@ -709,6 +714,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # r8: encoding-anomaly audit (U+FFFD / stray-control / non-ASCII)
     q["text_mojibake"] = lambda s, d: textops.mojibake_score(
+        raw(s, d, "documents")
+    )
+    # r9: Flesch / FK readability from regexp-countable proxies
+    q["text_readability"] = lambda s, d: textops.readability_scores(
         raw(s, d, "documents")
     )
     q["text_ngram_freq"] = lambda s, d: textops.ngram_frequencies(
@@ -886,6 +895,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sampling_curriculum"] = lambda s, d: sampling.curriculum_order(
         raw(s, d, "documents")
     )
+    # r9: Neyman-optimal stratified allocation over source strata
+    q["sampling_neyman_allocation"] = (
+        lambda s, d: sampling.neyman_allocation(raw(s, d, "documents"))
+    )
     # r7 late: token-budget epoch planner (temperature mixture in
     # token units) + RFM segmentation cube + the Q12 conditional-agg
     # shape that completed the TPC-H sweep
@@ -1018,6 +1031,14 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         raw(s, d, "events")
     )
     q["events_pareto_share"] = lambda s, d: relational.pareto_value_share(
+        raw(s, d, "events")
+    )
+    # r9: first-digit Benford deviation audit (fabricated-data screen)
+    q["events_benford_audit"] = lambda s, d: relational.benford_audit(
+        raw(s, d, "events")
+    )
+    # r9: t-closeness — third rung of the k-anon/l-div release ladder
+    q["events_t_closeness"] = lambda s, d: relational.t_closeness_audit(
         raw(s, d, "events")
     )
     q["events_bot_scores"] = lambda s, d: relational.bot_likeness_scores(
@@ -1416,6 +1437,12 @@ _PROMOTED = [
     "events_bootstrap_ci",
     "events_holt_forecast",
     "events_ewma_cusum",
+    # new r9 operators enter the window first
+    "text_readability",
+    "events_benford_audit",
+    "events_t_closeness",
+    "emb_matryoshka_audit",
+    "sampling_neyman_allocation",
     # the rest of the r8 wave stays up front (witnessed in r8 but the
     # youngest gates in the registry; attribution/session-path family
     # is also the one being scale-curved this round)

@@ -80,3 +80,82 @@ def test_bootstrap_mixing_is_row_grain(spark):
     b = relational.bootstrap_value_ci(ev, replicates=40).collect()[0]
     assert a == b
     assert a["ci_lo"] <= a["mean_value"] <= a["ci_hi"]
+
+
+def test_readability_on_constructed_text(spark):
+    from kafka_overwatch_spark.pipelines.text import readability_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!", "en", "s", 25),
+            (2, "", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    rows = {r["doc_id"]: r for r in readability_scores(docs).collect()}
+    r = rows[1]
+    # words: The cat sat The dog ran = 6; sentences: '.' '!' = 2;
+    # syllables (vowel groups): e,a,a,e,o,a = 6
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 2, 6)
+    # flesch = 206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.19
+    assert abs(r["flesch_reading_ease"] - 119.19) < 1e-6
+    # empty doc floors keep the row finite
+    assert rows[2]["flesch_reading_ease"] is not None
+
+
+def test_benford_digit_extraction(spark):
+    from tests.test_r8_operators import _events
+    from kafka_overwatch_spark.operators import relational
+
+    # values 0.03 -> micros 30000 -> digit 3; 327.53 -> digit 3;
+    # 12.0 -> digit 1; 0.95 -> digit 9
+    ev = _events(
+        spark,
+        [
+            (1, 1, 9, "a", 0.03),
+            (2, 1, 9, "a", 327.53),
+            (3, 1, 9, "a", 12.0),
+            (4, 1, 9, "a", 0.95),
+        ],
+    )
+    rows = {r["digit"]: r for r in relational.benford_audit(ev).collect()}
+    assert rows[3]["n"] == 2 and rows[1]["n"] == 1 and rows[9]["n"] == 1
+    assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-5
+
+
+def test_t_closeness_uniform_class_is_zero(spark):
+    from tests.test_r8_operators import _events
+    from kafka_overwatch_spark.operators import relational
+
+    # one class whose distribution IS the global distribution -> tvd 0
+    ev = _events(spark, [(u, 1, 9, "a", float(v)) for u, v in
+                         enumerate([1, 2, 3, 4, 5, 6, 7, 8])])
+    r = relational.t_closeness_audit(ev).collect()[0]
+    assert r["qi_classes"] == 1
+    assert r["max_tvd"] == 0.0
+    assert r["classes_above_t"] == 0
+
+
+def test_matryoshka_full_width_is_self_consistent(spark, snaps):
+    from kafka_overwatch_spark.pipelines.similarity import matryoshka_audit
+
+    emb = spark.table("embeddings")
+    rows = matryoshka_audit(emb).collect()
+    assert len(rows) == 10
+    for r in rows:
+        # overlap is between 0 and k, MAE non-negative and small for
+        # the quarter cut to still be informative
+        assert 0 <= r["overlap_half"] <= 5
+        assert 0 <= r["overlap_quarter"] <= r["overlap_half"] + 5
+        assert r["mae_half"] >= 0 and r["mae_quarter"] >= r["mae_half"] - 1e-6
+
+
+def test_neyman_allocation_sums_and_floors(spark, snaps):
+    from kafka_overwatch_spark.pipelines.sampling import neyman_allocation
+
+    docs = spark.table("documents")
+    rows = neyman_allocation(docs, budget=1000).collect()
+    assert abs(sum(r["alloc_frac"] for r in rows) - 1.0) < 1e-4
+    assert sum(r["alloc_n"] for r in rows) <= 1000
+    for r in rows:
+        assert r["alloc_n"] <= 1000 * r["alloc_frac"] + 1
