@@ -216,6 +216,8 @@ EXTRA = [
     "events_t_closeness",
     "emb_matryoshka_audit",
     "sampling_neyman_allocation",
+    "events_theil_sen",
+    "text_vocab_richness",
 ]
 
 

@@ -3408,6 +3408,55 @@ def bootstrap_value_ci(
     )
 
 
+def theil_sen_trend(events: DataFrame) -> DataFrame:
+    """Robust per-type trend over the daily count series (r9):
+    Mann–Kendall S (Σ sign of forward differences over all day
+    pairs), Kendall's tau (S normalized by n(n−1)/2), and the
+    Theil–Sen slope (median of all pairwise slopes) — the
+    outlier-immune complement of topic_throughput_trend's
+    least-squares regr_slope: one corrupted day drags an OLS line but
+    moves a pairwise median by one rank.
+
+    The pair join runs on the DAY-grain rollup (dim-sized after the
+    one fact scan: ≤ 365 rows/type/year → ≤ ~66k pairs), never on raw
+    events. All pair statistics are exact integers except the slope
+    (exact rational rendered once to double) and its median (exact
+    interpolated percentile — quantile_cont in the oracle). Output:
+    event_type, n_days, mk_s, kendall_tau, sen_slope."""
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = events.groupBy(
+        "event_type", day.alias("day")
+    ).agg(F.count("*").alias("c"))
+    a = daily.select(
+        "event_type", F.col("day").alias("d1"), F.col("c").alias("c1")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("d2"), F.col("c").alias("c2")
+    )
+    pairs = a.join(b, "event_type").filter(F.col("d2") > F.col("d1"))
+    stats = pairs.groupBy("event_type").agg(
+        F.sum(
+            F.signum((F.col("c2") - F.col("c1")).cast("double")).cast(
+                "long"
+            )
+        ).alias("mk_s"),
+        F.count("*").alias("n_pairs"),
+        F.expr(
+            "percentile((c2 - c1) / CAST(d2 - d1 AS DOUBLE), 0.5)"
+        ).alias("sen_slope"),
+    )
+    days = daily.groupBy("event_type").agg(F.count("*").alias("n_days"))
+    return days.join(stats, "event_type").select(
+        "event_type",
+        "n_days",
+        "mk_s",
+        F.round(
+            F.col("mk_s") / F.col("n_pairs").cast("double"), 6
+        ).alias("kendall_tau"),
+        F.round("sen_slope", 6).alias("sen_slope"),
+    )
+
+
 def benford_audit(events: DataFrame) -> DataFrame:
     """First-significant-digit distribution of event values vs the
     Benford expectation log10(1 + 1/d) — the classic fabricated-data

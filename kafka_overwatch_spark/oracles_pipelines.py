@@ -3649,6 +3649,58 @@ SELECT query_id,
   round(avg(abs(c_full - c_quarter)), 6) AS mae_quarter
 FROM ranked GROUP BY query_id"""
 
+    # r9: Mann-Kendall S + Kendall tau + Theil-Sen slope over the
+    # daily count series — all-pairs join on the DAY grain, exact
+    # integer statistics, interpolated median slope (quantile_cont)
+    q["events_theil_sen"] = """
+WITH daily AS (
+  SELECT event_type,
+    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+    count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+    CAST(sign(CAST(b.c - a.c AS DOUBLE)) AS BIGINT) AS s,
+    (b.c - a.c) / CAST(b.day - a.day AS DOUBLE) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.day > a.day
+),
+stats AS (
+  SELECT event_type, sum(s) AS mk_s, count(*) AS n_pairs,
+    quantile_cont(slope, 0.5) AS sen_slope
+  FROM pairs GROUP BY 1
+),
+days AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1)
+SELECT d.event_type, CAST(d.n_days AS BIGINT) AS n_days,
+  CAST(s.mk_s AS BIGINT) AS mk_s,
+  round(s.mk_s / CAST(s.n_pairs AS DOUBLE), 6) AS kendall_tau,
+  round(s.sen_slope, 6) AS sen_slope
+FROM days d JOIN stats s ON d.event_type = s.event_type"""
+
+    # r9: Chao1 + Good-Turing richness — same norm/tokenization as
+    # text_vocab_stats; exact integer f1/f2/D/N inputs
+    q["text_vocab_richness"] = """
+WITH norm AS (SELECT doc_id, lang,
+    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents),
+freq AS (
+  SELECT lang, unnest(string_split(t, ' ')) AS token FROM norm
+),
+counts AS (SELECT lang, token, count(*) AS c FROM freq GROUP BY 1, 2),
+per_lang AS (
+  SELECT lang, count(*) AS d, sum(c) AS n,
+    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+    sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+  FROM counts GROUP BY lang
+)
+SELECT lang, CAST(d AS BIGINT) AS distinct_types,
+  CAST(n AS BIGINT) AS total_tokens,
+  CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+  round(CASE WHEN f2 > 0 THEN d + f1 * f1 / (2.0 * f2)
+             ELSE d + f1 * (f1 - 1) / 2.0 END, 6) AS chao1_estimate,
+  round(f1 / CAST(n AS DOUBLE), 6) AS gt_unseen_mass
+FROM per_lang"""
+
     # r9: Neyman allocation — N_h·σ_h share of the budget per source;
     # σ from exact integer moments (identical doubles in any engine)
     q["sampling_neyman_allocation"] = """

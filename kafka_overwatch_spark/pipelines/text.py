@@ -689,6 +689,56 @@ def vocab_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def vocab_richness(documents: DataFrame) -> DataFrame:
+    """Per-language vocabulary-richness ESTIMATORS (r9) on top of
+    vocab_stats' observed counts: Chao1's abundance-based estimate of
+    the true type count (D + f1²/(2·f2), the capture–recapture bound —
+    "how many word types exist that this corpus hasn't seen yet") and
+    the Good–Turing unseen-probability mass (f1/N — the chance the
+    NEXT token is a novel type). Together they answer the
+    tokenizer-vocabulary sizing question observed counts alone can't:
+    whether the corpus has exhausted its vocabulary or is still
+    discovering it.
+
+    Same plan as vocab_stats (one (lang, token) count shuffle,
+    map-side-combined, then a per-lang rollup); f2 = 0 falls back to
+    the bias-corrected Chao1 form D + f1·(f1−1)/2. All inputs are
+    exact integers; the two estimates divide once and round 6.
+    Output: lang, distinct_types, total_tokens, f1, f2,
+    chao1_estimate, gt_unseen_mass."""
+    toks = _norm_tokens()
+    freq = (
+        spread(documents)
+        .select("lang", F.explode(toks).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    per_lang = freq.groupBy("lang").agg(
+        F.count("*").cast("long").alias("d"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum((F.col("c") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("c") == 2).cast("long")).alias("f2"),
+    )
+    chao1 = F.when(
+        F.col("f2") > 0,
+        F.col("d")
+        + F.col("f1") * F.col("f1") / (2.0 * F.col("f2")),
+    ).otherwise(
+        F.col("d") + F.col("f1") * (F.col("f1") - 1) / 2.0
+    )
+    return per_lang.select(
+        "lang",
+        F.col("d").alias("distinct_types"),
+        F.col("n").alias("total_tokens"),
+        "f1",
+        "f2",
+        F.round(chao1, 6).alias("chao1_estimate"),
+        F.round(F.col("f1") / F.col("n").cast("double"), 6).alias(
+            "gt_unseen_mass"
+        ),
+    )
+
+
 def typicality_scores(documents: DataFrame) -> DataFrame:
     """Corpus-typicality score per document: the mean log2 corpus
     frequency of its 2-grams — a cheap perplexity proxy (high = the doc

@@ -720,6 +720,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_readability"] = lambda s, d: textops.readability_scores(
         raw(s, d, "documents")
     )
+    # r9: Chao1 + Good-Turing vocabulary-richness estimators
+    q["text_vocab_richness"] = lambda s, d: textops.vocab_richness(
+        raw(s, d, "documents")
+    )
     q["text_ngram_freq"] = lambda s, d: textops.ngram_frequencies(
         raw(s, d, "documents")
     )
@@ -1035,6 +1039,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # r9: first-digit Benford deviation audit (fabricated-data screen)
     q["events_benford_audit"] = lambda s, d: relational.benford_audit(
+        raw(s, d, "events")
+    )
+    # r9: Mann-Kendall + Theil-Sen robust trend (outlier-immune
+    # complement of the least-squares throughput trend)
+    q["events_theil_sen"] = lambda s, d: relational.theil_sen_trend(
         raw(s, d, "events")
     )
     # r9: t-closeness — third rung of the k-anon/l-div release ladder
@@ -1443,6 +1452,8 @@ _PROMOTED = [
     "events_t_closeness",
     "emb_matryoshka_audit",
     "sampling_neyman_allocation",
+    "events_theil_sen",
+    "text_vocab_richness",
     # the rest of the r8 wave stays up front (witnessed in r8 but the
     # youngest gates in the registry; attribution/session-path family
     # is also the one being scale-curved this round)

@@ -159,3 +159,47 @@ def test_neyman_allocation_sums_and_floors(spark, snaps):
     assert sum(r["alloc_n"] for r in rows) <= 1000
     for r in rows:
         assert r["alloc_n"] <= 1000 * r["alloc_frac"] + 1
+
+
+def test_theil_sen_on_linear_series_with_outlier(spark):
+    from tests.test_r8_operators import _events
+    from kafka_overwatch_spark.operators import relational
+
+    # days 1..9: 2 events/day except day 5 has 20 (outlier). The Sen
+    # slope of a flat-with-one-spike series stays 0 (median of pairwise
+    # slopes), where OLS would tilt.
+    rows = []
+    eid = 0
+    for d in range(1, 10):
+        n = 20 if d == 5 else 2
+        for _ in range(n):
+            rows.append((1, d, 9, "click", 1.0))
+            eid += 1
+    ev = _events(spark, rows)
+    r = relational.theil_sen_trend(ev).collect()[0]
+    assert r["n_days"] == 9
+    assert r["sen_slope"] == 0.0
+    # S sums +8 (pairs into day 5) and -4... sign-balance: every pair
+    # not involving day 5 ties (sign 0); day 5 gains +4 from earlier
+    # days and +4 against later days -> S = 4 - 4 = 0
+    assert r["mk_s"] == 0
+
+
+def test_vocab_richness_constructed(spark):
+    from kafka_overwatch_spark.pipelines.text import vocab_richness
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b c", "en", "s", 7),
+            (2, "a b d", "en", "s", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    r = vocab_richness(docs).collect()[0]
+    # counts: a=3, b=2, c=1, d=1 -> D=4, N=7, f1=2, f2=1
+    assert (r["distinct_types"], r["total_tokens"], r["f1"], r["f2"]) == (
+        4, 7, 2, 1,
+    )
+    # chao1 = 4 + 2*2/(2*1) = 6; gt = 2/7
+    assert r["chao1_estimate"] == 6.0
+    assert abs(r["gt_unseen_mass"] - 2 / 7) < 1e-6
