@@ -488,3 +488,105 @@ def run_dp_counts_stream(
     if not q.awaitTermination(timeout_sec):
         q.stop()
         raise TimeoutError("dp counts stream did not drain in time")
+
+
+class BenfordMonitor:
+    """foreachBatch handler for a streaming fabricated-data screen
+    (r9): each micro-batch's value population is run through
+    ``operators.relational.benford_audit`` and the 9-row first-digit
+    deviation table is released with an ``alert`` flag when any
+    digit's |excess| over the Benford expectation crosses the
+    threshold — the instrumentation-bug tripwire a metrics pipeline
+    wants ON the ingest path, not in a weekly batch audit (a deploy
+    that starts emitting clamped or defaulted values shifts the digit
+    distribution within one batch).
+
+    Deterministic (no randomness anywhere), so crash-replay re-derives
+    byte-identical releases; writes are batch_id-partitioned dynamic
+    overwrites (the engine's idempotent-append shape). Per-batch cost:
+    one map-side-combined aggregate over the batch, then 9-row math.
+    ``benford_lifetime`` folds all released per-digit counts back into
+    the stream-lifetime deviation table — identical to running the
+    batch audit over the concatenated feed, because digit counts are
+    losslessly mergeable."""
+
+    def __init__(self, out_dir: str, alert_excess: float = 0.05) -> None:
+        self.out_dir = out_dir
+        self.alert_excess = alert_excess
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.relational import benford_audit
+
+        spark = batch_df.sparkSession
+        release = benford_audit(batch_df).withColumn(
+            "alert", F.abs(F.col("excess")) > self.alert_excess
+        )
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            (
+                release.coalesce(1)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(self.out_dir)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+
+def benford_lifetime(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Stream-lifetime Benford deviation from the monitor's released
+    per-batch digit counts (mergeable: digit counts sum losslessly;
+    shares/expectations re-derive from the merged counts exactly as
+    the batch audit computes them)."""
+    merged = (
+        spark.read.parquet(out_dir)
+        .groupBy("digit")
+        .agg(F.sum("n").alias("n"))
+    )
+    total = merged.agg(F.sum("n").alias("total"))
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        merged.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("total").cast("double"), 6).alias(
+                "share"
+            ),
+            F.round(expected, 6).alias("benford_expected"),
+            F.round(
+                F.col("n") / F.col("total").cast("double") - expected, 6
+            ).alias("excess"),
+        )
+    )
+
+
+def run_benford_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    alert_excess: float = 0.05,
+    timeout_sec: int = 300,
+) -> None:
+    """Drain the events feed through the Benford monitor
+    (availableNow; production uses a processing-time trigger at the
+    monitoring cadence)."""
+    q = (
+        event_stream(spark, input_dir)
+        .writeStream.foreachBatch(BenfordMonitor(out_dir, alert_excess))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError("benford stream did not drain in time")

@@ -203,3 +203,48 @@ def test_vocab_richness_constructed(spark):
     # chao1 = 4 + 2*2/(2*1) = 6; gt = 2/7
     assert r["chao1_estimate"] == 6.0
     assert abs(r["gt_unseen_mass"] - 2 / 7) < 1e-6
+
+
+def test_streaming_benford_monitor(spark, tmp_path):
+    """Per-batch releases are replay-deterministic; the lifetime
+    rollup over released digit counts equals the batch audit over the
+    concatenated feed."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from kafka_overwatch_spark.operators.relational import benford_audit
+    from kafka_overwatch_spark.streaming.events_stream import (
+        BenfordMonitor,
+        benford_lifetime,
+    )
+    from tests.test_r8_operators import EVENT_COLS
+
+    def mk(vals, start_id):
+        return spark.createDataFrame(
+            [(start_id + i, 1, dt.datetime(2024, 1, 1, 9), "click", v)
+             for i, v in enumerate(vals)],
+            EVENT_COLS,
+        ).withColumn("props", F.lit(None).cast("string"))
+
+    b0 = mk([1.1, 2.2, 19.0, 31.4, 99.0], 0)
+    b1 = mk([5.5, 0.41, 0.47, 88.0], 100)
+    out = str(tmp_path / "benford")
+    mon = BenfordMonitor(out)
+    mon(b0, 0)
+    first = sorted(tuple(r) for r in spark.read.parquet(out)
+                   .filter(F.col("batch_id") == 0).collect())
+    mon(b0, 0)  # replay overwrites its own partition byte-identically
+    again = sorted(tuple(r) for r in spark.read.parquet(out)
+                   .filter(F.col("batch_id") == 0).collect())
+    assert first == again
+    mon(b1, 1)
+    life = {r["digit"]: r for r in benford_lifetime(spark, out).collect()}
+    want = {
+        r["digit"]: r for r in benford_audit(b0.unionByName(b1)).collect()
+    }
+    assert set(life) == set(want)
+    for d in want:
+        assert life[d]["n"] == want[d]["n"]
+        assert life[d]["share"] == want[d]["share"]
+        assert life[d]["excess"] == want[d]["excess"]
