@@ -218,6 +218,9 @@ EXTRA = [
     "sampling_neyman_allocation",
     "events_theil_sen",
     "text_vocab_richness",
+    "events_transition_entropy",
+    "events_interarrival_stats",
+    "emb_rrf_fusion",
 ]
 
 

@@ -2238,6 +2238,86 @@ def event_type_transitions(events: DataFrame) -> DataFrame:
     )
 
 
+def transition_entropy(events: DataFrame) -> DataFrame:
+    """Per-state entropy of the first-order transition matrix (r9):
+    H(next | from_type) = −Σ p·log2 p over event_type_transitions'
+    exact bigram counts, plus the perplexity 2^H — "how predictable is
+    what users do after X". A state with H ≈ 0 is a funnel edge; H
+    near log2(|types|) is noise. The sequence-model companion of the
+    session-path table (paths show WHICH journeys; entropy scores how
+    deterministic each step is).
+
+    Same plan as the transition matrix (one user-keyed lead window,
+    one (from, to) aggregate) plus a from-grain rollup; counts exact,
+    probabilities divided once, entropy summed at |types|² grain.
+    Output: from_type, n_next_types, n_from, entropy_bits,
+    perplexity."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bigrams = (
+        events.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = bigrams.groupBy("from_type").agg(F.sum("c").alias("n_from"))
+    p = F.col("c") / F.col("n_from").cast("double")
+    ent = (
+        bigrams.join(F.broadcast(totals), "from_type")
+        .groupBy("from_type")
+        .agg(
+            F.count("*").cast("long").alias("n_next_types"),
+            F.max(F.col("n_from")).cast("long").alias("n_from"),
+            (-F.sum(p * F.log2(p))).alias("h"),
+        )
+    )
+    return ent.select(
+        "from_type",
+        "n_next_types",
+        "n_from",
+        F.round("h", 6).alias("entropy_bits"),
+        F.round(F.pow(F.lit(2.0), F.col("h")), 6).alias("perplexity"),
+    )
+
+
+def interarrival_stats(events: DataFrame) -> DataFrame:
+    """Inter-arrival time distribution per event type (r9): for each
+    consecutive same-user event pair, the gap in seconds attributed to
+    the EARLIER event's type — "after a click, how long until the user
+    does anything again". The latency-shape numbers (median/p90/p99)
+    that size session-gap thresholds and streaming watermarks; the
+    heavy tail here is why events_sessionize's default gap is a day.
+
+    One (user_id)-keyed lag window — the natural partition key, no
+    per-type skew — then a type-grain aggregate; gaps are exact
+    integer seconds, percentiles interpolated (quantile_cont in the
+    oracle). Output: event_type, n_gaps, mean_gap_sec, p50_gap_sec,
+    p90_gap_sec, p99_gap_sec."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        "event_type",
+        (
+            F.unix_timestamp(F.lead("ts").over(w))
+            - F.unix_timestamp("ts")
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(
+            F.sum("gap") / F.count("*").cast("double"), 6
+        ).alias("mean_gap_sec"),
+        F.round(F.expr("percentile(gap, 0.5)"), 6).alias("p50_gap_sec"),
+        F.round(F.expr("percentile(gap, 0.9)"), 6).alias("p90_gap_sec"),
+        F.round(F.expr("percentile(gap, 0.99)"), 6).alias("p99_gap_sec"),
+    )
+
+
 def daily_mad_anomalies(events: DataFrame, k: float = 2.0) -> DataFrame:
     """Robust anomaly flags per (event_type, day): |x - median| >
     k·1.4826·MAD — the median/median-absolute-deviation detector that

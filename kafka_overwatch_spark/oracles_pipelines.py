@@ -3678,6 +3678,88 @@ SELECT d.event_type, CAST(d.n_days AS BIGINT) AS n_days,
   round(s.sen_slope, 6) AS sen_slope
 FROM days d JOIN stats s ON d.event_type = s.event_type"""
 
+    # r9: per-state transition entropy — exact bigram counts, entropy
+    # over the |types|² grain, perplexity 2^H
+    q["events_transition_entropy"] = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id
+      ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+bigrams AS (
+  SELECT from_type, to_type, count(*) AS c FROM seq
+  WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_type, sum(c) AS n_from FROM bigrams GROUP BY 1),
+ent AS (
+  SELECT b.from_type,
+    CAST(count(*) AS BIGINT) AS n_next_types,
+    CAST(max(t.n_from) AS BIGINT) AS n_from,
+    -sum((b.c / CAST(t.n_from AS DOUBLE))
+         * log2(b.c / CAST(t.n_from AS DOUBLE))) AS h
+  FROM bigrams b JOIN tot t ON b.from_type = t.from_type
+  GROUP BY 1
+)
+SELECT from_type, n_next_types, n_from,
+  round(h, 6) AS entropy_bits,
+  round(pow(2.0, h), 6) AS perplexity
+FROM ent"""
+
+    # r9: inter-arrival gaps per type — user-keyed lead window, exact
+    # integer seconds, interpolated percentiles
+    q["events_interarrival_stats"] = """
+WITH g AS (
+  SELECT event_type,
+    date_diff('second', ts,
+      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      AS gap
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+  round(sum(gap) / CAST(count(*) AS DOUBLE), 6) AS mean_gap_sec,
+  round(quantile_cont(gap, 0.5), 6) AS p50_gap_sec,
+  round(quantile_cont(gap, 0.9), 6) AS p90_gap_sec,
+  round(quantile_cont(gap, 0.99), 6) AS p99_gap_sec
+FROM g WHERE gap IS NOT NULL GROUP BY event_type"""
+
+    # r9: reciprocal-rank fusion of the cosine and MIPS full rankings
+    q["emb_rrf_fusion"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+    round(list_dot_product(q.q_emb, v.emb)
+      / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+         * sqrt(list_dot_product(v.emb, v.emb))), 6) AS cos,
+    round(list_dot_product(q.q_emb, v.emb), 6) AS dot
+  FROM queries q, e v WHERE v.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY cos DESC, vec_id ASC) AS r_cos,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY dot DESC, vec_id ASC) AS r_dot
+  FROM scored
+),
+fused AS (
+  SELECT query_id, vec_id,
+    round(1.0 / (60 + r_cos) + 1.0 / (60 + r_dot), 6) AS rrf_score
+  FROM ranked
+),
+final AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY rrf_score DESC, vec_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, vec_id, rrf_score, CAST(rank AS BIGINT) AS rank
+FROM final WHERE rank <= 5"""
+
     # r9: Chao1 + Good-Turing richness — same norm/tokenization as
     # text_vocab_stats; exact integer f1/f2/D/N inputs
     q["text_vocab_richness"] = """

@@ -2109,3 +2109,83 @@ def matryoshka_audit(
             F.avg(F.abs(F.col("c_full") - F.col("c_quarter"))), 6
         ).alias("mae_quarter"),
     )
+
+
+def rrf_fusion(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = tuple(range(10)),
+    k: int = 5,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of the two exact retrieval orders the
+    engine serves — normalized cosine and unnormalized dot (MIPS) —
+    per query: score(v) = 1/(rrf_k + rank_cos(v)) + 1/(rrf_k +
+    rank_dot(v)), top-k by fused score (r9). RRF is the standard
+    training-free hybrid-retrieval combiner (Cormack et al.): it
+    needs only ranks, so it composes rankings whose raw scores live
+    on different scales — exactly the cosine-vs-dot disagreement
+    emb_mips_topk exposes.
+
+    One corpus scan scores both metrics (same broadcast-query plan as
+    matryoshka_audit); both FULL rankings come from two windows on
+    the query key; ties broken (rounded score desc, vec_id asc) — the
+    engine's rank convention — and the fused 1/(k+r) arithmetic is
+    engine-identical rational math. Output: query_id, vec_id,
+    rrf_score, rank."""
+    queries = embeddings.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q_emb"),
+            F.col("emb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        embeddings.repartition(par)
+        .select("vec_id", F.col("embedding").alias("emb"))
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias("cos"),
+            F.round(dot, 6).alias("dot"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("vec_id").asc()
+    )
+    fused = (
+        scored.withColumn("r_cos", F.row_number().over(wc))
+        .withColumn("r_dot", F.row_number().over(wd))
+        .withColumn(
+            "rrf_score",
+            F.round(
+                1.0 / (F.lit(rrf_k) + F.col("r_cos"))
+                + 1.0 / (F.lit(rrf_k) + F.col("r_dot")),
+                6,
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            "rrf_score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

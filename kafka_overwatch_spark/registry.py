@@ -657,6 +657,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_matryoshka_audit"] = lambda s, d: similarity.matryoshka_audit(
         raw(s, d, "embeddings")
     )
+    # r9: reciprocal-rank fusion of the cosine and MIPS orders
+    q["emb_rrf_fusion"] = lambda s, d: similarity.rrf_fusion(
+        raw(s, d, "embeddings")
+    )
     q["ann_lsh_buckets"] = (
         lambda s, d: similarity.lsh_bucket_assignments_vectorized(
             raw(s, d, "embeddings")
@@ -1045,6 +1049,14 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # complement of the least-squares throughput trend)
     q["events_theil_sen"] = lambda s, d: relational.theil_sen_trend(
         raw(s, d, "events")
+    )
+    # r9: per-state transition entropy/perplexity over the Markov matrix
+    q["events_transition_entropy"] = (
+        lambda s, d: relational.transition_entropy(raw(s, d, "events"))
+    )
+    # r9: inter-arrival gap distribution per type (watermark sizing)
+    q["events_interarrival_stats"] = (
+        lambda s, d: relational.interarrival_stats(raw(s, d, "events"))
     )
     # r9: t-closeness — third rung of the k-anon/l-div release ladder
     q["events_t_closeness"] = lambda s, d: relational.t_closeness_audit(
@@ -1454,6 +1466,9 @@ _PROMOTED = [
     "sampling_neyman_allocation",
     "events_theil_sen",
     "text_vocab_richness",
+    "events_transition_entropy",
+    "events_interarrival_stats",
+    "emb_rrf_fusion",
     # the rest of the r8 wave stays up front (witnessed in r8 but the
     # youngest gates in the registry; attribution/session-path family
     # is also the one being scale-curved this round)

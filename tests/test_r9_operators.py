@@ -248,3 +248,72 @@ def test_streaming_benford_monitor(spark, tmp_path):
         assert life[d]["n"] == want[d]["n"]
         assert life[d]["share"] == want[d]["share"]
         assert life[d]["excess"] == want[d]["excess"]
+
+
+def test_transition_entropy_deterministic_funnel(spark):
+    from tests.test_r8_operators import _events
+    from kafka_overwatch_spark.operators import relational
+
+    # user journeys: click -> view (always); view -> {click, email}
+    # 50/50. H(click)=0, H(view)=1 bit, perplexity 2.
+    rows = []
+    for u in range(4):
+        rows += [
+            (u, 1, 8, "click", 1.0),
+            (u, 1, 9, "view", 1.0),
+            (u, 1, 10, "click" if u % 2 else "email", 1.0),
+        ]
+    ev = _events(spark, rows)
+    out = {
+        r["from_type"]: r
+        for r in relational.transition_entropy(ev).collect()
+    }
+    assert out["click"]["entropy_bits"] == 0.0
+    assert out["view"]["entropy_bits"] == 1.0
+    assert out["view"]["perplexity"] == 2.0
+    assert out["view"]["n_next_types"] == 2
+
+
+def test_interarrival_gaps_constructed(spark):
+    from tests.test_r8_operators import _events
+    from kafka_overwatch_spark.operators import relational
+
+    # one user: events at hours 1, 2, 4 -> gaps 3600 (click), 7200 (view)
+    ev = _events(
+        spark,
+        [
+            (1, 1, 1, "click", 1.0),
+            (1, 1, 2, "view", 1.0),
+            (1, 1, 4, "click", 1.0),
+        ],
+    )
+    out = {
+        r["event_type"]: r
+        for r in relational.interarrival_stats(ev).collect()
+    }
+    assert out["click"]["n_gaps"] == 1 and out["click"]["mean_gap_sec"] == 3600.0
+    assert out["view"]["p50_gap_sec"] == 7200.0
+
+
+def test_rrf_fusion_contains_consensus_neighbors(spark, snaps):
+    from kafka_overwatch_spark.pipelines.similarity import (
+        mips_topk,
+        rrf_fusion,
+    )
+    from kafka_overwatch_spark.pipelines.similarity import (
+        matryoshka_audit,  # noqa: F401 — same query-sample convention
+    )
+
+    emb = spark.table("embeddings")
+    fused = rrf_fusion(emb).collect()
+    assert len(fused) == 50  # 10 queries x top-5
+    by_q = {}
+    for r in fused:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        ranks = [r["rank"] for r in sorted(rows, key=lambda x: x["rank"])]
+        assert ranks == [1, 2, 3, 4, 5]
+        scores = [r["rrf_score"] for r in sorted(rows, key=lambda x: x["rank"])]
+        assert scores == sorted(scores, reverse=True)
+        # fused score is bounded by the two best possible ranks
+        assert scores[0] <= 2 / 61 + 1e-6
