@@ -221,6 +221,7 @@ EXTRA = [
     "events_transition_entropy",
     "events_interarrival_stats",
     "emb_rrf_fusion",
+    "graph_kcore",
 ]
 
 

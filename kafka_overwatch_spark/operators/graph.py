@@ -444,3 +444,65 @@ def local_clustering(
             ).alias("local_clustering"),
         )
     )
+
+
+def kcore(
+    lineitem: DataFrame,
+    k: int = 3,
+    edges: DataFrame | None = None,
+    max_iterations: int = 40,
+) -> DataFrame:
+    """k-core of the co-purchase graph by iterative peeling (r9):
+    repeatedly delete vertices with degree < k (and their edges) until
+    every survivor has ≥ k neighbors inside the survivor set — the
+    densest-backbone extraction that degree alone can't give (a hub
+    with k leaves has high degree but no 2-core). Genuinely iterative
+    (each peel changes the degrees the next round sees), like
+    pagerank/CC: a driver-paced loop of keyed aggregates + anti-joins,
+    lineage severed per round with localCheckpoint. Converges in at
+    most |V| rounds, in practice a handful — each round removes every
+    currently-under-k vertex at once (parallel peeling). Raises if the
+    budget exhausts with peeling still active (a silently partial core
+    would overstate density downstream).
+
+    Rows-only gate (iterative fixpoint isn't ANSI SQL); exact python
+    peeling parity in tests/test_graph_kcore.py. Output: part,
+    core_degree (degree within the k-core subgraph)."""
+    if edges is None:
+        edges = copurchase_edges(lineitem)
+    cur = edges.select("part_a", "part_b").localCheckpoint(eager=True)
+    converged = False
+    for _ in range(max_iterations):
+        deg = (
+            cur.select(F.col("part_a").alias("p"))
+            .unionAll(cur.select(F.col("part_b").alias("p")))
+            .groupBy("p")
+            .agg(F.count("*").alias("d"))
+        )
+        low = deg.filter(F.col("d") < k).select("p")
+        if low.limit(1).count() == 0:
+            converged = True
+            break
+        cur = (
+            cur.join(
+                low.select(F.col("p").alias("part_a")),
+                "part_a",
+                "left_anti",
+            )
+            .join(
+                low.select(F.col("p").alias("part_b")),
+                "part_b",
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+    if not converged:
+        raise RuntimeError(
+            f"kcore did not converge in {max_iterations} peeling rounds"
+        )
+    return (
+        cur.select(F.col("part_a").alias("part"))
+        .unionAll(cur.select(F.col("part_b").alias("part")))
+        .groupBy("part")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+    )

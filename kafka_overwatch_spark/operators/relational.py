@@ -3475,7 +3475,11 @@ def bootstrap_value_ci(
         F.expr("percentile(mean_r, 0.025)").alias("ci_lo"),
         F.expr("percentile(mean_r, 0.975)").alias("ci_hi"),
     )
-    base = events.groupBy("event_type").agg(
+    # base stats off the SAME seeded projection the replicate chain
+    # scans (identical subplan → AQE exchange/stage reuse → one fact
+    # scan), not a second scan of events; count/avg see the same rows
+    # either way so the oracle is unchanged
+    base = seeded.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.avg("value").alias("mean_value"),
     )

@@ -1333,6 +1333,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["graph_association_rules"] = lambda s, d: graph.association_rules(
         raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
     )
+    # r9: 3-core backbone by parallel peeling (rows-only: iterative
+    # fixpoint; python-peeling parity in tests/test_graph_kcore.py)
+    q["graph_kcore"] = lambda s, d: graph.kcore(
+        raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
+    )
     # r7 continuation: triangle count + global clustering coefficient
     # (oracle-able; three keyed self-joins, no vertex broadcast)
     q["graph_clustering"] = lambda s, d: graph.clustering_coefficient(
