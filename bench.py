@@ -222,6 +222,8 @@ EXTRA = [
     "events_interarrival_stats",
     "emb_rrf_fusion",
     "graph_kcore",
+    "text_hill_tail_index",
+    "sampling_kfold",
 ]
 
 

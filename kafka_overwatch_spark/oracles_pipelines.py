@@ -3783,6 +3783,46 @@ SELECT lang, CAST(d AS BIGINT) AS distinct_types,
   round(f1 / CAST(n AS DOUBLE), 6) AS gt_unseen_mass
 FROM per_lang"""
 
+    # r9: Hill tail index over the top-(k+1) document lengths —
+    # deterministic rank (n_chars desc, doc_id asc), exact-integer
+    # order statistics, identical ln-ratio doubles
+    q["text_hill_tail_index"] = """
+WITH ranked AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+    row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+),
+xk1 AS (SELECT x AS x_tail FROM ranked WHERE rn = 101),
+tot AS (SELECT sum(CAST(n_chars AS BIGINT)) AS total_chars FROM documents),
+agg AS (
+  SELECT CAST(100 AS BIGINT) AS k,
+    CAST(max(x_tail) AS BIGINT) AS x_tail,
+    round(100.0 / sum(ln(CAST(x AS DOUBLE) / CAST(x_tail AS DOUBLE))), 6)
+      AS alpha,
+    sum(x) AS topk_chars
+  FROM ranked, xk1 WHERE rn <= 100
+)
+SELECT k, x_tail, alpha,
+  round(topk_chars / CAST(total_chars AS DOUBLE), 6) AS tail_mass_frac
+FROM agg, tot"""
+
+    # r9: stratified k-fold balance — same salted-md5 bucket family as
+    # the split assignments (md5('fold-42:' || doc_id), 15 hex chars,
+    # mod 5)
+    q["sampling_kfold"] = """
+WITH cell AS (
+  SELECT source,
+    (CAST(concat('0x', substr(md5('fold-42:'
+        || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5) AS fold,
+    count(*) AS n_docs
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT source, sum(n_docs) AS src_docs FROM cell GROUP BY 1)
+SELECT c.source, CAST(c.fold AS BIGINT) AS fold,
+  CAST(c.n_docs AS BIGINT) AS n_docs,
+  round(c.n_docs / CAST(t.src_docs AS DOUBLE), 6) AS fold_frac
+FROM cell c JOIN tot t ON c.source = t.source"""
+
     # r9: Neyman allocation — N_h·σ_h share of the budget per source;
     # σ from exact integer moments (identical doubles in any engine)
     q["sampling_neyman_allocation"] = """

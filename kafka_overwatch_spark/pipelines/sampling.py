@@ -914,3 +914,33 @@ def neyman_allocation(
             .alias("alloc_n"),
         )
     )
+
+
+def kfold_assignment(
+    documents: DataFrame, folds: int = 5, salt: str = "fold-42"
+) -> DataFrame:
+    """Deterministic stratified k-fold assignment summary (r9): every
+    document lands in fold ``hash_bucket(doc_id) mod folds`` — the
+    same salted-md5 family as the train/val/test splits, so fold
+    membership is reproducible at any parallelism and across engines —
+    and the summary reports the (source × fold) counts plus each
+    fold's share WITHIN its source stratum, the balance evidence a
+    cross-validation setup needs (hash folds are only approximately
+    equal; this table is where "approximately" gets a number).
+
+    One fact-scan aggregate on (source, fold); the per-source totals
+    derive from the same aggregate (one scan, AQE-reused). Output:
+    source, fold, n_docs, fold_frac."""
+    fold = hash_bucket(F.col("doc_id"), salt, folds)
+    cell = documents.groupBy(
+        "source", fold.alias("fold")
+    ).agg(F.count("*").alias("n_docs"))
+    tot = cell.groupBy("source").agg(F.sum("n_docs").alias("src_docs"))
+    return cell.join(F.broadcast(tot), "source").select(
+        "source",
+        F.col("fold").cast("long").alias("fold"),
+        "n_docs",
+        F.round(
+            F.col("n_docs") / F.col("src_docs").cast("double"), 6
+        ).alias("fold_frac"),
+    )

@@ -1218,3 +1218,72 @@ def mojibake_score(documents: DataFrame) -> DataFrame:
         nonascii.cast("long").alias("nonascii_chars"),
         score.alias("mojibake_score"),
     )
+
+
+def hill_tail_index(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Hill estimator of the document-length power-law tail (r9):
+    α = k / Σ_{i=1..k} ln(x_(i) / x_(k+1)) over the k largest
+    n_chars — the standard heavy-tail exponent the packing/chunking
+    planners care about (α ≤ 1 means the corpus's total byte mass is
+    dominated by its longest documents; truncation policy changes the
+    training mix materially). Zipf_fit covers token FREQUENCIES; this
+    covers document SIZES.
+
+    The top-(k+1) order statistics come from a rank window with the
+    engine's deterministic tie order (n_chars desc, doc_id asc) — at
+    100 TB this is TakeOrdered over the scan, never a global sort.
+    ln ratios of exact integers are engine-identical doubles. Output:
+    one row — k, x_tail (the (k+1)-th largest length), alpha,
+    tail_mass_frac (share of total chars held by the top k docs)."""
+    # orderBy + limit plans as TakeOrderedAndProject (per-partition
+    # top-(k+1) + driver merge) — NOT a global sort window, which
+    # would single-partition the corpus; the rank window then runs on
+    # the (k+1)-row frame only
+    top_rows = (
+        documents.select(
+            "doc_id", F.col("n_chars").cast("long").alias("x")
+        )
+        .orderBy(F.col("x").desc(), F.col("doc_id").asc())
+        .limit(k + 1)
+    )
+    ranked = top_rows.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("x").desc(), F.col("doc_id").asc())
+        ),
+    )
+    xk1 = ranked.filter(F.col("rn") == k + 1).select(
+        F.col("x").alias("x_tail")
+    )
+    total = documents.agg(
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars")
+    )
+    top = ranked.filter(F.col("rn") <= k)
+    return (
+        top.crossJoin(F.broadcast(xk1))
+        .agg(
+            F.lit(k).cast("long").alias("k"),
+            F.max("x_tail").cast("long").alias("x_tail"),
+            F.round(
+                F.lit(float(k))
+                / F.sum(
+                    F.log(
+                        F.col("x").cast("double")
+                        / F.col("x_tail").cast("double")
+                    )
+                ),
+                6,
+            ).alias("alpha"),
+            F.sum("x").cast("long").alias("topk_chars"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "x_tail",
+            "alpha",
+            F.round(
+                F.col("topk_chars") / F.col("total_chars").cast("double"),
+                6,
+            ).alias("tail_mass_frac"),
+        )
+    )

@@ -728,6 +728,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_vocab_richness"] = lambda s, d: textops.vocab_richness(
         raw(s, d, "documents")
     )
+    # r9: Hill power-law tail index of document lengths
+    q["text_hill_tail_index"] = lambda s, d: textops.hill_tail_index(
+        raw(s, d, "documents")
+    )
     q["text_ngram_freq"] = lambda s, d: textops.ngram_frequencies(
         raw(s, d, "documents")
     )
@@ -906,6 +910,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r9: Neyman-optimal stratified allocation over source strata
     q["sampling_neyman_allocation"] = (
         lambda s, d: sampling.neyman_allocation(raw(s, d, "documents"))
+    )
+    # r9: deterministic stratified k-fold balance table
+    q["sampling_kfold"] = lambda s, d: sampling.kfold_assignment(
+        raw(s, d, "documents")
     )
     # r7 late: token-budget epoch planner (temperature mixture in
     # token units) + RFM segmentation cube + the Q12 conditional-agg
@@ -1474,6 +1482,8 @@ _PROMOTED = [
     "events_transition_entropy",
     "events_interarrival_stats",
     "emb_rrf_fusion",
+    "text_hill_tail_index",
+    "sampling_kfold",
     # the rest of the r8 wave stays up front (witnessed in r8 but the
     # youngest gates in the registry; attribution/session-path family
     # is also the one being scale-curved this round)

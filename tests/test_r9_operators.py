@@ -317,3 +317,39 @@ def test_rrf_fusion_contains_consensus_neighbors(spark, snaps):
         assert scores == sorted(scores, reverse=True)
         # fused score is bounded by the two best possible ranks
         assert scores[0] <= 2 / 61 + 1e-6
+
+
+def test_hill_tail_index_on_pareto_sample(spark):
+    from kafka_overwatch_spark.pipelines.text import hill_tail_index
+
+    # exact Pareto(alpha=2) quantile sample: x_i = (n/i)^(1/2) * xm —
+    # the Hill estimator over such order statistics recovers ~alpha
+    n, xm = 2000, 100.0
+    rows = [
+        (i, "t", "en", "s", int(round(xm * (n / i) ** 0.5)))
+        for i in range(1, n + 1)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    r = hill_tail_index(docs, k=100).collect()[0]
+    assert r["k"] == 100
+    assert 1.6 < r["alpha"] < 2.4  # estimator noise band around 2
+    assert 0 < r["tail_mass_frac"] < 1
+
+
+def test_kfold_covers_all_docs_and_is_balanced(spark, snaps):
+    from kafka_overwatch_spark.pipelines.sampling import kfold_assignment
+
+    docs = spark.table("documents")
+    rows = kfold_assignment(docs, folds=5).collect()
+    total = sum(r["n_docs"] for r in rows)
+    assert total == docs.count()
+    assert {r["fold"] for r in rows} <= set(range(5))
+    # per-source fold fractions sum to 1
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], 0.0)
+        by_src[r["source"]] += r["fold_frac"]
+    for s, f in by_src.items():
+        assert abs(f - 1.0) < 1e-4, (s, f)
