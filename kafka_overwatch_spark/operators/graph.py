@@ -146,7 +146,11 @@ def pagerank(
         # geometrically
         if it % 2 == 1 or it == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select("part", F.round("rank", 8).alias("rank"))
+    # round 6 — the engine's oracle grain (r9: pagerank moved from
+    # rows-only to oracle-able via an unrolled-iteration DuckDB
+    # mirror; cross-engine double-sum order differences live ~1e-13,
+    # far inside the grain)
+    return ranks.select("part", F.round("rank", 6).alias("rank"))
 
 
 def pagerank_step(

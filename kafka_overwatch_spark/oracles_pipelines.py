@@ -3783,6 +3783,48 @@ SELECT lang, CAST(d AS BIGINT) AS distinct_types,
   round(f1 / CAST(n AS DOUBLE), 6) AS gt_unseen_mass
 FROM per_lang"""
 
+    # r9: weighted PageRank moves from rows-only to oracle-able — the
+    # 10 power iterations UNROLL as chained aggregate CTEs (standard
+    # SQL forbids aggregation in a recursive term; the iteration count
+    # is a fixed constant, so unrolling is exact). Teleport term
+    # written (1.0 - 0.85) / n so both engines compute the identical
+    # IEEE double; per-vertex inflow double-sum order differs across
+    # engines by ~1e-13 — absorbed by the round-6 output grain.
+    _pr_iters = "".join(
+        f""",
+r{i + 1} AS (
+  SELECT t.dst AS part,
+    (1.0 - 0.85) / (SELECT n FROM nv) + 0.85 * sum(r{i}.rank * t.p)
+      AS rank
+  FROM trans t JOIN r{i} ON t.src = r{i}.part
+  GROUP BY t.dst
+)"""
+        for i in range(10)
+    )
+    q["graph_pagerank"] = f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+    count(*) AS weight
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+directed AS (
+  SELECT part_a AS src, part_b AS dst, weight FROM pairs
+  UNION ALL
+  SELECT part_b AS src, part_a AS dst, weight FROM pairs
+),
+outw AS (SELECT src, sum(weight) AS w_out FROM directed GROUP BY 1),
+nv AS (SELECT count(*) AS n FROM outw),
+trans AS (
+  SELECT d.src, d.dst, d.weight / CAST(o.w_out AS DOUBLE) AS p
+  FROM directed d JOIN outw o ON d.src = o.src
+),
+r0 AS (SELECT src AS part, 1.0 / (SELECT n FROM nv) AS rank FROM outw)
+{_pr_iters}
+SELECT part, round(rank, 6) AS rank FROM r10"""
+
     # r9: Hill tail index over the top-(k+1) document lengths —
     # deterministic rank (n_chars desc, doc_id asc), exact-integer
     # order statistics, identical ln-ratio doubles

@@ -1484,6 +1484,9 @@ _PROMOTED = [
     "emb_rrf_fusion",
     "text_hill_tail_index",
     "sampling_kfold",
+    # pagerank's output grain changed (round 8 -> 6) and it gained an
+    # oracle this round — driver-witness it
+    "graph_pagerank",
     # the rest of the r8 wave stays up front (witnessed in r8 but the
     # youngest gates in the registry; attribution/session-path family
     # is also the one being scale-curved this round)

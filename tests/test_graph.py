@@ -39,7 +39,8 @@ def test_pagerank_matches_python_power_iteration(spark):
     worst = max(abs(got[v] - rank[v]) for v in nodes)
     assert worst < 1e-6, f"max rank divergence {worst}"
     # mass conservation: no dangling nodes in the co-purchase graph
-    assert abs(sum(got.values()) - 1.0) < 1e-6
+    # (output rounds to 6 decimals since r9, so residue scales with n)
+    assert abs(sum(got.values()) - 1.0) < 5e-7 * n + 1e-9
 
 
 def test_pagerank_large_path_matches_broadcast_path(spark):
@@ -56,7 +57,7 @@ def test_pagerank_large_path_matches_broadcast_path(spark):
     }
     assert set(small) == set(large)
     assert max(abs(small[v] - large[v]) for v in small) < 1e-9
-    assert abs(sum(large.values()) - 1.0) < 1e-6
+    assert abs(sum(large.values()) - 1.0) < 5e-7 * len(large) + 1e-9
 
 
 def test_pagerank_large_path_step_is_shuffle_join(spark):
