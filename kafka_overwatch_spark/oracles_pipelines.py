@@ -3783,6 +3783,44 @@ SELECT lang, CAST(d AS BIGINT) AS distinct_types,
   round(f1 / CAST(n AS DOUBLE), 6) AS gt_unseen_mass
 FROM per_lang"""
 
+    # r9: the two end-to-end dedup CLUSTER queries move from rows-only
+    # to oracle-able — connected components as a recursive
+    # transitive-closure CTE (UNION set semantics iterate to fixpoint;
+    # (node, label) pair volume is quadratic per component, bounded by
+    # the near-dup cluster sizes) over the SAME verified pair SQL the
+    # pair queries already gate (reused as subqueries).
+    q["dedup_fuzzy_clusters"] = f"""
+WITH RECURSIVE pairs AS (SELECT * FROM ({q["dedup_minhash_lsh"]}) p),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id AS v, doc_id AS lab FROM documents
+  UNION
+  SELECT u.dst AS v, r.lab FROM reach r JOIN und u ON u.src = r.v
+)
+SELECT v AS doc_id, min(lab) AS cluster, (v = min(lab)) AS keep
+FROM reach GROUP BY v"""
+
+    q["dedup_semantic_components"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({q["dedup_embedding_cosine"]}) p
+),
+und AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM pairs
+),
+reach AS (
+  SELECT vec_id AS v, vec_id AS lab FROM embeddings
+  UNION
+  SELECT u.dst AS v, r.lab FROM reach r JOIN und u ON u.src = r.v
+)
+SELECT v AS vec_id, min(lab) AS component, (v = min(lab)) AS keep
+FROM reach GROUP BY v"""
+
     # r9: weighted PageRank moves from rows-only to oracle-able — the
     # 10 power iterations UNROLL as chained aggregate CTEs (standard
     # SQL forbids aggregation in a recursive term; the iteration count

@@ -1487,6 +1487,9 @@ _PROMOTED = [
     # pagerank's output grain changed (round 8 -> 6) and it gained an
     # oracle this round — driver-witness it
     "graph_pagerank",
+    # the CC cluster queries also moved rows-only -> oracle-able
+    "dedup_fuzzy_clusters",
+    "dedup_semantic_components",
     # the rest of the r8 wave stays up front (witnessed in r8 but the
     # youngest gates in the registry; attribution/session-path family
     # is also the one being scale-curved this round)
