@@ -3821,6 +3821,69 @@ reach AS (
 SELECT v AS vec_id, min(lab) AS component, (v = min(lab)) AS keep
 FROM reach GROUP BY v"""
 
+    # r9: curation_semantic moves from rows-only to oracle-able — the
+    # full chain composes the curation_pipeline SQL with the (now
+    # oracle-expressible) semantic-keeper closure
+    q["curation_semantic"] = f"""
+WITH RECURSIVE base AS (SELECT * FROM ({q["curation_pipeline"]}) b),
+pairs AS (SELECT * FROM ({q["dedup_embedding_cosine"]}) p),
+und AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM pairs
+),
+reach AS (
+  SELECT vec_id AS v, vec_id AS lab FROM embeddings
+  UNION
+  SELECT u.dst AS v, r.lab FROM reach r JOIN und u ON u.src = r.v
+),
+keepers AS (
+  SELECT v AS doc_id FROM reach GROUP BY v HAVING v = min(lab)
+)
+SELECT base.* FROM base JOIN keepers USING (doc_id)"""
+
+    # r9: next-fit packing moves from rows-only to oracle-able — the
+    # per-group sequential bin recurrence is one recursion step per
+    # chunk rank over the reused doc_chunks SQL (depth = max chunks
+    # per group)
+    _pack_over = "r.bin_fill > 0 AND r.bin_fill + o.n_tokens > 256"
+    _pack_rec = f"""
+ord AS (
+  SELECT grp, doc_id, chunk_id, n_tokens,
+    row_number() OVER (PARTITION BY grp
+      ORDER BY doc_id, chunk_id) AS rn
+  FROM grouped
+),
+rec AS (
+  SELECT grp, doc_id, chunk_id, n_tokens, rn,
+    CAST(0 AS BIGINT) AS bin_id,
+    CAST(n_tokens AS BIGINT) AS bin_fill
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.grp, o.doc_id, o.chunk_id, o.n_tokens, o.rn,
+    CASE WHEN {_pack_over} THEN r.bin_id + 1 ELSE r.bin_id END,
+    CASE WHEN {_pack_over} THEN CAST(o.n_tokens AS BIGINT)
+         ELSE r.bin_fill + o.n_tokens END
+  FROM rec r JOIN ord o ON o.grp = r.grp AND o.rn = r.rn + 1
+)
+SELECT grp AS "group", bin_id, doc_id, chunk_id, n_tokens, bin_fill
+FROM rec"""
+    q["doc_chunks_packed"] = f"""
+WITH RECURSIVE chunks AS (SELECT * FROM ({q["doc_chunks"]}) c),
+grouped AS (
+  SELECT CAST(doc_id AS VARCHAR) AS grp, doc_id, chunk_id, n_tokens
+  FROM chunks
+),
+{_pack_rec}"""
+
+    q["doc_chunks_packed_by_source"] = f"""
+WITH RECURSIVE chunks AS (SELECT * FROM ({q["doc_chunks"]}) c),
+grouped AS (
+  SELECT d.source AS grp, c.doc_id, c.chunk_id, c.n_tokens
+  FROM chunks c JOIN documents d ON c.doc_id = d.doc_id
+),
+{_pack_rec}"""
+
     # r9: weighted PageRank moves from rows-only to oracle-able — the
     # 10 power iterations UNROLL as chained aggregate CTEs (standard
     # SQL forbids aggregation in a recursive term; the iteration count

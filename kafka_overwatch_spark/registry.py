@@ -1490,6 +1490,9 @@ _PROMOTED = [
     # the CC cluster queries also moved rows-only -> oracle-able
     "dedup_fuzzy_clusters",
     "dedup_semantic_components",
+    "curation_semantic",
+    "doc_chunks_packed",
+    "doc_chunks_packed_by_source",
     # the rest of the r8 wave stays up front (witnessed in r8 but the
     # youngest gates in the registry; attribution/session-path family
     # is also the one being scale-curved this round)
