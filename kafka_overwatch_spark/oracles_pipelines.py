@@ -3790,7 +3790,9 @@ FROM per_lang"""
     # the near-dup cluster sizes) over the SAME verified pair SQL the
     # pair queries already gate (reused as subqueries).
     q["dedup_fuzzy_clusters"] = f"""
-WITH RECURSIVE pairs AS (SELECT * FROM ({q["dedup_minhash_lsh"]}) p),
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT * FROM ({q["dedup_minhash_lsh"]}) p
+),
 und AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
@@ -3805,7 +3807,7 @@ SELECT v AS doc_id, min(lab) AS cluster, (v = min(lab)) AS keep
 FROM reach GROUP BY v"""
 
     q["dedup_semantic_components"] = f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
   SELECT * FROM ({q["dedup_embedding_cosine"]}) p
 ),
 und AS (
@@ -3820,6 +3822,42 @@ reach AS (
 )
 SELECT v AS vec_id, min(lab) AS component, (v = min(lab)) AS keep
 FROM reach GROUP BY v"""
+
+    # r9: k-center greedy coreset moves from rows-only to oracle-able —
+    # the k = 16 farthest-point picks UNROLL as chained (state, pick)
+    # CTE pairs, exactly like the pagerank unroll. Distances round to
+    # 6 BEFORE every argmax on both engines (the operator's documented
+    # stability contract), so picks agree across engines.
+    _kc_parts = [
+        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) "
+        "AS emb FROM embeddings)",
+        "s1 AS MATERIALIZED (SELECT vec_id, emb, CAST(NULL AS DOUBLE) "
+        "AS mind FROM e)",
+        "p1 AS MATERIALIZED (SELECT vec_id, CAST(NULL AS DOUBLE) "
+        "AS radius, emb FROM e ORDER BY vec_id ASC LIMIT 1)",
+    ]
+    for _i in range(2, 17):
+        _d = (
+            f"round(1.0 - list_cosine_similarity(s.emb, p{_i - 1}.emb), 6)"
+        )
+        _kc_parts.append(
+            f"s{_i} AS MATERIALIZED (SELECT s.vec_id, s.emb, "
+            f"least(coalesce(s.mind, {_d}), {_d}) AS mind "
+            f"FROM s{_i - 1} s, p{_i - 1} "
+            f"WHERE s.vec_id != p{_i - 1}.vec_id)"
+        )
+        _kc_parts.append(
+            f"p{_i} AS MATERIALIZED (SELECT vec_id, mind AS radius, emb FROM s{_i} "
+            f"ORDER BY mind DESC, vec_id ASC LIMIT 1)"
+        )
+    _kc_sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({_i} AS BIGINT) AS pick_order, vec_id, "
+        f"round(radius, 6) AS radius FROM p{_i}"
+        for _i in range(1, 17)
+    )
+    q["emb_kcenter_coreset"] = (
+        "WITH " + ",\n".join(_kc_parts) + "\n" + _kc_sel
+    )
 
     # r9: curation_semantic moves from rows-only to oracle-able — the
     # full chain composes the curation_pipeline SQL with the (now
@@ -3916,9 +3954,11 @@ directed AS (
   UNION ALL
   SELECT part_b AS src, part_a AS dst, weight FROM pairs
 ),
-outw AS (SELECT src, sum(weight) AS w_out FROM directed GROUP BY 1),
-nv AS (SELECT count(*) AS n FROM outw),
-trans AS (
+outw AS MATERIALIZED (
+  SELECT src, sum(weight) AS w_out FROM directed GROUP BY 1
+),
+nv AS MATERIALIZED (SELECT count(*) AS n FROM outw),
+trans AS MATERIALIZED (
   SELECT d.src, d.dst, d.weight / CAST(o.w_out AS DOUBLE) AS p
   FROM directed d JOIN outw o ON d.src = o.src
 ),

@@ -1493,6 +1493,7 @@ _PROMOTED = [
     "curation_semantic",
     "doc_chunks_packed",
     "doc_chunks_packed_by_source",
+    "emb_kcenter_coreset",
     # the rest of the r8 wave stays up front (witnessed in r8 but the
     # youngest gates in the registry; attribution/session-path family
     # is also the one being scale-curved this round)
