@@ -949,3 +949,150 @@ def run_growing_semantic(
             "growing semantic screen did not drain within 300s"
         )
     return q
+
+
+class QualityDriftMonitor:
+    """foreachBatch handler for streaming corpus-quality DRIFT
+    detection (r9): each micro-batch releases its quality-score
+    decile histogram plus batch mean — mergeable summaries, so the
+    stream-lifetime distribution recomposes exactly from the releases
+    — and ``quality_drift_from_releases`` runs a two-sided CUSUM over
+    the sequence of batch means against the reference mean (the first
+    batch, or a supplied baseline). The ingest tripwire for "the
+    crawler started pulling a worse shelf": a mean shift accumulates
+    linearly in the CUSUM while batch-local noise cancels.
+
+    Deterministic end to end (quality_columns is pure arithmetic;
+    CUSUM is a fold over batch_id order), so replays re-derive
+    byte-identical releases; writes are the engine's
+    batch_id-partitioned dynamic-overwrite shape."""
+
+    def __init__(self, out_dir: str) -> None:
+        self.out_dir = out_dir
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..pipelines.text import quality_columns
+
+        spark = batch_df.sparkSession
+        q = quality_columns()["quality_score"]
+        scored = batch_df.filter(F.col("text").isNotNull()).select(
+            q.alias("score")
+        )
+        # decile histogram + count + exact mean numerator (sum of the
+        # round-6 scores as DECIMAL — order-independent, mergeable)
+        release = scored.groupBy(
+            F.least(
+                F.floor(F.col("score") * 10).cast("int"), F.lit(9)
+            ).alias("decile")
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("score").cast("decimal(28,6)")).alias(
+                "score_sum"
+            ),
+        )
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            (
+                release.coalesce(1)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(self.out_dir)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+
+def quality_drift_from_releases(
+    spark: SparkSession, out_dir: str, slack: float = 0.01
+) -> DataFrame:
+    """Two-sided CUSUM over the released batch means, referenced to
+    the FIRST batch's mean: cusum_hi accumulates (mean_b − ref −
+    slack)+, cusum_lo accumulates (ref − mean_b − slack)+ — the
+    standard mean-shift detector, fold-identical to daily_ewma_cusum's
+    machinery but keyed by batch_id. Also recomposes the lifetime
+    decile histogram (counts merge losslessly). Output: one row per
+    batch — batch_id, n_docs, mean_score, cusum_hi, cusum_lo."""
+    rel = spark.read.parquet(out_dir)
+    per_batch = rel.groupBy("batch_id").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        (
+            F.sum("score_sum").cast("double")
+            / F.sum("n").cast("double")
+        ).alias("mean_score"),
+    )
+    series = per_batch.groupBy().agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("batch_id", "n_docs", "mean_score")
+            )
+        ).alias("s")
+    )
+    folded = series.select(
+        F.expr(
+            f"""
+            aggregate(
+              s,
+              struct(CAST(NULL AS DOUBLE) AS ref,
+                     CAST(0.0 AS DOUBLE) AS hi,
+                     CAST(0.0 AS DOUBLE) AS lo,
+                     CAST(array() AS ARRAY<STRUCT<batch_id: BIGINT,
+                       n_docs: BIGINT, mean_score: DOUBLE,
+                       cusum_hi: DOUBLE, cusum_lo: DOUBLE>>) AS out),
+              (acc, b) -> struct(
+                coalesce(acc.ref, b.mean_score) AS ref,
+                greatest(0.0D, acc.hi + b.mean_score
+                  - coalesce(acc.ref, b.mean_score) - {slack}) AS hi,
+                greatest(0.0D, acc.lo
+                  + coalesce(acc.ref, b.mean_score) - b.mean_score
+                  - {slack}) AS lo,
+                array_append(acc.out, struct(
+                  b.batch_id AS batch_id, b.n_docs AS n_docs,
+                  round(b.mean_score, 6) AS mean_score,
+                  round(greatest(0.0D, acc.hi + b.mean_score
+                    - coalesce(acc.ref, b.mean_score) - {slack}),
+                    6) AS cusum_hi,
+                  round(greatest(0.0D, acc.lo
+                    + coalesce(acc.ref, b.mean_score) - b.mean_score
+                    - {slack}), 6) AS cusum_lo)) AS out),
+              acc -> acc.out
+            )
+            """
+        ).alias("out")
+    )
+    return folded.select(F.explode("out").alias("o")).select(
+        F.col("o.batch_id").alias("batch_id"),
+        F.col("o.n_docs").alias("n_docs"),
+        F.col("o.mean_score").alias("mean_score"),
+        F.col("o.cusum_hi").alias("cusum_hi"),
+        F.col("o.cusum_lo").alias("cusum_lo"),
+    )
+
+
+def run_quality_drift(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    timeout_sec: int = 300,
+) -> None:
+    """Drain the document feed through the quality-drift monitor
+    (availableNow; production runs the trigger at the crawl-shard
+    cadence)."""
+    q = (
+        doc_stream(spark, input_dir)
+        .writeStream.foreachBatch(QualityDriftMonitor(out_dir))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError("quality drift stream did not drain in time")

@@ -353,3 +353,41 @@ def test_kfold_covers_all_docs_and_is_balanced(spark, snaps):
         by_src[r["source"]] += r["fold_frac"]
     for s, f in by_src.items():
         assert abs(f - 1.0) < 1e-4, (s, f)
+
+
+def test_quality_drift_monitor_detects_mean_shift(spark, tmp_path):
+    """Releases are replay-deterministic and the CUSUM flags the batch
+    where corpus quality drops; the lifetime mean recomposes exactly
+    from the mergeable (count, score_sum) summaries."""
+    from pyspark.sql import functions as F
+
+    from kafka_overwatch_spark.streaming.documents_stream import (
+        QualityDriftMonitor,
+        quality_drift_from_releases,
+    )
+
+    def docs(texts, start):
+        return spark.createDataFrame(
+            [(start + i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        )
+
+    good = ["the quick brown fox is a fine animal and it runs far"] * 8
+    bad = ["!!!! ???? ####"] * 8
+    out = str(tmp_path / "drift")
+    mon = QualityDriftMonitor(out)
+    mon(docs(good, 0), 0)
+    first = sorted(tuple(r) for r in spark.read.parquet(out)
+                   .filter(F.col("batch_id") == 0).collect())
+    mon(docs(good, 0), 0)  # replay: byte-identical partition rewrite
+    again = sorted(tuple(r) for r in spark.read.parquet(out)
+                   .filter(F.col("batch_id") == 0).collect())
+    assert first == again
+    mon(docs(good, 100), 1)
+    mon(docs(bad, 200), 2)
+    rows = {r["batch_id"]: r for r in
+            quality_drift_from_releases(spark, out).collect()}
+    assert rows[0]["cusum_lo"] == 0.0 and rows[0]["cusum_hi"] == 0.0
+    assert rows[1]["cusum_lo"] < 1e-6  # same-quality batch: no drift
+    assert rows[2]["cusum_lo"] > 0.05  # quality collapse flagged
+    assert rows[2]["mean_score"] < rows[0]["mean_score"]
