@@ -224,6 +224,7 @@ EXTRA = [
     "graph_kcore",
     "text_hill_tail_index",
     "sampling_kfold",
+    "ann_lsh_recall",
 ]
 
 

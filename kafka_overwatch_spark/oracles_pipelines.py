@@ -3823,6 +3823,54 @@ reach AS (
 SELECT v AS vec_id, min(lab) AS component, (v = min(lab)) AS keep
 FROM reach GROUP BY v"""
 
+    # r9: LSH recall@5 audit — exact vs bucket-restricted rankings off
+    # one scored frame; reuses the ann_lsh_buckets bucket expression
+    q["ann_lsh_recall"] = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+tagged AS MATERIALIZED (
+  SELECT vec_id, emb, {bucket_expr} AS bucket FROM e
+),
+queries AS (
+  SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
+  FROM tagged WHERE vec_id < 10
+),
+scored AS MATERIALIZED (
+  SELECT q.query_id, v.vec_id, v.bucket, q.q_bucket,
+    round(list_cosine_similarity(q.q_emb, v.emb), 6) AS cosine
+  FROM queries q, tagged v WHERE v.vec_id != q.query_id
+),
+exact_top AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, vec_id ASC) AS r
+    FROM scored) t WHERE r <= 5
+),
+lsh AS MATERIALIZED (
+  SELECT * FROM scored WHERE bucket = q_bucket
+),
+lsh_top AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, vec_id ASC) AS r
+    FROM lsh) t WHERE r <= 5
+),
+cands AS (SELECT query_id, count(*) AS n_candidates FROM lsh GROUP BY 1),
+hits AS (
+  SELECT x.query_id, count(*) AS hits
+  FROM exact_top x JOIN lsh_top l
+    ON x.query_id = l.query_id AND x.vec_id = l.vec_id
+  GROUP BY 1
+)
+SELECT q.query_id,
+  CAST(coalesce(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+  round(coalesce(h.hits, 0) / 5.0, 6) AS recall_at_k
+FROM queries q
+LEFT JOIN cands c ON q.query_id = c.query_id
+LEFT JOIN hits h ON q.query_id = h.query_id"""
+
     # r9: k-center greedy coreset moves from rows-only to oracle-able —
     # the k = 16 farthest-point picks UNROLL as chained (state, pick)
     # CTE pairs, exactly like the pagerank unroll. Distances round to

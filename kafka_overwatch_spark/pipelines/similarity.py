@@ -2189,3 +2189,85 @@ def rrf_fusion(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def lsh_recall_audit(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = tuple(range(10)),
+    k: int = 5,
+    bits: int = LSH_BITS,
+) -> DataFrame:
+    """Recall@k audit of the single-table LSH index against the exact
+    cosine ranking (r9) — "measure, don't guess" as a REGISTERED
+    query, not just a test gate: per sampled query, how many of the
+    exact top-k survive when retrieval is restricted to the query's
+    sign bucket, and how many candidates that bucket held. This is
+    the number that decides bits/tables before anyone trusts the ANN
+    path at scale; the pytest recall gates pin a floor, this table
+    shows the per-query distribution.
+
+    One corpus scan scores every (query, vector) pair once (broadcast
+    query side); the exact and bucket-restricted rankings are two
+    windows over that one frame; everything after is query-grain.
+    Output: query_id, n_candidates, hits, recall_at_k."""
+    tagged = embeddings.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket(F.col("embedding"), bits).alias("bucket"),
+    )
+    queries = tagged.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    scored = (
+        tagged.repartition(par)
+        .select("vec_id", F.col("embedding").alias("emb"), "bucket")
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "bucket",
+            "q_bucket",
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    exact_top = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select("query_id", "vec_id")
+    )
+    lsh = scored.filter(F.col("bucket") == F.col("q_bucket"))
+    lsh_top = (
+        lsh.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select("query_id", "vec_id")
+    )
+    cands = lsh.groupBy("query_id").agg(
+        F.count("*").alias("n_candidates")
+    )
+    hits = exact_top.join(lsh_top, ["query_id", "vec_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").alias("hits"))
+    return (
+        queries.select("query_id")
+        .join(cands, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce("hits", F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall_at_k"),
+        )
+    )

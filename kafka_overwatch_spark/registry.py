@@ -661,6 +661,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_rrf_fusion"] = lambda s, d: similarity.rrf_fusion(
         raw(s, d, "embeddings")
     )
+    # r9: recall@5 audit of the single-table LSH index vs exact cosine
+    q["ann_lsh_recall"] = lambda s, d: similarity.lsh_recall_audit(
+        raw(s, d, "embeddings")
+    )
     q["ann_lsh_buckets"] = (
         lambda s, d: similarity.lsh_bucket_assignments_vectorized(
             raw(s, d, "embeddings")

@@ -391,3 +391,16 @@ def test_quality_drift_monitor_detects_mean_shift(spark, tmp_path):
     assert rows[1]["cusum_lo"] < 1e-6  # same-quality batch: no drift
     assert rows[2]["cusum_lo"] > 0.05  # quality collapse flagged
     assert rows[2]["mean_score"] < rows[0]["mean_score"]
+
+
+def test_lsh_recall_audit_laws(spark, snaps):
+    from kafka_overwatch_spark.pipelines.similarity import lsh_recall_audit
+
+    emb = spark.table("embeddings")
+    rows = lsh_recall_audit(emb).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r["hits"] <= 5
+        assert abs(r["recall_at_k"] - r["hits"] / 5.0) < 1e-9
+        # hits can't exceed what the bucket held
+        assert r["hits"] <= max(r["n_candidates"], 0) or r["hits"] == 0
