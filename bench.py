@@ -225,6 +225,7 @@ EXTRA = [
     "text_hill_tail_index",
     "sampling_kfold",
     "ann_lsh_recall",
+    "sampling_ess",
 ]
 
 

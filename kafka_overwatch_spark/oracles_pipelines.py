@@ -3823,6 +3823,20 @@ reach AS (
 SELECT v AS vec_id, min(lab) AS component, (v = min(lab)) AS keep
 FROM reach GROUP BY v"""
 
+    # r9: DSIR weight effective-sample-size — per-source log-sum-exp
+    # normalized weights off the shared DSIR CTE
+    q["sampling_ess"] = f"""
+WITH {_dsir_cte},
+mx AS (SELECT source, max(log_ratio) AS mx FROM w GROUP BY 1),
+shifted AS (
+  SELECT w.source, exp(w.log_ratio - m.mx) AS wt
+  FROM w JOIN mx m ON w.source = m.source
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  round((sum(wt) * sum(wt)) / sum(wt * wt), 6) AS ess,
+  round(((sum(wt) * sum(wt)) / sum(wt * wt)) / count(*), 6) AS ess_frac
+FROM shifted GROUP BY source"""
+
     # r9: LSH recall@5 audit — exact vs bucket-restricted rankings off
     # one scored frame; reuses the ann_lsh_buckets bucket expression
     q["ann_lsh_recall"] = f"""

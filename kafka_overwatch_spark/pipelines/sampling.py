@@ -944,3 +944,50 @@ def kfold_assignment(
             F.col("n_docs") / F.col("src_docs").cast("double"), 6
         ).alias("fold_frac"),
     )
+
+
+def dsir_ess(
+    documents: DataFrame,
+    target_source: str = "src0",
+    buckets: int = DSIR_BUCKETS,
+    bucketed: DataFrame | None = None,
+) -> DataFrame:
+    """Effective sample size of the DSIR importance weights, per
+    source (r9): ESS = (Σw)²/Σw² over w̃ = exp(log_ratio − max
+    log_ratio within the source) — the shift-invariant log-sum-exp
+    normalization, so the astronomically negative raw log-ratios
+    never underflow together. ESS/n is the honest health check of an
+    importance-resampling plan: near 1 the weights are flat (sampling
+    buys nothing); near 1/n one document dominates (the resample is
+    degenerate and the target-LM fit, not the corpus, is what you'd
+    be training on).
+
+    One pass over the (already memoized) weight frame: a source-keyed
+    max window, two exponent sums, one division. Output: source,
+    n_docs, ess, ess_frac."""
+    w = dsir_weights(
+        documents,
+        target_source=target_source,
+        buckets=buckets,
+        bucketed=bucketed,
+    )
+    mx = w.groupBy("source").agg(F.max("log_ratio").alias("mx"))
+    shifted = w.join(F.broadcast(mx), "source").select(
+        "source", F.exp(F.col("log_ratio") - F.col("mx")).alias("wt")
+    )
+    return (
+        shifted.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (
+                (F.sum("wt") * F.sum("wt"))
+                / F.sum(F.col("wt") * F.col("wt"))
+            ).alias("ess"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round("ess", 6).alias("ess"),
+            F.round(F.col("ess") / F.col("n_docs"), 6).alias("ess_frac"),
+        )
+    )

@@ -900,6 +900,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sampling_dsir_weights"] = lambda s, d: sampling.dsir_weights(
         raw(s, d, "documents"), bucketed=get_dsir_bucketed(s, d)
     )
+    # r9: weight-degeneracy health check over the same memoized frame
+    q["sampling_ess"] = lambda s, d: sampling.dsir_ess(
+        raw(s, d, "documents"), bucketed=get_dsir_bucketed(s, d)
+    )
     q["sampling_dsir_topk"] = lambda s, d: sampling.dsir_resample(
         raw(s, d, "documents"), bucketed=get_dsir_bucketed(s, d)
     )

@@ -404,3 +404,15 @@ def test_lsh_recall_audit_laws(spark, snaps):
         assert abs(r["recall_at_k"] - r["hits"] / 5.0) < 1e-9
         # hits can't exceed what the bucket held
         assert r["hits"] <= max(r["n_candidates"], 0) or r["hits"] == 0
+
+
+def test_dsir_ess_laws(spark, snaps):
+    from kafka_overwatch_spark.pipelines.sampling import dsir_ess
+
+    docs = spark.table("documents")
+    rows = dsir_ess(docs).collect()
+    assert rows
+    for r in rows:
+        # 1 <= ESS <= n always; frac in (0, 1]
+        assert 1.0 - 1e-6 <= r["ess"] <= r["n_docs"] + 1e-6
+        assert 0 < r["ess_frac"] <= 1.0 + 1e-9
