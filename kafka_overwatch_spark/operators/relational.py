@@ -3403,6 +3403,22 @@ _MIX_P = 1073741789  # largest prime < 2^30 — the mixing modulus
 _MIX_A = 1103515245  # glibc LCG multiplier; gcd(A mod P, P) = 1
 
 
+def _bootstrap_uniform(seed: F.Column, rep: F.Column) -> F.Column:
+    """Replicate uniform u(seed, rep) ∈ [0, 1): squared multiply-mod
+    chain x = (seed·A + rep·12345 + 12345) mod P;
+    u = ((x² mod P)·A + rep) mod P / P. The x² step carries the
+    seed×rep cross term — without it the chain is affine and every
+    row shares one global per-rep offset (r9 advisor HIGH fix). All
+    intermediates < 2^61 (x < P < 2^30), int64-safe, and mirrored
+    token-for-token in the events_bootstrap_ci DuckDB oracle."""
+    x = (
+        seed * F.lit(_MIX_A) + rep * F.lit(12345) + F.lit(12345)
+    ) % F.lit(_MIX_P)
+    x2 = (x * x) % F.lit(_MIX_P)
+    y = (x2 * F.lit(_MIX_A) + rep) % F.lit(_MIX_P)
+    return y / F.lit(float(_MIX_P))
+
+
 def bootstrap_value_ci(
     events: DataFrame, replicates: int = 100, salt: str = "boot-42"
 ) -> DataFrame:
@@ -3420,13 +3436,20 @@ def bootstrap_value_ci(
     the first cut md5-hashed a fresh 4-part string per row ×
     replicate — 100 md5 passes over the fact scan): md5(salt:event_id)
     is reduced mod prime P < 2^30 BEFORE the replicate explode, and
-    each replicate's uniform is then two multiply-mod LCG steps
-    (x = (seed·A + rep·12345 + 12345) mod P; y = (x·A + rep) mod P;
-    u = y/P) — pure int64 arithmetic with every intermediate < 2^61
-    (no overflow, ANSI-safe), bijective in the seed for each rep
-    (gcd(A mod P, P) = 1, P prime), and expressible token-for-token
-    in DuckDB, so the draw stays reproducible at any parallelism and
-    bit-identical in the oracle.
+    each replicate's uniform is then a SQUARED multiply-mod chain
+    (x = (seed·A + rep·12345 + 12345) mod P; y = (x² mod P · A + rep)
+    mod P; u = y/P) — pure int64 arithmetic with every intermediate
+    < 2^61 (x < P < 2^30 so x² < 2^60; no overflow, ANSI-safe) and
+    expressible token-for-token in DuckDB, so the draw stays
+    reproducible at any parallelism and bit-identical in the oracle.
+
+    The squaring step is load-bearing (r9 advisor HIGH fix): a purely
+    affine chain y = (x·A + rep) mod P factors as α(row) + β(rep)
+    mod P — the SAME rep offset for every row, so the "replicates"
+    were a one-parameter shift family, not independent resamples.
+    Squaring x = α + β injects the 2αβ cross term, making each row's
+    rep sequence distinct (gated by the cross-term test in
+    tests/test_r8_operators.py).
 
     Scale: fan-out is × replicates on the fact scan (bounded, user
     constant) but carries only cheap integer mixing; everything after
@@ -3449,13 +3472,7 @@ def bootstrap_value_ci(
             % F.lit(_MIX_P)
         ).alias("seed"),
     )
-    x = (
-        F.col("seed") * F.lit(_MIX_A)
-        + F.col("rep") * F.lit(12345)
-        + F.lit(12345)
-    ) % F.lit(_MIX_P)
-    y = (x * F.lit(_MIX_A) + F.col("rep")) % F.lit(_MIX_P)
-    u = y / F.lit(float(_MIX_P))
+    u = _bootstrap_uniform(F.col("seed"), F.col("rep"))
     per_rep = (
         seeded.select("event_type", "value", "seed", rep)
         .withColumn("u", u)

@@ -3162,9 +3162,12 @@ SELECT event_type, CAST(true_count AS BIGINT) AS true_count,
 FROM n"""
 
     # Poisson bootstrap: ONE md5 per row (mod prime P < 2^30), then a
-    # per-replicate uniform from two multiply-mod LCG steps — mirrors
-    # relational.bootstrap_value_ci token-for-token (r8 verdict weak
-    # #1 re-plan: the draw no longer md5-hashes per (row × replicate))
+    # per-replicate uniform from a SQUARED multiply-mod chain
+    # (x = seed·A + rep·12345 + 12345 mod P; u = (x² mod P · A + rep)
+    # mod P / P) — mirrors relational.bootstrap_value_ci
+    # token-for-token. The squaring injects the seed×rep cross term
+    # (r9 advisor HIGH fix: the affine chain made every row share one
+    # global rep offset — a shift family, not independent resamples)
     q["events_bootstrap_ci"] = """
 WITH reps AS (SELECT unnest(generate_series(0, 99)) AS rep),
 seeded AS (
@@ -3174,11 +3177,16 @@ seeded AS (
       % 1073741789) AS seed
   FROM events
 ),
-w AS (
+xs AS (
   SELECT e.event_type, e.value, r.rep,
-    (((e.seed * 1103515245 + r.rep * 12345 + 12345) % 1073741789)
-       * 1103515245 + r.rep) % 1073741789 / 1073741789.0 AS u
+    (e.seed * 1103515245 + r.rep * 12345 + 12345) % 1073741789 AS x
   FROM seeded e, reps r
+),
+w AS (
+  SELECT event_type, value, rep,
+    (((x * x) % 1073741789) * 1103515245 + rep) % 1073741789
+      / 1073741789.0 AS u
+  FROM xs
 ),
 pw AS (
   SELECT event_type, rep, value,

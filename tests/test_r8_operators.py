@@ -81,6 +81,46 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
     assert 10.0 < r1["ci_lo"] and r1["ci_hi"] < 16.0
 
 
+def test_bootstrap_uniform_has_seed_rep_cross_term(spark):
+    """r9 advisor HIGH fix gate: the replicate draw must NOT factor
+    as u(seed, rep) = α(seed) + β(rep) mod 1 — an affine chain makes
+    every 'replicate' one global shift of all rows' uniforms (a
+    one-parameter family, not independent Poisson resamples). With
+    the squared chain, the per-rep offset sequence
+    (u(seed, rep) − u(seed, 0)) mod 1 must differ across seeds."""
+    P = relational._MIX_P
+    grid = spark.createDataFrame(
+        [(s, r) for s in (1, 2, 12345, 999_999_937) for r in range(8)],
+        "seed long, rep long",
+    )
+    rows = grid.select(
+        "seed",
+        "rep",
+        relational._bootstrap_uniform(F.col("seed"), F.col("rep")).alias("u"),
+    ).collect()
+    by_seed: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_seed.setdefault(r["seed"], {})[r["rep"]] = r["u"]
+    # integer-exact offsets: work in units of 1/P to avoid fp fuzz
+    offsets = {
+        s: tuple(
+            round((us[rep] - us[0]) * P) % P for rep in range(1, 8)
+        )
+        for s, us in by_seed.items()
+    }
+    distinct = set(offsets.values())
+    # affine chain -> all seeds share ONE offset tuple; squared chain
+    # -> essentially all distinct
+    assert len(distinct) == len(offsets), offsets
+    # and determinism: same (seed, rep) twice gives the same u
+    again = grid.select(
+        "seed",
+        "rep",
+        relational._bootstrap_uniform(F.col("seed"), F.col("rep")).alias("u"),
+    ).collect()
+    assert all(r["u"] == by_seed[r["seed"]][r["rep"]] for r in again)
+
+
 def test_poisson_weight_table_matches_scipy_free_reference(spark):
     # inverse-CDF at the exact table boundaries: u just below c0 -> 0,
     # just above -> 1, etc.
