@@ -90,9 +90,10 @@ def pagerank(
     because the graph is undirected every vertex also has IN-degree
     ≥ 1, so the inflow aggregate covers every vertex (no left join back
     onto a node list needed) and total rank mass is conserved at 1.0
-    every iteration (asserted in tests). Rows-only registry gate
-    (iterative fixpoint); exact parity against a Python power iteration
-    in tests/test_graph.py.
+    every iteration (asserted in tests). Oracle-able since r9 via a
+    10-iteration unrolled DuckDB mirror (round-6 compare grain applied
+    in the registered query, not here); exact parity against a Python
+    power iteration in tests/test_graph.py.
 
     Scale shape (VERDICT r5 What's-wrong #3): below
     ``broadcast_vertex_limit`` the dim-sized rank frame broadcasts onto
@@ -146,11 +147,13 @@ def pagerank(
         # geometrically
         if it % 2 == 1 or it == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
-    # round 6 — the engine's oracle grain (r9: pagerank moved from
-    # rows-only to oracle-able via an unrolled-iteration DuckDB
-    # mirror; cross-engine double-sum order differences live ~1e-13,
-    # far inside the grain)
-    return ranks.select("part", F.round("rank", 6).alias("rank"))
+    # full precision out (r9 advisor MEDIUM fix): at the documented
+    # 100 TB regime (10⁸–10⁹ vertices) ranks average 1e-8–1e-9, so a
+    # fixed round-6 here would collapse every rank to 0.0. The round-6
+    # oracle grain is applied ONLY in the registered graph_pagerank
+    # query (registry.py), where the sf0.01 fixture has ~2k vertices
+    # and cross-engine double-sum order differences live ~1e-13
+    return ranks.select("part", "rank")
 
 
 def pagerank_step(

@@ -3576,8 +3576,12 @@ def benford_audit(events: DataFrame) -> DataFrame:
     excess."""
     micros = F.round(F.col("value") * 1e6, 0).cast("long")
     digit = F.substring(micros.cast("string"), 1, 1).cast("int")
+    # micros >= 1, not value > 0: a value in (0, 5e-7) rounds to 0
+    # micro-units, whose "first digit" 0 has no Benford expectation
+    # (log10(1 + 1/0): NULL in Spark, +inf in DuckDB — a meaningless
+    # row AND a cross-engine parity split; r9 advisor fix)
     counts = (
-        events.filter(F.col("value") > 0)
+        events.filter(micros >= 1)
         .groupBy(digit.alias("digit"))
         .agg(F.count("*").alias("n"))
     )
@@ -3627,15 +3631,22 @@ def t_closeness_audit(
         .select(
             "event_type",
             day.alias("day"),
-            F.least(
-                F.floor(
-                    (F.col("value") - F.col("vmin"))
-                    / (
-                        (F.col("vmax") - F.col("vmin"))
-                        / F.lit(float(buckets))
-                    )
-                ),
-                F.lit(buckets - 1),
+            # constant-column guard (r9 advisor fix, same as the
+            # equi-depth histogram's): vmax == vmin would divide by
+            # zero — NULL bins in Spark but inf/NaN in DuckDB, a
+            # cross-engine parity split. All-equal values are one bin.
+            F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("value") - F.col("vmin"))
+                        / (
+                            (F.col("vmax") - F.col("vmin"))
+                            / F.lit(float(buckets))
+                        )
+                    ),
+                    F.lit(buckets - 1),
+                )
             )
             .cast("int")
             .alias("bin"),
@@ -3709,9 +3720,25 @@ def attribution_models(
     the touch side alone, same partition key the join shuffles on) —
     the fan-out is then ≤ purchases × N per user no matter how hot
     the user; registered as events_attribution_capped (N = 50) with a
-    mirrored oracle. Credits sum exactly (integer counts and
-    1/n rationals), divided/rounded once at the end. Output:
-    channel, conversions_first, conversions_last, credit_linear,
+    mirrored oracle.
+
+    STARVATION SEMANTICS of the cap (r9 advisor low #3, now a
+    contract, not a test-comment aside): the cap keeps the most
+    recent N touches over the user's WHOLE history, so touches that
+    occur AFTER a conversion still consume the budget and can evict
+    every touch inside an EARLIER conversion's lookback — a
+    multi-purchase user's early conversions can lose all attribution
+    even when their own lookback held fewer than N touches. This is
+    deliberate: the cap is purely a join-fan-out bound, cheap (one
+    touch-side window, no per-conversion state), and biased toward
+    the user's most recent behavior; under bot-grade volume the
+    evicted early-window credit is noise by construction. Callers who
+    need per-conversion-window fairness should raise N (starvation
+    needs > N touches after the conversion) or run uncapped.
+
+    Credits sum exactly (integer counts and 1/n rationals),
+    divided/rounded once at the end. Output: channel,
+    conversions_first, conversions_last, credit_linear,
     credit_position."""
     from pyspark.sql.window import Window
 

@@ -3559,12 +3559,14 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM c"""
 
     # r9: Benford first-digit audit — the digit comes from integer
-    # micro-units rendered as decimal text (no float log10 anywhere)
+    # micro-units rendered as decimal text (no float log10 anywhere).
+    # micros >= 1, not value > 0: sub-5e-7 values round to 0
+    # micro-units whose digit-0 group has no Benford expectation
     q["events_benford_audit"] = """
 WITH d AS (
   SELECT CAST(substr(CAST(CAST(round(value * 1000000.0, 0) AS BIGINT)
       AS VARCHAR), 1, 1) AS INT) AS digit
-  FROM events WHERE value > 0
+  FROM events WHERE CAST(round(value * 1000000.0, 0) AS BIGINT) >= 1
 ),
 c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
 t AS (SELECT sum(n) AS total FROM c)
@@ -3583,8 +3585,9 @@ WITH rng AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
 b AS (
   SELECT event_type,
     CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
-    CAST(least(floor((value - vmin) / ((vmax - vmin) / 8.0)), 7)
-      AS INT) AS bin
+    CAST(CASE WHEN vmax = vmin THEN 0
+      ELSE least(floor((value - vmin) / ((vmax - vmin) / 8.0)), 7)
+      END AS INT) AS bin
   FROM events, rng
 ),
 class_bin AS (

@@ -1343,9 +1343,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["graph_part_degree"] = lambda s, d: graph.part_degree(
         raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
     )
+    # round-6 is the ORACLE-COMPARE grain only (applied here, not in
+    # the operator — r9 advisor: round-6 inside pagerank() would zero
+    # every rank at the 10⁸⁺-vertex scale the operator documents)
     q["graph_pagerank"] = lambda s, d: graph.pagerank(
         raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
-    )
+    ).select("part", F.round("rank", 6).alias("rank"))
     q["graph_association_rules"] = lambda s, d: graph.association_rules(
         raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
     )

@@ -123,6 +123,47 @@ def test_benford_digit_extraction(spark):
     assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-5
 
 
+def test_benford_sub_micro_values_dropped(spark):
+    """r9 advisor fix gate: a value in (0, 5e-7) rounds to 0
+    micro-units — its 'digit 0' has no Benford expectation
+    (log10(1 + 1/0): NULL in Spark, +inf in DuckDB) and must be
+    excluded, not emitted as a meaningless digit-0 row."""
+    from tests.test_r8_operators import _events
+    from kafka_overwatch_spark.operators import relational
+
+    ev = _events(
+        spark,
+        [
+            (1, 1, 9, "a", 1e-7),   # micros 0 -> dropped
+            (2, 1, 9, "a", 4e-7),   # micros 0 -> dropped
+            (3, 1, 9, "a", 6e-7),   # micros 1 -> digit 1
+            (4, 1, 9, "a", 2.0),    # digit 2
+        ],
+    )
+    rows = {r["digit"]: r for r in relational.benford_audit(ev).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n"] == 1 and rows[2]["n"] == 1
+    # shares re-normalize over the kept rows only
+    assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-5
+
+
+def test_t_closeness_constant_values_single_bin(spark):
+    """r9 advisor fix gate: vmax == vmin must not divide by zero
+    (NULL bins in Spark vs inf/NaN in DuckDB) — all-equal values are
+    one bin, so every class matches the global distribution exactly."""
+    from tests.test_r8_operators import _events
+    from kafka_overwatch_spark.operators import relational
+
+    ev = _events(
+        spark,
+        [(u, 1 + u % 2, 9, "a", 5.0) for u in range(8)],
+    )
+    r = relational.t_closeness_audit(ev).collect()[0]
+    assert r["qi_classes"] == 2
+    assert r["max_tvd"] == 0.0 and r["avg_tvd"] == 0.0
+    assert r["classes_above_t"] == 0
+
+
 def test_t_closeness_uniform_class_is_zero(spark):
     from tests.test_r8_operators import _events
     from kafka_overwatch_spark.operators import relational
