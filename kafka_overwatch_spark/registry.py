@@ -48,8 +48,12 @@ def get_snaps(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         try:
             if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
                 spark.conf.set("spark.sql.shuffle.partitions", "64")
-        except Exception:
-            pass
+        except Exception as exc:  # non-integer/modifiable conf: keep as-is
+            import logging
+
+            logging.getLogger(__name__).debug(
+                "shuffle.partitions not adjusted: %s", exc
+            )
         # cache=True: the snapshot frames are dim-sized; every report query
         # re-reads them (the reference re-scans its pandas frames per
         # category the same way, `reporting/topics.py:17-111`)
