@@ -3896,6 +3896,67 @@ FROM queries q
 LEFT JOIN cands c ON q.query_id = c.query_id
 LEFT JOIN hits h ON q.query_id = h.query_id"""
 
+    # r10: ann_tune frontier — (bits, tables) sweep over the SAME
+    # md5-derived plane family; per-vector sign lists once, config
+    # retrieval = any-table slice equality, pick = cheapest config
+    # meeting target (fallback max recall). Mirrors similarity.ann_tune.
+    from .pipelines.similarity import ANN_TUNE_CONFIGS
+
+    _cfg_values = ", ".join(f"({b}, {t})" for b, t in ANN_TUNE_CONFIGS)
+    _max_planes = max(b * t for b, t in ANN_TUNE_CONFIGS)
+    q["ann_tune_frontier"] = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+signs AS MATERIALIZED (
+  SELECT vec_id, emb,
+    list_transform(generate_series(0, {_max_planes - 1}), p ->
+      CASE WHEN list_sum(list_transform(generate_series(0, 63), d ->
+        emb[d+1] * {plane_w})) > 0 THEN 1 ELSE 0 END) AS sg
+  FROM e
+),
+queries AS (
+  SELECT vec_id AS query_id, emb AS q_emb, sg AS q_sg
+  FROM signs WHERE vec_id < 10
+),
+ranked AS MATERIALIZED (
+  SELECT query_id, vec_id, q_sg, sg,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY round(list_cosine_similarity(q_emb, emb), 6) DESC,
+               vec_id ASC) AS rn
+  FROM (SELECT q.query_id, v.vec_id, q.q_emb, v.emb, q.q_sg, v.sg
+        FROM queries q, signs v WHERE v.vec_id != q.query_id) t
+),
+cfgs AS (SELECT * FROM (VALUES {_cfg_values}) AS c(bits, tables)),
+pc AS (
+  SELECT c.bits, c.tables, r.query_id, r.rn,
+    len(list_filter(generate_series(0, c.tables - 1), t ->
+      list_slice(r.q_sg, t * c.bits + 1, (t + 1) * c.bits)
+        = list_slice(r.sg, t * c.bits + 1, (t + 1) * c.bits))) > 0
+      AS matched
+  FROM ranked r, cfgs c
+),
+per_q AS (
+  SELECT bits, tables, query_id,
+    sum(CASE WHEN matched THEN 1 ELSE 0 END) AS n_cand,
+    sum(CASE WHEN matched AND rn <= 5 THEN 1 ELSE 0 END) AS hits
+  FROM pc GROUP BY 1, 2, 3
+),
+fr AS (
+  SELECT bits, tables, CAST(count(*) AS BIGINT) AS n_queries,
+    round(avg(n_cand), 6) AS avg_candidates,
+    round(avg(hits / 5.0), 6) AS avg_recall
+  FROM per_q GROUP BY 1, 2
+),
+fl AS (SELECT *, (avg_recall >= 0.8) AS meets_target FROM fr)
+SELECT CAST(bits AS INT) AS bits, CAST(tables AS INT) AS tables,
+  n_queries, avg_candidates, avg_recall, meets_target,
+  (row_number() OVER (ORDER BY meets_target DESC,
+     CASE WHEN meets_target THEN avg_candidates ELSE 1e18 END ASC,
+     avg_recall DESC, avg_candidates ASC, bits ASC, tables ASC) = 1)
+    AS chosen
+FROM fl"""
+
     # r9: k-center greedy coreset moves from rows-only to oracle-able —
     # the k = 16 farthest-point picks UNROLL as chained (state, pick)
     # CTE pairs, exactly like the pagerank unroll. Distances round to

@@ -165,6 +165,7 @@ from pyspark.sql.types import (  # noqa: E402
     ArrayType,
     DoubleType,
     FloatType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -2271,3 +2272,246 @@ def lsh_recall_audit(
             ).alias("recall_at_k"),
         )
     )
+
+
+# (bits, tables) sweep grid for ann_tune: the production default
+# (LSH_BITS=8, NEARDUP_TABLES=8) plus every cheaper rung worth
+# measuring. For a FIXED bits, tables T+1 retrieval strictly contains
+# tables T (table t of width b always hashes planes t·b..t·b+b−1, the
+# multi_table_buckets convention), so recall and candidate volume are
+# monotone in tables — asserted in tests.
+ANN_TUNE_CONFIGS: tuple[tuple[int, int], ...] = (
+    (2, 4), (2, 8),
+    (4, 1), (4, 2), (4, 4), (4, 8),
+    (6, 2), (6, 4),
+    (8, 1), (8, 2), (8, 4), (8, 8),
+)
+
+
+def _families(
+    configs: tuple[tuple[int, int], ...]
+) -> dict[int, int]:
+    """configs → {bits: max tables} — the per-width bucket families
+    one sign GEMM must emit."""
+    fams: dict[int, int] = {}
+    for b, t in configs:
+        fams[b] = max(fams.get(b, 0), t)
+    return fams
+
+
+def _family_bucket_frame(
+    embeddings: DataFrame, families: dict[int, int]
+) -> DataFrame:
+    """(vec_id, bk{b} for each family) — per-vector packed bucket ints
+    for every (bits=b, table=t<maxT_b) in ONE GEMM per Arrow batch
+    against the shared _plane_matrix family. bk{b}[t] packs signs of
+    planes t·b..t·b+b−1 little-endian (bit j ↦ 2^j), EXACTLY
+    multi_table_buckets' convention, so a pair shares config (b, T)'s
+    retrieval iff bk{b} agrees at any index < T — the audit measures
+    the production index bit-for-bit."""
+    sc = embeddings.sparkSession.sparkContext
+    n_planes = max(b * t for b, t in families.items())
+    b_planes = sc.broadcast(_plane_matrix(n_planes, EMB_DIM))
+    fams = sorted(families.items())
+    schema = StructType(
+        [StructField("vec_id", LongType())]
+        + [
+            StructField(f"bk{b}", ArrayType(LongType()))
+            for b, _ in fams
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = b_planes.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m = np.array(
+                [list(v) for v in pdf["embedding"]], dtype=np.float64
+            )
+            signs = (m @ planes.T) > 0
+            out = {"vec_id": ids}
+            for b, max_t in fams:
+                powers = np.power(2, np.arange(b)).astype(np.int64)
+                bks = np.stack(
+                    [
+                        (signs[:, t * b : (t + 1) * b] * powers)
+                        .sum(axis=1)
+                        .astype(np.int64)
+                        for t in range(max_t)
+                    ],
+                    axis=1,
+                )
+                out[f"bk{b}"] = list(bks)
+            yield pd.DataFrame(out)
+
+    return _spread_gemm(
+        embeddings.select("vec_id", "embedding")
+    ).mapInPandas(assign, schema)
+
+
+def ann_tune(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = tuple(range(10)),
+    k: int = 5,
+    configs: tuple[tuple[int, int], ...] = ANN_TUNE_CONFIGS,
+    target_recall: float = 0.8,
+) -> DataFrame:
+    """Access-path selection for the multi-table LSH index, measured
+    rather than guessed (VERDICT r9 next #1 — ann_lsh_recall showed
+    single-table 8-bit recall ≈ 0; this operator turns that audit
+    into a decision): sweep (bits, tables) over the SAME plane family
+    the persisted index uses and return the recall@k / candidate-cost
+    frontier, with the config the engine would pick flagged
+    ``chosen`` — the cheapest (fewest avg candidates) config meeting
+    ``target_recall``, falling back to the max-recall config when
+    nothing meets it (an honest "no setting is good enough at these
+    parameters" answer, not a silent pass).
+
+    ONE corpus scan + ONE sign GEMM serve every config: per-vector
+    packed bucket ints for every (width, table) are computed once
+    (mapInPandas, multi_table_buckets' exact packing); the (query ×
+    corpus) cosine frame is scored once (broadcast query side,
+    exactly brute_force_topk's shape); each pair then carries only
+    the FIRST matching table index per width (one zip_with +
+    array_position over ≤ maxT ints), and config (b, T) matches iff
+    that index is ≤ T — so the per-config explode compares two small
+    ints, no per-config GEMM, scan, or per-bit work (the first cut
+    slice-compared sign arrays per exploded row: 21.7 s → ~4 s at
+    sf0.01).
+
+    Scale: the sweep is audit-grade — |queries| × corpus × |configs|
+    cheap boolean rows after one linear scan; at 100 TB you run it on
+    a sampled corpus slice, which is exactly how recall tuning is done
+    in production. Output: bits, tables, n_queries, avg_candidates,
+    avg_recall, meets_target, chosen."""
+    fams = _families(configs)
+    bks = _family_bucket_frame(embeddings, fams)
+    tagged = embeddings.select("vec_id", "embedding").join(bks, "vec_id")
+    fam_cols = [f"bk{b}" for b in sorted(fams)]
+    queries = tagged.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        *[F.col(c).alias(f"q_{c}") for c in fam_cols],
+    )
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    # pos{b}: 1-based index of the first table where the pair shares a
+    # width-b bucket (0 = no table matches) — config (b, T) retrieval
+    # is then just pos{b} BETWEEN 1 AND T
+    pos_cols = [
+        F.coalesce(
+            F.array_position(
+                F.zip_with(
+                    F.col(f"q_bk{b}"),
+                    F.col(f"bk{b}"),
+                    lambda x, y: x == y,
+                ),
+                F.lit(True),
+            ),
+            F.lit(0),
+        ).alias(f"pos{b}")
+        for b in sorted(fams)
+    ]
+    scored = (
+        tagged.repartition(par)
+        .select("vec_id", F.col("embedding").alias("emb"), *fam_cols)
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_emb"), F.col("emb")), 6).alias(
+                "cosine"
+            ),
+            *pos_cols,
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    cfg = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("bits"), F.lit(t).alias("tables")
+                )
+                for b, t in configs
+            ]
+        )
+    ).alias("cfg")
+    first_match = F.lit(None).cast("long")
+    for b in sorted(fams):
+        first_match = F.when(
+            F.col("cfg.bits") == b, F.col(f"pos{b}")
+        ).otherwise(first_match)
+    pc = ranked.select(
+        "query_id", "rn", *[f"pos{b}" for b in sorted(fams)], cfg
+    ).select(
+        F.col("cfg.bits").alias("bits"),
+        F.col("cfg.tables").alias("tables"),
+        "query_id",
+        "rn",
+        (
+            (first_match >= 1) & (first_match <= F.col("cfg.tables"))
+        ).alias("matched"),
+    )
+    per_q = pc.groupBy("bits", "tables", "query_id").agg(
+        F.sum(F.col("matched").cast("long")).alias("n_cand"),
+        F.sum(
+            (F.col("matched") & (F.col("rn") <= k)).cast("long")
+        ).alias("hits"),
+    )
+    frontier = per_q.groupBy("bits", "tables").agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.avg("n_cand"), 6).alias("avg_candidates"),
+        F.round(F.avg(F.col("hits") / F.lit(float(k))), 6).alias(
+            "avg_recall"
+        ),
+    )
+    flagged = frontier.withColumn(
+        "meets_target", F.col("avg_recall") >= F.lit(target_recall)
+    )
+    # pick order: among configs meeting the target, cheapest candidate
+    # volume wins; if none meets, max recall wins. All keys are
+    # round-6 doubles + ints — deterministic and engine-identical.
+    pick = Window.orderBy(
+        F.col("meets_target").desc(),
+        F.when(
+            F.col("meets_target"), F.col("avg_candidates")
+        ).otherwise(F.lit(1e18)).asc(),
+        F.col("avg_recall").desc(),
+        F.col("avg_candidates").asc(),
+        F.col("bits").asc(),
+        F.col("tables").asc(),
+    )
+    return flagged.withColumn(
+        "chosen", F.row_number().over(pick) == 1
+    ).select(
+        "bits",
+        "tables",
+        "n_queries",
+        "avg_candidates",
+        "avg_recall",
+        "meets_target",
+        "chosen",
+    )
+
+
+def choose_ann_config(
+    embeddings: DataFrame,
+    target_recall: float = 0.8,
+    query_ids: tuple[int, ...] = tuple(range(10)),
+    k: int = 5,
+    configs: tuple[tuple[int, int], ...] = ANN_TUNE_CONFIGS,
+) -> tuple[int, int]:
+    """Collect the frontier's chosen (bits, tables) — the dim-grain
+    (≤ |configs| rows) decision the growing semantic screen consumes
+    at init time (run_growing_semantic's tuned path)."""
+    row = (
+        ann_tune(embeddings, query_ids, k, configs, target_recall)
+        .filter(F.col("chosen"))
+        .collect()[0]
+    )
+    return int(row["bits"]), int(row["tables"])

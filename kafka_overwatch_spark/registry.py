@@ -669,6 +669,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_recall"] = lambda s, d: similarity.lsh_recall_audit(
         raw(s, d, "embeddings")
     )
+    # r10 (VERDICT r9 next #1): the recall audit turned into access-
+    # path SELECTION — (bits, tables) sweep over the persisted-index
+    # plane family; one sign GEMM + one scored scan serve all configs
+    q["ann_tune_frontier"] = lambda s, d: similarity.ann_tune(
+        raw(s, d, "embeddings")
+    )
     q["ann_lsh_buckets"] = (
         lambda s, d: similarity.lsh_bucket_assignments_vectorized(
             raw(s, d, "embeddings")

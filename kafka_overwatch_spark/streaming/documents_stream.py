@@ -727,20 +727,39 @@ def _write_semantic_index_slice(
 
 
 def init_semantic_index(
-    spark: SparkSession, corpus_docs: DataFrame, base_path: str
+    spark: SparkSession,
+    corpus_docs: DataFrame,
+    base_path: str,
+    bits: int | None = None,
+    tables: int | None = None,
 ) -> None:
     """Seed the growing semantic index: encode the pre-existing corpus
     and write its embedding table + packed multi-table bucket index
-    (batch_id = -1, ordered before every stream batch)."""
+    (batch_id = -1, ordered before every stream batch).
+
+    ``bits``/``tables`` select the LSH geometry (default: the
+    LSH_BITS/NEARDUP_TABLES constants) — pass the pair
+    similarity.choose_ann_config measured on the corpus so the index
+    is built at a setting whose recall was MEASURED, not guessed
+    (VERDICT r9 next #1). The screen must be constructed with the
+    SAME pair."""
     from ..pipelines.encode import encode_documents
-    from ..pipelines.similarity import multi_table_assignments
+    from ..pipelines.similarity import (
+        LSH_BITS,
+        NEARDUP_TABLES,
+        multi_table_assignments,
+    )
 
     emb = (
         encode_documents(corpus_docs)
         .select(F.col("doc_id").alias("vec_id"), "embedding")
         .localCheckpoint(eager=True)
     )
-    asg = multi_table_assignments(emb).localCheckpoint(eager=True)
+    asg = multi_table_assignments(
+        emb,
+        bits=bits if bits is not None else LSH_BITS,
+        tables=tables if tables is not None else NEARDUP_TABLES,
+    ).localCheckpoint(eager=True)
     _write_semantic_index_slice(emb, asg, base_path, -1, "overwrite")
 
 
@@ -762,11 +781,24 @@ class GrowingSemanticScreen:
     O(batch × matching buckets/cells), not O(batch × index)."""
 
     def __init__(
-        self, base_path: str, out_dir: str, threshold: float = 0.9
+        self,
+        base_path: str,
+        out_dir: str,
+        threshold: float = 0.9,
+        bits: int | None = None,
+        tables: int | None = None,
     ) -> None:
+        from ..pipelines.similarity import LSH_BITS, NEARDUP_TABLES
+
         self.base = base_path
         self.out_dir = out_dir
         self.threshold = threshold
+        # LSH geometry — MUST match the init_semantic_index build (the
+        # persisted tb keys are only comparable within one (bits,
+        # tables) family). The tuned path feeds choose_ann_config's
+        # measured pick through both.
+        self.bits = bits if bits is not None else LSH_BITS
+        self.tables = tables if tables is not None else NEARDUP_TABLES
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..pipelines.dedup import cosine, neardup_components
@@ -782,9 +814,9 @@ class GrowingSemanticScreen:
         # batch assignments derived ONCE (checkpointed) — the corpus
         # probe, the self screen (both sides), and the index append all
         # slice this frame instead of re-running the GEMM per consumer
-        asg_new = multi_table_assignments(emb_new).localCheckpoint(
-            eager=True
-        )
+        asg_new = multi_table_assignments(
+            emb_new, bits=self.bits, tables=self.tables
+        ).localCheckpoint(eager=True)
         probe_tbs = [
             r["tb"] for r in asg_new.select("tb").distinct().collect()
         ]
@@ -929,14 +961,20 @@ def run_growing_semantic(
     out_dir: str,
     checkpoint: str,
     threshold: float = 0.9,
+    ann_config: tuple[int, int] | None = None,
 ):
     """Drain the document feed through the growing semantic screen
     (availableNow, one file per trigger — arrival order is file
-    order)."""
+    order). ``ann_config``: a measured (bits, tables) pair from
+    similarity.choose_ann_config — must be the pair the index was
+    seeded with (init_semantic_index)."""
+    bits, tables = ann_config if ann_config else (None, None)
     q = (
         doc_stream(spark, input_dir)
         .writeStream.foreachBatch(
-            GrowingSemanticScreen(base_path, out_dir, threshold)
+            GrowingSemanticScreen(
+                base_path, out_dir, threshold, bits=bits, tables=tables
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
