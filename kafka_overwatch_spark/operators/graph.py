@@ -513,3 +513,30 @@ def kcore(
         .groupBy("part")
         .agg(F.count("*").cast("long").alias("core_degree"))
     )
+
+
+def kcore_bounded(
+    lineitem: DataFrame,
+    k: int = 80,
+    rounds: int = 8,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Fixed-round k-core (r10, VERDICT r9 next #4): EXACTLY the
+    parallel-peeling semantics of :func:`kcore` but with a declared
+    ``≤ rounds`` budget, which makes it ORACLE-able — the DuckDB
+    mirror unrolls the peel ``rounds`` times as chained CTEs (a no-op
+    once peeling has converged, so early convergence is exact).
+    Deviation contract: if peeling is still active after ``rounds``
+    peels the operator RAISES (inherited from kcore's convergence
+    guard) rather than return a silently partial core; the oracle
+    would return the partial peel, so a budget breach surfaces as a
+    loud driver error, never a quiet hash mismatch.
+
+    Default k=80: on the co-purchase graph the degree distribution is
+    tight (min degree ≥ 42 at the bench SFs), so the reference k=3
+    registered query never actually peels; k=80 sits between the
+    median and max degree — peeling runs 3–5 real rounds and leaves a
+    dense nonempty backbone, exercising the machinery the fixpoint
+    version gates by parity only. Keep :func:`kcore` for production
+    (no round bound, data-driven convergence)."""
+    return kcore(lineitem, k=k, edges=edges, max_iterations=rounds)

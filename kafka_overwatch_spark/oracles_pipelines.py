@@ -4100,6 +4100,45 @@ r0 AS (SELECT src AS part, 1.0 / (SELECT n FROM nv) AS rank FROM outw)
 {_pr_iters}
 SELECT part, round(rank, 6) AS rank FROM r10"""
 
+    # r10: fixed-round k-core (graph.kcore_bounded) — 8 peel rounds
+    # UNROLL as chained (degree, low, edge-filter) CTE triples; a peel
+    # round over an already-converged graph removes nothing, so early
+    # convergence is exact. Spark raises if peeling is still active
+    # after round 8 (loud driver error, never a quiet partial-core
+    # hash mismatch).
+    _kcb_parts = [
+        "baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM "
+        "lineitem)",
+        "e0 AS MATERIALIZED (SELECT a.l_partkey AS part_a, "
+        "b.l_partkey AS part_b FROM baskets a JOIN baskets b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        "GROUP BY 1, 2)",
+    ]
+    for _i in range(1, 9):
+        _kcb_parts.append(
+            f"d{_i} AS MATERIALIZED (SELECT p, count(*) AS d FROM "
+            f"(SELECT part_a AS p FROM e{_i - 1} UNION ALL "
+            f"SELECT part_b AS p FROM e{_i - 1}) GROUP BY 1)"
+        )
+        _kcb_parts.append(
+            f"low{_i} AS MATERIALIZED (SELECT p FROM d{_i} "
+            f"WHERE d < 80)"
+        )
+        _kcb_parts.append(
+            f"e{_i} AS MATERIALIZED (SELECT part_a, part_b FROM "
+            f"e{_i - 1} WHERE part_a NOT IN (SELECT p FROM low{_i}) "
+            f"AND part_b NOT IN (SELECT p FROM low{_i}))"
+        )
+    q["graph_kcore_bounded"] = (
+        "WITH "
+        + ",\n".join(_kcb_parts)
+        + """
+SELECT part, CAST(count(*) AS BIGINT) AS core_degree FROM (
+  SELECT part_a AS part FROM e8
+  UNION ALL SELECT part_b AS part FROM e8
+) GROUP BY part"""
+    )
+
     # r9: Hill tail index over the top-(k+1) document lengths —
     # deterministic rank (n_chars desc, doc_id asc), exact-integer
     # order statistics, identical ln-ratio doubles

@@ -1367,6 +1367,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["graph_kcore"] = lambda s, d: graph.kcore(
         raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
     )
+    # r10 (VERDICT r9 next #4): fixed-round k-core — the ≤8-round
+    # budget makes the peel unrollable as a DuckDB oracle; k=80 sits
+    # inside the degree distribution so peeling actually runs
+    q["graph_kcore_bounded"] = lambda s, d: graph.kcore_bounded(
+        raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
+    )
     # r7 continuation: triangle count + global clustering coefficient
     # (oracle-able; three keyed self-joins, no vertex broadcast)
     q["graph_clustering"] = lambda s, d: graph.clustering_coefficient(

@@ -59,3 +59,41 @@ def test_kcore_hub_star_is_empty_and_clique_survives(spark):
         for r in kcore(None, k=3, edges=edges).collect()
     }
     assert out == {10: 3, 11: 3, 12: 3, 13: 3}
+
+
+def test_kcore_bounded_equals_fixpoint_when_converged(spark, snaps):
+    """r10: the oracle-able fixed-round variant is EXACTLY the
+    fixpoint peel whenever convergence lands inside the budget —
+    checked against the python reference at the registered k=80."""
+    from kafka_overwatch_spark.operators.graph import (
+        copurchase_edges,
+        kcore_bounded,
+    )
+
+    li = spark.table("lineitem")
+    edges = copurchase_edges(li)
+    pairs = [(r["part_a"], r["part_b"]) for r in edges.collect()]
+    want = _python_kcore(pairs, 80)
+    got = {
+        r["part"]: r["core_degree"]
+        for r in kcore_bounded(li, k=80, rounds=8, edges=edges).collect()
+    }
+    assert got == want
+
+
+def test_kcore_bounded_raises_when_budget_exhausts(spark):
+    """Deviation contract: a budget smaller than the peel depth is a
+    LOUD error, never a silently partial core. A path graph peels one
+    layer per round at k=2 once an endpoint drops... use a chain of
+    nested shells: path 0-1-2-3-4-5 at k=2 peels endpoint-inward one
+    round at a time (rounds needed > 1)."""
+    import pytest
+
+    from kafka_overwatch_spark.operators.graph import kcore_bounded
+
+    path = [(i, i + 1) for i in range(6)]
+    edges = spark.createDataFrame(
+        path, "part_a long, part_b long"
+    ).withColumn("weight", F.lit(1))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore_bounded(None, k=2, rounds=1, edges=edges)
