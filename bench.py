@@ -226,6 +226,9 @@ EXTRA = [
     "sampling_kfold",
     "ann_lsh_recall",
     "sampling_ess",
+    # round 10
+    "ann_tune_frontier",
+    "graph_kcore_bounded",
 ]
 
 
@@ -332,9 +335,15 @@ def main() -> None:
     total = round(sum(per_query.values()), 3)
     total2 = round(sum(headline2.values()), 3)
 
-    # post-freeze ops: p50-of-3, reported outside the headline total.
-    # Defensive per-query: a failing extra must never cost the round its
-    # BENCH artifact (the headline set above stays strict).
+    # post-freeze ops: warm-min-of-2 (VERDICT r9 next #6 — the extras
+    # table was reading as ±70% swings on sub-1 s queries round over
+    # round, wasting judge/builder attention; the MIN of the two
+    # post-cold passes is the reproducible steady-state statistic for
+    # an unchanged plan, where a median still carries one noisy pass).
+    # Pass 0 is the cold pass (plan compile + first scans) and is
+    # discarded. Reported outside the headline total. Defensive
+    # per-query: a failing extra must never cost the round its BENCH
+    # artifact (the headline set above stays strict).
     extra_samples: dict[str, list[float]] = {name: [] for name in EXTRA}
     extra_errors: dict[str, str] = {}
     for pass_no in range(n_passes):
@@ -352,7 +361,8 @@ def main() -> None:
             extra_samples[name].append(dt)
             print(f"  bench extra p{pass_no} {name}: {dt}s", file=sys.stderr)
     extra_queries = {
-        name: sorted(vals)[len(vals) // 2]
+        # min over the warm passes (drop pass 0 when ≥2 samples exist)
+        name: min(vals[1:] if len(vals) >= 2 else vals)
         for name, vals in extra_samples.items()
         if vals
     }
@@ -497,6 +507,7 @@ def main() -> None:
         "setup_sec": setup_sec,
         "input_rows": input_rows,
         "extra_queries": extra_queries,
+        "extras_stat": "warm_min_of_2",
         "incremental": incremental,
         "growing_dedup": growing_dedup,
         "growing_semantic": growing_semantic,
