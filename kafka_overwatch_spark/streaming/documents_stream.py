@@ -182,11 +182,18 @@ class GrowingDedupScreen:
         self.base = base_path
         self.out_dir = out_dir
 
+    #: LSH bucket cap, per population (corpus buckets vs batch
+    #: buckets) — matches screen_against_corpus's default
+    MAX_BUCKET = 1000
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
         from ..pipelines.dedup import (
+            JACCARD_THRESHOLD,
+            _jaccard,
             minhash_bands,
             neardup_components,
-            screen_against_corpus,
             shingle_docs,
         )
 
@@ -195,9 +202,9 @@ class GrowingDedupScreen:
         # one minhash pass per batch (r9, VERDICT r8 next #6): band
         # values are per-doc, so the batch band frame derived here
         # serves the corpus screen's probe side, BOTH sides of the
-        # intra-batch self-screen (sliced to survivors), and the index
-        # append (sliced to keepers) — the first cut re-derived
-        # signatures three more times, ~40% of the per-batch floor
+        # intra-batch self-screen, and the index append (sliced to
+        # keepers) — the first cut re-derived signatures three more
+        # times, ~40% of the per-batch floor
         bands_new = minhash_bands(sh_new).localCheckpoint(eager=True)
         corpus_sh = (
             spark.read.parquet(f"{self.base}/shingles")
@@ -209,34 +216,107 @@ class GrowingDedupScreen:
             .filter(F.col("batch_id") < batch_id)
             .select("doc_id", "band_id", "band_key")
         )
-        hits = screen_against_corpus(
-            sh_new,
-            corpus_sh,
-            corpus_bands=corpus_bands,
-            new_bands=bands_new,
+        # FUSED verify (r10, VERDICT r9 next #2): candidates for BOTH
+        # screens are generated up front with the max_bucket cap
+        # applied per population AT GENERATION — corpus buckets capped
+        # over the corpus band table (unchanged), batch self-buckets
+        # capped over the BATCH band frame (previously over the
+        # survivor slice; the two differ only when a bucket crosses
+        # the cap between the batch and its survivor subset — a
+        # documented, micro-batch-bounded deviation) — then a SINGLE
+        # jaccard join verifies the union (other-side shingle fetch =
+        # corpus table ∪ broadcast batch). Self edges are filtered to
+        # survivor pairs afterwards, which reproduces the
+        # survivors-only screen's edge set exactly (band values are
+        # per-doc, so bucket co-membership is population-independent).
+        bucket_w = Window.partitionBy("band_id", "band_key")
+        cand_corpus = (
+            corpus_bands.withColumn("bucket_n", F.count("*").over(bucket_w))
+            .filter(F.col("bucket_n") <= self.MAX_BUCKET)
+            .join(
+                F.broadcast(
+                    bands_new.select(
+                        F.col("doc_id").alias("new_doc"),
+                        "band_id",
+                        "band_key",
+                    )
+                ),
+                ["band_id", "band_key"],
+            )
+            .select(F.col("doc_id").alias("corpus_doc"), "new_doc")
+            .distinct()
         )
-        dup_vs_corpus = hits.select(
-            F.col("new_doc").alias("doc_id")
-        ).distinct()
+        bands_capped = bands_new.withColumn(
+            "bucket_n", F.count("*").over(bucket_w)
+        ).filter(F.col("bucket_n") <= self.MAX_BUCKET)
+        cand_self = (
+            bands_capped.select(
+                F.col("doc_id").alias("new_doc"), "band_id", "band_key"
+            )
+            .join(
+                bands_capped.select(
+                    F.col("doc_id").alias("corpus_doc"),
+                    "band_id",
+                    "band_key",
+                ),
+                ["band_id", "band_key"],
+            )
+            .filter(F.col("new_doc") < F.col("corpus_doc"))
+            .select("new_doc", "corpus_doc")
+            .distinct()
+        )
+        cand_all = (
+            cand_corpus.withColumn("is_self", F.lit(False))
+            .unionByName(cand_self.withColumn("is_self", F.lit(True)))
+        )
+        sh_probe = F.broadcast(
+            sh_new.select(
+                F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_n")
+            )
+        )
+        other_sh = corpus_sh.select(
+            F.col("doc_id").alias("corpus_doc"), F.col("sh").alias("sh_c")
+        ).unionByName(
+            sh_new.select(
+                F.col("doc_id").alias("corpus_doc"),
+                F.col("sh").alias("sh_c"),
+            )
+        )
+        hits = (
+            cand_all.join(sh_probe, "new_doc")
+            .join(other_sh, "corpus_doc")
+            .filter(
+                _jaccard(F.col("sh_n"), F.col("sh_c"))
+                >= JACCARD_THRESHOLD
+            )
+            .select("new_doc", "corpus_doc", "is_self")
+            .localCheckpoint(eager=True)
+        )
+        dup_vs_corpus = (
+            hits.filter(~F.col("is_self"))
+            .select(F.col("new_doc").alias("doc_id"))
+            .distinct()
+        )
         survivors = sh_new.join(
             dup_vs_corpus, "doc_id", "left_anti"
         ).localCheckpoint(eager=True)
-        bands_surv = bands_new.join(
-            survivors.select("doc_id"), "doc_id"
+        surv_ids = survivors.select("doc_id")
+        edges = (
+            hits.filter(F.col("is_self"))
+            .join(
+                surv_ids.withColumnRenamed("doc_id", "new_doc"),
+                "new_doc",
+            )
+            .join(
+                surv_ids.withColumnRenamed("doc_id", "corpus_doc"),
+                "corpus_doc",
+            )
+            .select(
+                F.least("new_doc", "corpus_doc").alias("vec_a"),
+                F.greatest("new_doc", "corpus_doc").alias("vec_b"),
+            )
+            .distinct()
         )
-        # intra-batch clusters: self-screen for edges, component-min keeps
-        self_hits = screen_against_corpus(
-            survivors,
-            survivors,
-            corpus_bands=bands_surv,
-            new_bands=bands_surv,
-        ).filter(
-            F.col("new_doc") != F.col("corpus_doc")
-        )
-        edges = self_hits.select(
-            F.least("new_doc", "corpus_doc").alias("vec_a"),
-            F.greatest("new_doc", "corpus_doc").alias("vec_b"),
-        ).distinct()
         comp = neardup_components(
             edges, survivors.select(F.col("doc_id").alias("vec_id"))
         )
@@ -833,10 +913,10 @@ class GrowingSemanticScreen:
                 F.col("embedding").alias("emb_n"),
             )
         )
-        # candidate pairs: bounded probe IN-list → pruned bucket scan →
-        # broadcast join; cell carried (functional on corpus_doc) for
-        # the vector-fetch pruning below. Checkpointed: two consumers
-        # (cell collect + verify join).
+        # corpus candidate pairs: bounded probe IN-list → pruned bucket
+        # scan → broadcast join; cell carried (functional on
+        # corpus_doc) for the vector-fetch pruning below. Checkpointed:
+        # two consumers (cell collect + fused verify).
         cand = (
             spark.read.parquet(f"{self.base}/buckets")
             .filter(
@@ -857,8 +937,40 @@ class GrowingSemanticScreen:
         cand_cells = [
             r["cell"] for r in cand.select("cell").distinct().collect()
         ]
+        # FUSED verify (r10, VERDICT r9 next #2): self candidates are
+        # generated from the BATCH assignments up front — candidate
+        # generation no longer waits on the corpus verdicts — and both
+        # populations verify in ONE cosine join (union'd other-side
+        # vector fetch: pruned corpus cells + the broadcast batch).
+        # Survivor semantics are preserved by filtering self EDGES to
+        # survivor pairs after the verify: a pair of surviving docs
+        # shares a bucket independent of which population computed the
+        # bucket (band values are per-vector), so the surviving edge
+        # set is exactly the survivors-only self screen's. The only
+        # extra work is cosines for self pairs whose endpoint is a
+        # corpus dup — micro-batch-bounded — in exchange for dropping
+        # a whole verify join tree + its barrier.
+        cand_self = (
+            asg_new.select(F.col("vec_id").alias("new_doc"), "tb")
+            .join(
+                asg_new.select(F.col("vec_id").alias("corpus_doc"), "tb"),
+                "tb",
+            )
+            .filter(F.col("new_doc") < F.col("corpus_doc"))
+            .select("new_doc", "corpus_doc")
+            .distinct()
+        )
+        cand_all = (
+            cand.select("new_doc", "corpus_doc")
+            .withColumn("is_self", F.lit(False))
+            .unionByName(cand_self.withColumn("is_self", F.lit(True)))
+        )
+        batch_vec = emb_new.select(
+            F.col("vec_id").alias("corpus_doc"),
+            F.col("embedding").alias("emb_c"),
+        )
         if cand_cells:
-            corpus_vec = (
+            other_vec = (
                 spark.read.parquet(f"{self.base}/embeddings")
                 .filter(
                     (F.col("batch_id") < batch_id)
@@ -868,54 +980,46 @@ class GrowingSemanticScreen:
                     F.col("vec_id").alias("corpus_doc"),
                     F.col("embedding").alias("emb_c"),
                 )
-            )
-            dup_vs_corpus = (
-                cand.join(e_new, "new_doc")
-                .join(corpus_vec, "corpus_doc")
-                .filter(
-                    F.round(cosine(F.col("emb_n"), F.col("emb_c")), 6)
-                    >= self.threshold
-                )
-                .select(F.col("new_doc").alias("vec_id"))
-                .distinct()
+                .unionByName(batch_vec)
             )
         else:
-            dup_vs_corpus = spark.createDataFrame([], "vec_id long")
-        survivors = emb_new.join(
-            dup_vs_corpus, "vec_id", "left_anti"
-        ).localCheckpoint(eager=True)
-        surv_asg = asg_new.join(survivors.select("vec_id"), "vec_id")
-        self_pairs = (
-            surv_asg.select(F.col("vec_id").alias("new_doc"), "tb")
-            .join(
-                surv_asg.select(F.col("vec_id").alias("corpus_doc"), "tb"),
-                "tb",
-            )
-            .filter(F.col("new_doc") != F.col("corpus_doc"))
-            .select("new_doc", "corpus_doc")
-            .distinct()
-        )
-        self_hits = (
-            self_pairs.join(e_new, "new_doc")
-            .join(
-                F.broadcast(
-                    emb_new.select(
-                        F.col("vec_id").alias("corpus_doc"),
-                        F.col("embedding").alias("emb_c"),
-                    )
-                ),
-                "corpus_doc",
-            )
+            other_vec = batch_vec
+        hits = (
+            cand_all.join(e_new, "new_doc")
+            .join(other_vec, "corpus_doc")
             .filter(
                 F.round(cosine(F.col("emb_n"), F.col("emb_c")), 6)
                 >= self.threshold
             )
+            .select("new_doc", "corpus_doc", "is_self")
+            .localCheckpoint(eager=True)
         )
-        edges = self_hits.select(
-            F.least("new_doc", "corpus_doc").alias("vec_a"),
-            F.greatest("new_doc", "corpus_doc").alias("vec_b"),
-        ).distinct()
-        comp = neardup_components(edges, survivors.select("vec_id"))
+        dup_vs_corpus = (
+            hits.filter(~F.col("is_self"))
+            .select(F.col("new_doc").alias("vec_id"))
+            .distinct()
+        )
+        survivors = emb_new.join(
+            dup_vs_corpus, "vec_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        surv_ids = survivors.select("vec_id")
+        edges = (
+            hits.filter(F.col("is_self"))
+            .join(
+                surv_ids.withColumnRenamed("vec_id", "new_doc"),
+                "new_doc",
+            )
+            .join(
+                surv_ids.withColumnRenamed("vec_id", "corpus_doc"),
+                "corpus_doc",
+            )
+            .select(
+                F.least("new_doc", "corpus_doc").alias("vec_a"),
+                F.greatest("new_doc", "corpus_doc").alias("vec_b"),
+            )
+            .distinct()
+        )
+        comp = neardup_components(edges, surv_ids)
         keepers = comp.filter(
             F.col("vec_id") == F.col("component")
         ).select("vec_id")
