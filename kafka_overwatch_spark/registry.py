@@ -1489,72 +1489,66 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # lowest information — still swept by tests/test_oracle_parity.py) sink
 # to the END. Everything else keeps its registration order.
 _PROMOTED = [
-    # r9 rotation (VERDICT r8 next #4: every query whose plan changed
-    # in r9 leads the window): the bootstrap draw was re-planned
-    # (md5-once-per-row + integer replicate mixing, new mirrored
-    # oracle), and the two recurrence queries moved from rows-only to
-    # oracle-able via recursive-CTE oracles — all three must be
-    # driver-witnessed this round
+    # r10 rotation (VERDICT r9 next #7: plan-changed/new-oracle queries
+    # lead the window). New r10 operators with fresh oracles:
+    "ann_tune_frontier",
+    "graph_kcore_bounded",
+    # plan/oracle re-touched by the r9 advisor fixes: the bootstrap
+    # draw gained its seed-rep cross term (squared mixing step),
+    # pagerank's output precision changed, benford gained the digit-0
+    # filter, t-closeness the constant-column bin guard -- all four
+    # oracles were re-mirrored and must be driver-witnessed
     "events_bootstrap_ci",
-    "events_holt_forecast",
-    "events_ewma_cusum",
-    # new r9 operators enter the window first
-    "text_readability",
+    "graph_pagerank",
     "events_benford_audit",
     "events_t_closeness",
-    "emb_matryoshka_audit",
-    "sampling_neyman_allocation",
-    "events_theil_sen",
-    "text_vocab_richness",
-    "events_transition_entropy",
-    "events_interarrival_stats",
-    "emb_rrf_fusion",
-    "text_hill_tail_index",
-    "sampling_kfold",
-    # pagerank's output grain changed (round 8 -> 6) and it gained an
-    # oracle this round — driver-witness it
-    "graph_pagerank",
-    # the CC cluster queries also moved rows-only -> oracle-able
-    "dedup_fuzzy_clusters",
-    "dedup_semantic_components",
-    "curation_semantic",
-    "doc_chunks_packed",
-    "doc_chunks_packed_by_source",
-    "emb_kcenter_coreset",
-    # the rest of the r8 wave stays up front (witnessed in r8 but the
-    # youngest gates in the registry; attribution/session-path family
-    # is also the one being scale-curved this round)
-    "events_attribution_models",
-    "events_attribution_capped",
-    "events_session_paths",
-    "events_pareto_share",
-    "events_l_diversity",
-    "events_dp_noisy_counts",
-    "text_mojibake",
-    "dedup_minhash_calibration",
-    "emb_mips_topk",
-    # backfill with the longest-unwitnessed driver rows (measured from
-    # the CORRECTNESS_r* history: the five r1-vintage rows, then the
-    # r4 batch) so windows keep maximal marginal information
-    "ann_lsh_buckets",
-    "ann_lsh_pairs",
-    "text_language_id",
-    "text_quality",
-    "text_token_stats",
-    "ann_cosine_topk",
-    "cluster_report_scalars",
-    "cluster_report_scalars_by_cluster",
-    "cluster_scan_summary",
-    "cluster_statistics_by_cluster",
-    "dedup_embedding_cosine",
-    "dedup_exact_groups",
-    "dedup_exact_keep",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "group_topic_matrix",
-    "metrics_snapshot",
-    "partition_balance",
-    "restore_commands",
+    # r9-new queries the driver has never witnessed (judge-verified
+    # only so far); graph_kcore gets the weaker rows-only check
+    "ann_lsh_recall",
+    "sampling_ess",
+    "graph_kcore",
+    # backfill: longest-unwitnessed oracle-able rows (r4 -> r6 vintage,
+    # measured from the CORRECTNESS_r* history)
+    "sr_subject_version_counts",
+    "topic_throughput_timeseries",
+    "topics_config_map",
+    "topics_scan_filtered",
+    "w2_new_since_baseline",
+    "w3_first_offset_evolution",
+    "corpus_split_drift_psi",
+    "events_grouping_sets",
+    "events_session_window",
+    "events_window_functions",
+    "events_zorder_codes",
+    "graph_association_rules",
+    "scd2_partition_liveness",
+    "scd2_point_in_time",
+    "table_column_stats",
+    "tpch_excess_promo_suppliers",
+    "tpch_market_share",
+    "tpch_min_cost_supplier",
+    "tpch_nation_volume",
+    "tpch_waiting_orders",
+    "corpus_lang_source_assoc",
+    "curation_pipeline",
+    "dataset_card",
+    "dedup_incremental_screen",
+    "events_asof_attribution",
+    "events_decile_lift",
+    "events_equi_depth_hist",
+    "events_heavy_hitters",
+    "events_preceding_window_join",
+    "events_props_stats",
+    "events_quantile_norm",
+    "events_rollup",
+    "events_running_totals",
+    "events_stickiness",
+    "events_topk_per_type",
+    "events_type_day_pivot",
+    "events_user_deciles",
+    "events_value_gini",
+    "events_winsorized_stats",
+    "fuzzy_name_pairs",
 ]
 
 
