@@ -3933,3 +3933,320 @@ def pareto_value_share(events: DataFrame) -> DataFrame:
         share(0.10).alias("top10pct_share"),
         share(0.20).alias("top20pct_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r10 inference wave: game-theoretic attribution, variance-reduced
+# experimentation, and trend inference.
+# ---------------------------------------------------------------------------
+
+#: channel → bitmask for set-valued attribution (alphabetical over the
+#: non-purchase event types; a 5th channel would extend the masks to 32
+#: rows — the subset lattice is 2^|channels| and must stay dim-grain)
+_SHAPLEY_CHANNEL_BITS = [
+    ("click", 1),
+    ("error", 2),
+    ("signup", 4),
+    ("view", 8),
+]
+
+#: |S|!·(n−1−|S|)!/n! for n = 4 channels, keyed by |S| — the exact
+#: Shapley coalition weights, written as one-division doubles so both
+#: engines produce bit-identical values
+_SHAPLEY_W = {0: 6.0 / 24.0, 1: 2.0 / 24.0, 2: 2.0 / 24.0, 3: 6.0 / 24.0}
+
+
+def shapley_attribution(
+    events: DataFrame, gap_seconds: int = 86400
+) -> DataFrame:
+    """EXACT Shapley-value channel attribution over session touch-sets
+    — the coalition-game upgrade of the four path-position models in
+    :func:`attribution_models`. Each gap-based session (same boundary
+    definition as session_paths, so the three queries agree) is a
+    coalition observation: its characteristic set S is the bitmask of
+    distinct non-purchase channels touched, its outcome whether the
+    session converted (contains a purchase). The game value
+    v(S) = conversion rate of sessions whose touch-set is EXACTLY S
+    (0 for unobserved sets — documented estimator choice), and each
+    channel's credit is the exact Shapley value
+    φ_i = Σ_{S ⊆ N\\{i}} |S|!(n−1−|S|)!/n! · (v(S∪{i}) − v(S)),
+    a 2^{n−1}-term sum that is exactly enumerable because the channel
+    alphabet is dim-grain (n = 4 → 16 masks). Efficiency holds by
+    construction: Σφ_i = v(N) − v(∅), surfaced as the share column.
+
+    Scale shape: the ONLY fact-sized work is the sessionization window
+    and one (mask)-grain aggregate; the subset lattice, the weight
+    table, and the two v-lookups are broadcast joins over ≤16-row
+    frames. At 100 TB nothing downstream of the first aggregate grows.
+    Output: channel, sessions_with_channel, shapley_credit, share."""
+    from pyspark.sql.window import Window
+
+    spark = events.sparkSession
+    bit_expr = F.lit(0)
+    for name, bit in _SHAPLEY_CHANNEL_BITS:
+        bit_expr = F.when(F.col("event_type") == name, F.lit(bit)).otherwise(
+            bit_expr
+        )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        bit_expr.alias("bit"),
+        (F.col("event_type") == "purchase").cast("long").alias("is_conv"),
+        F.when(
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+            > gap_seconds,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = marked.groupBy("user_id", "session_id").agg(
+        F.bit_or("bit").alias("mask"),
+        F.max("is_conv").alias("converted"),
+    )
+    v = sessions.groupBy("mask").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("converted").alias("n_conv"),
+    )
+    # subset lattice (16 rows) × channels (4 rows): broadcast-only from
+    # here down; v-lookups are left joins with v=0 for unobserved sets
+    masks = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    channels = spark.createDataFrame(
+        _SHAPLEY_CHANNEL_BITS, "channel string, bit int"
+    )
+    weight = F.lit(None).cast("double")
+    for size, wgt in _SHAPLEY_W.items():
+        weight = F.when(
+            F.bit_count(F.col("s")) == size, F.lit(wgt)
+        ).otherwise(weight)
+    lattice = (
+        channels.join(masks, F.col("s").bitwiseAND(F.col("bit")) == 0)
+        .withColumn("s_with", F.col("s").bitwiseOR(F.col("bit")))
+        .withColumn("w", weight)
+    )
+    vr = lambda alias: F.coalesce(  # noqa: E731
+        F.col(alias + ".n_conv").cast("double")
+        / F.col(alias + ".n_sessions"),
+        F.lit(0.0),
+    )
+    gains = (
+        lattice.join(
+            F.broadcast(v).alias("v0"),
+            F.col("s") == F.col("v0.mask"),
+            "left",
+        )
+        .join(
+            F.broadcast(v).alias("v1"),
+            F.col("s_with") == F.col("v1.mask"),
+            "left",
+        )
+        .select(
+            "channel",
+            "bit",
+            (F.col("w") * (vr("v1") - vr("v0"))).alias("term"),
+        )
+    )
+    touched = v.select(
+        F.col("mask"), F.col("n_sessions").alias("ns")
+    )
+    per_channel = gains.groupBy("channel", "bit").agg(
+        F.sum("term").alias("phi")
+    )
+    total = per_channel.agg(F.sum("phi").alias("phi_total"))
+    return (
+        per_channel.join(
+            F.broadcast(touched),
+            F.col("mask").bitwiseAND(F.col("bit")) != 0,
+            "left",
+        )
+        .groupBy("channel", "phi")
+        .agg(F.coalesce(F.sum("ns"), F.lit(0)).alias("sessions_with_channel"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "channel",
+            "sessions_with_channel",
+            F.round(F.col("phi"), 6).alias("shapley_credit"),
+            # magnitude guard, not != 0: phi_total is a ± sum whose
+            # float residue (~1e-16) differs per engine — an exact-zero
+            # test would divide by noise and break parity
+            F.round(
+                F.when(
+                    F.abs(F.col("phi_total")) > 1e-9,
+                    F.col("phi") / F.col("phi_total"),
+                ),
+                6,
+            ).alias("share"),
+        )
+    )
+
+
+def cuped_adjusted_ab(
+    events: DataFrame, split_date: str = "2024-01-16"
+) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al. 2013): per-user
+    PRE-period spend (ts < split_date) is the covariate X, POST-period
+    spend the metric Y, arms split deterministically (user_id % 2,
+    the events_ab_test convention). θ = cov(X,Y)/var(X) pooled across
+    arms; Y_cuped = Y − θ(X − mean X) shifts no arm mean in
+    expectation but strips the covariate-explained variance, tightening
+    the z-test. Reported: raw and CUPED arm means, both z statistics,
+    θ, and the realized pooled variance-reduction ratio — the "how
+    much experiment runtime did CUPED buy" number.
+
+    Every moment (n, ΣX, ΣY, ΣXY, ΣX², ΣY² per arm) is an
+    INTEGER-EXACT decimal(38,0) sum of per-user CENT totals (the
+    daily_acf recipe: no float accumulates across rows; cent products
+    stay within 38 digits out to 100 TB), so both engines derive every
+    double from identical integers and the round(6) parity is exact.
+    Scale shape: one user-grain aggregate over the fact table, then a
+    single conditional-aggregate row; nothing downstream grows with
+    data. Output: one row — n_a, n_b, theta, mean_a_raw, mean_b_raw,
+    mean_a_cuped, mean_b_cuped, z_raw, z_cuped, var_reduction."""
+    cents = F.round(F.col("value") * 100).cast("decimal(38,0)")
+    pre = F.col("ts") < F.lit(split_date).cast("timestamp")
+    per_user = events.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(pre, cents)), F.lit(0).cast("decimal(38,0)"))
+        .alias("x"),
+        F.coalesce(F.sum(F.when(~pre, cents)), F.lit(0).cast("decimal(38,0)"))
+        .alias("y"),
+    )
+    arm = (F.col("user_id") % 2).alias("arm")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = per_user.select(arm, "x", "y").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, d38(F.col("x")))).alias("sx_a"),
+        F.sum(F.when(F.col("arm") == 1, d38(F.col("x")))).alias("sx_b"),
+        F.sum(F.when(F.col("arm") == 0, d38(F.col("y")))).alias("sy_a"),
+        F.sum(F.when(F.col("arm") == 1, d38(F.col("y")))).alias("sy_b"),
+        F.sum(F.when(F.col("arm") == 0, d38(F.col("x") * F.col("y"))))
+        .alias("sxy_a"),
+        F.sum(F.when(F.col("arm") == 1, d38(F.col("x") * F.col("y"))))
+        .alias("sxy_b"),
+        F.sum(F.when(F.col("arm") == 0, d38(F.col("x") * F.col("x"))))
+        .alias("sxx_a"),
+        F.sum(F.when(F.col("arm") == 1, d38(F.col("x") * F.col("x"))))
+        .alias("sxx_b"),
+        F.sum(F.when(F.col("arm") == 0, d38(F.col("y") * F.col("y"))))
+        .alias("syy_a"),
+        F.sum(F.when(F.col("arm") == 1, d38(F.col("y") * F.col("y"))))
+        .alias("syy_b"),
+    )
+    D = lambda name: F.col(name).cast("double")  # noqa: E731
+    n = D("n_a") + D("n_b")
+    sx = D("sx_a") + D("sx_b")
+    sy = D("sy_a") + D("sy_b")
+    sxy = D("sxy_a") + D("sxy_b")
+    sxx = D("sxx_a") + D("sxx_b")
+    var_x_n2 = n * sxx - sx * sx  # n²·var_x, exact-derived
+    theta = F.when(var_x_n2 > 0, (n * sxy - sx * sy) / var_x_n2).otherwise(
+        F.lit(0.0)
+    )
+    mean_x = sx / n
+
+    def arm_stats(suffix: str):
+        na = D("n_" + suffix)
+        mx = D("sx_" + suffix) / na
+        my = D("sy_" + suffix) / na
+        var_y = D("syy_" + suffix) / na - my * my
+        var_x = D("sxx_" + suffix) / na - mx * mx
+        cov = D("sxy_" + suffix) / na - mx * my
+        my_adj = my - F.col("theta") * (mx - F.col("mean_x"))
+        var_adj = (
+            var_y
+            - 2 * F.col("theta") * cov
+            + F.col("theta") * F.col("theta") * var_x
+        )
+        return na, my, my_adj, var_y, var_adj
+
+    staged = m.withColumn("theta", theta).withColumn("mean_x", mean_x)
+    na, my_a, adj_a, vy_a, vadj_a = arm_stats("a")
+    nb, my_b, adj_b, vy_b, vadj_b = arm_stats("b")
+    z = lambda da, db, va, vb: F.when(  # noqa: E731
+        va / na + vb / nb > 0, (db - da) / F.sqrt(va / na + vb / nb)
+    )
+    cents_out = lambda c: F.round(c / 100.0, 6)  # noqa: E731
+    return staged.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.col("theta"), 6).alias("theta"),
+        cents_out(my_a).alias("mean_a_raw"),
+        cents_out(my_b).alias("mean_b_raw"),
+        cents_out(adj_a).alias("mean_a_cuped"),
+        cents_out(adj_b).alias("mean_b_cuped"),
+        F.round(z(my_a, my_b, vy_a, vy_b), 6).alias("z_raw"),
+        F.round(z(adj_a, adj_b, vadj_a, vadj_b), 6).alias("z_cuped"),
+        F.round(
+            F.when(
+                na * vy_a + nb * vy_b > 0,
+                1 - (na * vadj_a + nb * vadj_b) / (na * vy_a + nb * vy_b),
+            ),
+            6,
+        ).alias("var_reduction"),
+    )
+
+
+def ols_daily_trend(events: DataFrame) -> DataFrame:
+    """Per-type OLS of the daily event count on the day index, WITH the
+    inference columns (R², slope standard error, t statistic) that the
+    bare regr_slope rollups lack — "is this trend real" in one row per
+    type. Fitted endpoints are reported instead of the meaningless
+    day-zero intercept. Co-moments are INTEGER-EXACT decimal(38,0)
+    sums over the bounded day grain (the daily_acf recipe), all floats
+    derived once at the end, so cross-engine round(6) parity is exact.
+    n ≤ 2 or a zero-variance day axis NULL-propagates the inference
+    columns honestly.
+
+    Scale shape: one day×type-grain aggregate off the fact table; the
+    regression itself runs on ≤(types × days) rows. Output:
+    event_type, days, slope, fit_start, fit_end, r2, slope_se,
+    t_stat."""
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = events.groupBy(
+        F.col("event_type"), day.alias("day")
+    ).agg(F.count("*").alias("c"))
+    xd = F.col("day").cast("decimal(38,0)")
+    yd = F.col("c").cast("decimal(38,0)")
+    m = daily.groupBy("event_type").agg(
+        F.count("*").alias("days"),
+        F.min("day").alias("day_min"),
+        F.max("day").alias("day_max"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+    )
+    n = F.col("days").cast("double")
+    sxx_c = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    syy_c = n * F.col("syy") - F.col("sy") * F.col("sy")
+    sxy_c = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(sxx_c > 0, sxy_c / sxx_c)
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = F.when((sxx_c > 0) & (syy_c > 0), sxy_c * sxy_c / (sxx_c * syy_c))
+    # residual SS via the centered identity, guarded non-negative
+    # against float cancellation before the sqrt
+    ss_res = F.greatest(
+        (syy_c - slope * sxy_c) / n, F.lit(0.0)
+    )
+    se = F.when(
+        (F.col("days") > 2) & (sxx_c > 0),
+        F.sqrt(ss_res / (n - 2) / (sxx_c / n)),
+    )
+    return m.select(
+        "event_type",
+        "days",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept + slope * F.col("day_min"), 6).alias("fit_start"),
+        F.round(intercept + slope * F.col("day_max"), 6).alias("fit_end"),
+        F.round(r2, 6).alias("r2"),
+        F.round(se, 6).alias("slope_se"),
+        F.round(F.when(se > 0, slope / se), 6).alias("t_stat"),
+    )

@@ -4206,4 +4206,210 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
   CAST(floor(1000 * wt / wsum) AS BIGINT) AS alloc_n
 FROM w, t"""
 
+
+    # --- r10 inference wave ---
+
+    # exact Shapley over session touch-set bitmasks: v(S) = conversion
+    # rate of sessions with EXACTLY set S (0 unobserved); the subset
+    # lattice is enumerable because channels are dim-grain (n=4)
+    q["events_shapley_attribution"] = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+    CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+      WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END AS bit,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+        (PARTITION BY user_id ORDER BY ts, event_id)) > 86400
+      THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess_marked AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+),
+sessions AS (
+  SELECT user_id, session_id, bit_or(bit) AS mask,
+    max(is_conv) AS converted
+  FROM sess_marked GROUP BY user_id, session_id
+),
+v AS (
+  SELECT mask, count(*) AS n_sessions, sum(converted) AS n_conv
+  FROM sessions GROUP BY mask
+),
+masks AS (SELECT unnest(generate_series(0, 15)) AS s),
+channels AS (
+  SELECT * FROM (VALUES ('click', 1), ('error', 2),
+    ('signup', 4), ('view', 8)) AS t(channel, bit)
+),
+lattice AS (
+  SELECT c.channel, c.bit, m.s, (m.s | c.bit) AS s_with,
+    CASE bit_count(m.s) WHEN 0 THEN 6.0/24.0 WHEN 1 THEN 2.0/24.0
+      WHEN 2 THEN 2.0/24.0 WHEN 3 THEN 6.0/24.0 END AS w
+  FROM channels c JOIN masks m ON (m.s & c.bit) = 0
+),
+gains AS (
+  SELECT l.channel, l.bit,
+    l.w * (coalesce(CAST(v1.n_conv AS DOUBLE) / v1.n_sessions, 0.0)
+         - coalesce(CAST(v0.n_conv AS DOUBLE) / v0.n_sessions, 0.0))
+      AS term
+  FROM lattice l
+  LEFT JOIN v v0 ON l.s = v0.mask
+  LEFT JOIN v v1 ON l.s_with = v1.mask
+),
+per_channel AS (
+  SELECT channel, bit, sum(term) AS phi FROM gains GROUP BY channel, bit
+),
+tot AS (SELECT sum(phi) AS phi_total FROM per_channel),
+touched AS (
+  SELECT p.channel, p.phi,
+    coalesce(sum(v.n_sessions), 0) AS sessions_with_channel
+  FROM per_channel p LEFT JOIN v ON (v.mask & p.bit) != 0
+  GROUP BY p.channel, p.phi
+)
+SELECT channel, CAST(sessions_with_channel AS BIGINT)
+    AS sessions_with_channel,
+  round(phi, 6) AS shapley_credit,
+  round(CASE WHEN abs(phi_total) > 1e-9 THEN phi / phi_total END, 6)
+    AS share
+FROM touched, tot"""
+
+    # CUPED: every moment is an exact decimal(38,0) sum of per-user
+    # cent totals (the daily_acf recipe); all doubles derived once
+    q["events_cuped"] = """
+WITH per_user AS (
+  SELECT user_id,
+    coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN
+      CAST(round(value * 100) AS DECIMAL(38,0)) END), 0) AS x,
+    coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN
+      CAST(round(value * 100) AS DECIMAL(38,0)) END), 0) AS y
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT
+    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+    sum(CASE WHEN user_id % 2 = 0 THEN x END) AS sx_a,
+    sum(CASE WHEN user_id % 2 = 1 THEN x END) AS sx_b,
+    sum(CASE WHEN user_id % 2 = 0 THEN y END) AS sy_a,
+    sum(CASE WHEN user_id % 2 = 1 THEN y END) AS sy_b,
+    sum(CASE WHEN user_id % 2 = 0 THEN x * y END) AS sxy_a,
+    sum(CASE WHEN user_id % 2 = 1 THEN x * y END) AS sxy_b,
+    sum(CASE WHEN user_id % 2 = 0 THEN x * x END) AS sxx_a,
+    sum(CASE WHEN user_id % 2 = 1 THEN x * x END) AS sxx_b,
+    sum(CASE WHEN user_id % 2 = 0 THEN y * y END) AS syy_a,
+    sum(CASE WHEN user_id % 2 = 1 THEN y * y END) AS syy_b
+  FROM per_user
+),
+d AS (
+  SELECT CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+    CAST(sx_a AS DOUBLE) AS sxa, CAST(sx_b AS DOUBLE) AS sxb,
+    CAST(sy_a AS DOUBLE) AS sya, CAST(sy_b AS DOUBLE) AS syb,
+    CAST(sxy_a AS DOUBLE) AS sxya, CAST(sxy_b AS DOUBLE) AS sxyb,
+    CAST(sxx_a AS DOUBLE) AS sxxa, CAST(sxx_b AS DOUBLE) AS sxxb,
+    CAST(syy_a AS DOUBLE) AS syya, CAST(syy_b AS DOUBLE) AS syyb,
+    n_a AS n_a_i, n_b AS n_b_i
+  FROM m
+),
+s AS (
+  SELECT *,
+    na + nb AS n, sxa + sxb AS sx, sya + syb AS sy,
+    sxya + sxyb AS sxy, sxxa + sxxb AS sxx
+  FROM d
+),
+t AS (
+  SELECT *,
+    CASE WHEN n * sxx - sx * sx > 0
+      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) ELSE 0.0 END
+      AS theta,
+    sx / n AS mean_x
+  FROM s
+),
+a AS (
+  SELECT *,
+    sxa / na AS mxa, sya / na AS mya,
+    sxb / nb AS mxb, syb / nb AS myb,
+    syya / na - (sya / na) * (sya / na) AS vya,
+    syyb / nb - (syb / nb) * (syb / nb) AS vyb,
+    sxxa / na - (sxa / na) * (sxa / na) AS vxa,
+    sxxb / nb - (sxb / nb) * (sxb / nb) AS vxb,
+    sxya / na - (sxa / na) * (sya / na) AS cva,
+    sxyb / nb - (sxb / nb) * (syb / nb) AS cvb
+  FROM t
+),
+b AS (
+  SELECT *,
+    mya - theta * (mxa - mean_x) AS adja,
+    myb - theta * (mxb - mean_x) AS adjb,
+    vya - 2 * theta * cva + theta * theta * vxa AS vadja,
+    vyb - 2 * theta * cvb + theta * theta * vxb AS vadjb
+  FROM a
+)
+SELECT CAST(n_a_i AS BIGINT) AS n_a, CAST(n_b_i AS BIGINT) AS n_b,
+  round(theta, 6) AS theta,
+  round(mya / 100.0, 6) AS mean_a_raw,
+  round(myb / 100.0, 6) AS mean_b_raw,
+  round(adja / 100.0, 6) AS mean_a_cuped,
+  round(adjb / 100.0, 6) AS mean_b_cuped,
+  round(CASE WHEN vya / na + vyb / nb > 0
+    THEN (myb - mya) / sqrt(vya / na + vyb / nb) END, 6) AS z_raw,
+  round(CASE WHEN vadja / na + vadjb / nb > 0
+    THEN (adjb - adja) / sqrt(vadja / na + vadjb / nb) END, 6)
+    AS z_cuped,
+  round(CASE WHEN na * vya + nb * vyb > 0
+    THEN 1 - (na * vadja + nb * vadjb) / (na * vya + nb * vyb) END, 6)
+    AS var_reduction
+FROM b"""
+
+    # OLS daily trend with inference columns, exact co-moments
+    q["events_ols_trend"] = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+    count(*) AS c
+  FROM events GROUP BY event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT)
+),
+m AS (
+  SELECT event_type, count(*) AS days,
+    min(day) AS day_min, max(day) AS day_max,
+    CAST(sum(CAST(day AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(c AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(day AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+      AS DOUBLE) AS sxy,
+    CAST(sum(CAST(day AS DECIMAL(38,0)) * CAST(day AS DECIMAL(38,0)))
+      AS DOUBLE) AS sxx,
+    CAST(sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+      AS DOUBLE) AS syy
+  FROM daily GROUP BY event_type
+),
+f AS (
+  SELECT *, CAST(days AS DOUBLE) AS n,
+    n * sxx - sx * sx AS sxx_c,
+    n * syy - sy * sy AS syy_c,
+    n * sxy - sx * sy AS sxy_c
+  FROM m
+),
+g AS (
+  SELECT *,
+    CASE WHEN sxx_c > 0 THEN sxy_c / sxx_c END AS slope
+  FROM f
+),
+h AS (
+  SELECT *,
+    (sy - slope * sx) / n AS intercept,
+    CASE WHEN sxx_c > 0 AND syy_c > 0
+      THEN sxy_c * sxy_c / (sxx_c * syy_c) END AS r2,
+    CASE WHEN days > 2 AND sxx_c > 0
+      THEN sqrt(greatest((syy_c - slope * sxy_c) / n, 0.0)
+        / (n - 2) / (sxx_c / n)) END AS se
+  FROM g
+)
+SELECT event_type, CAST(days AS BIGINT) AS days,
+  round(slope, 6) AS slope,
+  round(intercept + slope * day_min, 6) AS fit_start,
+  round(intercept + slope * day_max, 6) AS fit_end,
+  round(r2, 6) AS r2,
+  round(se, 6) AS slope_se,
+  round(CASE WHEN se > 0 THEN slope / se END, 6) AS t_stat
+FROM h"""
+
     return q

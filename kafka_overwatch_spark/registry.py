@@ -1064,6 +1064,19 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_session_paths"] = lambda s, d: relational.session_paths(
         raw(s, d, "events")
     )
+    # r10: exact Shapley over session touch-set bitmasks — the
+    # coalition-game upgrade of the four path-position models
+    q["events_shapley_attribution"] = (
+        lambda s, d: relational.shapley_attribution(raw(s, d, "events"))
+    )
+    # r10: CUPED variance-reduced A/B readout (pre-period covariate)
+    q["events_cuped"] = lambda s, d: relational.cuped_adjusted_ab(
+        raw(s, d, "events")
+    )
+    # r10: per-type daily-count OLS with inference columns (R², SE, t)
+    q["events_ols_trend"] = lambda s, d: relational.ols_daily_trend(
+        raw(s, d, "events")
+    )
     q["events_pareto_share"] = lambda s, d: relational.pareto_value_share(
         raw(s, d, "events")
     )
@@ -1493,6 +1506,9 @@ _PROMOTED = [
     # lead the window). New r10 operators with fresh oracles:
     "ann_tune_frontier",
     "graph_kcore_bounded",
+    "events_shapley_attribution",
+    "events_cuped",
+    "events_ols_trend",
     # plan/oracle re-touched by the r9 advisor fixes: the bootstrap
     # draw gained its seed-rep cross term (squared mixing step),
     # pagerank's output precision changed, benford gained the digit-0

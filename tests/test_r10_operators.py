@@ -1,0 +1,96 @@
+"""r10 inference wave: exact Shapley attribution over session
+touch-sets, CUPED variance reduction, OLS trend inference — unit
+semantics on hand-computed fixtures; the oracle sweep covers parity
+at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_overwatch_spark.operators import relational
+
+from tests.test_r8_operators import _events
+
+
+def test_shapley_hand_computed_and_efficiency(spark):
+    # sessions (one user each, all same day): 4×{click} with 2
+    # conversions → v(1)=.5; 2×{view} 0 conv → v(8)=0;
+    # 2×{click,view} both conv → v(9)=1. Hand Shapley (n=4 lattice):
+    # click .25(v1−v0) + 1/12(v9−v8) = .125+.083333; view
+    # 1/12(v9−v1) = .041667; error/signup each pay −.125 (they
+    # "break" observed coalitions into unobserved v=0 sets).
+    rows = []
+    for u in (1, 2):
+        rows += [(u, 1, 9, "click", 1.0), (u, 1, 10, "purchase", 5.0)]
+    rows += [(3, 1, 9, "click", 1.0), (4, 1, 9, "click", 1.0)]
+    rows += [(5, 1, 9, "view", 1.0), (6, 1, 9, "view", 1.0)]
+    for u in (7, 8):
+        rows += [
+            (u, 1, 9, "click", 1.0),
+            (u, 1, 10, "view", 1.0),
+            (u, 1, 11, "purchase", 5.0),
+        ]
+    out = {
+        r["channel"]: r
+        for r in relational.shapley_attribution(_events(spark, rows)).collect()
+    }
+    assert out["click"]["shapley_credit"] == pytest.approx(0.208333, abs=1e-6)
+    assert out["view"]["shapley_credit"] == pytest.approx(0.041667, abs=1e-6)
+    assert out["error"]["shapley_credit"] == pytest.approx(-0.125, abs=1e-6)
+    assert out["signup"]["shapley_credit"] == pytest.approx(-0.125, abs=1e-6)
+    # efficiency: Σφ = v(full)−v(∅) = 0−0 here, so shares NULL-guard
+    assert sum(r["shapley_credit"] for r in out.values()) == pytest.approx(
+        0.0, abs=1e-6
+    )
+    assert all(r["share"] is None for r in out.values())
+    assert out["click"]["sessions_with_channel"] == 6
+    assert out["view"]["sessions_with_channel"] == 4
+    assert out["error"]["sessions_with_channel"] == 0
+
+
+def test_cuped_perfect_covariate_removes_all_variance(spark):
+    # Y = 2X exactly in arm 0, Y = 2X + 5 in arm 1, same X design in
+    # both arms → pooled θ = 2 exactly, CUPED strips ALL within-arm
+    # variance (var_reduction = 1, z_cuped NULL-guards on zero SE)
+    # while preserving the arm means.
+    rows = []
+    for u, x in ((0, 10.0), (2, 20.0), (4, 30.0)):
+        rows += [(u, 1, 9, "view", x), (u, 20, 9, "view", 2 * x)]
+    for u, x in ((1, 10.0), (3, 20.0), (5, 30.0)):
+        rows += [(u, 1, 9, "view", x), (u, 20, 9, "view", 2 * x + 5)]
+    r = relational.cuped_adjusted_ab(_events(spark, rows)).collect()[0]
+    assert r["n_a"] == 3 and r["n_b"] == 3
+    assert r["theta"] == pytest.approx(2.0, abs=1e-6)
+    assert r["mean_a_raw"] == pytest.approx(40.0, abs=1e-6)
+    assert r["mean_b_raw"] == pytest.approx(45.0, abs=1e-6)
+    assert r["mean_a_cuped"] == pytest.approx(40.0, abs=1e-6)
+    assert r["mean_b_cuped"] == pytest.approx(45.0, abs=1e-6)
+    assert r["var_reduction"] == pytest.approx(1.0, abs=1e-6)
+    assert r["z_raw"] is not None
+    assert r["z_cuped"] is None  # zero residual variance → guarded
+
+
+def test_ols_trend_exact_line_and_short_series(spark):
+    # 'click' daily counts 2,4,6 → slope 2, r2 1, zero residual → se 0
+    # → t NULL; 'view' has 2 days → se/t NULL (needs n > 2), slope 2.
+    rows = []
+    for d, n in ((1, 2), (2, 4), (3, 6)):
+        rows += [(1, d, h, "click", 1.0) for h in range(n)]
+    rows += [(1, 1, 9, "view", 1.0)] + [
+        (1, 2, h, "view", 1.0) for h in (9, 10, 11)
+    ]
+    out = {
+        r["event_type"]: r
+        for r in relational.ols_daily_trend(_events(spark, rows)).collect()
+    }
+    c = out["click"]
+    assert c["days"] == 3
+    assert c["slope"] == pytest.approx(2.0, abs=1e-6)
+    assert c["fit_start"] == pytest.approx(2.0, abs=1e-6)
+    assert c["fit_end"] == pytest.approx(6.0, abs=1e-6)
+    assert c["r2"] == pytest.approx(1.0, abs=1e-6)
+    assert c["t_stat"] is None  # exact fit → zero SE guard
+    v = out["view"]
+    assert v["days"] == 2
+    assert v["slope"] == pytest.approx(2.0, abs=1e-6)
+    assert v["slope_se"] is None and v["t_stat"] is None
