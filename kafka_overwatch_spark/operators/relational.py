@@ -4250,3 +4250,192 @@ def ols_daily_trend(events: DataFrame) -> DataFrame:
         F.round(se, 6).alias("slope_se"),
         F.round(F.when(se > 0, slope / se), 6).alias("t_stat"),
     )
+
+
+#: Markov chain step budget — both engines fold exactly this many
+#: steps, so truncation is part of the (documented) query semantics
+_MARKOV_STEPS = 12
+
+
+def markov_attribution(
+    events: DataFrame, gap_seconds: int = 86400
+) -> DataFrame:
+    """Data-driven (Markov removal-effect) attribution — the industry-
+    standard third member of the attribution family next to the
+    path-position models and the Shapley game. Each session (same gap
+    boundaries as session_paths/shapley) becomes a state path
+    start → touch₁ → … → terminal, truncated at its FIRST purchase
+    (terminal ``conv``) or closed with ``null``; the first-order
+    transition matrix is estimated from all paths, and each channel's
+    removal effect is 1 − P(conv | channel's in-edges retargeted to
+    null)/P(conv), normalized into credit shares. Absorption
+    probabilities are folded for exactly ``_MARKOV_STEPS`` steps —
+    a documented truncation mirrored step-for-step by the DuckDB
+    oracle's unrolled CTEs (the Holt/pagerank convention), so parity
+    is exact rather than convergence-dependent.
+
+    Scale shape: the fact-sized work is one sessionization window +
+    one (from,to)-grain aggregate; the transition matrix is dim-grain
+    (≤ (channels+1)² rows — it grows with the channel ALPHABET, not
+    the data), so the 5-variant × 12-step fold runs on the driver
+    (the k-center/ZCA precedent: driver math on dim×dim only), in a
+    fixed state order for determinism. Output: channel, p_conv_full,
+    p_conv_removed, removal_effect, credit_share."""
+    from pyspark.sql.window import Window
+
+    spark = events.sparkSession
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type"),
+        F.when(
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+            > gap_seconds,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    wsu = Window.partitionBy("user_id", "session_id")
+    ranked = (
+        marked.withColumn("rn", F.row_number().over(ws))
+        .withColumn(
+            "purchase_rn",
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("rn"))
+            ).over(wsu),
+        )
+    )
+    kept = ranked.filter(
+        (F.col("event_type") != "purchase")
+        & (
+            F.col("purchase_rn").isNull()
+            | (F.col("rn") < F.col("purchase_rn"))
+        )
+    )
+    wk = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    step_trans = kept.select(
+        F.coalesce(F.lag("event_type").over(wk), F.lit("start")).alias(
+            "from_state"
+        ),
+        F.col("event_type").alias("to_state"),
+    )
+    terminal = F.when(
+        F.col("purchase_rn").isNotNull(), F.lit("conv")
+    ).otherwise(F.lit("null"))
+    last_kept = (
+        kept.withColumn("last_rn", F.max("rn").over(wsu))
+        .filter(F.col("rn") == F.col("last_rn"))
+        .select(
+            F.col("event_type").alias("from_state"),
+            terminal.alias("to_state"),
+        )
+    )
+    # sessions whose every event is a purchase have no kept touches:
+    # they transition start → terminal directly
+    empty_sessions = (
+        ranked.groupBy("user_id", "session_id")
+        .agg(
+            F.sum(
+                (
+                    (F.col("event_type") != "purchase")
+                    & (
+                        F.col("purchase_rn").isNull()
+                        | (F.col("rn") < F.col("purchase_rn"))
+                    )
+                ).cast("long")
+            ).alias("kept_n"),
+            F.max(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("has_conv"),
+        )
+        .filter(F.col("kept_n") == 0)
+        .select(
+            F.lit("start").alias("from_state"),
+            F.when(F.col("has_conv") == 1, F.lit("conv"))
+            .otherwise(F.lit("null"))
+            .alias("to_state"),
+        )
+    )
+    counts = (
+        step_trans.unionByName(last_kept)
+        .unionByName(empty_sessions)
+        .groupBy("from_state", "to_state")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # dim-grain collect: the matrix is ≤ (|channels|+1)² rows no matter
+    # the data size; the 5-variant × 12-step fold is driver float math
+    # in a FIXED state order (sorted), mirrored by the oracle's
+    # unrolled CTEs
+    rows = counts.collect()
+    out_tot: dict[str, int] = {}
+    for r in rows:
+        out_tot[r["from_state"]] = out_tot.get(r["from_state"], 0) + r["cnt"]
+    base = [
+        (r["from_state"], r["to_state"], r["cnt"] / out_tot[r["from_state"]])
+        for r in rows
+    ]
+    channels = sorted(
+        ({s for s, _, _ in base} | {t for _, t, _ in base})
+        - {"conv", "null", "start"}
+    )
+
+    def fold(removed: str | None) -> float:
+        trans: dict[str, dict[str, float]] = {}
+        for s, t, p in sorted(base):
+            if s == removed:
+                continue
+            t2 = "null" if t == removed else t
+            trans.setdefault(s, {})
+            trans[s][t2] = trans[s].get(t2, 0.0) + p
+        v = {"start": 1.0}
+        for _ in range(_MARKOV_STEPS):
+            nxt: dict[str, float] = {}
+            for s in sorted(v):
+                if s in ("conv", "null"):
+                    nxt[s] = nxt.get(s, 0.0) + v[s]
+                    continue
+                for t in sorted(trans.get(s, {})):
+                    nxt[t] = nxt.get(t, 0.0) + v[s] * trans[s][t]
+            v = nxt
+        return v.get("conv", 0.0)
+
+    p_full = fold(None)
+    effects = []
+    for c in channels:
+        p_rm = fold(c)
+        re = 1.0 - p_rm / p_full if p_full > 1e-12 else None
+        effects.append((c, p_rm, re))
+    re_sum = sum(e for _, _, e in effects if e is not None)
+    # + 0.0 normalizes IEEE −0.0 (a zero-effect channel computes
+    # 1 − p/p through engine-specific float orders) so both engines
+    # emit the same canonical 0.0
+    out = [
+        (
+            c,
+            round(p_full, 6) + 0.0,
+            round(p_rm, 6) + 0.0,
+            round(re, 6) + 0.0 if re is not None else None,
+            round(re / re_sum, 6) + 0.0
+            if re is not None and abs(re_sum) > 1e-9
+            else None,
+        )
+        for c, p_rm, re in effects
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, p_conv_full double, p_conv_removed double, "
+        "removal_effect double, credit_share double",
+    )

@@ -4412,4 +4412,187 @@ SELECT event_type, CAST(days AS BIGINT) AS days,
   round(CASE WHEN se > 0 THEN slope / se END, 6) AS t_stat
 FROM h"""
 
+
+    # Markov removal-effect attribution: the 12 absorption steps
+    # UNROLL as chained aggregate CTEs (the pagerank convention —
+    # truncation is part of the query semantics, mirrored by the
+    # Spark side's fixed-step driver fold); conv/null absorb via
+    # explicit self-loop probability rows
+    q["events_markov_attribution"] = """
+WITH mmark AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+        (PARTITION BY user_id ORDER BY ts, event_id)) > 86400
+      THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+msess AS (
+  SELECT user_id, ts, event_id, event_type,
+    sum(new_session) OVER (PARTITION BY user_id
+      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM mmark
+),
+mranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+    ORDER BY ts, event_id) AS rn
+  FROM msess
+),
+mflag AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' THEN rn END)
+    OVER (PARTITION BY user_id, session_id) AS purchase_rn
+  FROM mranked
+),
+mkept AS (
+  SELECT * FROM mflag
+  WHERE event_type != 'purchase'
+    AND (purchase_rn IS NULL OR rn < purchase_rn)
+),
+mstep AS (
+  SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id,
+      session_id ORDER BY ts, event_id), 'start') AS from_state,
+    event_type AS to_state
+  FROM mkept
+),
+mlast AS (
+  SELECT event_type AS from_state,
+    CASE WHEN purchase_rn IS NOT NULL THEN 'conv' ELSE 'null' END
+      AS to_state
+  FROM (SELECT *, max(rn) OVER (PARTITION BY user_id, session_id)
+      AS last_rn FROM mkept)
+  WHERE rn = last_rn
+),
+mempty AS (
+  SELECT 'start' AS from_state,
+    CASE WHEN max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+      END) = 1 THEN 'conv' ELSE 'null' END AS to_state
+  FROM mflag GROUP BY user_id, session_id
+  HAVING sum(CASE WHEN event_type != 'purchase'
+    AND (purchase_rn IS NULL OR rn < purchase_rn)
+    THEN 1 ELSE 0 END) = 0
+),
+mcounts AS MATERIALIZED (
+  SELECT from_state, to_state, count(*) AS cnt
+  FROM (SELECT * FROM mstep UNION ALL SELECT * FROM mlast
+    UNION ALL SELECT * FROM mempty)
+  GROUP BY 1, 2
+),
+mvariants AS (
+  SELECT 'full' AS variant
+  UNION
+  SELECT s FROM (
+    SELECT from_state AS s FROM mcounts
+    UNION SELECT to_state FROM mcounts
+  ) WHERE s NOT IN ('start', 'conv', 'null')
+),
+mtvar AS MATERIALIZED (
+  SELECT v.variant, c.from_state,
+    CASE WHEN c.to_state = v.variant THEN 'null' ELSE c.to_state END
+      AS to_state,
+    sum(cnt) AS cnt
+  FROM mcounts c CROSS JOIN mvariants v
+  WHERE c.from_state != v.variant
+  GROUP BY 1, 2, 3
+),
+mprobs AS MATERIALIZED (
+  SELECT variant, from_state, to_state,
+    CAST(cnt AS DOUBLE)
+      / sum(cnt) OVER (PARTITION BY variant, from_state) AS p
+  FROM mtvar
+  UNION ALL
+  SELECT variant, s, s, 1.0
+  FROM mvariants, (VALUES ('conv'), ('null')) t(s)
+),
+mv0 AS (SELECT variant, 'start' AS state, 1.0 AS p FROM mvariants)
+,
+mv1 AS (
+  SELECT pr.variant, pr.to_state AS state, sum(mv0.p * pr.p) AS p
+  FROM mprobs pr JOIN mv0
+    ON pr.variant = mv0.variant AND pr.from_state = mv0.state
+  GROUP BY 1, 2
+),
+mv2 AS (
+  SELECT pr.variant, pr.to_state AS state, sum(mv1.p * pr.p) AS p
+  FROM mprobs pr JOIN mv1
+    ON pr.variant = mv1.variant AND pr.from_state = mv1.state
+  GROUP BY 1, 2
+),
+mv3 AS (
+  SELECT pr.variant, pr.to_state AS state, sum(mv2.p * pr.p) AS p
+  FROM mprobs pr JOIN mv2
+    ON pr.variant = mv2.variant AND pr.from_state = mv2.state
+  GROUP BY 1, 2
+),
+mv4 AS (
+  SELECT pr.variant, pr.to_state AS state, sum(mv3.p * pr.p) AS p
+  FROM mprobs pr JOIN mv3
+    ON pr.variant = mv3.variant AND pr.from_state = mv3.state
+  GROUP BY 1, 2
+),
+mv5 AS (
+  SELECT pr.variant, pr.to_state AS state, sum(mv4.p * pr.p) AS p
+  FROM mprobs pr JOIN mv4
+    ON pr.variant = mv4.variant AND pr.from_state = mv4.state
+  GROUP BY 1, 2
+),
+mv6 AS (
+  SELECT pr.variant, pr.to_state AS state, sum(mv5.p * pr.p) AS p
+  FROM mprobs pr JOIN mv5
+    ON pr.variant = mv5.variant AND pr.from_state = mv5.state
+  GROUP BY 1, 2
+),
+mv7 AS (
+  SELECT pr.variant, pr.to_state AS state, sum(mv6.p * pr.p) AS p
+  FROM mprobs pr JOIN mv6
+    ON pr.variant = mv6.variant AND pr.from_state = mv6.state
+  GROUP BY 1, 2
+),
+mv8 AS (
+  SELECT pr.variant, pr.to_state AS state, sum(mv7.p * pr.p) AS p
+  FROM mprobs pr JOIN mv7
+    ON pr.variant = mv7.variant AND pr.from_state = mv7.state
+  GROUP BY 1, 2
+),
+mv9 AS (
+  SELECT pr.variant, pr.to_state AS state, sum(mv8.p * pr.p) AS p
+  FROM mprobs pr JOIN mv8
+    ON pr.variant = mv8.variant AND pr.from_state = mv8.state
+  GROUP BY 1, 2
+),
+mv10 AS (
+  SELECT pr.variant, pr.to_state AS state, sum(mv9.p * pr.p) AS p
+  FROM mprobs pr JOIN mv9
+    ON pr.variant = mv9.variant AND pr.from_state = mv9.state
+  GROUP BY 1, 2
+),
+mv11 AS (
+  SELECT pr.variant, pr.to_state AS state, sum(mv10.p * pr.p) AS p
+  FROM mprobs pr JOIN mv10
+    ON pr.variant = mv10.variant AND pr.from_state = mv10.state
+  GROUP BY 1, 2
+),
+mv12 AS (
+  SELECT pr.variant, pr.to_state AS state, sum(mv11.p * pr.p) AS p
+  FROM mprobs pr JOIN mv11
+    ON pr.variant = mv11.variant AND pr.from_state = mv11.state
+  GROUP BY 1, 2
+),
+mres AS (
+  SELECT variant,
+    coalesce(sum(CASE WHEN state = 'conv' THEN p END), 0.0) AS pc
+  FROM mv12 GROUP BY variant
+),
+mfull AS (SELECT pc AS p_full FROM mres WHERE variant = 'full'),
+meff AS (
+  SELECT r.variant AS channel, f.p_full, r.pc AS p_removed,
+    CASE WHEN f.p_full > 1e-12 THEN 1 - r.pc / f.p_full END AS re
+  FROM mres r, mfull f WHERE r.variant != 'full'
+),
+mtot AS (SELECT sum(re) AS re_sum FROM meff)
+SELECT channel, round(p_full, 6) + 0.0 AS p_conv_full,
+  round(p_removed, 6) + 0.0 AS p_conv_removed,
+  round(re, 6) + 0.0 AS removal_effect,
+  round(CASE WHEN re IS NOT NULL AND abs(re_sum) > 1e-9
+    THEN re / re_sum END, 6) + 0.0 AS credit_share
+FROM meff, mtot"""
+
     return q

@@ -1069,6 +1069,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_shapley_attribution"] = (
         lambda s, d: relational.shapley_attribution(raw(s, d, "events"))
     )
+    # r10: Markov removal-effect attribution (unrolled absorption)
+    q["events_markov_attribution"] = (
+        lambda s, d: relational.markov_attribution(raw(s, d, "events"))
+    )
     # r10: CUPED variance-reduced A/B readout (pre-period covariate)
     q["events_cuped"] = lambda s, d: relational.cuped_adjusted_ab(
         raw(s, d, "events")
@@ -1506,6 +1510,7 @@ _PROMOTED = [
     # lead the window). New r10 operators with fresh oracles:
     "ann_tune_frontier",
     "graph_kcore_bounded",
+    "events_markov_attribution",
     "events_shapley_attribution",
     "events_cuped",
     "events_ols_trend",

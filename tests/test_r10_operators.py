@@ -94,3 +94,32 @@ def test_ols_trend_exact_line_and_short_series(spark):
     assert v["days"] == 2
     assert v["slope"] == pytest.approx(2.0, abs=1e-6)
     assert v["slope_se"] is None and v["t_stat"] is None
+
+
+def test_markov_removal_effect_hand_computed(spark):
+    # sessions: u1 click→purchase, u2 click (null), u3 view→purchase,
+    # u4 purchase-only (start→conv direct). T: start→{click .5,
+    # view .25, conv .25}; click→{conv .5, null .5}; view→conv 1.
+    # p_full = .25 + .5·.5 + .25 = .75; removing click OR view each
+    # drop it to .5 → removal effects 1/3 and 1/3, shares .5/.5;
+    # error/signup are untouched channels → effect 0.
+    rows = [
+        (1, 1, 9, "click", 1.0),
+        (1, 1, 10, "purchase", 5.0),
+        (2, 1, 9, "click", 1.0),
+        (3, 1, 9, "view", 1.0),
+        (3, 1, 10, "purchase", 5.0),
+        (4, 1, 9, "purchase", 5.0),
+    ]
+    out = {
+        r["channel"]: r
+        for r in relational.markov_attribution(_events(spark, rows)).collect()
+    }
+    assert out["click"]["p_conv_full"] == pytest.approx(0.75, abs=1e-6)
+    assert out["click"]["p_conv_removed"] == pytest.approx(0.5, abs=1e-6)
+    assert out["click"]["removal_effect"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["view"]["removal_effect"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["click"]["credit_share"] == pytest.approx(0.5, abs=1e-6)
+    assert out["view"]["credit_share"] == pytest.approx(0.5, abs=1e-6)
+    # channels absent from every path: removing them changes nothing
+    assert "error" not in out  # never observed in any session
