@@ -540,3 +540,154 @@ def kcore_bounded(
     version gates by parity only. Keep :func:`kcore` for production
     (no round bound, data-driven convergence)."""
     return kcore(lineitem, k=k, edges=edges, max_iterations=rounds)
+
+
+def link_prediction(
+    lineitem: DataFrame,
+    min_common: int = 25,
+    max_hub_degree: int = 500,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Link prediction over the co-purchase graph: for every
+    NON-adjacent part pair with ≥ ``min_common`` common neighbors,
+    the three classic neighborhood scores — common-neighbor count,
+    Jaccard coefficient |Γa∩Γb|/|Γa∪Γb|, and Adamic–Adar
+    Σ_z 1/ln(deg z) (rare shared neighbors weigh more) — the
+    "which co-purchase edge appears next" primitive that turns the
+    graph family from descriptive into predictive.
+
+    Scale shape: candidate pairs come from ONE wedge self-join keyed
+    on the shared neighbor z, so the work is Σ_z deg(z)² — NOT |V|² —
+    and wedge centers above ``max_hub_degree`` are excluded up front
+    (part of the operator's semantics, mirrored in the oracle): a hub
+    adjacent to everything generates quadratic wedges and zero
+    predictive signal. Thresholding by min_common keeps the output
+    order-insensitive (the min_sessions convention). Adjacency is
+    removed with one anti-join against the edge list. Output: part_a,
+    part_b, common_neighbors, jaccard, adamic_adar."""
+    if edges is None:
+        edges = copurchase_edges(lineitem)
+    und = edges.select("part_a", "part_b")
+    both = und.select(
+        F.col("part_a").alias("z"), F.col("part_b").alias("p")
+    ).unionAll(
+        und.select(F.col("part_b").alias("z"), F.col("part_a").alias("p"))
+    )
+    deg = both.groupBy("z").agg(F.count("*").alias("d"))
+    centers = both.join(
+        deg.filter(F.col("d") <= max_hub_degree), "z"
+    )
+    wedges = (
+        centers.select("z", F.col("p").alias("pa"), F.col("d").alias("dz"))
+        .join(
+            centers.select("z", F.col("p").alias("pb")),
+            "z",
+        )
+        .filter(F.col("pa") < F.col("pb"))
+    )
+    scored = wedges.groupBy("pa", "pb").agg(
+        F.count("*").alias("common_neighbors"),
+        F.sum(1.0 / F.log("dz")).alias("aa_raw"),
+    )
+    cand = (
+        scored.filter(F.col("common_neighbors") >= min_common)
+        .join(
+            und.withColumnRenamed("part_a", "pa").withColumnRenamed(
+                "part_b", "pb"
+            ),
+            ["pa", "pb"],
+            "left_anti",
+        )
+    )
+    da = deg.select(F.col("z").alias("pa"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("z").alias("pb"), F.col("d").alias("deg_b"))
+    return (
+        cand.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors")
+                / (
+                    F.col("deg_a")
+                    + F.col("deg_b")
+                    - F.col("common_neighbors")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("aa_raw"), 6).alias("adamic_adar"),
+        )
+    )
+
+
+#: synchronous label-propagation round budget — both engines run
+#: exactly this many rounds (truncation is part of the semantics)
+_LPA_ROUNDS = 6
+
+
+def label_propagation_bounded(
+    lineitem: DataFrame,
+    rounds: int = _LPA_ROUNDS,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation with a
+    fixed round budget: every vertex starts as its own label; each
+    round it adopts the most frequent label among its neighbors
+    (ties → smallest label; a vertex's own label does not vote).
+    Fixed rounds + deterministic tie-break make the algorithm exactly
+    mirrorable as unrolled CTEs — the kcore_bounded convention —
+    trading the classic LPA stopping rule for oracle-able semantics
+    (sync LPA can oscillate on bipartite-ish structure; a fixed budget
+    just reports the round-``rounds`` labeling). Output: community
+    label histogram (community, n_parts, min_part) — the stable
+    surface; per-part labels are the intermediate.
+
+    Scale shape: each round is one broadcast-free (edge ⋈ label) join
+    keyed on the vertex + one (vertex, label) count + one argmax
+    window over (vertex) — all on the edge partitioning; the label
+    frame is vertex-grain. localCheckpoint per round keeps lineage
+    flat (the pagerank lesson)."""
+    from pyspark.sql.window import Window
+
+    if edges is None:
+        edges = copurchase_edges(lineitem)
+    both = (
+        edges.select(F.col("part_a").alias("v"), F.col("part_b").alias("u"))
+        .unionAll(
+            edges.select(
+                F.col("part_b").alias("v"), F.col("part_a").alias("u")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = both.select("v").distinct().withColumn(
+        "label", F.col("v")
+    )
+    w = Window.partitionBy("v").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        votes = (
+            both.join(
+                labels.select(
+                    F.col("v").alias("u"), F.col("label")
+                ),
+                "u",
+            )
+            .groupBy("v", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("v", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.min("v").alias("min_part"),
+    ).select(
+        F.col("label").alias("community"), "n_parts", "min_part"
+    )

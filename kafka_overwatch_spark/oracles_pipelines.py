@@ -4595,4 +4595,118 @@ SELECT channel, round(p_full, 6) + 0.0 AS p_conv_full,
     THEN re / re_sum END, 6) + 0.0 AS credit_share
 FROM meff, mtot"""
 
+
+    # link prediction: wedge self-join keyed on the shared neighbor,
+    # hub centers excluded (part of the semantics), adjacency removed
+    # by anti-join; Jaccard is exact int arithmetic + one division
+    q["graph_link_prediction"] = """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS MATERIALIZED (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+both_dir AS MATERIALIZED (
+  SELECT part_a AS z, part_b AS p FROM und
+  UNION ALL SELECT part_b AS z, part_a AS p FROM und
+),
+deg AS MATERIALIZED (SELECT z, count(*) AS d FROM both_dir GROUP BY z),
+centers AS (
+  SELECT b.z, b.p, dg.d FROM both_dir b JOIN deg dg ON b.z = dg.z
+  WHERE dg.d <= 500
+),
+scored AS (
+  SELECT a.p AS pa, b.p AS pb, count(*) AS common_neighbors,
+    sum(1.0 / ln(a.d)) AS aa_raw
+  FROM centers a JOIN centers b ON a.z = b.z AND a.p < b.p
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT s.* FROM scored s
+  LEFT JOIN und e ON s.pa = e.part_a AND s.pb = e.part_b
+  WHERE e.part_a IS NULL AND s.common_neighbors >= 25
+)
+SELECT c.pa AS part_a, c.pb AS part_b,
+  CAST(c.common_neighbors AS BIGINT) AS common_neighbors,
+  round(CAST(c.common_neighbors AS DOUBLE)
+    / (da.d + db.d - c.common_neighbors), 6) AS jaccard,
+  round(c.aa_raw, 6) AS adamic_adar
+FROM cand c JOIN deg da ON c.pa = da.z JOIN deg db ON c.pb = db.z"""
+
+    # bounded synchronous label propagation: 6 rounds unrolled as
+    # chained (vote count + argmax window) CTEs, ties to the smallest
+    # label — deterministic, so the round-6 labeling matches exactly
+    q["graph_label_propagation"] = """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+lund AS MATERIALIZED (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+lboth AS MATERIALIZED (
+  SELECT part_a AS v, part_b AS u FROM lund
+  UNION ALL SELECT part_b AS v, part_a AS u FROM lund
+),
+lv0 AS (SELECT DISTINCT v, v AS label FROM lboth)
+,
+lv1 AS (
+  SELECT v, label FROM (
+    SELECT b.v, l.label, count(*) AS cnt,
+      row_number() OVER (PARTITION BY b.v
+        ORDER BY count(*) DESC, l.label ASC) AS rk
+    FROM lboth b JOIN lv0 l ON b.u = l.v
+    GROUP BY b.v, l.label
+  ) WHERE rk = 1
+),
+lv2 AS (
+  SELECT v, label FROM (
+    SELECT b.v, l.label, count(*) AS cnt,
+      row_number() OVER (PARTITION BY b.v
+        ORDER BY count(*) DESC, l.label ASC) AS rk
+    FROM lboth b JOIN lv1 l ON b.u = l.v
+    GROUP BY b.v, l.label
+  ) WHERE rk = 1
+),
+lv3 AS (
+  SELECT v, label FROM (
+    SELECT b.v, l.label, count(*) AS cnt,
+      row_number() OVER (PARTITION BY b.v
+        ORDER BY count(*) DESC, l.label ASC) AS rk
+    FROM lboth b JOIN lv2 l ON b.u = l.v
+    GROUP BY b.v, l.label
+  ) WHERE rk = 1
+),
+lv4 AS (
+  SELECT v, label FROM (
+    SELECT b.v, l.label, count(*) AS cnt,
+      row_number() OVER (PARTITION BY b.v
+        ORDER BY count(*) DESC, l.label ASC) AS rk
+    FROM lboth b JOIN lv3 l ON b.u = l.v
+    GROUP BY b.v, l.label
+  ) WHERE rk = 1
+),
+lv5 AS (
+  SELECT v, label FROM (
+    SELECT b.v, l.label, count(*) AS cnt,
+      row_number() OVER (PARTITION BY b.v
+        ORDER BY count(*) DESC, l.label ASC) AS rk
+    FROM lboth b JOIN lv4 l ON b.u = l.v
+    GROUP BY b.v, l.label
+  ) WHERE rk = 1
+),
+lv6 AS (
+  SELECT v, label FROM (
+    SELECT b.v, l.label, count(*) AS cnt,
+      row_number() OVER (PARTITION BY b.v
+        ORDER BY count(*) DESC, l.label ASC) AS rk
+    FROM lboth b JOIN lv5 l ON b.u = l.v
+    GROUP BY b.v, l.label
+  ) WHERE rk = 1
+)
+SELECT label AS community, CAST(count(*) AS BIGINT) AS n_parts,
+  min(v) AS min_part
+FROM lv6 GROUP BY label"""
+
     return q

@@ -1390,6 +1390,18 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["graph_kcore_bounded"] = lambda s, d: graph.kcore_bounded(
         raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
     )
+    # r10: neighborhood link prediction (common-neighbors / Jaccard /
+    # Adamic-Adar over hub-capped wedges, adjacency anti-joined away)
+    q["graph_link_prediction"] = lambda s, d: graph.link_prediction(
+        raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
+    )
+    # r10: bounded synchronous label propagation (6 unrolled rounds,
+    # deterministic min-label tie-break — the kcore_bounded recipe)
+    q["graph_label_propagation"] = (
+        lambda s, d: graph.label_propagation_bounded(
+            raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
+        )
+    )
     # r7 continuation: triangle count + global clustering coefficient
     # (oracle-able; three keyed self-joins, no vertex broadcast)
     q["graph_clustering"] = lambda s, d: graph.clustering_coefficient(
@@ -1511,6 +1523,8 @@ _PROMOTED = [
     "ann_tune_frontier",
     "graph_kcore_bounded",
     "events_markov_attribution",
+    "graph_link_prediction",
+    "graph_label_propagation",
     "events_shapley_attribution",
     "events_cuped",
     "events_ols_trend",

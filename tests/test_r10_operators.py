@@ -123,3 +123,51 @@ def test_markov_removal_effect_hand_computed(spark):
     assert out["view"]["credit_share"] == pytest.approx(0.5, abs=1e-6)
     # channels absent from every path: removing them changes nothing
     assert "error" not in out  # never observed in any session
+
+
+def _edges(spark, pairs):
+    from kafka_overwatch_spark.operators import graph  # noqa: F401
+
+    return spark.createDataFrame(
+        [(a, b, 1) for a, b in pairs],
+        "part_a long, part_b long, weight long",
+    )
+
+
+def test_link_prediction_path_and_hub_cap(spark):
+    from kafka_overwatch_spark.operators import graph
+
+    # path 1-2-3: the only non-adjacent pair with a common neighbor is
+    # (1,3) via 2 → cn 1, jaccard 1/(1+1-1)=1, aa 1/ln(deg 2)
+    e = _edges(spark, [(1, 2), (2, 3)])
+    out = graph.link_prediction(None, min_common=1, edges=e).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["part_a"], r["part_b"], r["common_neighbors"]) == (1, 3, 1)
+    assert r["jaccard"] == pytest.approx(1.0, abs=1e-6)
+    assert r["adamic_adar"] == pytest.approx(1 / __import__("math").log(2), abs=1e-5)
+    # star 10-{11,12,13}: with the hub cap below 10's degree the
+    # center is excluded and NO pair is predicted
+    star = _edges(spark, [(10, 11), (10, 12), (10, 13)])
+    assert (
+        graph.link_prediction(
+            None, min_common=1, max_hub_degree=2, edges=star
+        ).count()
+        == 0
+    )
+    assert (
+        graph.link_prediction(None, min_common=1, edges=star).count() == 3
+    )
+
+
+def test_label_propagation_two_triangles(spark):
+    from kafka_overwatch_spark.operators import graph
+
+    # two disjoint triangles: min-label tie-breaks settle each on its
+    # smallest vertex by round 2 → histogram {1: 3, 4: 3}
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)])
+    out = {
+        r["community"]: (r["n_parts"], r["min_part"])
+        for r in graph.label_propagation_bounded(None, edges=e).collect()
+    }
+    assert out == {1: (3, 1), 4: (3, 4)}
