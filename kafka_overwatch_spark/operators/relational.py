@@ -4439,3 +4439,95 @@ def markov_attribution(
         "channel string, p_conv_full double, p_conv_removed double, "
         "removal_effect double, credit_share double",
     )
+
+
+def changepoint_daily(events: DataFrame) -> DataFrame:
+    """Single-changepoint detection per event type by binary
+    segmentation over the daily count series: the split that maximizes
+    the between-segment sum-of-squares reduction
+    gain(τ) = S₁²/n₁ + S₂²/n₂ − S²/n (ties → earliest day), with the
+    before/after means — "did this stream's level shift, and when",
+    the alerting step up from the monotone trend tests (Theil–Sen,
+    OLS). Prefix sums are INTEGER-EXACT decimal(38,0) windows over the
+    bounded per-type day grain; the gain is formed from exact integers
+    with the divisions done once per candidate (identical doubles in
+    both engines; the ARGMAX ranks on the exact integer gain
+    numerator, ties → earliest day). Series
+    with < 2 days NULL-propagate honestly.
+
+    Scale shape: one day×type aggregate off the fact table; the window
+    and argmax run per type over ≤|days| rows (partitioned by type —
+    no single-partition exchange). Output: event_type, days,
+    change_day, days_before, mean_before, mean_after, gain."""
+    from pyspark.sql.window import Window
+
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = events.groupBy(F.col("event_type"), day.alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    wt = Window.partitionBy("event_type")
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    pre = (
+        daily.withColumn("cum", F.sum(cd).over(wo))
+        .withColumn("i", F.row_number().over(
+            Window.partitionBy("event_type").orderBy("day")
+        ))
+        .withColumn("n", F.count("*").over(wt))
+        .withColumn("s", F.sum(cd).over(wt))
+    )
+    # the gain is ranked on its EXACT integer numerator
+    # n·n₂·S₁² + n·n₁·S₂² − n₁·n₂·S² (clearing the denominators of
+    # S₁²/n₁ + S₂²/n₂ − S²/n): a float gain would rank on a
+    # cancellation residue that drifts between engines once S² grows
+    # past double precision; the reported double divides two
+    # identically-derived exact values once
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n1 = d38(F.col("i"))
+    n2 = d38(F.col("n") - F.col("i"))
+    nn = d38(F.col("n"))
+    s1 = F.col("cum")
+    s2 = F.col("s") - F.col("cum")
+    g_num = nn * n2 * s1 * s1 + nn * n1 * s2 * s2 - n1 * n2 * F.col(
+        "s"
+    ) * F.col("s")
+    cands = pre.filter(F.col("i") < F.col("n")).select(
+        "event_type",
+        "day",
+        "i",
+        F.col("n"),
+        g_num.alias("g_num"),
+        F.round(
+            g_num.cast("double")
+            / (n1 * n2 * nn).cast("double"),
+            6,
+        ).alias("gain"),
+        F.round(s1.cast("double") / n1.cast("double"), 6).alias(
+            "mean_before"
+        ),
+        F.round(s2.cast("double") / n2.cast("double"), 6).alias(
+            "mean_after"
+        ),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("g_num").desc(), F.col("day").asc()
+    )
+    return (
+        cands.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("days"),
+            F.to_date(
+                F.timestamp_seconds(F.col("day") * 86400)
+            ).cast("string").alias("change_day"),
+            F.col("i").cast("long").alias("days_before"),
+            "mean_before",
+            "mean_after",
+            "gain",
+        )
+    )

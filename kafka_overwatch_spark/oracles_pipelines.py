@@ -4709,4 +4709,117 @@ SELECT label AS community, CAST(count(*) AS BIGINT) AS n_parts,
   min(v) AS min_part
 FROM lv6 GROUP BY label"""
 
+
+    # DBSCAN-style density profile: exact neighbor counting on the
+    # round-6 cosine (the family's determinism convention)
+    q["emb_density_cores"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+neigh AS (
+  SELECT a.vec_id AS va, count(*) AS n_neighbors
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+  WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.3
+  GROUP BY 1
+)
+SELECT e.vec_id,
+  CAST(coalesce(n.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+  coalesce(n.n_neighbors, 0) >= 3 AS is_core
+FROM e LEFT JOIN neigh n ON e.vec_id = n.va"""
+
+    # Madow PPS systematic sampling: tick counting is pure HUGEINT
+    # floor division (mirrors Spark's decimal `div`) — no float tick
+    # positions anywhere
+    q["sampling_pps_systematic"] = """
+WITH cum AS (
+  SELECT doc_id, n_chars,
+    sum(CAST(n_chars AS HUGEINT)) OVER (ORDER BY doc_id
+      ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(CAST(n_chars AS HUGEINT)) OVER () AS w_total
+  FROM documents
+),
+sel AS (
+  SELECT *,
+    ((400 * cum + w_total) // (2 * w_total))
+      - ((400 * (cum - n_chars) + w_total) // (2 * w_total))
+      AS multiplicity
+  FROM cum
+)
+SELECT doc_id, n_chars,
+  round(CAST(n_chars AS DOUBLE) / CAST(w_total AS DOUBLE), 6)
+    AS weight_share,
+  CAST(multiplicity AS BIGINT) AS multiplicity
+FROM sel WHERE multiplicity >= 1"""
+
+    # per-doc 5-gram novelty: one gram-keyed aggregate recovers
+    # corpus-unique grams (doc_n = 1) without a pair join
+    q["text_ngram_novelty"] = """
+WITH norm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN
+      list_transform(generate_series(1, len(toks) - 4),
+        i -> array_to_string(toks[i:i+4], ' '))
+      ELSE [] END) AS gram
+    FROM tok)
+),
+gd AS (SELECT gram, count(*) AS doc_n FROM grams GROUP BY 1),
+per_doc AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+    sum(CASE WHEN gd.doc_n = 1 THEN 1 ELSE 0 END) AS novel_grams
+  FROM grams g JOIN gd ON g.gram = gd.gram
+  GROUP BY 1
+)
+SELECT n.doc_id,
+  CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(p.novel_grams, 0) AS BIGINT) AS novel_grams,
+  round(CASE WHEN p.n_grams > 0
+    THEN CAST(p.novel_grams AS DOUBLE) / p.n_grams END, 6) AS novelty
+FROM norm n LEFT JOIN per_doc p ON n.doc_id = p.doc_id"""
+
+    # single changepoint by binary segmentation: argmax ranks on the
+    # EXACT integer gain numerator (HUGEINT), mirroring Spark's
+    # decimal(38,0) ranking; the reported gain divides two
+    # identically-derived exact values once
+    q["events_changepoint"] = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+    count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+pre AS (
+  SELECT event_type, day,
+    sum(CAST(c AS HUGEINT)) OVER (PARTITION BY event_type
+      ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum,
+    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+    count(*) OVER (PARTITION BY event_type) AS n,
+    sum(CAST(c AS HUGEINT)) OVER (PARTITION BY event_type) AS s
+  FROM daily
+),
+cands AS (
+  SELECT event_type, day, i, n,
+    CAST(n AS HUGEINT) * (n - i) * cum * cum
+      + CAST(n AS HUGEINT) * i * (s - cum) * (s - cum)
+      - CAST(i AS HUGEINT) * (n - i) * s * s AS g_num,
+    round(CAST(cum AS DOUBLE) / i, 6) AS mean_before,
+    round(CAST(s - cum AS DOUBLE) / (n - i), 6) AS mean_after
+  FROM pre WHERE i < n
+),
+r AS (
+  SELECT *,
+    round(CAST(g_num AS DOUBLE)
+      / (CAST(i AS DOUBLE) * (n - i) * n), 6) AS gain,
+    row_number() OVER (PARTITION BY event_type
+      ORDER BY g_num DESC, day ASC) AS rk
+  FROM cands
+)
+SELECT event_type, CAST(n AS BIGINT) AS days,
+  strftime(to_timestamp(day * 86400), '%Y-%m-%d') AS change_day,
+  CAST(i AS BIGINT) AS days_before, mean_before, mean_after, gain
+FROM r WHERE rk = 1"""
+
     return q

@@ -991,3 +991,65 @@ def dsir_ess(
             F.round(F.col("ess") / F.col("n_docs"), 6).alias("ess_frac"),
         )
     )
+
+
+def pps_systematic(
+    documents: DataFrame, n: int = 200
+) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling (Madow's
+    method) of documents weighted by length: lay every doc's n_chars
+    along a line in doc_id order, drop ``n`` equally-spaced ticks
+    starting at half a step (midpoint systematic — fully deterministic,
+    no RNG), and select each doc once per tick inside its interval.
+    Inclusion probability is exactly proportional to weight;
+    heavier-than-step docs enter with multiplicity > 1 (reported).
+    The length-weighted cousin of the deterministic split family:
+    token-budget-proportional corpus subsampling in one pass.
+
+    EXACT INTEGER semantics: tick k sits at (2k+1)·W/(2n); the number
+    of ticks ≤ c is floor((2n·c + W)/(2W)) — all decimal(38,0)
+    arithmetic on nonnegative values, so Spark and DuckDB agree
+    bit-for-bit (no float tick positions). The prefix sums come from
+    exact_global_cumsum (range exchange + slice windows + triangular
+    offset broadcast — no single-partition window; the 100 TB shape).
+    Output: doc_id, n_chars, weight_share, multiplicity."""
+    from .util import exact_global_cumsum
+
+    w = F.col("n_chars").cast("decimal(38,0)")
+    cum = exact_global_cumsum(
+        documents.select("doc_id", "n_chars"),
+        [F.col("doc_id").asc()],
+        w,
+        cum_col="cum",
+        total_col="w_total",
+    )
+    two_n = F.lit(2 * n).cast("decimal(38,0)")
+    big_w = F.col("w_total").cast("decimal(38,0)")
+    prev = F.col("cum") - F.col("n_chars").cast("decimal(38,0)")
+    # `div` (integral division), NOT floor(a / b): Spark decimal
+    # division rounds to the result scale first, so a quotient within
+    # 5e-7 of an integer (spacing is 1/(2W) — reachable at sf ≥ 0.1)
+    # would round UP across the floor boundary
+    staged = (
+        cum.withColumn("_num_cum", two_n * F.col("cum") + big_w)
+        .withColumn("_num_prev", two_n * prev + big_w)
+        .withColumn("_den", F.lit(2).cast("decimal(38,0)") * big_w)
+    )
+    return (
+        staged.withColumn(
+            "multiplicity",
+            F.expr("_num_cum div _den") - F.expr("_num_prev div _den"),
+        )
+        .drop("_num_cum", "_num_prev", "_den")
+        .filter(F.col("multiplicity") >= 1)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round(
+                F.col("n_chars").cast("double")
+                / F.col("w_total").cast("double"),
+                6,
+            ).alias("weight_share"),
+            F.col("multiplicity"),
+        )
+    )

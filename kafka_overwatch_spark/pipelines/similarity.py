@@ -2515,3 +2515,52 @@ def choose_ann_config(
         .collect()[0]
     )
     return int(row["bits"]), int(row["tables"])
+
+
+def density_cores(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    min_pts: int = 3,
+) -> DataFrame:
+    """DBSCAN-style density profile over the embedding space: for every
+    vector, the count of OTHER vectors within the cosine-similarity
+    radius (round-6 cosine ≥ ``threshold``, the family's determinism
+    convention) and the resulting core/non-core flag (≥ ``min_pts``
+    neighbors) — the "is this point in a dense semantic region or an
+    outlier" primitive that clustering, dedup-aggressiveness tuning,
+    and outlier-based quality filters all read. Exact by self-join,
+    quadratic-guarded like every brute pair pass in this family.
+
+    Scale path: swap the exact pair generation for the LSH/IVF
+    candidate machinery (lsh_neighbor_pairs at 16-24 bits, or the
+    persisted IVF cell-probe index) and keep this exact form as the
+    recall audit — identical to the brute/indexed split the ANN top-k
+    family already documents. Output: vec_id, n_neighbors, is_core."""
+    e = spread(embeddings).select("vec_id", "embedding")
+    _guard_quadratic(e, "density_cores", MAX_QUADRATIC_ROWS)
+    a = e.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("emb_a")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("emb_b")
+    )
+    neigh = (
+        a.join(b, F.col("va") != F.col("vb"))
+        .filter(
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6)
+            >= threshold
+        )
+        .groupBy("va")
+        .agg(F.count("*").alias("n_neighbors"))
+    )
+    return (
+        e.select(F.col("vec_id"))
+        .join(neigh.withColumnRenamed("va", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("n_neighbors"),
+            (
+                F.coalesce(F.col("n_neighbors"), F.lit(0)) >= min_pts
+            ).alias("is_core"),
+        )
+    )

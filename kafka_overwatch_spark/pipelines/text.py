@@ -1287,3 +1287,56 @@ def hill_tail_index(documents: DataFrame, k: int = 100) -> DataFrame:
             ).alias("tail_mass_frac"),
         )
     )
+
+
+def ngram_novelty(documents: DataFrame, n: int = 5) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    word n-grams that appear in no other document — the
+    memorization/diversity audit (a corpus of templated near-copies
+    scores ~0; genuinely novel text ~1), and the per-doc complement of
+    the pairwise dedup screens: it quantifies how much of each doc is
+    corpus-unique without enumerating pairs. Same normalized tokens as
+    the fingerprint/winnowing family; docs shorter than n grams emit
+    n_grams = 0 with NULL novelty (no fake 0-or-1 score).
+
+    Scale shape: ONE explode + (gram)-keyed aggregate carrying
+    count(distinct-per-doc occurrences) and min/max doc — a gram is
+    corpus-unique iff exactly one doc holds it, recovered without a
+    second self-join by counting grams whose doc-count is 1; the
+    per-doc rollup re-keys on doc_id. Two shuffles total, both on
+    hashable keys; gram skew is bounded because per-doc grams are
+    DISTINCT. Output: doc_id, n_grams, novel_grams, novelty."""
+    grams = documents.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_full_grams(_norm_tokens(), n))
+        ).alias("gram"),
+    )
+    gram_docs = grams.groupBy("gram").agg(
+        F.count("*").alias("doc_n")
+    )
+    per_doc = (
+        grams.join(gram_docs, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("doc_n") == 1).cast("long")).alias("novel_grams"),
+        )
+    )
+    return (
+        documents.filter(F.col("text").isNotNull())
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("novel_grams"), F.lit(0)).alias("novel_grams"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.col("novel_grams") / F.col("n_grams").cast("double"),
+                ),
+                6,
+            ).alias("novelty"),
+        )
+    )

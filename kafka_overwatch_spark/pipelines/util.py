@@ -167,3 +167,51 @@ def ntile_from_rank(i: Column, n: Column, k: int) -> Column:
         )
         .cast("long")
     )
+
+
+def exact_global_cumsum(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    weight: Column,
+    cum_col: str = "cum",
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact inclusive global running sum of ``weight`` over a total
+    order WITHOUT a single-partition window — the prefix-SUM sibling of
+    :func:`exact_global_rank` (same plan shape: range exchange →
+    per-slice window → tiny triangular slice-offset broadcast). The
+    weight is summed as given; pass an integer/decimal column for
+    bit-exact cross-engine prefixes. ``total_col`` optionally attaches
+    the grand total to every row."""
+    spark = df.sparkSession
+    n = num_partitions or shuffle_partitions(spark)
+    from pyspark.sql.window import Window
+
+    ranged = (
+        df.withColumn("_egc_w", weight)
+        .repartitionByRange(n, *order_cols)
+        .withColumn("_egc_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    local = ranged.withColumn(
+        "_egc_run",
+        F.sum("_egc_w").over(
+            Window.partitionBy("_egc_pid")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sums = ranged.groupBy("_egc_pid").agg(F.sum("_egc_w").alias("_egc_cnt"))
+    offsets = cumulative_offsets(
+        sums, "_egc_pid", "_egc_cnt", "_egc_off"
+    ).select("_egc_pid", "_egc_off")
+    out = (
+        local.join(F.broadcast(offsets), "_egc_pid")
+        .withColumn(cum_col, F.col("_egc_off") + F.col("_egc_run"))
+        .drop("_egc_pid", "_egc_run", "_egc_off", "_egc_w")
+    )
+    if total_col is not None:
+        total = sums.agg(F.sum("_egc_cnt").alias(total_col))
+        out = out.crossJoin(F.broadcast(total))
+    return out

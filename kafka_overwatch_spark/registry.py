@@ -651,6 +651,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_topk"] = lambda s, d: similarity.brute_force_topk_vectorized(
         raw(s, d, "embeddings")
     )
+    # r10: DBSCAN-style density profile (exact neighbor counts at
+    # round-6 cosine >= 0.3; LSH/IVF candidates are the scale path)
+    q["emb_density_cores"] = lambda s, d: similarity.density_cores(
+        raw(s, d, "embeddings")
+    )
     # r8: exact MIPS baseline (unnormalized dot; norm-augmentation is
     # the documented scale reduction onto the LSH/IVF cosine paths)
     q["emb_mips_topk"] = lambda s, d: similarity.mips_topk(
@@ -743,6 +748,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         raw(s, d, "documents")
     )
     # r9: Hill power-law tail index of document lengths
+    # r10: per-doc 5-gram corpus-novelty (memorization/diversity audit)
+    q["text_ngram_novelty"] = lambda s, d: textops.ngram_novelty(
+        raw(s, d, "documents")
+    )
     q["text_hill_tail_index"] = lambda s, d: textops.hill_tail_index(
         raw(s, d, "documents")
     )
@@ -933,6 +942,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sampling_kfold"] = lambda s, d: sampling.kfold_assignment(
         raw(s, d, "documents")
     )
+    # r10: Madow PPS systematic sample (length-weighted, RNG-free,
+    # exact integer tick counting over exact_global_cumsum prefixes)
+    q["sampling_pps_systematic"] = lambda s, d: sampling.pps_systematic(
+        raw(s, d, "documents")
+    )
     # r7 late: token-budget epoch planner (temperature mixture in
     # token units) + RFM segmentation cube + the Q12 conditional-agg
     # shape that completed the TPC-H sweep
@@ -1072,6 +1086,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r10: Markov removal-effect attribution (unrolled absorption)
     q["events_markov_attribution"] = (
         lambda s, d: relational.markov_attribution(raw(s, d, "events"))
+    )
+    # r10: single-changepoint binary segmentation on daily counts
+    q["events_changepoint"] = lambda s, d: relational.changepoint_daily(
+        raw(s, d, "events")
     )
     # r10: CUPED variance-reduced A/B readout (pre-period covariate)
     q["events_cuped"] = lambda s, d: relational.cuped_adjusted_ab(
@@ -1525,6 +1543,10 @@ _PROMOTED = [
     "events_markov_attribution",
     "graph_link_prediction",
     "graph_label_propagation",
+    "emb_density_cores",
+    "sampling_pps_systematic",
+    "text_ngram_novelty",
+    "events_changepoint",
     "events_shapley_attribution",
     "events_cuped",
     "events_ols_trend",

@@ -171,3 +171,92 @@ def test_label_propagation_two_triangles(spark):
         for r in graph.label_propagation_bounded(None, edges=e).collect()
     }
     assert out == {1: (3, 1), 4: (3, 4)}
+
+
+def test_density_cores_clique_and_outlier(spark):
+    from kafka_overwatch_spark.pipelines import similarity
+
+    dim = 64
+    a = [1.0] + [0.0] * (dim - 1)
+    b = [0.0, 1.0] + [0.0] * (dim - 2)
+    rows = [(i, a, 0) for i in range(4)] + [(9, b, 1)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["vec_id"]: r for r in similarity.density_cores(emb).collect()}
+    for i in range(4):
+        assert out[i]["n_neighbors"] == 3 and out[i]["is_core"]
+    assert out[9]["n_neighbors"] == 0 and not out[9]["is_core"]
+
+
+def _docs_chars(spark, chars):
+    return spark.createDataFrame(
+        [(i + 1, "x", "en", "s", c) for i, c in enumerate(chars)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_pps_systematic_ticks_and_multiplicity(spark):
+    from kafka_overwatch_spark.pipelines import sampling
+
+    # W=4, n=2 → ticks at 1 and 3: docs 1 and 3 selected once each
+    out = {
+        r["doc_id"]: r
+        for r in sampling.pps_systematic(
+            _docs_chars(spark, [1, 1, 1, 1]), n=2
+        ).collect()
+    }
+    assert set(out) == {1, 3}
+    assert all(r["multiplicity"] == 1 for r in out.values())
+    # W=12, n=4 → ticks at 1.5, 4.5, 7.5, 10.5: the weight-10 doc
+    # absorbs three ticks, doc 2 one, doc 3 none
+    out = {
+        r["doc_id"]: r
+        for r in sampling.pps_systematic(
+            _docs_chars(spark, [10, 1, 1]), n=4
+        ).collect()
+    }
+    assert out[1]["multiplicity"] == 3
+    assert out[2]["multiplicity"] == 1
+    assert 3 not in out
+
+
+def test_ngram_novelty_dup_unique_short(spark):
+    from kafka_overwatch_spark.pipelines import text as textops
+
+    dup = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, dup, "en", "s", len(dup)),
+            (2, dup, "en", "s", len(dup)),
+            (3, "one two three four five six seven", "en", "s", 30),
+            (4, "too short here", "en", "s", 14),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        r["doc_id"]: r for r in textops.ngram_novelty(docs).collect()
+    }
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    assert out[3]["novelty"] == 1.0 and out[3]["n_grams"] == 3
+    assert out[4]["n_grams"] == 0 and out[4]["novelty"] is None
+
+
+def test_changepoint_level_shift(spark):
+    # counts 2,2,2,10,10,10 → split after day 3: means 2 vs 10,
+    # gain = 12 + 300 - 216 = 96
+    rows = []
+    for d in (1, 2, 3):
+        rows += [(1, d, h, "click", 1.0) for h in range(2)]
+    for d in (4, 5, 6):
+        rows += [(1, d, h, "click", 1.0) for h in range(10)]
+    r = {
+        x["event_type"]: x
+        for x in relational.changepoint_daily(_events(spark, rows)).collect()
+    }["click"]
+    assert r["days"] == 6
+    assert r["change_day"] == "2024-01-03"
+    assert r["days_before"] == 3
+    assert r["mean_before"] == pytest.approx(2.0, abs=1e-6)
+    assert r["mean_after"] == pytest.approx(10.0, abs=1e-6)
+    assert r["gain"] == pytest.approx(96.0, abs=1e-6)
