@@ -4531,3 +4531,98 @@ def changepoint_daily(events: DataFrame) -> DataFrame:
             "gain",
         )
     )
+
+
+def conformal_daily_interval(
+    events: DataFrame,
+    cal_days: int = 20,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal prediction interval for daily event counts, per
+    type: the first ``cal_days`` observed days calibrate (point
+    forecast = calibration mean; nonconformity = |count − mean|), the
+    remaining days are the held-out test window. The interval is
+    mean ± q̂ where q̂ is the ⌈(n_cal+1)(1−α)⌉-th smallest calibration
+    residual — the distribution-free guarantee P(covered) ≥ 1−α
+    (Vovk et al.), reported against the REALIZED test coverage: the
+    "are my forecast intervals honest" audit in one row per type.
+    q̂ selection is an exact integer rank over ≤cal_days rows; the
+    mean and residuals derive from integer-exact count sums (one
+    double division each), so cross-engine parity is exact.
+
+    Scale shape: one day×type aggregate off the fact table; windows
+    run per type over the bounded day grain. Output: event_type,
+    n_cal, n_test, point, q_hat, lo, hi, test_covered, coverage."""
+    from pyspark.sql.window import Window
+
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = events.groupBy(F.col("event_type"), day.alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    wt = Window.partitionBy("event_type")
+    idx = daily.withColumn(
+        "i",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("day")
+        ),
+    )
+    cal = idx.filter(F.col("i") <= cal_days)
+    test = idx.filter(F.col("i") > cal_days)
+    cal_stats = cal.groupBy("event_type").agg(
+        F.count("*").alias("n_cal"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s_cal"),
+    )
+    with_mean = cal.join(F.broadcast(cal_stats), "event_type").withColumn(
+        "mu",
+        F.col("s_cal").cast("double") / F.col("n_cal").cast("double"),
+    )
+    # rank residuals per type; q̂ = the k-th smallest with
+    # k = ceil((n_cal + 1)(1 − α)) capped at n_cal (standard finite
+    # correction). Ties in |residual| are harmless: the k-th order
+    # STATISTIC is selected, any row bearing it works
+    resid = with_mean.withColumn(
+        "r", F.abs(F.col("c").cast("double") - F.col("mu"))
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("r").asc(), F.col("day").asc()
+            )
+        ),
+    )
+    k = F.least(
+        F.ceil(
+            (F.col("n_cal") + 1).cast("double") * F.lit(1.0 - alpha)
+        ).cast("long"),
+        F.col("n_cal"),
+    )
+    qhat = (
+        resid.filter(F.col("rk") == k)
+        .select("event_type", F.col("r").alias("q_hat"), "mu", "n_cal")
+    )
+    covered = (
+        test.join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type", "q_hat", "mu", "n_cal")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(
+                (
+                    F.abs(F.col("c").cast("double") - F.col("mu"))
+                    <= F.col("q_hat")
+                ).cast("long")
+            ).alias("test_covered"),
+        )
+    )
+    return covered.select(
+        "event_type",
+        F.col("n_cal").cast("long").alias("n_cal"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.round(F.col("mu"), 6).alias("point"),
+        F.round(F.col("q_hat"), 6).alias("q_hat"),
+        F.round(F.col("mu") - F.col("q_hat"), 6).alias("lo"),
+        F.round(F.col("mu") + F.col("q_hat"), 6).alias("hi"),
+        "test_covered",
+        F.round(
+            F.col("test_covered") / F.col("n_test").cast("double"), 6
+        ).alias("coverage"),
+    )

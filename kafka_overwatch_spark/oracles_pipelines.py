@@ -4822,4 +4822,53 @@ SELECT event_type, CAST(n AS BIGINT) AS days,
   CAST(i AS BIGINT) AS days_before, mean_before, mean_after, gain
 FROM r WHERE rk = 1"""
 
+
+    # split-conformal daily interval: q̂ is an exact integer-rank
+    # order statistic over the bounded calibration grain
+    q["events_conformal_interval"] = """
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+    count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day)
+    AS i
+  FROM daily
+),
+cal AS (SELECT * FROM idx WHERE i <= 20),
+tst AS (SELECT * FROM idx WHERE i > 20),
+cs AS (
+  SELECT event_type, count(*) AS n_cal,
+    CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE) / count(*) AS mu
+  FROM cal GROUP BY 1
+),
+resid AS (
+  SELECT cal.event_type, cal.day, cs.n_cal, cs.mu,
+    abs(CAST(cal.c AS DOUBLE) - cs.mu) AS r,
+    row_number() OVER (PARTITION BY cal.event_type
+      ORDER BY abs(CAST(cal.c AS DOUBLE) - cs.mu) ASC, cal.day ASC)
+      AS rk
+  FROM cal JOIN cs ON cal.event_type = cs.event_type
+),
+qh AS (
+  SELECT event_type, r AS q_hat, mu, n_cal FROM resid
+  WHERE rk = least(CAST(ceil((n_cal + 1) * 0.9) AS BIGINT), n_cal)
+),
+cov AS (
+  SELECT t.event_type, q.q_hat, q.mu, q.n_cal,
+    count(*) AS n_test,
+    sum(CASE WHEN abs(CAST(t.c AS DOUBLE) - q.mu) <= q.q_hat
+      THEN 1 ELSE 0 END) AS test_covered
+  FROM tst t JOIN qh q ON t.event_type = q.event_type
+  GROUP BY 1, 2, 3, 4
+)
+SELECT event_type, CAST(n_cal AS BIGINT) AS n_cal,
+  CAST(n_test AS BIGINT) AS n_test,
+  round(mu, 6) AS point, round(q_hat, 6) AS q_hat,
+  round(mu - q_hat, 6) AS lo, round(mu + q_hat, 6) AS hi,
+  CAST(test_covered AS BIGINT) AS test_covered,
+  round(CAST(test_covered AS DOUBLE) / n_test, 6) AS coverage
+FROM cov"""
+
     return q

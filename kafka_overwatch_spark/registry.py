@@ -1091,6 +1091,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_changepoint"] = lambda s, d: relational.changepoint_daily(
         raw(s, d, "events")
     )
+    # r10: split-conformal daily-count interval + realized coverage
+    q["events_conformal_interval"] = (
+        lambda s, d: relational.conformal_daily_interval(
+            raw(s, d, "events")
+        )
+    )
     # r10: CUPED variance-reduced A/B readout (pre-period covariate)
     q["events_cuped"] = lambda s, d: relational.cuped_adjusted_ab(
         raw(s, d, "events")
@@ -1547,6 +1553,7 @@ _PROMOTED = [
     "sampling_pps_systematic",
     "text_ngram_novelty",
     "events_changepoint",
+    "events_conformal_interval",
     "events_shapley_attribution",
     "events_cuped",
     "events_ols_trend",

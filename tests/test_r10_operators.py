@@ -260,3 +260,23 @@ def test_changepoint_level_shift(spark):
     assert r["mean_before"] == pytest.approx(2.0, abs=1e-6)
     assert r["mean_after"] == pytest.approx(10.0, abs=1e-6)
     assert r["gain"] == pytest.approx(96.0, abs=1e-6)
+
+
+def test_conformal_interval_exact_quantile_and_coverage(spark):
+    # 4 calibration days with counts 10,10,12,14 (mu=11.5, residuals
+    # 1.5,1.5,0.5,2.5 → sorted 0.5,1.5,1.5,2.5; k=ceil(5*0.9)=5 capped
+    # at 4 → q_hat=2.5) and 2 test days 13 (|13-11.5|=1.5 ≤ 2.5 ✓)
+    # and 20 (8.5 ✗) → coverage 0.5
+    rows = []
+    for d, n in ((1, 10), (2, 10), (3, 12), (4, 14), (5, 13), (6, 20)):
+        rows += [(1, d, h % 24, "click", 1.0) for h in range(n)]
+    out = relational.conformal_daily_interval(
+        _events(spark, rows), cal_days=4
+    ).collect()
+    r = {x["event_type"]: x for x in out}["click"]
+    assert r["n_cal"] == 4 and r["n_test"] == 2
+    assert r["point"] == pytest.approx(11.5, abs=1e-6)
+    assert r["q_hat"] == pytest.approx(2.5, abs=1e-6)
+    assert (r["lo"], r["hi"]) == (pytest.approx(9.0), pytest.approx(14.0))
+    assert r["test_covered"] == 1
+    assert r["coverage"] == pytest.approx(0.5, abs=1e-6)
