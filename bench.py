@@ -229,6 +229,17 @@ EXTRA = [
     # round 10
     "ann_tune_frontier",
     "graph_kcore_bounded",
+    "events_shapley_attribution",
+    "events_markov_attribution",
+    "events_cuped",
+    "events_ols_trend",
+    "events_changepoint",
+    "events_conformal_interval",
+    "graph_link_prediction",
+    "graph_label_propagation",
+    "emb_density_cores",
+    "sampling_pps_systematic",
+    "text_ngram_novelty",
 ]
 
 

@@ -2528,39 +2528,50 @@ def density_cores(
     convention) and the resulting core/non-core flag (≥ ``min_pts``
     neighbors) — the "is this point in a dense semantic region or an
     outlier" primitive that clustering, dedup-aggressiveness tuning,
-    and outlier-based quality filters all read. Exact by self-join,
-    quadratic-guarded like every brute pair pass in this family.
+    and outlier-based quality filters all read.
 
-    Scale path: swap the exact pair generation for the LSH/IVF
-    candidate machinery (lsh_neighbor_pairs at 16-24 bits, or the
-    persisted IVF cell-probe index) and keep this exact form as the
-    recall audit — identical to the brute/indexed split the ANN top-k
+    Physical plan: ONE block-GEMM pass (the brute_force_topk_vectorized
+    recipe) — the normalized corpus broadcasts once and each Arrow
+    batch counts its rows' neighbors with a dgemm + row-sum, so there
+    is no pair materialization at all; the self-match (cosine 1 with
+    its own id) is subtracted per row. Corpus size is guarded like
+    every broadcast-corpus brute pass. Scale path: swap candidate
+    generation onto the LSH/IVF machinery (lsh_neighbor_pairs at
+    16-24 bits, or the persisted IVF cell-probe index) and keep this
+    exact form as the recall audit — the brute/indexed split the ANN
     family already documents. Output: vec_id, n_neighbors, is_core."""
-    e = spread(embeddings).select("vec_id", "embedding")
-    _guard_quadratic(e, "density_cores", MAX_QUADRATIC_ROWS)
-    a = e.select(
-        F.col("vec_id").alias("va"), F.col("embedding").alias("emb_a")
+    sc = embeddings.sparkSession.sparkContext
+    _guard_quadratic(embeddings, "density_cores", MAX_QUADRATIC_ROWS)
+    ids, mat = _normalized_corpus(embeddings)
+    b_mat = sc.broadcast(mat)
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        corpus = b_mat.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mb = np.array(
+                [list(v) for v in pdf["embedding"]], dtype=np.float64
+            )
+            mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+            cos = np.round(mb @ corpus.T, 6)
+            n = (cos >= threshold).sum(axis=1).astype(np.int64) - 1
+            yield pd.DataFrame({"vec_id": bids, "n_neighbors": n})
+
+    counted = _spread_gemm(
+        embeddings.select("vec_id", "embedding")
+    ).mapInPandas(
+        block,
+        StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("n_neighbors", LongType()),
+            ]
+        ),
     )
-    b = e.select(
-        F.col("vec_id").alias("vb"), F.col("embedding").alias("emb_b")
-    )
-    neigh = (
-        a.join(b, F.col("va") != F.col("vb"))
-        .filter(
-            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6)
-            >= threshold
-        )
-        .groupBy("va")
-        .agg(F.count("*").alias("n_neighbors"))
-    )
-    return (
-        e.select(F.col("vec_id"))
-        .join(neigh.withColumnRenamed("va", "vec_id"), "vec_id", "left")
-        .select(
-            "vec_id",
-            F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("n_neighbors"),
-            (
-                F.coalesce(F.col("n_neighbors"), F.lit(0)) >= min_pts
-            ).alias("is_core"),
-        )
+    return counted.select(
+        "vec_id",
+        "n_neighbors",
+        (F.col("n_neighbors") >= min_pts).alias("is_core"),
     )
