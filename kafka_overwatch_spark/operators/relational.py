@@ -4626,3 +4626,94 @@ def conformal_daily_interval(
             F.col("test_covered") / F.col("n_test").cast("double"), 6
         ).alias("coverage"),
     )
+
+
+def granger_daily(events: DataFrame) -> DataFrame:
+    """Pairwise lag-1 Granger causality between event types' daily
+    count series: for every ordered pair (cause x → effect y) fit
+    y_t = a + b·y_{t−1} + c·x_{t−1} and test c = 0 with the standard
+    F statistic against the restricted fit y_t = a + b·y_{t−1} —
+    "does yesterday's x volume help predict today's y volume beyond
+    y's own history", the lead/lag structure question one level above
+    the symmetric daily ACF. Both fits are CLOSED FORM from centered
+    co-moments (2×2 normal equations), every co-moment an
+    INTEGER-EXACT decimal(38,0) sum over the bounded day grain, every
+    double derived once — so the DuckDB mirror is bit-stable. A
+    singular design (det = 0 on the EXACT integers, e.g. constant
+    regressors) or n ≤ 3 NULL-propagates the inference columns.
+
+    Scale shape: one day×type aggregate off the fact table; the pair
+    frame is (types² × days) — alphabet-bounded, not data-bounded.
+    Output: cause, effect, n, beta_self, beta_cross, f_stat."""
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = events.groupBy(F.col("event_type"), day.alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    y = daily.select(
+        F.col("event_type").alias("effect"),
+        F.col("day"),
+        F.col("c").alias("yv"),
+    )
+    ylag = daily.select(
+        F.col("event_type").alias("effect"),
+        (F.col("day") + 1).alias("day"),
+        F.col("c").alias("yl"),
+    )
+    xlag = daily.select(
+        F.col("event_type").alias("cause"),
+        (F.col("day") + 1).alias("day"),
+        F.col("c").alias("xl"),
+    )
+    rows = (
+        y.join(ylag, ["effect", "day"])
+        .join(xlag, "day")
+        .filter(F.col("cause") != F.col("effect"))
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = rows.groupBy("cause", "effect").agg(
+        F.count("*").alias("n"),
+        F.sum(d38("yv")).alias("sy"),
+        F.sum(d38("yl")).alias("sl"),
+        F.sum(d38("xl")).alias("sx"),
+        F.sum(d38("yv") * d38("yl")).alias("syl"),
+        F.sum(d38("yv") * d38("xl")).alias("syx"),
+        F.sum(d38("yl") * d38("xl")).alias("slx"),
+        F.sum(d38("yl") * d38("yl")).alias("sll"),
+        F.sum(d38("xl") * d38("xl")).alias("sxx"),
+        F.sum(d38("yv") * d38("yv")).alias("syy"),
+    )
+    # centered co-moments, scaled by n (still exact decimals)
+    n = d38("n")
+    a11 = (n * F.col("sll") - F.col("sl") * F.col("sl")).alias("a11")
+    a22 = (n * F.col("sxx") - F.col("sx") * F.col("sx")).alias("a22")
+    a12 = (n * F.col("slx") - F.col("sl") * F.col("sx")).alias("a12")
+    b1 = (n * F.col("syl") - F.col("sy") * F.col("sl")).alias("b1")
+    b2 = (n * F.col("syx") - F.col("sy") * F.col("sx")).alias("b2")
+    cy = (n * F.col("syy") - F.col("sy") * F.col("sy")).alias("cy")
+    staged = m.select("cause", "effect", "n", a11, a22, a12, b1, b2, cy)
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    D = lambda c: c.cast("double")  # noqa: E731
+    # full fit: [a11 a12; a12 a22]·[b;c] = [b1;b2] (Cramer); all the
+    # determinant/RSS decisions happen on EXACT decimals
+    bf = F.when(det != 0, (D(F.col("b1")) * D(F.col("a22"))
+                           - D(F.col("b2")) * D(F.col("a12"))) / D(det))
+    cf = F.when(det != 0, (D(F.col("a11")) * D(F.col("b2"))
+                           - D(F.col("a12")) * D(F.col("b1"))) / D(det))
+    rss_f = D(F.col("cy")) - bf * D(F.col("b1")) - cf * D(F.col("b2"))
+    rss_r = F.when(
+        F.col("a11") != 0,
+        D(F.col("cy")) - D(F.col("b1")) * D(F.col("b1")) / D(F.col("a11")),
+    )
+    nn = F.col("n").cast("double")
+    f_stat = F.when(
+        (F.col("n") > 3) & (rss_f > 0),
+        (rss_r - rss_f) / (rss_f / (nn - 3.0)),
+    )
+    return staged.select(
+        "cause",
+        "effect",
+        F.col("n").cast("long").alias("n"),
+        F.round(bf, 6).alias("beta_self"),
+        F.round(cf, 6).alias("beta_cross"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )

@@ -4619,15 +4619,16 @@ centers AS (
 scored AS (
   SELECT a.p AS pa, b.p AS pb, count(*) AS common_neighbors,
     sum(1.0 / ln(a.d)) AS aa_raw
-  FROM centers a JOIN centers b ON a.z = b.z AND a.p < b.p
+  FROM centers a JOIN centers b ON a.z = b.z AND a.p != b.p
+  WHERE a.p < 100
   GROUP BY 1, 2
 ),
 cand AS (
   SELECT s.* FROM scored s
-  LEFT JOIN und e ON s.pa = e.part_a AND s.pb = e.part_b
-  WHERE e.part_a IS NULL AND s.common_neighbors >= 25
+  LEFT JOIN both_dir e ON s.pa = e.z AND s.pb = e.p
+  WHERE e.z IS NULL AND s.common_neighbors >= 20
 )
-SELECT c.pa AS part_a, c.pb AS part_b,
+SELECT c.pa AS part, c.pb AS candidate,
   CAST(c.common_neighbors AS BIGINT) AS common_neighbors,
   round(CAST(c.common_neighbors AS DOUBLE)
     / (da.d + db.d - c.common_neighbors), 6) AS jaccard,
@@ -4760,26 +4761,33 @@ WITH norm AS (
 ),
 tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
 grams AS (
-  SELECT DISTINCT doc_id, gram FROM (
+  SELECT DISTINCT doc_id, g FROM (
     SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN
       list_transform(generate_series(1, len(toks) - 4),
-        i -> array_to_string(toks[i:i+4], ' '))
-      ELSE [] END) AS gram
+        i -> CAST(concat('0x',
+          substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))
+          AS BIGINT))
+      ELSE [] END) AS g
     FROM tok)
 ),
-gd AS (SELECT gram, count(*) AS doc_n FROM grams GROUP BY 1),
-per_doc AS (
-  SELECT g.doc_id, count(*) AS n_grams,
-    sum(CASE WHEN gd.doc_n = 1 THEN 1 ELSE 0 END) AS novel_grams
-  FROM grams g JOIN gd ON g.gram = gd.gram
-  GROUP BY 1
+pdn AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+gd AS (
+  SELECT g, count(*) AS doc_n, min(doc_id) AS only_doc
+  FROM grams GROUP BY 1
+),
+nov AS (
+  SELECT only_doc AS doc_id, count(*) AS novel_grams
+  FROM gd WHERE doc_n = 1 GROUP BY 1
 )
 SELECT n.doc_id,
   CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
-  CAST(coalesce(p.novel_grams, 0) AS BIGINT) AS novel_grams,
+  CAST(coalesce(v.novel_grams, 0) AS BIGINT) AS novel_grams,
   round(CASE WHEN p.n_grams > 0
-    THEN CAST(p.novel_grams AS DOUBLE) / p.n_grams END, 6) AS novelty
-FROM norm n LEFT JOIN per_doc p ON n.doc_id = p.doc_id"""
+    THEN CAST(coalesce(v.novel_grams, 0) AS DOUBLE) / p.n_grams END, 6)
+    AS novelty
+FROM norm n
+LEFT JOIN pdn p ON n.doc_id = p.doc_id
+LEFT JOIN nov v ON n.doc_id = v.doc_id"""
 
     # single changepoint by binary segmentation: argmax ranks on the
     # EXACT integer gain numerator (HUGEINT), mirroring Spark's

@@ -1053,3 +1053,68 @@ def pps_systematic(
             F.col("multiplicity"),
         )
     )
+
+
+def dsir_psis_khat(
+    documents: DataFrame,
+    target_source: str = "src0",
+    m: int = 25,
+    buckets: int = DSIR_BUCKETS,
+    bucketed: DataFrame | None = None,
+) -> DataFrame:
+    """Pareto-tail diagnostic (PSIS k̂, Vehtari et al.) of the DSIR
+    importance weights, per source — the companion of
+    :func:`dsir_ess`: ESS says how degenerate the weights already
+    are; k̂ says whether the tail is heavy enough that the estimate
+    cannot be trusted at ANY sample size (the standard rule of thumb:
+    k̂ > 0.7 ⇒ unreliable). The tail index comes from the Hill
+    estimator over the top-``m`` weights, computed directly on the
+    LOG weights (ln(w_i/w_(m+1)) = lr_i − lr_(m+1) — no exponentials
+    anywhere, so the astronomically negative log-ratios never
+    under/overflow), k̂ = 1/α. Sources with ≤ m documents emit no
+    row (too few tail points to fit — honest absence, not a fake 0).
+
+    Scale shape: one source-partitioned rank window over the memoized
+    weight frame (parallel across sources; at 100 TB swap the window
+    for per-source TakeOrdered exactly like text_hill_tail_index).
+    Output: source, m, lr_tail, alpha, khat, reliable."""
+    from pyspark.sql.window import Window
+
+    w = dsir_weights(
+        documents,
+        target_source=target_source,
+        buckets=buckets,
+        bucketed=bucketed,
+    )
+    ranked = w.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("log_ratio").desc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    tail = ranked.filter(F.col("rn") == m + 1).select(
+        "source", F.col("log_ratio").alias("lr_tail")
+    )
+    top = ranked.filter(F.col("rn") <= m)
+    agg = (
+        top.join(tail, "source")
+        .groupBy("source", "lr_tail")
+        .agg(
+            F.count("*").alias("m_rows"),
+            F.sum(F.col("log_ratio") - F.col("lr_tail")).alias("s_excess"),
+        )
+    )
+    alpha = F.when(
+        F.col("s_excess") > 0,
+        F.col("m_rows").cast("double") / F.col("s_excess"),
+    )
+    return agg.select(
+        "source",
+        F.col("m_rows").cast("long").alias("m"),
+        F.round(F.col("lr_tail"), 6).alias("lr_tail"),
+        F.round(alpha, 6).alias("alpha"),
+        F.round(1.0 / alpha, 6).alias("khat"),
+        (1.0 / alpha <= 0.7).alias("reliable"),
+    )

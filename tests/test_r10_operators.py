@@ -138,14 +138,20 @@ def test_link_prediction_path_and_hub_cap(spark):
     from kafka_overwatch_spark.operators import graph
 
     # path 1-2-3: the only non-adjacent pair with a common neighbor is
-    # (1,3) via 2 → cn 1, jaccard 1/(1+1-1)=1, aa 1/ln(deg 2)
+    # {1,3} via 2 → the probe view emits it from both endpoints:
+    # cn 1, jaccard 1/(1+1-1)=1, aa 1/ln(deg 2)
     e = _edges(spark, [(1, 2), (2, 3)])
-    out = graph.link_prediction(None, min_common=1, edges=e).collect()
-    assert len(out) == 1
-    r = out[0]
-    assert (r["part_a"], r["part_b"], r["common_neighbors"]) == (1, 3, 1)
+    out = {
+        (r["part"], r["candidate"]): r
+        for r in graph.link_prediction(None, min_common=1, edges=e).collect()
+    }
+    assert set(out) == {(1, 3), (3, 1)}
+    r = out[(1, 3)]
+    assert r["common_neighbors"] == 1
     assert r["jaccard"] == pytest.approx(1.0, abs=1e-6)
-    assert r["adamic_adar"] == pytest.approx(1 / __import__("math").log(2), abs=1e-5)
+    assert r["adamic_adar"] == pytest.approx(
+        1 / __import__("math").log(2), abs=1e-5
+    )
     # star 10-{11,12,13}: with the hub cap below 10's degree the
     # center is excluded and NO pair is predicted
     star = _edges(spark, [(10, 11), (10, 12), (10, 13)])
@@ -155,8 +161,16 @@ def test_link_prediction_path_and_hub_cap(spark):
         ).count()
         == 0
     )
+    # uncapped: each leaf pair {11,12},{11,13},{12,13} from both ends
     assert (
-        graph.link_prediction(None, min_common=1, edges=star).count() == 3
+        graph.link_prediction(None, min_common=1, edges=star).count() == 6
+    )
+    # probe restriction: only parts < 12 emit rows
+    assert (
+        graph.link_prediction(
+            None, min_common=1, probe_max_part=12, edges=star
+        ).count()
+        == 2
     )
 
 
