@@ -4879,4 +4879,108 @@ SELECT event_type, CAST(n_cal AS BIGINT) AS n_cal,
   round(CAST(test_covered AS DOUBLE) / n_test, 6) AS coverage
 FROM cov"""
 
+
+    # lag-1 Granger causality: both fits closed-form from integer-exact
+    # decimal co-moments (2x2 Cramer), every double derived once; the
+    # singular-design decisions happen on the exact integers
+    q["events_granger"] = """
+WITH gdaily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+    count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+grows AS (
+  SELECT y.event_type AS effect, x.event_type AS cause, y.day,
+    y.c AS yv, l.c AS yl, x.c AS xl
+  FROM gdaily y
+  JOIN gdaily l ON l.event_type = y.event_type AND l.day + 1 = y.day
+  JOIN gdaily x ON x.day + 1 = y.day AND x.event_type != y.event_type
+),
+gm AS (
+  SELECT cause, effect, count(*) AS n,
+    sum(CAST(yv AS HUGEINT)) AS sy,
+    sum(CAST(yl AS HUGEINT)) AS sl,
+    sum(CAST(xl AS HUGEINT)) AS sx,
+    sum(CAST(yv AS HUGEINT) * yl) AS syl,
+    sum(CAST(yv AS HUGEINT) * xl) AS syx,
+    sum(CAST(yl AS HUGEINT) * xl) AS slx,
+    sum(CAST(yl AS HUGEINT) * yl) AS sll,
+    sum(CAST(xl AS HUGEINT) * xl) AS sxx,
+    sum(CAST(yv AS HUGEINT) * yv) AS syy
+  FROM grows GROUP BY 1, 2
+),
+gc AS (
+  SELECT cause, effect, n,
+    n * sll - sl * sl AS a11,
+    n * sxx - sx * sx AS a22,
+    n * slx - sl * sx AS a12,
+    n * syl - sy * sl AS b1,
+    n * syx - sy * sx AS b2,
+    n * syy - sy * sy AS cy
+  FROM gm
+),
+gdet AS (
+  SELECT *, a11 * a22 - a12 * a12 AS det FROM gc
+),
+gfit AS (
+  SELECT *,
+    CASE WHEN det != 0 THEN
+      (CAST(b1 AS DOUBLE) * CAST(a22 AS DOUBLE)
+       - CAST(b2 AS DOUBLE) * CAST(a12 AS DOUBLE)) / CAST(det AS DOUBLE)
+    END AS bf,
+    CASE WHEN det != 0 THEN
+      (CAST(a11 AS DOUBLE) * CAST(b2 AS DOUBLE)
+       - CAST(a12 AS DOUBLE) * CAST(b1 AS DOUBLE)) / CAST(det AS DOUBLE)
+    END AS cf
+  FROM gdet
+),
+grss AS (
+  SELECT *,
+    CAST(cy AS DOUBLE) - bf * CAST(b1 AS DOUBLE)
+      - cf * CAST(b2 AS DOUBLE) AS rss_f,
+    CASE WHEN a11 != 0 THEN CAST(cy AS DOUBLE)
+      - CAST(b1 AS DOUBLE) * CAST(b1 AS DOUBLE) / CAST(a11 AS DOUBLE)
+    END AS rss_r
+  FROM gfit
+)
+SELECT cause, effect, CAST(n AS BIGINT) AS n,
+  round(bf, 6) AS beta_self,
+  round(cf, 6) AS beta_cross,
+  round(CASE WHEN n > 3 AND rss_f > 0
+    THEN (rss_r - rss_f) / (rss_f / (CAST(n AS DOUBLE) - 3.0)) END, 6)
+    AS f_stat
+FROM grss"""
+
+
+    # PSIS k-hat on the DSIR weights: Hill tail index straight on the
+    # LOG weights (no exponentials), k-hat = 1/alpha; sources with
+    # <= m docs emit no row (honest absence)
+    q["sampling_psis_khat"] = f"""
+WITH {_dsir_cte},
+kranked AS (
+  SELECT source, doc_id, log_ratio,
+    row_number() OVER (PARTITION BY source
+      ORDER BY log_ratio DESC, doc_id ASC) AS rn
+  FROM w
+),
+ktail AS (
+  SELECT source, log_ratio AS lr_tail FROM kranked WHERE rn = 11
+),
+kagg AS (
+  SELECT k.source, t.lr_tail, count(*) AS m_rows,
+    sum(k.log_ratio - t.lr_tail) AS s_excess
+  FROM kranked k JOIN ktail t ON k.source = t.source
+  WHERE k.rn <= 10
+  GROUP BY 1, 2
+)
+SELECT source, CAST(m_rows AS BIGINT) AS m,
+  round(lr_tail, 6) AS lr_tail,
+  round(CASE WHEN s_excess > 0
+    THEN CAST(m_rows AS DOUBLE) / s_excess END, 6) AS alpha,
+  round(CASE WHEN s_excess > 0
+    THEN s_excess / CAST(m_rows AS DOUBLE) END, 6) AS khat,
+  CASE WHEN s_excess > 0
+    THEN s_excess / CAST(m_rows AS DOUBLE) <= 0.7 END AS reliable
+FROM kagg"""
+
     return q

@@ -1058,7 +1058,7 @@ def pps_systematic(
 def dsir_psis_khat(
     documents: DataFrame,
     target_source: str = "src0",
-    m: int = 25,
+    m: int = 10,
     buckets: int = DSIR_BUCKETS,
     bucketed: DataFrame | None = None,
 ) -> DataFrame:
@@ -1106,15 +1106,21 @@ def dsir_psis_khat(
             F.sum(F.col("log_ratio") - F.col("lr_tail")).alias("s_excess"),
         )
     )
+    # khat is written s_excess/m (NOT 1/alpha): both engines must run
+    # the identical float op sequence for round-6 parity
     alpha = F.when(
         F.col("s_excess") > 0,
         F.col("m_rows").cast("double") / F.col("s_excess"),
+    )
+    khat = F.when(
+        F.col("s_excess") > 0,
+        F.col("s_excess") / F.col("m_rows").cast("double"),
     )
     return agg.select(
         "source",
         F.col("m_rows").cast("long").alias("m"),
         F.round(F.col("lr_tail"), 6).alias("lr_tail"),
         F.round(alpha, 6).alias("alpha"),
-        F.round(1.0 / alpha, 6).alias("khat"),
-        (1.0 / alpha <= 0.7).alias("reliable"),
+        F.round(khat, 6).alias("khat"),
+        (khat <= 0.7).alias("reliable"),
     )

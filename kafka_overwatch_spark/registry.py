@@ -942,6 +942,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sampling_kfold"] = lambda s, d: sampling.kfold_assignment(
         raw(s, d, "documents")
     )
+    # r10: PSIS k-hat tail diagnostic of the DSIR importance weights
+    q["sampling_psis_khat"] = lambda s, d: sampling.dsir_psis_khat(
+        raw(s, d, "documents")
+    )
     # r10: Madow PPS systematic sample (length-weighted, RNG-free,
     # exact integer tick counting over exact_global_cumsum prefixes)
     q["sampling_pps_systematic"] = lambda s, d: sampling.pps_systematic(
@@ -1086,6 +1090,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r10: Markov removal-effect attribution (unrolled absorption)
     q["events_markov_attribution"] = (
         lambda s, d: relational.markov_attribution(raw(s, d, "events"))
+    )
+    # r10: pairwise lag-1 Granger causality on daily counts
+    q["events_granger"] = lambda s, d: relational.granger_daily(
+        raw(s, d, "events")
     )
     # r10: single-changepoint binary segmentation on daily counts
     q["events_changepoint"] = lambda s, d: relational.changepoint_daily(
@@ -1554,6 +1562,8 @@ _PROMOTED = [
     "text_ngram_novelty",
     "events_changepoint",
     "events_conformal_interval",
+    "events_granger",
+    "sampling_psis_khat",
     "events_shapley_attribution",
     "events_cuped",
     "events_ols_trend",

@@ -294,3 +294,75 @@ def test_conformal_interval_exact_quantile_and_coverage(spark):
     assert (r["lo"], r["hi"]) == (pytest.approx(9.0), pytest.approx(14.0))
     assert r["test_covered"] == 1
     assert r["coverage"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_granger_numpy_parity_and_direction(spark):
+    import numpy as np
+
+    # view_t = click_{t-1} + bump → click should Granger-cause view
+    # far more strongly than the reverse; F values cross-checked with
+    # an independent numpy least-squares fit
+    click = [2, 4, 3, 6, 5, 8, 7, 9]
+    view = [1, 3, 5, 4, 8, 6, 9, 8]
+    rows = []
+    for d0, n in enumerate(click):
+        rows += [(1, d0 + 1, h, "click", 1.0) for h in range(n)]
+    for d0, n in enumerate(view):
+        rows += [(1, d0 + 1, h, "view", 1.0) for h in range(n)]
+    out = {
+        (r["cause"], r["effect"]): r
+        for r in relational.granger_daily(_events(spark, rows)).collect()
+    }
+
+    def np_f(y, x):
+        yv = np.array(y[1:], dtype=float)
+        yl = np.array(y[:-1], dtype=float)
+        xl = np.array(x[:-1], dtype=float)
+        n = len(yv)
+        Xf = np.column_stack([np.ones(n), yl, xl])
+        Xr = np.column_stack([np.ones(n), yl])
+        rf = yv - Xf @ np.linalg.lstsq(Xf, yv, rcond=None)[0]
+        rr = yv - Xr @ np.linalg.lstsq(Xr, yv, rcond=None)[0]
+        rss_f, rss_r = rf @ rf, rr @ rr
+        return (rss_r - rss_f) / (rss_f / (n - 3))
+
+    got = out[("click", "view")]
+    assert got["n"] == 7
+    assert got["f_stat"] == pytest.approx(np_f(view, click), rel=1e-4)
+    rev = out[("view", "click")]
+    assert rev["f_stat"] == pytest.approx(np_f(click, view), rel=1e-4)
+    assert got["f_stat"] > 3 * rev["f_stat"]
+
+
+def test_psis_khat_matches_python_hill_on_weights(spark):
+    from kafka_overwatch_spark.pipelines import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = {
+        r["source"]: r
+        for r in sampling.dsir_psis_khat(docs, m=3).collect()
+    }
+    w = sorted(
+        ((r["source"], r["log_ratio"], r["doc_id"])
+         for r in sampling.dsir_weights(docs).collect()),
+        key=lambda t: (t[0], -t[1], t[2]),
+    )
+    by_src: dict[str, list[float]] = {}
+    for s, lr, _ in w:
+        by_src.setdefault(s, []).append(lr)
+    checked = 0
+    for s, lrs in by_src.items():
+        if len(lrs) <= 3:
+            assert s not in out  # honest absence
+            continue
+        tail = lrs[3]
+        s_excess = sum(lr - tail for lr in lrs[:3])
+        r = out[s]
+        assert r["m"] == 3
+        if s_excess > 0:
+            assert r["khat"] == pytest.approx(s_excess / 3, abs=1e-6)
+            assert r["reliable"] == (s_excess / 3 <= 0.7)
+            checked += 1
+        else:
+            assert r["khat"] is None
+    assert checked >= 1
