@@ -240,6 +240,8 @@ EXTRA = [
     "emb_density_cores",
     "sampling_pps_systematic",
     "text_ngram_novelty",
+    "events_granger",
+    "sampling_psis_khat",
 ]
 
 
