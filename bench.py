@@ -242,6 +242,8 @@ EXTRA = [
     "text_ngram_novelty",
     "events_granger",
     "sampling_psis_khat",
+    "emb_silhouette",
+    "text_keyness",
 ]
 
 

@@ -4983,4 +4983,83 @@ SELECT source, CAST(m_rows AS BIGINT) AS m,
     THEN s_excess / CAST(m_rows AS DOUBLE) <= 0.7 END AS reliable
 FROM kagg"""
 
+
+    # centroid silhouette per label: one dim explode, label×dim
+    # centroid aggregate, all |labels| distances per vector in one join
+    q["emb_silhouette"] = """
+WITH se AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings
+),
+sdims AS (
+  SELECT vec_id, label, d, emb[d + 1] AS v
+  FROM se, (SELECT unnest(generate_series(0, 63)) AS d)
+),
+scent AS (
+  SELECT label AS clabel, d, avg(v) AS c FROM sdims GROUP BY 1, 2
+),
+sdist AS (
+  SELECT s.vec_id, s.label, ce.clabel,
+    sqrt(sum((s.v - ce.c) * (s.v - ce.c))) AS dist
+  FROM sdims s JOIN scent ce ON s.d = ce.d
+  GROUP BY 1, 2, 3
+),
+sv AS (
+  SELECT vec_id, label,
+    min(CASE WHEN clabel = label THEN dist END) AS a,
+    min(CASE WHEN clabel != label THEN dist END) AS b
+  FROM sdist GROUP BY 1, 2
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+  round(avg(a), 6) AS mean_a, round(avg(b), 6) AS mean_b,
+  round(avg(CASE WHEN greatest(a, b) > 0
+    THEN (b - a) / greatest(a, b) ELSE 0.0 END), 6) AS silhouette
+FROM sv GROUP BY label"""
+
+    # Dunning log-likelihood keyness (Rayson-Garside 2-term form),
+    # ranked on round-6 G2 with token tie-break
+    q["text_keyness"] = """
+WITH ktoks AS (
+  SELECT source, unnest(string_split(
+    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+kst AS (
+  SELECT source, token, count(*) AS a FROM ktoks GROUP BY 1, 2
+),
+ktok AS (SELECT token, sum(a) AS t_tok FROM kst GROUP BY 1),
+ksrc AS (SELECT source, sum(a) AS t_src FROM kst GROUP BY 1),
+kall AS (SELECT sum(a) AS t_all FROM kst),
+kj AS (
+  SELECT s.source, s.token,
+    CAST(s.a AS DOUBLE) AS a,
+    CAST(t.t_tok - s.a AS DOUBLE) AS b,
+    CAST(r.t_src AS DOUBLE) AS ta,
+    CAST(g.t_all - r.t_src AS DOUBLE) AS tb,
+    CAST(t.t_tok AS DOUBLE) AS ttok,
+    CAST(g.t_all AS DOUBLE) AS tall,
+    s.a AS a_i, t.t_tok AS t_tok_i
+  FROM kst s JOIN ktok t ON s.token = t.token
+  JOIN ksrc r ON s.source = r.source
+  CROSS JOIN kall g
+),
+kg AS (
+  SELECT source, token, a_i, t_tok_i,
+    round(2.0 * (
+      CASE WHEN a > 0
+        THEN a * ln(a / (ta * ttok / tall)) ELSE 0.0 END
+      + CASE WHEN b > 0
+        THEN b * ln(b / (tb * ttok / tall)) ELSE 0.0 END), 6) AS g2
+  FROM kj WHERE a_i >= 5
+),
+kr AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+    ORDER BY g2 DESC, token ASC) AS rank
+  FROM kg
+)
+SELECT source, token, CAST(a_i AS BIGINT) AS count_in,
+  CAST(t_tok_i - a_i AS BIGINT) AS count_rest, g2,
+  CAST(rank AS BIGINT) AS rank
+FROM kr WHERE rank <= 5"""
+
     return q

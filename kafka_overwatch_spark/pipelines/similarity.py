@@ -2575,3 +2575,68 @@ def density_cores(
         "n_neighbors",
         (F.col("n_neighbors") >= min_pts).alias("is_core"),
     )
+
+
+def silhouette_by_label(embeddings: DataFrame) -> DataFrame:
+    """Simplified (centroid-based) silhouette score per label — the
+    standard clustering-quality audit over the labeled embedding
+    table: for each vector, a = Euclidean distance to its OWN label
+    centroid, b = the minimum distance to any OTHER label's centroid,
+    s = (b − a)/max(a, b); reported as the per-label mean with the
+    cohesion/separation means alongside. s near 1 = tight, separated
+    clusters; near 0 = touching; negative = vectors sit closer to a
+    foreign centroid than their own (label noise or collapsed
+    clusters). The simplified (centroid) form IS the standard
+    large-scale variant — the classic all-pairs silhouette is
+    quadratic and adds nothing at corpus scale.
+
+    Scale shape: one posexplode to (vec, dim) grain, one (label, dim)
+    aggregate for centroids (label-alphabet × dim rows — dim-grain,
+    broadcast), one broadcast join computing all |labels| distances
+    per vector, one vector-grain rollup, one label-grain rollup.
+    Nothing quadratic in vectors anywhere. Output: label, n_vectors,
+    mean_a, mean_b, silhouette."""
+    dims = embeddings.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("d", "v"),
+    ).select(
+        "vec_id", "label", "d", F.col("v").cast("double").alias("v")
+    )
+    centroids = dims.groupBy(F.col("label").alias("clabel"), "d").agg(
+        F.avg("v").alias("c")
+    )
+    # every (vector, candidate-centroid) distance in ONE broadcast
+    # join keyed on the dim — the centroid frame is labels × dim rows
+    dist = (
+        dims.join(F.broadcast(centroids), "d")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+                )
+            ).alias("dist")
+        )
+    )
+    per_vec = dist.groupBy("vec_id", "label").agg(
+        F.min(
+            F.when(F.col("clabel") == F.col("label"), F.col("dist"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("clabel") != F.col("label"), F.col("dist"))
+        ).alias("b"),
+    )
+    s = F.when(
+        F.greatest(F.col("a"), F.col("b")) > 0,
+        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")),
+    ).otherwise(F.lit(0.0))
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("a"), 6).alias("mean_a"),
+            F.round(F.avg("b"), 6).alias("mean_b"),
+            F.round(F.avg(s), 6).alias("silhouette"),
+        )
+    )

@@ -1363,3 +1363,76 @@ def ngram_novelty(documents: DataFrame, n: int = 5) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+def keyness_by_source(
+    documents: DataFrame, top_k: int = 5, min_count: int = 5
+) -> DataFrame:
+    """Per-source distinctive vocabulary by Dunning log-likelihood
+    keyness (G² = 2·[a·ln(a/E_a) + b·ln(b/E_b)], the corpus-linguistics
+    standard): for each (source, token), how surprising the token's
+    in-source frequency is against the rest of the corpus under the
+    pooled rate — the "what is this slice actually about" audit that
+    tf-idf's document grain can't give (keyness is SLICE-vs-corpus,
+    tf-idf is doc-vs-corpus). Top ``top_k`` tokens per source by G²,
+    ranked on round-6 G² with token tie-break (the family's
+    determinism convention); tokens rarer than ``min_count`` in-source
+    are excluded (G² is unstable at tiny a). Zero counts on either
+    side contribute 0 to G² (the x·ln x → 0 limit, guarded).
+
+    Scale shape: one token explode → one (source, token) aggregate →
+    token totals by a second aggregate off the first (no re-scan) →
+    per-source rank window over the min_count survivors. Vocabulary
+    grain, never broadcast. Output: source, token, count_in,
+    count_rest, g2, rank."""
+    from pyspark.sql.window import Window
+
+    toks = documents.filter(F.col("text").isNotNull()).select(
+        "source", F.explode(_norm_tokens()).alias("token")
+    )
+    st = toks.groupBy("source", "token").agg(F.count("*").alias("a"))
+    tok_tot = st.groupBy("token").agg(F.sum("a").alias("t_tok"))
+    src_tot = st.groupBy("source").agg(F.sum("a").alias("t_src"))
+    grand = st.agg(F.sum("a").alias("t_all"))
+    j = (
+        st.join(tok_tot, "token")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(grand))
+    )
+    a = F.col("a").cast("double")
+    b = (F.col("t_tok") - F.col("a")).cast("double")
+    ta = F.col("t_src").cast("double")
+    tb = (F.col("t_all") - F.col("t_src")).cast("double")
+    ea = ta * F.col("t_tok").cast("double") / F.col("t_all").cast("double")
+    eb = tb * F.col("t_tok").cast("double") / F.col("t_all").cast("double")
+    term = lambda x, e: F.when(x > 0, x * F.log(x / e)).otherwise(  # noqa: E731
+        F.lit(0.0)
+    )
+    g2 = F.round(2.0 * (term(a, ea) + term(b, eb)), 6)
+    ranked = (
+        j.filter(F.col("a") >= min_count)
+        .select(
+            "source",
+            "token",
+            F.col("a").cast("long").alias("count_in"),
+            (F.col("t_tok") - F.col("a")).cast("long").alias("count_rest"),
+            g2.alias("g2"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("g2").desc(), F.col("token").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= top_k)
+    )
+    return ranked.select(
+        "source",
+        "token",
+        "count_in",
+        "count_rest",
+        "g2",
+        F.col("rank").cast("long").alias("rank"),
+    )

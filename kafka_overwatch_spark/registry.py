@@ -651,6 +651,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_topk"] = lambda s, d: similarity.brute_force_topk_vectorized(
         raw(s, d, "embeddings")
     )
+    # r10: centroid silhouette per label (clustering-quality audit)
+    q["emb_silhouette"] = lambda s, d: similarity.silhouette_by_label(
+        raw(s, d, "embeddings")
+    )
     # r10: DBSCAN-style density profile (exact neighbor counts at
     # round-6 cosine >= 0.3; LSH/IVF candidates are the scale path)
     q["emb_density_cores"] = lambda s, d: similarity.density_cores(
@@ -748,6 +752,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         raw(s, d, "documents")
     )
     # r9: Hill power-law tail index of document lengths
+    # r10: Dunning log-likelihood keyness (slice-vs-corpus vocabulary)
+    q["text_keyness"] = lambda s, d: textops.keyness_by_source(
+        raw(s, d, "documents")
+    )
     # r10: per-doc 5-gram corpus-novelty (memorization/diversity audit)
     q["text_ngram_novelty"] = lambda s, d: textops.ngram_novelty(
         raw(s, d, "documents")
@@ -1564,6 +1572,8 @@ _PROMOTED = [
     "events_conformal_interval",
     "events_granger",
     "sampling_psis_khat",
+    "emb_silhouette",
+    "text_keyness",
     "events_shapley_attribution",
     "events_cuped",
     "events_ols_trend",

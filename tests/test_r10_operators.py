@@ -366,3 +366,55 @@ def test_psis_khat_matches_python_hill_on_weights(spark):
         else:
             assert r["khat"] is None
     assert checked >= 1
+
+
+def test_silhouette_perfectly_separated_clusters(spark):
+    from kafka_overwatch_spark.pipelines import similarity
+
+    dim = 64
+    e1 = [1.0, 0.0] + [0.0] * (dim - 2)
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    emb = spark.createDataFrame(
+        [(1, e1, 0), (2, e1, 0), (3, e2, 1), (4, e2, 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        r["label"]: r
+        for r in similarity.silhouette_by_label(emb).collect()
+    }
+    import math
+
+    for lab in (0, 1):
+        r = out[lab]
+        assert r["n_vectors"] == 2
+        assert r["mean_a"] == pytest.approx(0.0, abs=1e-6)
+        assert r["mean_b"] == pytest.approx(math.sqrt(2), abs=1e-6)
+        assert r["silhouette"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_keyness_hand_computed_g2(spark):
+    import math
+
+    from kafka_overwatch_spark.pipelines import text as textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana", "en", "A", 24),
+            (2, "banana banana cherry", "en", "B", 20),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        (r["source"], r["token"]): r
+        for r in textops.keyness_by_source(
+            docs, top_k=5, min_count=1
+        ).collect()
+    }
+    # 'apple' in A: a=3, b=0, ta=4, tb=3, tall=7 →
+    # G² = 2·3·ln(3/(4·3/7)) = 6·ln(1.75)
+    r = out[("A", "apple")]
+    assert r["count_in"] == 3 and r["count_rest"] == 0
+    assert r["g2"] == pytest.approx(6 * math.log(1.75), abs=1e-5)
+    assert r["rank"] == 1
+    # 'cherry' is B's most distinctive token
+    assert out[("B", "cherry")]["rank"] in (1, 2)
