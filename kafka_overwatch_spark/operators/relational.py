@@ -4480,12 +4480,14 @@ def changepoint_daily(events: DataFrame) -> DataFrame:
         .withColumn("n", F.count("*").over(wt))
         .withColumn("s", F.sum(cd).over(wt))
     )
-    # the gain is ranked on its EXACT integer numerator
-    # n·n₂·S₁² + n·n₁·S₂² − n₁·n₂·S² (clearing the denominators of
-    # S₁²/n₁ + S₂²/n₂ − S²/n): a float gain would rank on a
-    # cancellation residue that drifts between engines once S² grows
-    # past double precision; the reported double divides two
-    # identically-derived exact values once
+    # the gain double is derived ONCE per candidate from the EXACT
+    # integer numerator n·n₂·S₁² + n·n₁·S₂² − n₁·n₂·S² and exact
+    # denominator n₁·n₂·n (clearing S₁²/n₁ + S₂²/n₂ − S²/n): a fixed
+    # op sequence on identical exact integers is bit-identical in both
+    # engines, so ranking on the UNROUNDED double is engine-stable.
+    # (Ranking on the numerator alone is WRONG — denominators vary per
+    # split; a hypothesis law caught numerator ties hiding unequal
+    # gains on counts [1,1,2,4].)
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     n1 = d38(F.col("i"))
     n2 = d38(F.col("n") - F.col("i"))
@@ -4495,17 +4497,14 @@ def changepoint_daily(events: DataFrame) -> DataFrame:
     g_num = nn * n2 * s1 * s1 + nn * n1 * s2 * s2 - n1 * n2 * F.col(
         "s"
     ) * F.col("s")
+    gain_d = g_num.cast("double") / (n1 * n2 * nn).cast("double")
     cands = pre.filter(F.col("i") < F.col("n")).select(
         "event_type",
         "day",
         "i",
         F.col("n"),
-        g_num.alias("g_num"),
-        F.round(
-            g_num.cast("double")
-            / (n1 * n2 * nn).cast("double"),
-            6,
-        ).alias("gain"),
+        gain_d.alias("gain_raw"),
+        F.round(gain_d, 6).alias("gain"),
         F.round(s1.cast("double") / n1.cast("double"), 6).alias(
             "mean_before"
         ),
@@ -4514,7 +4513,7 @@ def changepoint_daily(events: DataFrame) -> DataFrame:
         ),
     )
     wr = Window.partitionBy("event_type").orderBy(
-        F.col("g_num").desc(), F.col("day").asc()
+        F.col("gain_raw").desc(), F.col("day").asc()
     )
     return (
         cands.withColumn("rk", F.row_number().over(wr))

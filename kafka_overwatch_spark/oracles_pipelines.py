@@ -4810,19 +4810,18 @@ pre AS (
 ),
 cands AS (
   SELECT event_type, day, i, n,
-    CAST(n AS HUGEINT) * (n - i) * cum * cum
+    CAST(CAST(n AS HUGEINT) * (n - i) * cum * cum
       + CAST(n AS HUGEINT) * i * (s - cum) * (s - cum)
-      - CAST(i AS HUGEINT) * (n - i) * s * s AS g_num,
+      - CAST(i AS HUGEINT) * (n - i) * s * s AS DOUBLE)
+      / CAST(CAST(i AS HUGEINT) * (n - i) * n AS DOUBLE) AS gain_raw,
     round(CAST(cum AS DOUBLE) / i, 6) AS mean_before,
     round(CAST(s - cum AS DOUBLE) / (n - i), 6) AS mean_after
   FROM pre WHERE i < n
 ),
 r AS (
-  SELECT *,
-    round(CAST(g_num AS DOUBLE)
-      / (CAST(i AS DOUBLE) * (n - i) * n), 6) AS gain,
+  SELECT *, round(gain_raw, 6) AS gain,
     row_number() OVER (PARTITION BY event_type
-      ORDER BY g_num DESC, day ASC) AS rk
+      ORDER BY gain_raw DESC, day ASC) AS rk
   FROM cands
 )
 SELECT event_type, CAST(n AS BIGINT) AS days,
