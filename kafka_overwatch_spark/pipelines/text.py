@@ -1289,6 +1289,29 @@ def hill_tail_index(documents: DataFrame, k: int = 100) -> DataFrame:
     )
 
 
+def gram_hash_set(n: int = 5) -> F.Column:
+    """DISTINCT 60-bit hashes of a document's word n-grams (normalized
+    tokens, hashed at birth — the narrow-shuffle-row convention shared
+    by ngram_novelty and the streaming novelty monitor). Empty array
+    for docs shorter than n tokens."""
+    toks = _norm_tokens()
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice(toks, i, n), " ")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, gram_hashes).otherwise(
+            F.array().cast("array<long>")
+        )
+    )
+
+
 def ngram_novelty(documents: DataFrame, n: int = 5) -> DataFrame:
     """Per-document n-gram novelty: the fraction of a doc's DISTINCT
     word n-grams that appear in no other document — the
@@ -1310,29 +1333,9 @@ def ngram_novelty(documents: DataFrame, n: int = 5) -> DataFrame:
     count, one doc-grain left join. Measured 7.3 → ~3.5 s at sf0.1
     vs the join-back form. Output: doc_id, n_grams, novel_grams,
     novelty."""
-    toks = _norm_tokens()
-    gram_hashes = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - n + 1),
-        lambda i: F.conv(
-            F.substring(
-                F.md5(F.array_join(F.slice(toks, i, n), " ")), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long"),
-    )
     grams = (
         documents.filter(F.col("text").isNotNull())
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.when(F.size(toks) >= n, gram_hashes).otherwise(
-                        F.array().cast("array<long>")
-                    )
-                )
-            ).alias("g"),
-        )
+        .select("doc_id", F.explode(gram_hash_set(n)).alias("g"))
         .localCheckpoint(eager=True)
     )
     per_doc_n = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))

@@ -1238,3 +1238,142 @@ def run_quality_drift(
     if not q.awaitTermination(timeout_sec):
         q.stop()
         raise TimeoutError("quality drift stream did not drain in time")
+
+
+def init_novelty_index(
+    spark: SparkSession, documents: DataFrame, base_path: str
+) -> None:
+    """Seed the gram index for the streaming novelty monitor: the
+    DISTINCT 60-bit 5-gram hashes of the seed corpus, batch_id = -1
+    (same replay-idempotency layout as the dedup/semantic indexes)."""
+    from ..pipelines.text import gram_hash_set
+
+    (
+        documents.filter(F.col("text").isNotNull())
+        .select(F.explode(gram_hash_set()).alias("g"))
+        .distinct()
+        .withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(f"{base_path}/grams")
+    )
+
+
+class NoveltyMonitor:
+    """foreachBatch handler for streaming NOVELTY-COLLAPSE detection
+    (r10): each micro-batch releases the fraction of its distinct
+    5-gram hashes never seen by any earlier batch (or the seed
+    corpus). A healthy heterogeneous crawl keeps novelty high; a
+    templated spam flood, a crawler stuck re-fetching one shelf, or an
+    upstream dedup failure all show as novelty collapsing toward 0 —
+    the batch-grain complement of the per-doc ngram_novelty audit and
+    the third member of the ingest-gate family next to the Benford
+    and quality-drift monitors.
+
+    Per batch: distinct gram hashes (hashed at birth — narrow rows),
+    ONE left-anti join against the persisted gram index (pruned to
+    batch_id < current, so a replayed batch never sees its own
+    grams), one release row, and an idempotent append of the novel
+    grams into the index. Deterministic end to end; both writes are
+    batch_id-partitioned dynamic overwrites, so crash-replay
+    re-derives byte-identical state. Alert when novelty_rate <
+    ``alert_below`` on a non-trivial batch.
+
+    100 TB shape: the index is gram-grain and grows with corpus
+    novelty — the anti-join shuffles on the 60-bit hash (balanced by
+    construction); at scale the index is a bucketed table so the join
+    is co-located, and the per-batch cost is batch-grams ×
+    log(index), never a scan of the raw corpus."""
+
+    ALERT_BELOW = 0.05
+
+    def __init__(self, base_path: str, out_dir: str) -> None:
+        self.base = base_path
+        self.out_dir = out_dir
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..pipelines.text import gram_hash_set
+
+        spark = batch_df.sparkSession
+        docs = batch_df.filter(F.col("text").isNotNull())
+        grams = (
+            docs.select(F.explode(gram_hash_set()).alias("g"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        seen = (
+            spark.read.parquet(f"{self.base}/grams")
+            .filter(F.col("batch_id") < batch_id)
+            .select("g")
+        )
+        novel = grams.join(seen, "g", "left_anti").localCheckpoint(
+            eager=True
+        )
+        n_docs = docs.count()
+        n_grams = grams.count()
+        n_novel = novel.count()
+        rate = round(n_novel / n_grams, 6) if n_grams else None
+        release = spark.createDataFrame(
+            [
+                (
+                    n_docs,
+                    n_grams,
+                    n_novel,
+                    rate,
+                    bool(
+                        n_grams > 0
+                        and rate is not None
+                        and rate < self.ALERT_BELOW
+                    ),
+                )
+            ],
+            "n_docs long, n_grams long, novel_grams long, "
+            "novelty_rate double, alert boolean",
+        )
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            (
+                release.coalesce(1)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(self.out_dir)
+            )
+            (
+                novel.coalesce(4)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(f"{self.base}/grams")
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+
+def run_novelty_monitor(
+    spark: SparkSession,
+    input_dir: str,
+    base_path: str,
+    out_dir: str,
+    checkpoint: str,
+    timeout_sec: int = 300,
+) -> None:
+    """Drain the document feed through the novelty monitor
+    (availableNow trigger)."""
+    q = (
+        doc_stream(spark, input_dir)
+        .writeStream.foreachBatch(NoveltyMonitor(base_path, out_dir))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError("novelty stream did not drain in time")
