@@ -587,3 +587,67 @@ def test_source_overlap_no_cartesian(spark, snaps):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Python" not in plan
+
+
+def test_pps_cumsum_window_is_slice_partitioned(spark):
+    """exact_global_cumsum exists precisely to avoid a GLOBAL
+    running-sum window (whole corpus into one task): every window in
+    the plan must be partitioned by the range-slice pid. (A 1-row
+    Exchange SinglePartition for the grand-total scalar aggregate is
+    benign — only 32 partial rows pass through it.)"""
+    from kafka_overwatch_spark.pipelines.sampling import pps_systematic
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _final_plan(pps_systematic(docs))
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_egc_pid" in line  # never an unpartitioned window
+
+
+def test_link_prediction_no_cartesian(spark):
+    """Wedge generation is a keyed join on the shared neighbor — a
+    cartesian anywhere means the probe restriction regressed."""
+    from kafka_overwatch_spark import registry
+
+    q = registry.spark_queries()["graph_link_prediction"]
+    plan = _final_plan(q(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+
+
+def test_shapley_lattice_is_broadcast_only(spark):
+    """Past the one mask-grain aggregate, every join in the Shapley
+    lattice is broadcast (16-row frames) — no shuffle joins."""
+    from kafka_overwatch_spark.operators.relational import (
+        shapley_attribution,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = _final_plan(shapley_attribution(ev))
+    assert "SortMergeJoin" not in plan
+
+
+def test_density_cores_single_gemm_pass(spark):
+    """One mapInPandas block-GEMM, no pair-materializing join."""
+    from kafka_overwatch_spark.pipelines.similarity import density_cores
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _final_plan(density_cores(emb))
+    assert plan.count("MapInPandas") == 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_keyness_vocabulary_never_broadcast(spark):
+    """The (source, token) and token-total frames are vocabulary-grain:
+    the per-source totals and grand total broadcast, the token-keyed
+    join must NOT (a broadcast there OOMs at corpus scale). At
+    sf0.001 AQE would happily broadcast the tiny token frame, so the
+    assertion targets the plan SHAPE: at least one exchange keyed on
+    the token survives."""
+    from kafka_overwatch_spark.pipelines.text import keyness_by_source
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _final_plan(keyness_by_source(docs))
+    assert "token" in plan and "hashpartitioning(token" in plan.replace(
+        "hashpartitioning(token#", "hashpartitioning(token"
+    ) or "Exchange hashpartitioning" in plan
