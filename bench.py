@@ -244,6 +244,9 @@ EXTRA = [
     "sampling_psis_khat",
     "emb_silhouette",
     "text_keyness",
+    "emb_density_cores_lsh",
+    "events_seasonal_decompose",
+    "events_did",
 ]
 
 

@@ -4716,3 +4716,123 @@ def granger_daily(events: DataFrame) -> DataFrame:
         F.round(cf, 6).alias("beta_cross"),
         F.round(f_stat, 6).alias("f_stat"),
     )
+
+
+def seasonal_decompose_daily(events: DataFrame) -> DataFrame:
+    """Additive seasonal decomposition of each type's daily count
+    series (STL-lite): trend = centered 7-day moving average (only
+    where the full window exists), seasonal = day-of-week mean of the
+    detrended series, residual = x − trend − seasonal — the
+    "is the wiggle weekly cycle or real anomaly" table that
+    events_dow_seasonality's marginal means can't give (those confound
+    trend with season). All three components per (type, day); edge
+    days where the centered window is incomplete carry NULL
+    trend/seasonal/residual honestly.
+
+    Exactness: trend averages 7 integer counts (one double division);
+    the seasonal means average ≤⌈days/7⌉ identically-derived doubles —
+    round-6 stable. Scale shape: one day×type aggregate, two windows
+    and one (type, dow) aggregate on the bounded day grain. Output:
+    event_type, day, value, trend, seasonal, residual."""
+    from pyspark.sql.window import Window
+
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = events.groupBy(F.col("event_type"), day.alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    trended = daily.withColumn(
+        "trend",
+        F.when(
+            F.count("*").over(w7) == 7,
+            F.sum(F.col("c").cast("decimal(38,0)")).over(w7).cast("double")
+            / 7.0,
+        ),
+    ).withColumn("dow", F.pmod(F.col("day"), F.lit(7)))
+    seasonal = (
+        trended.filter(F.col("trend").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(
+            F.avg(F.col("c").cast("double") - F.col("trend")).alias(
+                "seasonal"
+            )
+        )
+    )
+    return (
+        trended.join(F.broadcast(seasonal), ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.col("c").cast("long").alias("value"),
+            F.round(F.col("trend"), 6).alias("trend"),
+            F.round(
+                F.when(F.col("trend").isNotNull(), F.col("seasonal")), 6
+            ).alias("seasonal"),
+            F.round(
+                F.when(
+                    F.col("trend").isNotNull(),
+                    F.col("c").cast("double")
+                    - F.col("trend")
+                    - F.col("seasonal"),
+                ),
+                6,
+            ).alias("residual"),
+        )
+    )
+
+
+def did_estimate(
+    events: DataFrame, split_date: str = "2024-01-16"
+) -> DataFrame:
+    """Paired difference-in-differences on per-user spend: each user's
+    change d = post-period − pre-period cent total (0 for an absent
+    period), arms split deterministically (user_id % 2, treatment =
+    arm 1); DiD = mean(d | treat) − mean(d | control), with the
+    two-sample SE and t statistic from the per-arm variances of d —
+    the causal-readout sibling of events_cuped (CUPED tightens a
+    LEVEL comparison; DiD differences OUT each user's level entirely).
+    Every moment is an integer-exact decimal(38,0) cent sum; every
+    double derives once. Output: one row — n_control, n_treat,
+    mean_diff_control, mean_diff_treat, did, se, t_stat."""
+    cents = F.round(F.col("value") * 100).cast("decimal(38,0)")
+    pre = F.col("ts") < F.lit(split_date).cast("timestamp")
+    zero = F.lit(0).cast("decimal(38,0)")
+    per_user = events.groupBy("user_id").agg(
+        (
+            F.coalesce(F.sum(F.when(~pre, cents)), zero)
+            - F.coalesce(F.sum(F.when(pre, cents)), zero)
+        ).alias("d")
+    )
+    arm_t = (F.col("user_id") % 2) == 1
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = per_user.agg(
+        F.sum(F.when(~arm_t, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(arm_t, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(~arm_t, d38(F.col("d")))).alias("s_c"),
+        F.sum(F.when(arm_t, d38(F.col("d")))).alias("s_t"),
+        F.sum(F.when(~arm_t, d38(F.col("d") * F.col("d")))).alias("ss_c"),
+        F.sum(F.when(arm_t, d38(F.col("d") * F.col("d")))).alias("ss_t"),
+    )
+    D = lambda name: F.col(name).cast("double")  # noqa: E731
+    mean_c = D("s_c") / D("n_c")
+    mean_t = D("s_t") / D("n_t")
+    var_c = D("ss_c") / D("n_c") - mean_c * mean_c
+    var_t = D("ss_t") / D("n_t") - mean_t * mean_t
+    se = F.when(
+        var_c / D("n_c") + var_t / D("n_t") > 0,
+        F.sqrt(var_c / D("n_c") + var_t / D("n_t")),
+    )
+    did = mean_t - mean_c
+    return m.select(
+        F.col("n_c").cast("long").alias("n_control"),
+        F.col("n_t").cast("long").alias("n_treat"),
+        F.round(mean_c / 100.0, 6).alias("mean_diff_control"),
+        F.round(mean_t / 100.0, 6).alias("mean_diff_treat"),
+        F.round(did / 100.0, 6).alias("did"),
+        F.round(se / 100.0, 6).alias("se"),
+        F.round(F.when(se > 0, did / se), 6).alias("t_stat"),
+    )

@@ -5061,4 +5061,103 @@ SELECT source, token, CAST(a_i AS BIGINT) AS count_in,
   CAST(rank AS BIGINT) AS rank
 FROM kr WHERE rank <= 5"""
 
+
+    # scale-path density profile over the multi-table LSH candidate
+    # graph — composes the dedup_embedding_cosine pair SQL
+    q["emb_density_cores_lsh"] = f"""
+WITH dpairs AS (SELECT * FROM ({q["dedup_embedding_cosine"]}) p),
+dboth AS (
+  SELECT vec_a AS vec_id FROM dpairs
+  UNION ALL SELECT vec_b FROM dpairs
+),
+dcnt AS (
+  SELECT vec_id, count(*) AS n FROM dboth GROUP BY 1
+)
+SELECT e.vec_id,
+  CAST(coalesce(d.n, 0) AS BIGINT) AS n_neighbors_lsh,
+  coalesce(d.n, 0) >= 2 AS is_core
+FROM embeddings e LEFT JOIN dcnt d ON e.vec_id = d.vec_id"""
+
+
+    # STL-lite additive decomposition: centered 7-day MA trend,
+    # DOW mean of the detrended series, residual
+    q["events_seasonal_decompose"] = """
+WITH sdaily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+    count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+strend AS (
+  SELECT event_type, day, c, day % 7 AS dow,
+    CASE WHEN count(*) OVER w = 7 THEN
+      CAST(sum(CAST(c AS HUGEINT)) OVER w AS DOUBLE) / 7.0 END AS trend
+  FROM sdaily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+sseason AS (
+  SELECT event_type, dow,
+    avg(CAST(c AS DOUBLE) - trend) AS seasonal
+  FROM strend WHERE trend IS NOT NULL GROUP BY 1, 2
+)
+SELECT t.event_type, t.day, CAST(t.c AS BIGINT) AS value,
+  round(t.trend, 6) AS trend,
+  round(CASE WHEN t.trend IS NOT NULL THEN s.seasonal END, 6)
+    AS seasonal,
+  round(CASE WHEN t.trend IS NOT NULL
+    THEN CAST(t.c AS DOUBLE) - t.trend - s.seasonal END, 6)
+    AS residual
+FROM strend t LEFT JOIN sseason s
+  ON t.event_type = s.event_type AND t.dow = s.dow"""
+
+    # paired DiD: per-user post-minus-pre cent deltas, two-sample test
+    q["events_did"] = """
+WITH dper_user AS (
+  SELECT user_id,
+    coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN
+      CAST(round(value * 100) AS DECIMAL(38,0)) END), 0)
+    - coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN
+      CAST(round(value * 100) AS DECIMAL(38,0)) END), 0) AS d
+  FROM events GROUP BY user_id
+),
+dm AS (
+  SELECT
+    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_c,
+    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_t,
+    sum(CASE WHEN user_id % 2 = 0 THEN d END) AS s_c,
+    sum(CASE WHEN user_id % 2 = 1 THEN d END) AS s_t,
+    sum(CASE WHEN user_id % 2 = 0 THEN d * d END) AS ss_c,
+    sum(CASE WHEN user_id % 2 = 1 THEN d * d END) AS ss_t
+  FROM dper_user
+),
+dd AS (
+  SELECT CAST(n_c AS DOUBLE) AS nc, CAST(n_t AS DOUBLE) AS nt,
+    CAST(s_c AS DOUBLE) AS sc, CAST(s_t AS DOUBLE) AS st,
+    CAST(ss_c AS DOUBLE) AS ssc, CAST(ss_t AS DOUBLE) AS sst,
+    n_c AS n_c_i, n_t AS n_t_i
+  FROM dm
+),
+de AS (
+  SELECT *,
+    sc / nc AS mc, st / nt AS mt,
+    ssc / nc - (sc / nc) * (sc / nc) AS vc,
+    sst / nt - (st / nt) * (st / nt) AS vt
+  FROM dd
+),
+df2 AS (
+  SELECT *,
+    CASE WHEN vc / nc + vt / nt > 0
+      THEN sqrt(vc / nc + vt / nt) END AS se,
+    mt - mc AS did
+  FROM de
+)
+SELECT CAST(n_c_i AS BIGINT) AS n_control,
+  CAST(n_t_i AS BIGINT) AS n_treat,
+  round(mc / 100.0, 6) AS mean_diff_control,
+  round(mt / 100.0, 6) AS mean_diff_treat,
+  round(did / 100.0, 6) AS did,
+  round(se / 100.0, 6) AS se,
+  round(CASE WHEN se > 0 THEN did / se END, 6) AS t_stat
+FROM df2"""
+
     return q

@@ -2640,3 +2640,44 @@ def silhouette_by_label(embeddings: DataFrame) -> DataFrame:
             F.round(F.avg(s), 6).alias("silhouette"),
         )
     )
+
+
+def density_cores_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    min_pts: int = 2,
+    bits: int = LSH_BITS,
+    tables: int = NEARDUP_TABLES,
+) -> DataFrame:
+    """The SCALE-PATH sibling of :func:`density_cores`: neighbor
+    counts over the multi-table LSH candidate graph (candidates share
+    any (table, bucket); exact round-6 cosine verify per bucket —
+    the dedup_embedding_cosine machinery) instead of the exact
+    all-pairs GEMM. Counts are a LOWER BOUND of the exact profile
+    (LSH can only miss pairs, never invent them — the subset law the
+    tests pin); the exact form stays the audit, this form is what
+    runs on the full corpus. Defaults follow the dedup family
+    (threshold 0.4, 8×8-bit tables). Output: vec_id,
+    n_neighbors_lsh, is_core."""
+    pairs = embedding_neardup_pairs_lsh(
+        embeddings, threshold, bits=bits, tables=tables
+    )
+    both = pairs.select(F.col("vec_a").alias("vec_id")).unionAll(
+        pairs.select(F.col("vec_b").alias("vec_id"))
+    )
+    counts = both.groupBy("vec_id").agg(
+        F.count("*").alias("n_neighbors_lsh")
+    )
+    return (
+        embeddings.select("vec_id")
+        .join(counts, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("n_neighbors_lsh"), F.lit(0)).alias(
+                "n_neighbors_lsh"
+            ),
+            (
+                F.coalesce(F.col("n_neighbors_lsh"), F.lit(0)) >= min_pts
+            ).alias("is_core"),
+        )
+    )

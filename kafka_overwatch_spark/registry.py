@@ -655,6 +655,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_silhouette"] = lambda s, d: similarity.silhouette_by_label(
         raw(s, d, "embeddings")
     )
+    # r10: scale-path density profile over the LSH candidate graph
+    q["emb_density_cores_lsh"] = (
+        lambda s, d: similarity.density_cores_lsh(raw(s, d, "embeddings"))
+    )
     # r10: DBSCAN-style density profile (exact neighbor counts at
     # round-6 cosine >= 0.3; LSH/IVF candidates are the scale path)
     q["emb_density_cores"] = lambda s, d: similarity.density_cores(
@@ -1098,6 +1102,16 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r10: Markov removal-effect attribution (unrolled absorption)
     q["events_markov_attribution"] = (
         lambda s, d: relational.markov_attribution(raw(s, d, "events"))
+    )
+    # r10: STL-lite seasonal decomposition of daily counts
+    q["events_seasonal_decompose"] = (
+        lambda s, d: relational.seasonal_decompose_daily(
+            raw(s, d, "events")
+        )
+    )
+    # r10: paired difference-in-differences on per-user spend deltas
+    q["events_did"] = lambda s, d: relational.did_estimate(
+        raw(s, d, "events")
     )
     # r10: pairwise lag-1 Granger causality on daily counts
     q["events_granger"] = lambda s, d: relational.granger_daily(
@@ -1573,6 +1587,9 @@ _PROMOTED = [
     "events_granger",
     "sampling_psis_khat",
     "emb_silhouette",
+    "emb_density_cores_lsh",
+    "events_seasonal_decompose",
+    "events_did",
     "text_keyness",
     "events_shapley_attribution",
     "events_cuped",

@@ -418,3 +418,78 @@ def test_keyness_hand_computed_g2(spark):
     assert r["rank"] == 1
     # 'cherry' is B's most distinctive token
     assert out[("B", "cherry")]["rank"] in (1, 2)
+
+
+def test_density_lsh_is_lower_bound_of_exact(spark):
+    from kafka_overwatch_spark.pipelines import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        r["vec_id"]: r["n_neighbors"]
+        for r in similarity.density_cores(emb, threshold=0.4).collect()
+    }
+    approx = {
+        r["vec_id"]: r["n_neighbors_lsh"]
+        for r in similarity.density_cores_lsh(emb, threshold=0.4).collect()
+    }
+    assert set(approx) == set(exact)
+    # LSH can only MISS pairs, never invent them
+    assert all(approx[v] <= exact[v] for v in exact)
+    # identical vectors land in identical buckets in every table →
+    # a planted clique is recalled perfectly
+    dim = 64
+    a = [0.5] * dim
+    clique = spark.createDataFrame(
+        [(i, a, 0) for i in range(4)] ,
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in similarity.density_cores_lsh(clique).collect()
+    }
+    assert all(out[i]["n_neighbors_lsh"] == 3 and out[i]["is_core"] for i in range(4))
+
+
+def test_seasonal_decompose_constant_plus_weekly(spark):
+    # 21 days of counts = 10 + (3 if dow==0 else 0): trend is exactly
+    # 10 + 3/7 wherever the window is full, the dow-0 seasonal is
+    # 3 - 3/7, other dows -3/7, residuals 0
+    rows = []
+    for d0 in range(21):
+        n = 10 + (3 if (d0 + 19723) % 7 == 0 else 0)
+        # day = epoch day of 2024-01-(d0+1) = 19723 + d0
+        rows += [(1, d0 + 1, h % 24, "click", 1.0) for h in range(n)]
+    out = {
+        r["day"]: r
+        for r in relational.seasonal_decompose_daily(
+            _events(spark, rows)
+        ).collect()
+        if r["event_type"] == "click"
+    }
+    full = [r for r in out.values() if r["trend"] is not None]
+    assert len(full) == 21 - 6  # centered window drops 3 each edge
+    for r in full:
+        assert r["trend"] == pytest.approx(10 + 3 / 7, abs=1e-6)
+        expect_season = (
+            3 - 3 / 7 if r["day"] % 7 == 0 else -3 / 7
+        )
+        assert r["seasonal"] == pytest.approx(expect_season, abs=1e-6)
+        assert r["residual"] == pytest.approx(0.0, abs=1e-6)
+    edge = [r for r in out.values() if r["trend"] is None]
+    assert all(r["seasonal"] is None and r["residual"] is None for r in edge)
+
+
+def test_did_recovers_planted_effect(spark):
+    # control users: post − pre = +10 exactly; treated: +25 → DiD 15;
+    # within-arm deltas constant → zero variance → se NULL-guard
+    rows = []
+    for u in (0, 2, 4):
+        rows += [(u, 1, 9, "view", 50.0), (u, 20, 9, "view", 60.0)]
+    for u in (1, 3, 5):
+        rows += [(u, 1, 9, "view", 50.0), (u, 20, 9, "view", 75.0)]
+    r = relational.did_estimate(_events(spark, rows)).collect()[0]
+    assert r["n_control"] == 3 and r["n_treat"] == 3
+    assert r["mean_diff_control"] == pytest.approx(10.0, abs=1e-6)
+    assert r["mean_diff_treat"] == pytest.approx(25.0, abs=1e-6)
+    assert r["did"] == pytest.approx(15.0, abs=1e-6)
+    assert r["se"] is None and r["t_stat"] is None
