@@ -247,6 +247,7 @@ EXTRA = [
     "emb_density_cores_lsh",
     "events_seasonal_decompose",
     "events_did",
+    "events_holt_winters",
 ]
 
 

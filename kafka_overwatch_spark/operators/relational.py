@@ -4836,3 +4836,94 @@ def did_estimate(
         F.round(se / 100.0, 6).alias("se"),
         F.round(F.when(se > 0, did / se), 6).alias("t_stat"),
     )
+
+
+def daily_holt_winters(
+    events: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """Additive Holt–Winters (level + trend + weekly seasonality m=7)
+    over each type's daily value series — the seasonal completion of
+    :func:`daily_holt_forecast` (Holt follows a level shift but lags
+    every weekend dip; HW carries the dip in its seasonal state).
+    Textbook init at t=7: l₇ = mean(x₁..₇), b₇ = (mean(x₈..₁₄) −
+    mean(x₁..₇))/7, s_slot = x_i − l₇ for i = 1..7 (slot = (i−1) mod
+    7); then for t ≥ 8 with slot = (t−1) mod 7:
+    l_t = α(x_t − s_slot) + (1−α)(l+b); b_t = β(l_t − l) + (1−β)b;
+    s_slot ← γ(x_t − l_t) + (1−γ)s_slot. ŷ(h) = l + h·b +
+    s[(n+h−1) mod 7]. Series shorter than 14 days NULL-propagate
+    (two full seasons are the init's minimum).
+
+    Scale shape: identical to Holt — the daily rollup is the only
+    fact-sized work; the recurrence folds each type's bounded series
+    with a JVM higher-order ``aggregate`` carrying a 7-slot seasonal
+    array (zero Python). Oracle: DuckDB recursive CTE carrying the 7
+    slots as columns, token-identical update arithmetic. Output:
+    event_type, days, level, trend, forecast_1, forecast_7,
+    s0..s6."""
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = events.groupBy("event_type", day.alias("day")).agg(
+        F.sum(_dec("value")).cast("double").alias("x")
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("series")
+    )
+    a, b, g = alpha, beta, gamma
+    fold = f"""
+    aggregate(
+      slice(series, 8, size(series) - 7),
+      named_struct(
+        't', CAST(7 AS BIGINT),
+        'l', aggregate(slice(series, 1, 7), CAST(0 AS DOUBLE),
+               (acc, s) -> acc + s.x) / 7,
+        'b', (aggregate(slice(series, 8, 7), CAST(0 AS DOUBLE),
+                (acc, s) -> acc + s.x) / 7
+              - aggregate(slice(series, 1, 7), CAST(0 AS DOUBLE),
+                  (acc, s) -> acc + s.x) / 7) / 7,
+        's', transform(sequence(1, 7), i ->
+               element_at(series, i).x
+               - aggregate(slice(series, 1, 7), CAST(0 AS DOUBLE),
+                   (acc, s) -> acc + s.x) / 7)
+      ),
+      (acc, e) -> named_struct(
+        't', acc.t + 1,
+        'l', {a} * (e.x - element_at(acc.s, CAST(acc.t % 7 AS INT) + 1))
+             + {1 - a} * (acc.l + acc.b),
+        'b', {b} * ({a} * (e.x
+                - element_at(acc.s, CAST(acc.t % 7 AS INT) + 1))
+              + {1 - a} * (acc.l + acc.b) - acc.l) + {1 - b} * acc.b,
+        's', transform(acc.s, (v, j) -> CASE
+               WHEN j = CAST(acc.t % 7 AS INT) THEN
+                 {g} * (e.x - ({a} * (e.x - v)
+                   + {1 - a} * (acc.l + acc.b))) + {1 - g} * v
+               ELSE v END)
+      )
+    )"""
+    folded = per_type.select(
+        "event_type",
+        F.size("series").cast("long").alias("days"),
+        F.when(F.size("series") >= 14, F.expr(fold)).alias("st"),
+    )
+    n = F.col("days")
+    s_at = lambda h: F.element_at(  # noqa: E731
+        F.col("st.s"), ((n + h - 1) % 7).cast("int") + 1
+    )
+    out = folded.select(
+        "event_type",
+        "days",
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.b"), 6).alias("trend"),
+        F.round(F.col("st.l") + F.col("st.b") + s_at(F.lit(1)), 6).alias(
+            "forecast_1"
+        ),
+        F.round(
+            F.col("st.l") + 7 * F.col("st.b") + s_at(F.lit(7)), 6
+        ).alias("forecast_7"),
+        *[
+            F.round(F.element_at(F.col("st.s"), j + 1), 6).alias(f"s{j}")
+            for j in range(7)
+        ],
+    )
+    return out

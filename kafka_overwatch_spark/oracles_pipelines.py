@@ -5160,4 +5160,81 @@ SELECT CAST(n_c_i AS BIGINT) AS n_control,
   round(CASE WHEN se > 0 THEN did / se END, 6) AS t_stat
 FROM df2"""
 
+
+    # additive Holt-Winters (weekly m=7): recursive CTE carrying the 7
+    # seasonal slots as columns, token-identical update arithmetic to
+    # the Spark fold (the Holt/EWMA convention); sub-14-day series
+    # emit the honest NULL row
+    q["events_holt_winters"] = """
+WITH RECURSIVE hwdaily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+hword AS (
+  SELECT event_type, x,
+    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM hwdaily
+),
+hwinit AS (
+  SELECT event_type, max(n) AS n,
+    sum(CASE WHEN rn <= 7 THEN x END) / 7 AS l,
+    (sum(CASE WHEN rn BETWEEN 8 AND 14 THEN x END) / 7
+     - sum(CASE WHEN rn <= 7 THEN x END) / 7) / 7 AS b,
+    max(CASE WHEN rn = 1 THEN x END)
+      - sum(CASE WHEN rn <= 7 THEN x END) / 7 AS s0,
+    max(CASE WHEN rn = 2 THEN x END)
+      - sum(CASE WHEN rn <= 7 THEN x END) / 7 AS s1,
+    max(CASE WHEN rn = 3 THEN x END)
+      - sum(CASE WHEN rn <= 7 THEN x END) / 7 AS s2,
+    max(CASE WHEN rn = 4 THEN x END)
+      - sum(CASE WHEN rn <= 7 THEN x END) / 7 AS s3,
+    max(CASE WHEN rn = 5 THEN x END)
+      - sum(CASE WHEN rn <= 7 THEN x END) / 7 AS s4,
+    max(CASE WHEN rn = 6 THEN x END)
+      - sum(CASE WHEN rn <= 7 THEN x END) / 7 AS s5,
+    max(CASE WHEN rn = 7 THEN x END)
+      - sum(CASE WHEN rn <= 7 THEN x END) / 7 AS s6
+  FROM hword WHERE n >= 14 GROUP BY event_type
+),
+hwrec AS (
+  SELECT event_type, CAST(7 AS BIGINT) AS t, n, l, b,
+    s0, s1, s2, s3, s4, s5, s6
+  FROM hwinit
+  UNION ALL
+  SELECT r.event_type, r.t + 1, r.n,
+    0.3 * (o.x - CASE (r.t % 7) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 WHEN 6 THEN r.s6 END) + 0.7 * (r.l + r.b) AS l,
+    0.1 * (0.3 * (o.x - CASE (r.t % 7) WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 WHEN 6 THEN r.s6 END) + 0.7 * (r.l + r.b) - r.l) + 0.9 * r.b AS b,
+    CASE WHEN (r.t % 7) = 0 THEN 0.2 * (o.x - (0.3 * (o.x - r.s0)
+      + 0.7 * (r.l + r.b))) + 0.8 * r.s0 ELSE r.s0 END AS s0,
+    CASE WHEN (r.t % 7) = 1 THEN 0.2 * (o.x - (0.3 * (o.x - r.s1)
+      + 0.7 * (r.l + r.b))) + 0.8 * r.s1 ELSE r.s1 END AS s1,
+    CASE WHEN (r.t % 7) = 2 THEN 0.2 * (o.x - (0.3 * (o.x - r.s2)
+      + 0.7 * (r.l + r.b))) + 0.8 * r.s2 ELSE r.s2 END AS s2,
+    CASE WHEN (r.t % 7) = 3 THEN 0.2 * (o.x - (0.3 * (o.x - r.s3)
+      + 0.7 * (r.l + r.b))) + 0.8 * r.s3 ELSE r.s3 END AS s3,
+    CASE WHEN (r.t % 7) = 4 THEN 0.2 * (o.x - (0.3 * (o.x - r.s4)
+      + 0.7 * (r.l + r.b))) + 0.8 * r.s4 ELSE r.s4 END AS s4,
+    CASE WHEN (r.t % 7) = 5 THEN 0.2 * (o.x - (0.3 * (o.x - r.s5)
+      + 0.7 * (r.l + r.b))) + 0.8 * r.s5 ELSE r.s5 END AS s5,
+    CASE WHEN (r.t % 7) = 6 THEN 0.2 * (o.x - (0.3 * (o.x - r.s6)
+      + 0.7 * (r.l + r.b))) + 0.8 * r.s6 ELSE r.s6 END AS s6
+  FROM hwrec r JOIN hword o
+    ON o.event_type = r.event_type AND o.rn = r.t + 1
+),
+hwfinal AS (
+  SELECT * FROM hwrec WHERE t = n
+)
+SELECT f.event_type, CAST(f.n AS BIGINT) AS days,
+  round(f.l, 6) AS level, round(f.b, 6) AS trend,
+  round(f.l + f.b + CASE ((f.n + 1 - 1) % 7) WHEN 0 THEN f.s0 WHEN 1 THEN f.s1 WHEN 2 THEN f.s2 WHEN 3 THEN f.s3 WHEN 4 THEN f.s4 WHEN 5 THEN f.s5 WHEN 6 THEN f.s6 END, 6) AS forecast_1,
+  round(f.l + 7 * f.b + CASE ((f.n + 7 - 1) % 7) WHEN 0 THEN f.s0 WHEN 1 THEN f.s1 WHEN 2 THEN f.s2 WHEN 3 THEN f.s3 WHEN 4 THEN f.s4 WHEN 5 THEN f.s5 WHEN 6 THEN f.s6 END, 6) AS forecast_7,
+  round(f.s0, 6) AS s0, round(f.s1, 6) AS s1, round(f.s2, 6) AS s2, round(f.s3, 6) AS s3, round(f.s4, 6) AS s4, round(f.s5, 6) AS s5, round(f.s6, 6) AS s6
+FROM hwfinal f
+UNION ALL
+SELECT event_type, CAST(max(n) AS BIGINT) AS days,
+  NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+FROM hword WHERE n < 14 GROUP BY event_type"""
+
     return q

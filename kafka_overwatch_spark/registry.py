@@ -1103,6 +1103,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_markov_attribution"] = (
         lambda s, d: relational.markov_attribution(raw(s, d, "events"))
     )
+    # r10: additive Holt-Winters (level+trend+weekly season) forecast
+    q["events_holt_winters"] = lambda s, d: relational.daily_holt_winters(
+        raw(s, d, "events")
+    )
     # r10: STL-lite seasonal decomposition of daily counts
     q["events_seasonal_decompose"] = (
         lambda s, d: relational.seasonal_decompose_daily(
@@ -1589,6 +1593,7 @@ _PROMOTED = [
     "emb_silhouette",
     "emb_density_cores_lsh",
     "events_seasonal_decompose",
+    "events_holt_winters",
     "events_did",
     "text_keyness",
     "events_shapley_attribution",

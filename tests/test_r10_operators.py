@@ -493,3 +493,43 @@ def test_did_recovers_planted_effect(spark):
     assert r["mean_diff_treat"] == pytest.approx(25.0, abs=1e-6)
     assert r["did"] == pytest.approx(15.0, abs=1e-6)
     assert r["se"] is None and r["t_stat"] is None
+
+
+def test_holt_winters_python_fold_parity_and_short_series(spark):
+    # exact python re-fold of the documented recurrence over a
+    # 21-day series with a planted weekly dip; plus the < 14-day
+    # NULL contract
+    xs = [100.0 + 2 * t + (-30.0 if t % 7 == 5 else 0.0) for t in range(21)]
+    rows = []
+    for d0, x in enumerate(xs):
+        rows.append((1, d0 + 1, 9, "click", x))
+    rows += [(1, d, 9, "view", 1.0) for d in range(1, 10)]  # 9 days
+    ev = _events(spark, rows)
+    out = {
+        r["event_type"]: r
+        for r in relational.daily_holt_winters(ev).collect()
+    }
+    a, b, g = 0.3, 0.1, 0.2
+    l = sum(xs[:7]) / 7
+    tr = (sum(xs[7:14]) / 7 - sum(xs[:7]) / 7) / 7
+    s = [xs[i] - l for i in range(7)]
+    for t in range(7, 21):  # 0-based t == rn-1; slot = t % 7
+        slot = t % 7
+        l_new = a * (xs[t] - s[slot]) + (1 - a) * (l + tr)
+        tr = b * (l_new - l) + (1 - b) * tr
+        s[slot] = g * (xs[t] - l_new) + (1 - g) * s[slot]
+        l = l_new
+    r = out["click"]
+    assert r["days"] == 21
+    assert r["level"] == pytest.approx(l, abs=1e-5)
+    assert r["trend"] == pytest.approx(tr, abs=1e-5)
+    for j in range(7):
+        assert r[f"s{j}"] == pytest.approx(s[j], abs=1e-5)
+    assert r["forecast_1"] == pytest.approx(
+        l + tr + s[(21 + 1 - 1) % 7], abs=1e-5
+    )
+    # the weekly dip lives in the seasonal state, not the trend
+    dip_slot = 5
+    assert r[f"s{dip_slot}"] < -15
+    v = out["view"]
+    assert v["days"] == 9 and v["level"] is None and v["forecast_1"] is None
