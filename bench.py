@@ -248,6 +248,7 @@ EXTRA = [
     "events_seasonal_decompose",
     "events_did",
     "events_holt_winters",
+    "text_heaps_law",
 ]
 
 

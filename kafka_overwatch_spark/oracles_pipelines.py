@@ -5237,4 +5237,61 @@ SELECT event_type, CAST(max(n) AS BIGINT) AS days,
   NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
 FROM hword WHERE n < 14 GROUP BY event_type"""
 
+
+    # Heaps-law vocabulary growth: first-seen doc rides min(doc_id) on
+    # the vocabulary aggregate; log-log OLS over per-doc (N, V) points
+    q["text_heaps_law"] = """
+WITH htoks AS (
+  SELECT doc_id, unnest(string_split(
+    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+hpd AS (SELECT doc_id, count(*) AS n_toks FROM htoks GROUP BY 1),
+hfs AS (SELECT token, min(doc_id) AS fd FROM htoks GROUP BY 1),
+hnt AS (SELECT fd AS doc_id, count(*) AS new_types FROM hfs GROUP BY 1),
+hbase AS (
+  SELECT p.doc_id, p.n_toks, coalesce(n.new_types, 0) AS new_types
+  FROM hpd p LEFT JOIN hnt n ON p.doc_id = n.doc_id
+),
+hcum AS (
+  SELECT doc_id,
+    sum(CAST(n_toks AS HUGEINT)) OVER w AS n_cum,
+    sum(CAST(new_types AS HUGEINT)) OVER w AS v_cum
+  FROM hbase
+  WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+),
+hpts AS (
+  SELECT ln(CAST(n_cum AS DOUBLE)) AS x, ln(CAST(v_cum AS DOUBLE)) AS y
+  FROM hcum WHERE n_cum > 0 AND v_cum > 0
+),
+hm AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM hpts
+),
+htot AS (
+  SELECT count(*) AS n_docs, max(n_cum) AS total_tokens,
+    max(v_cum) AS vocab
+  FROM hcum
+),
+hf AS (
+  SELECT *, CAST(n AS DOUBLE) AS nn,
+    CAST(n AS DOUBLE) * sxx - sx * sx AS sxx_c,
+    CAST(n AS DOUBLE) * syy - sy * sy AS syy_c,
+    CAST(n AS DOUBLE) * sxy - sx * sy AS sxy_c
+  FROM hm
+),
+hg AS (
+  SELECT *, CASE WHEN sxx_c > 0 THEN sxy_c / sxx_c END AS beta
+  FROM hf
+)
+SELECT CAST(t.n_docs AS BIGINT) AS n_docs,
+  CAST(t.total_tokens AS BIGINT) AS total_tokens,
+  CAST(t.vocab AS BIGINT) AS vocab,
+  round(g.beta, 6) AS beta,
+  round(exp((g.sy - g.beta * g.sx) / g.nn), 6) AS k,
+  round(CASE WHEN g.sxx_c > 0 AND g.syy_c > 0
+    THEN g.sxy_c * g.sxy_c / (g.sxx_c * g.syy_c) END, 6) AS r2
+FROM hg g, htot t"""
+
     return q

@@ -1439,3 +1439,94 @@ def keyness_by_source(
         "g2",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def heaps_law_fit(documents: DataFrame) -> DataFrame:
+    """Heaps/Herdan law fit of vocabulary growth: V(N) ≈ K·N^β over
+    the corpus read in doc_id order — the "how fast does new
+    vocabulary appear" exponent that sizes tokenizer vocabularies and
+    predicts how much unseen-token mass more data buys (β ≈ 0.5 for
+    natural text; β → 0 means the corpus is saturating, β → 1 means
+    near-random token soup). Companion of zipf_fit (frequency law) and
+    vocab_richness (asymptote estimates): Heaps gives the GROWTH
+    CURVE.
+
+    Construction: a token's first-seen doc rides min(doc_id) on the
+    same vocabulary-grain aggregate that counts it (the novelty
+    min-carry trick); per-doc new-type and total-token counts then
+    take two exact range-exchange cumsums (exact_global_cumsum — no
+    single-partition window), and the β/K fit is log-log OLS over the
+    per-doc (N, V) points. ln() of identical exact integers is
+    engine-identical; the co-moment sums are doubles (round-6 output
+    absorbs order effects, the unigram_logprob contract). Output: one
+    row — n_docs, total_tokens, vocab, beta, k, r2."""
+    from ..pipelines.util import exact_global_cumsum
+
+    toks = documents.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(_norm_tokens()).alias("token")
+    )
+    per_doc_tokens = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_toks")
+    )
+    first_seen = toks.groupBy("token").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    new_types = first_seen.groupBy(
+        F.col("first_doc").alias("doc_id")
+    ).agg(F.count("*").alias("new_types"))
+    base = per_doc_tokens.join(new_types, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        F.coalesce(F.col("new_types"), F.lit(0)).alias("new_types"),
+    )
+    cum = exact_global_cumsum(
+        base,
+        [F.col("doc_id").asc()],
+        F.col("n_toks").cast("decimal(38,0)"),
+        cum_col="n_cum",
+    )
+    cum2 = exact_global_cumsum(
+        cum,
+        [F.col("doc_id").asc()],
+        F.col("new_types").cast("decimal(38,0)"),
+        cum_col="v_cum",
+    )
+    pts = cum2.filter(
+        (F.col("n_cum") > 0) & (F.col("v_cum") > 0)
+    ).select(
+        F.log(F.col("n_cum").cast("double")).alias("x"),
+        F.log(F.col("v_cum").cast("double")).alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    totals = cum2.agg(
+        F.count("*").alias("n_docs"),
+        F.max(F.col("n_cum").cast("long")).alias("total_tokens"),
+        F.max(F.col("v_cum").cast("long")).alias("vocab"),
+    )
+    nn = F.col("n").cast("double")
+    sxx_c = nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    syy_c = nn * F.col("syy") - F.col("sy") * F.col("sy")
+    sxy_c = nn * F.col("sxy") - F.col("sx") * F.col("sy")
+    beta = F.when(sxx_c > 0, sxy_c / sxx_c)
+    log_k = (F.col("sy") - beta * F.col("sx")) / nn
+    r2 = F.when(
+        (sxx_c > 0) & (syy_c > 0), sxy_c * sxy_c / (sxx_c * syy_c)
+    )
+    return (
+        m.crossJoin(F.broadcast(totals))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "vocab",
+            F.round(beta, 6).alias("beta"),
+            F.round(F.exp(log_k), 6).alias("k"),
+            F.round(r2, 6).alias("r2"),
+        )
+    )

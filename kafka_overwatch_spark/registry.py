@@ -756,6 +756,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         raw(s, d, "documents")
     )
     # r9: Hill power-law tail index of document lengths
+    # r10: Heaps-law vocabulary-growth fit (V = K*N^beta)
+    q["text_heaps_law"] = lambda s, d: textops.heaps_law_fit(
+        raw(s, d, "documents")
+    )
     # r10: Dunning log-likelihood keyness (slice-vs-corpus vocabulary)
     q["text_keyness"] = lambda s, d: textops.keyness_by_source(
         raw(s, d, "documents")
@@ -1594,6 +1598,7 @@ _PROMOTED = [
     "emb_density_cores_lsh",
     "events_seasonal_decompose",
     "events_holt_winters",
+    "text_heaps_law",
     "events_did",
     "text_keyness",
     "events_shapley_attribution",

@@ -533,3 +533,22 @@ def test_holt_winters_python_fold_parity_and_short_series(spark):
     assert r[f"s{dip_slot}"] < -15
     v = out["view"]
     assert v["days"] == 9 and v["level"] is None and v["forecast_1"] is None
+
+
+def test_heaps_law_two_point_exact(spark):
+    import math
+
+    from kafka_overwatch_spark.pipelines import text as textops
+
+    # doc1 "a b": (N,V)=(2,2); doc2 "a c": (4,3) →
+    # β = ln(3/2)/ln(4/2), k = exp(ln2 − β·ln2), r2 = 1 (two points)
+    docs = spark.createDataFrame(
+        [(1, "a b", "en", "s", 3), (2, "a c", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = textops.heaps_law_fit(docs).collect()[0]
+    assert (r["n_docs"], r["total_tokens"], r["vocab"]) == (2, 4, 3)
+    beta = math.log(1.5) / math.log(2)
+    assert r["beta"] == pytest.approx(beta, abs=1e-6)
+    assert r["k"] == pytest.approx(math.exp(math.log(2) - beta * math.log(2)), abs=1e-6)
+    assert r["r2"] == pytest.approx(1.0, abs=1e-6)
