@@ -249,6 +249,7 @@ EXTRA = [
     "events_did",
     "events_holt_winters",
     "text_heaps_law",
+    "events_spc_chart",
 ]
 
 

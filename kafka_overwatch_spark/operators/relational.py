@@ -4927,3 +4927,81 @@ def daily_holt_winters(
         ],
     )
     return out
+
+
+def spc_control_chart(events: DataFrame, sigma_k: float = 3.0) -> DataFrame:
+    """Shewhart individuals control chart over each type's daily count
+    series: center line = mean, UCL/LCL = mean ± k·σ̂ where σ̂ is the
+    MOVING-RANGE estimate mean(|x_t − x_{t−1}|)/d₂ (d₂ = 1.128, the
+    standard individuals-chart constant — a plain stddev would inflate
+    the limits when the series trends), flagging rule-1 violations
+    (beyond the limits) and rule-4 runs (≥ 8 consecutive points one
+    side of the center). The ops-facing "is this stream in control"
+    table one step simpler than the CUSUM (EWMA-CUSUM detects small
+    sustained shifts; SPC flags gross excursions with zero tuning).
+
+    Exactness: mean and moving-range mean derive from integer-exact
+    sums (counts and |int − int| differences summed as decimals, one
+    double division each); the run-length flag is an integer window
+    recurrence. Scale shape: day×type grain throughout. Output: one
+    row per (type, day) — value, center, ucl, lcl, beyond_limits,
+    run_flag."""
+    from pyspark.sql.window import Window
+
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    daily = events.groupBy(F.col("event_type"), day.alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wt = Window.partitionBy("event_type")
+    with_mr = daily.withColumn(
+        "mr",
+        F.abs(
+            F.col("c").cast("decimal(38,0)")
+            - F.lag(F.col("c").cast("decimal(38,0)")).over(wo)
+        ),
+    )
+    stats = with_mr.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        (
+            F.sum(F.col("c").cast("decimal(38,0)")).cast("double")
+            / F.count("*")
+        ).alias("center"),
+        F.when(
+            F.count("mr") > 0,
+            F.sum("mr").cast("double") / F.count("mr") / 1.128,
+        ).alias("sigma_hat"),
+    )
+    flagged = (
+        with_mr.join(F.broadcast(stats), "event_type")
+        .withColumn("ucl", F.col("center") + sigma_k * F.col("sigma_hat"))
+        .withColumn("lcl", F.col("center") - sigma_k * F.col("sigma_hat"))
+        .withColumn(
+            "side",
+            F.when(F.col("c") > F.col("center"), 1)
+            .when(F.col("c") < F.col("center"), -1)
+            .otherwise(0),
+        )
+    )
+    # rule-4 runs: a point is flagged when it closes a window of 8
+    # consecutive same-side (nonzero) points
+    w8 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, 0)
+    )
+    return flagged.select(
+        "event_type",
+        "day",
+        F.col("c").cast("long").alias("value"),
+        F.round(F.col("center"), 6).alias("center"),
+        F.round(F.col("ucl"), 6).alias("ucl"),
+        F.round(F.col("lcl"), 6).alias("lcl"),
+        (
+            (F.col("c") > F.col("ucl")) | (F.col("c") < F.col("lcl"))
+        ).alias("beyond_limits"),
+        (
+            (F.count("*").over(w8) == 8)
+            & (F.abs(F.sum("side").over(w8)) == 8)
+        ).alias("run_flag"),
+    )

@@ -5294,4 +5294,42 @@ SELECT CAST(t.n_docs AS BIGINT) AS n_docs,
     THEN g.sxy_c * g.sxy_c / (g.sxx_c * g.syy_c) END, 6) AS r2
 FROM hg g, htot t"""
 
+
+    # Shewhart individuals chart: moving-range sigma (d2 = 1.128),
+    # rule-1 limit breaches + rule-4 eight-in-a-row runs
+    q["events_spc_chart"] = """
+WITH cdaily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+    count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+cmr AS (
+  SELECT *, abs(CAST(c AS HUGEINT) - lag(CAST(c AS HUGEINT))
+    OVER (PARTITION BY event_type ORDER BY day)) AS mr
+  FROM cdaily
+),
+cstats AS (
+  SELECT event_type,
+    CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE) / count(*) AS center,
+    CASE WHEN count(mr) > 0 THEN
+      CAST(sum(mr) AS DOUBLE) / count(mr) / 1.128 END AS sigma_hat
+  FROM cmr GROUP BY 1
+),
+cflag AS (
+  SELECT m.event_type, m.day, m.c, s.center,
+    s.center + 3.0 * s.sigma_hat AS ucl,
+    s.center - 3.0 * s.sigma_hat AS lcl,
+    CASE WHEN m.c > s.center THEN 1
+         WHEN m.c < s.center THEN -1 ELSE 0 END AS side
+  FROM cmr m JOIN cstats s ON m.event_type = s.event_type
+)
+SELECT event_type, day, CAST(c AS BIGINT) AS value,
+  round(center, 6) AS center, round(ucl, 6) AS ucl,
+  round(lcl, 6) AS lcl,
+  (c > ucl OR c < lcl) AS beyond_limits,
+  (count(*) OVER w8 = 8 AND abs(sum(side) OVER w8) = 8) AS run_flag
+FROM cflag
+WINDOW w8 AS (PARTITION BY event_type ORDER BY day
+  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)"""
+
     return q

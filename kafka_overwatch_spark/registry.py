@@ -1107,6 +1107,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_markov_attribution"] = (
         lambda s, d: relational.markov_attribution(raw(s, d, "events"))
     )
+    # r10: Shewhart individuals control chart (moving-range limits)
+    q["events_spc_chart"] = lambda s, d: relational.spc_control_chart(
+        raw(s, d, "events")
+    )
     # r10: additive Holt-Winters (level+trend+weekly season) forecast
     q["events_holt_winters"] = lambda s, d: relational.daily_holt_winters(
         raw(s, d, "events")
@@ -1599,6 +1603,7 @@ _PROMOTED = [
     "events_seasonal_decompose",
     "events_holt_winters",
     "text_heaps_law",
+    "events_spc_chart",
     "events_did",
     "text_keyness",
     "events_shapley_attribution",

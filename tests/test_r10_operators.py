@@ -552,3 +552,28 @@ def test_heaps_law_two_point_exact(spark):
     assert r["beta"] == pytest.approx(beta, abs=1e-6)
     assert r["k"] == pytest.approx(math.exp(math.log(2) - beta * math.log(2)), abs=1e-6)
     assert r["r2"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_spc_chart_spike_and_run(spark):
+    # 12 flat days at 10, one spike to 40, then 8 days at 11 (one side
+    # of center → rule-4 run on the 8th); moving-range σ̂ stays small
+    # because only the spike moves
+    counts = [10] * 12 + [40] + [11] * 8
+    rows = []
+    for d0, n in enumerate(counts):
+        rows += [(1, d0 + 1, h % 24, "click", 1.0) for h in range(n)]
+    out = {
+        r["day"]: r
+        for r in relational.spc_control_chart(_events(spark, rows)).collect()
+    }
+    days = sorted(out)
+    spike_day = days[12]
+    assert out[spike_day]["value"] == 40
+    assert out[spike_day]["beyond_limits"]
+    flat = [out[d] for d in days[:12]]
+    assert not any(r["beyond_limits"] for r in flat)
+    # rule-4 runs: center ≈ 11.8 (the spike drags it up), so the flat
+    # 10s are BELOW center and fire from their 8th day through the
+    # spike; the post-spike 11s (also below center) fire on their 8th
+    run_days = [d for d in days if out[d]["run_flag"]]
+    assert run_days == days[7:12] + [days[-1]]
