@@ -250,6 +250,7 @@ EXTRA = [
     "events_holt_winters",
     "text_heaps_law",
     "events_spc_chart",
+    "events_retention_halflife",
 ]
 
 

@@ -5005,3 +5005,63 @@ def spc_control_chart(events: DataFrame, sigma_k: float = 3.0) -> DataFrame:
             & (F.abs(F.sum("side").over(w8)) == 8)
         ).alias("run_flag"),
     )
+
+
+def retention_halflife(events: DataFrame) -> DataFrame:
+    """Exponential retention-decay fit over the cohort triangle:
+    ln(retention) regressed on week offset across every (cohort,
+    offset ≥ 1) cell — retention(t) ≈ R₀·e^(−λt) — yielding the decay
+    rate λ and the HALF-LIFE in weeks, the single number a growth
+    team quotes where the full matrix (:func:`cohort_retention_matrix`)
+    is the diagnostic. Cells with zero actives are excluded (ln
+    undefined — and a dead cohort-week is signal for the matrix, not
+    the fit). Co-moments follow the OLS recipe: ln() of exact integer
+    ratios is engine-identical, sums are doubles, every derived value
+    rounds once. λ ≤ 0 (non-decaying) yields NULL half-life honestly.
+
+    Scale shape: everything downstream of the retention matrix is
+    (cohorts × offsets)-grain — bounded by the corpus time span
+    squared, not the data. Output: one row — n_points, lambda_hat,
+    half_life_weeks, r0, r2."""
+    cells = cohort_retention_matrix(events).filter(
+        (F.col("week_offset") >= 1) & (F.col("active_users") > 0)
+    )
+    pts = cells.select(
+        F.col("week_offset").cast("double").alias("x"),
+        F.log(
+            F.col("active_users").cast("double")
+            / F.col("cohort_users").cast("double")
+        ).alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").alias("n_points"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_points").cast("double")
+    sxx_c = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    syy_c = n * F.col("syy") - F.col("sy") * F.col("sy")
+    sxy_c = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(sxx_c > 0, sxy_c / sxx_c)
+    lam = -slope
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return m.select(
+        "n_points",
+        # + 0.0 normalizes IEEE −0.0 (a perfectly flat fit negates an
+        # exact 0.0 slope) so both engines emit canonical 0.0
+        (F.round(lam, 6) + F.lit(0.0)).alias("lambda_hat"),
+        F.round(
+            F.when(lam > 0, F.lit(float(__import__("math").log(2))) / lam),
+            6,
+        ).alias("half_life_weeks"),
+        F.round(F.exp(intercept), 6).alias("r0"),
+        F.round(
+            F.when(
+                (sxx_c > 0) & (syy_c > 0), sxy_c * sxy_c / (sxx_c * syy_c)
+            ),
+            6,
+        ).alias("r2"),
+    )

@@ -5332,4 +5332,59 @@ FROM cflag
 WINDOW w8 AS (PARTITION BY event_type ORDER BY day
   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)"""
 
+
+    # exponential retention decay: log-linear OLS over the cohort
+    # triangle's (offset >= 1, active > 0) cells
+    q["events_retention_halflife"] = """
+WITH rfirst AS (
+  SELECT user_id,
+    min(CAST(floor(epoch(ts) / 604800) AS BIGINT)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+ractive AS (
+  SELECT DISTINCT user_id,
+    CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+  FROM events
+),
+rsizes AS (
+  SELECT cohort_week, count(*) AS cohort_users FROM rfirst GROUP BY 1
+),
+rcells AS (
+  SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+    count(DISTINCT a.user_id) AS active_users
+  FROM ractive a JOIN rfirst f ON a.user_id = f.user_id
+  GROUP BY 1, 2
+),
+rpts AS (
+  SELECT CAST(week_offset AS DOUBLE) AS x,
+    ln(CAST(active_users AS DOUBLE) / CAST(s.cohort_users AS DOUBLE))
+      AS y
+  FROM rcells c JOIN rsizes s ON c.cohort_week = s.cohort_week
+  WHERE c.week_offset >= 1 AND c.active_users > 0
+),
+rm AS (
+  SELECT count(*) AS n_points, sum(x) AS sx, sum(y) AS sy,
+    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM rpts
+),
+rf AS (
+  SELECT *, CAST(n_points AS DOUBLE) AS n,
+    CAST(n_points AS DOUBLE) * sxx - sx * sx AS sxx_c,
+    CAST(n_points AS DOUBLE) * syy - sy * sy AS syy_c,
+    CAST(n_points AS DOUBLE) * sxy - sx * sy AS sxy_c
+  FROM rm
+),
+rg AS (
+  SELECT *, CASE WHEN sxx_c > 0 THEN sxy_c / sxx_c END AS slope
+  FROM rf
+)
+SELECT CAST(n_points AS BIGINT) AS n_points,
+  round(-slope, 6) + 0.0 AS lambda_hat,
+  round(CASE WHEN -slope > 0 THEN 0.6931471805599453 / (-slope) END, 6)
+    AS half_life_weeks,
+  round(exp((sy - slope * sx) / n), 6) AS r0,
+  round(CASE WHEN sxx_c > 0 AND syy_c > 0
+    THEN sxy_c * sxy_c / (sxx_c * syy_c) END, 6) AS r2
+FROM rg"""
+
     return q

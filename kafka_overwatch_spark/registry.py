@@ -1107,6 +1107,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_markov_attribution"] = (
         lambda s, d: relational.markov_attribution(raw(s, d, "events"))
     )
+    # r10: exponential retention-decay fit (half-life scalar)
+    q["events_retention_halflife"] = (
+        lambda s, d: relational.retention_halflife(raw(s, d, "events"))
+    )
     # r10: Shewhart individuals control chart (moving-range limits)
     q["events_spc_chart"] = lambda s, d: relational.spc_control_chart(
         raw(s, d, "events")
@@ -1604,6 +1608,7 @@ _PROMOTED = [
     "events_holt_winters",
     "text_heaps_law",
     "events_spc_chart",
+    "events_retention_halflife",
     "events_did",
     "text_keyness",
     "events_shapley_attribution",

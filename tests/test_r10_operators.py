@@ -577,3 +577,25 @@ def test_spc_chart_spike_and_run(spark):
     # spike; the post-spike 11s (also below center) fire on their 8th
     run_days = [d for d in days if out[d]["run_flag"]]
     assert run_days == days[7:12] + [days[-1]]
+
+
+def test_retention_halflife_planted_decay(spark):
+    import math
+
+    # one cohort (all users first-seen week 0), actives thin out
+    # exactly by halves each week: retention .5, .25, .125 at offsets
+    # 1..3 → λ = ln2, half-life = 1 week, r2 = 1
+    rows = []
+    for u in range(8):
+        rows.append((u, 1, 9, "view", 1.0))  # week 0: everyone
+    for u in range(4):
+        rows.append((u, 9, 9, "view", 1.0))  # week 1 (day 9)
+    for u in range(2):
+        rows.append((u, 16, 9, "view", 1.0))  # week 2
+    rows.append((0, 23, 9, "view", 1.0))  # week 3
+    r = relational.retention_halflife(_events(spark, rows)).collect()[0]
+    assert r["n_points"] == 3
+    assert r["lambda_hat"] == pytest.approx(math.log(2), abs=1e-6)
+    assert r["half_life_weeks"] == pytest.approx(1.0, abs=1e-6)
+    assert r["r0"] == pytest.approx(1.0, abs=1e-6)
+    assert r["r2"] == pytest.approx(1.0, abs=1e-6)
