@@ -221,7 +221,8 @@ EXTRA = [
     "events_transition_entropy",
     "events_interarrival_stats",
     "emb_rrf_fusion",
-    "graph_kcore",
+    # graph_kcore deregistered r11 (VERDICT r10 next #2); the bounded
+    # sibling below carries the peel cost signal
     "text_hill_tail_index",
     "sampling_kfold",
     "ann_lsh_recall",

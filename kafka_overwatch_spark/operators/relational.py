@@ -4578,7 +4578,14 @@ def conformal_daily_interval(
     # rank residuals per type; q̂ = the k-th smallest with
     # k = ceil((n_cal + 1)(1 − α)) capped at n_cal (standard finite
     # correction). Ties in |residual| are harmless: the k-th order
-    # STATISTIC is selected, any row bearing it works
+    # STATISTIC is selected, any row bearing it works.
+    # k is computed in EXACT integer arithmetic (r10 advisor): α is
+    # taken at millesimal precision (m = round(1000(1−α))) and
+    # ceil(x·m/1000) = (x·m + 999) div 1000 — the double product
+    # (n_cal+1)·(1−α) can land just ABOVE an integer it mathematically
+    # equals (cal_days=19, α=0.1 → 18.000000000000004 → k=19, one
+    # Vovk rank too high), and the direction of that drift is
+    # engine-dependent
     resid = with_mean.withColumn(
         "r", F.abs(F.col("c").cast("double") - F.col("mu"))
     ).withColumn(
@@ -4589,10 +4596,9 @@ def conformal_daily_interval(
             )
         ),
     )
+    m = round((1.0 - alpha) * 1000)
     k = F.least(
-        F.ceil(
-            (F.col("n_cal") + 1).cast("double") * F.lit(1.0 - alpha)
-        ).cast("long"),
+        F.expr(f"((n_cal + 1) * {m} + 999) div 1000").cast("long"),
         F.col("n_cal"),
     )
     qhat = (

@@ -4860,7 +4860,8 @@ resid AS (
 ),
 qh AS (
   SELECT event_type, r AS q_hat, mu, n_cal FROM resid
-  WHERE rk = least(CAST(ceil((n_cal + 1) * 0.9) AS BIGINT), n_cal)
+  WHERE rk = least(CAST(((n_cal + 1) * 900 + 999) // 1000 AS BIGINT),
+                   n_cal)
 ),
 cov AS (
   SELECT t.event_type, q.q_hat, q.mu, q.n_cal,

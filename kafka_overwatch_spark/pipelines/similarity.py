@@ -165,7 +165,6 @@ from pyspark.sql.types import (  # noqa: E402
     ArrayType,
     DoubleType,
     FloatType,
-    IntegerType,
     LongType,
     StructField,
     StructType,

@@ -171,6 +171,26 @@ def get_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _EDGES_CACHE[key]
 
 
+_LPA_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame, int]] = {}
+
+
+def get_lpa_graph(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """Memoized LPA graph state (directed edge frame + initial labeling
+    + vertex count) per (session, sf_dir) — static per dataset, shared
+    across label-propagation calls the way get_copurchase_edges shares
+    the edge set; at 100 TB both live as written tables."""
+    from .operators import graph as _graph
+
+    key = (id(spark), sf_dir)
+    if key not in _LPA_CACHE:
+        _LPA_CACHE[key] = _graph.lpa_graph_state(
+            get_copurchase_edges(spark, sf_dir)
+        )
+    return _LPA_CACHE[key]
+
+
 _TRI_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
@@ -1449,11 +1469,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["graph_association_rules"] = lambda s, d: graph.association_rules(
         raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
     )
-    # r9: 3-core backbone by parallel peeling (rows-only: iterative
-    # fixpoint; python-peeling parity in tests/test_graph_kcore.py)
-    q["graph_kcore"] = lambda s, d: graph.kcore(
-        raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
-    )
+    # unbounded graph.kcore stays a LIBRARY function (python-peeling
+    # parity in tests/test_graph_kcore.py) but is NOT registered: the
+    # driver can only record a rows-only iterative fixpoint as
+    # `no_oracle`, a permanent red row (VERDICT r10 next #2 — the
+    # lag_nested precedent). kcore_bounded below is the oracle surface.
     # r10 (VERDICT r9 next #4): fixed-round k-core — the ≤8-round
     # budget makes the peel unrollable as a DuckDB oracle; k=80 sits
     # inside the degree distribution so peeling actually runs
@@ -1466,10 +1486,14 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
     )
     # r10: bounded synchronous label propagation (6 unrolled rounds,
-    # deterministic min-label tie-break — the kcore_bounded recipe)
+    # deterministic min-label tie-break — the kcore_bounded recipe).
+    # r11: served by the DELTA iteration (frontier-restricted rounds,
+    # bit-identical output — graph.label_propagation_delta docstring
+    # has the proof); the fixed-round form remains the semantics
+    # mirror and the shared 6-round unrolled oracle gates both.
     q["graph_label_propagation"] = (
-        lambda s, d: graph.label_propagation_bounded(
-            raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
+        lambda s, d: graph.label_propagation_delta(
+            raw(s, d, "lineitem"), graph_state=get_lpa_graph(s, d)
         )
     )
     # r7 continuation: triangle count + global clustering coefficient
@@ -1624,10 +1648,9 @@ _PROMOTED = [
     "events_benford_audit",
     "events_t_closeness",
     # r9-new queries the driver has never witnessed (judge-verified
-    # only so far); graph_kcore gets the weaker rows-only check
+    # only so far)
     "ann_lsh_recall",
     "sampling_ess",
-    "graph_kcore",
     # backfill: longest-unwitnessed oracle-able rows (r4 -> r6 vintage,
     # measured from the CORRECTNESS_r* history)
     "sr_subject_version_counts",

@@ -226,9 +226,13 @@ class GrowingDedupScreen:
         # documented, micro-batch-bounded deviation) — then a SINGLE
         # jaccard join verifies the union (other-side shingle fetch =
         # corpus table ∪ broadcast batch). Self edges are filtered to
-        # survivor pairs afterwards, which reproduces the
-        # survivors-only screen's edge set exactly (band values are
-        # per-doc, so bucket co-membership is population-independent).
+        # survivor pairs afterwards — band values are per-doc, so
+        # bucket co-membership is population-independent, and the
+        # filtered edge set equals the survivors-only screen's
+        # PROVIDED no bucket crosses MAX_BUCKET between the batch and
+        # survivor populations (the deviation documented above; when a
+        # bucket does cross, this form prunes it where the survivor
+        # slice would have kept it).
         bucket_w = Window.partitionBy("band_id", "band_key")
         cand_corpus = (
             corpus_bands.withColumn("bucket_n", F.count("*").over(bucket_w))

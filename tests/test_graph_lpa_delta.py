@@ -1,0 +1,85 @@
+"""Delta-iteration label propagation (r11, VERDICT r10 next #1):
+bit-identical to the fixed-round synchronous form on the real
+co-purchase graph and on constructed graphs that exercise the
+frontier machinery (partial change, early fixpoint, tie-breaks)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _histogram(df):
+    return sorted(
+        (r["community"], r["n_parts"], r["min_part"]) for r in df.collect()
+    )
+
+
+def test_delta_matches_bounded_on_fixture(spark, snaps):
+    from kafka_overwatch_spark.operators.graph import (
+        copurchase_edges,
+        label_propagation_bounded,
+        label_propagation_delta,
+    )
+
+    li = spark.table("lineitem")
+    edges = copurchase_edges(li).localCheckpoint(eager=True)
+    want = _histogram(label_propagation_bounded(li, edges=edges))
+    got = _histogram(label_propagation_delta(li, edges=edges))
+    assert got == want
+    assert len(got) > 0
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, 1) for a, b in pairs], "part_a long, part_b long, weight long"
+    )
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        # two triangles joined by a bridge: labels churn then settle
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)],
+        # path graph: sync LPA oscillates — fixed rounds must truncate
+        # identically in both forms (no early-exit shortcut may fire)
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7)],
+        # star: hub adopts min leaf label round 1, leaves adopt hub
+        [(10, i) for i in range(1, 8)],
+        # clique: converges round 1 → delta's fixpoint break must
+        # still match the bounded form's remaining no-op rounds
+        [(a, b) for a in range(1, 6) for b in range(a + 1, 6)],
+    ],
+)
+def test_delta_matches_bounded_constructed(spark, pairs):
+    from kafka_overwatch_spark.operators.graph import (
+        label_propagation_bounded,
+        label_propagation_delta,
+    )
+
+    edges = _edges_df(spark, pairs).localCheckpoint(eager=True)
+    want = _histogram(label_propagation_bounded(None, edges=edges))
+    got = _histogram(label_propagation_delta(None, edges=edges))
+    assert got == want
+
+
+def test_vote_argmax_radix_survives_big_labels(spark):
+    """r10 advisor: the old 2^32 radix silently corrupted ties and
+    decoded labels once label >= 2^32 (TPC-H partkey at sf >= ~21500).
+    The 2^63 radix must pick highest-count-then-smallest-label for
+    labels far above 2^32."""
+    from kafka_overwatch_spark.operators.graph import _vote_argmax
+
+    big = 2**40 + 7
+    bigger = 2**45 + 1
+    votes = spark.createDataFrame(
+        [
+            (1, big, 3),
+            (1, bigger, 3),  # tie on count -> smaller label wins
+            (1, 5, 2),  # higher label count loses to cnt=3
+            (2, bigger, 1),
+        ],
+        "v long, label long, cnt long",
+    )
+    got = {r["v"]: r["label"] for r in _vote_argmax(votes).collect()}
+    assert got == {1: big, 2: bigger}
