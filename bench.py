@@ -252,6 +252,8 @@ EXTRA = [
     "text_heaps_law",
     "events_spc_chart",
     "events_retention_halflife",
+    # round 11
+    "text_keyness_drift",
 ]
 
 
@@ -456,7 +458,7 @@ def main() -> None:
                 F.col("doc_id") % (g_batches + 1) == i + 1
             )
             g_index_rows.append(
-                spark.read.parquet(f"{gtmp}/index/shingles").count()
+                spark.read.parquet(f"{gtmp}/index/store/kind=shingles").count()
             )
             t0 = time.time()
             screen(batch, i)

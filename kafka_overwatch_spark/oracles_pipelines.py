@@ -5063,6 +5063,68 @@ SELECT source, token, CAST(a_i AS BIGINT) AS count_in,
 FROM kr WHERE rank <= 5"""
 
 
+    # r11: per-source keyness DRIFT — batch (doc_id%5==0) vs lifetime
+    # within source; per-token G2 rounded to 6 BEFORE the DECIMAL sum
+    # (order-independent total), top token ranked (g2 desc, token asc)
+    q["text_keyness_drift"] = """
+WITH kd_toks AS (
+  SELECT doc_id, source, unnest(string_split(
+    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+kd_b AS (
+  SELECT source, token, count(*) AS a FROM kd_toks
+  WHERE doc_id % 5 = 0 GROUP BY 1, 2
+),
+kd_l AS (
+  SELECT source, token, count(*) AS b FROM kd_toks
+  WHERE doc_id % 5 != 0 GROUP BY 1, 2
+),
+kd_bt AS (SELECT source, sum(a) AS ta FROM kd_b GROUP BY 1),
+kd_lt AS (SELECT source, sum(b) AS tb FROM kd_l GROUP BY 1),
+kd_j AS (
+  SELECT b.source, b.token,
+    CAST(b.a AS DOUBLE) AS a,
+    CAST(coalesce(l.b, 0) AS DOUBLE) AS bb,
+    CAST(t.ta AS DOUBLE) AS ta,
+    CAST(coalesce(u.tb, 0) AS DOUBLE) AS tb
+  FROM kd_b b
+  LEFT JOIN kd_l l ON b.source = l.source AND b.token = l.token
+  JOIN kd_bt t ON b.source = t.source
+  LEFT JOIN kd_lt u ON b.source = u.source
+  WHERE b.a >= 5
+),
+kd_g AS (
+  SELECT source, token, ta, tb,
+    round(2.0 * (
+      CASE WHEN a > 0 AND (ta * (a + bb) / (ta + tb)) > 0
+        THEN a * ln(a / (ta * (a + bb) / (ta + tb))) ELSE 0.0 END
+    + CASE WHEN bb > 0 AND (tb * (a + bb) / (ta + tb)) > 0
+        THEN bb * ln(bb / (tb * (a + bb) / (ta + tb))) ELSE 0.0 END
+    ), 6) AS g2
+  FROM kd_j
+),
+kd_agg AS (
+  SELECT source, ta, tb, count(*) AS n_drift,
+    CAST(sum(CAST(g2 AS DECIMAL(38,6))) AS DOUBLE) AS g2_tot
+  FROM kd_g GROUP BY 1, 2, 3
+),
+kd_top AS (
+  SELECT source, token AS top_token, g2 AS top_g2,
+    row_number() OVER (PARTITION BY source
+      ORDER BY g2 DESC, token ASC) AS rk
+  FROM kd_g
+)
+SELECT a.source,
+  CAST(a.ta AS BIGINT) AS n_batch_tokens,
+  CAST(a.tb AS BIGINT) AS n_lifetime_tokens,
+  CAST(a.n_drift AS BIGINT) AS n_drift_tokens,
+  round(a.g2_tot, 6) AS g2_total,
+  t.top_token, t.top_g2,
+  (a.g2_tot / a.n_drift) > 20.0 AS alert
+FROM kd_agg a JOIN kd_top t ON a.source = t.source AND t.rk = 1"""
+
+
     # scale-path density profile over the multi-table LSH candidate
     # graph — composes the dedup_embedding_cosine pair SQL
     q["emb_density_cores_lsh"] = f"""

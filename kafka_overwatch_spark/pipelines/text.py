@@ -1441,6 +1441,137 @@ def keyness_by_source(
     )
 
 
+def source_token_counts(documents: DataFrame) -> DataFrame:
+    """(source, token, cnt) unigram counts — the mergeable state grain
+    of the keyness-drift monitor (lifetime state = SUM of per-batch
+    count frames; summing commutes, so crash-replay and out-of-order
+    compaction both reproduce the same totals)."""
+    return (
+        documents.filter(F.col("text").isNotNull())
+        .select("source", F.explode(_norm_tokens()).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def keyness_drift(
+    batch_counts: DataFrame,
+    lifetime_counts: DataFrame,
+    min_count: int = 5,
+    alert_above: float = 20.0,
+) -> DataFrame:
+    """Per-source vocabulary-drift release (r11, VERDICT r10 next #7):
+    Dunning G² of THIS batch's vocabulary against the lifetime index,
+    per source — the ingest-gate family member that catches a source
+    whose language shifts (template change, spam injection, wrong-site
+    crawl) even when volume and quality scores hold steady. For each
+    (source, token with batch count ≥ ``min_count``) the 2×2 is
+    batch-vs-lifetime WITHIN the source: a = batch count, b = lifetime
+    count, column totals = the source's batch/lifetime token masses;
+    G²_token = 2·[a·ln(a/E_a) + b·ln(b/E_b)] (x·ln x → 0 guarded).
+    Tokens absent from the batch are EXCLUDED by design — the monitor
+    is O(batch vocabulary) per release, never O(lifetime vocabulary);
+    vocabulary DISAPPEARANCE shows up in the quality-drift monitor's
+    distributional stats instead. A source with no lifetime mass
+    yields G² = 0 for every token (E_a = a exactly): a brand-new
+    source is a different alert class, not drift.
+
+    Determinism (the events_granger convention): each per-token G² is
+    one fixed double expression off exact integer counts, rounded to
+    6 before any aggregation; the per-source total then sums
+    DECIMAL(38,6) — exact and order-independent, so the cross-engine
+    hash can't drift on float addition order. Top token ranks on
+    (round-6 G² desc, token asc).
+
+    Inputs are (source, token, cnt) frames (:func:`source_token_counts`).
+    Output: source, n_batch_tokens, n_lifetime_tokens, n_drift_tokens,
+    g2_total, top_token, top_g2, alert (mean G² per tested token >
+    ``alert_above``)."""
+    from pyspark.sql.window import Window
+
+    b = batch_counts.select("source", "token", F.col("cnt").alias("a"))
+    life = lifetime_counts.select(
+        "source", "token", F.col("cnt").alias("b")
+    )
+    bt = b.groupBy("source").agg(F.sum("a").alias("ta"))
+    lt = life.groupBy("source").agg(F.sum("b").alias("tb"))
+    j = (
+        b.filter(F.col("a") >= min_count)
+        .join(life, ["source", "token"], "left")
+        .join(F.broadcast(bt), "source")
+        .join(F.broadcast(lt), "source", "left")
+        .na.fill({"b": 0, "tb": 0})
+    )
+    a = F.col("a").cast("double")
+    bb = F.col("b").cast("double")
+    ta = F.col("ta").cast("double")
+    tb = F.col("tb").cast("double")
+    tok_tot = (F.col("a") + F.col("b")).cast("double")
+    ea = ta * tok_tot / (ta + tb)
+    eb = tb * tok_tot / (ta + tb)
+    term = lambda x, e: F.when(  # noqa: E731
+        (x > 0) & (e > 0), x * F.log(x / e)
+    ).otherwise(F.lit(0.0))
+    scored = j.select(
+        "source",
+        "token",
+        "ta",
+        "tb",
+        F.round(2.0 * (term(a, ea) + term(bb, eb)), 6).alias("g2"),
+    )
+    agg = scored.groupBy("source", "ta", "tb").agg(
+        F.count("*").alias("n_drift_tokens"),
+        F.sum(F.col("g2").cast("decimal(38,6)")).alias("g2_dec"),
+    )
+    top = (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("g2").desc(), F.col("token").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("token").alias("top_token"),
+            F.col("g2").alias("top_g2"),
+        )
+    )
+    return agg.join(top, "source").select(
+        "source",
+        F.col("ta").cast("long").alias("n_batch_tokens"),
+        F.col("tb").cast("long").alias("n_lifetime_tokens"),
+        F.col("n_drift_tokens").cast("long").alias("n_drift_tokens"),
+        F.round(F.col("g2_dec").cast("double"), 6).alias("g2_total"),
+        "top_token",
+        "top_g2",
+        (
+            F.col("g2_dec").cast("double") / F.col("n_drift_tokens")
+            > alert_above
+        ).alias("alert"),
+    )
+
+
+def keyness_drift_split(
+    documents: DataFrame, modulo: int = 5, min_count: int = 5
+) -> DataFrame:
+    """Registered batch twin of the streaming keyness-drift monitor:
+    docs with doc_id % ``modulo`` == 0 play the arriving batch, the
+    rest the lifetime corpus — the deterministic, scale-stable split
+    the oracle mirrors (a fixed doc_id threshold would skew across
+    SFs). Gates the G² drift arithmetic; the streaming harness reuses
+    it verbatim via :func:`keyness_drift`."""
+    batch = documents.filter(F.col("doc_id") % modulo == 0)
+    life = documents.filter(F.col("doc_id") % modulo != 0)
+    return keyness_drift(
+        source_token_counts(batch),
+        source_token_counts(life),
+        min_count=min_count,
+    )
+
+
 def heaps_law_fit(documents: DataFrame) -> DataFrame:
     """Heaps/Herdan law fit of vocabulary growth: V(N) ≈ K·N^β over
     the corpus read in doc_id order — the "how fast does new

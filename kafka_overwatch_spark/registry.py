@@ -784,6 +784,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_keyness"] = lambda s, d: textops.keyness_by_source(
         raw(s, d, "documents")
     )
+    # r11 (VERDICT r10 next #7): per-source vocabulary-drift release —
+    # G² of the arriving batch's vocabulary vs the lifetime index; the
+    # batch twin of streaming KeynessDriftMonitor (doc_id%5 split)
+    q["text_keyness_drift"] = lambda s, d: textops.keyness_drift_split(
+        raw(s, d, "documents")
+    )
     # r10: per-doc 5-gram corpus-novelty (memorization/diversity audit)
     q["text_ngram_novelty"] = lambda s, d: textops.ngram_novelty(
         raw(s, d, "documents")

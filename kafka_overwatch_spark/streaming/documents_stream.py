@@ -134,25 +134,65 @@ def run_contamination_screen(
     return q
 
 
+def _growing_union(
+    shingles: DataFrame | None = None,
+    bands: DataFrame | None = None,
+    rejected: DataFrame | None = None,
+) -> DataFrame:
+    """The growing-dedup store's unified row shape: shingle rows, band
+    rows, and rejection-verdict rows share one schema discriminated by
+    the ``kind`` partition column, so a batch's entire output is ONE
+    partitioned write (r11, VERDICT r10 next #6 — the three separate
+    writes were ~2 extra actions per micro-batch)."""
+    parts = []
+    if shingles is not None:
+        parts.append(
+            shingles.select("doc_id", "sh").withColumn(
+                "kind", F.lit("shingles")
+            )
+        )
+    if bands is not None:
+        parts.append(
+            bands.select("doc_id", "band_id", "band_key").withColumn(
+                "kind", F.lit("bands")
+            )
+        )
+    if rejected is not None:
+        parts.append(
+            rejected.select("doc_id", "reason").withColumn(
+                "kind", F.lit("rejected")
+            )
+        )
+    uni = parts[0]
+    for p in parts[1:]:
+        uni = uni.unionByName(p, allowMissingColumns=True)
+    return uni
+
+
+def growing_store_path(base_path: str, kind: str) -> str:
+    """Reader path of one kind within the unified growing-dedup store
+    (partition-directory read: prunes to the kind without listing the
+    siblings)."""
+    return f"{base_path}/store/kind={kind}"
+
+
 def init_growing_index(
     spark: SparkSession, corpus_shingles: DataFrame, base_path: str
 ) -> None:
     """Seed the growing dedup index with the pre-existing corpus (lands
-    in the batch_id=-1 partition, ordered before every stream batch)."""
+    in the batch_id=-1 partitions, ordered before every stream batch).
+    One unified write (shingles + bands share the store schema)."""
     from ..pipelines.dedup import minhash_bands
 
     (
-        corpus_shingles.withColumn("batch_id", F.lit(-1))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .parquet(f"{base_path}/shingles")
-    )
-    (
-        minhash_bands(corpus_shingles)
+        _growing_union(
+            shingles=corpus_shingles,
+            bands=minhash_bands(corpus_shingles),
+        )
         .withColumn("batch_id", F.lit(-1))
         .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .parquet(f"{base_path}/bands")
+        .partitionBy("kind", "batch_id")
+        .parquet(f"{base_path}/store")
     )
 
 
@@ -173,14 +213,19 @@ class GrowingDedupScreen:
     its own appends dynamic-overwrite the batch_id=N partitions — a
     crash between write and checkpoint replays to the identical index.
 
-    Scale: the index is a written parquet table (shingles + band index,
-    batch_id-partitioned); a batch pays the keyed screen joins only —
-    never all-corpus pairwise work, and the corpus text is never
-    rescanned."""
+    Scale: the index is a written parquet table (one unified store,
+    (kind, batch_id)-partitioned — shingles + band index + rejection
+    verdicts; see :func:`_growing_union`); a batch pays the keyed
+    screen joins only — never all-corpus pairwise work, and the corpus
+    text is never rescanned. Rejected-doc verdicts are rows of the
+    same store (``rejected_path``), so the batch's ENTIRE output is a
+    single write action."""
 
-    def __init__(self, base_path: str, out_dir: str) -> None:
+    def __init__(self, base_path: str, out_dir: str | None = None) -> None:
+        # out_dir retained for call-site compatibility; verdicts now
+        # live in the unified store (r11 single-action writer)
         self.base = base_path
-        self.out_dir = out_dir
+        self.rejected_path = growing_store_path(base_path, "rejected")
 
     #: LSH bucket cap, per population (corpus buckets vs batch
     #: buckets) — matches screen_against_corpus's default
@@ -207,12 +252,12 @@ class GrowingDedupScreen:
         # times, ~40% of the per-batch floor
         bands_new = minhash_bands(sh_new).localCheckpoint(eager=True)
         corpus_sh = (
-            spark.read.parquet(f"{self.base}/shingles")
+            spark.read.parquet(growing_store_path(self.base, "shingles"))
             .filter(F.col("batch_id") < batch_id)
             .select("doc_id", "sh")
         )
         corpus_bands = (
-            spark.read.parquet(f"{self.base}/bands")
+            spark.read.parquet(growing_store_path(self.base, "bands"))
             .filter(F.col("batch_id") < batch_id)
             .select("doc_id", "band_id", "band_key")
         )
@@ -343,34 +388,38 @@ class GrowingDedupScreen:
             .select(F.col("vec_id").alias("doc_id"))
             .withColumn("reason", F.lit("intra_batch_near_dup"))
         )
-        # micro-batch-bounded frames: coalesce before writing — 32
+        # SINGLE-ACTION writer (r11, VERDICT r10 next #6): verdicts,
+        # survivor shingles, and survivor bands are rows of one
+        # (kind, batch_id)-partitioned store, written in ONE action —
+        # the previous three writes each paid a job barrier + parquet
+        # commit. Micro-batch-bounded: coalesce before writing — 32
         # near-empty tasks per tiny write were ~25% of the per-batch
         # floor, and fewer/larger files also speed up every later
-        # batch's pruned index read (small-file listing cost)
-        _write_idempotent(rejected.coalesce(8), self.out_dir, batch_id)
-        # grow the index: this batch's survivors become corpus (bands
-        # sliced from the memoized batch band frame, not re-derived)
-        for frame, name in (
-            (kept.select("doc_id", "sh").coalesce(8), "shingles"),
-            (bands_new.join(keepers, "doc_id").coalesce(8), "bands"),
-        ):
-            prev = spark.conf.get(
-                "spark.sql.sources.partitionOverwriteMode", "static"
+        # batch's pruned index read (small-file listing cost). Replay
+        # safety is unchanged: dynamic overwrite replaces exactly the
+        # kind=*/batch_id=N partitions this batch produced.
+        uni = _growing_union(
+            shingles=kept,
+            bands=bands_new.join(keepers, "doc_id"),
+            rejected=rejected,
+        ).coalesce(8)
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            (
+                uni.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("kind", "batch_id")
+                .parquet(f"{self.base}/store")
             )
+        finally:
             spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                "spark.sql.sources.partitionOverwriteMode", prev
             )
-            try:
-                (
-                    frame.withColumn("batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .partitionBy("batch_id")
-                    .parquet(f"{self.base}/{name}")
-                )
-            finally:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev
-                )
 
 
 def run_growing_dedup(
@@ -1359,6 +1408,117 @@ class NoveltyMonitor:
             spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev
             )
+
+
+def init_keyness_index(
+    spark: SparkSession, documents: DataFrame, base_path: str
+) -> None:
+    """Seed the (source, token, cnt) lifetime index for the streaming
+    keyness-drift monitor (batch_id = -1; lifetime totals at batch N
+    are the SUM over batch_id < N partitions — counts merge by
+    addition, so the state is mergeable and replay-stable)."""
+    from ..pipelines.text import source_token_counts
+
+    (
+        source_token_counts(documents)
+        .withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(f"{base_path}/counts")
+    )
+
+
+class KeynessDriftMonitor:
+    """foreachBatch handler for per-source VOCABULARY-DRIFT detection
+    (r11, VERDICT r10 next #7): each micro-batch releases, per source,
+    the Dunning G² of the batch's vocabulary against the lifetime
+    index — the ingest-gate family member that catches a source whose
+    LANGUAGE shifts (template swap, spam injection, crawler landing on
+    the wrong site) even when its volume, quality scores, and novelty
+    rate hold steady. Fourth member of the family next to the Benford,
+    quality-drift, and novelty-collapse monitors; all drift arithmetic
+    lives in pipelines.text.keyness_drift, gated by the oracle-checked
+    batch twin ``text_keyness_drift``.
+
+    Per batch: one (source, token) count aggregate over the batch, one
+    read of the lifetime index pruned to batch_id < current (a replayed
+    batch never sees its own counts), the keyness_drift release, and an
+    idempotent append of the batch counts into the index. State is
+    MERGEABLE — lifetime totals are the sum of per-batch count
+    partitions, so compaction (re-summing old partitions into one)
+    changes nothing.
+
+    100 TB shape: the index is (source, token) vocabulary grain —
+    Heaps-sublinear in the corpus; the per-batch join touches only the
+    batch's own vocabulary (left join, batch side filtered to
+    min_count first), never the full index row set beyond the keyed
+    lookup."""
+
+    def __init__(self, base_path: str, out_dir: str) -> None:
+        self.base = base_path
+        self.out_dir = out_dir
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..pipelines.text import keyness_drift, source_token_counts
+
+        spark = batch_df.sparkSession
+        batch_counts = source_token_counts(batch_df).localCheckpoint(
+            eager=True
+        )
+        lifetime = (
+            spark.read.parquet(f"{self.base}/counts")
+            .filter(F.col("batch_id") < batch_id)
+            .groupBy("source", "token")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        release = keyness_drift(batch_counts, lifetime)
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            (
+                release.coalesce(1)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(self.out_dir)
+            )
+            (
+                batch_counts.coalesce(4)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(f"{self.base}/counts")
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+
+def run_keyness_monitor(
+    spark: SparkSession,
+    input_dir: str,
+    base_path: str,
+    out_dir: str,
+    checkpoint: str,
+    timeout_sec: int = 300,
+) -> None:
+    """Drain the document feed through the keyness-drift monitor
+    (availableNow trigger)."""
+    q = (
+        doc_stream(spark, input_dir)
+        .writeStream.foreachBatch(KeynessDriftMonitor(base_path, out_dir))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError("keyness stream did not drain in time")
 
 
 def run_novelty_monitor(

@@ -102,7 +102,7 @@ def test_growing_dedup_stream_equals_sequential(spark):
         )
         streamed_kept = sorted(
             r.doc_id
-            for r in spark.read.parquet(f"{tmp}/index/shingles")
+            for r in spark.read.parquet(f"{tmp}/index/store/kind=shingles")
             .filter(F.col("batch_id") >= 0)
             .select("doc_id")
             .collect()
@@ -113,7 +113,7 @@ def test_growing_dedup_stream_equals_sequential(spark):
         # quarantine holds the complement of the feed
         rejected = sorted(
             r.doc_id
-            for r in spark.read.parquet(f"{tmp}/quarantine").collect()
+            for r in spark.read.parquet(f"{tmp}/index/store/kind=rejected").collect()
         )
         feed_ids = sorted(r.doc_id for r in feed.select("doc_id").collect())
         assert sorted(streamed_kept + rejected) == feed_ids
@@ -139,14 +139,14 @@ def test_growing_dedup_batch_replay_is_idempotent(spark):
         screen(batch, 0)
         first = sorted(
             tuple(r)
-            for r in spark.read.parquet(f"{tmp}/index/shingles")
+            for r in spark.read.parquet(f"{tmp}/index/store/kind=shingles")
             .select("doc_id", "batch_id")
             .collect()
         )
         screen(batch, 0)  # replay
         second = sorted(
             tuple(r)
-            for r in spark.read.parquet(f"{tmp}/index/shingles")
+            for r in spark.read.parquet(f"{tmp}/index/store/kind=shingles")
             .select("doc_id", "batch_id")
             .collect()
         )
