@@ -254,6 +254,12 @@ EXTRA = [
     "events_retention_halflife",
     # round 11
     "text_keyness_drift",
+    "events_kendall_tau",
+    "events_mann_whitney",
+    "events_runs_test",
+    "events_chi2_dow",
+    "events_ks_test",
+    "text_source_jsd",
 ]
 
 

@@ -5071,3 +5071,399 @@ def retention_halflife(events: DataFrame) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+def kendall_tau_daily(events: DataFrame) -> DataFrame:
+    """Kendall tau-b between every pair of event types' daily count
+    series — the rank-based co-movement companion of the Pearson-style
+    daily ACF/Granger family: robust to level shifts and outliers
+    (a single viral day can't fake correlation), with the standard
+    tie-corrected denominator. Concordant/discordant/tie counts are
+    EXACT integers over day pairs; tau_b divides once into a sqrt of
+    exact-integer products (double derived once, round 6 — the
+    changepoint lesson, NOTES #15).
+
+    Scale shape: one day×type aggregate off the fact table; the pair
+    frame is (types² × day-pairs) — alphabet- and calendar-bounded
+    (30 days → 435 day pairs; a full year → 66k), never data-bounded.
+    Output: type_a, type_b, n_days, concordant, discordant, tau_b."""
+    daily = events.groupBy("event_type", day_col().alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    a = daily.select(
+        F.col("event_type").alias("type_a"),
+        "day",
+        F.col("c").alias("x"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        "day",
+        F.col("c").alias("y"),
+    )
+    series = a.join(b, "day").filter(F.col("type_a") < F.col("type_b"))
+    left = series.select(
+        "type_a",
+        "type_b",
+        F.col("day").alias("di"),
+        F.col("x").alias("xi"),
+        F.col("y").alias("yi"),
+    )
+    right = series.select(
+        "type_a",
+        "type_b",
+        F.col("day").alias("dj"),
+        F.col("x").alias("xj"),
+        F.col("y").alias("yj"),
+    )
+    pairs = left.join(right, ["type_a", "type_b"]).filter(
+        F.col("di") < F.col("dj")
+    )
+    dx = F.col("xi") - F.col("xj")
+    dy = F.col("yi") - F.col("yj")
+    agg = pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n0"),
+        F.sum(
+            (((dx > 0) & (dy > 0)) | ((dx < 0) & (dy < 0))).cast("long")
+        ).alias("concordant"),
+        F.sum(
+            (((dx > 0) & (dy < 0)) | ((dx < 0) & (dy > 0))).cast("long")
+        ).alias("discordant"),
+        F.sum((dx == 0).cast("long")).alias("tx"),
+        F.sum((dy == 0).cast("long")).alias("ty"),
+        (F.countDistinct("di") + F.lit(1)).alias("n_days"),
+    )
+    denom = (
+        (F.col("n0") - F.col("tx")) * (F.col("n0") - F.col("ty"))
+    ).cast("double")
+    return agg.select(
+        "type_a",
+        "type_b",
+        F.col("n_days").cast("long").alias("n_days"),
+        "concordant",
+        "discordant",
+        F.round(
+            F.when(
+                denom > 0,
+                (F.col("concordant") - F.col("discordant")).cast("double")
+                / F.sqrt(denom),
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+def mann_whitney_values(events: DataFrame) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between every pair of event
+    types' value distributions — the distribution-free "are these two
+    types' values drawn from the same population" test next to the
+    parametric ab_test/cuped family. Midranks come from an exact
+    integer prefix sum over the pooled distinct-value grain
+    (cum_before + (cnt+1)/2 — halves are exact in doubles), the rank
+    sum accumulates as DECIMAL(38,1) (order-independent), and the
+    tie-corrected variance is assembled from exact integer tie masses;
+    z divides once at the end (round 6, NULL on zero variance).
+
+    Scale shape: one (type, value) aggregate; per pair the work is the
+    pooled DISTINCT-value grain (window prefix sum on the pair's value
+    order), never the row grain. Output: type_a, type_b, n_a, n_b,
+    u_a, z."""
+    from pyspark.sql.window import Window
+
+    vals = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", "value")
+        .agg(F.count("*").alias("cnt"))
+    )
+    types = vals.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    pa = pairs.join(
+        vals.withColumnRenamed("event_type", "type_a"), "type_a"
+    ).select(
+        "type_a", "type_b", "value", F.col("cnt").alias("cnt_a"),
+        F.lit(0).alias("cnt_b"),
+    )
+    pb = pairs.join(
+        vals.withColumnRenamed("event_type", "type_b"), "type_b"
+    ).select(
+        "type_a", "type_b", "value", F.lit(0).alias("cnt_a"),
+        F.col("cnt").alias("cnt_b"),
+    )
+    pooled = (
+        pa.unionByName(pb)
+        .groupBy("type_a", "type_b", "value")
+        .agg(
+            F.sum("cnt_a").alias("cnt_a"),
+            F.sum("cnt_b").alias("cnt_b"),
+        )
+    )
+    w = (
+        Window.partitionBy("type_a", "type_b")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = F.col("cnt_a") + F.col("cnt_b")
+    ranked = pooled.withColumn(
+        "cum_before", F.coalesce(F.sum(t).over(w), F.lit(0))
+    )
+    # midrank · 2 stays integral: accumulate 2·R_a as an exact long,
+    # halve once at the end
+    two_r_contrib = F.col("cnt_a") * (
+        2 * F.col("cum_before") + t + F.lit(1)
+    )
+    agg = ranked.groupBy("type_a", "type_b").agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum("cnt_b").cast("long").alias("n_b"),
+        F.sum(two_r_contrib.cast("decimal(38,0)")).alias("two_ra"),
+        F.sum((t * t * t - t).cast("decimal(38,0)")).alias("tie_mass"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    ra = F.col("two_ra").cast("double") / 2.0
+    u_a = ra - na * (na + 1.0) / 2.0
+    mu = na * nb / 2.0
+    var = (
+        na
+        * nb
+        / 12.0
+        * ((n + 1.0) - F.col("tie_mass").cast("double") / (n * (n - 1.0)))
+    )
+    return agg.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        F.round(u_a, 6).alias("u_a"),
+        F.round(
+            F.when(var > 0, (u_a - mu) / F.sqrt(var)), 6
+        ).alias("z"),
+    )
+
+
+def runs_test_daily(events: DataFrame) -> DataFrame:
+    """Wald–Wolfowitz runs test per event type: is the daily-count
+    series' above/below-median sign sequence random, or does it
+    cluster (momentum/regimes) or alternate (overdispersion)? The
+    trend/changepoint family's randomness null check. Median is the
+    exact interpolated percentile of the integer counts (both engines
+    interpolate identically on the .5 grid); days AT the median drop
+    (the standard convention); runs/n1/n2 are exact integers off a
+    lag window over the day order; z is one double expression off
+    those integers (round 6, NULL when n < 2 or var degenerates).
+
+    Scale shape: day×type grain throughout — calendar-bounded.
+    Output: event_type, n_days, n_above, n_below, runs, z."""
+    from pyspark.sql.window import Window
+
+    daily = events.groupBy("event_type", day_col().alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(c, 0.5)").alias("med")
+    )
+    signs = (
+        daily.join(F.broadcast(med), "event_type")
+        .filter(F.col("c").cast("double") != F.col("med"))
+        .select(
+            "event_type",
+            "day",
+            (F.col("c").cast("double") > F.col("med"))
+            .cast("int")
+            .alias("s"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    flips = signs.withColumn(
+        "flip",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.lag("s").over(w) == F.col("s")),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    agg = flips.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("s").cast("long").alias("n_above"),
+        F.sum(F.lit(1) - F.col("s")).cast("long").alias("n_below"),
+        (F.sum("flip") + F.lit(1)).cast("long").alias("runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    n = n1 + n2
+    mu = 2.0 * n1 * n2 / n + 1.0
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        "n_above",
+        "n_below",
+        "runs",
+        F.round(
+            F.when(
+                (F.col("n_above") > 0) & (F.col("n_below") > 0)
+                & (var > 0),
+                (F.col("runs").cast("double") - mu) / F.sqrt(var),
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+def chi2_type_dow(events: DataFrame) -> DataFrame:
+    """Chi-square independence test of event_type × day-of-week, with
+    Cramér's V effect size — "is traffic mix a function of weekday"
+    in one row, the categorical companion of dow_seasonality's
+    per-type means. Observed counts are exact integers; each cell's
+    (o−e)²/e is one double expression off them, rounded to 6 BEFORE a
+    DECIMAL(38,6) sum (order-independent total — the keyness_drift
+    convention); V divides once into a sqrt at the end.
+
+    Scale shape: one (type, dow) aggregate — alphabet × 7 cells.
+    Output: n, n_types, n_dows, chi2, dof, cramers_v."""
+    # epoch day 0 = 1970-01-01 = a Thursday; +4 makes Sunday = 0
+    # (the label convention is internal — independence is label-free)
+    dow = ((day_col() + 4) % 7).alias("dow")
+    cells = events.groupBy(F.col("event_type"), dow).agg(
+        F.count("*").alias("o")
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("row_tot"))
+    ct = cells.groupBy("dow").agg(F.sum("o").alias("col_tot"))
+    tot = cells.agg(F.sum("o").alias("n_tot"))
+    # FULL r×c grid (alphabet × 7 — dim-bounded cross): a zero-observed
+    # cell still contributes (0−e)²/e; summing only observed cells
+    # understates chi² exactly when association is strongest (a
+    # constructed perfect-association fixture caught this)
+    j = (
+        F.broadcast(rt)
+        .crossJoin(F.broadcast(ct))
+        .join(cells, ["event_type", "dow"], "left")
+        .na.fill({"o": 0})
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n_tot").cast("double")
+    )
+    term = F.round(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e)
+        / e,
+        6,
+    )
+    agg = j.groupBy("n_tot").agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct("dow").alias("n_dows"),
+        F.sum(term.cast("decimal(38,6)")).alias("chi2_dec"),
+    )
+    k = F.least(F.col("n_types"), F.col("n_dows")) - F.lit(1)
+    chi2 = F.col("chi2_dec").cast("double")
+    return agg.select(
+        F.col("n_tot").cast("long").alias("n"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("n_dows").cast("long").alias("n_dows"),
+        F.round(chi2, 6).alias("chi2"),
+        ((F.col("n_types") - 1) * (F.col("n_dows") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.round(
+            F.when(
+                k > 0,
+                F.sqrt(chi2 / (F.col("n_tot").cast("double") * k)),
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+def ks_test_values(events: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D between every pair of event
+    types' value distributions — the CDF-distance companion of
+    Mann–Whitney (U detects location shift; D detects ANY
+    distributional difference, including variance/shape). D is found
+    as an EXACT INTEGER maximum: at each pooled distinct value,
+    |cum_a·n_b − cum_b·n_a| is an exact long, the max is taken on
+    those integers, and the single division by n_a·n_b happens once
+    at the end (round 6) — no per-row float CDFs to drift. The
+    scaled statistic sqrt(n_a·n_b/(n_a+n_b))·D rides along for
+    threshold checks.
+
+    Scale shape: identical to mann_whitney_values — one (type, value)
+    aggregate, per pair a prefix sum over the pooled DISTINCT-value
+    grain. Output: type_a, type_b, n_a, n_b, d_stat, d_scaled."""
+    from pyspark.sql.window import Window
+
+    vals = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", "value")
+        .agg(F.count("*").alias("cnt"))
+    )
+    types = vals.select("event_type").distinct()
+    pairs = types.select(F.col("event_type").alias("type_a")).join(
+        types.select(F.col("event_type").alias("type_b")),
+        F.col("type_a") < F.col("type_b"),
+    )
+    pa = pairs.join(
+        vals.withColumnRenamed("event_type", "type_a"), "type_a"
+    ).select(
+        "type_a", "type_b", "value", F.col("cnt").alias("cnt_a"),
+        F.lit(0).alias("cnt_b"),
+    )
+    pb = pairs.join(
+        vals.withColumnRenamed("event_type", "type_b"), "type_b"
+    ).select(
+        "type_a", "type_b", "value", F.lit(0).alias("cnt_a"),
+        F.col("cnt").alias("cnt_b"),
+    )
+    pooled = (
+        pa.unionByName(pb)
+        .groupBy("type_a", "type_b", "value")
+        .agg(
+            F.sum("cnt_a").alias("cnt_a"),
+            F.sum("cnt_b").alias("cnt_b"),
+        )
+    )
+    w = (
+        Window.partitionBy("type_a", "type_b")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = pooled.groupBy("type_a", "type_b").agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum("cnt_b").cast("long").alias("n_b"),
+    )
+    cum = pooled.select(
+        "type_a",
+        "type_b",
+        F.sum("cnt_a").over(w).alias("cum_a"),
+        F.sum("cnt_b").over(w).alias("cum_b"),
+    )
+    agg = (
+        cum.join(F.broadcast(tot), ["type_a", "type_b"])
+        .groupBy("type_a", "type_b", "n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_a") * F.col("n_b")
+                    - F.col("cum_b") * F.col("n_a")
+                )
+            ).alias("num_max")
+        )
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    d = F.col("num_max").cast("double") / (na * nb)
+    return agg.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        F.round(d, 6).alias("d_stat"),
+        F.round(F.sqrt(na * nb / (na + nb)) * d, 6).alias("d_scaled"),
+    )

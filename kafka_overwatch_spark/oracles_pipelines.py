@@ -5450,4 +5450,292 @@ SELECT CAST(n_points AS BIGINT) AS n_points,
     THEN sxy_c * sxy_c / (sxx_c * syy_c) END, 6) AS r2
 FROM rg"""
 
+    # r11 rank/nonparametric inference wave. Determinism: exact integer
+    # concordance/tie/rank masses everywhere, each double derived once
+    # (fixed op order both engines), per-cell/per-term round-6 before
+    # any DECIMAL sum.
+    q["events_kendall_tau"] = """
+WITH kt_daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+    count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+kt_series AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, a.day,
+    a.c AS x, b.c AS y
+  FROM kt_daily a JOIN kt_daily b
+    ON a.day = b.day AND a.event_type < b.event_type
+),
+kt_pairs AS (
+  SELECT i.type_a, i.type_b, i.day AS di,
+    i.x AS xi, i.y AS yi, j.x AS xj, j.y AS yj
+  FROM kt_series i JOIN kt_series j
+    ON i.type_a = j.type_a AND i.type_b = j.type_b AND i.day < j.day
+),
+kt_agg AS (
+  SELECT type_a, type_b, count(*) AS n0,
+    sum(CASE WHEN (xi > xj AND yi > yj) OR (xi < xj AND yi < yj)
+      THEN 1 ELSE 0 END) AS concordant,
+    sum(CASE WHEN (xi > xj AND yi < yj) OR (xi < xj AND yi > yj)
+      THEN 1 ELSE 0 END) AS discordant,
+    sum(CASE WHEN xi = xj THEN 1 ELSE 0 END) AS tx,
+    sum(CASE WHEN yi = yj THEN 1 ELSE 0 END) AS ty,
+    count(DISTINCT di) + 1 AS n_days
+  FROM kt_pairs GROUP BY 1, 2
+)
+SELECT type_a, type_b, CAST(n_days AS BIGINT) AS n_days,
+  CAST(concordant AS BIGINT) AS concordant,
+  CAST(discordant AS BIGINT) AS discordant,
+  round(CASE WHEN (n0 - tx) * (n0 - ty) > 0
+    THEN CAST(concordant - discordant AS DOUBLE)
+      / sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE)) END, 6) AS tau_b
+FROM kt_agg"""
+
+    q["events_mann_whitney"] = """
+WITH mw_vals AS (
+  SELECT event_type, value, count(*) AS cnt FROM events
+  WHERE value IS NOT NULL GROUP BY 1, 2
+),
+mw_types AS (SELECT DISTINCT event_type FROM mw_vals),
+mw_pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM mw_types a JOIN mw_types b ON a.event_type < b.event_type
+),
+mw_pooled AS (
+  SELECT type_a, type_b, value,
+    sum(cnt_a) AS cnt_a, sum(cnt_b) AS cnt_b
+  FROM (
+    SELECT p.type_a, p.type_b, v.value, v.cnt AS cnt_a, 0 AS cnt_b
+    FROM mw_pairs p JOIN mw_vals v ON v.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, v.value, 0 AS cnt_a, v.cnt AS cnt_b
+    FROM mw_pairs p JOIN mw_vals v ON v.event_type = p.type_b
+  ) GROUP BY 1, 2, 3
+),
+mw_ranked AS (
+  SELECT *,
+    coalesce(sum(cnt_a + cnt_b) OVER (PARTITION BY type_a, type_b
+      ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS cum_before
+  FROM mw_pooled
+),
+mw_agg AS (
+  SELECT type_a, type_b,
+    CAST(sum(cnt_a) AS BIGINT) AS n_a,
+    CAST(sum(cnt_b) AS BIGINT) AS n_b,
+    sum(CAST(cnt_a * (2 * cum_before + cnt_a + cnt_b + 1)
+      AS HUGEINT)) AS two_ra,
+    sum(CAST((cnt_a + cnt_b) * (cnt_a + cnt_b) * (cnt_a + cnt_b)
+      - (cnt_a + cnt_b) AS HUGEINT)) AS tie_mass
+  FROM mw_ranked GROUP BY 1, 2
+),
+mw_z AS (
+  SELECT type_a, type_b, n_a, n_b,
+    CAST(two_ra AS DOUBLE) / 2.0 AS ra,
+    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+    CAST(tie_mass AS DOUBLE) AS tm
+  FROM mw_agg
+)
+SELECT type_a, type_b, n_a, n_b,
+  round(ra - na * (na + 1.0) / 2.0, 6) AS u_a,
+  round(CASE WHEN na * nb / 12.0
+      * ((na + nb + 1.0) - tm / ((na + nb) * (na + nb - 1.0))) > 0
+    THEN (ra - na * (na + 1.0) / 2.0 - na * nb / 2.0)
+      / sqrt(na * nb / 12.0
+        * ((na + nb + 1.0) - tm / ((na + nb) * (na + nb - 1.0))))
+    END, 6) AS z
+FROM mw_z"""
+
+    q["events_runs_test"] = """
+WITH rt_daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+    count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+rt_med AS (
+  SELECT event_type, quantile_cont(c, 0.5) AS med
+  FROM rt_daily GROUP BY 1
+),
+rt_signs AS (
+  SELECT d.event_type, d.day,
+    CASE WHEN CAST(d.c AS DOUBLE) > m.med THEN 1 ELSE 0 END AS s
+  FROM rt_daily d JOIN rt_med m ON d.event_type = m.event_type
+  WHERE CAST(d.c AS DOUBLE) != m.med
+),
+rt_flips AS (
+  SELECT event_type, s,
+    CASE WHEN lag(s) OVER (PARTITION BY event_type ORDER BY day)
+        IS NULL
+      OR lag(s) OVER (PARTITION BY event_type ORDER BY day) = s
+      THEN 0 ELSE 1 END AS flip
+  FROM rt_signs
+),
+rt_agg AS (
+  SELECT event_type, count(*) AS n_days, sum(s) AS n_above,
+    sum(1 - s) AS n_below, sum(flip) + 1 AS runs
+  FROM rt_flips GROUP BY 1
+),
+rt_z AS (
+  SELECT event_type, n_days, n_above, n_below, runs,
+    CAST(n_above AS DOUBLE) AS n1, CAST(n_below AS DOUBLE) AS n2
+  FROM rt_agg
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+  CAST(n_above AS BIGINT) AS n_above,
+  CAST(n_below AS BIGINT) AS n_below,
+  CAST(runs AS BIGINT) AS runs,
+  round(CASE WHEN n_above > 0 AND n_below > 0
+      AND 2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+        / ((n1 + n2) * (n1 + n2) * ((n1 + n2) - 1.0)) > 0
+    THEN (CAST(runs AS DOUBLE)
+        - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+      / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+        / ((n1 + n2) * (n1 + n2) * ((n1 + n2) - 1.0)))
+    END, 6) AS z
+FROM rt_z"""
+
+    q["events_chi2_dow"] = """
+WITH cd_cells AS (
+  SELECT event_type,
+    (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7 AS dow,
+    count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+cd_rt AS (SELECT event_type, sum(o) AS row_tot FROM cd_cells GROUP BY 1),
+cd_ct AS (SELECT dow, sum(o) AS col_tot FROM cd_cells GROUP BY 1),
+cd_tot AS (SELECT sum(o) AS n_tot FROM cd_cells),
+cd_terms AS (
+  -- FULL r x c grid: zero-observed cells still contribute (0-e)^2/e
+  SELECT t.n_tot, r.event_type, l.dow,
+    round((CAST(coalesce(c.o, 0) AS DOUBLE)
+        - CAST(r.row_tot AS DOUBLE) * CAST(l.col_tot AS DOUBLE)
+          / CAST(t.n_tot AS DOUBLE))
+      * (CAST(coalesce(c.o, 0) AS DOUBLE)
+        - CAST(r.row_tot AS DOUBLE) * CAST(l.col_tot AS DOUBLE)
+          / CAST(t.n_tot AS DOUBLE))
+      / (CAST(r.row_tot AS DOUBLE) * CAST(l.col_tot AS DOUBLE)
+          / CAST(t.n_tot AS DOUBLE)), 6) AS term
+  FROM cd_rt r
+  CROSS JOIN cd_ct l
+  LEFT JOIN cd_cells c
+    ON c.event_type = r.event_type AND c.dow = l.dow
+  CROSS JOIN cd_tot t
+),
+cd_agg AS (
+  SELECT n_tot, count(DISTINCT event_type) AS n_types,
+    count(DISTINCT dow) AS n_dows,
+    CAST(sum(CAST(term AS DECIMAL(38,6))) AS DOUBLE) AS chi2
+  FROM cd_terms GROUP BY 1
+)
+SELECT CAST(n_tot AS BIGINT) AS n,
+  CAST(n_types AS BIGINT) AS n_types,
+  CAST(n_dows AS BIGINT) AS n_dows,
+  round(chi2, 6) AS chi2,
+  CAST((n_types - 1) * (n_dows - 1) AS BIGINT) AS dof,
+  round(CASE WHEN least(n_types, n_dows) - 1 > 0
+    THEN sqrt(chi2 / (CAST(n_tot AS DOUBLE)
+      * (least(n_types, n_dows) - 1))) END, 6) AS cramers_v
+FROM cd_agg"""
+
+    # r11: two-sample KS — D found as an exact integer max of
+    # |cum_a*n_b - cum_b*n_a|, divided once at the end
+    q["events_ks_test"] = """
+WITH ks_vals AS (
+  SELECT event_type, value, count(*) AS cnt FROM events
+  WHERE value IS NOT NULL GROUP BY 1, 2
+),
+ks_types AS (SELECT DISTINCT event_type FROM ks_vals),
+ks_pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM ks_types a JOIN ks_types b ON a.event_type < b.event_type
+),
+ks_pooled AS (
+  SELECT type_a, type_b, value,
+    sum(cnt_a) AS cnt_a, sum(cnt_b) AS cnt_b
+  FROM (
+    SELECT p.type_a, p.type_b, v.value, v.cnt AS cnt_a, 0 AS cnt_b
+    FROM ks_pairs p JOIN ks_vals v ON v.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, v.value, 0 AS cnt_a, v.cnt AS cnt_b
+    FROM ks_pairs p JOIN ks_vals v ON v.event_type = p.type_b
+  ) GROUP BY 1, 2, 3
+),
+ks_tot AS (
+  SELECT type_a, type_b, CAST(sum(cnt_a) AS BIGINT) AS n_a,
+    CAST(sum(cnt_b) AS BIGINT) AS n_b
+  FROM ks_pooled GROUP BY 1, 2
+),
+ks_cum AS (
+  SELECT type_a, type_b,
+    sum(cnt_a) OVER (PARTITION BY type_a, type_b ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+    sum(cnt_b) OVER (PARTITION BY type_a, type_b ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM ks_pooled
+),
+ks_agg AS (
+  SELECT c.type_a, c.type_b, t.n_a, t.n_b,
+    max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a)) AS num_max
+  FROM ks_cum c JOIN ks_tot t
+    ON c.type_a = t.type_a AND c.type_b = t.type_b
+  GROUP BY 1, 2, 3, 4
+)
+SELECT type_a, type_b, n_a, n_b,
+  round(CAST(num_max AS DOUBLE)
+    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d_stat,
+  round(sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+    * (CAST(num_max AS DOUBLE)
+      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6) AS d_scaled
+FROM ks_agg"""
+
+    # r11: pairwise source JSD — shared-token terms round-6 before the
+    # DECIMAL sum; non-shared mass contributes 0.5*ln2*(1 - Sp_shared)
+    # per side, Sp from exact integer sums divided once
+    q["text_source_jsd"] = """
+WITH sj_toks AS (
+  SELECT source, unnest(string_split(
+    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+sj_st AS (
+  SELECT source, token, count(*) AS cnt FROM sj_toks GROUP BY 1, 2
+),
+sj_tot AS (SELECT source, sum(cnt) AS tot FROM sj_st GROUP BY 1),
+sj_shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    count(*) AS shared_tokens,
+    CAST(sum(CAST(round(0.5 * (
+      CAST(a.cnt AS DOUBLE) / CAST(ta.tot AS DOUBLE)
+        * ln((CAST(a.cnt AS DOUBLE) / CAST(ta.tot AS DOUBLE))
+          / ((CAST(a.cnt AS DOUBLE) / CAST(ta.tot AS DOUBLE)
+            + CAST(b.cnt AS DOUBLE) / CAST(tb.tot AS DOUBLE)) / 2.0))
+      + CAST(b.cnt AS DOUBLE) / CAST(tb.tot AS DOUBLE)
+        * ln((CAST(b.cnt AS DOUBLE) / CAST(tb.tot AS DOUBLE))
+          / ((CAST(a.cnt AS DOUBLE) / CAST(ta.tot AS DOUBLE)
+            + CAST(b.cnt AS DOUBLE) / CAST(tb.tot AS DOUBLE)) / 2.0))
+    ), 6) AS DECIMAL(38,6))) AS DOUBLE) AS jsd_shared,
+    sum(a.cnt) AS shared_cnt_a, sum(b.cnt) AS shared_cnt_b
+  FROM sj_st a JOIN sj_st b ON a.token = b.token AND a.source < b.source
+  JOIN sj_tot ta ON ta.source = a.source
+  JOIN sj_tot tb ON tb.source = b.source
+  GROUP BY 1, 2
+),
+sj_pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    a.tot AS tot_a, b.tot AS tot_b
+  FROM sj_tot a JOIN sj_tot b ON a.source < b.source
+)
+SELECT p.source_a, p.source_b,
+  CAST(coalesce(s.shared_tokens, 0) AS BIGINT) AS shared_tokens,
+  round(coalesce(s.jsd_shared, 0.0)
+    + round(0.5 * ln(2) * (
+        CAST(p.tot_a - coalesce(s.shared_cnt_a, 0) AS DOUBLE)
+          / CAST(p.tot_a AS DOUBLE)
+      + CAST(p.tot_b - coalesce(s.shared_cnt_b, 0) AS DOUBLE)
+          / CAST(p.tot_b AS DOUBLE)), 6), 6) AS jsd
+FROM sj_pairs p LEFT JOIN sj_shared s
+  ON p.source_a = s.source_a AND p.source_b = s.source_b"""
+
     return q

@@ -1661,3 +1661,100 @@ def heaps_law_fit(documents: DataFrame) -> DataFrame:
             F.round(r2, 6).alias("r2"),
         )
     )
+
+
+def source_jsd(documents: DataFrame) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between sources' unigram
+    distributions — the symmetric, bounded (≤ ln 2) "how different do
+    these two slices read" matrix that keyness can't give (keyness
+    ranks tokens; JSD scores the whole distribution). Used to spot
+    near-duplicate sources (mirrors, scrapes) and to diversity-weight
+    a source mix.
+
+    Determinism: per-shared-token terms are single double expressions
+    off exact integer counts, rounded to 6 BEFORE a DECIMAL(38,6) sum;
+    the non-shared mass needs no token scan — tokens in a but not b
+    have m = p/2, so their total contribution is 0.5·ln2·(1 − Sp_shared)
+    with Sp_shared = (shared_cnt_a / tot_a) derived ONCE from exact
+    integer sums (and symmetrically for b). Pairs with no shared
+    vocabulary come from the source-dim scaffold (left join) and score
+    exactly ln 2.
+
+    Scale shape: one (source, token) aggregate, one token-keyed
+    self-join whose fan-out is (sources containing the token)² —
+    source-dim-bounded per token, never corpus-bounded; the scaffold
+    is a broadcast of the source dim. Output: source_a, source_b,
+    shared_tokens, jsd."""
+    import math
+
+    st = source_token_counts(documents)
+    tot = st.groupBy("source").agg(F.sum("cnt").alias("tot"))
+    a = st.select(
+        F.col("source").alias("source_a"),
+        "token",
+        F.col("cnt").alias("cnt_a"),
+    )
+    b = st.select(
+        F.col("source").alias("source_b"),
+        "token",
+        F.col("cnt").alias("cnt_b"),
+    )
+    ta = tot.select(
+        F.col("source").alias("source_a"), F.col("tot").alias("tot_a")
+    )
+    tb = tot.select(
+        F.col("source").alias("source_b"), F.col("tot").alias("tot_b")
+    )
+    shared = (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+    )
+    p = F.col("cnt_a").cast("double") / F.col("tot_a").cast("double")
+    q = F.col("cnt_b").cast("double") / F.col("tot_b").cast("double")
+    m = (p + q) / 2.0
+    term = F.round(0.5 * (p * F.log(p / m) + q * F.log(q / m)), 6)
+    sh_agg = shared.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("shared_tokens"),
+        F.sum(term.cast("decimal(38,6)")).alias("jsd_shared"),
+        F.sum("cnt_a").cast("long").alias("shared_cnt_a"),
+        F.sum("cnt_b").cast("long").alias("shared_cnt_b"),
+    )
+    srcs = tot.select("source")
+    scaffold = (
+        srcs.select(F.col("source").alias("source_a"))
+        .join(
+            srcs.select(F.col("source").alias("source_b")),
+            F.col("source_a") < F.col("source_b"),
+        )
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+    )
+    j = scaffold.join(sh_agg, ["source_a", "source_b"], "left").na.fill(
+        {"shared_tokens": 0, "shared_cnt_a": 0, "shared_cnt_b": 0}
+    )
+    ln2 = F.lit(math.log(2.0))
+    miss = F.round(
+        0.5
+        * ln2
+        * (
+            (F.col("tot_a") - F.col("shared_cnt_a")).cast("double")
+            / F.col("tot_a").cast("double")
+            + (F.col("tot_b") - F.col("shared_cnt_b")).cast("double")
+            / F.col("tot_b").cast("double")
+        ),
+        6,
+    )
+    return j.select(
+        "source_a",
+        "source_b",
+        F.col("shared_tokens").cast("long").alias("shared_tokens"),
+        F.round(
+            F.coalesce(
+                F.col("jsd_shared").cast("double"), F.lit(0.0)
+            )
+            + miss,
+            6,
+        ).alias("jsd"),
+    )

@@ -790,6 +790,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_keyness_drift"] = lambda s, d: textops.keyness_drift_split(
         raw(s, d, "documents")
     )
+    # r11: pairwise source Jensen-Shannon divergence (mirror/scrape
+    # detection + diversity weighting; whole-distribution companion
+    # of per-token keyness)
+    q["text_source_jsd"] = lambda s, d: textops.source_jsd(
+        raw(s, d, "documents")
+    )
     # r10: per-doc 5-gram corpus-novelty (memorization/diversity audit)
     q["text_ngram_novelty"] = lambda s, d: textops.ngram_novelty(
         raw(s, d, "documents")
@@ -1157,6 +1163,25 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # r10: pairwise lag-1 Granger causality on daily counts
     q["events_granger"] = lambda s, d: relational.granger_daily(
+        raw(s, d, "events")
+    )
+    # r11: rank/nonparametric inference wave — Kendall tau-b daily
+    # co-movement, Mann-Whitney U value-distribution test, Wald-
+    # Wolfowitz runs randomness check, chi-square type×weekday
+    # independence with Cramér's V
+    q["events_kendall_tau"] = lambda s, d: relational.kendall_tau_daily(
+        raw(s, d, "events")
+    )
+    q["events_mann_whitney"] = (
+        lambda s, d: relational.mann_whitney_values(raw(s, d, "events"))
+    )
+    q["events_runs_test"] = lambda s, d: relational.runs_test_daily(
+        raw(s, d, "events")
+    )
+    q["events_chi2_dow"] = lambda s, d: relational.chi2_type_dow(
+        raw(s, d, "events")
+    )
+    q["events_ks_test"] = lambda s, d: relational.ks_test_values(
         raw(s, d, "events")
     )
     # r10: single-changepoint binary segmentation on daily counts
@@ -1618,66 +1643,22 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # lowest information — still swept by tests/test_oracle_parity.py) sink
 # to the END. Everything else keeps its registration order.
 _PROMOTED = [
-    # r10 rotation (VERDICT r9 next #7: plan-changed/new-oracle queries
-    # lead the window). New r10 operators with fresh oracles:
-    "ann_tune_frontier",
-    "graph_kcore_bounded",
-    "events_markov_attribution",
-    "graph_link_prediction",
+    # r11 rotation (VERDICT r10 next #8): new/plan-changed queries
+    # lead the window, then the longest-unwitnessed oracle-able rows
+    # (r4-r6 vintage, measured from the CORRECTNESS_r* history). The
+    # full 241-oracle sweep still runs every session via
+    # tests/test_oracle_parity.py::test_parity_all.
+    # -- new in r11 / plan or arithmetic changed in r11:
+    "text_keyness_drift",
     "graph_label_propagation",
-    "emb_density_cores",
-    "sampling_pps_systematic",
-    "text_ngram_novelty",
-    "events_changepoint",
     "events_conformal_interval",
-    "events_granger",
-    "sampling_psis_khat",
-    "emb_silhouette",
-    "emb_density_cores_lsh",
-    "events_seasonal_decompose",
-    "events_holt_winters",
-    "text_heaps_law",
-    "events_spc_chart",
-    "events_retention_halflife",
-    "events_did",
-    "text_keyness",
-    "events_shapley_attribution",
-    "events_cuped",
-    "events_ols_trend",
-    # plan/oracle re-touched by the r9 advisor fixes: the bootstrap
-    # draw gained its seed-rep cross term (squared mixing step),
-    # pagerank's output precision changed, benford gained the digit-0
-    # filter, t-closeness the constant-column bin guard -- all four
-    # oracles were re-mirrored and must be driver-witnessed
-    "events_bootstrap_ci",
-    "graph_pagerank",
-    "events_benford_audit",
-    "events_t_closeness",
-    # r9-new queries the driver has never witnessed (judge-verified
-    # only so far)
-    "ann_lsh_recall",
-    "sampling_ess",
-    # backfill: longest-unwitnessed oracle-able rows (r4 -> r6 vintage,
-    # measured from the CORRECTNESS_r* history)
-    "sr_subject_version_counts",
-    "topic_throughput_timeseries",
-    "topics_config_map",
-    "topics_scan_filtered",
-    "w2_new_since_baseline",
-    "w3_first_offset_evolution",
-    "corpus_split_drift_psi",
-    "events_grouping_sets",
-    "events_session_window",
-    "events_window_functions",
-    "events_zorder_codes",
-    "graph_association_rules",
-    "scd2_partition_liveness",
-    "scd2_point_in_time",
-    "table_column_stats",
-    "tpch_excess_promo_suppliers",
-    "tpch_market_share",
-    "tpch_min_cost_supplier",
-    "tpch_nation_volume",
+    "events_kendall_tau",
+    "events_mann_whitney",
+    "events_runs_test",
+    "events_chi2_dow",
+    "events_ks_test",
+    "text_source_jsd",
+    # -- longest-unwitnessed (last green r4-r6):
     "tpch_waiting_orders",
     "corpus_lang_source_assoc",
     "curation_pipeline",
@@ -1699,6 +1680,32 @@ _PROMOTED = [
     "events_value_gini",
     "events_winsorized_stats",
     "fuzzy_name_pairs",
+    "media_header_meta",
+    "sampling_source_mix",
+    "sampling_temperature_weights",
+    "sampling_upsample_plan",
+    "sampling_user_cap",
+    "sampling_user_cap_summary",
+    "text_bigram_logprob",
+    "text_bm25",
+    "text_contamination",
+    "text_gopher_flags",
+    "text_line_dedup",
+    "text_unigram_logprob",
+    "text_zipf_fit",
+    "topic_throughput_trend",
+    "tpch_brand_supplier_stats",
+    "tpch_customer_distribution",
+    "tpch_fulfillment_latency",
+    "tpch_idle_rich_customers",
+    "tpch_important_parts",
+    "tpch_large_quantity_orders",
+    "tpch_local_supplier_volume",
+    "tpch_order_priority",
+    "tpch_return_rate_control",
+    "tpch_small_quantity_revenue",
+    "tpch_supplier_hhi",
+    "validation_report",
 ]
 
 
