@@ -638,6 +638,11 @@ def link_prediction(
 #: exactly this many rounds (truncation is part of the semantics)
 _LPA_ROUNDS = 6
 
+#: above this directed-pair volume the delta iteration's per-round
+#: mode aggregate switches from the one-shuffle run-length scan to the
+#: map-side-combinable count form (see label_propagation_delta body)
+_LPA_ONEPASS_LIMIT = 8_000_000
+
 #: argmax-encoding radix. Labels are vertex ids: nonnegative BIGINTs,
 #: always < 2⁶³ by the type itself — so the encoding below has NO
 #: data-dependent bound (r10 advisor: the previous 2³² radix silently
@@ -730,13 +735,13 @@ def label_propagation_bounded(
     label histogram (community, n_parts, min_part) — the stable
     surface; per-part labels are the intermediate.
 
-    Scale shape: each round is one broadcast-free (edge ⋈ label) join
-    keyed on the vertex + one (vertex, label) count + one argmax
-    window over (vertex) — all on the edge partitioning; the label
-    frame is vertex-grain. localCheckpoint per round keeps lineage
-    flat (the pagerank lesson)."""
-    from pyspark.sql.window import Window
-
+    Scale shape: each round is one (edge ⋈ label) join keyed on the
+    vertex + one (vertex, label) count + the integer-encoded argmax
+    (:func:`_vote_argmax` — hub-skew-safe: count rows combine
+    map-side); the label frame is vertex-grain. localCheckpoint per
+    round keeps lineage flat (the pagerank lesson). This form is the
+    SEMANTICS MIRROR; the registered query runs
+    :func:`label_propagation_delta`, bit-identical and faster."""
     if edges is None:
         edges = copurchase_edges(lineitem)
     both = (
@@ -831,6 +836,23 @@ def label_propagation_delta(
     def _maybe_broadcast(df: DataFrame, n: int) -> DataFrame:
         return F.broadcast(df) if n <= broadcast_vertex_limit else df
 
+    # mode-aggregate form: the one-shuffle run-length scan wins when
+    # rounds are task-overhead-bound (measured 12.2 -> 6.4 s at sf0.1)
+    # but collect_list has NO map-side combine and builds degree-sized
+    # arrays — at 24M pairs/round the two forms measure within host
+    # noise of each other (50-72 s / 6 rounds, gen1 probe), so above
+    # the threshold prefer the count+encoded-max form: its (v,label)
+    # partial rows combine before the shuffle and a 10^6-degree hub
+    # costs rows, not one giant array (OOM class, not just seconds)
+    use_counts = n_both > _LPA_ONEPASS_LIMIT
+
+    def _mode(pairs: DataFrame) -> DataFrame:
+        if use_counts:
+            return _vote_argmax(
+                pairs.groupBy("v", "label").agg(F.count("*").alias("cnt"))
+            )
+        return _neighbor_label_mode(pairs)
+
     changed = None  # round 1: every vertex is frontier (initial labeling)
     n_changed = -1
     for _ in range(rounds):
@@ -865,9 +887,9 @@ def label_propagation_delta(
             # because every vertex has >= 1 neighbor its output IS the
             # next labeling: no patch join, one checkpoint per round
             pairs = both.join(lab_u, "u")
-            labels = _neighbor_label_mode(
-                pairs.select("v", "label")
-            ).localCheckpoint(eager=True)
+            labels = _mode(pairs.select("v", "label")).localCheckpoint(
+                eager=True
+            )
             # frontier detection off two pinned frames — leave lazy
             # (consumed at most once, to build the next frontier)
             changed = labels.join(old, "v").filter(
@@ -885,7 +907,7 @@ def label_propagation_delta(
             affected = both.join(frontier_u, "u").select("v").distinct()
             pairs = both.join(affected, "v").join(lab_u, "u")
             changed = (
-                _neighbor_label_mode(pairs.select("v", "label"))
+                _mode(pairs.select("v", "label"))
                 .join(old, "v")
                 .filter(F.col("label") != F.col("old_label"))
                 .select("v", "label")

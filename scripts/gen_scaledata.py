@@ -80,7 +80,14 @@ def replicate(out: Path, copies: int) -> None:
             f"'{out}/{t}.parquet' (FORMAT PARQUET)"
         )
     for t, cols in KEYED.items():
-        parts = []
+        # one part file PER COPY under a directory named {t}.parquet —
+        # a single monolithic file under Spark's 128 MB
+        # maxPartitionBytes is ONE input split, which serialized every
+        # gen1 scan onto one core and read as fake super-linearity in
+        # the first probe (events family ~17x); Spark reads the
+        # directory transparently
+        tdir = out / f"{t}.parquet"
+        tdir.mkdir(parents=True, exist_ok=True)
         for k in range(copies):
             shifts = ", ".join(
                 f"{c} + {k * strides[g]} AS {c}" for c, g in cols.items()
@@ -90,14 +97,23 @@ def replicate(out: Path, copies: int) -> None:
             ).description
             keep = [d[0] for d in others if d[0] not in cols]
             sel = ", ".join([shifts] + keep)
-            parts.append(f"SELECT {sel} FROM '{SRC}/{t}.parquet'")
-        cols_order = ", ".join(d[0] for d in others)
-        union = " UNION ALL ".join(parts)
-        con.execute(
-            f"COPY (SELECT {cols_order} FROM ({union})) TO "
-            f"'{out}/{t}.parquet' (FORMAT PARQUET)"
-        )
+            cols_order = ", ".join(d[0] for d in others)
+            con.execute(
+                f"COPY (SELECT {cols_order} FROM (SELECT {sel} FROM "
+                f"'{SRC}/{t}.parquet')) TO "
+                f"'{tdir}/part-{k:04d}.parquet' (FORMAT PARQUET)"
+            )
     con.close()
+
+
+def _write_chunked(tbl: pa.Table, path: Path, rows_per_file: int) -> None:
+    """Directory of part files (see replicate: one monolithic file is
+    one Spark input split)."""
+    path.mkdir(parents=True, exist_ok=True)
+    for i, lo in enumerate(range(0, tbl.num_rows, rows_per_file)):
+        pq.write_table(
+            tbl.slice(lo, rows_per_file), path / f"part-{i:04d}.parquet"
+        )
 
 
 def gen_documents(out: Path, n_docs: int, rng: np.random.Generator) -> None:
@@ -148,7 +164,7 @@ def gen_documents(out: Path, n_docs: int, rng: np.random.Generator) -> None:
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
     )
-    pq.write_table(tbl, out / "documents.parquet")
+    _write_chunked(tbl, out / "documents.parquet", 5000)
 
 
 def gen_embeddings(out: Path, n_vecs: int, rng: np.random.Generator) -> None:
@@ -179,7 +195,7 @@ def gen_embeddings(out: Path, n_vecs: int, rng: np.random.Generator) -> None:
             "label": pa.array(new_labs.astype(np.int32), pa.int32()),
         }
     )
-    pq.write_table(tbl, out / "embeddings.parquet")
+    _write_chunked(tbl, out / "embeddings.parquet", 2000)
 
 
 def main() -> None:

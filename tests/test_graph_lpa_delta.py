@@ -83,3 +83,17 @@ def test_vote_argmax_radix_survives_big_labels(spark):
     )
     got = {r["v"]: r["label"] for r in _vote_argmax(votes).collect()}
     assert got == {1: big, 2: bigger}
+
+
+def test_delta_counts_branch_matches(spark, monkeypatch):
+    """Force the >_LPA_ONEPASS_LIMIT mode-aggregate branch (count +
+    encoded-max) at fixture scale: output must be identical to the
+    default one-shuffle run-length form."""
+    from kafka_overwatch_spark.operators import graph
+
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+    edges = _edges_df(spark, pairs).localCheckpoint(eager=True)
+    want = _histogram(graph.label_propagation_delta(None, edges=edges))
+    monkeypatch.setattr(graph, "_LPA_ONEPASS_LIMIT", 0)
+    got = _histogram(graph.label_propagation_delta(None, edges=edges))
+    assert got == want
