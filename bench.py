@@ -259,6 +259,7 @@ EXTRA = [
     "events_runs_test",
     "events_chi2_dow",
     "events_ks_test",
+    "events_ks_drift",
     "text_source_jsd",
 ]
 

@@ -5467,3 +5467,103 @@ def ks_test_values(events: DataFrame) -> DataFrame:
         F.round(d, 6).alias("d_stat"),
         F.round(F.sqrt(na * nb / (na + nb)) * d, 6).alias("d_scaled"),
     )
+
+
+#: KS 95% critical coefficient: reject "same distribution" when
+#: sqrt(na·nb/(na+nb))·D exceeds it (Smirnov asymptotic, two-sided)
+KS_ALERT_SCALED = 1.358
+
+
+def ks_drift_counts(
+    batch_counts: DataFrame, lifetime_counts: DataFrame
+) -> DataFrame:
+    """Per-type two-sample KS of a BATCH value population against the
+    LIFETIME population, from (event_type, value, cnt) count frames —
+    the drift arithmetic of the streaming value-drift monitor
+    (events-side sibling of text's keyness_drift: keyness catches a
+    vocabulary shift, this catches a numeric-distribution shift — a
+    deploy that rescales, clamps, or defaults a value column moves D
+    within one batch even when means and Benford digits hold).
+    Identical determinism to :func:`ks_test_values`: D is an exact
+    integer max of |cum_b·n_l − cum_l·n_b|, divided once; ``alert``
+    fires when the scaled statistic crosses the Smirnov 95% critical
+    value (:data:`KS_ALERT_SCALED`). Types absent from either side
+    are skipped (no distribution to compare). Counts merge by
+    addition, so the lifetime side is a sum of per-batch partitions.
+    Output: event_type, n_batch, n_lifetime, d_stat, d_scaled,
+    alert."""
+    from pyspark.sql.window import Window
+
+    b = batch_counts.select(
+        "event_type", "value", F.col("cnt").alias("cnt_b"),
+        F.lit(0).alias("cnt_l"),
+    )
+    lf = lifetime_counts.select(
+        "event_type", "value", F.lit(0).alias("cnt_b"),
+        F.col("cnt").alias("cnt_l"),
+    )
+    pooled = (
+        b.unionByName(lf)
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum("cnt_b").alias("cnt_b"),
+            F.sum("cnt_l").alias("cnt_l"),
+        )
+    )
+    tot = (
+        pooled.groupBy("event_type")
+        .agg(
+            F.sum("cnt_b").cast("long").alias("n_batch"),
+            F.sum("cnt_l").cast("long").alias("n_lifetime"),
+        )
+        .filter((F.col("n_batch") > 0) & (F.col("n_lifetime") > 0))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = pooled.select(
+        "event_type",
+        F.sum("cnt_b").over(w).alias("cum_b"),
+        F.sum("cnt_l").over(w).alias("cum_l"),
+    )
+    agg = (
+        cum.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "n_batch", "n_lifetime")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_b") * F.col("n_lifetime")
+                    - F.col("cum_l") * F.col("n_batch")
+                )
+            ).alias("num_max")
+        )
+    )
+    nb = F.col("n_batch").cast("double")
+    nl = F.col("n_lifetime").cast("double")
+    d = F.col("num_max").cast("double") / (nb * nl)
+    scaled = F.sqrt(nb * nl / (nb + nl)) * d
+    return agg.select(
+        "event_type",
+        "n_batch",
+        "n_lifetime",
+        F.round(d, 6).alias("d_stat"),
+        F.round(scaled, 6).alias("d_scaled"),
+        (scaled > KS_ALERT_SCALED).alias("alert"),
+    )
+
+
+def ks_drift_split(events: DataFrame, modulo: int = 5) -> DataFrame:
+    """Registered batch twin of the streaming value-drift monitor:
+    events with event_id % ``modulo`` == 0 play the arriving batch,
+    the rest the lifetime population (the keyness_drift_split
+    convention — deterministic, scale-stable)."""
+    vals = events.filter(F.col("value").isNotNull())
+    counts = lambda df: df.groupBy("event_type", "value").agg(  # noqa: E731
+        F.count("*").alias("cnt")
+    )
+    return ks_drift_counts(
+        counts(vals.filter(F.col("event_id") % modulo == 0)),
+        counts(vals.filter(F.col("event_id") % modulo != 0)),
+    )

@@ -5690,6 +5690,60 @@ SELECT type_a, type_b, n_a, n_b,
       / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6) AS d_scaled
 FROM ks_agg"""
 
+    # r11: value-drift batch twin — per-type KS of the event_id%5==0
+    # slice vs the rest; same exact-integer D as events_ks_test
+    q["events_ks_drift"] = """
+WITH vd_vals AS (
+  SELECT event_id, event_type, value FROM events
+  WHERE value IS NOT NULL
+),
+vd_pooled AS (
+  SELECT event_type, value,
+    sum(cnt_b) AS cnt_b, sum(cnt_l) AS cnt_l
+  FROM (
+    SELECT event_type, value, count(*) AS cnt_b, 0 AS cnt_l
+    FROM vd_vals WHERE event_id % 5 = 0 GROUP BY 1, 2
+    UNION ALL
+    SELECT event_type, value, 0 AS cnt_b, count(*) AS cnt_l
+    FROM vd_vals WHERE event_id % 5 != 0 GROUP BY 1, 2
+  ) GROUP BY 1, 2
+),
+vd_tot AS (
+  SELECT event_type, CAST(sum(cnt_b) AS BIGINT) AS n_batch,
+    CAST(sum(cnt_l) AS BIGINT) AS n_lifetime
+  FROM vd_pooled GROUP BY 1
+  HAVING sum(cnt_b) > 0 AND sum(cnt_l) > 0
+),
+vd_cum AS (
+  SELECT event_type,
+    sum(cnt_b) OVER (PARTITION BY event_type ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+    sum(cnt_l) OVER (PARTITION BY event_type ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_l
+  FROM vd_pooled
+),
+vd_agg AS (
+  SELECT c.event_type, t.n_batch, t.n_lifetime,
+    max(abs(c.cum_b * t.n_lifetime - c.cum_l * t.n_batch)) AS num_max
+  FROM vd_cum c JOIN vd_tot t ON c.event_type = t.event_type
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, n_batch, n_lifetime,
+  round(CAST(num_max AS DOUBLE)
+    / (CAST(n_batch AS DOUBLE) * CAST(n_lifetime AS DOUBLE)), 6)
+    AS d_stat,
+  round(sqrt(CAST(n_batch AS DOUBLE) * CAST(n_lifetime AS DOUBLE)
+      / (CAST(n_batch AS DOUBLE) + CAST(n_lifetime AS DOUBLE)))
+    * (CAST(num_max AS DOUBLE)
+      / (CAST(n_batch AS DOUBLE) * CAST(n_lifetime AS DOUBLE))), 6)
+    AS d_scaled,
+  (sqrt(CAST(n_batch AS DOUBLE) * CAST(n_lifetime AS DOUBLE)
+      / (CAST(n_batch AS DOUBLE) + CAST(n_lifetime AS DOUBLE)))
+    * (CAST(num_max AS DOUBLE)
+      / (CAST(n_batch AS DOUBLE) * CAST(n_lifetime AS DOUBLE))))
+    > 1.358 AS alert
+FROM vd_agg"""
+
     # r11: pairwise source JSD — shared-token terms round-6 before the
     # DECIMAL sum; non-shared mass contributes 0.5*ln2*(1 - Sp_shared)
     # per side, Sp from exact integer sums divided once

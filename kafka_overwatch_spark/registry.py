@@ -1184,6 +1184,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_ks_test"] = lambda s, d: relational.ks_test_values(
         raw(s, d, "events")
     )
+    # r11: batch twin of the streaming value-drift monitor (per-type
+    # KS of the arriving slice vs the lifetime population)
+    q["events_ks_drift"] = lambda s, d: relational.ks_drift_split(
+        raw(s, d, "events")
+    )
     # r10: single-changepoint binary segmentation on daily counts
     q["events_changepoint"] = lambda s, d: relational.changepoint_daily(
         raw(s, d, "events")
@@ -1657,6 +1662,7 @@ _PROMOTED = [
     "events_runs_test",
     "events_chi2_dow",
     "events_ks_test",
+    "events_ks_drift",
     "text_source_jsd",
     # -- longest-unwitnessed (last green r4-r6):
     "tpch_waiting_orders",

@@ -590,3 +590,111 @@ def run_benford_stream(
     if not q.awaitTermination(timeout_sec):
         q.stop()
         raise TimeoutError("benford stream did not drain in time")
+
+
+def init_ks_index(
+    spark: SparkSession, events: DataFrame, base_path: str
+) -> None:
+    """Seed the (event_type, value, cnt) lifetime index for the
+    streaming value-drift monitor (batch_id = -1; lifetime counts at
+    batch N are the SUM over batch_id < N partitions — mergeable, the
+    keyness-index convention)."""
+    (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", "value")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(f"{base_path}/counts")
+    )
+
+
+class ValueDriftMonitor:
+    """foreachBatch handler for per-type VALUE-DISTRIBUTION drift
+    (r11): each micro-batch releases the two-sample KS of its value
+    population against the lifetime index, per event type — the
+    numeric sibling of the Benford digit screen (Benford catches
+    fabricated/clamped values by digit law; KS catches ANY
+    distributional shift — a rescaling deploy, a unit change, a
+    truncation) and the events-side mirror of the documents
+    keyness-drift gate. Arithmetic lives in
+    operators.relational.ks_drift_counts, gated by the oracle-checked
+    batch twin ``events_ks_drift``.
+
+    Per batch: one (type, value) count aggregate, one read of the
+    lifetime index pruned to batch_id < current (replay never sees its
+    own counts), the KS release, and an idempotent append of the batch
+    counts. State is value-grain per type — bounded by the value
+    cardinality, and mergeable by addition so compaction is free.
+    Deterministic end to end; both writes are batch_id-partitioned
+    dynamic overwrites."""
+
+    def __init__(self, base_path: str, out_dir: str) -> None:
+        self.base = base_path
+        self.out_dir = out_dir
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.relational import ks_drift_counts
+
+        spark = batch_df.sparkSession
+        batch_counts = (
+            batch_df.filter(F.col("value").isNotNull())
+            .groupBy("event_type", "value")
+            .agg(F.count("*").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        lifetime = (
+            spark.read.parquet(f"{self.base}/counts")
+            .filter(F.col("batch_id") < batch_id)
+            .groupBy("event_type", "value")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        release = ks_drift_counts(batch_counts, lifetime)
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            (
+                release.coalesce(1)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(self.out_dir)
+            )
+            (
+                batch_counts.coalesce(4)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(f"{self.base}/counts")
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+
+def run_value_drift_stream(
+    spark: SparkSession,
+    input_dir: str,
+    base_path: str,
+    out_dir: str,
+    checkpoint: str,
+    timeout_sec: int = 300,
+) -> None:
+    """Drain the events feed through the value-drift monitor
+    (availableNow trigger)."""
+    q = (
+        event_stream(spark, input_dir)
+        .writeStream.foreachBatch(ValueDriftMonitor(base_path, out_dir))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError("value drift stream did not drain in time")
