@@ -651,3 +651,57 @@ def test_keyness_vocabulary_never_broadcast(spark):
     assert "token" in plan and "hashpartitioning(token" in plan.replace(
         "hashpartitioning(token#", "hashpartitioning(token"
     ) or "Exchange hashpartitioning" in plan
+
+
+def test_r11_wave_plans_clean(spark, snaps):
+    """r11 rank/nonparametric wave: pure JVM expressions, no cartesian
+    products, no row-wise Python — and the pair scaffolds (types x
+    types, sources x sources) resolve as broadcast joins, never a
+    shuffled cross of the fact table."""
+    from kafka_overwatch_spark import registry
+
+    queries = registry.spark_queries()
+    for name in (
+        "events_kendall_tau",
+        "events_mann_whitney",
+        "events_runs_test",
+        "events_chi2_dow",
+        "events_ks_test",
+        "events_ks_drift",
+        "text_source_jsd",
+        "text_keyness_drift",
+    ):
+        plan = _plan(queries[name](spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+
+
+def test_lpa_delta_plan_no_cartesian_and_broadcast_labels(spark, snaps):
+    """The delta LPA's per-round votes join must resolve the
+    vertex-dim label frame as a broadcast (zero-shuffle votes join in
+    the small regime) and stay cartesian-free. The registered query's
+    returned plan only shows the final histogram (each round is
+    checkpointed eagerly), so pin the ROUND BODY: one broadcast join
+    + the one-shuffle mode aggregate."""
+    from pyspark.sql import functions as F
+
+    from kafka_overwatch_spark import registry
+    from kafka_overwatch_spark.operators import graph
+
+    both, labels0, _, _ = registry.get_lpa_graph(
+        spark, "/root/testdata/sf0.001"
+    )
+    lab_u = F.broadcast(
+        labels0.select(F.col("v").alias("u"), "label")
+    )
+    round_body = graph._neighbor_label_mode(
+        both.join(lab_u, "u").select("v", "label")
+    )
+    plan = _plan(round_body)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # exactly ONE exchange: the mode aggregate's (the votes join is
+    # broadcast, the edge frame is pre-partitioned + checkpointed)
+    assert plan.count("Exchange") <= 2  # exchange + AQE echo at most
