@@ -260,7 +260,9 @@ EXTRA = [
     "events_chi2_dow",
     "events_ks_test",
     "events_ks_drift",
+    "events_fdr_anomalies",
     "text_source_jsd",
+    "emb_pca_components",
 ]
 
 

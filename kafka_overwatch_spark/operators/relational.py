@@ -17,6 +17,8 @@ agg after a narrow projection.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -5566,4 +5568,106 @@ def ks_drift_split(events: DataFrame, modulo: int = 5) -> DataFrame:
     return ks_drift_counts(
         counts(vals.filter(F.col("event_id") % modulo == 0)),
         counts(vals.filter(F.col("event_id") % modulo != 0)),
+    )
+
+
+#: Abramowitz & Stegun 7.1.26 erf coefficients — a fixed-order
+#: polynomial both engines evaluate identically (max abs err 1.5e-7),
+#: which makes normal-tail p-values mirrorable without either engine
+#: having an erf builtin
+_AS_ERF = (0.254829592, -0.284496736, 1.421413741,
+           -1.453152027, 1.061405429)
+_AS_P = 0.3275911
+
+
+def _erfc_pos(x: F.Column) -> F.Column:
+    """erfc(x) for x ≥ 0 via A&S 7.1.26 — one fixed expression tree
+    (Horner form) so both engines produce bit-identical doubles."""
+    t = 1.0 / (1.0 + _AS_P * x)
+    a1, a2, a3, a4, a5 = _AS_ERF
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return poly * F.exp(-(x * x))
+
+
+def fdr_daily_anomalies(events: DataFrame, q: float = 0.05) -> DataFrame:
+    """Benjamini–Hochberg FDR-controlled daily anomaly discoveries:
+    per (event_type, day), a robust z from the type's median/MAD
+    (0.6745·(c−med)/MAD — the mad_anomalies statistic), a two-sided
+    normal p-value via the deterministic erf polynomial, then BH
+    across ALL tested cells — the multiplicity correction the
+    per-type anomaly screens skip (30 days × 5 types = 150 tests:
+    at z-threshold 2 you EXPECT ~7 false alarms; BH caps the false
+    discovery RATE at ``q``). Output one row per tested cell with its
+    rank and the significant flag, so the discovery set and the full
+    p landscape are both auditable.
+
+    Determinism: med/MAD are exact interpolated percentiles (identical
+    interpolation both engines); z, p, and the BH threshold rank·q/m
+    are single double expressions off them; the BH rank orders by
+    (p, event_type, day) — a total order, so ranks can't drift. Cells
+    with MAD = 0 (constant series) are excluded from m and the output
+    (no defined test). Scale shape: day×type grain throughout; the BH
+    rank is one window over the m-row test table (calendar×alphabet
+    bounded — never fact grain)."""
+    from pyspark.sql.window import Window
+
+    daily = events.groupBy("event_type", day_col().alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.expr("percentile(c, 0.5)").alias("med")
+    )
+    dev = daily.join(F.broadcast(stats), "event_type").withColumn(
+        "adev", F.abs(F.col("c").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    z = (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .withColumn(
+            "z",
+            0.6745
+            * (F.col("c").cast("double") - F.col("med"))
+            / F.col("mad"),
+        )
+        .withColumn(
+            "p", _erfc_pos(F.abs(F.col("z")) / F.lit(math.sqrt(2.0)))
+        )
+    )
+    m = z.groupBy().agg(F.count("*").alias("m"))
+    ranked = (
+        z.crossJoin(F.broadcast(m))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy("p", "event_type", "day")
+            ),
+        )
+        .withColumn(
+            "bh_pass",
+            F.col("p")
+            <= F.col("rank").cast("double")
+            * F.lit(q)
+            / F.col("m").cast("double"),
+        )
+    )
+    kstar = ranked.groupBy().agg(
+        F.coalesce(
+            F.max(F.when(F.col("bh_pass"), F.col("rank"))), F.lit(0)
+        ).alias("k_star")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .select(
+            "event_type",
+            "day",
+            F.col("c").cast("long").alias("c"),
+            F.round("z", 6).alias("z"),
+            F.round("p", 6).alias("p_value"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("m").cast("long").alias("m_tests"),
+            (F.col("rank") <= F.col("k_star")).alias("significant"),
+        )
     )

@@ -5690,6 +5690,67 @@ SELECT type_a, type_b, n_a, n_b,
       / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6) AS d_scaled
 FROM ks_agg"""
 
+    # r11: BH-FDR daily anomaly discoveries — robust z from exact
+    # interpolated med/MAD, p via the fixed A&S 7.1.26 erf polynomial
+    # (identical expression tree both engines), BH rank ordered by
+    # (p, type, day) — a total order, ranks cannot drift
+    q["events_fdr_anomalies"] = """
+WITH fd_daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+    count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+fd_med AS (
+  SELECT event_type, quantile_cont(c, 0.5) AS med
+  FROM fd_daily GROUP BY 1
+),
+fd_dev AS (
+  SELECT d.event_type, d.day, d.c, m.med,
+    abs(CAST(d.c AS DOUBLE) - m.med) AS adev
+  FROM fd_daily d JOIN fd_med m ON d.event_type = m.event_type
+),
+fd_mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM fd_dev GROUP BY 1
+),
+fd_z AS (
+  SELECT v.event_type, v.day, v.c,
+    0.6745 * (CAST(v.c AS DOUBLE) - v.med) / a.mad AS z
+  FROM fd_dev v JOIN fd_mad a ON v.event_type = a.event_type
+  WHERE a.mad > 0
+),
+fd_t AS (
+  SELECT *, 1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2))) AS t
+  FROM fd_z
+),
+fd_p AS (
+  SELECT event_type, day, c, z,
+    (t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+      + t * (-1.453152027 + t * 1.061405429)))))
+      * exp(-((abs(z) / sqrt(2)) * (abs(z) / sqrt(2)))) AS p
+  FROM fd_t
+),
+fd_m AS (SELECT count(*) AS m FROM fd_p),
+fd_rank AS (
+  SELECT f.*, m.m,
+    row_number() OVER (ORDER BY p, event_type, day) AS rank
+  FROM fd_p f CROSS JOIN fd_m m
+),
+fd_pass AS (
+  SELECT *,
+    (p <= CAST(rank AS DOUBLE) * 0.05 / CAST(m AS DOUBLE)) AS bh_pass
+  FROM fd_rank
+),
+fd_k AS (
+  SELECT coalesce(max(CASE WHEN bh_pass THEN rank END), 0) AS k_star
+  FROM fd_pass
+)
+SELECT r.event_type, r.day, CAST(r.c AS BIGINT) AS c,
+  round(r.z, 6) AS z, round(r.p, 6) AS p_value,
+  CAST(r.rank AS BIGINT) AS rank, CAST(r.m AS BIGINT) AS m_tests,
+  (r.rank <= k.k_star) AS significant
+FROM fd_pass r CROSS JOIN fd_k k"""
+
     # r11: value-drift batch twin — per-type KS of the event_id%5==0
     # slice vs the rest; same exact-integer D as events_ks_test
     q["events_ks_drift"] = """

@@ -2680,3 +2680,84 @@ def density_cores_lsh(
             ).alias("is_core"),
         )
     )
+
+
+def pca_components(
+    embeddings: DataFrame, n_components: int = 8
+) -> DataFrame:
+    """Distributed PCA of the embedding corpus — the spectral audit
+    next to the centroid/silhouette tools: eigenvalue spectrum +
+    explained-variance ratios tell you the corpus's effective
+    dimensionality (a collapsed encoder shows up as 2-3 components
+    carrying everything; matryoshka truncation budgets come straight
+    off the cumulative EVR), and the loadings give the projection
+    basis for whitening or 2-D audit plots.
+
+    Scale shape — the standard big-data PCA split: the DISTRIBUTED
+    work is one Arrow-batched partial-Gram pass (`mapInPandas`: each
+    batch contributes (n, Σx, XᵀX), dgemm-backed like the GEMM
+    verifiers) reduced to a dim×dim matrix; dim is 64 here and bounded
+    by the encoder everywhere, so the driver-side eigh on the
+    (dim×dim) covariance is the codebook convention
+    (sinks/layout.py), NOT a driver-side data scan — 100 TB of
+    vectors still reduce to one 64×64 matrix. Eigenvector sign is
+    pinned (largest-|loading| coordinate positive) for stable output.
+    Rows-only gate (eigendecomposition isn't ANSI SQL); numpy
+    full-data parity in tests/test_r11_pca.py. Output: component,
+    eigenvalue, explained_variance_ratio, cumulative_evr, loading
+    (array<double>, unit norm)."""
+    spark = embeddings.sparkSession
+
+    def gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    parts = (
+        embeddings.select("embedding")
+        .mapInPandas(gram, "n long, s array<double>, g array<double>")
+        .collect()
+    )
+    n = sum(r["n"] for r in parts)
+    if n < 2:
+        raise ValueError("pca_components needs >= 2 vectors")
+    s = np.sum([np.array(r["s"]) for r in parts], axis=0)
+    dim = len(s)
+    g = np.sum(
+        [np.array(r["g"]).reshape(dim, dim) for r in parts], axis=0
+    )
+    mu = s / n
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(w)[::-1][: min(n_components, dim)]
+    total = float(w.sum())
+    rows, cum = [], 0.0
+    for rank, i in enumerate(order, start=1):
+        vec = v[:, i]
+        pivot = int(np.argmax(np.abs(vec)))
+        if vec[pivot] < 0:
+            vec = -vec
+        evr = float(w[i]) / total if total > 0 else 0.0
+        cum += evr
+        rows.append(
+            (
+                rank,
+                round(float(w[i]), 6),
+                round(evr, 6),
+                round(cum, 6),
+                [float(x) for x in vec],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "component long, eigenvalue double, explained_variance_ratio "
+        "double, cumulative_evr double, loading array<double>",
+    )

@@ -1189,6 +1189,17 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_ks_drift"] = lambda s, d: relational.ks_drift_split(
         raw(s, d, "events")
     )
+    # r11: BH-FDR multiplicity-corrected daily anomaly discoveries
+    q["events_fdr_anomalies"] = (
+        lambda s, d: relational.fdr_daily_anomalies(raw(s, d, "events"))
+    )
+    # r11: distributed PCA (Arrow partial-Gram reduce + dim-bounded
+    # driver eigh — the codebook convention) → rows-only gate
+    # (eigendecomposition isn't ANSI SQL); numpy parity in
+    # tests/test_r11_pca.py
+    q["emb_pca_components"] = lambda s, d: similarity.pca_components(
+        raw(s, d, "embeddings")
+    )
     # r10: single-changepoint binary segmentation on daily counts
     q["events_changepoint"] = lambda s, d: relational.changepoint_daily(
         raw(s, d, "events")
@@ -1663,6 +1674,7 @@ _PROMOTED = [
     "events_chi2_dow",
     "events_ks_test",
     "events_ks_drift",
+    "events_fdr_anomalies",
     "text_source_jsd",
     # -- longest-unwitnessed (last green r4-r6):
     "tpch_waiting_orders",

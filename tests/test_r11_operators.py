@@ -161,3 +161,43 @@ def test_ks_identical_distributions_zero(spark):
     )
     r = ks_test_values(ev).collect()[0]
     assert r["d_stat"] == 0.0 and r["d_scaled"] == 0.0
+
+
+def test_fdr_anomalies_planted_spike(spark):
+    from kafka_overwatch_spark.operators.relational import (
+        fdr_daily_anomalies,
+    )
+
+    # type 'a': mild variation + one huge spike day; type 'b': the
+    # same mild variation only. BH over m=14 tests must flag exactly
+    # the spike cell.
+    ev = _daily_events(
+        spark,
+        {"a": [4, 5, 6, 4, 5, 6, 50], "b": [4, 5, 6, 4, 5, 6, 5]},
+    )
+    rows = fdr_daily_anomalies(ev).collect()
+    assert len(rows) == 14 and all(r["m_tests"] == 14 for r in rows)
+    sig = [r for r in rows if r["significant"]]
+    assert len(sig) == 1
+    spike = sig[0]
+    # the one discovery is type a's spike day (the max epoch day of a)
+    assert spike["event_type"] == "a" and spike["c"] == 50
+    assert spike["day"] == max(r["day"] for r in rows)
+    assert spike["rank"] == 1
+
+
+def test_fdr_erf_polynomial_accuracy(spark):
+    """The A&S 7.1.26 polynomial must track math.erfc to ~1.5e-7 over
+    the z range the operator produces (the determinism contract is
+    bit-equality across ENGINES; this pins closeness to the truth)."""
+    import math as m
+
+    from pyspark.sql import functions as F
+
+    from kafka_overwatch_spark.operators.relational import _erfc_pos
+
+    df = spark.createDataFrame(
+        [(z / 10.0,) for z in range(0, 60)], "z double"
+    ).select("z", _erfc_pos(F.col("z")).alias("e"))
+    for r in df.collect():
+        assert abs(r["e"] - m.erfc(r["z"])) < 2e-7, r["z"]
