@@ -263,6 +263,7 @@ EXTRA = [
     "events_fdr_anomalies",
     "text_source_jsd",
     "emb_pca_components",
+    "graph_modularity",
 ]
 
 

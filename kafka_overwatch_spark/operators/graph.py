@@ -25,6 +25,20 @@ from pyspark.sql import functions as F
 MAX_BASKET = 64  # defensive: explode of C(n,2) pairs must stay bounded
 
 
+def _right_size(df: DataFrame, n_rows: int) -> DataFrame:
+    """Repartition an iterative-loop input to ~300k narrow rows per
+    task, capped at 4x defaultParallelism — the LPA lesson generalized
+    (per-round jobs over the union's natural 20-30 tiny partitions
+    were task-overhead-bound at bench SFs; measured pagerank 5.5 ->
+    4.0 s, kcore 5.6 -> 5.0 s warm at sf0.1); at cluster scale the
+    cap keeps partitions dense."""
+    spark = df.sparkSession
+    n_parts = max(4, min(
+        n_rows // 300_000, 4 * spark.sparkContext.defaultParallelism
+    ))
+    return df.repartition(n_parts)
+
+
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Undirected weighted edges: (part_a < part_b, orders co-occurred).
 
@@ -129,11 +143,16 @@ def pagerank(
         "src", "dst", (F.col("weight") / F.col("w_out")).alias("p")
     )
     if not small:
-        spark = lineitem.sparkSession
+        spark = edges.sparkSession
         from ..pipelines.util import shuffle_partitions
 
         shuffle_n = shuffle_partitions(spark)
         trans = trans.repartition(shuffle_n, "src")
+    else:
+        # small regime: every per-iteration job runs over this frame's
+        # partitions — right-size them once (broadcast join keys make
+        # the distribution irrelevant, only the task count matters)
+        trans = _right_size(trans, 2 * edges.count())
     trans = trans.localCheckpoint(eager=True)
     nodes = out_w.select(F.col("src").alias("part"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
@@ -477,7 +496,9 @@ def kcore(
     core_degree (degree within the k-core subgraph)."""
     if edges is None:
         edges = copurchase_edges(lineitem)
-    cur = edges.select("part_a", "part_b").localCheckpoint(eager=True)
+    cur = _right_size(
+        edges.select("part_a", "part_b"), edges.count()
+    ).localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iterations):
         deg = (
@@ -787,7 +808,28 @@ def label_propagation_delta(
     edges: DataFrame | None = None,
     graph_state: tuple[DataFrame, DataFrame, int, int] | None = None,
 ) -> DataFrame:
-    """Delta-iteration form of :func:`label_propagation_bounded`
+    """Community histogram via :func:`lpa_labels_delta` — the
+    registered surface (community, n_parts, min_part)."""
+    return _community_histogram(
+        lpa_labels_delta(
+            lineitem,
+            rounds=rounds,
+            broadcast_vertex_limit=broadcast_vertex_limit,
+            edges=edges,
+            graph_state=graph_state,
+        )
+    )
+
+
+def lpa_labels_delta(
+    lineitem: DataFrame,
+    rounds: int = _LPA_ROUNDS,
+    broadcast_vertex_limit: int = 2_000_000,
+    edges: DataFrame | None = None,
+    graph_state: tuple[DataFrame, DataFrame, int, int] | None = None,
+) -> DataFrame:
+    """Per-vertex (v, label) labeling — delta-iteration form of
+    :func:`label_propagation_bounded`
     (r11, VERDICT r10 next #1): bit-identical round-``rounds``
     communities, but each round after the first touches only the
     frontier instead of re-joining the full edge set.
@@ -932,7 +974,7 @@ def label_propagation_delta(
                 )
                 .localCheckpoint(eager=True)
             )
-    return _community_histogram(labels)
+    return labels
 
 
 def lpa_graph_state(
@@ -965,3 +1007,69 @@ def lpa_graph_state(
         .localCheckpoint(eager=True)
     )
     return both, labels, labels.count(), n_both
+
+
+def modularity_lpa(
+    edges: DataFrame,
+    graph_state: tuple[DataFrame, DataFrame, int, int],
+    rounds: int = _LPA_ROUNDS,
+) -> DataFrame:
+    """Newman modularity Q of the LPA round-``rounds`` community
+    assignment — the "did label propagation find real structure"
+    quality score (Q ≈ 0: no better than random given the degree
+    sequence; Q ≳ 0.3: strong community structure). Without this the
+    community histogram is unauditable — a single giant community and
+    a perfect partition both LOOK like valid outputs.
+
+    Q = intra/m − Σ_c deg_c² / (2m)² collapses to TWO exact integers
+    (intra-community edge count; the sum of squared community degree
+    masses — decimal(38,0), exact past int64 at 100 TB degree sums)
+    plus m, combined in one double expression — no per-community float
+    accumulation, so the oracle (the same unrolled-LPA CTE chain +
+    two integer aggregates) is bit-stable. Labels broadcast
+    (vertex-dim) onto the edge list; everything else is dim-grain.
+    Output: n_communities, n_edges, intra_edges, modularity."""
+    labels = lpa_labels_delta(None, rounds=rounds, graph_state=graph_state)
+    und = edges.select("part_a", "part_b")
+    la = labels.select(
+        F.col("v").alias("part_a"), F.col("label").alias("label_a")
+    )
+    lb = labels.select(
+        F.col("v").alias("part_b"), F.col("label").alias("label_b")
+    )
+    intra = (
+        und.join(F.broadcast(la), "part_a")
+        .join(F.broadcast(lb), "part_b")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.sum(
+                (F.col("label_a") == F.col("label_b")).cast("long")
+            ).alias("intra_edges"),
+        )
+    )
+    deg_c = (
+        edge_degrees(und)
+        .join(
+            F.broadcast(labels.select(F.col("v").alias("part"), "label")),
+            "part",
+        )
+        .groupBy("label")
+        .agg(F.sum("d").alias("deg_c"))
+    )
+    degsq = deg_c.agg(
+        F.count("*").alias("n_communities"),
+        F.sum(
+            (F.col("deg_c") * F.col("deg_c")).cast("decimal(38,0)")
+        ).alias("degsq"),
+    )
+    m = F.col("n_edges").cast("double")
+    return intra.crossJoin(F.broadcast(degsq)).select(
+        F.col("n_communities").cast("long").alias("n_communities"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("intra_edges").cast("long").alias("intra_edges"),
+        F.round(
+            F.col("intra_edges").cast("double") / m
+            - F.col("degsq").cast("double") / (4.0 * m * m),
+            6,
+        ).alias("modularity"),
+    )

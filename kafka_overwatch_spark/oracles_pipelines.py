@@ -4711,6 +4711,102 @@ SELECT label AS community, CAST(count(*) AS BIGINT) AS n_parts,
 FROM lv6 GROUP BY label"""
 
 
+
+    # r11: Newman modularity of the LPA communities — the same
+    # unrolled chain, then TWO exact-integer aggregates (intra edges;
+    # sum of squared community degree masses) + one double expression
+    q["graph_modularity"] = """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+lund AS MATERIALIZED (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+lboth AS MATERIALIZED (
+  SELECT part_a AS v, part_b AS u FROM lund
+  UNION ALL SELECT part_b AS v, part_a AS u FROM lund
+),
+lv0 AS (SELECT DISTINCT v, v AS label FROM lboth)
+,
+lv1 AS (
+  SELECT v, label FROM (
+    SELECT b.v, l.label, count(*) AS cnt,
+      row_number() OVER (PARTITION BY b.v
+        ORDER BY count(*) DESC, l.label ASC) AS rk
+    FROM lboth b JOIN lv0 l ON b.u = l.v
+    GROUP BY b.v, l.label
+  ) WHERE rk = 1
+),
+lv2 AS (
+  SELECT v, label FROM (
+    SELECT b.v, l.label, count(*) AS cnt,
+      row_number() OVER (PARTITION BY b.v
+        ORDER BY count(*) DESC, l.label ASC) AS rk
+    FROM lboth b JOIN lv1 l ON b.u = l.v
+    GROUP BY b.v, l.label
+  ) WHERE rk = 1
+),
+lv3 AS (
+  SELECT v, label FROM (
+    SELECT b.v, l.label, count(*) AS cnt,
+      row_number() OVER (PARTITION BY b.v
+        ORDER BY count(*) DESC, l.label ASC) AS rk
+    FROM lboth b JOIN lv2 l ON b.u = l.v
+    GROUP BY b.v, l.label
+  ) WHERE rk = 1
+),
+lv4 AS (
+  SELECT v, label FROM (
+    SELECT b.v, l.label, count(*) AS cnt,
+      row_number() OVER (PARTITION BY b.v
+        ORDER BY count(*) DESC, l.label ASC) AS rk
+    FROM lboth b JOIN lv3 l ON b.u = l.v
+    GROUP BY b.v, l.label
+  ) WHERE rk = 1
+),
+lv5 AS (
+  SELECT v, label FROM (
+    SELECT b.v, l.label, count(*) AS cnt,
+      row_number() OVER (PARTITION BY b.v
+        ORDER BY count(*) DESC, l.label ASC) AS rk
+    FROM lboth b JOIN lv4 l ON b.u = l.v
+    GROUP BY b.v, l.label
+  ) WHERE rk = 1
+),
+lv6 AS (
+  SELECT v, label FROM (
+    SELECT b.v, l.label, count(*) AS cnt,
+      row_number() OVER (PARTITION BY b.v
+        ORDER BY count(*) DESC, l.label ASC) AS rk
+    FROM lboth b JOIN lv5 l ON b.u = l.v
+    GROUP BY b.v, l.label
+  ) WHERE rk = 1
+),
+md_deg AS (SELECT v, count(*) AS d FROM lboth GROUP BY v),
+md_intra AS (
+  SELECT count(*) AS n_edges,
+    sum(CASE WHEN a.label = b.label THEN 1 ELSE 0 END) AS intra
+  FROM lund e JOIN lv6 a ON e.part_a = a.v JOIN lv6 b ON e.part_b = b.v
+),
+md_degc AS (
+  SELECT l.label, sum(d.d) AS deg_c
+  FROM md_deg d JOIN lv6 l ON d.v = l.v GROUP BY 1
+),
+md_sq AS (
+  SELECT count(*) AS n_comm,
+    sum(CAST(deg_c * deg_c AS HUGEINT)) AS degsq
+  FROM md_degc
+)
+SELECT CAST(s.n_comm AS BIGINT) AS n_communities,
+  CAST(i.n_edges AS BIGINT) AS n_edges,
+  CAST(i.intra AS BIGINT) AS intra_edges,
+  round(CAST(i.intra AS DOUBLE) / CAST(i.n_edges AS DOUBLE)
+    - CAST(s.degsq AS DOUBLE)
+      / (4.0 * CAST(i.n_edges AS DOUBLE) * CAST(i.n_edges AS DOUBLE)),
+    6) AS modularity
+FROM md_intra i CROSS JOIN md_sq s"""
+
     # DBSCAN-style density profile: exact neighbor counting on the
     # round-6 cosine (the family's determinism convention)
     q["emb_density_cores"] = """

@@ -1543,6 +1543,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             raw(s, d, "lineitem"), graph_state=get_lpa_graph(s, d)
         )
     )
+    # r11: Newman modularity of the LPA communities (same unrolled
+    # oracle chain + two exact-integer aggregates) — the "did label
+    # propagation find real structure" audit
+    q["graph_modularity"] = lambda s, d: graph.modularity_lpa(
+        get_copurchase_edges(s, d), get_lpa_graph(s, d)
+    )
     # r7 continuation: triangle count + global clustering coefficient
     # (oracle-able; three keyed self-joins, no vertex broadcast)
     q["graph_clustering"] = lambda s, d: graph.clustering_coefficient(
@@ -1676,6 +1682,7 @@ _PROMOTED = [
     "events_ks_drift",
     "events_fdr_anomalies",
     "text_source_jsd",
+    "graph_modularity",
     # -- longest-unwitnessed (last green r4-r6):
     "tpch_waiting_orders",
     "corpus_lang_source_assoc",

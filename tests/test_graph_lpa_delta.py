@@ -97,3 +97,47 @@ def test_delta_counts_branch_matches(spark, monkeypatch):
     monkeypatch.setattr(graph, "_LPA_ONEPASS_LIMIT", 0)
     got = _histogram(graph.label_propagation_delta(None, edges=edges))
     assert got == want
+
+
+def test_modularity_two_cliques_exact(spark):
+    """Two disjoint triangles: LPA finds both; Q = 1 − 2·(6²)/(4·6²)
+    = 0.5 exactly (m=6, intra=6, each community degree mass 6)."""
+    from kafka_overwatch_spark.operators import graph
+
+    pairs = [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9)]
+    edges = _edges_df(spark, pairs).localCheckpoint(eager=True)
+    state = graph.lpa_graph_state(edges)
+    r = graph.modularity_lpa(edges, state).collect()[0]
+    assert (r["n_communities"], r["n_edges"], r["intra_edges"]) == (
+        2, 6, 6,
+    )
+    assert r["modularity"] == 0.5
+
+
+def test_modularity_matches_python(spark):
+    """Q recomputed in python from the SAME labels must match on a
+    bridged two-triangle graph (whatever communities LPA lands on)."""
+    from kafka_overwatch_spark.operators import graph
+
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+    edges = _edges_df(spark, pairs).localCheckpoint(eager=True)
+    state = graph.lpa_graph_state(edges)
+    labels = {
+        r["v"]: r["label"]
+        for r in graph.lpa_labels_delta(None, graph_state=state).collect()
+    }
+    m = len(pairs)
+    intra = sum(1 for a, b in pairs if labels[a] == labels[b])
+    deg: dict = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    deg_c: dict = {}
+    for v, d in deg.items():
+        deg_c[labels[v]] = deg_c.get(labels[v], 0) + d
+    want = round(
+        intra / m - sum(x * x for x in deg_c.values()) / (4.0 * m * m), 6
+    )
+    r = graph.modularity_lpa(edges, state).collect()[0]
+    assert r["modularity"] == want
+    assert r["n_communities"] == len(set(labels.values()))
