@@ -264,6 +264,7 @@ EXTRA = [
     "text_source_jsd",
     "emb_pca_components",
     "graph_modularity",
+    "events_pacf",
 ]
 
 

@@ -5671,3 +5671,99 @@ def fdr_daily_anomalies(events: DataFrame, q: float = 0.05) -> DataFrame:
             (F.col("rank") <= F.col("k_star")).alias("significant"),
         )
     )
+
+
+def pacf_daily(events: DataFrame) -> DataFrame:
+    """Partial autocorrelation of each type's daily-count series at
+    lags 1-3 via the Durbin–Levinson recursion UNROLLED (fixed depth →
+    exactly mirrorable, the kcore_bounded convention) — the Box-
+    Jenkins order-selection companion of daily_acf: ACF says "lag k
+    correlates", PACF says "lag k correlates BEYOND what shorter lags
+    explain" (an AR(1) process has one PACF spike and a long ACF
+    tail). Inputs are the standard mean-centered autocorrelations
+    r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)², every sum an exact
+    integer (P_k = Σx_t·x_{t−k}, head/tail sums, Σx, Σx²) expanded so
+    the centering happens in ONE double expression per r_k; the
+    recursion is a fixed chain of scalar expressions off r1..r3
+    (φ11 = r1; φ22 = (r2−r1²)/(1−r1²); φ21 = r1−φ22·r1;
+    φ33 = (r3−φ21·r2−φ22·r1)/(1−φ21·r1−φ22·r2)), NULL on degenerate
+    denominators. Missing days simply drop their pairs — both engines
+    join the same day grid.
+
+    Scale shape: one day×type aggregate, a 3-wide lag explode joined
+    on (type, day−lag), a (type, lag) aggregate pivoted to columns —
+    calendar×alphabet grain throughout. Output: event_type, n_days,
+    r1, r2, r3, pacf1, pacf2, pacf3."""
+    daily = events.groupBy("event_type", day_col().alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    base = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.col("c").cast("decimal(19,0)")).cast("double").alias("s"),
+        F.sum(
+            F.col("c").cast("decimal(19,0)")
+            * F.col("c").cast("decimal(19,0)")
+        )
+        .cast("double")
+        .alias("q"),
+    )
+    lags = F.explode(F.sequence(F.lit(1), F.lit(3))).alias("lag")
+    x = daily.select("event_type", "day", F.col("c").alias("x"), lags)
+    y = daily.select(
+        "event_type", F.col("day").alias("yday"), F.col("c").alias("y")
+    )
+    pairs = x.join(
+        y,
+        (x.event_type == y.event_type)
+        & (x.day - F.col("lag") == F.col("yday")),
+    ).select(x.event_type.alias("event_type"), "lag", "x", "y")
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    per_lag = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").alias("m"),
+        F.sum(xd * yd).cast("double").alias("p"),
+        F.sum(xd).cast("double").alias("h"),
+        F.sum(yd).cast("double").alias("t"),
+    )
+
+    def _pick(col: str, k: int) -> F.Column:
+        return F.max(F.when(F.col("lag") == k, F.col(col)))
+
+    piv = per_lag.groupBy("event_type").agg(
+        *[
+            _pick(c, k).alias(f"{c}{k}")
+            for k in (1, 2, 3)
+            for c in ("m", "p", "h", "t")
+        ]
+    )
+    j = piv.join(F.broadcast(base), "event_type")
+    n = F.col("n_days").cast("double")
+    xb = F.col("s") / n
+    den0 = F.col("q") - n * xb * xb
+
+    def _r(k: int) -> F.Column:
+        num = (
+            F.col(f"p{k}")
+            - xb * (F.col(f"h{k}") + F.col(f"t{k}"))
+            + F.col(f"m{k}").cast("double") * xb * xb
+        )
+        return F.when(den0 > 0, num / den0)
+
+    r1, r2, r3 = _r(1), _r(2), _r(3)
+    phi22_den = 1.0 - r1 * r1
+    phi22 = F.when(phi22_den != 0, (r2 - r1 * r1) / phi22_den)
+    phi21 = r1 - phi22 * r1
+    phi33_den = 1.0 - phi21 * r1 - phi22 * r2
+    phi33 = F.when(
+        phi33_den != 0, (r3 - phi21 * r2 - phi22 * r1) / phi33_den
+    )
+    return j.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(r1, 6).alias("r1"),
+        F.round(r2, 6).alias("r2"),
+        F.round(r3, 6).alias("r3"),
+        F.round(r1, 6).alias("pacf1"),
+        F.round(phi22, 6).alias("pacf2"),
+        F.round(phi33, 6).alias("pacf3"),
+    )

@@ -5786,6 +5786,85 @@ SELECT type_a, type_b, n_a, n_b,
       / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6) AS d_scaled
 FROM ks_agg"""
 
+    # r11: PACF lags 1-3 via unrolled Durbin-Levinson — r_k from exact
+    # integer co-moments expanded around the global mean, the phi
+    # chain a fixed scalar tree (chained CTEs keep every double's
+    # derivation identical to the Spark expression order)
+    q["events_pacf"] = """
+WITH pf_daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+    count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+pf_base AS (
+  SELECT event_type, count(*) AS n_days,
+    CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE) AS s,
+    CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE) AS q
+  FROM pf_daily GROUP BY 1
+),
+pf_pairs AS (
+  SELECT x.event_type, l.lag, x.c AS xv, y.c AS yv
+  FROM pf_daily x
+  CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag) l
+  JOIN pf_daily y
+    ON y.event_type = x.event_type AND x.day - l.lag = y.day
+),
+pf_lag AS (
+  SELECT event_type, lag, count(*) AS m,
+    CAST(sum(CAST(xv AS HUGEINT) * CAST(yv AS HUGEINT)) AS DOUBLE)
+      AS p,
+    CAST(sum(CAST(xv AS HUGEINT)) AS DOUBLE) AS h,
+    CAST(sum(CAST(yv AS HUGEINT)) AS DOUBLE) AS t
+  FROM pf_pairs GROUP BY 1, 2
+),
+pf_piv AS (
+  SELECT event_type,
+    max(CASE WHEN lag = 1 THEN m END) AS m1,
+    max(CASE WHEN lag = 1 THEN p END) AS p1,
+    max(CASE WHEN lag = 1 THEN h END) AS h1,
+    max(CASE WHEN lag = 1 THEN t END) AS t1,
+    max(CASE WHEN lag = 2 THEN m END) AS m2,
+    max(CASE WHEN lag = 2 THEN p END) AS p2,
+    max(CASE WHEN lag = 2 THEN h END) AS h2,
+    max(CASE WHEN lag = 2 THEN t END) AS t2,
+    max(CASE WHEN lag = 3 THEN m END) AS m3,
+    max(CASE WHEN lag = 3 THEN p END) AS p3,
+    max(CASE WHEN lag = 3 THEN h END) AS h3,
+    max(CASE WHEN lag = 3 THEN t END) AS t3
+  FROM pf_lag GROUP BY 1
+),
+pf_c AS (
+  SELECT event_type, n_days, s, q,
+    s / CAST(n_days AS DOUBLE) AS xb
+  FROM pf_base
+),
+pf_c2 AS (
+  SELECT *, q - CAST(n_days AS DOUBLE) * xb * xb AS den0 FROM pf_c
+),
+pf_rr AS (
+  SELECT c.event_type, c.n_days,
+    CASE WHEN c.den0 > 0 THEN (v.p1 - c.xb * (v.h1 + v.t1)
+      + CAST(v.m1 AS DOUBLE) * c.xb * c.xb) / c.den0 END AS r1,
+    CASE WHEN c.den0 > 0 THEN (v.p2 - c.xb * (v.h2 + v.t2)
+      + CAST(v.m2 AS DOUBLE) * c.xb * c.xb) / c.den0 END AS r2,
+    CASE WHEN c.den0 > 0 THEN (v.p3 - c.xb * (v.h3 + v.t3)
+      + CAST(v.m3 AS DOUBLE) * c.xb * c.xb) / c.den0 END AS r3
+  FROM pf_c2 c JOIN pf_piv v ON c.event_type = v.event_type
+),
+pf_phi AS (
+  SELECT *, CASE WHEN 1.0 - r1 * r1 != 0
+    THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS phi22
+  FROM pf_rr
+),
+pf_phi2 AS (SELECT *, r1 - phi22 * r1 AS phi21 FROM pf_phi)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+  round(r1, 6) AS r1, round(r2, 6) AS r2, round(r3, 6) AS r3,
+  round(r1, 6) AS pacf1, round(phi22, 6) AS pacf2,
+  round(CASE WHEN 1.0 - phi21 * r1 - phi22 * r2 != 0
+    THEN (r3 - phi21 * r2 - phi22 * r1)
+      / (1.0 - phi21 * r1 - phi22 * r2) END, 6) AS pacf3
+FROM pf_phi2"""
+
     # r11: BH-FDR daily anomaly discoveries — robust z from exact
     # interpolated med/MAD, p via the fixed A&S 7.1.26 erf polynomial
     # (identical expression tree both engines), BH rank ordered by

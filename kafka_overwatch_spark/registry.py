@@ -1189,6 +1189,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_ks_drift"] = lambda s, d: relational.ks_drift_split(
         raw(s, d, "events")
     )
+    # r11: PACF lags 1-3 (unrolled Durbin-Levinson) — Box-Jenkins
+    # order selection next to events_daily_acf
+    q["events_pacf"] = lambda s, d: relational.pacf_daily(
+        raw(s, d, "events")
+    )
     # r11: BH-FDR multiplicity-corrected daily anomaly discoveries
     q["events_fdr_anomalies"] = (
         lambda s, d: relational.fdr_daily_anomalies(raw(s, d, "events"))
@@ -1683,6 +1688,7 @@ _PROMOTED = [
     "events_fdr_anomalies",
     "text_source_jsd",
     "graph_modularity",
+    "events_pacf",
     # -- longest-unwitnessed (last green r4-r6):
     "tpch_waiting_orders",
     "corpus_lang_source_assoc",

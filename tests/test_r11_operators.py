@@ -201,3 +201,47 @@ def test_fdr_erf_polynomial_accuracy(spark):
     ).select("z", _erfc_pos(F.col("z")).alias("e"))
     for r in df.collect():
         assert abs(r["e"] - m.erfc(r["z"])) < 2e-7, r["z"]
+
+
+def _py_pacf(counts):
+    n = len(counts)
+    s = float(sum(counts))
+    q = float(sum(c * c for c in counts))
+    xb = s / n
+    den0 = q - n * xb * xb
+    r = {}
+    for k in (1, 2, 3):
+        pairs = [(counts[i], counts[i - k]) for i in range(k, n)]
+        p = float(sum(a * b for a, b in pairs))
+        h = float(sum(a for a, _ in pairs))
+        t = float(sum(b for _, b in pairs))
+        m = len(pairs)
+        r[k] = (p - xb * (h + t) + m * xb * xb) / den0 if den0 > 0 else None
+    r1, r2, r3 = r[1], r[2], r[3]
+    phi22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    phi21 = r1 - phi22 * r1
+    phi33 = (r3 - phi21 * r2 - phi22 * r1) / (
+        1.0 - phi21 * r1 - phi22 * r2
+    )
+    return tuple(round(v, 6) for v in (r1, r2, r3, r1, phi22, phi33))
+
+
+def test_pacf_matches_python_reference(spark):
+    from kafka_overwatch_spark.operators.relational import pacf_daily
+
+    counts = [3, 5, 3, 5, 4, 6, 3, 5, 2, 6]
+    ev = _daily_events(spark, {"p": counts})
+    r = pacf_daily(ev).collect()[0]
+    want = _py_pacf(counts)
+    got = (r["r1"], r["r2"], r["r3"], r["pacf1"], r["pacf2"], r["pacf3"])
+    assert got == want
+    # period-2 alternation: lag-1 anticorrelation dominates
+    assert r["r1"] < 0 and r["pacf1"] == r["r1"]
+
+
+def test_pacf_constant_series_is_null(spark):
+    from kafka_overwatch_spark.operators.relational import pacf_daily
+
+    ev = _daily_events(spark, {"k": [4, 4, 4, 4, 4, 4]})
+    r = pacf_daily(ev).collect()[0]
+    assert r["r1"] is None and r["pacf2"] is None and r["pacf3"] is None
