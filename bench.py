@@ -265,6 +265,7 @@ EXTRA = [
     "emb_pca_components",
     "graph_modularity",
     "events_pacf",
+    "graph_assortativity",
 ]
 
 

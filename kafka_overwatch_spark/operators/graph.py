@@ -1073,3 +1073,52 @@ def modularity_lpa(
             6,
         ).alias("modularity"),
     )
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over the directed edge list (both
+    directions, the standard symmetrization) — one number for "do
+    hubs connect to hubs" (r > 0, social-network-like) vs "hubs fan
+    out to leaves" (r < 0, catalog/star-like), the structural
+    diagnostic that degree histograms and clustering coefficients
+    can't give. Every co-moment is an exact DECIMAL(38,0) sum of
+    integer degree products (degree ≤ |V|, products ≤ |V|² — exact
+    far past int64 at 100 TB); r is one double expression, round 6,
+    NULL on zero variance (regular graphs).
+
+    Scale shape: one degree aggregate + two vertex-dim joins onto
+    the edge list (AQE broadcasts them below its threshold; above it
+    they are keyed shuffle joins — no explicit hint so a 10^9-vertex
+    degree frame never gets forced into a broadcast) + one global
+    aggregate. Output: n_edges, assortativity."""
+    deg = edge_degrees(edges)
+    da = deg.select(F.col("part").alias("part_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("part").alias("part_b"), F.col("d").alias("db"))
+    und = edges.select("part_a", "part_b")
+    j = und.join(da, "part_a").join(db, "part_b")
+    # symmetrize: each undirected edge contributes (da,db) and (db,da)
+    pairs = j.select(
+        F.col("da").alias("x"), F.col("db").alias("y")
+    ).unionAll(j.select(F.col("db").alias("x"), F.col("da").alias("y")))
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    m = pairs.groupBy().agg(
+        F.count("*").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.round(
+            F.when((varx > 0) & (vary > 0), num / F.sqrt(varx * vary)),
+            6,
+        ).alias("assortativity"),
+    )

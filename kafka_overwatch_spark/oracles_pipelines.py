@@ -4712,6 +4712,47 @@ FROM lv6 GROUP BY label"""
 
 
 
+    # r11: degree assortativity — Pearson over symmetrized endpoint
+    # degree pairs, exact HUGEINT co-moments, one double expression
+    q["graph_assortativity"] = """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+aund AS MATERIALIZED (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+aboth AS (
+  SELECT part_a AS v FROM aund UNION ALL SELECT part_b AS v FROM aund
+),
+adeg AS (SELECT v, count(*) AS d FROM aboth GROUP BY v),
+apairs AS (
+  SELECT da.d AS x, db.d AS y
+  FROM aund e JOIN adeg da ON e.part_a = da.v
+  JOIN adeg db ON e.part_b = db.v
+  UNION ALL
+  SELECT db.d AS x, da.d AS y
+  FROM aund e JOIN adeg da ON e.part_a = da.v
+  JOIN adeg db ON e.part_b = db.v
+),
+am AS (
+  SELECT count(*) AS n,
+    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+    CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS sxy,
+    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS syy
+  FROM apairs
+)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+  round(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+      AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+    THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+      / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+        * (CAST(n AS DOUBLE) * syy - sy * sy)) END, 6)
+    AS assortativity
+FROM am"""
+
     # r11: Newman modularity of the LPA communities — the same
     # unrolled chain, then TWO exact-integer aggregates (intra edges;
     # sum of squared community degree masses) + one double expression

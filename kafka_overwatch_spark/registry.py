@@ -1548,6 +1548,10 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             raw(s, d, "lineitem"), graph_state=get_lpa_graph(s, d)
         )
     )
+    # r11: degree assortativity (hubs-to-hubs vs hubs-to-leaves)
+    q["graph_assortativity"] = lambda s, d: graph.assortativity(
+        get_copurchase_edges(s, d)
+    )
     # r11: Newman modularity of the LPA communities (same unrolled
     # oracle chain + two exact-integer aggregates) — the "did label
     # propagation find real structure" audit
@@ -1689,6 +1693,7 @@ _PROMOTED = [
     "text_source_jsd",
     "graph_modularity",
     "events_pacf",
+    "graph_assortativity",
     # -- longest-unwitnessed (last green r4-r6):
     "tpch_waiting_orders",
     "corpus_lang_source_assoc",

@@ -141,3 +141,48 @@ def test_modularity_matches_python(spark):
     r = graph.modularity_lpa(edges, state).collect()[0]
     assert r["modularity"] == want
     assert r["n_communities"] == len(set(labels.values()))
+
+
+def test_assortativity_star_and_clique(spark):
+    """A star is maximally disassortative; adding the full clique on
+    its leaves raises r; a clique alone has zero degree variance
+    (NULL)."""
+    from kafka_overwatch_spark.operators import graph
+
+    star = _edges_df(spark, [(10, i) for i in range(1, 6)])
+    r = graph.assortativity(star).collect()[0]
+    assert r["n_edges"] == 5 and r["assortativity"] == -1.0
+    clique = _edges_df(
+        spark, [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    )
+    rc = graph.assortativity(clique).collect()[0]
+    assert rc["assortativity"] is None  # regular graph: zero variance
+
+
+def test_assortativity_matches_python(spark):
+    import math
+
+    from kafka_overwatch_spark.operators import graph
+
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+    edges = _edges_df(spark, pairs)
+    deg: dict = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in pairs:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    want = round(
+        (n * sxy - sx * sy)
+        / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+        6,
+    )
+    r = graph.assortativity(edges).collect()[0]
+    assert r["assortativity"] == want
