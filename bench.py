@@ -266,6 +266,13 @@ EXTRA = [
     "graph_modularity",
     "events_pacf",
     "graph_assortativity",
+    # round 11, wave 4
+    "events_kruskal_wallis",
+    "events_spearman",
+    "events_ljung_box",
+    "graph_eigencentrality",
+    "graph_components_bounded",
+    "emb_hard_negatives",
 ]
 
 

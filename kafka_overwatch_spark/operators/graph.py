@@ -1122,3 +1122,158 @@ def assortativity(edges: DataFrame) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+def eigencentrality(
+    lineitem: DataFrame,
+    rounds: int = 8,
+    broadcast_vertex_limit: int = 2_000_000,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Weighted eigenvector centrality by FIXED-DEPTH power iteration
+    on the undirected co-purchase graph — the prestige measure next to
+    PageRank: no teleport smoothing, so scores concentrate on the
+    densest weighted neighborhood instead of spreading by random-walk
+    reachability (on an undirected graph this is also what HITS
+    degenerates to — hubs ≡ authorities). Each round computes the
+    weighted inflow y(v) = Σ_{u~v} w(u,v)·x(u) and L1-normalizes
+    (scores are nonnegative, so the L1 norm is one global sum applied
+    as a broadcast-scalar division). The ``rounds``-iterate IS the
+    registered statistic (the kcore_bounded/LPA-bounded convention):
+    both engines compute the same fixed chain, so the oracle unrolls
+    the rounds as chained CTEs; cross-engine double-sum order lives
+    ~1e-13 and is absorbed by the round-6 grain the registered query
+    applies.
+
+    Scale shape: identical to pagerank — below
+    ``broadcast_vertex_limit`` the vertex-dim score frame broadcasts
+    onto the statically-partitioned edge set each round (zero shuffle
+    of the big side); above it, shuffle_hash joins against the edge
+    set's one-time src partitioning. The per-round L1 total is a
+    1-row broadcast, never a collect. ``edges``: see part_degree."""
+    if edges is None:
+        edges = copurchase_edges(lineitem)
+    directed = edges.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst"), "weight"
+    ).unionAll(
+        edges.select(
+            F.col("part_b").alias("src"),
+            F.col("part_a").alias("dst"),
+            "weight",
+        )
+    )
+    nodes = directed.select(F.col("src").alias("part")).distinct()
+    nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.count()
+    small = n <= broadcast_vertex_limit
+    if not small:
+        from ..pipelines.util import shuffle_partitions
+
+        directed = directed.repartition(
+            shuffle_partitions(edges.sparkSession), "src"
+        )
+    else:
+        directed = _right_size(directed, 2 * edges.count())
+    directed = directed.localCheckpoint(eager=True)
+    scores = nodes.withColumn("score", F.lit(1.0 / n))
+    for _ in range(rounds):
+        sside = (
+            F.broadcast(scores) if small else scores.hint("shuffle_hash")
+        )
+        # materialize the inflow once per round: BOTH consumers (the L1
+        # total and the normalize) read the vertex-dim result instead of
+        # re-executing the edge join per branch
+        inflow = (
+            directed.join(sside, directed.src == sside.part)
+            .select("dst", (F.col("score") * F.col("weight")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("y"))
+            .localCheckpoint(eager=True)
+        )
+        tot = inflow.agg(F.sum("y").alias("l1"))
+        scores = inflow.crossJoin(F.broadcast(tot)).select(
+            F.col("dst").alias("part"),
+            (F.col("y") / F.col("l1")).alias("score"),
+        )
+    return scores.select("part", "score")
+
+
+def components_bounded(
+    lineitem: DataFrame,
+    rounds: int = 10,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Connected components of the co-purchase graph by min-label
+    flooding with a DECLARED round budget — the oracle-able sibling of
+    the rows-only iterative union-find behind
+    dedup_semantic_components (the kcore_bounded recipe): each round
+    every vertex takes the min of its own label and its neighbors'
+    labels, which converges once the smallest id in each component has
+    flooded it (≤ that vertex's eccentricity, ≤ the component
+    diameter). A flood round over a converged labeling changes
+    nothing, so the ``rounds``-times-unrolled DuckDB mirror is exact
+    under early convergence. Deviation contract: if the last budgeted
+    round still changed a label the operator RAISES (a silently
+    partial labeling would merge/split components downstream); the
+    oracle would return the partial flood, so a budget breach
+    surfaces as a loud driver error, never a quiet hash mismatch.
+
+    Scale shape: a driver-paced loop of one keyed join + one min
+    aggregate per round, lineage severed per round (localCheckpoint).
+    Hop-flooding is the ORACLE-able form; at the 100 TB regime
+    (10⁸⁺-vertex graphs, long-diameter tails) the production shape is
+    the alternating large-star/small-star algorithm (Kiveris et al.,
+    O(log²) rounds) — pointer jumping is not expressible as one
+    fixed unrollable CTE chain, which is why the registered surface
+    declares a budget instead. Output: part, component (the minimum
+    part key reachable from each vertex)."""
+    if edges is None:
+        edges = copurchase_edges(lineitem)
+    directed = edges.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionAll(
+        edges.select(
+            F.col("part_b").alias("src"), F.col("part_a").alias("dst")
+        )
+    )
+    directed = _right_size(
+        directed, 2 * edges.count()
+    ).localCheckpoint(eager=True)
+    labels = (
+        directed.select(F.col("src").alias("p"))
+        .distinct()
+        .withColumn("lbl", F.col("p"))
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(rounds):
+        msgs = directed.join(
+            labels, directed.src == labels.p
+        ).select(F.col("dst").alias("p"), "lbl")
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("p")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(
+                labels.withColumnRenamed("lbl", "old"), "p"
+            )
+            .filter(F.col("lbl") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"components_bounded still flooding after {rounds} rounds"
+            " — raise the budget (the oracle mirror unrolls exactly"
+            " this many)"
+        )
+    return labels.select(
+        F.col("p").alias("part"), F.col("lbl").cast("long").alias("component")
+    )

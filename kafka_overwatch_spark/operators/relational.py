@@ -5767,3 +5767,237 @@ def pacf_daily(events: DataFrame) -> DataFrame:
         F.round(phi22, 6).alias("pacf2"),
         F.round(phi33, 6).alias("pacf3"),
     )
+
+
+def kruskal_wallis_values(events: DataFrame) -> DataFrame:
+    """Kruskal–Wallis H across ALL event types' value distributions —
+    the k-group extension of the pairwise Mann–Whitney U: one
+    distribution-free "do any of these groups differ" omnibus test
+    before pairwise drill-down. Midranks come from the same exact
+    integer machinery as mann_whitney_values, but pooled over EVERY
+    group at once: per distinct value, cum_before is an exact global
+    prefix sum (exact_global_cumsum — no single-partition window),
+    2·R_i accumulates per group as DECIMAL(38,0). Each group's
+    R_i²/n_i term is rounded to 6 BEFORE a DECIMAL(38,6) sum (the
+    keyness-drift convention) so the cross-group total is
+    float-order-independent; H and the tie-corrected H/C divide once
+    at the end (C from exact integer tie masses).
+
+    Scale shape: one (type, value) aggregate, prefix sums on the
+    pooled distinct-value grain (never the row grain), a |types|-row
+    aggregate. Output (1 row): n_groups, n_total, h, h_tie_corrected,
+    df."""
+    from ..pipelines.util import exact_global_cumsum
+
+    vals = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", "value")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = vals.groupBy("value").agg(
+        F.sum("cnt").cast("long").alias("t")
+    )
+    cum = exact_global_cumsum(
+        totals, [F.col("value")], F.col("t"), cum_col="cum"
+    ).withColumn("cum_before", F.col("cum") - F.col("t"))
+    ranked = vals.join(cum.select("value", "t", "cum_before"), "value")
+    two_r_contrib = F.col("cnt") * (
+        2 * F.col("cum_before") + F.col("t") + F.lit(1)
+    )
+    per_group = ranked.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n_i"),
+        F.sum(two_r_contrib.cast("decimal(38,0)")).alias("two_r"),
+    )
+    # R_i²/n_i in doubles derived once from the exact integers, rounded
+    # to 6 before the exact DECIMAL sum — order-independent across
+    # groups in any engine
+    ri = F.col("two_r").cast("double") / 2.0
+    term = F.round(ri * ri / F.col("n_i").cast("double"), 6).cast(
+        "decimal(38,6)"
+    )
+    g = per_group.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("n_i").cast("long").alias("n_total"),
+        F.sum(term).alias("s_terms"),
+    )
+    ties = totals.agg(
+        F.sum(
+            (
+                F.col("t").cast("decimal(38,0)")
+                * F.col("t").cast("decimal(38,0)")
+                * F.col("t").cast("decimal(38,0)")
+                - F.col("t").cast("decimal(38,0)")
+            )
+        ).alias("tie_mass")
+    )
+    j = g.crossJoin(F.broadcast(ties))
+    n = F.col("n_total").cast("double")
+    h = (
+        F.lit(12.0)
+        / (n * (n + 1.0))
+        * F.col("s_terms").cast("double")
+        - 3.0 * (n + 1.0)
+    )
+    c = 1.0 - F.col("tie_mass").cast("double") / (n * n * n - n)
+    return j.select(
+        "n_groups",
+        "n_total",
+        F.round(h, 6).alias("h"),
+        F.round(F.when(c > 0, h / c), 6).alias("h_tie_corrected"),
+        (F.col("n_groups") - F.lit(1)).cast("long").alias("df"),
+    )
+
+
+def spearman_daily(events: DataFrame) -> DataFrame:
+    """Spearman rank correlation between every pair of event types'
+    daily count series — the midrank-based co-movement statistic
+    between Kendall tau-b (pair concordance) and the Pearson daily
+    ACF family: monotone-invariant, but cheaper than tau at long
+    calendars (rank transform + Pearson instead of day-pair
+    enumeration). Midranks stay integral doubled: 2R = 2·rank() +
+    cnt(x) − 1 (rank() is the min-rank both engines give ties), so
+    every co-moment (Σ2Rx, Σ2Rx·2Ry, Σ2Rx², …) is an exact integer
+    sum — rho is ONE double expression off exact integers (round 6,
+    NULL on a constant series).
+
+    Scale shape: one day×type aggregate; the rank windows partition by
+    the type pair over the shared-day grain — alphabet²×calendar
+    bounded, never data-bounded. Output: type_a, type_b, n_days,
+    rho."""
+    from pyspark.sql.window import Window
+
+    daily = events.groupBy("event_type", day_col().alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    a = daily.select(
+        F.col("event_type").alias("type_a"), "day", F.col("c").alias("x")
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"), "day", F.col("c").alias("y")
+    )
+    series = a.join(b, "day").filter(F.col("type_a") < F.col("type_b"))
+    pair = ("type_a", "type_b")
+    rx = (
+        2 * F.rank().over(Window.partitionBy(*pair).orderBy("x"))
+        + F.count("*").over(Window.partitionBy(*pair, "x"))
+        - 1
+    )
+    ry = (
+        2 * F.rank().over(Window.partitionBy(*pair).orderBy("y"))
+        + F.count("*").over(Window.partitionBy(*pair, "y"))
+        - 1
+    )
+    ranked = series.select(
+        "type_a",
+        "type_b",
+        rx.cast("decimal(19,0)").alias("rx"),
+        ry.cast("decimal(19,0)").alias("ry"),
+    )
+    m = ranked.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n_days"),
+        F.sum("rx").cast("double").alias("sx"),
+        F.sum("ry").cast("double").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("double").alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("double").alias("syy"),
+    )
+    n = F.col("n_days").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den2 = (n * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return m.select(
+        "type_a",
+        "type_b",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(
+            F.when(den2 > 0, num / F.sqrt(den2)), 6
+        ).alias("rho"),
+    )
+
+
+def ljung_box_daily(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Ljung–Box portmanteau Q per event type over the daily-count
+    series — the "is there ANY autocorrelation up to lag 7" omnibus
+    companion of daily_acf/pacf_daily (those locate the lag, this
+    tests the joint null). Uses the standard Box–Jenkins
+    autocorrelation r_k = Σ(x_t−x̄)(x_{t−k}−x̄)/Σ(x_t−x̄)², every sum
+    expanded to exact integer co-moments (the pacf_daily machinery)
+    so each r_k is one double expression; Q = n(n+2)·Σ r_k²/(n−k)
+    sums its 7 terms in a LITERAL fixed lag order (left-associated
+    `+` chain — identical IEEE evaluation in both engines, no
+    order-dependent float aggregation). Q is NULL if any lag has no
+    pairs or the series is constant (honest, not 0). Missing days
+    simply drop their pairs — both engines join the same day grid.
+
+    Scale shape: identical to pacf_daily — day×type grain, a
+    max_lag-wide bounded explode, a (type, lag) aggregate pivoted to
+    columns. Output: event_type, n_days, q_stat, df."""
+    daily = events.groupBy("event_type", day_col().alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    base = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.col("c").cast("decimal(19,0)")).cast("double").alias("s"),
+        F.sum(
+            F.col("c").cast("decimal(19,0)")
+            * F.col("c").cast("decimal(19,0)")
+        )
+        .cast("double")
+        .alias("q"),
+    )
+    lags = F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag")
+    x = daily.select("event_type", "day", F.col("c").alias("x"), lags)
+    y = daily.select(
+        "event_type", F.col("day").alias("yday"), F.col("c").alias("y")
+    )
+    pairs = x.join(
+        y,
+        (x.event_type == y.event_type)
+        & (x.day - F.col("lag") == F.col("yday")),
+    ).select(x.event_type.alias("event_type"), "lag", "x", "y")
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    per_lag = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").alias("m"),
+        F.sum(xd * yd).cast("double").alias("p"),
+        F.sum(xd).cast("double").alias("h"),
+        F.sum(yd).cast("double").alias("t"),
+    )
+
+    def _pick(col: str, k: int) -> F.Column:
+        return F.max(F.when(F.col("lag") == k, F.col(col)))
+
+    piv = per_lag.groupBy("event_type").agg(
+        *[
+            _pick(c, k).alias(f"{c}{k}")
+            for k in range(1, max_lag + 1)
+            for c in ("m", "p", "h", "t")
+        ]
+    )
+    j = piv.join(F.broadcast(base), "event_type")
+    n = F.col("n_days").cast("double")
+    xb = F.col("s") / n
+    den0 = F.col("q") - n * xb * xb
+
+    def _term(k: int) -> F.Column:
+        rk = F.when(
+            den0 > 0,
+            (
+                F.col(f"p{k}")
+                - xb * (F.col(f"h{k}") + F.col(f"t{k}"))
+                + F.col(f"m{k}").cast("double") * xb * xb
+            )
+            / den0,
+        )
+        return rk * rk / (n - F.lit(float(k)))
+
+    q_sum = _term(1)
+    for k in range(2, max_lag + 1):
+        q_sum = q_sum + _term(k)
+    return j.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(n * (n + 2.0) * q_sum, 6).alias("q_stat"),
+        F.lit(max_lag).cast("long").alias("df"),
+    )

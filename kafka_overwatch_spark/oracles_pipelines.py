@@ -6069,4 +6069,259 @@ SELECT p.source_a, p.source_b,
 FROM sj_pairs p LEFT JOIN sj_shared s
   ON p.source_a = s.source_a AND p.source_b = s.source_b"""
 
+    # --- r11 wave 4 ---
+
+    # Kruskal–Wallis H: pooled midranks over the global distinct-value
+    # grain (exact integer prefix sums), per-group R²/n rounded to 6
+    # BEFORE the DECIMAL(38,6) cross-group sum (order-independent), H
+    # and the tie-corrected H/C divide once at the end
+    q["events_kruskal_wallis"] = """
+WITH kw_vals AS (
+  SELECT event_type, value, count(*) AS cnt FROM events
+  WHERE value IS NOT NULL GROUP BY 1, 2
+),
+kw_totals AS (
+  SELECT value, CAST(sum(cnt) AS BIGINT) AS t FROM kw_vals GROUP BY 1
+),
+kw_cum AS (
+  SELECT value, t,
+    coalesce(sum(t) OVER (ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS cum_before
+  FROM kw_totals
+),
+kw_group AS (
+  SELECT v.event_type,
+    CAST(sum(v.cnt) AS BIGINT) AS n_i,
+    sum(CAST(v.cnt * (2 * c.cum_before + c.t + 1) AS HUGEINT)) AS two_r
+  FROM kw_vals v JOIN kw_cum c ON v.value = c.value
+  GROUP BY 1
+),
+kw_g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+    CAST(sum(n_i) AS BIGINT) AS n_total,
+    sum(CAST(round(CAST(two_r AS DOUBLE) / 2.0
+      * (CAST(two_r AS DOUBLE) / 2.0) / CAST(n_i AS DOUBLE), 6)
+      AS DECIMAL(38,6))) AS s_terms
+  FROM kw_group
+),
+kw_ties AS (
+  SELECT sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+    * CAST(t AS HUGEINT) - CAST(t AS HUGEINT)) AS tie_mass
+  FROM kw_totals
+)
+SELECT n_groups, n_total,
+  round(12.0 / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0))
+      * CAST(s_terms AS DOUBLE)
+    - 3.0 * (CAST(n_total AS DOUBLE) + 1.0), 6) AS h,
+  round(CASE WHEN 1.0 - CAST(tie_mass AS DOUBLE)
+      / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+        * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)) > 0
+    THEN (12.0 / (CAST(n_total AS DOUBLE)
+        * (CAST(n_total AS DOUBLE) + 1.0)) * CAST(s_terms AS DOUBLE)
+      - 3.0 * (CAST(n_total AS DOUBLE) + 1.0))
+      / (1.0 - CAST(tie_mass AS DOUBLE)
+        / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+          * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)))
+    END, 6) AS h_tie_corrected,
+  CAST(n_groups - 1 AS BIGINT) AS df
+FROM kw_g, kw_ties"""
+
+    # Spearman rho per type pair: doubled midranks 2R = 2·rank() +
+    # cnt − 1 stay integral, co-moments are exact HUGEINT sums, rho is
+    # one double formula (round 6, NULL on constant series)
+    q["events_spearman"] = """
+WITH sp_daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+    count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+sp_series AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, a.day,
+    a.c AS x, b.c AS y
+  FROM sp_daily a JOIN sp_daily b
+    ON a.day = b.day AND a.event_type < b.event_type
+),
+sp_ranked AS (
+  SELECT type_a, type_b,
+    CAST(2 * rank() OVER (PARTITION BY type_a, type_b ORDER BY x)
+      + count(*) OVER (PARTITION BY type_a, type_b, x) - 1
+      AS HUGEINT) AS rx,
+    CAST(2 * rank() OVER (PARTITION BY type_a, type_b ORDER BY y)
+      + count(*) OVER (PARTITION BY type_a, type_b, y) - 1
+      AS HUGEINT) AS ry
+  FROM sp_series
+),
+sp_m AS (
+  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_days,
+    CAST(sum(rx) AS DOUBLE) AS sx, CAST(sum(ry) AS DOUBLE) AS sy,
+    CAST(sum(rx * ry) AS DOUBLE) AS sxy,
+    CAST(sum(rx * rx) AS DOUBLE) AS sxx,
+    CAST(sum(ry * ry) AS DOUBLE) AS syy
+  FROM sp_ranked GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_days,
+  round(CASE WHEN (CAST(n_days AS DOUBLE) * sxx - sx * sx)
+      * (CAST(n_days AS DOUBLE) * syy - sy * sy) > 0
+    THEN (CAST(n_days AS DOUBLE) * sxy - sx * sy)
+      / sqrt((CAST(n_days AS DOUBLE) * sxx - sx * sx)
+        * (CAST(n_days AS DOUBLE) * syy - sy * sy))
+    END, 6) AS rho
+FROM sp_m"""
+
+    # Ljung–Box Q per type: r_k from the pacf_daily exact co-moment
+    # expansion, Q sums the 7 terms in a LITERAL left-associated chain
+    # (identical IEEE evaluation both engines)
+    _lb_piv = ", ".join(
+        f"max(CASE WHEN lag = {k} THEN {c} END) AS {c}{k}"
+        for k in range(1, 8)
+        for c in ("m", "p", "h", "t")
+    )
+    _lb_rk = {
+        k: (
+            f"(CASE WHEN q - CAST(n_days AS DOUBLE) * (s / CAST(n_days"
+            f" AS DOUBLE)) * (s / CAST(n_days AS DOUBLE)) > 0 THEN"
+            f" (p{k} - (s / CAST(n_days AS DOUBLE)) * (h{k} + t{k})"
+            f" + CAST(m{k} AS DOUBLE) * (s / CAST(n_days AS DOUBLE))"
+            f" * (s / CAST(n_days AS DOUBLE)))"
+            f" / (q - CAST(n_days AS DOUBLE) * (s / CAST(n_days"
+            f" AS DOUBLE)) * (s / CAST(n_days AS DOUBLE))) END)"
+        )
+        for k in range(1, 8)
+    }
+    _lb_terms = " + ".join(
+        f"{_lb_rk[k]} * {_lb_rk[k]} / (CAST(n_days AS DOUBLE)"
+        f" - {float(k)})"
+        for k in range(1, 8)
+    )
+    q["events_ljung_box"] = f"""
+WITH lb_daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+    count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+lb_base AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+    CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE) AS s,
+    CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE) AS q
+  FROM lb_daily GROUP BY 1
+),
+lb_pairs AS (
+  SELECT x.event_type, l.lag, x.c AS x, y.c AS y
+  FROM lb_daily x
+  JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l ON true
+  JOIN lb_daily y
+    ON y.event_type = x.event_type AND y.day = x.day - l.lag
+),
+lb_lag AS (
+  SELECT event_type, lag, count(*) AS m,
+    CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS p,
+    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS h,
+    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS t
+  FROM lb_pairs GROUP BY 1, 2
+),
+lb_piv AS (
+  SELECT event_type, {_lb_piv} FROM lb_lag GROUP BY 1
+),
+lb_j AS (SELECT * FROM lb_piv JOIN lb_base USING (event_type))
+SELECT event_type, n_days,
+  round(CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2.0)
+    * ({_lb_terms}), 6) AS q_stat,
+  CAST(7 AS BIGINT) AS df
+FROM lb_j"""
+
+    # eigenvector centrality: 8 power-iteration rounds unrolled
+    # (weighted inflow + L1 normalization per round — the pagerank
+    # recipe plus a per-round scalar total); round-6 grain applied in
+    # the registered query absorbs ~1e-13 double-sum order drift
+    # every per-round CTE is MATERIALIZED: y{i} is consumed twice (the
+    # L1 total and the normalize) — inlining would re-evaluate the
+    # whole prefix chain per reference, doubling work per round
+    # (measured 426 s at sf0.01; materialized: ~1 s)
+    _ec_iters = "".join(
+        f""",
+y{i + 1} AS MATERIALIZED (
+  SELECT d.dst AS part, sum(x{i}.score * d.weight) AS y
+  FROM directed d JOIN x{i} ON d.src = x{i}.part GROUP BY d.dst
+),
+t{i + 1} AS MATERIALIZED (SELECT sum(y) AS l1 FROM y{i + 1}),
+x{i + 1} AS MATERIALIZED (
+  SELECT part, y / (SELECT l1 FROM t{i + 1}) AS score FROM y{i + 1}
+)"""
+        for i in range(8)
+    )
+    q["graph_eigencentrality"] = f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+    count(*) AS weight
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+directed AS MATERIALIZED (
+  SELECT part_a AS src, part_b AS dst, weight FROM pairs
+  UNION ALL
+  SELECT part_b AS src, part_a AS dst, weight FROM pairs
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src FROM directed),
+nv AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+x0 AS (SELECT src AS part, 1.0 / (SELECT n FROM nv) AS score FROM nodes)
+{_ec_iters}
+SELECT part, round(score, 6) AS score FROM x8"""
+
+    # bounded connected components: 10 min-label flood rounds unrolled
+    # (a flood round over a converged labeling is a no-op, so early
+    # convergence is exact; Spark raises if round 10 still changed)
+    _cc_parts = [
+        "baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM "
+        "lineitem)",
+        "pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS "
+        "part_b FROM baskets a JOIN baskets b ON a.l_orderkey = "
+        "b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2)",
+        "directed AS MATERIALIZED (SELECT part_a AS src, part_b AS "
+        "dst FROM pairs UNION ALL SELECT part_b AS src, part_a AS "
+        "dst FROM pairs)",
+        "l0 AS (SELECT DISTINCT src AS p, src AS lbl FROM directed)",
+    ]
+    for _i in range(1, 11):
+        _cc_parts.append(
+            f"l{_i} AS MATERIALIZED (SELECT p, min(lbl) AS lbl FROM ("
+            f"SELECT p, lbl FROM l{_i - 1} UNION ALL "
+            f"SELECT d.dst AS p, l.lbl FROM directed d "
+            f"JOIN l{_i - 1} l ON d.src = l.p) GROUP BY p)"
+        )
+    q["graph_components_bounded"] = (
+        "WITH "
+        + ",\n".join(_cc_parts)
+        + """
+SELECT p AS part, CAST(lbl AS BIGINT) AS component FROM l10"""
+    )
+
+    # hard-negative mining: exact top-k cosine restricted to
+    # different-label candidates (the ann_cosine_topk oracle plus the
+    # label mask; NULL labels drop from both sides)
+    q["emb_hard_negatives"] = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE label IS NOT NULL
+),
+queries AS (
+  SELECT vec_id AS query_id, label AS q_label, emb AS q_emb
+  FROM e WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+    round(list_cosine_similarity(q.q_emb, v.emb), 6) AS cosine
+  FROM queries q, e v
+  WHERE v.vec_id != q.query_id AND v.label != q.q_label
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5"""
+
     return q

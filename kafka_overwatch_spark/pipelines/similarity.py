@@ -2761,3 +2761,77 @@ def pca_components(
         "component long, eigenvalue double, explained_variance_ratio "
         "double, cumulative_evr double, loading array<double>",
     )
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = tuple(range(10)),
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe
+    vector, the top-k most-cosine-similar vectors with a DIFFERENT
+    label — the highest-loss negatives a triplet/InfoNCE loop should
+    sample (random negatives are trivially far; the hard ones carry
+    the gradient). Same physical shape as brute_force_topk_vectorized
+    (probe matrix broadcast, corpus streamed through one block GEMM,
+    round-6 cosine, deterministic vec_id tie-break), plus the label
+    mask applied inside the Arrow batch. NULL-label vectors drop from
+    both sides (no honest negative relation is defined for them).
+
+    Scale: linear in corpus per probe (never corpus×corpus); at 100 TB
+    the probes route through the persisted multi-table LSH index first
+    (ann_lsh_* machinery) and this exact scan becomes the re-rank of
+    the label-filtered candidate shortlist. Output: query_id, vec_id,
+    cosine, rank."""
+    sc = embeddings.sparkSession.sparkContext
+    labeled = embeddings.filter(F.col("label").isNotNull())
+    q = labeled.filter(F.col("vec_id").isin(*query_ids))
+    qrows = q.select("vec_id", "label", "embedding").collect()
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qlab = np.array([r["label"] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    b_q = sc.broadcast((qids, qlab, qmat))
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_qids, all_qlab, all_qmat = b_q.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            blab = pdf["label"].to_numpy(dtype=np.int64)
+            mb = np.array(
+                [list(v) for v in pdf["embedding"]], dtype=np.float64
+            )
+            mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+            cos = np.round(mb @ all_qmat.T, 6)  # n_corpus × n_queries
+            n, nq = cos.shape
+            qi = np.repeat(all_qids[np.newaxis, :], n, axis=0).ravel()
+            ql = np.repeat(all_qlab[np.newaxis, :], n, axis=0).ravel()
+            vi = np.repeat(bids[:, np.newaxis], nq, axis=1).ravel()
+            vl = np.repeat(blab[:, np.newaxis], nq, axis=1).ravel()
+            mask = (qi != vi) & (ql != vl)
+            yield pd.DataFrame(
+                {
+                    "query_id": qi[mask],
+                    "vec_id": vi[mask],
+                    "cosine": cos.ravel()[mask],
+                }
+            )
+
+    scored = _spread_gemm(
+        labeled.select("vec_id", "label", "embedding")
+    ).mapInPandas(block, TOPK_SCORE_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -671,6 +671,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_topk"] = lambda s, d: similarity.brute_force_topk_vectorized(
         raw(s, d, "embeddings")
     )
+    # r11 wave 4: hard-negative mining (top-k cosine restricted to
+    # different-label candidates — the contrastive-training sampler;
+    # linear in corpus per probe, LSH shortlist is the 100 TB path)
+    q["emb_hard_negatives"] = lambda s, d: similarity.hard_negative_topk(
+        raw(s, d, "embeddings")
+    )
     # r10: centroid silhouette per label (clustering-quality audit)
     q["emb_silhouette"] = lambda s, d: similarity.silhouette_by_label(
         raw(s, d, "embeddings")
@@ -1198,6 +1204,19 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_fdr_anomalies"] = (
         lambda s, d: relational.fdr_daily_anomalies(raw(s, d, "events"))
     )
+    # r11 wave 4: Kruskal–Wallis omnibus across all types (the k-group
+    # extension of events_mann_whitney), Spearman daily rank
+    # correlation (the midrank sibling of events_kendall_tau), and the
+    # Ljung–Box portmanteau over the pacf_daily co-moment machinery
+    q["events_kruskal_wallis"] = (
+        lambda s, d: relational.kruskal_wallis_values(raw(s, d, "events"))
+    )
+    q["events_spearman"] = lambda s, d: relational.spearman_daily(
+        raw(s, d, "events")
+    )
+    q["events_ljung_box"] = lambda s, d: relational.ljung_box_daily(
+        raw(s, d, "events")
+    )
     # r11: distributed PCA (Arrow partial-Gram reduce + dim-bounded
     # driver eigh — the codebook convention) → rows-only gate
     # (eigendecomposition isn't ANSI SQL); numpy parity in
@@ -1552,6 +1571,21 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["graph_assortativity"] = lambda s, d: graph.assortativity(
         get_copurchase_edges(s, d)
     )
+    # r11 wave 4: eigenvector centrality (8 unrolled power-iteration
+    # rounds, L1-normalized — the teleport-free prestige measure next
+    # to pagerank; round-6 is the oracle-compare grain, applied here
+    # like graph_pagerank)
+    q["graph_eigencentrality"] = lambda s, d: graph.eigencentrality(
+        raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
+    ).select("part", F.round("score", 6).alias("score"))
+    # r11 wave 4: bounded connected components (≤10 unrolled min-label
+    # flood rounds, raises if still flooding — the oracle-able sibling
+    # of the rows-only dedup_semantic_components union-find)
+    q["graph_components_bounded"] = (
+        lambda s, d: graph.components_bounded(
+            raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
+        )
+    )
     # r11: Newman modularity of the LPA communities (same unrolled
     # oracle chain + two exact-integer aggregates) — the "did label
     # propagation find real structure" audit
@@ -1680,6 +1714,12 @@ _PROMOTED = [
     # full 241-oracle sweep still runs every session via
     # tests/test_oracle_parity.py::test_parity_all.
     # -- new in r11 / plan or arithmetic changed in r11:
+    "events_kruskal_wallis",
+    "events_spearman",
+    "events_ljung_box",
+    "graph_eigencentrality",
+    "graph_components_bounded",
+    "emb_hard_negatives",
     "text_keyness_drift",
     "graph_label_propagation",
     "events_conformal_interval",

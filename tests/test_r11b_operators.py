@@ -1,0 +1,252 @@
+"""r11 wave 4: hand-computed fixtures for Kruskal-Wallis, Spearman,
+Ljung-Box, eigenvector centrality, bounded connected components, and
+hard-negative mining (oracle parity is covered by test_oracle_parity)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.test_r8_operators import _events
+from tests.test_r11_operators import _daily_events
+
+
+def _edges_df(spark, pairs, w=1):
+    return spark.createDataFrame(
+        [(a, b, w) for a, b in pairs],
+        "part_a long, part_b long, weight long",
+    )
+
+
+def test_kruskal_wallis_no_ties(spark):
+    from kafka_overwatch_spark.operators.relational import (
+        kruskal_wallis_values,
+    )
+
+    # x: (1, 2), y: (3, 4) — ranks 1..4, R_x = 3, R_y = 7
+    # H = 12/(4*5) * (9/2 + 49/2) - 3*5 = 2.4; no ties -> H_c = H
+    ev = _events(
+        spark,
+        [(1, 1, 9, "x", 1.0), (1, 1, 9, "x", 2.0),
+         (1, 1, 9, "y", 3.0), (1, 1, 9, "y", 4.0)],
+    )
+    rows = kruskal_wallis_values(ev).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_groups"], r["n_total"], r["df"]) == (2, 4, 1)
+    assert r["h"] == 2.4
+    assert r["h_tie_corrected"] == 2.4
+
+
+def test_kruskal_wallis_tie_correction(spark):
+    from kafka_overwatch_spark.operators.relational import (
+        kruskal_wallis_values,
+    )
+
+    # x: (1, 2), y: (2, 3) — midranks 1, 2.5, 2.5, 4
+    # R_x = 3.5, R_y = 6.5; H = 0.6*(3.5^2/2 + 6.5^2/2) - 15 = 1.35
+    # tie_mass = 2^3 - 2 = 6; C = 1 - 6/60 = 0.9; H_c = 1.5
+    ev = _events(
+        spark,
+        [(1, 1, 9, "x", 1.0), (1, 1, 9, "x", 2.0),
+         (1, 1, 9, "y", 2.0), (1, 1, 9, "y", 3.0)],
+    )
+    r = kruskal_wallis_values(ev).collect()[0]
+    assert r["h"] == 1.35
+    assert r["h_tie_corrected"] == 1.5
+
+
+def test_spearman_exact_and_ties(spark):
+    from kafka_overwatch_spark.operators.relational import spearman_daily
+
+    ev = _daily_events(
+        spark, {"a": [1, 2, 3], "b": [3, 2, 1], "c": [1, 1, 2]}
+    )
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in spearman_daily(ev).collect()
+    }
+    assert got[("a", "b")]["rho"] == -1.0
+    assert got[("a", "b")]["n_days"] == 3
+    # ties: c ranks are (1.5, 1.5, 3) against a's (1, 2, 3) —
+    # Pearson on midranks = 0.5*sqrt(3) ≈ 0.866025
+    assert got[("a", "c")]["rho"] == round(math.sqrt(3) / 2, 6)
+    assert got[("b", "c")]["rho"] == round(-math.sqrt(3) / 2, 6)
+
+
+def test_spearman_constant_series_null(spark):
+    from kafka_overwatch_spark.operators.relational import spearman_daily
+
+    ev = _daily_events(spark, {"a": [1, 2, 3], "k": [2, 2, 2]})
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in spearman_daily(ev).collect()
+    }
+    assert got[("a", "k")]["rho"] is None
+
+
+def _lb_python(counts: list[int], max_lag: int = 7):
+    """Pure-python Ljung-Box with the operator's conventions: full-series
+    mean/denominator, gap-free day grid here, Q over lags 1..7."""
+    n = len(counts)
+    xb = sum(counts) / n
+    den = sum((x - xb) ** 2 for x in counts)
+    q = 0.0
+    for k in range(1, max_lag + 1):
+        pairs = [(counts[t], counts[t - k]) for t in range(k, n)]
+        if not pairs or den <= 0:
+            return None
+        rk = sum((x - xb) * (y - xb) for x, y in pairs) / den
+        q += rk * rk / (n - k)
+    return round(n * (n + 2.0) * q, 6)
+
+
+def test_ljung_box_matches_python_reference(spark):
+    from kafka_overwatch_spark.operators.relational import ljung_box_daily
+
+    series = [5, 1, 5, 1, 5, 1, 5, 1, 5, 1, 4, 2]
+    ev = _daily_events(spark, {"a": series})
+    r = ljung_box_daily(ev).collect()[0]
+    assert r["n_days"] == len(series)
+    assert r["df"] == 7
+    want = _lb_python(series)
+    assert r["q_stat"] == pytest.approx(want, abs=2e-6)
+
+
+def test_ljung_box_short_series_null(spark):
+    from kafka_overwatch_spark.operators.relational import ljung_box_daily
+
+    # 5 days: lag-7 (and lag-5,6) have no pairs -> Q is NULL, honestly
+    ev = _daily_events(spark, {"a": [3, 1, 4, 1, 5]})
+    r = ljung_box_daily(ev).collect()[0]
+    assert r["q_stat"] is None
+
+
+def _eig_python(pairs, weights, rounds=8):
+    nodes = sorted({v for p in pairs for v in p})
+    x = {v: 1.0 / len(nodes) for v in nodes}
+    for _ in range(rounds):
+        y = {v: 0.0 for v in nodes}
+        for (a, b), w in zip(pairs, weights):
+            y[a] += w * x[b]
+            y[b] += w * x[a]
+        tot = sum(y.values())
+        x = {v: y[v] / tot for v in nodes}
+    return x
+
+
+def test_eigencentrality_matches_python_power_iteration(spark):
+    from kafka_overwatch_spark.operators import graph
+
+    # star + tail: hub 1 should dominate
+    pairs = [(1, 2), (1, 3), (1, 4), (4, 5)]
+    got = {
+        r["part"]: r["score"]
+        for r in graph.eigencentrality(
+            None, edges=_edges_df(spark, pairs)
+        ).collect()
+    }
+    want = _eig_python(pairs, [1] * len(pairs))
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    assert got[1] == max(got.values())
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_eigencentrality_weight_sensitivity(spark):
+    from kafka_overwatch_spark.operators import graph
+
+    # triangle with one heavy edge: its endpoints outrank the third
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (2, 3, 1), (1, 3, 1)],
+        "part_a long, part_b long, weight long",
+    )
+    got = {
+        r["part"]: r["score"]
+        for r in graph.eigencentrality(None, edges=edges).collect()
+    }
+    assert got[1] > got[3] and got[2] > got[3]
+
+
+def test_components_bounded_two_cliques(spark):
+    from kafka_overwatch_spark.operators import graph
+
+    pairs = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12)]
+    got = {
+        r["part"]: r["component"]
+        for r in graph.components_bounded(
+            None, edges=_edges_df(spark, pairs)
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_components_bounded_raises_past_budget(spark):
+    from kafka_overwatch_spark.operators import graph
+
+    # a 14-vertex path: the min label needs 13 flood rounds > budget 4
+    pairs = [(i, i + 1) for i in range(1, 14)]
+    with pytest.raises(RuntimeError, match="still flooding"):
+        graph.components_bounded(
+            None, rounds=4, edges=_edges_df(spark, pairs)
+        )
+
+
+def test_components_bounded_early_convergence_is_exact(spark):
+    from kafka_overwatch_spark.operators import graph
+
+    # diameter 2 converges well before the 10-round budget
+    pairs = [(5, 6), (6, 7)]
+    got = {
+        r["part"]: r["component"]
+        for r in graph.components_bounded(
+            None, edges=_edges_df(spark, pairs)
+        ).collect()
+    }
+    assert got == {5: 5, 6: 5, 7: 5}
+
+
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def test_hard_negatives_excludes_same_label_and_null(spark):
+    from kafka_overwatch_spark.pipelines.similarity import (
+        hard_negative_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),       # probe
+        (1, [1.0, 0.0], 0),       # same label: excluded despite cos=1
+        (2, [0.9, 0.1], 1),       # best true negative
+        (3, [0.5, 0.5], 2),
+        (4, [1.0, 0.0], None),    # NULL label: excluded
+        (5, [-1.0, 0.0], 1),      # worst negative
+    ]
+    df = spark.createDataFrame(rows, EMB_SCHEMA)
+    got = hard_negative_topk(df, query_ids=(0,), k=3).collect()
+    assert [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])] == [
+        2, 3, 5,
+    ]
+    by_id = {r["vec_id"]: r["cosine"] for r in got}
+    assert by_id[2] == round(0.9 / math.hypot(0.9, 0.1), 6)
+    assert by_id[5] == -1.0
+
+
+def test_hard_negatives_tie_breaks_on_vec_id(spark):
+    from kafka_overwatch_spark.pipelines.similarity import (
+        hard_negative_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (7, [0.6, 0.8], 1),
+        (3, [0.6, 0.8], 2),  # identical cosine: lower vec_id first
+    ]
+    df = spark.createDataFrame(rows, EMB_SCHEMA)
+    got = sorted(
+        hard_negative_topk(df, query_ids=(0,), k=2).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["vec_id"] for r in got] == [3, 7]
