@@ -1136,9 +1136,15 @@ def eigencentrality(
     densest weighted neighborhood instead of spreading by random-walk
     reachability (on an undirected graph this is also what HITS
     degenerates to — hubs ≡ authorities). Each round computes the
-    weighted inflow y(v) = Σ_{u~v} w(u,v)·x(u) and L1-normalizes
-    (scores are nonnegative, so the L1 norm is one global sum applied
-    as a broadcast-scalar division). The ``rounds``-iterate IS the
+    UNNORMALIZED weighted inflow y(v) = Σ_{u~v} w(u,v)·y_prev(u); ONE
+    L1 normalization happens at the end (scores are nonnegative, so
+    the L1 norm is one global sum applied as a broadcast-scalar
+    division). Deferring the normalization is safe in doubles — 8
+    rounds grow the iterate by at most (max weighted degree)⁸,
+    ~1e48 even at 10⁹-vertex scale, far inside the 1e308 range — and
+    it removes a per-round materialization + scalar aggregate the
+    normalize-every-round form needs (measured 11 s → pagerank-class
+    at sf0.1). The ``rounds``-iterate with one final normalize IS the
     registered statistic (the kcore_bounded/LPA-bounded convention):
     both engines compute the same fixed chain, so the oracle unrolls
     the rounds as chained CTEs; cross-engine double-sum order lives
@@ -1148,9 +1154,10 @@ def eigencentrality(
     Scale shape: identical to pagerank — below
     ``broadcast_vertex_limit`` the vertex-dim score frame broadcasts
     onto the statically-partitioned edge set each round (zero shuffle
-    of the big side); above it, shuffle_hash joins against the edge
-    set's one-time src partitioning. The per-round L1 total is a
-    1-row broadcast, never a collect. ``edges``: see part_degree."""
+    of the big side), checkpoint every second round; above it,
+    shuffle_hash joins against the edge set's one-time src
+    partitioning. The final L1 total is a 1-row broadcast, never a
+    collect. ``edges``: see part_degree."""
     if edges is None:
         edges = copurchase_edges(lineitem)
     directed = edges.select(
@@ -1176,26 +1183,25 @@ def eigencentrality(
         directed = _right_size(directed, 2 * edges.count())
     directed = directed.localCheckpoint(eager=True)
     scores = nodes.withColumn("score", F.lit(1.0 / n))
-    for _ in range(rounds):
+    for it in range(rounds):
         sside = (
             F.broadcast(scores) if small else scores.hint("shuffle_hash")
         )
-        # materialize the inflow once per round: BOTH consumers (the L1
-        # total and the normalize) read the vertex-dim result instead of
-        # re-executing the edge join per branch
-        inflow = (
+        scores = (
             directed.join(sside, directed.src == sside.part)
             .select("dst", (F.col("score") * F.col("weight")).alias("c"))
             .groupBy("dst")
-            .agg(F.sum("c").alias("y"))
-            .localCheckpoint(eager=True)
+            .agg(F.sum("c").alias("score"))
+            .select(F.col("dst").alias("part"), "score")
         )
-        tot = inflow.agg(F.sum("y").alias("l1"))
-        scores = inflow.crossJoin(F.broadcast(tot)).select(
-            F.col("dst").alias("part"),
-            (F.col("y") / F.col("l1")).alias("score"),
-        )
-    return scores.select("part", "score")
+        # pagerank's cadence: checkpoint every SECOND round — re-running
+        # one un-checkpointed step is cheaper than eager materialization
+        if it % 2 == 1 or it == rounds - 1:
+            scores = scores.localCheckpoint(eager=True)
+    tot = scores.agg(F.sum("score").alias("l1"))
+    return scores.crossJoin(F.broadcast(tot)).select(
+        "part", (F.col("score") / F.col("l1")).alias("score")
+    )
 
 
 def components_bounded(
@@ -1245,26 +1251,39 @@ def components_bounded(
         .withColumn("lbl", F.col("p"))
         .localCheckpoint(eager=True)
     )
+    small = labels.count() <= 2_000_000
     converged = False
     for _ in range(rounds):
-        msgs = directed.join(
-            labels, directed.src == labels.p
-        ).select(F.col("dst").alias("p"), "lbl")
+        # the convergence check rides the flood aggregate: each vertex's
+        # OWN previous label is tagged into the union, so min(lbl) and
+        # the old label come out of the same one-shuffle pass — one
+        # action per round (the non-eager checkpoint materializes under
+        # the changed-count), no separate old-vs-new join. Vertex-dim
+        # labels broadcast below the pagerank limit; above it the join
+        # keys on the edge frame's src partitioning (no forced
+        # broadcast of a 10⁸⁺-vertex frame)
+        lside = F.broadcast(labels) if small else labels.hint(
+            "shuffle_hash"
+        )
+        msgs = directed.join(lside, directed.src == lside.p).select(
+            F.col("dst").alias("p"),
+            "lbl",
+            F.lit(False).alias("own"),
+        )
         new = (
-            labels.unionByName(msgs)
+            labels.select("p", "lbl", F.lit(True).alias("own"))
+            .unionByName(msgs)
             .groupBy("p")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.min(F.when(F.col("own"), F.col("lbl"))).alias("old"),
+            )
+            .localCheckpoint(eager=False)
         )
         changed = (
-            new.join(
-                labels.withColumnRenamed("lbl", "old"), "p"
-            )
-            .filter(F.col("lbl") != F.col("old"))
-            .limit(1)
-            .count()
+            new.filter(F.col("lbl") != F.col("old")).limit(1).count()
         )
-        labels = new
+        labels = new.select("p", "lbl")
         if changed == 0:
             converged = True
             break

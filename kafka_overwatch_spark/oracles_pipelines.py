@@ -6230,23 +6230,19 @@ SELECT event_type, n_days,
   CAST(7 AS BIGINT) AS df
 FROM lb_j"""
 
-    # eigenvector centrality: 8 power-iteration rounds unrolled
-    # (weighted inflow + L1 normalization per round — the pagerank
-    # recipe plus a per-round scalar total); round-6 grain applied in
-    # the registered query absorbs ~1e-13 double-sum order drift
-    # every per-round CTE is MATERIALIZED: y{i} is consumed twice (the
-    # L1 total and the normalize) — inlining would re-evaluate the
-    # whole prefix chain per reference, doubling work per round
-    # (measured 426 s at sf0.01; materialized: ~1 s)
+    # eigenvector centrality: 8 UNNORMALIZED power-iteration rounds
+    # unrolled (the pagerank recipe), ONE L1 normalization at the end
+    # — matching the operator, which defers the norm to drop a
+    # per-round materialization + scalar total. Per-round CTEs are
+    # MATERIALIZED: inlining a twice-consumed CTE re-evaluates the
+    # whole prefix chain per reference (measured 426 s at sf0.01 on
+    # the normalize-per-round form; materialized: ~1 s). Round-6
+    # grain in the registered query absorbs ~1e-13 double-sum drift.
     _ec_iters = "".join(
         f""",
-y{i + 1} AS MATERIALIZED (
-  SELECT d.dst AS part, sum(x{i}.score * d.weight) AS y
-  FROM directed d JOIN x{i} ON d.src = x{i}.part GROUP BY d.dst
-),
-t{i + 1} AS MATERIALIZED (SELECT sum(y) AS l1 FROM y{i + 1}),
 x{i + 1} AS MATERIALIZED (
-  SELECT part, y / (SELECT l1 FROM t{i + 1}) AS score FROM y{i + 1}
+  SELECT d.dst AS part, sum(x{i}.score * d.weight) AS score
+  FROM directed d JOIN x{i} ON d.src = x{i}.part GROUP BY d.dst
 )"""
         for i in range(8)
     )
@@ -6267,8 +6263,9 @@ directed AS MATERIALIZED (
 nodes AS MATERIALIZED (SELECT DISTINCT src FROM directed),
 nv AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
 x0 AS (SELECT src AS part, 1.0 / (SELECT n FROM nv) AS score FROM nodes)
-{_ec_iters}
-SELECT part, round(score, 6) AS score FROM x8"""
+{_ec_iters},
+l1 AS MATERIALIZED (SELECT sum(score) AS l1 FROM x8)
+SELECT part, round(score / (SELECT l1 FROM l1), 6) AS score FROM x8"""
 
     # bounded connected components: 10 min-label flood rounds unrolled
     # (a flood round over a converged labeling is a no-op, so early

@@ -124,6 +124,8 @@ def test_ljung_box_short_series_null(spark):
 
 
 def _eig_python(pairs, weights, rounds=8):
+    """Unnormalized power rounds, one L1 normalization at the end —
+    the operator's (and oracle's) exact convention."""
     nodes = sorted({v for p in pairs for v in p})
     x = {v: 1.0 / len(nodes) for v in nodes}
     for _ in range(rounds):
@@ -131,9 +133,9 @@ def _eig_python(pairs, weights, rounds=8):
         for (a, b), w in zip(pairs, weights):
             y[a] += w * x[b]
             y[b] += w * x[a]
-        tot = sum(y.values())
-        x = {v: y[v] / tot for v in nodes}
-    return x
+        x = y
+    tot = sum(x.values())
+    return {v: x[v] / tot for v in nodes}
 
 
 def test_eigencentrality_matches_python_power_iteration(spark):
