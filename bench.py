@@ -266,7 +266,11 @@ EXTRA = [
     "graph_modularity",
     "events_pacf",
     "graph_assortativity",
-    # round 11, wave 4
+    # round 11, waves 4-5
+    "events_friedman",
+    "events_welch_t",
+    "sampling_ht_estimate",
+    "emb_triplet_candidates",
     "events_kruskal_wallis",
     "events_spearman",
     "events_ljung_box",

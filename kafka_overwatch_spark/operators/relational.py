@@ -6001,3 +6001,147 @@ def ljung_box_daily(events: DataFrame, max_lag: int = 7) -> DataFrame:
         F.round(n * (n + 2.0) * q_sum, 6).alias("q_stat"),
         F.lit(max_lag).cast("long").alias("df"),
     )
+
+
+def friedman_daily(events: DataFrame) -> DataFrame:
+    """Friedman test over the day×type count table — the BLOCKED-rank
+    omnibus beside Kruskal–Wallis: each complete day is a block, the k
+    event types are ranked WITHIN the day, so day-level level shifts
+    (weekends, launches) cancel instead of polluting the statistic the
+    way they would in the unblocked pooled ranking. Only complete
+    blocks enter (days observing all k types — the standard
+    requirement). With doubled midranks 2r = 2·rank() + cnt − 1 every
+    quantity is integral and the tie-corrected statistic reduces to a
+    ratio of two exact integers:
+    χ²_F = (k−1)·Σ_j (2R_j − n(k+1))² / (Σ_{ij}(2r)² − n·k·(k+1)²),
+    one double division at the end (round 6, NULL when every day's
+    counts are all-tied). Magnitudes are calendar×alphabet bounded
+    (n days × k types), far inside DECIMAL(38,0).
+
+    Scale shape: one day×type aggregate; rank windows partition per
+    day (k rows each); two bounded aggregates. Output (1 row):
+    n_days, k, chi2, df."""
+    from pyspark.sql.window import Window
+
+    daily = events.groupBy(
+        day_col().alias("day"), "event_type"
+    ).agg(F.count("*").alias("c"))
+    kdf = daily.agg(
+        F.countDistinct("event_type").cast("long").alias("k")
+    )
+    per_day = daily.groupBy("day").agg(F.count("*").alias("nt"))
+    complete = (
+        daily.join(F.broadcast(per_day), "day")
+        .crossJoin(F.broadcast(kdf))
+        .filter(F.col("nt") == F.col("k"))
+    )
+    tr = (
+        2 * F.rank().over(Window.partitionBy("day").orderBy("c"))
+        + F.count("*").over(Window.partitionBy("day", "c"))
+        - 1
+    )
+    ranked = complete.select(
+        "day", "event_type", "k", tr.alias("tr")
+    )
+    per_type = ranked.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("tr").cast("decimal(38,0)")).alias("two_rj"),
+        F.max("k").alias("k"),
+    )
+    dev = F.col("two_rj") - (
+        F.col("n") * (F.col("k") + 1)
+    ).cast("decimal(38,0)")
+    num = per_type.agg(
+        F.sum(dev * dev).alias("s_num"),
+        F.max("n").cast("long").alias("n_days"),
+        F.max("k").cast("long").alias("k"),
+    )
+    den = ranked.agg(
+        F.sum(
+            F.col("tr").cast("decimal(38,0)")
+            * F.col("tr").cast("decimal(38,0)")
+        ).alias("s2r")
+    )
+    j = num.crossJoin(F.broadcast(den))
+    d = (
+        F.col("s2r")
+        - (
+            F.col("n_days")
+            * F.col("k")
+            * (F.col("k") + 1)
+            * (F.col("k") + 1)
+        ).cast("decimal(38,0)")
+    ).cast("double")
+    chi2 = (
+        (F.col("k") - 1).cast("double")
+        * F.col("s_num").cast("double")
+        / d
+    )
+    return j.select(
+        "n_days",
+        "k",
+        F.round(F.when(d > 0, chi2), 6).alias("chi2"),
+        (F.col("k") - F.lit(1)).cast("long").alias("df"),
+    )
+
+
+def welch_t_values(events: DataFrame) -> DataFrame:
+    """Welch's unequal-variance t between every pair of event types'
+    value distributions — the parametric mean-difference companion of
+    the rank-based Mann–Whitney (MW asks "same distribution?", Welch
+    asks "same MEAN?" without the pooled-variance equal-spread
+    assumption the classic t makes). Values are exact 2-decimal
+    amounts, so Σv and Σv² accumulate as exact DECIMALs
+    (order-independent in any engine); mean, variance, t, and the
+    Welch–Satterthwaite df are ONE double expression each off those
+    exact sums (round 6; NULL when either side has n < 2 or the
+    standard error degenerates).
+
+    Scale shape: one type-grain aggregate off the fact table, then an
+    alphabet²-bounded pair join. Output: type_a, type_b, n_a, n_b,
+    mean_a, mean_b, t_stat, df_welch."""
+    base = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(_dec("value")).alias("s1"),
+            F.sum(_dec("value") * _dec("value")).alias("s2"),
+        )
+    )
+    a = base.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("s1").cast("double").alias("s1a"),
+        F.col("s2").cast("double").alias("s2a"),
+    )
+    b = base.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("s1").cast("double").alias("s1b"),
+        F.col("s2").cast("double").alias("s2b"),
+    )
+    j = a.join(b, F.col("type_a") < F.col("type_b"))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("s1a") / na
+    mb = F.col("s1b") / nb
+    va = (F.col("s2a") - F.col("s1a") * F.col("s1a") / na) / (na - 1.0)
+    vb = (F.col("s2b") - F.col("s1b") * F.col("s1b") / nb) / (nb - 1.0)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        (va / na) * (va / na) / (na - 1.0)
+        + (vb / nb) * (vb / nb) / (nb - 1.0)
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    return j.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(F.when(ok, t), 6).alias("t_stat"),
+        F.round(F.when(ok, dfw), 6).alias("df_welch"),
+    )

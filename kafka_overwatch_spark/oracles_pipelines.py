@@ -6321,4 +6321,160 @@ ranked AS (
 SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 5"""
 
+    # --- r11 wave 5 ---
+
+    # Friedman: complete day-blocks, doubled midranks within each day,
+    # chi2 = (k-1)*Σ(2R_j - n(k+1))² / (Σ(2r)² - n·k·(k+1)²) — a ratio
+    # of two exact integers, one double division
+    q["events_friedman"] = """
+WITH fr_daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+    count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+fr_k AS (SELECT count(DISTINCT event_type) AS k FROM fr_daily),
+fr_per_day AS (SELECT day, count(*) AS nt FROM fr_daily GROUP BY 1),
+fr_complete AS (
+  SELECT d.day, d.event_type, d.c, kk.k
+  FROM fr_daily d JOIN fr_per_day p USING (day), fr_k kk
+  WHERE p.nt = kk.k
+),
+fr_ranked AS (
+  SELECT day, event_type, k,
+    CAST(2 * rank() OVER (PARTITION BY day ORDER BY c)
+      + count(*) OVER (PARTITION BY day, c) - 1 AS HUGEINT) AS tr
+  FROM fr_complete
+),
+fr_type AS (
+  SELECT event_type, count(*) AS n, sum(tr) AS two_rj, max(k) AS k
+  FROM fr_ranked GROUP BY 1
+),
+fr_num AS (
+  SELECT sum((two_rj - CAST(n * (k + 1) AS HUGEINT))
+      * (two_rj - CAST(n * (k + 1) AS HUGEINT))) AS s_num,
+    CAST(max(n) AS BIGINT) AS n_days, CAST(max(k) AS BIGINT) AS k
+  FROM fr_type
+),
+fr_den AS (SELECT sum(tr * tr) AS s2r FROM fr_ranked)
+SELECT n_days, k,
+  round(CASE WHEN CAST(s2r - CAST(n_days * k * (k + 1) * (k + 1)
+      AS HUGEINT) AS DOUBLE) > 0
+    THEN CAST(k - 1 AS DOUBLE) * CAST(s_num AS DOUBLE)
+      / CAST(s2r - CAST(n_days * k * (k + 1) * (k + 1) AS HUGEINT)
+        AS DOUBLE)
+    END, 6) AS chi2,
+  CAST(k - 1 AS BIGINT) AS df
+FROM fr_num, fr_den"""
+
+    # Welch's t per type pair: values are exact 2-decimal amounts, so
+    # Σv / Σv² are exact DECIMAL sums; every double derives once from
+    # them with the operator's token order
+    _w_va = "(s2a - s1a * s1a / na) / (na - 1.0)"
+    _w_vb = "(s2b - s1b * s1b / nb) / (nb - 1.0)"
+    _w_se2 = f"({_w_va} / na + {_w_vb} / nb)"
+    q["events_welch_t"] = f"""
+WITH wt_base AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+    CAST(sum(CAST(value AS DECIMAL(18,2))
+      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+wt_pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+    a.n AS n_a, b.n AS n_b,
+    CAST(a.n AS DOUBLE) AS na, CAST(b.n AS DOUBLE) AS nb,
+    a.s1 AS s1a, a.s2 AS s2a, b.s1 AS s1b, b.s2 AS s2b
+  FROM wt_base a JOIN wt_base b ON a.event_type < b.event_type
+)
+SELECT type_a, type_b, n_a, n_b,
+  round(s1a / na, 6) AS mean_a,
+  round(s1b / nb, 6) AS mean_b,
+  round(CASE WHEN n_a >= 2 AND n_b >= 2 AND {_w_se2} > 0
+    THEN (s1a / na - s1b / nb) / sqrt({_w_se2}) END, 6) AS t_stat,
+  round(CASE WHEN n_a >= 2 AND n_b >= 2 AND {_w_se2} > 0
+    THEN ({_w_se2} * {_w_se2})
+      / (({_w_va} / na) * ({_w_va} / na) / (na - 1.0)
+        + ({_w_vb} / nb) * ({_w_vb} / nb) / (nb - 1.0))
+    END, 6) AS df_welch
+FROM wt_pairs"""
+
+    # Horvitz–Thompson source-count estimate off the Madow PPS sample:
+    # per-doc inverse-probability weights rounded-then-DECIMAL-summed;
+    # unsampled sources report 0 honestly
+    q["sampling_ht_estimate"] = """
+WITH cum AS (
+  SELECT doc_id, n_chars,
+    sum(CAST(n_chars AS HUGEINT)) OVER (ORDER BY doc_id
+      ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(CAST(n_chars AS HUGEINT)) OVER () AS w_total
+  FROM documents
+),
+sel AS (
+  SELECT *,
+    ((400 * cum + w_total) // (2 * w_total))
+      - ((400 * (cum - n_chars) + w_total) // (2 * w_total))
+      AS multiplicity
+  FROM cum
+),
+sam AS (
+  SELECT s.doc_id, s.n_chars, s.multiplicity, s.w_total, d.source
+  FROM sel s JOIN documents d USING (doc_id)
+  WHERE s.multiplicity >= 1
+),
+est AS (
+  SELECT source, CAST(sum(multiplicity) AS BIGINT) AS n_hits,
+    CAST(sum(CAST(round(CAST(multiplicity AS DOUBLE)
+      * CAST(w_total AS DOUBLE)
+      / (200.0 * CAST(n_chars AS DOUBLE)), 6)
+      AS DECIMAL(38,6))) AS DOUBLE) AS ht_sum
+  FROM sam GROUP BY 1
+),
+tru AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT t.source,
+  CAST(coalesce(e.n_hits, 0) AS BIGINT) AS n_hits,
+  round(coalesce(e.ht_sum, 0.0), 6) AS ht_docs,
+  t.n_docs,
+  round(abs(coalesce(e.ht_sum, 0.0) - CAST(t.n_docs AS DOUBLE))
+    / CAST(t.n_docs AS DOUBLE), 6) AS rel_err
+FROM tru t LEFT JOIN est e ON t.source = e.source"""
+
+    # triplet mining: hardest positive (same label, lowest cosine) +
+    # hardest negative (different label, highest cosine) per probe
+    q["emb_triplet_candidates"] = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE label IS NOT NULL
+),
+queries AS (
+  SELECT vec_id AS query_id, label AS q_label, emb AS q_emb
+  FROM e WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+    round(list_cosine_similarity(q.q_emb, v.emb), 6) AS cosine,
+    v.label = q.q_label AS is_pos
+  FROM queries q, e v WHERE v.vec_id != q.query_id
+),
+pos AS (
+  SELECT query_id, vec_id AS pos_id, cosine AS pos_cosine,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine ASC, vec_id ASC) AS rn
+  FROM scored WHERE is_pos
+),
+neg AS (
+  SELECT query_id, vec_id AS neg_id, cosine AS neg_cosine,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM scored WHERE NOT is_pos
+)
+SELECT p.query_id, p.pos_id, p.pos_cosine, n.neg_id, n.neg_cosine,
+  round(n.neg_cosine - p.pos_cosine, 6) AS margin,
+  round(n.neg_cosine - p.pos_cosine, 6) > 0 AS violates
+FROM pos p JOIN neg n ON p.query_id = n.query_id
+WHERE p.rn = 1 AND n.rn = 1"""
+
     return q

@@ -1124,3 +1124,60 @@ def dsir_psis_khat(
         F.round(khat, 6).alias("khat"),
         (khat <= 0.7).alias("reliable"),
     )
+
+
+def ht_source_estimate(
+    documents: DataFrame, n: int = 200, sample: DataFrame | None = None
+) -> DataFrame:
+    """Hansen–Hurwitz/Horvitz–Thompson estimation of per-source
+    document counts from the Madow PPS sample — the statistic that
+    makes :func:`pps_systematic` a survey instrument instead of just a
+    subsampler: each sampled doc is inverse-probability weighted
+    (expected hits n·w_i/W), so Σ mult_i·W/(n·w_i) over a source's
+    sampled docs estimates how many docs that source has WITHOUT
+    scanning the full table — the "estimate corpus composition from a
+    weighted sample" primitive. Per-doc weights are rounded to 6 and
+    accumulated as DECIMAL(38,6) (the keyness-drift convention:
+    float-order-independent in any engine); sources the sample missed
+    report 0 honestly. rel_err against the true count quantifies the
+    PPS design effect (char-heavy sources estimate tighter).
+
+    Scale shape: the sample is n rows; everything after the PPS pass
+    is sample-grain + one source-dim aggregate of the full table for
+    the truth column. Output: source, n_hits, ht_docs, n_docs,
+    rel_err."""
+    if sample is None:
+        sample = pps_systematic(documents, n)
+    wtot = documents.agg(
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("w_total")
+    )
+    s = (
+        sample.join(documents.select("doc_id", "source"), "doc_id")
+        .crossJoin(F.broadcast(wtot))
+    )
+    term = F.round(
+        F.col("multiplicity").cast("double")
+        * F.col("w_total").cast("double")
+        / (F.lit(float(n)) * F.col("n_chars").cast("double")),
+        6,
+    ).cast("decimal(38,6)")
+    est = s.groupBy("source").agg(
+        F.sum("multiplicity").cast("long").alias("n_hits"),
+        F.sum(term).alias("ht_sum"),
+    )
+    tru = documents.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    j = tru.join(est, "source", "left")
+    ht = F.coalesce(F.col("ht_sum").cast("double"), F.lit(0.0))
+    return j.select(
+        "source",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(ht, 6).alias("ht_docs"),
+        "n_docs",
+        F.round(
+            F.abs(ht - F.col("n_docs").cast("double"))
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )

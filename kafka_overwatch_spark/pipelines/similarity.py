@@ -163,6 +163,7 @@ import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
 from pyspark.sql.types import (  # noqa: E402
     ArrayType,
+    BooleanType,
     DoubleType,
     FloatType,
     LongType,
@@ -2834,4 +2835,115 @@ def hard_negative_topk(
             "cosine",
             F.col("rank").cast("long").alias("rank"),
         )
+    )
+
+
+TRIPLET_SCORE_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("vec_id", LongType()),
+        StructField("cosine", DoubleType()),
+        StructField("is_pos", BooleanType()),
+    ]
+)
+
+
+def triplet_candidates(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = tuple(range(10)),
+) -> DataFrame:
+    """Triplet mining for metric learning: for each probe (anchor),
+    the HARDEST POSITIVE (same label, lowest cosine — the in-class
+    example the encoder currently separates worst) and the HARDEST
+    NEGATIVE (different label, highest cosine — hard_negative_topk's
+    champion), plus the margin between them. margin > 0 means the
+    negative currently sits closer than the positive — a triplet-loss
+    violation the training loop should prioritize. One block GEMM
+    scores the corpus against the broadcast probe matrix (the
+    hard_negative_topk shape) tagging same/different label inside the
+    Arrow batch; two deterministic window ranks pick the champions
+    (cosine then vec_id). Probes with no same-label peer drop
+    (an anchor without a positive defines no triplet). NULL labels
+    drop from both sides.
+
+    Scale: linear in corpus per probe; at 100 TB both champions come
+    from the persisted LSH shortlist (nearest different-label) and a
+    label-partitioned scan (farthest same-label). Output: query_id,
+    pos_id, pos_cosine, neg_id, neg_cosine, margin, violates."""
+    sc = embeddings.sparkSession.sparkContext
+    labeled = embeddings.filter(F.col("label").isNotNull())
+    qrows = labeled.filter(F.col("vec_id").isin(*query_ids)).select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qlab = np.array([r["label"] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    b_q = sc.broadcast((qids, qlab, qmat))
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_qids, all_qlab, all_qmat = b_q.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            blab = pdf["label"].to_numpy(dtype=np.int64)
+            mb = np.array(
+                [list(v) for v in pdf["embedding"]], dtype=np.float64
+            )
+            mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+            cos = np.round(mb @ all_qmat.T, 6)
+            n, nq = cos.shape
+            qi = np.repeat(all_qids[np.newaxis, :], n, axis=0).ravel()
+            ql = np.repeat(all_qlab[np.newaxis, :], n, axis=0).ravel()
+            vi = np.repeat(bids[:, np.newaxis], nq, axis=1).ravel()
+            vl = np.repeat(blab[:, np.newaxis], nq, axis=1).ravel()
+            mask = qi != vi
+            yield pd.DataFrame(
+                {
+                    "query_id": qi[mask],
+                    "vec_id": vi[mask],
+                    "cosine": cos.ravel()[mask],
+                    "is_pos": (ql == vl)[mask],
+                }
+            )
+
+    scored = _spread_gemm(
+        labeled.select("vec_id", "label", "embedding")
+    ).mapInPandas(block, TRIPLET_SCORE_SCHEMA)
+    w_pos = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").asc(), F.col("vec_id").asc()
+    )
+    w_neg = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    pos = (
+        scored.filter(F.col("is_pos"))
+        .withColumn("rn", F.row_number().over(w_pos))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("pos_id"),
+            F.col("cosine").alias("pos_cosine"),
+        )
+    )
+    neg = (
+        scored.filter(~F.col("is_pos"))
+        .withColumn("rn", F.row_number().over(w_neg))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("cosine").alias("neg_cosine"),
+        )
+    )
+    margin = F.round(F.col("neg_cosine") - F.col("pos_cosine"), 6)
+    return pos.join(neg, "query_id").select(
+        "query_id",
+        "pos_id",
+        "pos_cosine",
+        "neg_id",
+        "neg_cosine",
+        margin.alias("margin"),
+        (margin > 0).alias("violates"),
     )

@@ -677,6 +677,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_hard_negatives"] = lambda s, d: similarity.hard_negative_topk(
         raw(s, d, "embeddings")
     )
+    # r11 wave 5: triplet mining (hardest positive + hardest negative
+    # per anchor, margin-violation flag — the metric-learning sampler)
+    q["emb_triplet_candidates"] = (
+        lambda s, d: similarity.triplet_candidates(raw(s, d, "embeddings"))
+    )
     # r10: centroid silhouette per label (clustering-quality audit)
     q["emb_silhouette"] = lambda s, d: similarity.silhouette_by_label(
         raw(s, d, "embeddings")
@@ -1005,6 +1010,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sampling_pps_systematic"] = lambda s, d: sampling.pps_systematic(
         raw(s, d, "documents")
     )
+    # r11 wave 5: Horvitz–Thompson source-count estimation off the PPS
+    # sample (inverse-probability weighting — the survey statistic
+    # that closes the Madow sampling loop)
+    q["sampling_ht_estimate"] = lambda s, d: sampling.ht_source_estimate(
+        raw(s, d, "documents")
+    )
     # r7 late: token-budget epoch planner (temperature mixture in
     # token units) + RFM segmentation cube + the Q12 conditional-agg
     # shape that completed the TPC-H sweep
@@ -1215,6 +1226,15 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         raw(s, d, "events")
     )
     q["events_ljung_box"] = lambda s, d: relational.ljung_box_daily(
+        raw(s, d, "events")
+    )
+    # r11 wave 5: Friedman blocked-rank omnibus (day blocks cancel
+    # level shifts KW would absorb) + Welch's unequal-variance t (the
+    # parametric mean test beside the rank-based MW)
+    q["events_friedman"] = lambda s, d: relational.friedman_daily(
+        raw(s, d, "events")
+    )
+    q["events_welch_t"] = lambda s, d: relational.welch_t_values(
         raw(s, d, "events")
     )
     # r11: distributed PCA (Arrow partial-Gram reduce + dim-bounded
@@ -1714,6 +1734,10 @@ _PROMOTED = [
     # full 241-oracle sweep still runs every session via
     # tests/test_oracle_parity.py::test_parity_all.
     # -- new in r11 / plan or arithmetic changed in r11:
+    "events_friedman",
+    "events_welch_t",
+    "sampling_ht_estimate",
+    "emb_triplet_candidates",
     "events_kruskal_wallis",
     "events_spearman",
     "events_ljung_box",

@@ -252,3 +252,143 @@ def test_hard_negatives_tie_breaks_on_vec_id(spark):
         key=lambda r: r["rank"],
     )
     assert [r["vec_id"] for r in got] == [3, 7]
+
+
+def test_friedman_perfect_consistency(spark):
+    from kafka_overwatch_spark.operators.relational import friedman_daily
+
+    # two complete days with the same ordering a<b<c -> chi2 = 4.0
+    # (the n=2, k=3 maximum); day 3 observes only 'a' and must drop
+    ev = _daily_events(
+        spark, {"a": [1, 2, 1], "b": [2, 4, 0], "c": [3, 6, 0]}
+    )
+    r = friedman_daily(ev).collect()[0]
+    assert (r["n_days"], r["k"], r["df"]) == (2, 3, 2)
+    assert r["chi2"] == 4.0
+
+
+def test_friedman_tie_correction(spark):
+    from kafka_overwatch_spark.operators.relational import friedman_daily
+
+    # day1 counts (1,1,2) -> midranks (1.5,1.5,3); day2 (1,2,2) ->
+    # (1,2.5,2.5); tie-corrected chi2 = 9/3 = 3.0 by hand
+    ev = _daily_events(spark, {"a": [1, 1], "b": [1, 2], "c": [2, 2]})
+    r = friedman_daily(ev).collect()[0]
+    assert r["chi2"] == 3.0
+
+
+def test_friedman_all_tied_is_null(spark):
+    from kafka_overwatch_spark.operators.relational import friedman_daily
+
+    ev = _daily_events(spark, {"a": [2, 3], "b": [2, 3], "c": [2, 3]})
+    r = friedman_daily(ev).collect()[0]
+    assert r["chi2"] is None
+
+
+def test_welch_t_hand_computed(spark):
+    from kafka_overwatch_spark.operators.relational import welch_t_values
+
+    ev = _events(
+        spark,
+        [(1, 1, 9, "x", v) for v in (1.0, 2.0, 3.0)]
+        + [(1, 1, 9, "y", v) for v in (2.0, 4.0, 6.0, 8.0)],
+    )
+    r = welch_t_values(ev).collect()[0]
+    assert (r["type_a"], r["type_b"], r["n_a"], r["n_b"]) == ("x", "y", 3, 4)
+    assert (r["mean_a"], r["mean_b"]) == (2.0, 5.0)
+    va, vb = 1.0, 20.0 / 3.0
+    se2 = va / 3 + vb / 4
+    assert r["t_stat"] == round((2.0 - 5.0) / math.sqrt(se2), 6)
+    dfw = se2 * se2 / ((va / 3) ** 2 / 2 + (vb / 4) ** 2 / 3)
+    assert r["df_welch"] == pytest.approx(round(dfw, 6), abs=2e-6)
+
+
+def test_welch_t_degenerate_null(spark):
+    from kafka_overwatch_spark.operators.relational import welch_t_values
+
+    # constant values in both groups -> zero variance -> NULL t/df
+    ev = _events(
+        spark,
+        [(1, 1, 9, "x", 2.0), (1, 1, 9, "x", 2.0),
+         (1, 1, 9, "y", 3.0), (1, 1, 9, "y", 3.0)],
+    )
+    r = welch_t_values(ev).collect()[0]
+    assert r["t_stat"] is None and r["df_welch"] is None
+
+
+DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def test_ht_estimate_equal_sizes_exact(spark):
+    from kafka_overwatch_spark.pipelines.sampling import ht_source_estimate
+
+    # 6 equal-size docs, n = 6 ticks: every doc sampled exactly once,
+    # HT estimate per source equals the true count, rel_err = 0
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "A" if i < 4 else "B", 100) for i in range(6)],
+        DOC_SCHEMA,
+    )
+    rows = {r["source"]: r for r in ht_source_estimate(docs, n=6).collect()}
+    assert rows["A"]["n_hits"] == 4 and rows["B"]["n_hits"] == 2
+    assert rows["A"]["ht_docs"] == 4.0 and rows["B"]["ht_docs"] == 2.0
+    assert rows["A"]["rel_err"] == 0.0 and rows["B"]["rel_err"] == 0.0
+
+
+def test_ht_estimate_matches_python_reference(spark):
+    from kafka_overwatch_spark.pipelines.sampling import ht_source_estimate
+
+    sizes = [100, 200, 300, 400, 50, 950]
+    srcs = ["A", "A", "B", "B", "C", "C"]
+    n = 4
+    docs = spark.createDataFrame(
+        [(i, "t", "en", srcs[i], sizes[i]) for i in range(len(sizes))],
+        DOC_SCHEMA,
+    )
+    # python mirror of the exact integer tick math + HT weighting
+    W = sum(sizes)
+    cums = [sum(sizes[: i + 1]) for i in range(len(sizes))]
+    want: dict = {}
+    hits: dict = {}
+    for i, (c, s) in enumerate(zip(cums, srcs)):
+        prev = c - sizes[i]
+        mult = (2 * n * c + W) // (2 * W) - (2 * n * prev + W) // (2 * W)
+        if mult >= 1:
+            hits[s] = hits.get(s, 0) + mult
+            want[s] = want.get(s, 0.0) + round(mult * W / (n * sizes[i]), 6)
+    got = {r["source"]: r for r in ht_source_estimate(docs, n=n).collect()}
+    assert set(got) == {"A", "B", "C"}
+    for s in got:
+        assert got[s]["n_hits"] == hits.get(s, 0)
+        assert got[s]["ht_docs"] == pytest.approx(
+            round(want.get(s, 0.0), 6), abs=2e-6
+        )
+
+
+def test_triplet_candidates_champions_and_drop(spark):
+    from kafka_overwatch_spark.pipelines.similarity import (
+        triplet_candidates,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),   # anchor
+        (1, [1.0, 0.0], 0),   # easy positive (cos 1)
+        (6, [0.0, 1.0], 0),   # hardest positive (cos 0)
+        (2, [0.6, 0.8], 1),   # a negative (cos 0.6)
+        (3, [-1.0, 0.0], 2),  # easy negative
+        (9, [1.0, 0.0], 5),   # probe with no same-label peer: drops —
+                              # but as a CORPUS vector it is anchor 0's
+                              # hardest negative (diff label, cos 1.0)
+    ]
+    df = spark.createDataFrame(rows, EMB_SCHEMA)
+    got = {
+        r["query_id"]: r
+        for r in triplet_candidates(df, query_ids=(0, 9)).collect()
+    }
+    assert set(got) == {0}  # anchor 9 has no positive -> no triplet
+    t = got[0]
+    assert (t["pos_id"], t["pos_cosine"]) == (6, 0.0)
+    assert (t["neg_id"], t["neg_cosine"]) == (9, 1.0)
+    assert t["margin"] == 1.0
+    assert t["violates"] is True
