@@ -1,0 +1,221 @@
+"""Property-based laws (hypothesis) for the r11 wave-4/5 statistics:
+Kruskal-Wallis, Spearman, Friedman, and Welch's t recomputed by
+independent pure-python references on generated data — a different
+failure surface than the DuckDB oracle (which shares the SQL
+formulation). Examples are few (one Spark job each)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+EVENT_COLS = (
+    "event_id long, user_id long, ts timestamp, event_type string, "
+    "value double"
+)
+
+GROUPS = st.lists(
+    st.lists(st.integers(min_value=0, max_value=6), min_size=2, max_size=10),
+    min_size=2,
+    max_size=4,
+)
+SERIES = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=1, max_value=9),
+    ),
+    min_size=4,
+    max_size=9,
+)
+BLOCKS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),
+        st.integers(min_value=1, max_value=5),
+        st.integers(min_value=1, max_value=5),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _group_events(spark, groups):
+    rows = []
+    i = 0
+    for g, vals in enumerate(groups):
+        for v in vals:
+            rows.append((i, 1, dt.datetime(2024, 1, 1), f"g{g}", float(v)))
+            i += 1
+    return spark.createDataFrame(rows, EVENT_COLS)
+
+
+def _midranks(pooled):
+    """value -> midrank over the pooled multiset."""
+    s = sorted(pooled)
+    out = {}
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        out[s[i]] = (i + 1 + j) / 2.0
+        i = j
+    return out
+
+
+def _py_kruskal(groups):
+    pooled = [v for g in groups for v in g]
+    n = len(pooled)
+    mr = _midranks(pooled)
+    s_terms = 0.0
+    for g in groups:
+        r = sum(mr[v] for v in g)
+        s_terms += round(r * r / len(g), 6)  # the operator's convention
+    h = 12.0 / (n * (n + 1.0)) * s_terms - 3.0 * (n + 1.0)
+    from collections import Counter
+
+    tie = sum(t**3 - t for t in Counter(pooled).values())
+    c = 1.0 - tie / (n**3 - n)
+    return round(h, 6), (round(h / c, 6) if c > 0 else None)
+
+
+@settings(max_examples=6, deadline=None)
+@given(GROUPS)
+def test_kruskal_wallis_matches_python(spark, groups):
+    from kafka_overwatch_spark.operators.relational import (
+        kruskal_wallis_values,
+    )
+
+    ev = _group_events(spark, groups)
+    r = kruskal_wallis_values(ev).collect()[0]
+    want_h, want_hc = _py_kruskal(groups)
+    assert r["n_total"] == sum(len(g) for g in groups)
+    assert r["h"] == pytest.approx(want_h, abs=2e-6)
+    if want_hc is None:
+        assert r["h_tie_corrected"] is None
+    else:
+        assert r["h_tie_corrected"] == pytest.approx(want_hc, abs=2e-6)
+
+
+def _py_spearman(xs, ys):
+    mx, my = _midranks(xs), _midranks(ys)
+    rx = [mx[v] for v in xs]
+    ry = [my[v] for v in ys]
+    n = len(rx)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    if den2 <= 0:
+        return None
+    return round((n * sxy - sx * sy) / math.sqrt(den2), 6)
+
+
+@settings(max_examples=6, deadline=None)
+@given(SERIES)
+def test_spearman_matches_python(spark, series):
+    from kafka_overwatch_spark.operators.relational import spearman_daily
+
+    rows = []
+    i = 0
+    for d, (ca, cb) in enumerate(series, start=1):
+        for _ in range(ca):
+            rows.append((i, 1, dt.datetime(2024, 1, d), "a", 1.0))
+            i += 1
+        for _ in range(cb):
+            rows.append((i, 1, dt.datetime(2024, 1, d), "b", 1.0))
+            i += 1
+    ev = spark.createDataFrame(rows, EVENT_COLS)
+    r = spearman_daily(ev).collect()[0]
+    want = _py_spearman([a for a, _ in series], [b for _, b in series])
+    assert r["n_days"] == len(series)
+    if want is None:
+        assert r["rho"] is None
+    else:
+        assert r["rho"] == pytest.approx(want, abs=2e-6)
+
+
+def _py_friedman(blocks):
+    """blocks: list of per-day (c_a, c_b, c_c) count tuples."""
+    k = len(blocks[0])
+    n = len(blocks)
+    rsum = [0.0] * k
+    s2 = 0.0
+    for b in blocks:
+        mr = _midranks(list(b))
+        for j, v in enumerate(b):
+            rsum[j] += mr[v]
+            s2 += mr[v] * mr[v]
+    num = (k - 1) * sum((r - n * (k + 1) / 2.0) ** 2 for r in rsum)
+    den = s2 - n * k * (k + 1) ** 2 / 4.0
+    if den <= 0:
+        return None
+    return round(num / den, 6)
+
+
+@settings(max_examples=6, deadline=None)
+@given(BLOCKS)
+def test_friedman_matches_python(spark, blocks):
+    from kafka_overwatch_spark.operators.relational import friedman_daily
+
+    rows = []
+    i = 0
+    for d, counts in enumerate(blocks, start=1):
+        for j, c in enumerate(counts):
+            for _ in range(c):
+                rows.append(
+                    (i, 1, dt.datetime(2024, 1, d), f"t{j}", 1.0)
+                )
+                i += 1
+    ev = spark.createDataFrame(rows, EVENT_COLS)
+    r = friedman_daily(ev).collect()[0]
+    want = _py_friedman(blocks)
+    assert (r["n_days"], r["k"]) == (len(blocks), 3)
+    if want is None:
+        assert r["chi2"] is None
+    else:
+        assert r["chi2"] == pytest.approx(want, abs=2e-6)
+
+
+def _py_welch(xs, ys):
+    na, nb = len(xs), len(ys)
+    ma, mb = sum(xs) / na, sum(ys) / nb
+    va = sum((v - ma) ** 2 for v in xs) / (na - 1)
+    vb = sum((v - mb) ** 2 for v in ys) / (nb - 1)
+    se2 = va / na + vb / nb
+    if se2 <= 0:
+        return None, None
+    t = (ma - mb) / math.sqrt(se2)
+    dfw = se2 * se2 / (
+        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+    )
+    return round(t, 6), round(dfw, 6)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=9), min_size=2, max_size=10),
+    st.lists(st.integers(min_value=0, max_value=9), min_size=2, max_size=10),
+)
+def test_welch_matches_python(spark, xs, ys):
+    from kafka_overwatch_spark.operators.relational import welch_t_values
+
+    rows = [
+        (i, 1, dt.datetime(2024, 1, 1), "x", float(v))
+        for i, v in enumerate(xs)
+    ] + [
+        (1000 + i, 1, dt.datetime(2024, 1, 1), "y", float(v))
+        for i, v in enumerate(ys)
+    ]
+    ev = spark.createDataFrame(rows, EVENT_COLS)
+    r = welch_t_values(ev).collect()[0]
+    want_t, want_df = _py_welch(xs, ys)
+    if want_t is None:
+        assert r["t_stat"] is None and r["df_welch"] is None
+    else:
+        assert r["t_stat"] == pytest.approx(want_t, abs=2e-6)
+        assert r["df_welch"] == pytest.approx(want_df, abs=2e-6)
