@@ -266,7 +266,9 @@ EXTRA = [
     "graph_modularity",
     "events_pacf",
     "graph_assortativity",
-    # round 11, waves 4-5
+    # round 11, waves 4-6
+    "events_poisson_dispersion",
+    "emb_knn_label_audit",
     "events_friedman",
     "events_welch_t",
     "sampling_ht_estimate",

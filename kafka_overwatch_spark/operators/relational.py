@@ -6145,3 +6145,44 @@ def welch_t_values(events: DataFrame) -> DataFrame:
         F.round(F.when(ok, t), 6).alias("t_stat"),
         F.round(F.when(ok, dfw), 6).alias("df_welch"),
     )
+
+
+def poisson_dispersion_daily(events: DataFrame) -> DataFrame:
+    """Index-of-dispersion test per event type: is the daily-count
+    series Poisson-like (variance ≈ mean), overdispersed (bursts,
+    contagion — variance ≫ mean), or underdispersed (rate limiting,
+    quotas)? The count-series companion of the runs test: runs asks
+    "is the SEQUENCE random", this asks "is the MAGNITUDE spread
+    consistent with independent arrivals". D = (n−1)·s²/x̄ is χ²(n−1)
+    under the Poisson null; the variance ratio s²/x̄ is reported
+    directly as the effect size. Every moment is an exact integer
+    (Σc, Σc² as DECIMAL(38,0) ↔ HUGEINT); D is one double expression
+    (round 6, NULL for n < 2 or zero mean).
+
+    Scale shape: one day×type aggregate, a |types|-row aggregate.
+    Output: event_type, n_days, mean_daily, var_ratio, dispersion_d,
+    df."""
+    daily = events.groupBy("event_type", day_col().alias("day")).agg(
+        F.count("*").alias("c")
+    )
+    xd = F.col("c").cast("decimal(19,0)")
+    agg = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(xd).cast("double").alias("s1"),
+        F.sum(xd * xd).cast("double").alias("s2"),
+    )
+    n = F.col("n_days").cast("double")
+    mean = F.col("s1") / n
+    # sample variance from exact sums: (Σc² − n·x̄²)/(n−1)
+    var = (F.col("s2") - n * mean * mean) / (n - 1.0)
+    ok = (F.col("n_days") >= 2) & (mean > 0)
+    return agg.select(
+        "event_type",
+        "n_days",
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(F.when(ok, var / mean), 6).alias("var_ratio"),
+        F.round(F.when(ok, (n - 1.0) * var / mean), 6).alias(
+            "dispersion_d"
+        ),
+        (F.col("n_days") - F.lit(1)).cast("long").alias("df"),
+    )

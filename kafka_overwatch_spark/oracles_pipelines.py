@@ -6477,4 +6477,70 @@ SELECT p.query_id, p.pos_id, p.pos_cosine, n.neg_id, n.neg_cosine,
 FROM pos p JOIN neg n ON p.query_id = n.query_id
 WHERE p.rn = 1 AND n.rn = 1"""
 
+    # Poisson index of dispersion per type: exact integer moments of
+    # the daily counts, D = (n-1)·s²/x̄ one double expression
+    q["events_poisson_dispersion"] = """
+WITH pd_daily AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+    count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+pd_agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+    CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE) AS s1,
+    CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE) AS s2
+  FROM pd_daily GROUP BY 1
+)
+SELECT event_type, n_days,
+  round(s1 / CAST(n_days AS DOUBLE), 6) AS mean_daily,
+  round(CASE WHEN n_days >= 2 AND s1 / CAST(n_days AS DOUBLE) > 0
+    THEN ((s2 - CAST(n_days AS DOUBLE) * (s1 / CAST(n_days AS DOUBLE))
+        * (s1 / CAST(n_days AS DOUBLE))) / (CAST(n_days AS DOUBLE) - 1.0))
+      / (s1 / CAST(n_days AS DOUBLE)) END, 6) AS var_ratio,
+  round(CASE WHEN n_days >= 2 AND s1 / CAST(n_days AS DOUBLE) > 0
+    THEN (CAST(n_days AS DOUBLE) - 1.0)
+      * ((s2 - CAST(n_days AS DOUBLE) * (s1 / CAST(n_days AS DOUBLE))
+        * (s1 / CAST(n_days AS DOUBLE))) / (CAST(n_days AS DOUBLE) - 1.0))
+      / (s1 / CAST(n_days AS DOUBLE)) END, 6) AS dispersion_d,
+  CAST(n_days - 1 AS BIGINT) AS df
+FROM pd_agg"""
+
+    # leave-one-out kNN label audit: deterministic k=5 shortlist
+    # (round-6 cosine, vec_id tie-break), vote argmax (votes DESC,
+    # label ASC)
+    q["emb_knn_label_audit"] = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE label IS NOT NULL
+),
+queries AS (
+  SELECT vec_id AS query_id, label AS true_label, emb AS q_emb
+  FROM e WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, v.vec_id, v.label,
+    round(list_cosine_similarity(q.q_emb, v.emb), 6) AS cosine
+  FROM queries q, e v WHERE v.vec_id != q.query_id
+),
+shortlist AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM scored
+),
+votes AS (
+  SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+  FROM shortlist WHERE rn <= 5 GROUP BY 1, 2
+),
+pred AS (
+  SELECT query_id, label AS predicted_label, votes,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY votes DESC, label ASC) AS vr
+  FROM votes
+)
+SELECT p.query_id, CAST(q.true_label AS BIGINT) AS true_label,
+  CAST(p.predicted_label AS BIGINT) AS predicted_label, p.votes,
+  p.predicted_label = q.true_label AS correct
+FROM pred p JOIN queries q ON p.query_id = q.query_id
+WHERE p.vr = 1"""
+
     return q

@@ -2947,3 +2947,106 @@ def triplet_candidates(
         margin.alias("margin"),
         (margin > 0).alias("violates"),
     )
+
+
+KNN_SCORE_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("vec_id", LongType()),
+        StructField("cosine", DoubleType()),
+        StructField("label", LongType()),
+    ]
+)
+
+
+def knn_label_audit(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = tuple(range(10)),
+    k: int = 5,
+) -> DataFrame:
+    """Leave-one-out kNN label audit: for each probe, the majority
+    label among its k nearest labeled neighbors (cosine, self
+    excluded) against its own label — the standard embedding-quality /
+    label-noise probe (a probe whose neighborhood consistently
+    outvotes its label is either mislabeled or sits on a cluster
+    boundary; an encoder whose audit accuracy collapses embeds labels
+    badly). One block GEMM against the broadcast probe matrix (the
+    hard_negative_topk shape, carrying the neighbor label); the
+    neighbor shortlist is the deterministic round-6-cosine/vec_id
+    window, the vote argmax is (votes DESC, label ASC) — fully
+    mirrorable. NULL-label vectors drop from both sides.
+
+    Scale: linear in corpus per probe; at 100 TB the shortlist comes
+    from the persisted LSH index and this exact scan re-ranks it.
+    Output: query_id, true_label, predicted_label, votes, correct."""
+    sc = embeddings.sparkSession.sparkContext
+    labeled = embeddings.filter(F.col("label").isNotNull())
+    qrows = labeled.filter(F.col("vec_id").isin(*query_ids)).select(
+        "vec_id", "embedding"
+    ).collect()
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    b_q = sc.broadcast((qids, qmat))
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_qids, all_qmat = b_q.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            blab = pdf["label"].to_numpy(dtype=np.int64)
+            mb = np.array(
+                [list(v) for v in pdf["embedding"]], dtype=np.float64
+            )
+            mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+            cos = np.round(mb @ all_qmat.T, 6)
+            n, nq = cos.shape
+            qi = np.repeat(all_qids[np.newaxis, :], n, axis=0).ravel()
+            vi = np.repeat(bids[:, np.newaxis], nq, axis=1).ravel()
+            vl = np.repeat(blab[:, np.newaxis], nq, axis=1).ravel()
+            mask = qi != vi
+            yield pd.DataFrame(
+                {
+                    "query_id": qi[mask],
+                    "vec_id": vi[mask],
+                    "cosine": cos.ravel()[mask],
+                    "label": vl[mask],
+                }
+            )
+
+    scored = _spread_gemm(
+        labeled.select("vec_id", "label", "embedding")
+    ).mapInPandas(block, KNN_SCORE_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    votes = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("query_id", "label")
+        .agg(F.count("*").cast("long").alias("votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("predicted_label"),
+            "votes",
+        )
+    )
+    truth = labeled.filter(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("long").alias("true_label"),
+    )
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        "true_label",
+        "predicted_label",
+        "votes",
+        (F.col("predicted_label") == F.col("true_label")).alias("correct"),
+    )

@@ -682,6 +682,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_triplet_candidates"] = (
         lambda s, d: similarity.triplet_candidates(raw(s, d, "embeddings"))
     )
+    # r11 wave 6: leave-one-out kNN label audit (label-noise /
+    # embedding-quality probe — majority neighbor label vs own)
+    q["emb_knn_label_audit"] = lambda s, d: similarity.knn_label_audit(
+        raw(s, d, "embeddings")
+    )
     # r10: centroid silhouette per label (clustering-quality audit)
     q["emb_silhouette"] = lambda s, d: similarity.silhouette_by_label(
         raw(s, d, "embeddings")
@@ -1237,6 +1242,14 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_welch_t"] = lambda s, d: relational.welch_t_values(
         raw(s, d, "events")
     )
+    # r11 wave 6: Poisson index of dispersion (burstiness vs the
+    # independent-arrivals null — the magnitude companion of the
+    # sequence-randomness runs test)
+    q["events_poisson_dispersion"] = (
+        lambda s, d: relational.poisson_dispersion_daily(
+            raw(s, d, "events")
+        )
+    )
     # r11: distributed PCA (Arrow partial-Gram reduce + dim-bounded
     # driver eigh — the codebook convention) → rows-only gate
     # (eigendecomposition isn't ANSI SQL); numpy parity in
@@ -1734,6 +1747,8 @@ _PROMOTED = [
     # full 241-oracle sweep still runs every session via
     # tests/test_oracle_parity.py::test_parity_all.
     # -- new in r11 / plan or arithmetic changed in r11:
+    "events_poisson_dispersion",
+    "emb_knn_label_audit",
     "events_friedman",
     "events_welch_t",
     "sampling_ht_estimate",

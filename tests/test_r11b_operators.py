@@ -392,3 +392,65 @@ def test_triplet_candidates_champions_and_drop(spark):
     assert (t["neg_id"], t["neg_cosine"]) == (9, 1.0)
     assert t["margin"] == 1.0
     assert t["violates"] is True
+
+
+def test_poisson_dispersion_hand_computed(spark):
+    from kafka_overwatch_spark.operators.relational import (
+        poisson_dispersion_daily,
+    )
+
+    # constant series: variance 0 -> var_ratio 0 (maximally under-
+    # dispersed); alternating 1/5: mean 3, s2 = 16/3, ratio 16/9
+    ev = _daily_events(spark, {"k": [4, 4, 4], "b": [1, 5, 1, 5]})
+    got = {r["event_type"]: r for r in poisson_dispersion_daily(ev).collect()}
+    assert got["k"]["mean_daily"] == 4.0
+    assert got["k"]["var_ratio"] == 0.0
+    assert got["k"]["dispersion_d"] == 0.0
+    assert got["b"]["mean_daily"] == 3.0
+    assert got["b"]["var_ratio"] == round(16 / 9, 6)
+    assert got["b"]["dispersion_d"] == round(3 * 16 / 9, 6)
+    assert got["b"]["df"] == 3
+
+
+def test_poisson_dispersion_single_day_null(spark):
+    from kafka_overwatch_spark.operators.relational import (
+        poisson_dispersion_daily,
+    )
+
+    ev = _daily_events(spark, {"o": [7]})
+    r = poisson_dispersion_daily(ev).collect()[0]
+    assert r["var_ratio"] is None and r["dispersion_d"] is None
+
+
+def test_knn_label_audit_votes_and_tiebreak(spark):
+    from kafka_overwatch_spark.pipelines.similarity import knn_label_audit
+
+    rows = [
+        (0, [1.0, 0.0], 0),    # probe, true label 0
+        (1, [0.99, 0.1], 1),   # three label-1 neighbors dominate
+        (2, [0.98, 0.1], 1),
+        (3, [0.97, 0.1], 1),
+        (4, [0.96, 0.1], 0),
+        (5, [0.95, 0.1], 0),
+        (6, [-1.0, 0.0], 0),   # outside the k=5 shortlist
+    ]
+    df = spark.createDataFrame(rows, EMB_SCHEMA)
+    r = knn_label_audit(df, query_ids=(0,), k=5).collect()[0]
+    assert (r["true_label"], r["predicted_label"], r["votes"]) == (0, 1, 3)
+    assert r["correct"] is False
+
+
+def test_knn_label_audit_vote_tie_prefers_smaller_label(spark):
+    from kafka_overwatch_spark.pipelines.similarity import knn_label_audit
+
+    rows = [
+        (0, [1.0, 0.0], 7),
+        (1, [0.9, 0.1], 3),
+        (2, [0.8, 0.1], 3),
+        (3, [0.7, 0.1], 1),
+        (4, [0.6, 0.1], 1),
+    ]
+    df = spark.createDataFrame(rows, EMB_SCHEMA)
+    r = knn_label_audit(df, query_ids=(0,), k=4).collect()[0]
+    # 2 votes each for labels 1 and 3: tie -> smaller label wins
+    assert (r["predicted_label"], r["votes"]) == (1, 2)
