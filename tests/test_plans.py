@@ -705,3 +705,46 @@ def test_lpa_delta_plan_no_cartesian_and_broadcast_labels(spark, snaps):
     # exactly ONE exchange: the mode aggregate's (the votes join is
     # broadcast, the edge frame is pre-partitioned + checkpointed)
     assert plan.count("Exchange") <= 2  # exchange + AQE echo at most
+
+
+def test_r11b_stats_are_jvm_only(spark, snaps):
+    """Wave 4-6 statistics ops: zero Python anywhere, no cartesian on
+    the fact side (the pair joins are alphabet-bounded broadcast
+    nested loops by design, never fact-grain)."""
+    from kafka_overwatch_spark import registry
+
+    queries = registry.spark_queries()
+    for name in (
+        "events_kruskal_wallis",
+        "events_spearman",
+        "events_ljung_box",
+        "events_friedman",
+        "events_welch_t",
+        "events_poisson_dispersion",
+        "sampling_ht_estimate",
+    ):
+        plan = _plan(queries[name](spark, "/root/testdata/sf0.001"))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_kruskal_wallis_no_global_sort_window(spark, snaps):
+    """The pooled-midrank prefix sum must come from exact_global_cumsum
+    (range exchange + per-slice windows), NOT a single-partition global
+    window over the distinct-value grain. The only SinglePartition
+    exchanges allowed are the bounded scalar/offset frames (the
+    triangular slice-offset broadcast and the 1-row aggregates)."""
+    from kafka_overwatch_spark import registry
+
+    df = registry.spark_queries()["events_kruskal_wallis"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = _plan(df)
+    # the helper's prefix-sum window partitions by the slice id (the
+    # range exchange itself hides inside the helper's localCheckpoint);
+    # a global-window plan would carry a windowspecdefinition over the
+    # bare value order instead
+    assert "windowspecdefinition(_egc_pid" in plan
+    assert "windowspecdefinition(value" not in plan
