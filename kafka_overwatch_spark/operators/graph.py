@@ -25,18 +25,21 @@ from pyspark.sql import functions as F
 MAX_BASKET = 64  # defensive: explode of C(n,2) pairs must stay bounded
 
 
-def _right_size(df: DataFrame, n_rows: int) -> DataFrame:
+def _right_size(df: DataFrame, n_rows: int, *keys: str) -> DataFrame:
     """Repartition an iterative-loop input to ~300k narrow rows per
     task, capped at 4x defaultParallelism — the LPA lesson generalized
     (per-round jobs over the union's natural 20-30 tiny partitions
     were task-overhead-bound at bench SFs; measured pagerank 5.5 ->
     4.0 s, kcore 5.6 -> 5.0 s warm at sf0.1); at cluster scale the
-    cap keeps partitions dense."""
+    cap keeps partitions dense. Optional ``keys`` hash-distribute on
+    those columns (so the sizing doubles as a join distribution)."""
     spark = df.sparkSession
     n_parts = max(4, min(
         n_rows // 300_000, 4 * spark.sparkContext.defaultParallelism
     ))
-    return df.repartition(n_parts)
+    return df.repartition(n_parts, *keys) if keys else df.repartition(
+        n_parts
+    )
 
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
@@ -932,11 +935,16 @@ def lpa_labels_delta(
             labels = _mode(pairs.select("v", "label")).localCheckpoint(
                 eager=True
             )
-            # frontier detection off two pinned frames — leave lazy
-            # (consumed at most once, to build the next frontier)
-            changed = labels.join(old, "v").filter(
-                F.col("label") != F.col("old_label")
-            ).select("v", "label")
+            # frontier detection off two pinned frames — checkpoint
+            # non-eagerly: the count() below materializes it, and the
+            # NEXT round's restricted branch reads it again (two
+            # consumers; lazy would re-execute the diff join)
+            changed = (
+                labels.join(old, "v")
+                .filter(F.col("label") != F.col("old_label"))
+                .select("v", "label")
+                .localCheckpoint(eager=False)
+            )
             n_changed = changed.count()
         else:
             frontier_u = _maybe_broadcast(
@@ -994,12 +1002,8 @@ def lpa_graph_state(
     ).unionAll(
         edges.select(F.col("part_b").alias("v"), F.col("part_a").alias("u"))
     )
-    spark = both.sparkSession
     n_both = both.count()
-    n_parts = max(4, min(
-        n_both // 300_000, 4 * spark.sparkContext.defaultParallelism
-    ))
-    both = both.repartition(n_parts, "u").localCheckpoint(eager=True)
+    both = _right_size(both, n_both, "u").localCheckpoint(eager=True)
     labels = (
         both.select("v")
         .distinct()
@@ -1026,10 +1030,17 @@ def modularity_lpa(
     masses — decimal(38,0), exact past int64 at 100 TB degree sums)
     plus m, combined in one double expression — no per-community float
     accumulation, so the oracle (the same unrolled-LPA CTE chain +
-    two integer aggregates) is bit-stable. Labels broadcast
-    (vertex-dim) onto the edge list; everything else is dim-grain.
+    two integer aggregates) is bit-stable. The vertex-dim label frame
+    broadcasts onto the edge list only below the pagerank-class
+    2M-vertex limit (graph_state carries the vertex count); above it
+    the joins stay keyed — never a forced 10⁸-vertex broadcast.
     Output: n_communities, n_edges, intra_edges, modularity."""
     labels = lpa_labels_delta(None, rounds=rounds, graph_state=graph_state)
+    small = graph_state[2] <= 2_000_000
+
+    def _maybe_b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     und = edges.select("part_a", "part_b")
     la = labels.select(
         F.col("v").alias("part_a"), F.col("label").alias("label_a")
@@ -1038,8 +1049,8 @@ def modularity_lpa(
         F.col("v").alias("part_b"), F.col("label").alias("label_b")
     )
     intra = (
-        und.join(F.broadcast(la), "part_a")
-        .join(F.broadcast(lb), "part_b")
+        und.join(_maybe_b(la), "part_a")
+        .join(_maybe_b(lb), "part_b")
         .agg(
             F.count("*").alias("n_edges"),
             F.sum(
@@ -1050,17 +1061,19 @@ def modularity_lpa(
     deg_c = (
         edge_degrees(und)
         .join(
-            F.broadcast(labels.select(F.col("v").alias("part"), "label")),
+            _maybe_b(labels.select(F.col("v").alias("part"), "label")),
             "part",
         )
         .groupBy("label")
         .agg(F.sum("d").alias("deg_c"))
     )
+    # decimal BEFORE the square: community degree mass reaches 2m, so
+    # the long×long product overflows exactly where the docstring
+    # claims exactness
+    dc = F.col("deg_c").cast("decimal(38,0)")
     degsq = deg_c.agg(
         F.count("*").alias("n_communities"),
-        F.sum(
-            (F.col("deg_c") * F.col("deg_c")).cast("decimal(38,0)")
-        ).alias("degsq"),
+        F.sum(dc * dc).alias("degsq"),
     )
     m = F.col("n_edges").cast("double")
     return intra.crossJoin(F.broadcast(degsq)).select(

@@ -5154,6 +5154,46 @@ def kendall_tau_daily(events: DataFrame) -> DataFrame:
     )
 
 
+def _pooled_pair_counts(events: DataFrame) -> DataFrame:
+    """Shared pooled per-pair count frame for mann_whitney_values /
+    ks_test_values: (type_a, type_b, value, cnt_a, cnt_b) over every
+    type pair's pooled DISTINCT-value grain — one (type, value)
+    aggregate off the fact table, an alphabet²-bounded pair join, and
+    a pooled re-aggregate; the rank/CDF machinery downstream never
+    touches the row grain. One copy of the pooling (null policy,
+    grain) so the MW/KS family cannot silently diverge."""
+    vals = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", "value")
+        .agg(F.count("*").alias("cnt"))
+    )
+    types = vals.select("event_type").distinct()
+    pairs = types.select(F.col("event_type").alias("type_a")).join(
+        types.select(F.col("event_type").alias("type_b")),
+        F.col("type_a") < F.col("type_b"),
+    )
+    pa = pairs.join(
+        vals.withColumnRenamed("event_type", "type_a"), "type_a"
+    ).select(
+        "type_a", "type_b", "value", F.col("cnt").alias("cnt_a"),
+        F.lit(0).alias("cnt_b"),
+    )
+    pb = pairs.join(
+        vals.withColumnRenamed("event_type", "type_b"), "type_b"
+    ).select(
+        "type_a", "type_b", "value", F.lit(0).alias("cnt_a"),
+        F.col("cnt").alias("cnt_b"),
+    )
+    return (
+        pa.unionByName(pb)
+        .groupBy("type_a", "type_b", "value")
+        .agg(
+            F.sum("cnt_a").alias("cnt_a"),
+            F.sum("cnt_b").alias("cnt_b"),
+        )
+    )
+
+
 def mann_whitney_values(events: DataFrame) -> DataFrame:
     """Mann–Whitney U (Wilcoxon rank-sum) between every pair of event
     types' value distributions — the distribution-free "are these two
@@ -5171,39 +5211,7 @@ def mann_whitney_values(events: DataFrame) -> DataFrame:
     u_a, z."""
     from pyspark.sql.window import Window
 
-    vals = (
-        events.filter(F.col("value").isNotNull())
-        .groupBy("event_type", "value")
-        .agg(F.count("*").alias("cnt"))
-    )
-    types = vals.select("event_type").distinct()
-    pairs = (
-        types.select(F.col("event_type").alias("type_a"))
-        .join(
-            types.select(F.col("event_type").alias("type_b")),
-            F.col("type_a") < F.col("type_b"),
-        )
-    )
-    pa = pairs.join(
-        vals.withColumnRenamed("event_type", "type_a"), "type_a"
-    ).select(
-        "type_a", "type_b", "value", F.col("cnt").alias("cnt_a"),
-        F.lit(0).alias("cnt_b"),
-    )
-    pb = pairs.join(
-        vals.withColumnRenamed("event_type", "type_b"), "type_b"
-    ).select(
-        "type_a", "type_b", "value", F.lit(0).alias("cnt_a"),
-        F.col("cnt").alias("cnt_b"),
-    )
-    pooled = (
-        pa.unionByName(pb)
-        .groupBy("type_a", "type_b", "value")
-        .agg(
-            F.sum("cnt_a").alias("cnt_a"),
-            F.sum("cnt_b").alias("cnt_b"),
-        )
-    )
+    pooled = _pooled_pair_counts(events)
     w = (
         Window.partitionBy("type_a", "type_b")
         .orderBy("value")
@@ -5213,16 +5221,20 @@ def mann_whitney_values(events: DataFrame) -> DataFrame:
     ranked = pooled.withColumn(
         "cum_before", F.coalesce(F.sum(t).over(w), F.lit(0))
     )
-    # midrank · 2 stays integral: accumulate 2·R_a as an exact long,
-    # halve once at the end
-    two_r_contrib = F.col("cnt_a") * (
-        2 * F.col("cum_before") + t + F.lit(1)
+    # midrank · 2 stays integral; factors go DECIMAL(38,0) BEFORE the
+    # multiply (the kruskal_wallis convention) — a long×long product
+    # here wraps silently once a shared value exceeds ~2M rows
+    # (t³ > 2⁶³), exactly where the docstring claims exactness
+    ta_d = F.col("cnt_a").cast("decimal(38,0)")
+    t_d = t.cast("decimal(38,0)")
+    two_r_contrib = ta_d * (
+        2 * F.col("cum_before").cast("decimal(38,0)") + t_d + F.lit(1)
     )
     agg = ranked.groupBy("type_a", "type_b").agg(
         F.sum("cnt_a").cast("long").alias("n_a"),
         F.sum("cnt_b").cast("long").alias("n_b"),
-        F.sum(two_r_contrib.cast("decimal(38,0)")).alias("two_ra"),
-        F.sum((t * t * t - t).cast("decimal(38,0)")).alias("tie_mass"),
+        F.sum(two_r_contrib).alias("two_ra"),
+        F.sum(t_d * t_d * t_d - t_d).alias("tie_mass"),
     )
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
@@ -5398,39 +5410,11 @@ def ks_test_values(events: DataFrame) -> DataFrame:
 
     Scale shape: identical to mann_whitney_values — one (type, value)
     aggregate, per pair a prefix sum over the pooled DISTINCT-value
-    grain. Output: type_a, type_b, n_a, n_b, d_stat, d_scaled."""
+    grain (the shared _pooled_pair_counts frame). Output: type_a,
+    type_b, n_a, n_b, d_stat, d_scaled."""
     from pyspark.sql.window import Window
 
-    vals = (
-        events.filter(F.col("value").isNotNull())
-        .groupBy("event_type", "value")
-        .agg(F.count("*").alias("cnt"))
-    )
-    types = vals.select("event_type").distinct()
-    pairs = types.select(F.col("event_type").alias("type_a")).join(
-        types.select(F.col("event_type").alias("type_b")),
-        F.col("type_a") < F.col("type_b"),
-    )
-    pa = pairs.join(
-        vals.withColumnRenamed("event_type", "type_a"), "type_a"
-    ).select(
-        "type_a", "type_b", "value", F.col("cnt").alias("cnt_a"),
-        F.lit(0).alias("cnt_b"),
-    )
-    pb = pairs.join(
-        vals.withColumnRenamed("event_type", "type_b"), "type_b"
-    ).select(
-        "type_a", "type_b", "value", F.lit(0).alias("cnt_a"),
-        F.col("cnt").alias("cnt_b"),
-    )
-    pooled = (
-        pa.unionByName(pb)
-        .groupBy("type_a", "type_b", "value")
-        .agg(
-            F.sum("cnt_a").alias("cnt_a"),
-            F.sum("cnt_b").alias("cnt_b"),
-        )
-    )
+    pooled = _pooled_pair_counts(events)
     w = (
         Window.partitionBy("type_a", "type_b")
         .orderBy("value")
@@ -5446,14 +5430,17 @@ def ks_test_values(events: DataFrame) -> DataFrame:
         F.sum("cnt_a").over(w).alias("cum_a"),
         F.sum("cnt_b").over(w).alias("cum_b"),
     )
+    # cum·n products go DECIMAL(38,0) before the multiply: both reach
+    # the population size, so the long×long cross-product wraps at
+    # n ≳ 3e9 rows (inside the documented 100 TB regime)
     agg = (
         cum.join(F.broadcast(tot), ["type_a", "type_b"])
         .groupBy("type_a", "type_b", "n_a", "n_b")
         .agg(
             F.max(
                 F.abs(
-                    F.col("cum_a") * F.col("n_b")
-                    - F.col("cum_b") * F.col("n_a")
+                    F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
+                    - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
                 )
             ).alias("num_max")
         )
@@ -5530,14 +5517,19 @@ def ks_drift_counts(
         F.sum("cnt_b").over(w).alias("cum_b"),
         F.sum("cnt_l").over(w).alias("cum_l"),
     )
+    # decimal before the multiply: the lifetime population grows
+    # without bound under the streaming monitor, so cum_b·n_lifetime
+    # in int64 eventually wraps silently
     agg = (
         cum.join(F.broadcast(tot), "event_type")
         .groupBy("event_type", "n_batch", "n_lifetime")
         .agg(
             F.max(
                 F.abs(
-                    F.col("cum_b") * F.col("n_lifetime")
-                    - F.col("cum_l") * F.col("n_batch")
+                    F.col("cum_b").cast("decimal(38,0)")
+                    * F.col("n_lifetime")
+                    - F.col("cum_l").cast("decimal(38,0)")
+                    * F.col("n_batch")
                 )
             ).alias("num_max")
         )
@@ -5673,27 +5665,15 @@ def fdr_daily_anomalies(events: DataFrame, q: float = 0.05) -> DataFrame:
     )
 
 
-def pacf_daily(events: DataFrame) -> DataFrame:
-    """Partial autocorrelation of each type's daily-count series at
-    lags 1-3 via the Durbin–Levinson recursion UNROLLED (fixed depth →
-    exactly mirrorable, the kcore_bounded convention) — the Box-
-    Jenkins order-selection companion of daily_acf: ACF says "lag k
-    correlates", PACF says "lag k correlates BEYOND what shorter lags
-    explain" (an AR(1) process has one PACF spike and a long ACF
-    tail). Inputs are the standard mean-centered autocorrelations
-    r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)², every sum an exact
-    integer (P_k = Σx_t·x_{t−k}, head/tail sums, Σx, Σx²) expanded so
-    the centering happens in ONE double expression per r_k; the
-    recursion is a fixed chain of scalar expressions off r1..r3
-    (φ11 = r1; φ22 = (r2−r1²)/(1−r1²); φ21 = r1−φ22·r1;
-    φ33 = (r3−φ21·r2−φ22·r1)/(1−φ21·r1−φ22·r2)), NULL on degenerate
-    denominators. Missing days simply drop their pairs — both engines
-    join the same day grid.
-
-    Scale shape: one day×type aggregate, a 3-wide lag explode joined
-    on (type, day−lag), a (type, lag) aggregate pivoted to columns —
-    calendar×alphabet grain throughout. Output: event_type, n_days,
-    r1, r2, r3, pacf1, pacf2, pacf3."""
+def _lag_comoments(events: DataFrame, max_lag: int) -> DataFrame:
+    """Shared exact-integer lag co-moment frame for pacf_daily /
+    ljung_box_daily: per type, the base moments (n_days, s = Σx,
+    q = Σx² — DECIMAL-exact, cast double once) joined to the pivoted
+    per-lag pair moments m{k} (pair count), p{k} = Σx_t·x_{t−k},
+    h{k} = Σx_t over pairs, t{k} = Σx_{t−k} over pairs, for
+    k ∈ 1..max_lag. Both consumers derive their r_k from the same
+    centering expansion — one copy of the machinery, one place to fix
+    it."""
     daily = events.groupBy("event_type", day_col().alias("day")).agg(
         F.count("*").alias("c")
     )
@@ -5707,7 +5687,7 @@ def pacf_daily(events: DataFrame) -> DataFrame:
         .cast("double")
         .alias("q"),
     )
-    lags = F.explode(F.sequence(F.lit(1), F.lit(3))).alias("lag")
+    lags = F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag")
     x = daily.select("event_type", "day", F.col("c").alias("x"), lags)
     y = daily.select(
         "event_type", F.col("day").alias("yday"), F.col("c").alias("y")
@@ -5732,11 +5712,36 @@ def pacf_daily(events: DataFrame) -> DataFrame:
     piv = per_lag.groupBy("event_type").agg(
         *[
             _pick(c, k).alias(f"{c}{k}")
-            for k in (1, 2, 3)
+            for k in range(1, max_lag + 1)
             for c in ("m", "p", "h", "t")
         ]
     )
-    j = piv.join(F.broadcast(base), "event_type")
+    return piv.join(F.broadcast(base), "event_type")
+
+
+def pacf_daily(events: DataFrame) -> DataFrame:
+    """Partial autocorrelation of each type's daily-count series at
+    lags 1-3 via the Durbin–Levinson recursion UNROLLED (fixed depth →
+    exactly mirrorable, the kcore_bounded convention) — the Box-
+    Jenkins order-selection companion of daily_acf: ACF says "lag k
+    correlates", PACF says "lag k correlates BEYOND what shorter lags
+    explain" (an AR(1) process has one PACF spike and a long ACF
+    tail). Inputs are the standard mean-centered autocorrelations
+    r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)², every sum an exact
+    integer (P_k = Σx_t·x_{t−k}, head/tail sums, Σx, Σx²) expanded so
+    the centering happens in ONE double expression per r_k; the
+    recursion is a fixed chain of scalar expressions off r1..r3
+    (φ11 = r1; φ22 = (r2−r1²)/(1−r1²); φ21 = r1−φ22·r1;
+    φ33 = (r3−φ21·r2−φ22·r1)/(1−φ21·r1−φ22·r2)), NULL on degenerate
+    denominators. Missing days simply drop their pairs — both engines
+    join the same day grid.
+
+    Scale shape: one day×type aggregate, a 3-wide lag explode joined
+    on (type, day−lag), a (type, lag) aggregate pivoted to columns —
+    calendar×alphabet grain throughout (the shared _lag_comoments
+    frame). Output: event_type, n_days, r1, r2, r3, pacf1, pacf2,
+    pacf3."""
+    j = _lag_comoments(events, max_lag=3)
     n = F.col("n_days").cast("double")
     xb = F.col("s") / n
     den0 = F.col("q") - n * xb * xb
@@ -5926,56 +5931,18 @@ def ljung_box_daily(events: DataFrame, max_lag: int = 7) -> DataFrame:
     so each r_k is one double expression; Q = n(n+2)·Σ r_k²/(n−k)
     sums its 7 terms in a LITERAL fixed lag order (left-associated
     `+` chain — identical IEEE evaluation in both engines, no
-    order-dependent float aggregation). Q is NULL if any lag has no
-    pairs or the series is constant (honest, not 0). Missing days
-    simply drop their pairs — both engines join the same day grid.
+    order-dependent float aggregation). Q is NULL when the series has
+    ≤ max_lag observed days (the n−k denominators need n > max_lag —
+    a gappy 6-day series can have pairs at every lag while n−7 < 0),
+    when any lag has no pairs, or when the series is constant
+    (honest, not 0). Missing days otherwise simply drop their pairs —
+    both engines join the same day grid.
 
     Scale shape: identical to pacf_daily — day×type grain, a
     max_lag-wide bounded explode, a (type, lag) aggregate pivoted to
-    columns. Output: event_type, n_days, q_stat, df."""
-    daily = events.groupBy("event_type", day_col().alias("day")).agg(
-        F.count("*").alias("c")
-    )
-    base = daily.groupBy("event_type").agg(
-        F.count("*").alias("n_days"),
-        F.sum(F.col("c").cast("decimal(19,0)")).cast("double").alias("s"),
-        F.sum(
-            F.col("c").cast("decimal(19,0)")
-            * F.col("c").cast("decimal(19,0)")
-        )
-        .cast("double")
-        .alias("q"),
-    )
-    lags = F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag")
-    x = daily.select("event_type", "day", F.col("c").alias("x"), lags)
-    y = daily.select(
-        "event_type", F.col("day").alias("yday"), F.col("c").alias("y")
-    )
-    pairs = x.join(
-        y,
-        (x.event_type == y.event_type)
-        & (x.day - F.col("lag") == F.col("yday")),
-    ).select(x.event_type.alias("event_type"), "lag", "x", "y")
-    xd = F.col("x").cast("decimal(19,0)")
-    yd = F.col("y").cast("decimal(19,0)")
-    per_lag = pairs.groupBy("event_type", "lag").agg(
-        F.count("*").alias("m"),
-        F.sum(xd * yd).cast("double").alias("p"),
-        F.sum(xd).cast("double").alias("h"),
-        F.sum(yd).cast("double").alias("t"),
-    )
-
-    def _pick(col: str, k: int) -> F.Column:
-        return F.max(F.when(F.col("lag") == k, F.col(col)))
-
-    piv = per_lag.groupBy("event_type").agg(
-        *[
-            _pick(c, k).alias(f"{c}{k}")
-            for k in range(1, max_lag + 1)
-            for c in ("m", "p", "h", "t")
-        ]
-    )
-    j = piv.join(F.broadcast(base), "event_type")
+    columns (the shared _lag_comoments frame). Output: event_type,
+    n_days, q_stat, df."""
+    j = _lag_comoments(events, max_lag=max_lag)
     n = F.col("n_days").cast("double")
     xb = F.col("s") / n
     den0 = F.col("q") - n * xb * xb
@@ -5998,7 +5965,9 @@ def ljung_box_daily(events: DataFrame, max_lag: int = 7) -> DataFrame:
     return j.select(
         "event_type",
         F.col("n_days").cast("long").alias("n_days"),
-        F.round(n * (n + 2.0) * q_sum, 6).alias("q_stat"),
+        F.round(
+            F.when(F.col("n_days") > max_lag, n * (n + 2.0) * q_sum), 6
+        ).alias("q_stat"),
         F.lit(max_lag).cast("long").alias("df"),
     )
 

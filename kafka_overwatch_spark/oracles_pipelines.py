@@ -4836,7 +4836,7 @@ md_degc AS (
 ),
 md_sq AS (
   SELECT count(*) AS n_comm,
-    sum(CAST(deg_c * deg_c AS HUGEINT)) AS degsq
+    sum(CAST(deg_c AS HUGEINT) * CAST(deg_c AS HUGEINT)) AS degsq
   FROM md_degc
 )
 SELECT CAST(s.n_comm AS BIGINT) AS n_communities,
@@ -5661,10 +5661,11 @@ mw_agg AS (
   SELECT type_a, type_b,
     CAST(sum(cnt_a) AS BIGINT) AS n_a,
     CAST(sum(cnt_b) AS BIGINT) AS n_b,
-    sum(CAST(cnt_a * (2 * cum_before + cnt_a + cnt_b + 1)
-      AS HUGEINT)) AS two_ra,
-    sum(CAST((cnt_a + cnt_b) * (cnt_a + cnt_b) * (cnt_a + cnt_b)
-      - (cnt_a + cnt_b) AS HUGEINT)) AS tie_mass
+    sum(CAST(cnt_a AS HUGEINT)
+      * (2 * CAST(cum_before AS HUGEINT) + cnt_a + cnt_b + 1)) AS two_ra,
+    sum(CAST(cnt_a + cnt_b AS HUGEINT) * CAST(cnt_a + cnt_b AS HUGEINT)
+      * CAST(cnt_a + cnt_b AS HUGEINT)
+      - CAST(cnt_a + cnt_b AS HUGEINT)) AS tie_mass
   FROM mw_ranked GROUP BY 1, 2
 ),
 mw_z AS (
@@ -5813,7 +5814,7 @@ ks_cum AS (
 ),
 ks_agg AS (
   SELECT c.type_a, c.type_b, t.n_a, t.n_b,
-    max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a)) AS num_max
+    max(abs(CAST(c.cum_a AS HUGEINT) * t.n_b - CAST(c.cum_b AS HUGEINT) * t.n_a)) AS num_max
   FROM ks_cum c JOIN ks_tot t
     ON c.type_a = t.type_a AND c.type_b = t.type_b
   GROUP BY 1, 2, 3, 4
@@ -6001,7 +6002,7 @@ vd_cum AS (
 ),
 vd_agg AS (
   SELECT c.event_type, t.n_batch, t.n_lifetime,
-    max(abs(c.cum_b * t.n_lifetime - c.cum_l * t.n_batch)) AS num_max
+    max(abs(CAST(c.cum_b AS HUGEINT) * t.n_lifetime - CAST(c.cum_l AS HUGEINT) * t.n_batch)) AS num_max
   FROM vd_cum c JOIN vd_tot t ON c.event_type = t.event_type
   GROUP BY 1, 2, 3
 )
@@ -6225,8 +6226,9 @@ lb_piv AS (
 ),
 lb_j AS (SELECT * FROM lb_piv JOIN lb_base USING (event_type))
 SELECT event_type, n_days,
-  round(CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2.0)
-    * ({_lb_terms}), 6) AS q_stat,
+  round(CASE WHEN n_days > 7
+    THEN CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2.0)
+      * ({_lb_terms}) END, 6) AS q_stat,
   CAST(7 AS BIGINT) AS df
 FROM lb_j"""
 

@@ -163,7 +163,6 @@ import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
 from pyspark.sql.types import (  # noqa: E402
     ArrayType,
-    BooleanType,
     DoubleType,
     FloatType,
     LongType,
@@ -2764,30 +2763,34 @@ def pca_components(
     )
 
 
-def hard_negative_topk(
-    embeddings: DataFrame,
-    query_ids: tuple[int, ...] = tuple(range(10)),
-    k: int = 5,
-) -> DataFrame:
-    """Hard-negative mining for contrastive training: for each probe
-    vector, the top-k most-cosine-similar vectors with a DIFFERENT
-    label — the highest-loss negatives a triplet/InfoNCE loop should
-    sample (random negatives are trivially far; the hard ones carry
-    the gradient). Same physical shape as brute_force_topk_vectorized
-    (probe matrix broadcast, corpus streamed through one block GEMM,
-    round-6 cosine, deterministic vec_id tie-break), plus the label
-    mask applied inside the Arrow batch. NULL-label vectors drop from
-    both sides (no honest negative relation is defined for them).
+PROBE_SCORE_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("q_label", LongType()),
+        StructField("vec_id", LongType()),
+        StructField("label", LongType()),
+        StructField("cosine", DoubleType()),
+    ]
+)
 
-    Scale: linear in corpus per probe (never corpus×corpus); at 100 TB
-    the probes route through the persisted multi-table LSH index first
-    (ann_lsh_* machinery) and this exact scan becomes the re-rank of
-    the label-filtered candidate shortlist. Output: query_id, vec_id,
-    cosine, rank."""
+
+def _probe_label_scores(
+    embeddings: DataFrame, query_ids: tuple[int, ...]
+) -> DataFrame:
+    """Shared probe-vs-corpus scorer for the labeled-embedding family
+    (hard_negative_topk / triplet_candidates / knn_label_audit): ONE
+    block GEMM of the labeled corpus against the broadcast probe
+    matrix, emitting the round-6 cosine plus BOTH labels; self-pairs
+    masked, NULL-label vectors dropped from both sides. The consumers
+    differ only in the JVM-side label predicate and the champion
+    windows — one copy of the normalization/rounding conventions, so a
+    determinism fix can't land in one scorer and miss the others.
+    Output: query_id, q_label, vec_id, label, cosine."""
     sc = embeddings.sparkSession.sparkContext
     labeled = embeddings.filter(F.col("label").isNotNull())
-    q = labeled.filter(F.col("vec_id").isin(*query_ids))
-    qrows = q.select("vec_id", "label", "embedding").collect()
+    qrows = labeled.filter(F.col("vec_id").isin(*query_ids)).select(
+        "vec_id", "label", "embedding"
+    ).collect()
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qlab = np.array([r["label"] for r in qrows], dtype=np.int64)
     qmat = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
@@ -2811,18 +2814,44 @@ def hard_negative_topk(
             ql = np.repeat(all_qlab[np.newaxis, :], n, axis=0).ravel()
             vi = np.repeat(bids[:, np.newaxis], nq, axis=1).ravel()
             vl = np.repeat(blab[:, np.newaxis], nq, axis=1).ravel()
-            mask = (qi != vi) & (ql != vl)
+            mask = qi != vi
             yield pd.DataFrame(
                 {
                     "query_id": qi[mask],
+                    "q_label": ql[mask],
                     "vec_id": vi[mask],
+                    "label": vl[mask],
                     "cosine": cos.ravel()[mask],
                 }
             )
 
-    scored = _spread_gemm(
+    return _spread_gemm(
         labeled.select("vec_id", "label", "embedding")
-    ).mapInPandas(block, TOPK_SCORE_SCHEMA)
+    ).mapInPandas(block, PROBE_SCORE_SCHEMA)
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    query_ids: tuple[int, ...] = tuple(range(10)),
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe,
+    the top-k most-cosine-similar vectors with a DIFFERENT label — the
+    highest-loss negatives a triplet/InfoNCE loop should sample
+    (random negatives are trivially far; the hard ones carry the
+    gradient). One shared block GEMM (_probe_label_scores) + a JVM
+    label predicate + the deterministic round-6-cosine/vec_id window.
+    NULL-label vectors drop from both sides (no honest negative
+    relation is defined for them).
+
+    Scale: linear in corpus per probe (never corpus×corpus); at 100 TB
+    the probes route through the persisted multi-table LSH index first
+    (ann_lsh_* machinery) and this exact scan becomes the re-rank of
+    the label-filtered candidate shortlist. Output: query_id, vec_id,
+    cosine, rank."""
+    scored = _probe_label_scores(embeddings, query_ids).filter(
+        F.col("q_label") != F.col("label")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
@@ -2838,16 +2867,6 @@ def hard_negative_topk(
     )
 
 
-TRIPLET_SCORE_SCHEMA = StructType(
-    [
-        StructField("query_id", LongType()),
-        StructField("vec_id", LongType()),
-        StructField("cosine", DoubleType()),
-        StructField("is_pos", BooleanType()),
-    ]
-)
-
-
 def triplet_candidates(
     embeddings: DataFrame,
     query_ids: tuple[int, ...] = tuple(range(10)),
@@ -2858,59 +2877,18 @@ def triplet_candidates(
     NEGATIVE (different label, highest cosine — hard_negative_topk's
     champion), plus the margin between them. margin > 0 means the
     negative currently sits closer than the positive — a triplet-loss
-    violation the training loop should prioritize. One block GEMM
-    scores the corpus against the broadcast probe matrix (the
-    hard_negative_topk shape) tagging same/different label inside the
-    Arrow batch; two deterministic window ranks pick the champions
-    (cosine then vec_id). Probes with no same-label peer drop
-    (an anchor without a positive defines no triplet). NULL labels
-    drop from both sides.
+    violation the training loop should prioritize. One shared block
+    GEMM (_probe_label_scores); two deterministic window ranks pick
+    the champions (cosine then vec_id). Probes with no same-label peer
+    drop (an anchor without a positive defines no triplet). NULL
+    labels drop from both sides.
 
     Scale: linear in corpus per probe; at 100 TB both champions come
     from the persisted LSH shortlist (nearest different-label) and a
     label-partitioned scan (farthest same-label). Output: query_id,
     pos_id, pos_cosine, neg_id, neg_cosine, margin, violates."""
-    sc = embeddings.sparkSession.sparkContext
-    labeled = embeddings.filter(F.col("label").isNotNull())
-    qrows = labeled.filter(F.col("vec_id").isin(*query_ids)).select(
-        "vec_id", "label", "embedding"
-    ).collect()
-    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qlab = np.array([r["label"] for r in qrows], dtype=np.int64)
-    qmat = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
-    b_q = sc.broadcast((qids, qlab, qmat))
-
-    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_qids, all_qlab, all_qmat = b_q.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            bids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            blab = pdf["label"].to_numpy(dtype=np.int64)
-            mb = np.array(
-                [list(v) for v in pdf["embedding"]], dtype=np.float64
-            )
-            mb /= np.linalg.norm(mb, axis=1, keepdims=True)
-            cos = np.round(mb @ all_qmat.T, 6)
-            n, nq = cos.shape
-            qi = np.repeat(all_qids[np.newaxis, :], n, axis=0).ravel()
-            ql = np.repeat(all_qlab[np.newaxis, :], n, axis=0).ravel()
-            vi = np.repeat(bids[:, np.newaxis], nq, axis=1).ravel()
-            vl = np.repeat(blab[:, np.newaxis], nq, axis=1).ravel()
-            mask = qi != vi
-            yield pd.DataFrame(
-                {
-                    "query_id": qi[mask],
-                    "vec_id": vi[mask],
-                    "cosine": cos.ravel()[mask],
-                    "is_pos": (ql == vl)[mask],
-                }
-            )
-
-    scored = _spread_gemm(
-        labeled.select("vec_id", "label", "embedding")
-    ).mapInPandas(block, TRIPLET_SCORE_SCHEMA)
+    scored = _probe_label_scores(embeddings, query_ids)
+    is_pos = F.col("q_label") == F.col("label")
     w_pos = Window.partitionBy("query_id").orderBy(
         F.col("cosine").asc(), F.col("vec_id").asc()
     )
@@ -2918,7 +2896,7 @@ def triplet_candidates(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
     pos = (
-        scored.filter(F.col("is_pos"))
+        scored.filter(is_pos)
         .withColumn("rn", F.row_number().over(w_pos))
         .filter(F.col("rn") == 1)
         .select(
@@ -2928,7 +2906,7 @@ def triplet_candidates(
         )
     )
     neg = (
-        scored.filter(~F.col("is_pos"))
+        scored.filter(~is_pos)
         .withColumn("rn", F.row_number().over(w_neg))
         .filter(F.col("rn") == 1)
         .select(
@@ -2949,16 +2927,6 @@ def triplet_candidates(
     )
 
 
-KNN_SCORE_SCHEMA = StructType(
-    [
-        StructField("query_id", LongType()),
-        StructField("vec_id", LongType()),
-        StructField("cosine", DoubleType()),
-        StructField("label", LongType()),
-    ]
-)
-
-
 def knn_label_audit(
     embeddings: DataFrame,
     query_ids: tuple[int, ...] = tuple(range(10)),
@@ -2970,54 +2938,15 @@ def knn_label_audit(
     label-noise probe (a probe whose neighborhood consistently
     outvotes its label is either mislabeled or sits on a cluster
     boundary; an encoder whose audit accuracy collapses embeds labels
-    badly). One block GEMM against the broadcast probe matrix (the
-    hard_negative_topk shape, carrying the neighbor label); the
-    neighbor shortlist is the deterministic round-6-cosine/vec_id
-    window, the vote argmax is (votes DESC, label ASC) — fully
-    mirrorable. NULL-label vectors drop from both sides.
+    badly). One shared block GEMM (_probe_label_scores); the neighbor
+    shortlist is the deterministic round-6-cosine/vec_id window, the
+    vote argmax is (votes DESC, label ASC) — fully mirrorable.
+    NULL-label vectors drop from both sides.
 
     Scale: linear in corpus per probe; at 100 TB the shortlist comes
     from the persisted LSH index and this exact scan re-ranks it.
     Output: query_id, true_label, predicted_label, votes, correct."""
-    sc = embeddings.sparkSession.sparkContext
-    labeled = embeddings.filter(F.col("label").isNotNull())
-    qrows = labeled.filter(F.col("vec_id").isin(*query_ids)).select(
-        "vec_id", "embedding"
-    ).collect()
-    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    qmat = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
-    b_q = sc.broadcast((qids, qmat))
-
-    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_qids, all_qmat = b_q.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            bids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            blab = pdf["label"].to_numpy(dtype=np.int64)
-            mb = np.array(
-                [list(v) for v in pdf["embedding"]], dtype=np.float64
-            )
-            mb /= np.linalg.norm(mb, axis=1, keepdims=True)
-            cos = np.round(mb @ all_qmat.T, 6)
-            n, nq = cos.shape
-            qi = np.repeat(all_qids[np.newaxis, :], n, axis=0).ravel()
-            vi = np.repeat(bids[:, np.newaxis], nq, axis=1).ravel()
-            vl = np.repeat(blab[:, np.newaxis], nq, axis=1).ravel()
-            mask = qi != vi
-            yield pd.DataFrame(
-                {
-                    "query_id": qi[mask],
-                    "vec_id": vi[mask],
-                    "cosine": cos.ravel()[mask],
-                    "label": vl[mask],
-                }
-            )
-
-    scored = _spread_gemm(
-        labeled.select("vec_id", "label", "embedding")
-    ).mapInPandas(block, KNN_SCORE_SCHEMA)
+    scored = _probe_label_scores(embeddings, query_ids)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
@@ -3039,9 +2968,15 @@ def knn_label_audit(
             "votes",
         )
     )
-    truth = labeled.filter(F.col("vec_id").isin(*query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").cast("long").alias("true_label"),
+    # truth from the probe rows directly (probe-dim, one cheap scan) —
+    # deriving it from `scored` would re-execute the GEMM branch
+    truth = (
+        embeddings.filter(F.col("label").isNotNull())
+        .filter(F.col("vec_id").isin(*query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").cast("long").alias("true_label"),
+        )
     )
     return pred.join(F.broadcast(truth), "query_id").select(
         "query_id",

@@ -171,14 +171,17 @@ def get_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _EDGES_CACHE[key]
 
 
-_LPA_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame, int]] = {}
+_LPA_CACHE: dict[
+    tuple[int, str], tuple[DataFrame, DataFrame, int, int]
+] = {}
 
 
 def get_lpa_graph(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, int]:
-    """Memoized LPA graph state (directed edge frame + initial labeling
-    + vertex count) per (session, sf_dir) — static per dataset, shared
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """Memoized LPA graph state (directed edge frame, initial labeling,
+    vertex count, directed edge count — lpa_graph_state's 4-tuple,
+    consumed opaquely) per (session, sf_dir) — static per dataset, shared
     across label-propagation calls the way get_copurchase_edges shares
     the edge set; at 100 TB both live as written tables."""
     from .operators import graph as _graph

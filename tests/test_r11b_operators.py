@@ -454,3 +454,26 @@ def test_knn_label_audit_vote_tie_prefers_smaller_label(spark):
     r = knn_label_audit(df, query_ids=(0,), k=4).collect()[0]
     # 2 votes each for labels 1 and 3: tie -> smaller label wins
     assert (r["predicted_label"], r["votes"]) == (1, 2)
+
+
+def test_ljung_box_gappy_short_series_null(spark):
+    """6 observed days over a 7-day span have pairs at EVERY lag 1-7,
+    but n_days <= max_lag makes the n-k denominators invalid — the
+    review-found case: Q must be NULL, not negative garbage."""
+    import datetime as dt
+
+    days = [1, 2, 3, 4, 6, 8]  # gaps supply lag-5/6/7 pairs
+    rows = [
+        (i, 1, dt.datetime(2024, 1, d), "a", 1.0)
+        for i, d in enumerate(days)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    )
+    from kafka_overwatch_spark.operators.relational import ljung_box_daily
+
+    r = ljung_box_daily(ev).collect()[0]
+    assert r["n_days"] == 6
+    assert r["q_stat"] is None
