@@ -266,7 +266,9 @@ EXTRA = [
     "graph_modularity",
     "events_pacf",
     "graph_assortativity",
-    # round 11, waves 4-6
+    # round 11, waves 4-7
+    "events_markov_steady_state",
+    "emb_dim_stats",
     "events_poisson_dispersion",
     "emb_knn_label_audit",
     "events_friedman",

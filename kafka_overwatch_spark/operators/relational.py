@@ -6155,3 +6155,55 @@ def poisson_dispersion_daily(events: DataFrame) -> DataFrame:
         ),
         (F.col("n_days") - F.lit(1)).cast("long").alias("df"),
     )
+
+
+def markov_steady_state(events: DataFrame, rounds: int = 8) -> DataFrame:
+    """Stationary distribution of the first-order event-type Markov
+    chain (event_type_transitions' matrix) by FIXED-DEPTH power
+    iteration — where user behavior settles if the observed dynamics
+    persist: the long-run occupancy the raw type frequencies only
+    approximate (frequencies mix session boundaries in; the chain's π
+    weights types by where trajectories FLOW). Transition
+    probabilities divide once from exact bigram integers; π starts
+    uniform over the chain's state space (types appearing in any
+    bigram), iterates ``rounds`` times unnormalized, and L1-normalizes
+    once at the end (the eigencentrality convention — absorbing states,
+    if any, shed mass and the final divide makes it the
+    quasi-stationary distribution). The fixed depth makes the DuckDB
+    mirror an unrolled CTE chain; round-6 absorbs cross-engine
+    double-sum order.
+
+    Scale shape: the matrix is alphabet²-grain — every per-round join
+    is dim-sized (the one fact-scale job is the bigram window
+    aggregate, shared with event_type_transitions). Output:
+    event_type, pi."""
+    trans = event_type_transitions(events).select(
+        "from_type", "to_type", F.col("p")
+    )
+    states = (
+        trans.select(F.col("from_type").alias("event_type"))
+        .unionByName(trans.select(F.col("to_type").alias("event_type")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = states.count()
+    pi = states.withColumn("pi", F.lit(1.0 / n))
+    trans = trans.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        pi = (
+            trans.join(
+                F.broadcast(pi),
+                trans.from_type == pi.event_type,
+            )
+            .select(
+                F.col("to_type").alias("event_type"),
+                (F.col("pi") * F.col("p")).alias("m"),
+            )
+            .groupBy("event_type")
+            .agg(F.sum("m").alias("pi"))
+        )
+    pi = pi.localCheckpoint(eager=True)
+    tot = pi.agg(F.sum("pi").alias("l1"))
+    return pi.crossJoin(F.broadcast(tot)).select(
+        "event_type", F.round(F.col("pi") / F.col("l1"), 6).alias("pi")
+    )

@@ -6545,4 +6545,81 @@ SELECT p.query_id, CAST(q.true_label AS BIGINT) AS true_label,
 FROM pred p JOIN queries q ON p.query_id = q.query_id
 WHERE p.vr = 1"""
 
+    # --- r11 wave 7 ---
+
+    # Markov steady state: 8 unrolled unnormalized power rounds over
+    # the round-6 transition matrix, one final L1 normalization (the
+    # eigencentrality recipe at alphabet² grain)
+    _ms_iters = "".join(
+        f""",
+pi{i + 1} AS MATERIALIZED (
+  SELECT t.to_type AS event_type, sum(pi{i}.pi * t.p) AS pi
+  FROM trans t JOIN pi{i} ON t.from_type = pi{i}.event_type
+  GROUP BY 1
+)"""
+        for i in range(8)
+    )
+    q["events_markov_steady_state"] = f"""
+WITH bg AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS transitions
+  FROM (
+    SELECT event_type AS from_type,
+      lead(event_type) OVER (PARTITION BY user_id
+        ORDER BY ts, event_id) AS to_type
+    FROM events
+  )
+  WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tt AS (
+  SELECT from_type, CAST(sum(transitions) AS BIGINT) AS n_from
+  FROM bg GROUP BY 1
+),
+trans AS MATERIALIZED (
+  SELECT bg.from_type, bg.to_type,
+    round(CAST(bg.transitions AS DOUBLE) / tt.n_from, 6) AS p
+  FROM bg JOIN tt ON bg.from_type = tt.from_type
+),
+states AS MATERIALIZED (
+  SELECT from_type AS event_type FROM trans
+  UNION
+  SELECT to_type AS event_type FROM trans
+),
+nv AS (SELECT count(*) AS n FROM states),
+pi0 AS (
+  SELECT event_type, 1.0 / (SELECT n FROM nv) AS pi FROM states
+)
+{_ms_iters},
+l1 AS MATERIALIZED (SELECT sum(pi) AS l1 FROM pi8)
+SELECT event_type, round(pi / (SELECT l1 FROM l1), 6) AS pi FROM pi8"""
+
+    # per-dimension embedding health: coordinates quantized to the
+    # 2^-20 grid (floor(x*2^20) — power-of-two multiply is exact in
+    # binary FP, bit-identical both engines; decimal round-6 is NOT:
+    # Spark rounds the shortest decimal repr, DuckDB the binary double)
+    q["emb_dim_stats"] = """
+WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+ex AS (
+  SELECT o.ord - 1 AS dim, e.emb[o.ord] AS x
+  FROM e, (SELECT unnest(generate_series(1, 64)) AS ord) o
+),
+agg AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(floor(x * 1048576.0) AS HUGEINT)) AS DOUBLE) AS s1,
+    CAST(sum(CAST(floor(x * 1048576.0) AS HUGEINT)
+      * CAST(floor(x * 1048576.0) AS HUGEINT)) AS DOUBLE) AS s2,
+    CAST(sum(CASE WHEN x = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+    CAST(sum(CASE WHEN x < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+  FROM ex GROUP BY 1
+)
+SELECT CAST(dim AS BIGINT) AS dim, n,
+  round(s1 / CAST(n AS DOUBLE) / 1048576.0, 6) AS mean,
+  round((s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+    / 1099511627776.0, 6) AS variance,
+  round(CAST(n_zero AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_zero,
+  round(CAST(n_neg AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_negative
+FROM agg"""
+
     return q

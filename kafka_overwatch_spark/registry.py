@@ -690,6 +690,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_knn_label_audit"] = lambda s, d: similarity.knn_label_audit(
         raw(s, d, "embeddings")
     )
+    # r11 wave 7: per-dimension embedding health (dead/dominant dims,
+    # sign collapse — the embedding dataset-card statistic)
+    q["emb_dim_stats"] = lambda s, d: similarity.dim_stats(
+        raw(s, d, "embeddings")
+    )
     # r10: centroid silhouette per label (clustering-quality audit)
     q["emb_silhouette"] = lambda s, d: similarity.silhouette_by_label(
         raw(s, d, "embeddings")
@@ -1253,6 +1258,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             raw(s, d, "events")
         )
     )
+    # r11 wave 7: stationary distribution of the type-transition chain
+    # (8 unrolled power rounds at alphabet² grain — completes the
+    # Markov family: transitions + removal-effect attribution + π)
+    q["events_markov_steady_state"] = (
+        lambda s, d: relational.markov_steady_state(raw(s, d, "events"))
+    )
     # r11: distributed PCA (Arrow partial-Gram reduce + dim-bounded
     # driver eigh — the codebook convention) → rows-only gate
     # (eigendecomposition isn't ANSI SQL); numpy parity in
@@ -1750,6 +1761,8 @@ _PROMOTED = [
     # full 241-oracle sweep still runs every session via
     # tests/test_oracle_parity.py::test_parity_all.
     # -- new in r11 / plan or arithmetic changed in r11:
+    "events_markov_steady_state",
+    "emb_dim_stats",
     "events_poisson_dispersion",
     "emb_knn_label_audit",
     "events_friedman",

@@ -477,3 +477,74 @@ def test_ljung_box_gappy_short_series_null(spark):
     r = ljung_box_daily(ev).collect()[0]
     assert r["n_days"] == 6
     assert r["q_stat"] is None
+
+
+def _py_steady(seqs, rounds=8):
+    """Python mirror of markov_steady_state: round-6 transition probs,
+    8 unnormalized power rounds from uniform, one L1 normalization."""
+    from collections import Counter
+
+    bigrams = Counter()
+    for seq in seqs:
+        for a, b in zip(seq, seq[1:]):
+            bigrams[(a, b)] += 1
+    n_from = Counter()
+    for (a, _), c in bigrams.items():
+        n_from[a] += c
+    p = {k: round(c / n_from[k[0]], 6) for k, c in bigrams.items()}
+    states = sorted({s for k in bigrams for s in k})
+    pi = {s: 1.0 / len(states) for s in states}
+    for _ in range(rounds):
+        nxt = {s: 0.0 for s in states}
+        for (a, b), pr in p.items():
+            nxt[b] += pi[a] * pr
+        pi = nxt
+    tot = sum(pi.values())
+    return {s: round(pi[s] / tot, 6) for s in states}
+
+
+def test_markov_steady_state_matches_python(spark):
+    from kafka_overwatch_spark.operators.relational import (
+        markov_steady_state,
+    )
+
+    # one user, sequence a,a,b,a,b,a: P(a->a)=1/3, P(a->b)=2/3,
+    # P(b->a)=1 — limit pi = (0.6, 0.4); the registered statistic is
+    # the 8-round iterate, checked against the python mirror
+    seq = ["a", "a", "b", "a", "b", "a"]
+    ev = _events(spark, [(1, 1, h + 1, t, 1.0) for h, t in enumerate(seq)])
+    got = {r["event_type"]: r["pi"] for r in markov_steady_state(ev).collect()}
+    want = _py_steady([seq])
+    assert got.keys() == want.keys()
+    for s in want:
+        assert got[s] == pytest.approx(want[s], abs=2e-6)
+    # 8 rounds sit close to the (0.6, 0.4) fixpoint
+    assert abs(got["a"] - 0.6) < 0.01 and abs(got["b"] - 0.4) < 0.01
+
+
+def test_markov_steady_state_periodic_chain_stable(spark):
+    from kafka_overwatch_spark.operators.relational import (
+        markov_steady_state,
+    )
+
+    # strict alternation a,b,a,b,...: P is a swap; uniform start is
+    # invariant, so the iterate IS (0.5, 0.5) at every depth
+    seq = ["a", "b"] * 4
+    ev = _events(spark, [(1, 1, h + 1, t, 1.0) for h, t in enumerate(seq)])
+    got = {r["event_type"]: r["pi"] for r in markov_steady_state(ev).collect()}
+    assert got == {"a": 0.5, "b": 0.5}
+
+
+def test_dim_stats_hand_computed(spark):
+    from kafka_overwatch_spark.pipelines.similarity import dim_stats
+
+    df = spark.createDataFrame(
+        [(0, [0.5, -0.5], 1), (1, [0.5, 0.0], 1)], EMB_SCHEMA
+    )
+    got = {r["dim"]: r for r in dim_stats(df).collect()}
+    assert got[0]["mean"] == 0.5
+    assert got[0]["variance"] == 0.0
+    assert got[0]["frac_zero"] == 0.0 and got[0]["frac_negative"] == 0.0
+    assert got[1]["mean"] == -0.25
+    assert got[1]["variance"] == 0.0625
+    assert got[1]["frac_zero"] == 0.5 and got[1]["frac_negative"] == 0.5
