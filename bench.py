@@ -269,6 +269,7 @@ EXTRA = [
     # round 11, waves 4-7
     "events_markov_steady_state",
     "emb_dim_stats",
+    "emb_centroid_drift",
     "events_poisson_dispersion",
     "emb_knn_label_audit",
     "events_friedman",

@@ -6622,4 +6622,44 @@ SELECT CAST(dim AS BIGINT) AS dim, n,
   round(CAST(n_neg AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_negative
 FROM agg"""
 
+    # centroid-drift batch twin: batch = vec_id % 5 == 0 vs lifetime =
+    # rest; centroid cosine from 2^-20-quantized exact integer sums
+    # (the divisions cancel — scale invariance), one double at the end
+    _cd_cos = (
+        "CASE WHEN b2 > 0 AND l2 > 0 THEN CAST(dot AS DOUBLE)"
+        " / (sqrt(CAST(b2 AS DOUBLE)) * sqrt(CAST(l2 AS DOUBLE))) END"
+    )
+    q["emb_centroid_drift"] = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+ex AS (
+  SELECT vec_id, o.ord - 1 AS dim,
+    CAST(floor(e.emb[o.ord] * 1048576.0) AS HUGEINT) AS q
+  FROM e, (SELECT unnest(generate_series(1, 64)) AS ord) o
+),
+b AS (
+  SELECT dim, sum(q) AS qb, count(*) AS nb
+  FROM ex WHERE vec_id % 5 = 0 GROUP BY 1
+),
+l AS (
+  SELECT dim, sum(q) AS ql, count(*) AS nl
+  FROM ex WHERE vec_id % 5 != 0 GROUP BY 1
+),
+j AS (
+  SELECT coalesce(b.qb, 0) AS qb, coalesce(l.ql, 0) AS ql, b.nb, l.nl
+  FROM b FULL JOIN l ON b.dim = l.dim
+),
+agg AS (
+  SELECT sum(qb * ql) AS dot, sum(qb * qb) AS b2, sum(ql * ql) AS l2,
+    max(nb) AS n_batch, max(nl) AS n_lifetime
+  FROM j
+)
+SELECT CAST(coalesce(n_batch, 0) AS BIGINT) AS n_batch,
+  CAST(coalesce(n_lifetime, 0) AS BIGINT) AS n_lifetime,
+  round({_cd_cos}, 6) AS cosine,
+  round(1.0 - ({_cd_cos}), 6) AS cosine_shift,
+  coalesce(round(1.0 - ({_cd_cos}), 6) > 0.02, false) AS alert
+FROM agg"""
+
     return q

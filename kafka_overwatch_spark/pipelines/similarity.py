@@ -3035,3 +3035,92 @@ def dim_stats(embeddings: DataFrame) -> DataFrame:
             "frac_negative"
         ),
     )
+
+
+def quantized_dim_sums(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension 2⁻²⁰-quantized coordinate sums (dim, qsum, n) —
+    the MERGEABLE state of the centroid-drift family: sums of
+    floor(x·2²⁰) integers add across batches/partitions exactly, so
+    the lifetime state is just the sum of per-batch partitions (the
+    keyness-index recipe). See dim_stats for why the power-of-two grid
+    (and not decimal round-6) is the cross-engine-exact quantization.
+    Output: dim, qsum (DECIMAL exact), n."""
+    q = F.floor(F.col("x").cast("double") * F.lit(1048576.0)).cast(
+        "decimal(38,0)"
+    )
+    return (
+        embeddings.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.sum(q).alias("qsum"), F.count("*").cast("long").alias("n"))
+    )
+
+
+#: centroid-drift alert threshold: 1 − cos(batch centroid, lifetime
+#: centroid) above this fires (0.02 ≈ a 11° swing of the mean vector)
+CENTROID_SHIFT_ALERT = 0.02
+
+
+def centroid_drift(
+    batch_sums: DataFrame,
+    lifetime_sums: DataFrame,
+    threshold: float = CENTROID_SHIFT_ALERT,
+) -> DataFrame:
+    """Cosine shift of the BATCH embedding centroid against the
+    LIFETIME centroid, from quantized per-dim sum frames — the drift
+    arithmetic of the embedding ingest gate (an encoder version bump,
+    a normalization change, or a poisoned source moves the mean vector
+    long before nearest-neighbor recall visibly degrades). Cosine is
+    scale-invariant, so the centroid divisions cancel: cos =
+    Σ qb·ql / (√Σqb² · √Σql²) is computed ENTIRELY from exact integer
+    sums with one double expression at the end (round 6; NULL when
+    either side is empty or all-zero — honest, not 0). Output (1 row):
+    n_batch, n_lifetime, cosine, cosine_shift, alert."""
+    b = batch_sums.select(
+        "dim", F.col("qsum").alias("qb"), F.col("n").alias("nb")
+    )
+    lf = lifetime_sums.select(
+        "dim", F.col("qsum").alias("ql"), F.col("n").alias("nl")
+    )
+    j = b.join(lf, "dim", "full")
+    qb = F.coalesce(F.col("qb"), F.lit(0).cast("decimal(38,0)"))
+    ql = F.coalesce(F.col("ql"), F.lit(0).cast("decimal(38,0)"))
+    agg = j.agg(
+        F.sum(qb * ql).alias("dot"),
+        F.sum(qb * qb).alias("b2"),
+        F.sum(ql * ql).alias("l2"),
+        F.max("nb").alias("n_batch"),
+        F.max("nl").alias("n_lifetime"),
+    )
+    cos = F.when(
+        (F.col("b2") > 0) & (F.col("l2") > 0),
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("b2").cast("double"))
+           * F.sqrt(F.col("l2").cast("double"))),
+    )
+    return agg.select(
+        F.coalesce(F.col("n_batch"), F.lit(0)).cast("long").alias(
+            "n_batch"
+        ),
+        F.coalesce(F.col("n_lifetime"), F.lit(0)).cast("long").alias(
+            "n_lifetime"
+        ),
+        F.round(cos, 6).alias("cosine"),
+        F.round(1.0 - cos, 6).alias("cosine_shift"),
+        F.coalesce(
+            F.round(1.0 - cos, 6) > threshold, F.lit(False)
+        ).alias("alert"),
+    )
+
+
+def centroid_drift_split(embeddings: DataFrame, modulo: int = 5) -> DataFrame:
+    """Registered batch twin of the streaming centroid-drift monitor:
+    vectors with vec_id % ``modulo`` == 0 play the arriving batch, the
+    rest the lifetime population (the ks_drift_split convention)."""
+    return centroid_drift(
+        quantized_dim_sums(
+            embeddings.filter(F.col("vec_id") % modulo == 0)
+        ),
+        quantized_dim_sums(
+            embeddings.filter(F.col("vec_id") % modulo != 0)
+        ),
+    )

@@ -695,6 +695,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_dim_stats"] = lambda s, d: similarity.dim_stats(
         raw(s, d, "embeddings")
     )
+    # r11 wave 7: batch twin of the streaming centroid-drift monitor
+    # (the embedding ingest gate — sixth family member, first over the
+    # vector modality)
+    q["emb_centroid_drift"] = lambda s, d: similarity.centroid_drift_split(
+        raw(s, d, "embeddings")
+    )
     # r10: centroid silhouette per label (clustering-quality audit)
     q["emb_silhouette"] = lambda s, d: similarity.silhouette_by_label(
         raw(s, d, "embeddings")
@@ -1763,6 +1769,7 @@ _PROMOTED = [
     # -- new in r11 / plan or arithmetic changed in r11:
     "events_markov_steady_state",
     "emb_dim_stats",
+    "emb_centroid_drift",
     "events_poisson_dispersion",
     "emb_knn_label_audit",
     "events_friedman",
