@@ -270,6 +270,8 @@ EXTRA = [
     "events_markov_steady_state",
     "emb_dim_stats",
     "emb_centroid_drift",
+    "emb_norm_profile",
+    "graph_degree_tail",
     "events_poisson_dispersion",
     "emb_knn_label_audit",
     "events_friedman",

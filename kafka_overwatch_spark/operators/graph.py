@@ -1309,3 +1309,63 @@ def components_bounded(
     return labels.select(
         F.col("p").alias("part"), F.col("lbl").cast("long").alias("component")
     )
+
+
+def degree_tail_index(
+    lineitem: DataFrame, k: int = 100, edges: DataFrame | None = None
+) -> DataFrame:
+    """Hill estimator of the co-purchase degree distribution's
+    power-law tail — the hubbiness exponent behind every skew decision
+    this family makes (α ≤ 2 means hub degrees have infinite variance:
+    wedge counts, LSH bucket caps, and join salting all key off how
+    heavy this tail is; the text sibling hill_tail_index covers
+    document sizes). Same recipe: top-(k+1) degrees via
+    TakeOrderedAndProject (deterministic tie order d desc, part asc —
+    never a global sort), ln ratios of exact integers, α = k/Σln,
+    round 6. Output (1 row): k, d_tail, alpha, tail_mass_frac (share
+    of total degree mass held by the top-k hubs)."""
+    from pyspark.sql.window import Window
+
+    if edges is None:
+        edges = copurchase_edges(lineitem)
+    deg = edge_degrees(edges.select("part_a", "part_b"))
+    top_rows = (
+        deg.select("part", F.col("d").cast("long").alias("x"))
+        .orderBy(F.col("x").desc(), F.col("part").asc())
+        .limit(k + 1)
+    )
+    ranked = top_rows.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("x").desc(), F.col("part").asc())
+        ),
+    )
+    xk1 = ranked.filter(F.col("rn") == k + 1).select(
+        F.col("x").alias("d_tail")
+    )
+    total = deg.agg(F.sum(F.col("d").cast("long")).alias("total_deg"))
+    top = ranked.filter(F.col("rn") <= k)
+    # degenerate tail (every top-k degree equals d_tail → Σln = 0):
+    # alpha is NULL, not an ANSI divide-by-zero (DuckDB's double
+    # division already yields NULL there — the guard mirrors it)
+    lnsum = F.sum(
+        F.log(F.col("x").cast("double") / F.col("d_tail").cast("double"))
+    )
+    agg = top.crossJoin(F.broadcast(xk1)).agg(
+        F.lit(k).cast("long").alias("k"),
+        F.max("d_tail").cast("long").alias("d_tail"),
+        F.round(
+            F.when(lnsum > 0, F.lit(float(k)) / lnsum), 6
+        ).alias("alpha"),
+        F.sum("x").cast("long").alias("topk_deg"),
+    )
+    return agg.crossJoin(F.broadcast(total)).select(
+        "k",
+        "d_tail",
+        "alpha",
+        F.round(
+            F.col("topk_deg").cast("double")
+            / F.col("total_deg").cast("double"),
+            6,
+        ).alias("tail_mass_frac"),
+    )

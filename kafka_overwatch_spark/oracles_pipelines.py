@@ -6662,4 +6662,62 @@ SELECT CAST(coalesce(n_batch, 0) AS BIGINT) AS n_batch,
   coalesce(round(1.0 - ({_cd_cos}), 6) > 0.02, false) AS alert
 FROM agg"""
 
+    # vector-norm health: per-vector squared norm is an exact BIGINT
+    # over 2^-20-quantized coordinates (list fold — no unnest), mean
+    # accumulates round-6 norms as exact DECIMALs
+    q["emb_norm_profile"] = """
+WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+pv AS (
+  SELECT sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
+    i -> CAST(floor(emb[i] * 1048576.0) AS BIGINT)
+      * CAST(floor(emb[i] * 1048576.0) AS BIGINT))) AS DOUBLE)
+    / 1099511627776.0) AS norm
+  FROM e
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+  round(CAST(sum(CAST(round(norm, 6) AS DECIMAL(38,6))) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE), 6) AS mean_norm,
+  round(min(norm), 6) AS min_norm,
+  round(max(norm), 6) AS max_norm,
+  round(CAST(sum(CASE WHEN abs(norm - 1.0) > 0.01 THEN 1 ELSE 0 END)
+    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS frac_unnormalized
+FROM pv"""
+
+    # Hill tail index of the co-purchase degree distribution — the
+    # text_hill_tail_index recipe over vertex degrees
+    q["graph_degree_tail"] = """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+deg AS (
+  SELECT p AS part, count(*) AS d FROM (
+    SELECT part_a AS p FROM pairs
+    UNION ALL SELECT part_b AS p FROM pairs
+  ) GROUP BY 1
+),
+ranked AS (
+  SELECT part, CAST(d AS BIGINT) AS x,
+    row_number() OVER (ORDER BY d DESC, part ASC) AS rn
+  FROM deg
+),
+xk1 AS (SELECT x AS d_tail FROM ranked WHERE rn = 101),
+tot AS (SELECT sum(CAST(d AS BIGINT)) AS total_deg FROM deg),
+agg AS (
+  SELECT CAST(100 AS BIGINT) AS k,
+    CAST(max(d_tail) AS BIGINT) AS d_tail,
+    round(100.0 / sum(ln(CAST(x AS DOUBLE) / CAST(d_tail AS DOUBLE))),
+      6) AS alpha,
+    sum(x) AS topk_deg
+  FROM ranked, xk1 WHERE rn <= 100
+)
+SELECT k, d_tail, alpha,
+  round(topk_deg / CAST(total_deg AS DOUBLE), 6) AS tail_mass_frac
+FROM agg, tot"""
+
     return q

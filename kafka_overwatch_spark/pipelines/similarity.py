@@ -3124,3 +3124,49 @@ def centroid_drift_split(embeddings: DataFrame, modulo: int = 5) -> DataFrame:
             embeddings.filter(F.col("vec_id") % modulo != 0)
         ),
     )
+
+
+def norm_profile(embeddings: DataFrame) -> DataFrame:
+    """Vector-norm health profile: n, mean/min/max L2 norm and the
+    fraction of vectors whose norm strays > 1% from 1.0 — the
+    companion of dim_stats (that audits coordinates; this audits
+    magnitudes: an unnormalized encoder output or a norm collapse
+    breaks cosine retrieval silently). Each vector's squared norm is
+    an EXACT long computed by a narrow JVM array fold over the 2⁻²⁰-
+    quantized coordinates (q² ≤ 2⁴⁰, ×64 dims < 2⁴⁷ — no explode, no
+    shuffle wider than the final 1-row aggregate); the norm is one
+    double per vector, the mean accumulates round-6 norms as exact
+    DECIMALs (order-independent), min/max are order-free by nature.
+    Output (1 row): n, mean_norm, min_norm, max_norm,
+    frac_unnormalized."""
+    q2 = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: (
+                F.floor(x.cast("double") * F.lit(1048576.0))
+                * F.floor(x.cast("double") * F.lit(1048576.0))
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    norm = F.sqrt(q2.cast("double") / F.lit(1099511627776.0))
+    per_vec = embeddings.select(norm.alias("norm"))
+    return per_vec.agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            F.sum(F.round(F.col("norm"), 6).cast("decimal(38,6)"))
+            .cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("mean_norm"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.round(F.max("norm"), 6).alias("max_norm"),
+        F.round(
+            F.sum(
+                (F.abs(F.col("norm") - 1.0) > 0.01).cast("long")
+            ).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("frac_unnormalized"),
+    )

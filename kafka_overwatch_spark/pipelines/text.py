@@ -1259,20 +1259,20 @@ def hill_tail_index(documents: DataFrame, k: int = 100) -> DataFrame:
         F.sum(F.col("n_chars").cast("long")).alias("total_chars")
     )
     top = ranked.filter(F.col("rn") <= k)
+    # degenerate tail (every top-k length equals x_tail → Σln = 0):
+    # alpha is NULL, not an ANSI divide-by-zero (found via the
+    # degree_tail_index sibling's fixture; DuckDB's double division
+    # already yields NULL there)
+    lnsum = F.sum(
+        F.log(F.col("x").cast("double") / F.col("x_tail").cast("double"))
+    )
     return (
         top.crossJoin(F.broadcast(xk1))
         .agg(
             F.lit(k).cast("long").alias("k"),
             F.max("x_tail").cast("long").alias("x_tail"),
             F.round(
-                F.lit(float(k))
-                / F.sum(
-                    F.log(
-                        F.col("x").cast("double")
-                        / F.col("x_tail").cast("double")
-                    )
-                ),
-                6,
+                F.when(lnsum > 0, F.lit(float(k)) / lnsum), 6
             ).alias("alpha"),
             F.sum("x").cast("long").alias("topk_chars"),
         )

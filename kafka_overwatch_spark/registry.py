@@ -701,6 +701,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_centroid_drift"] = lambda s, d: similarity.centroid_drift_split(
         raw(s, d, "embeddings")
     )
+    # r11 wave 8: vector-norm health (norm collapse / unnormalized
+    # encoder output — dim_stats' magnitude companion)
+    q["emb_norm_profile"] = lambda s, d: similarity.norm_profile(
+        raw(s, d, "embeddings")
+    )
     # r10: centroid silhouette per label (clustering-quality audit)
     q["emb_silhouette"] = lambda s, d: similarity.silhouette_by_label(
         raw(s, d, "embeddings")
@@ -1639,6 +1644,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
         )
     )
+    # r11 wave 8: Hill tail index of the degree distribution (the
+    # hubbiness exponent behind the family's skew decisions)
+    q["graph_degree_tail"] = lambda s, d: graph.degree_tail_index(
+        raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
+    )
     # r11: Newman modularity of the LPA communities (same unrolled
     # oracle chain + two exact-integer aggregates) — the "did label
     # propagation find real structure" audit
@@ -1770,6 +1780,8 @@ _PROMOTED = [
     "events_markov_steady_state",
     "emb_dim_stats",
     "emb_centroid_drift",
+    "emb_norm_profile",
+    "graph_degree_tail",
     "events_poisson_dispersion",
     "emb_knn_label_audit",
     "events_friedman",

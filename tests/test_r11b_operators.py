@@ -548,3 +548,72 @@ def test_dim_stats_hand_computed(spark):
     assert got[1]["mean"] == -0.25
     assert got[1]["variance"] == 0.0625
     assert got[1]["frac_zero"] == 0.5 and got[1]["frac_negative"] == 0.5
+
+
+def test_norm_profile_hand_computed(spark):
+    from kafka_overwatch_spark.pipelines.similarity import norm_profile
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.0, -1.0], 0), (2, [3.0, 4.0], 0)],
+        EMB_SCHEMA,
+    )
+    r = norm_profile(df).collect()[0]
+    assert r["n"] == 3
+    assert r["min_norm"] == 1.0
+    assert r["max_norm"] == 5.0
+    # mean of round-6 norms: (1 + 1 + 5) / 3
+    assert r["mean_norm"] == pytest.approx(7 / 3, abs=2e-6)
+    # only the (3,4) vector strays > 1% from unit norm
+    assert r["frac_unnormalized"] == round(1 / 3, 6)
+
+
+def test_degree_tail_degenerate_is_null(spark):
+    from kafka_overwatch_spark.operators import graph
+
+    # 150-clique: ranks 1..101 all have degree 149, so every ln ratio
+    # is 0 and alpha must be NULL (not an ANSI divide-by-zero — the
+    # guard this fixture originally flushed out, in BOTH hill siblings)
+    clique = [
+        (2000 + i, 2000 + j)
+        for i in range(150)
+        for j in range(i + 1, 150)
+    ]
+    got = graph.degree_tail_index(
+        None, k=100, edges=_edges_df(spark, clique)
+    ).collect()[0]
+    assert got["d_tail"] == 149
+    assert got["alpha"] is None
+
+
+def test_degree_tail_matches_python(spark):
+    import math
+
+    from kafka_overwatch_spark.operators import graph
+
+    # distinct degrees: vertex v in a chain of stars — build a graph
+    # where hub h_i has i leaves (i = 5..40), so degrees differ
+    pairs = []
+    for i in range(5, 41):
+        hub = i * 1000
+        pairs += [(hub, hub + 1 + j) for j in range(i)]
+    k = 10
+    got = graph.degree_tail_index(
+        None, k=k, edges=_edges_df(spark, pairs)
+    ).collect()[0]
+    # python mirror
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    ordered = sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [d for _, d in ordered[:k]]
+    d_tail = ordered[k][1]
+    alpha = round(k / sum(math.log(x / d_tail) for x in xs), 6)
+    total = sum(deg.values())
+    assert got["d_tail"] == d_tail
+    assert got["alpha"] == pytest.approx(alpha, abs=2e-6)
+    assert got["tail_mass_frac"] == pytest.approx(
+        round(sum(xs) / total, 6), abs=2e-6
+    )
