@@ -266,7 +266,7 @@ EXTRA = [
     "graph_modularity",
     "events_pacf",
     "graph_assortativity",
-    # round 11, waves 4-7
+    # round 11, waves 4-8
     "events_markov_steady_state",
     "emb_dim_stats",
     "emb_centroid_drift",

@@ -6177,8 +6177,14 @@ def markov_steady_state(events: DataFrame, rounds: int = 8) -> DataFrame:
     is dim-sized (the one fact-scale job is the bigram window
     aggregate, shared with event_type_transitions). Output:
     event_type, pi."""
-    trans = event_type_transitions(events).select(
-        "from_type", "to_type", F.col("p")
+    # checkpoint the transition frame FIRST: the bigram window
+    # aggregate is the one fact-scale job here, and both the state
+    # derivation and every power round read from it — materializing
+    # states off the raw lineage would pay that stage twice
+    trans = (
+        event_type_transitions(events)
+        .select("from_type", "to_type", F.col("p"))
+        .localCheckpoint(eager=True)
     )
     states = (
         trans.select(F.col("from_type").alias("event_type"))
@@ -6187,8 +6193,14 @@ def markov_steady_state(events: DataFrame, rounds: int = 8) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n = states.count()
+    if n == 0:
+        # no bigrams (≤1 event per user): the chain has no states —
+        # return the empty frame the oracle's empty-CTE chain yields,
+        # not a driver ZeroDivisionError
+        return states.select(
+            "event_type", F.lit(None).cast("double").alias("pi")
+        )
     pi = states.withColumn("pi", F.lit(1.0 / n))
-    trans = trans.localCheckpoint(eager=True)
     for _ in range(rounds):
         pi = (
             trans.join(

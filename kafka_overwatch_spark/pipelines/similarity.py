@@ -2987,6 +2987,22 @@ def knn_label_audit(
     )
 
 
+#: the cross-engine-exact coordinate quantization grid (NOTES lesson
+#: 18): floor(x * 2^20) — a power-of-two multiply is exact in binary
+#: FP, so the integer is bit-identical in any engine (decimal round-6
+#: on raw floats is NOT). Q20_SQ rescales squared-sum statistics back.
+Q20 = 1048576.0  # 2^20
+Q20_SQ = 1099511627776.0  # 2^40
+
+
+def _q20(col: F.Column) -> F.Column:
+    """floor(col · 2²⁰) as a DOUBLE-input exact-integer quantizer —
+    one definition of the grid shared by dim_stats /
+    quantized_dim_sums / norm_profile (and mirrored verbatim by their
+    oracles); change it in lockstep with the SQL or parity breaks."""
+    return F.floor(col.cast("double") * F.lit(Q20))
+
+
 def dim_stats(embeddings: DataFrame) -> DataFrame:
     """Per-dimension embedding health profile: mean, variance,
     zero-fraction, and negative-fraction of every coordinate — the
@@ -3008,7 +3024,7 @@ def dim_stats(embeddings: DataFrame) -> DataFrame:
     64 rows. Output: dim, n, mean, variance, frac_zero,
     frac_negative."""
     x = F.col("x").cast("double")
-    qx = F.floor(x * F.lit(1048576.0)).cast("decimal(38,0)")
+    qx = _q20(x).cast("decimal(38,0)")
     exploded = embeddings.select(
         F.posexplode("embedding").alias("dim", "x")
     )
@@ -3023,11 +3039,11 @@ def dim_stats(embeddings: DataFrame) -> DataFrame:
     return agg.select(
         F.col("dim").cast("long").alias("dim"),
         "n",
-        F.round(F.col("s1") / nd / 1048576.0, 6).alias("mean"),
+        F.round(F.col("s1") / nd / Q20, 6).alias("mean"),
         F.round(
             (F.col("s2") - F.col("s1") * F.col("s1") / nd)
             / nd
-            / 1099511627776.0,
+            / Q20_SQ,
             6,
         ).alias("variance"),
         F.round(F.col("n_zero").cast("double") / nd, 6).alias("frac_zero"),
@@ -3045,9 +3061,7 @@ def quantized_dim_sums(embeddings: DataFrame) -> DataFrame:
     keyness-index recipe). See dim_stats for why the power-of-two grid
     (and not decimal round-6) is the cross-engine-exact quantization.
     Output: dim, qsum (DECIMAL exact), n."""
-    q = F.floor(F.col("x").cast("double") * F.lit(1048576.0)).cast(
-        "decimal(38,0)"
-    )
+    q = _q20(F.col("x")).cast("decimal(38,0)")
     return (
         embeddings.select(F.posexplode("embedding").alias("dim", "x"))
         .groupBy("dim")
@@ -3142,15 +3156,12 @@ def norm_profile(embeddings: DataFrame) -> DataFrame:
     q2 = F.aggregate(
         F.transform(
             "embedding",
-            lambda x: (
-                F.floor(x.cast("double") * F.lit(1048576.0))
-                * F.floor(x.cast("double") * F.lit(1048576.0))
-            ).cast("long"),
+            lambda x: (_q20(x) * _q20(x)).cast("long"),
         ),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    norm = F.sqrt(q2.cast("double") / F.lit(1099511627776.0))
+    norm = F.sqrt(q2.cast("double") / F.lit(Q20_SQ))
     per_vec = embeddings.select(norm.alias("norm"))
     return per_vec.agg(
         F.count("*").cast("long").alias("n"),
