@@ -6169,8 +6169,13 @@ def markov_steady_state(events: DataFrame, rounds: int = 8) -> DataFrame:
     bigram), iterates ``rounds`` times unnormalized, and L1-normalizes
     once at the end (the eigencentrality convention — absorbing states,
     if any, shed mass and the final divide makes it the
-    quasi-stationary distribution). The fixed depth makes the DuckDB
-    mirror an unrolled CTE chain; round-6 absorbs cross-engine
+    quasi-stationary distribution). Aggregate semantics apply
+    per-round: a state appears in round t+1 only if some round-t state
+    transitions INTO it (no synthesized zero rows), so states the flow
+    abandons drop from the output, and a chain whose mass fully drains
+    within the budget (a pure DAG of types) returns EMPTY — identical
+    in both engines (hypothesis-pinned). The fixed depth makes the
+    DuckDB mirror an unrolled CTE chain; round-6 absorbs cross-engine
     double-sum order.
 
     Scale shape: the matrix is alphabet²-grain — every per-round join

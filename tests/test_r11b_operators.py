@@ -481,7 +481,11 @@ def test_ljung_box_gappy_short_series_null(spark):
 
 def _py_steady(seqs, rounds=8):
     """Python mirror of markov_steady_state: round-6 transition probs,
-    8 unnormalized power rounds from uniform, one L1 normalization."""
+    8 unnormalized power rounds from uniform, one L1 normalization.
+    Matches the engines' aggregate semantics exactly: a state only
+    appears in round t+1 if some round-t state transitions INTO it
+    (an inner-join aggregate emits no zero rows), and a chain whose
+    mass fully drains (pure DAG) ends empty."""
     from collections import Counter
 
     bigrams = Counter()
@@ -495,12 +499,15 @@ def _py_steady(seqs, rounds=8):
     states = sorted({s for k in bigrams for s in k})
     pi = {s: 1.0 / len(states) for s in states}
     for _ in range(rounds):
-        nxt = {s: 0.0 for s in states}
+        nxt: dict = {}
         for (a, b), pr in p.items():
-            nxt[b] += pi[a] * pr
+            if a in pi:
+                nxt[b] = nxt.get(b, 0.0) + pi[a] * pr
         pi = nxt
     tot = sum(pi.values())
-    return {s: round(pi[s] / tot, 6) for s in states}
+    if not pi or tot == 0:
+        return {}
+    return {s: round(pi[s] / tot, 6) for s in pi}
 
 
 def test_markov_steady_state_matches_python(spark):

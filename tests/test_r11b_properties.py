@@ -219,3 +219,125 @@ def test_welch_matches_python(spark, xs, ys):
     else:
         assert r["t_stat"] == pytest.approx(want_t, abs=2e-6)
         assert r["df_welch"] == pytest.approx(want_df, abs=2e-6)
+
+
+def _py_poisson(counts):
+    n = len(counts)
+    mean = sum(counts) / n
+    if n < 2 or mean <= 0:
+        return mean, None, None
+    var = (sum(c * c for c in counts) - n * mean * mean) / (n - 1)
+    return mean, round(var / mean, 6), round((n - 1) * var / mean, 6)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=12))
+def test_poisson_dispersion_matches_python(spark, counts):
+    from kafka_overwatch_spark.operators.relational import (
+        poisson_dispersion_daily,
+    )
+
+    rows = []
+    i = 0
+    for d, c in enumerate(counts, start=1):
+        for _ in range(c):
+            rows.append((i, 1, dt.datetime(2024, 1, d), "a", 1.0))
+            i += 1
+    ev = spark.createDataFrame(rows, EVENT_COLS)
+    r = poisson_dispersion_daily(ev).collect()[0]
+    mean, vr, dd = _py_poisson(counts)
+    assert r["mean_daily"] == pytest.approx(round(mean, 6), abs=2e-6)
+    if vr is None:
+        assert r["var_ratio"] is None and r["dispersion_d"] is None
+    else:
+        assert r["var_ratio"] == pytest.approx(vr, abs=2e-6)
+        assert r["dispersion_d"] == pytest.approx(dd, abs=2e-6)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=2, max_size=8
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_markov_steady_state_matches_python_random(spark, seqs):
+    from tests.test_r11b_operators import _py_steady
+    from kafka_overwatch_spark.operators.relational import (
+        markov_steady_state,
+    )
+
+    rows = []
+    i = 0
+    for u, seq in enumerate(seqs):
+        for h, t in enumerate(seq):
+            rows.append(
+                (i, u, dt.datetime(2024, 1, 1, h % 24, i % 60), t, 1.0)
+            )
+            i += 1
+    ev = spark.createDataFrame(rows, EVENT_COLS)
+    got = {
+        r["event_type"]: r["pi"]
+        for r in markov_steady_state(ev).collect()
+    }
+    want = _py_steady(seqs)
+    assert got.keys() == want.keys()
+    for s in want:
+        assert got[s] == pytest.approx(want[s], abs=2e-6)
+
+
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+COORD = st.floats(
+    min_value=-1.0, max_value=1.0, allow_nan=False, width=32
+)
+VECS = st.lists(
+    st.tuples(COORD, COORD), min_size=2, max_size=12
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(VECS)
+def test_dim_and_norm_stats_match_numpy(spark, vecs):
+    import math as m
+
+    import numpy as np
+
+    from kafka_overwatch_spark.pipelines.similarity import (
+        dim_stats,
+        norm_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(i, list(v), 0) for i, v in enumerate(vecs)], EMB_SCHEMA
+    )
+    # mirror the exact quantization convention: float32 -> double ->
+    # floor(x * 2^20)
+    q = np.floor(
+        np.array(vecs, dtype=np.float32).astype(np.float64) * 1048576.0
+    )
+    n = len(vecs)
+    got = {r["dim"]: r for r in dim_stats(df).collect()}
+    for d in (0, 1):
+        col = q[:, d]
+        assert got[d]["mean"] == pytest.approx(
+            round(col.sum() / n / 1048576.0, 6), abs=2e-6
+        )
+        var = (
+            (col * col).sum() - col.sum() * col.sum() / n
+        ) / n / 1099511627776.0
+        assert got[d]["variance"] == pytest.approx(round(var, 6), abs=2e-6)
+    norms = np.sqrt((q * q).sum(axis=1) / 1099511627776.0)
+    r = norm_profile(df).collect()[0]
+    assert r["n"] == n
+    assert r["min_norm"] == pytest.approx(round(norms.min(), 6), abs=2e-6)
+    assert r["max_norm"] == pytest.approx(round(norms.max(), 6), abs=2e-6)
+    assert r["mean_norm"] == pytest.approx(
+        round(sum(round(float(x), 6) for x in norms) / n, 6), abs=2e-6
+    )
+    assert r["frac_unnormalized"] == pytest.approx(
+        round(sum(1 for x in norms if m.fabs(x - 1.0) > 0.01) / n, 6),
+        abs=2e-6,
+    )
