@@ -341,3 +341,56 @@ def test_dim_and_norm_stats_match_numpy(spark, vecs):
         round(sum(1 for x in norms if m.fabs(x - 1.0) > 0.01) / n, 6),
         abs=2e-6,
     )
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(COORD, COORD, st.integers(min_value=0, max_value=2)),
+        min_size=3,
+        max_size=10,
+    )
+)
+def test_knn_label_audit_matches_python(spark, rows):
+    import numpy as np
+
+    from kafka_overwatch_spark.pipelines.similarity import knn_label_audit
+
+    # degenerate zero vectors break cosine; keep coordinates away
+    vecs = [
+        (x if abs(x) > 1e-3 else 0.5, y, lab) for x, y, lab in rows
+    ]
+    df = spark.createDataFrame(
+        [(i, [v[0], v[1]], v[2]) for i, v in enumerate(vecs)], EMB_SCHEMA
+    )
+    k = 3
+    got = {
+        r["query_id"]: r
+        for r in knn_label_audit(
+            df, query_ids=tuple(range(len(vecs))), k=k
+        ).collect()
+    }
+    # python mirror: float32 -> normalized float64, round-6 cosine,
+    # (cosine desc, vec_id asc) shortlist, (votes desc, label asc) vote
+    m = np.array(
+        [[v[0], v[1]] for v in vecs], dtype=np.float32
+    ).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    cos = np.round(m @ m.T, 6)
+    for qi in range(len(vecs)):
+        cands = sorted(
+            (
+                (-cos[qi, vi], vi)
+                for vi in range(len(vecs))
+                if vi != qi
+            ),
+        )[:k]
+        votes: dict = {}
+        for _, vi in cands:
+            votes[vecs[vi][2]] = votes.get(vecs[vi][2], 0) + 1
+        pred = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        r = got[qi]
+        assert r["true_label"] == vecs[qi][2]
+        assert r["predicted_label"] == pred[0]
+        assert r["votes"] == pred[1]
+        assert r["correct"] is (pred[0] == vecs[qi][2])
