@@ -1256,7 +1256,7 @@ def components_bounded(
         )
     )
     directed = _right_size(
-        directed, 2 * edges.count()
+        directed, 2 * edges.count(), "src"
     ).localCheckpoint(eager=True)
     labels = (
         directed.select(F.col("src").alias("p"))

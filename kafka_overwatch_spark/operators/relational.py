@@ -5806,12 +5806,18 @@ def kruskal_wallis_values(events: DataFrame) -> DataFrame:
         totals, [F.col("value")], F.col("t"), cum_col="cum"
     ).withColumn("cum_before", F.col("cum") - F.col("t"))
     ranked = vals.join(cum.select("value", "t", "cum_before"), "value")
-    two_r_contrib = F.col("cnt") * (
-        2 * F.col("cum_before") + F.col("t") + F.lit(1)
+    # factors go DECIMAL(38,0) BEFORE the multiply (the
+    # mann_whitney_values convention) — a long×long product here wraps
+    # silently once cnt·n_total > 2⁶³, exactly the 100 TB regime the
+    # docstring's exactness claim covers
+    cnt_d = F.col("cnt").cast("decimal(38,0)")
+    t_d = F.col("t").cast("decimal(38,0)")
+    two_r_contrib = cnt_d * (
+        2 * F.col("cum_before").cast("decimal(38,0)") + t_d + F.lit(1)
     )
     per_group = ranked.groupBy("event_type").agg(
         F.sum("cnt").cast("long").alias("n_i"),
-        F.sum(two_r_contrib.cast("decimal(38,0)")).alias("two_r"),
+        F.sum(two_r_contrib).alias("two_r"),
     )
     # R_i²/n_i in doubles derived once from the exact integers, rounded
     # to 6 before the exact DECIMAL sum — order-independent across

@@ -6094,7 +6094,9 @@ kw_cum AS (
 kw_group AS (
   SELECT v.event_type,
     CAST(sum(v.cnt) AS BIGINT) AS n_i,
-    sum(CAST(v.cnt * (2 * c.cum_before + c.t + 1) AS HUGEINT)) AS two_r
+    sum(CAST(v.cnt AS HUGEINT)
+      * (2 * CAST(c.cum_before AS HUGEINT) + CAST(c.t AS HUGEINT) + 1))
+      AS two_r
   FROM kw_vals v JOIN kw_cum c ON v.value = c.value
   GROUP BY 1
 ),

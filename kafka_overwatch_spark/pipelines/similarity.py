@@ -2791,6 +2791,13 @@ def _probe_label_scores(
     qrows = labeled.filter(F.col("vec_id").isin(*query_ids)).select(
         "vec_id", "label", "embedding"
     ).collect()
+    if not qrows:
+        # no labeled vector matches query_ids: the oracle returns an
+        # empty result, so do the same instead of letting np.linalg.norm
+        # crash on a 0×0 probe matrix
+        return embeddings.sparkSession.createDataFrame(
+            [], PROBE_SCORE_SCHEMA
+        )
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qlab = np.array([r["label"] for r in qrows], dtype=np.int64)
     qmat = np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)

@@ -456,6 +456,26 @@ def test_knn_label_audit_vote_tie_prefers_smaller_label(spark):
     assert (r["predicted_label"], r["votes"]) == (1, 2)
 
 
+def test_knn_label_audit_no_matching_probe_is_empty(spark):
+    """query_ids that match no labeled vector: the oracle returns zero
+    rows, so the probe scorer must short-circuit to an empty frame
+    instead of crashing on a 0-row probe matrix (advisor-found). The
+    whole probe family shares the scorer, so cover all three."""
+    from kafka_overwatch_spark.pipelines.similarity import (
+        hard_negative_topk,
+        knn_label_audit,
+        triplet_candidates,
+    )
+
+    rows = [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], None)]
+    df = spark.createDataFrame(rows, EMB_SCHEMA)
+    # id 99 doesn't exist; id 2 exists but has a NULL label
+    for qids in ((99,), (2,)):
+        assert knn_label_audit(df, query_ids=qids, k=3).count() == 0
+        assert hard_negative_topk(df, query_ids=qids).count() == 0
+        assert triplet_candidates(df, query_ids=qids).count() == 0
+
+
 def test_ljung_box_gappy_short_series_null(spark):
     """6 observed days over a 7-day span have pairs at EVERY lag 1-7,
     but n_days <= max_lag makes the n-k denominators invalid — the
