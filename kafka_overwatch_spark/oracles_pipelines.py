@@ -14,6 +14,11 @@ Parity rules (same as oracles.py) plus:
 
 from __future__ import annotations
 
+from .pipelines.similarity import (
+    NEARDUP_BITS_LADDER,
+    NEARDUP_CANDIDATE_BUDGET,
+    NEARDUP_TABLES,
+)
 from .pipelines.dedup import (
     COSINE_THRESHOLD,
     HAMMING_MAX_BUCKET,
@@ -373,27 +378,66 @@ cand AS (
 SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {SIMHASH_MAX_HAMMING}"""
 
-    # Multi-table LSH near-dup (mirrors similarity.embedding_neardup_pairs_lsh):
-    # 64 md5-derived hyperplanes = 8 tables × 8 bits; candidates share a
-    # (table, bucket); exact cosine verify; DISTINCT pairs across tables.
+    # Multi-table LSH near-dup (mirrors similarity.embedding_neardup_pairs_lsh
+    # at the DENSITY-ADAPTIVE width of similarity.choose_neardup_bits, r12):
+    # sign every vector against the shared md5-derived plane family (8 tables
+    # × up to 16 bits = 128 planes; width-b table t uses planes t·b..t·b+b−1,
+    # exactly _plane_matrix's layout), measure each ladder width's candidate
+    # mass Σ C(n_bucket, 2), pick the coarsest width within the per-vector
+    # budget (finest as fallback), then bucket-join + exact cosine verify at
+    # that width; DISTINCT pairs across tables. At width 8 the plane/bucket
+    # math reduces to the pre-r12 static oracle exactly.
     _plane_w = (
         "((CAST(concat('0x', substr(md5('plane:' || CAST(p AS STRING) || ':' "
         "|| CAST(d AS STRING)), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0)"
     )
-    q["dedup_embedding_cosine"] = f"""
-WITH e AS (
+    _ladder_sql = ", ".join(str(b) for b in NEARDUP_BITS_LADDER)
+    _max_planes = max(NEARDUP_BITS_LADDER) * NEARDUP_TABLES
+    _nd_frontier_cte = f"""e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ),
-signs AS (
+nd_signs AS (
   SELECT vec_id, p,
     CASE WHEN list_sum(list_transform(generate_series(0, 63), d ->
       emb[d+1] * {_plane_w})) > 0 THEN 1 ELSE 0 END AS bit
-  FROM e, (SELECT unnest(generate_series(0, 63)) AS p) ps
+  FROM e, (SELECT unnest(generate_series(0, {_max_planes - 1})) AS p) ps
 ),
+nd_bk AS (
+  SELECT vec_id, w.b AS bits, p // w.b AS tbl,
+    CAST(sum(bit * CAST(pow(2, p % w.b) AS BIGINT)) AS BIGINT) AS bucket
+  FROM nd_signs, (SELECT unnest([{_ladder_sql}]) AS b) w
+  WHERE p < w.b * {NEARDUP_TABLES}
+  GROUP BY vec_id, w.b, p // w.b
+),
+nd_mass AS (
+  SELECT bits, sum((n * (n - 1)) // 2) AS candidate_mass FROM (
+    SELECT bits, tbl, bucket, count(*) AS n FROM nd_bk GROUP BY 1, 2, 3
+  ) GROUP BY bits
+),
+nd_pick AS (
+  SELECT coalesce(
+    (SELECT min(bits) FROM nd_mass
+      WHERE candidate_mass
+        <= {NEARDUP_CANDIDATE_BUDGET} * (SELECT count(*) FROM e)),
+    (SELECT max(bits) FROM nd_mass)) AS bits
+)"""
+    q["ann_neardup_frontier"] = f"""
+WITH {_nd_frontier_cte}
+SELECT m.bits,
+  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_vecs,
+  CAST(m.candidate_mass AS BIGINT) AS candidate_mass,
+  round(CAST(m.candidate_mass AS DOUBLE)
+    / (SELECT count(*) FROM e), 6) AS mass_per_vec,
+  m.candidate_mass
+    <= {NEARDUP_CANDIDATE_BUDGET} * (SELECT count(*) FROM e)
+    AS within_budget,
+  m.bits = (SELECT bits FROM nd_pick) AS chosen
+FROM nd_mass m ORDER BY m.bits"""
+    q["dedup_embedding_cosine"] = f"""
+WITH {_nd_frontier_cte},
 buckets AS (
-  SELECT vec_id, p // 8 AS tbl,
-    CAST(sum(bit * CAST(pow(2, p % 8) AS BIGINT)) AS BIGINT) AS bucket
-  FROM signs GROUP BY vec_id, p // 8
+  SELECT vec_id, tbl, bucket FROM nd_bk
+  WHERE bits = (SELECT bits FROM nd_pick)
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -91,6 +91,7 @@ def curate_semantic(
     documents: DataFrame,
     embeddings: DataFrame,
     quality_threshold: float = QUALITY_THRESHOLD,
+    bits: int | None = None,
 ) -> DataFrame:
     """The full production curation chain: quality gate → exact-dedup
     keeper → EMBEDDING semantic-dedup keeper → split tag. Documents and
@@ -106,7 +107,7 @@ def curate_semantic(
 
     base = curate(documents, quality_threshold)
     keepers = (
-        embedding_semantic_dedup(embeddings)
+        embedding_semantic_dedup(embeddings, bits=bits)
         .filter(F.col("keep"))
         .select(F.col("vec_id").alias("doc_id"))
     )

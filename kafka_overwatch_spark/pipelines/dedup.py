@@ -1245,15 +1245,22 @@ def minhash_fuzzy_dedup(
 
 
 def embedding_semantic_dedup(
-    embeddings: DataFrame, threshold: float = COSINE_THRESHOLD
+    embeddings: DataFrame,
+    threshold: float = COSINE_THRESHOLD,
+    bits: int | None = None,
 ) -> DataFrame:
     """Semantic dedup end-to-end: near-dup pairs (multi-table LSH,
     bucket-local verify — no driver-side corpus materialization) →
     connected components → keep/drop decision per vector. Returns
-    vec_id, component, keep (keeper = min vec_id per component)."""
-    from .similarity import embedding_neardup_pairs_lsh
+    vec_id, component, keep (keeper = min vec_id per component).
+    ``bits=None`` defers the LSH width to the measured density
+    frontier (similarity.choose_neardup_bits); pass an int to pin it
+    (callers holding a memoized choice)."""
+    from .similarity import choose_neardup_bits, embedding_neardup_pairs_lsh
 
-    pairs = embedding_neardup_pairs_lsh(embeddings, threshold)
+    if bits is None:
+        bits = choose_neardup_bits(embeddings)
+    pairs = embedding_neardup_pairs_lsh(embeddings, threshold, bits=bits)
     comps = neardup_components(pairs, embeddings.select("vec_id"))
     return comps.select(
         "vec_id",

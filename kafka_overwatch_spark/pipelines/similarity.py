@@ -464,6 +464,106 @@ def lsh_neighbor_pairs_vectorized(
 NEARDUP_TABLES = 8
 
 
+NEARDUP_BITS_LADDER = (8, 12, 16)
+NEARDUP_CANDIDATE_BUDGET = 256  # candidate pairs per vector
+
+
+def neardup_bits_frontier(
+    embeddings: DataFrame,
+    ladder: tuple[int, ...] = NEARDUP_BITS_LADDER,
+    tables: int = NEARDUP_TABLES,
+    budget_per_vec: int = NEARDUP_CANDIDATE_BUDGET,
+) -> DataFrame:
+    """Density-adaptive bit-width selection for the near-dup LSH index
+    (VERDICT r11 next #1): measure the candidate mass Σ C(n_bucket, 2)
+    each candidate width would induce and flag the width the engine
+    picks — the COARSEST (fewest bits, highest recall) whose mass stays
+    within ``budget_per_vec`` per vector, falling back to the finest
+    width when nothing is affordable (an honest "this corpus is denser
+    than any setting likes" answer). This turns the previously manual
+    bits-retune lever (SCALE.md r11: embedding pairs grew 105× per 10×
+    on the densified generator corpus) into a measured decision the
+    registered path applies itself.
+
+    Scale shape: ONE corpus scan (the shared sign GEMM of
+    _family_bucket_frame — every width reads the same plane family, so
+    a width-8 table is NOT a prefix of a width-12 one, exactly like the
+    production index it predicts), one explode to (bits, tbl, bucket)
+    rows (|ladder|·tables per vector), one count aggregate whose
+    output is bounded by |ladder|·tables·2^max_bits distinct buckets,
+    then a ladder-sized frame. No driver collect beyond the ladder
+    rows. Output: bits, n_vecs, candidate_mass, mass_per_vec,
+    within_budget, chosen."""
+    fams = {b: tables for b in ladder}
+    bks = _family_bucket_frame(embeddings, fams)
+    def _tag(b: int):
+        return lambda x, i: F.struct(
+            F.lit(b).cast("long").alias("bits"),
+            i.cast("long").alias("tbl"),
+            x.alias("bucket"),
+        )
+
+    per_fam = [
+        F.transform(F.col(f"bk{b}"), _tag(b)) for b in sorted(fams)
+    ]
+    exploded = bks.select(
+        F.explode(F.flatten(F.array(*per_fam))).alias("e")
+    ).select("e.bits", "e.tbl", "e.bucket")
+    counts = exploded.groupBy("bits", "tbl", "bucket").agg(
+        F.count("*").alias("n")
+    )
+    mass = counts.groupBy("bits").agg(
+        F.sum(F.expr("(n * (n - 1)) div 2")).alias("candidate_mass")
+    )
+    nv = embeddings.agg(F.count("*").alias("n_vecs"))
+    flags = mass.crossJoin(F.broadcast(nv)).withColumn(
+        "within_budget",
+        F.col("candidate_mass")
+        <= F.lit(budget_per_vec) * F.col("n_vecs"),
+    )
+    # coarsest affordable width wins; nothing affordable → finest width
+    pick = Window.orderBy(
+        F.col("within_budget").desc(),
+        F.when(F.col("within_budget"), F.col("bits"))
+        .otherwise(-F.col("bits"))
+        .asc(),
+    )
+    return (
+        flags.withColumn("chosen", F.row_number().over(pick) == 1)
+        .select(
+            "bits",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.col("candidate_mass").cast("long").alias("candidate_mass"),
+            F.round(
+                F.col("candidate_mass").cast("double")
+                / F.col("n_vecs").cast("double"),
+                6,
+            ).alias("mass_per_vec"),
+            "within_budget",
+            "chosen",
+        )
+        .orderBy("bits")
+    )
+
+
+def choose_neardup_bits(
+    embeddings: DataFrame,
+    ladder: tuple[int, ...] = NEARDUP_BITS_LADDER,
+    tables: int = NEARDUP_TABLES,
+    budget_per_vec: int = NEARDUP_CANDIDATE_BUDGET,
+) -> int:
+    """Collect the frontier's chosen width — the ladder-sized decision
+    the registered near-dup path (and everything composing it) applies
+    at plan-build time. Empty corpus → coarsest width (nothing to
+    collide)."""
+    rows = (
+        neardup_bits_frontier(embeddings, ladder, tables, budget_per_vec)
+        .filter(F.col("chosen"))
+        .collect()
+    )
+    return int(rows[0]["bits"]) if rows else min(ladder)
+
+
 def embedding_neardup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float,

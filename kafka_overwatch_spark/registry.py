@@ -360,6 +360,26 @@ def get_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CONTAINMENT_CAPPED_CACHE[key]
 
 
+_NEARDUP_BITS_CACHE: dict[tuple[int, str], int] = {}
+
+
+def get_neardup_bits(spark: SparkSession, sf_dir: str) -> int:
+    """Memoized density-adaptive LSH width for the embedding near-dup
+    family (VERDICT r11 next #1): one measured bucket-mass pre-pass
+    (similarity.neardup_bits_frontier) per (session, sf_dir) serves
+    every query composing the pair graph — the pair query itself, the
+    density profile, semantic components, and the curation chain all
+    see the SAME index, exactly like a persisted production index."""
+    from .pipelines import similarity
+
+    key = (id(spark), sf_dir)
+    if key not in _NEARDUP_BITS_CACHE:
+        _NEARDUP_BITS_CACHE[key] = similarity.choose_neardup_bits(
+            get_raw_tables(spark, sf_dir)["embeddings"]
+        )
+    return _NEARDUP_BITS_CACHE[key]
+
+
 _DSIR_BUCKETED_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
@@ -668,7 +688,16 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # available as guarded small-N verifiers
     q["dedup_embedding_cosine"] = (
         lambda s, d: similarity.embedding_neardup_pairs_lsh(
-            raw(s, d, "embeddings"), dedup.COSINE_THRESHOLD
+            raw(s, d, "embeddings"),
+            dedup.COSINE_THRESHOLD,
+            bits=get_neardup_bits(s, d),
+        )
+    )
+    # the density frontier behind that width choice, registered as its
+    # own driver-witnessable surface (VERDICT r11 next #1)
+    q["ann_neardup_frontier"] = (
+        lambda s, d: similarity.neardup_bits_frontier(
+            raw(s, d, "embeddings")
         )
     )
     q["ann_cosine_topk"] = lambda s, d: similarity.brute_force_topk_vectorized(
@@ -712,7 +741,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # r10: scale-path density profile over the LSH candidate graph
     q["emb_density_cores_lsh"] = (
-        lambda s, d: similarity.density_cores_lsh(raw(s, d, "embeddings"))
+        lambda s, d: similarity.density_cores_lsh(
+            raw(s, d, "embeddings"), bits=get_neardup_bits(s, d)
+        )
     )
     # r10: DBSCAN-style density profile (exact neighbor counts at
     # round-6 cosine >= 0.3; LSH/IVF candidates are the scale path)
@@ -908,11 +939,13 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # SQL equivalent → rows-only gate; python union-find parity in
     # tests/test_components.py
     q["dedup_semantic_components"] = lambda s, d: dedup.embedding_semantic_dedup(
-        raw(s, d, "embeddings")
+        raw(s, d, "embeddings"), bits=get_neardup_bits(s, d)
     )
     # full chain incl. semantic keep-set (iterative) → rows-only gate
     q["curation_semantic"] = lambda s, d: curation.curate_semantic(
-        raw(s, d, "documents"), raw(s, d, "embeddings")
+        raw(s, d, "documents"),
+        raw(s, d, "embeddings"),
+        bits=get_neardup_bits(s, d),
     )
 
     # multimodal plumbing (Arrow mapInPandas — no ANSI-SQL oracle exists
