@@ -20,6 +20,8 @@ from .pipelines.similarity import (
     NEARDUP_TABLES,
 )
 from .pipelines.dedup import (
+    CONTAINMENT_K_LADDER,
+    CONTAINMENT_MASS_BUDGET,
     COSINE_THRESHOLD,
     HAMMING_MAX_BUCKET,
     JACCARD_THRESHOLD,
@@ -196,14 +198,56 @@ SELECT lang, doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.35"""
 
     # r6: DIRECTIONAL containment (asymmetric near-dup) — the oracle
     # brute-forces all ordered pairs; the Spark side routes through the
-    # pigeonhole-exact prefix filter (recall 1.0 by construction)
+    # pigeonhole-exact prefix filter (recall 1.0 by construction; the
+    # r12 adaptive posting cap provably preserves that, so no cap
+    # appears here). r12: the shingle width K is density-adaptive
+    # (dedup.choose_containment_k) — the oracle mirrors the measured
+    # escalation rule, then brute-forces at the chosen width. At
+    # K=SHINGLE_K this reduces exactly to the pre-r12 oracle.
+    _k0, _k1 = CONTAINMENT_K_LADDER
+
+    def _shingled_k(k: int, name: str) -> str:
+        return f"""{name} AS (
+  SELECT doc_id, lang,
+    list_distinct(list_transform(
+      generate_series(0, greatest(len(toks) - {k}, 0)),
+      i -> array_to_string(toks[i+1:i+{k}], ' '))) AS sh
+  FROM tokarr
+  WHERE len(list_distinct(list_transform(
+      generate_series(0, greatest(len(toks) - {k}, 0)),
+      i -> array_to_string(toks[i+1:i+{k}], ' ')))) > 0
+)"""
+
+    _containment_docs_cte = f"""{NORM_CTE},
+tokarr AS (
+  SELECT doc_id, lang, string_split(t, ' ') AS toks FROM norm
+),
+{_shingled_k(_k0, "cdocs_narrow")},
+cmass AS (
+  SELECT coalesce(sum((df * (df - 1)) // 2), 0) AS mass FROM (
+    SELECT count(*) AS df FROM (
+      SELECT doc_id, unnest(sh) AS s FROM cdocs_narrow
+    ) GROUP BY s
+  )
+),
+ck AS (
+  SELECT CASE WHEN (SELECT mass FROM cmass)
+      <= {CONTAINMENT_MASS_BUDGET} * (SELECT count(*) FROM cdocs_narrow)
+    THEN {_k0} ELSE {_k1} END AS k
+),
+{_shingled_k(_k1, "cdocs_wide")},
+cdocs AS (
+  SELECT * FROM cdocs_narrow WHERE (SELECT k FROM ck) = {_k0}
+  UNION ALL
+  SELECT * FROM cdocs_wide WHERE (SELECT k FROM ck) = {_k1}
+)"""
     q["dedup_containment"] = f"""
-WITH {SHINGLE_CTE},
+WITH {_containment_docs_cte},
 pairs AS (
   SELECT da.lang, da.doc_id AS doc_a, db.doc_id AS doc_b,
     round(CAST(len(list_filter(da.sh, x -> list_contains(db.sh, x)))
       AS DOUBLE) / len(da.sh), 6) AS containment
-  FROM docs da JOIN docs db
+  FROM cdocs da JOIN cdocs db
     ON da.lang = db.lang AND da.doc_id <> db.doc_id
 )
 SELECT lang, doc_a, doc_b, containment FROM pairs

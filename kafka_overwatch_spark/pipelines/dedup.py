@@ -106,15 +106,17 @@ def exact_dedup_keep(documents: DataFrame) -> DataFrame:
     return keep.select("doc_id", "fingerprint")
 
 
-def _shingles() -> F.Column:
-    """Distinct SHINGLE_K-token shingles of the normalized text."""
+def _shingles(k: int = SHINGLE_K) -> F.Column:
+    """Distinct k-token shingles of the normalized text (default
+    SHINGLE_K; the adaptive containment path escalates k on dense
+    corpora — see choose_containment_k)."""
     toks = F.split(_norm_text(), " ")
     return F.array_distinct(
         F.transform(
             F.sequence(
-                F.lit(0), F.greatest(F.size(toks) - SHINGLE_K, F.lit(0))
+                F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))
             ),
-            lambda i: F.array_join(F.slice(toks, i + 1, SHINGLE_K), " "),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
         )
     )
 
@@ -124,13 +126,13 @@ def _jaccard(sa: F.Column, sb: F.Column) -> F.Column:
     return F.round(inter / (F.size(sa) + F.size(sb) - inter), 6)
 
 
-def shingle_docs(documents: DataFrame) -> DataFrame:
+def shingle_docs(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     """The (doc_id, shingle-set) frame — the shared intermediate of the
     shingle-based dedup family. Callers should cache/memoize it (see
     registry.get_shingle_docs); at 100 TB it is a written table."""
     return (
         spread(documents)
-        .select("doc_id", _shingles().alias("sh"))
+        .select("doc_id", _shingles(k).alias("sh"))
         .filter(F.size("sh") > 0)
     )
 
@@ -584,6 +586,192 @@ def containment_pairs_prefix(
     # sort-merge join SORTS those wide rows (measured 25 s vs 4.6 s on
     # the 10× corpus, the whole 3.58× residue of VERDICT r7 #5); hash
     # joins keyed on doc ids never sort the arrays
+    return (
+        cand.join(sh_a.hint("shuffle_hash"), "doc_a")
+        .join(sh_b.hint("shuffle_hash"), "doc_b")
+        .filter(F.col("lang_a") == F.col("lang_b"))
+        .select(
+            F.col("lang_a").alias("lang"),
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size("sh_a"),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+CONTAINMENT_K_LADDER = (SHINGLE_K, 5)
+CONTAINMENT_MASS_BUDGET = 1000  # shingle collision mass per doc
+
+
+def containment_mass(docs: DataFrame) -> tuple[int, int]:
+    """Measured density signal for the adaptive containment levers:
+    (n_docs, Σ_s C(df_s, 2)) over the K=SHINGLE_K shingle frame — the
+    number of same-shingle doc pairs the posting lists hold, i.e. the
+    upper bound of what any shingle-keyed candidate join can emit.
+    One explode + two aggregates; output is two scalars."""
+    postings = docs.select("doc_id", F.explode("sh").alias("s"))
+    row = (
+        postings.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("(df * (df - 1)) div 2")), F.lit(0)
+            ).alias("mass"),
+        )
+        .crossJoin(docs.agg(F.count("*").alias("n_docs")))
+        .collect()[0]
+    )
+    return int(row["n_docs"]), int(row["mass"])
+
+
+def choose_containment_k(
+    docs: DataFrame,
+    ladder: tuple[int, int] = CONTAINMENT_K_LADDER,
+    budget_per_doc: int = CONTAINMENT_MASS_BUDGET,
+) -> int:
+    """Density-adaptive shingle width for the containment family
+    (VERDICT r11 next #1): on an open-vocabulary corpus (Heaps growth
+    keeps rare shingles rare) K=SHINGLE_K collision mass stays linear
+    in docs and the prefix filter is cheap; on a dense closed-vocab
+    corpus (the r11 probe: mass grew 145× per 10× docs) every posting
+    list is long and the EXACT lever is growing the shingle space
+    exponentially — escalate to the ladder's wide K when the measured
+    mass exceeds ``budget_per_doc`` per doc. Deterministic from the
+    data, mirrored in the DuckDB oracle."""
+    n_docs, mass = containment_mass(docs)
+    return ladder[0] if mass <= budget_per_doc * n_docs else ladder[1]
+
+
+def containment_probes_rarest(
+    docs: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Pure rarest-first prefix probes WITH their corpus frequency:
+    (doc_id, s, df, n_sh), rn ≤ ⌊(1−t)·|sh|⌋+1 ordered (df asc, s
+    asc). Unlike _containment_probes there is no bucket-cap tier in
+    the ordering — the adaptive path derives its posting cap FROM the
+    probes (containment_adaptive_cap), which provably keeps every
+    probed bucket alive, so recall stays 1.0 by construction instead
+    of audited-after-the-fact."""
+    postings = docs.select("doc_id", F.explode("sh").alias("s"))
+    freq = postings.groupBy("s").agg(F.count("*").alias("df"))
+    doc_sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    return (
+        postings.join(freq, "s")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("df").asc(), F.col("s").asc()
+                )
+            ),
+        )
+        .join(doc_sizes, "doc_id")
+        .filter(
+            F.col("rn")
+            <= F.floor(F.lit(1.0 - threshold) * F.col("n_sh")) + 1
+        )
+        .select("doc_id", "s", "df", "n_sh")
+    )
+
+
+def containment_adaptive_cap(probes: DataFrame) -> int:
+    """The exact posting cap implied by the probe frame: max df over
+    all selected probes. Every probe's bucket has df ≤ this by
+    definition, so filtering the posting list to df ≤ cap drops ONLY
+    never-probed buckets — zero recall cost (the pigeonhole guarantee
+    needs exactly the probed buckets), unlike the static max_bucket
+    whose residual risk containment_probe_audit had to monitor. On an
+    open-vocab corpus the cap lands near 1 and the posting index
+    shrinks to the rare tail; on a dense corpus it grows just enough
+    to stay exact."""
+    row = probes.agg(F.max("df").alias("cap")).collect()[0]
+    return int(row["cap"]) if row["cap"] is not None else 0
+
+
+def containment_postings_for_cap(
+    docs: DataFrame, cap: int
+) -> DataFrame:
+    """(doc_b, s, n_b) posting list filtered to df ≤ cap — the
+    persisted-index artifact of the adaptive path (same output shape
+    as containment_capped_postings)."""
+    postings = docs.select(
+        "doc_id", F.size("sh").alias("n_b"), F.explode("sh").alias("s")
+    )
+    return (
+        postings.withColumn(
+            "bucket_n", F.count("*").over(Window.partitionBy("s"))
+        )
+        .filter(F.col("bucket_n") <= cap)
+        .select(F.col("doc_id").alias("doc_b"), "s", "n_b")
+    )
+
+
+def containment_pairs_adaptive(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    docs: DataFrame | None = None,
+    probes: DataFrame | None = None,
+    capped_postings: DataFrame | None = None,
+) -> DataFrame:
+    """The registered containment surface (VERDICT r11 next #1): the
+    prefix-filter plan of containment_pairs_prefix with BOTH scale
+    levers driven by measured density instead of static defaults —
+
+    - shingle width K escalates (choose_containment_k) when the
+      K=SHINGLE_K collision mass blows the per-doc budget, shrinking
+      every posting list exponentially on closed-vocab corpora;
+    - the posting cap is derived from the probe frame
+      (containment_adaptive_cap), so recall is 1.0 by construction at
+      ANY density — the static-cap/audit pair becomes unnecessary on
+      this path.
+
+    ``docs`` must be the K=SHINGLE_K shingle frame when provided (the
+    memoized corpus artifact); the K decision is made on it and a
+    wide-K frame is derived only when escalating. Callers holding
+    memoized probe/posting artifacts (registry) pass them to skip the
+    rebuild. Output contract identical to containment_pairs_prefix:
+    lang, doc_a, doc_b, containment."""
+    if docs is None:
+        docs = shingle_docs(documents).localCheckpoint(eager=False)
+    if probes is None or capped_postings is None:
+        k = choose_containment_k(docs)
+        if k != CONTAINMENT_K_LADDER[0]:
+            docs = shingle_docs(documents, k).localCheckpoint(
+                eager=False
+            )
+        probes = containment_probes_rarest(docs, threshold)
+        cap = containment_adaptive_cap(probes)
+        capped_postings = containment_postings_for_cap(docs, cap)
+    ranked = probes.select(
+        F.col("doc_id").alias("doc_a"), "s", F.col("n_sh").alias("n_a")
+    )
+    cand = (
+        capped_postings.join(ranked, "s")
+        .filter(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = docs.join(documents.select("doc_id", "lang"), "doc_id")
+    sh_a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("lang").alias("lang_a"),
+    )
+    sh_b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("lang").alias("lang_b"),
+    )
+    # shuffle_hash for the same reason as containment_pairs_prefix:
+    # never sort rows carrying two full shingle arrays
     return (
         cand.join(sh_a.hint("shuffle_hash"), "doc_a")
         .join(sh_b.hint("shuffle_hash"), "doc_b")

@@ -325,21 +325,54 @@ def get_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _WINNOW_CACHE[key]
 
 
+_CONTAINMENT_K_CACHE: dict[tuple[int, str], int] = {}
+
+
+def get_containment_k(spark: SparkSession, sf_dir: str) -> int:
+    """Memoized density-adaptive shingle width for the containment
+    family (VERDICT r11 next #1): one collision-mass pre-pass over the
+    shared K=SHINGLE_K shingle frame per (session, sf_dir)."""
+    key = (id(spark), sf_dir)
+    if key not in _CONTAINMENT_K_CACHE:
+        _CONTAINMENT_K_CACHE[key] = dedup.choose_containment_k(
+            get_shingle_docs(spark, sf_dir)
+        )
+    return _CONTAINMENT_K_CACHE[key]
+
+
+_CONTAINMENT_DOCS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def get_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shingle frame AT the adaptive width: the shared
+    get_shingle_docs frame when the corpus stays at K=SHINGLE_K (the
+    open-vocab common case — no extra pass), a memoized wide-K frame
+    when the density rule escalates."""
+    k = get_containment_k(spark, sf_dir)
+    if k == dedup.CONTAINMENT_K_LADDER[0]:
+        return get_shingle_docs(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    if key not in _CONTAINMENT_DOCS_CACHE:
+        _CONTAINMENT_DOCS_CACHE[key] = dedup.shingle_docs(
+            get_raw_tables(spark, sf_dir)["documents"], k
+        ).cache()
+    return _CONTAINMENT_DOCS_CACHE[key]
+
+
 _CONTAINMENT_PROBES_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def get_containment_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Memoized containment probe frame at the DEFAULT (threshold,
-    max_bucket) — the corpus-frequency join + per-doc rarest-first
-    window is the expensive half of the prefix filter, and at 100 TB it
-    is a persisted index artifact next to the band index. Only the
-    default-parameter query shares it; the audit query's deliberately
-    tight max_bucket changes the probe_capped flag, so it derives its
-    own frame."""
+    """Memoized rarest-first probe frame at the adaptive width — the
+    corpus-frequency join + per-doc rarest-first window is the
+    expensive half of the prefix filter, and at 100 TB it is a
+    persisted index artifact next to the band index. The audit query's
+    deliberately tight max_bucket changes the probe_capped flag, so it
+    derives its own frame."""
     key = (id(spark), sf_dir)
     if key not in _CONTAINMENT_PROBES_CACHE:
-        _CONTAINMENT_PROBES_CACHE[key] = dedup._containment_probes(
-            get_shingle_docs(spark, sf_dir), 0.8, 10_000
+        _CONTAINMENT_PROBES_CACHE[key] = dedup.containment_probes_rarest(
+            get_containment_docs(spark, sf_dir), 0.8
         ).localCheckpoint(eager=True)
     return _CONTAINMENT_PROBES_CACHE[key]
 
@@ -348,14 +381,16 @@ _CONTAINMENT_CAPPED_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def get_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Memoized capped posting list at the default max_bucket — the
-    bucket-size window over corpus-grain postings is the most expensive
-    single step of the containment query; persisted-index twin of
-    get_containment_probes."""
+    """Memoized posting list at the EXACT adaptive cap (max probe df —
+    recall 1.0 by construction, see dedup.containment_adaptive_cap);
+    persisted-index twin of get_containment_probes."""
     key = (id(spark), sf_dir)
     if key not in _CONTAINMENT_CAPPED_CACHE:
-        _CONTAINMENT_CAPPED_CACHE[key] = dedup.containment_capped_postings(
-            get_shingle_docs(spark, sf_dir), 10_000
+        cap = dedup.containment_adaptive_cap(
+            get_containment_probes(spark, sf_dir)
+        )
+        _CONTAINMENT_CAPPED_CACHE[key] = dedup.containment_postings_for_cap(
+            get_containment_docs(spark, sf_dir), cap
         ).localCheckpoint(eager=True)
     return _CONTAINMENT_CAPPED_CACHE[key]
 
@@ -1098,10 +1133,12 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs=get_shingle_docs(s, d),
         bands=get_minhash_bands(s, d),
     )
+    # r12: both scale levers (shingle width K, posting cap) now derive
+    # from measured density — see dedup.containment_pairs_adaptive
     q["dedup_containment"] = (
-        lambda s, d: dedup.containment_pairs_prefix(
+        lambda s, d: dedup.containment_pairs_adaptive(
             raw(s, d, "documents"),
-            docs=get_shingle_docs(s, d),
+            docs=get_containment_docs(s, d),
             probes=get_containment_probes(s, d),
             capped_postings=get_containment_capped(s, d),
         )

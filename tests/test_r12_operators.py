@@ -61,6 +61,131 @@ def test_choose_bits_empty_corpus_defaults_coarsest(spark):
     assert choose_neardup_bits(df) == min(NEARDUP_BITS_LADDER)
 
 
+DOC_SCHEMA = "doc_id long, lang string, source string, text string"
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, "en", "web", t) for i, t in enumerate(texts)], DOC_SCHEMA
+    )
+
+
+def test_choose_containment_k_escalates_on_dense_corpus(spark):
+    """iid draws from a 3-word vocabulary: every 3-shingle collides,
+    mass blows the budget → K escalates; an open-vocab corpus stays at
+    the narrow default."""
+    from kafka_overwatch_spark.pipelines.dedup import (
+        CONTAINMENT_K_LADDER,
+        choose_containment_k,
+        shingle_docs,
+    )
+    import random
+
+    rng = random.Random(7)
+    dense = _docs(
+        spark,
+        [" ".join(rng.choice("a b c".split()) for _ in range(30))
+         for _ in range(300)],
+    )
+    assert (
+        choose_containment_k(shingle_docs(dense))
+        == CONTAINMENT_K_LADDER[1]
+    )
+    open_vocab = _docs(
+        spark,
+        [" ".join(f"w{i}_{j}" for j in range(30)) for i in range(60)],
+    )
+    assert (
+        choose_containment_k(shingle_docs(open_vocab))
+        == CONTAINMENT_K_LADDER[0]
+    )
+
+
+def test_adaptive_cap_is_max_probe_df_and_exact(spark):
+    """The adaptive posting cap must equal the max corpus frequency
+    over selected probes, and the capped path's output must EQUAL the
+    brute-force containment at the same K — recall 1.0 by
+    construction, not audited."""
+    from kafka_overwatch_spark.pipelines.dedup import (
+        containment_adaptive_cap,
+        containment_pairs,
+        containment_pairs_adaptive,
+        containment_probes_rarest,
+        shingle_docs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog every day"
+    texts = [base, base, base + " and then some more trailing words",
+             "totally different content about spark partitions",
+             "spark partitions shuffle exchange broadcast join hints"]
+    docs_tbl = _docs(spark, texts)
+    docs = shingle_docs(docs_tbl)
+    probes = containment_probes_rarest(docs)
+    cap = containment_adaptive_cap(probes)
+    max_df = (
+        probes.agg(F.max("df").alias("m")).collect()[0]["m"]
+    )
+    assert cap == max_df and cap >= 1
+    got = sorted(
+        (r.doc_a, r.doc_b, r.containment)
+        for r in containment_pairs_adaptive(docs_tbl, docs=docs).collect()
+    )
+    want = sorted(
+        (r.doc_a, r.doc_b, r.containment)
+        for r in containment_pairs(docs_tbl).collect()
+    )
+    # clones contain each other both ways; the extended doc is
+    # contained-in but does not contain back (directional)
+    assert got == want
+    assert set(got) == {(0, 1, 1.0), (1, 0, 1.0), (0, 2, 1.0), (1, 2, 1.0)}
+
+
+def test_escalated_k_matches_brute_force_at_wide_k(spark):
+    """When density forces the wide K, the adaptive output must equal
+    a brute-force containment computed over wide-K shingles."""
+    from kafka_overwatch_spark.pipelines.dedup import (
+        CONTAINMENT_K_LADDER,
+        choose_containment_k,
+        containment_pairs_adaptive,
+        shingle_docs,
+    )
+    import random
+
+    rng = random.Random(11)
+    texts = [" ".join(rng.choice("a b c".split()) for _ in range(25))
+             for _ in range(300)]
+    # plant one exact clone pair so output is non-trivial
+    texts[1] = texts[0]
+    docs_tbl = _docs(spark, texts)
+    docs3 = shingle_docs(docs_tbl)
+    k = choose_containment_k(docs3)
+    assert k == CONTAINMENT_K_LADDER[1]
+    got = sorted(
+        (r.doc_a, r.doc_b, r.containment)
+        for r in containment_pairs_adaptive(docs_tbl, docs=docs3).collect()
+    )
+    wide = shingle_docs(docs_tbl, k)
+    a = wide.alias("a")
+    b = wide.alias("b")
+    want = sorted(
+        (r.doc_a, r.doc_b, r.containment)
+        for r in a.join(b, F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                / F.size("a.sh"),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.8)
+        .collect()
+    )
+    assert got == want
+    assert any(x[0] == 0 and x[1] == 1 for x in got)
+
+
 def test_adaptive_pairs_subset_of_brute_force(spark):
     """LSH at ANY chosen width can only miss pairs, never invent them:
     the adaptive path's output must be a subset of the exact all-pairs
