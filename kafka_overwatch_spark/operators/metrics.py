@@ -18,11 +18,57 @@ lets the sink batch by metric name.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import time
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .lag import lag_per_topic
 from .usage import FINAL_SCAN
+
+SUMMARY_SCHEMA = (
+    "metric string, cluster string, count long, sum_seconds double"
+)
+
+
+@dataclass
+class ScanLatencySummaries:
+    """The reference's self-instrumentation Summaries
+    (`monitoring/prometheus.py:17-28`: ``topics_describe_latency`` /
+    ``groups_describe_latency`` per cluster) — driver-side timers over
+    the collector's control-plane sections, accumulated as
+    (count, sum) exactly like a prometheus Summary without quantiles.
+    ``clock`` is injectable so tests assert exact observations."""
+
+    clock: Callable[[], float] = time.monotonic
+    _acc: dict[tuple[str, str], tuple[int, float]] = field(
+        default_factory=dict
+    )
+
+    def observe(self, metric: str, cluster: str, seconds: float) -> None:
+        n, s = self._acc.get((metric, cluster), (0, 0.0))
+        self._acc[(metric, cluster)] = (n + 1, s + float(seconds))
+
+    @contextmanager
+    def time(self, metric: str, cluster: str):
+        t0 = self.clock()
+        try:
+            yield
+        finally:
+            self.observe(metric, cluster, self.clock() - t0)
+
+    def rows(self) -> list[tuple[str, str, int, float]]:
+        return sorted(
+            (m, c, n, s) for (m, c), (n, s) in self._acc.items()
+        )
+
+    def frame(self, spark: SparkSession) -> DataFrame:
+        """(metric, cluster, count, sum_seconds) — the long-format twin
+        of metrics_snapshot's gauge frame, for the same sinks."""
+        return spark.createDataFrame(self.rows(), SUMMARY_SCHEMA)
 
 
 def metrics_snapshot(

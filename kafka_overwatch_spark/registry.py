@@ -194,6 +194,25 @@ def get_lpa_graph(
     return _LPA_CACHE[key]
 
 
+_LPA_LABELS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def get_lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized round-_LPA_ROUNDS (v, label) frame per (session,
+    sf_dir) — graph_label_propagation and graph_modularity score the
+    SAME labeling, so the power iteration runs once per dataset, not
+    once per report query (VERDICT r11 next #4). The frame is already
+    localCheckpoint-materialized by the delta loop's final round."""
+    from .operators import graph as _graph
+
+    key = (id(spark), sf_dir)
+    if key not in _LPA_LABELS_CACHE:
+        _LPA_LABELS_CACHE[key] = _graph.lpa_labels_delta(
+            None, graph_state=get_lpa_graph(spark, sf_dir)
+        )
+    return _LPA_LABELS_CACHE[key]
+
+
 _TRI_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
@@ -1692,7 +1711,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # mirror and the shared 6-round unrolled oracle gates both.
     q["graph_label_propagation"] = (
         lambda s, d: graph.label_propagation_delta(
-            raw(s, d, "lineitem"), graph_state=get_lpa_graph(s, d)
+            raw(s, d, "lineitem"),
+            graph_state=get_lpa_graph(s, d),
+            labels=get_lpa_labels(s, d),
         )
     )
     # r11: degree assortativity (hubs-to-hubs vs hubs-to-leaves)
@@ -1723,7 +1744,9 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle chain + two exact-integer aggregates) — the "did label
     # propagation find real structure" audit
     q["graph_modularity"] = lambda s, d: graph.modularity_lpa(
-        get_copurchase_edges(s, d), get_lpa_graph(s, d)
+        get_copurchase_edges(s, d),
+        get_lpa_graph(s, d),
+        labels=get_lpa_labels(s, d),
     )
     # r7 continuation: triangle count + global clustering coefficient
     # (oracle-able; three keyed self-joins, no vertex broadcast)

@@ -36,10 +36,26 @@ def _escape_label(value: str) -> str:
     return value.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
 
 
-def render_exposition(metrics: DataFrame) -> str:
+_SUMMARY_HELP = {
+    "topics_describe_latency": (
+        "Time to retrieve Kafka cluster topics details"
+    ),
+    "groups_describe_latency": (
+        "Time to retrieve Kafka cluster groups details"
+    ),
+}
+
+
+def render_exposition(
+    metrics: DataFrame, summaries=None
+) -> str:
     """Prometheus text exposition format (v0.0.4) from the long-format
     (metric, cluster, group_id, topic, value) frame. Deterministic: metric
-    families and label sets are emitted sorted."""
+    families and label sets are emitted sorted. ``summaries`` (an
+    operators.metrics.ScanLatencySummaries, or a DataFrame in its
+    SUMMARY_SCHEMA) appends the reference's scan-latency Summary
+    families (`monitoring/prometheus.py:17-28`) as ``_count``/``_sum``
+    series — prometheus summary semantics without quantile streams."""
     rows = metrics.collect()
     by_metric: dict[str, list] = {}
     for r in rows:
@@ -61,6 +77,29 @@ def render_exposition(metrics: DataFrame) -> str:
             )
             lines.append(f"{metric}{{{label_str}}} {r['value']}")
         out.extend(sorted(lines))
+    if summaries is not None:
+        srows = (
+            summaries.rows()
+            if hasattr(summaries, "rows")
+            else [
+                (r["metric"], r["cluster"], r["count"], r["sum_seconds"])
+                for r in summaries.collect()
+            ]
+        )
+        by_summary: dict[str, list] = {}
+        for metric, cluster, count, sum_s in srows:
+            by_summary.setdefault(metric, []).append(
+                (cluster, count, sum_s)
+            )
+        for metric in sorted(by_summary):
+            out.append(
+                f"# HELP {metric} {_SUMMARY_HELP.get(metric, metric)}"
+            )
+            out.append(f"# TYPE {metric} summary")
+            for cluster, count, sum_s in sorted(by_summary[metric]):
+                lbl = f'cluster="{_escape_label(str(cluster))}"'
+                out.append(f"{metric}_count{{{lbl}}} {count}")
+                out.append(f"{metric}_sum{{{lbl}}} {sum_s}")
     return "\n".join(out) + "\n"
 
 

@@ -28,9 +28,10 @@ rows land in the partitioned ``partition_offsets`` table via a normal
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import time
+from dataclasses import dataclass, field
 from datetime import datetime
-from typing import Protocol
+from typing import Callable, Protocol
 
 
 class ClusterClient(Protocol):
@@ -61,6 +62,147 @@ class ClusterClient(Protocol):
 
 
 @dataclass
+class RetryPolicy:
+    """The reference's retry envelope (`kafka_resources/__init__.py:14-19`:
+    ``@retry((KafkaException,), delay=5, max_delay=30, backoff=2)``) as
+    explicit data: exponential backoff from ``delay`` by ``backoff``,
+    capped at ``max_delay``; ``tries`` attempts total (the reference's
+    decorator retries forever — pass ``tries=-1`` for that; the default
+    here is bounded so a dead broker surfaces as an error instead of a
+    hung collector)."""
+
+    exceptions: tuple[type[BaseException], ...] = (Exception,)
+    tries: int = 5
+    delay: float = 5.0
+    max_delay: float = 30.0
+    backoff: float = 2.0
+
+    def delays(self):
+        """The (possibly infinite) backoff schedule between attempts."""
+        d = self.delay
+        n = 0
+        while self.tries < 0 or n < self.tries - 1:
+            yield min(d, self.max_delay)
+            d *= self.backoff
+            n += 1
+
+
+def retry_call(
+    fn: Callable,
+    policy: RetryPolicy | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+    on_retry: Callable[[BaseException, float], None] | None = None,
+):
+    """Call ``fn`` under the policy: re-invoke on ``policy.exceptions``
+    after the scheduled backoff sleep; any other exception propagates
+    immediately; the last attempt's exception propagates when the
+    schedule runs out. ``sleep`` is injectable so tests assert the
+    exact delay sequence without waiting."""
+    policy = policy or RetryPolicy()
+    delays = policy.delays()
+    while True:
+        try:
+            return fn()
+        except policy.exceptions as exc:
+            try:
+                wait = next(delays)
+            except StopIteration:
+                raise exc from None
+            if on_retry is not None:
+                on_retry(exc, wait)
+            sleep(wait)
+
+
+@dataclass
+class ResilientClusterClient:
+    """``ClusterClient`` decorator adding the reference's two
+    resilience behaviors at the collector seam (VERDICT r11 next #3):
+
+    - per-call retry with exponential backoff
+      (`kafka_resources/__init__.py:14-19`);
+    - health-check + client replacement when retries exhaust
+      (`overwatch_resources/clusters.py:134-163`,
+      ``check_replace_kafka_clients``): the old client is closed if it
+      can be, a fresh one is built from ``factory``, and the call gets
+      ONE more attempt on the new client before the error propagates.
+
+    ``factory`` is any zero-arg builder — ``confluent_client`` bound to
+    a bootstrap string in production, a fake in tests. ``retries`` and
+    ``replacements`` count events for the scan-latency metrics
+    (operators.metrics)."""
+
+    factory: Callable[[], ClusterClient]
+    policy: RetryPolicy = field(default_factory=RetryPolicy)
+    sleep: Callable[[float], None] = time.sleep
+    retries: int = 0
+    replacements: int = 0
+
+    def __post_init__(self) -> None:
+        self._client = self.factory()
+
+    def health_check(self) -> bool:
+        """The cheap liveness probe (the reference pings
+        ``describe_cluster`` / ``memberid``; the protocol's cheapest
+        equivalent is the topic listing)."""
+        try:
+            self._client.list_topics()
+            return True
+        except self.policy.exceptions:
+            return False
+
+    def replace_client(self) -> None:
+        close = getattr(self._client, "close", None)
+        if callable(close):
+            try:
+                close()
+            except Exception:  # noqa: BLE001 — dead client, best effort
+                pass
+        self._client = self.factory()
+        self.replacements += 1
+
+    def _call(self, name: str, *args):
+        def _count(_exc: BaseException, _wait: float) -> None:
+            self.retries += 1
+
+        try:
+            return retry_call(
+                lambda: getattr(self._client, name)(*args),
+                self.policy,
+                self.sleep,
+                on_retry=_count,
+            )
+        except self.policy.exceptions:
+            self.replace_client()
+            return getattr(self._client, name)(*args)
+
+    def list_topics(self) -> list[str]:
+        return self._call("list_topics")
+
+    def describe_topic(self, topic: str) -> list[int]:
+        return self._call("describe_topic", topic)
+
+    def topic_config(self, topic: str) -> dict[str, str]:
+        return self._call("topic_config", topic)
+
+    def watermarks(self, topic: str, partition: int) -> tuple[int, int]:
+        return self._call("watermarks", topic, partition)
+
+    def list_groups(self) -> list[str]:
+        return self._call("list_groups")
+
+    def describe_group(self, group_id: str) -> tuple[str, int]:
+        return self._call("describe_group", group_id)
+
+    def committed_offsets(self, group_id: str) -> list[tuple[str, int, int]]:
+        return self._call("committed_offsets", group_id)
+
+    def close(self) -> None:
+        close = getattr(self._client, "close", None)
+        if callable(close):
+            close()
+
+
+@dataclass
 class SnapshotRows:
     partition_offsets: list[tuple]
     topics: list[tuple]
@@ -72,39 +214,59 @@ class SnapshotRows:
     topic_configs: list[tuple]
 
 
+class _NullTimer:
+    """No-op stand-in for metrics.ScanLatencySummaries."""
+
+    from contextlib import contextmanager
+
+    @contextmanager
+    def time(self, metric: str, cluster: str):
+        yield
+
+
 def collect_snapshot(
     client: ClusterClient,
     cluster: str,
     scan_id: int,
     now: datetime | None = None,
+    summaries=None,
 ) -> SnapshotRows:
     """One scan: the reference's per-interval collection flattened into
     snapshot rows (ts is one instant per scan, `kafka_resources/
-    topics.py:105`)."""
+    topics.py:105`). Pass ``summaries`` (an
+    operators.metrics.ScanLatencySummaries) to record the reference's
+    self-instrumentation timers (`monitoring/prometheus.py:17-28`):
+    the topics section observes ``topics_describe_latency``, the
+    groups section ``groups_describe_latency``."""
     ts = now or datetime.utcnow()
+    timer = summaries if summaries is not None else _NullTimer()
     po, tp, cg, go, tc = [], [], [], [], []
-    for topic in client.list_topics():
-        pids = client.describe_topic(topic)
-        config = client.topic_config(topic)
-        tp.append(
-            (
-                cluster,
-                topic,
-                len(pids),
-                int(config["retention.ms"]) if "retention.ms" in config else None,
-                config.get("cleanup.policy"),
+    with timer.time("topics_describe_latency", cluster):
+        for topic in client.list_topics():
+            pids = client.describe_topic(topic)
+            config = client.topic_config(topic)
+            tp.append(
+                (
+                    cluster,
+                    topic,
+                    len(pids),
+                    int(config["retention.ms"])
+                    if "retention.ms" in config
+                    else None,
+                    config.get("cleanup.policy"),
+                )
             )
-        )
-        for key in sorted(config):
-            tc.append((cluster, topic, key, str(config[key])))
-        for pid in pids:
-            low, high = client.watermarks(topic, pid)
-            po.append((cluster, topic, pid, scan_id, low, high, ts))
-    for group_id in client.list_groups():
-        state, members = client.describe_group(group_id)
-        cg.append((cluster, group_id, state, members))
-        for topic, pid, offset in client.committed_offsets(group_id):
-            go.append((cluster, group_id, topic, pid, offset))
+            for key in sorted(config):
+                tc.append((cluster, topic, key, str(config[key])))
+            for pid in pids:
+                low, high = client.watermarks(topic, pid)
+                po.append((cluster, topic, pid, scan_id, low, high, ts))
+    with timer.time("groups_describe_latency", cluster):
+        for group_id in client.list_groups():
+            state, members = client.describe_group(group_id)
+            cg.append((cluster, group_id, state, members))
+            for topic, pid, offset in client.committed_offsets(group_id):
+                go.append((cluster, group_id, topic, pid, offset))
     return SnapshotRows(po, tp, cg, go, tc)
 
 
