@@ -1327,6 +1327,125 @@ def components_bounded(
     )
 
 
+def components_star(
+    lineitem: DataFrame | None,
+    edges: DataFrame | None = None,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the production 100 TB shape `components_bounded`'s
+    docstring points at: pointer doubling through two edge rewrites
+    per round converges in O(log²) rounds REGARDLESS of diameter,
+    where hop-flooding needs diameter-many rounds (a 10⁶-vertex path
+    graph is 10⁶ flood rounds but ~40 star rounds).
+
+    - large-star at u (min m over N(u)∪{u}): rewrite every edge (u,v)
+      with v > u to (v, m);
+    - small-star at u over its ≤-neighbors: rewrite to (v, m) for all
+      v ∈ N(u)∪{u}, v ≠ m.
+
+    Both are one groupBy-min + one generate step — shuffle on the
+    star-center key only; no vertex broadcast anywhere. Convergence =
+    the oriented edge set reaches a fixed point (star forest), checked
+    with a limit-1 anti-join per round; each round's frame is
+    localCheckpoint-severed like the other iterative operators.
+
+    The per-round rewrite is NOT expressible as one fixed unrollable
+    CTE (the round count is data-dependent and the rewrite is a
+    fixpoint) → rows-only gate; python union-find parity in
+    tests/test_components_star.py, including long-diameter paths where
+    components_bounded's budget would blow (VERDICT r11 next #6).
+    Output: part, component (the minimum part key in the component)."""
+    if edges is None:
+        edges = copurchase_edges(lineitem)
+    base = (
+        edges.select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    vertices = (
+        base.select(F.col("u").alias("p"))
+        .unionAll(base.select(F.col("v").alias("p")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = base.count()
+    # oriented convention throughout: (big, small), big > small
+    e = (
+        base.select(
+            F.greatest("u", "v").alias("big"),
+            F.least("u", "v").alias("small"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        # ---- large-star over E: center u sees ALL neighbors; every
+        # strictly-larger neighbor re-points at m = min(N(u) ∪ {u}).
+        # Each undirected edge emits from its smaller endpoint only, so
+        # the output stays one row per rewritten edge before distinct.
+        both = e.select(
+            F.col("big").alias("ctr"), F.col("small").alias("nb")
+        ).unionAll(
+            e.select(F.col("small").alias("ctr"), F.col("big").alias("nb"))
+        )
+        both = _right_size(both, 2 * n_edges, "ctr")
+        mins = both.groupBy("ctr").agg(
+            F.min(F.least("nb", "ctr")).alias("m")
+        )
+        # (nb, m): nb > ctr ≥ m, so the pair is already (big, small)
+        large = (
+            both.join(mins, "ctr")
+            .filter(F.col("nb") > F.col("ctr"))
+            .select(F.col("nb").alias("big"), F.col("m").alias("small"))
+            .filter(F.col("big") != F.col("small"))
+            .distinct()
+        )
+        # ---- small-star over large-star's OUTPUT (the paper's
+        # alternation): center u over its ≤-neighbors N(u) (exactly the
+        # oriented frame's small side); emit (u, m) and (v, m) for
+        # v ∈ N(u) \ {m} where m = min(N(u)).
+        smins = large.groupBy("big").agg(F.min("small").alias("m"))
+        joined = large.join(smins, "big")
+        small = (
+            joined.filter(F.col("small") != F.col("m"))
+            .select(
+                F.greatest("small", "m").alias("big"),
+                F.least("small", "m").alias("small"),
+            )
+            .unionAll(
+                smins.select("big", F.col("m").alias("small"))
+            )
+            .filter(F.col("big") != F.col("small"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            small.exceptAll(e).limit(1).count()
+            + e.exceptAll(small).limit(1).count()
+        )
+        e = small
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"components_star not converged after {max_rounds} rounds"
+        )
+    # fixed point is a star forest: every (big, small) points big at
+    # its component min; roots appear only on the small side
+    comp = e.select(
+        F.col("big").alias("part"), F.col("small").alias("component")
+    )
+    return (
+        vertices.join(comp, vertices.p == comp.part, "left")
+        .select(
+            F.col("p").alias("part"),
+            F.coalesce("component", "p").cast("long").alias("component"),
+        )
+    )
+
+
 def degree_tail_index(
     lineitem: DataFrame, k: int = 100, edges: DataFrame | None = None
 ) -> DataFrame:

@@ -1735,6 +1735,16 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
         )
     )
+    # r12: the production 100 TB shape — alternating large-star/
+    # small-star (Kiveris et al., O(log²) rounds, diameter-free). The
+    # fixpoint loop is data-dependent → rows-only gate; python
+    # union-find parity + agreement with the flood form in
+    # tests/test_components_star.py (VERDICT r11 next #6)
+    q["graph_components_star"] = (
+        lambda s, d: graph.components_star(
+            raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
+        )
+    )
     # r11 wave 8: Hill tail index of the degree distribution (the
     # hubbiness exponent behind the family's skew decisions)
     q["graph_degree_tail"] = lambda s, d: graph.degree_tail_index(
@@ -1864,66 +1874,31 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # lowest information — still swept by tests/test_oracle_parity.py) sink
 # to the END. Everything else keeps its registration order.
 _PROMOTED = [
-    # r11 rotation (VERDICT r10 next #8): new/plan-changed queries
-    # lead the window, then the longest-unwitnessed oracle-able rows
-    # (r4-r6 vintage, measured from the CORRECTNESS_r* history). The
-    # full 241-oracle sweep still runs every session via
+    # r12 rotation (VERDICT r11 next #2: oldest-witness-first). The
+    # full oracle sweep still runs every session via
     # tests/test_oracle_parity.py::test_parity_all.
-    # -- new in r11 / plan or arithmetic changed in r11:
-    "events_markov_steady_state",
-    "emb_dim_stats",
-    "emb_centroid_drift",
-    "emb_norm_profile",
-    "graph_degree_tail",
-    "events_poisson_dispersion",
-    "emb_knn_label_audit",
-    "events_friedman",
-    "events_welch_t",
-    "sampling_ht_estimate",
-    "emb_triplet_candidates",
+    # -- new in r12 / plan or arithmetic changed in r12:
+    "ann_neardup_frontier",
+    "dedup_embedding_cosine",
+    "dedup_containment",
+    "emb_density_cores_lsh",
+    "dedup_semantic_components",
+    "curation_semantic",
     "events_kruskal_wallis",
-    "events_spearman",
-    "events_ljung_box",
-    "graph_eigencentrality",
     "graph_components_bounded",
-    "emb_hard_negatives",
-    "text_keyness_drift",
     "graph_label_propagation",
-    "events_conformal_interval",
-    "events_kendall_tau",
-    "events_mann_whitney",
-    "events_runs_test",
-    "events_chi2_dow",
-    "events_ks_test",
-    "events_ks_drift",
-    "events_fdr_anomalies",
-    "text_source_jsd",
     "graph_modularity",
-    "events_pacf",
-    "graph_assortativity",
-    # -- longest-unwitnessed (last green r4-r6):
-    "tpch_waiting_orders",
-    "corpus_lang_source_assoc",
-    "curation_pipeline",
-    "dataset_card",
-    "dedup_incremental_screen",
-    "events_asof_attribution",
-    "events_decile_lift",
-    "events_equi_depth_hist",
-    "events_heavy_hitters",
-    "events_preceding_window_join",
-    "events_props_stats",
-    "events_quantile_norm",
-    "events_rollup",
-    "events_running_totals",
-    "events_stickiness",
-    "events_topk_per_type",
-    "events_type_day_pivot",
-    "events_user_deciles",
-    "events_value_gini",
+    "emb_knn_label_audit",
+    "graph_components_star",
+    # -- the full r11-verdict stale tail: every oracle-backed query
+    # last driver-witnessed ≤ r6 (37 rows; the three the r11 NOTES
+    # misclaimed lead). snapshot_* names here OVERRIDE the usual
+    # end-of-list demotion — their witness is r4/r5 vintage.
+    "text_line_dedup",
+    "text_contamination",
+    "media_header_meta",
     "events_winsorized_stats",
     "fuzzy_name_pairs",
-    "media_header_meta",
     "sampling_source_mix",
     "sampling_temperature_weights",
     "sampling_upsample_plan",
@@ -1931,9 +1906,7 @@ _PROMOTED = [
     "sampling_user_cap_summary",
     "text_bigram_logprob",
     "text_bm25",
-    "text_contamination",
     "text_gopher_flags",
-    "text_line_dedup",
     "text_unigram_logprob",
     "text_zipf_fit",
     "topic_throughput_trend",
@@ -1949,6 +1922,15 @@ _PROMOTED = [
     "tpch_small_quantity_revenue",
     "tpch_supplier_hhi",
     "validation_report",
+    "snapshot_consumer_groups",
+    "snapshot_group_offsets",
+    "snapshot_partition_offsets",
+    "snapshot_schemas",
+    "snapshot_subject_versions",
+    "snapshot_subjects",
+    "snapshot_topic_configs",
+    "snapshot_topics",
+    "snapshot_upsert_topics",
 ]
 
 
