@@ -200,11 +200,18 @@ def gen_embeddings(out: Path, n_vecs: int, rng: np.random.Generator) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--out", default="scaledata")
+    ap.add_argument(
+        "--tiers",
+        default="gen0.1:1,gen1:10",
+        help="comma list of name:copies tiers (r12 adds gen10:100 for "
+        "the two-decade probe — VERDICT r11 next #8)",
+    )
     args = ap.parse_args()
     root = Path(args.out)
-    for name, copies in (("gen0.1", 1), ("gen1", args.copies)):
+    for spec in args.tiers.split(","):
+        name, copies_s = spec.split(":")
+        copies = int(copies_s)
         out = root / name
         out.mkdir(parents=True, exist_ok=True)
         rng = np.random.default_rng(4242)
