@@ -1237,6 +1237,7 @@ def components_bounded(
     lineitem: DataFrame,
     rounds: int = 10,
     edges: DataFrame | None = None,
+    broadcast_vertex_limit: int = 2_000_000,
 ) -> DataFrame:
     """Connected components of the co-purchase graph by min-label
     flooding with a DECLARED round budget — the oracle-able sibling of
@@ -1280,7 +1281,7 @@ def components_bounded(
         .withColumn("lbl", F.col("p"))
         .localCheckpoint(eager=True)
     )
-    small = labels.count() <= 2_000_000
+    small = labels.count() <= broadcast_vertex_limit
     converged = False
     for _ in range(rounds):
         # the convergence check rides the flood aggregate: each vertex's

@@ -87,6 +87,11 @@ def main() -> None:
     ap.add_argument("--passes", type=int, default=2)
     args = ap.parse_args()
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    # the 100x tier's iterative-graph aggregates OOM the 8g default
+    # heap (first run: pagerank UNABLE_TO_ACQUIRE_MEMORY at gen10 took
+    # the whole JVM down); local[32] shares one heap across all 32
+    # task slots, so size it like the 32-executor cluster it stands for
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "64g")
 
     import bench  # HEADLINE list + host-load helpers
     from kafka_overwatch_spark import registry
