@@ -794,7 +794,7 @@ def screen_containment_against_corpus(
     new_shingles: DataFrame,
     corpus_shingles: DataFrame,
     threshold: float = 0.8,
-    max_bucket: int = 10_000,
+    max_bucket: int | None = 10_000,
     corpus_postings: DataFrame | None = None,
     corpus_freq: DataFrame | None = None,
     broadcast_probe: bool = True,
@@ -822,7 +822,18 @@ def screen_containment_against_corpus(
     by doc key. ``broadcast_probe``: same micro-batch-sized-probe
     contract as ``screen_against_corpus`` — pass False for
     corpus-fraction probes. Returns (new_doc, corpus_doc, containment ≥
-    threshold)."""
+    threshold).
+
+    ``max_bucket=None`` (r12): EXACT mode — the posting side is
+    semi-joined against the batch's probe-shingle set instead of
+    df-filtered, so every probed bucket is alive by construction
+    (recall 1.0 vs the uncapped corpus, the containment_adaptive_cap
+    argument) AND never-probed boilerplate postings never enter the
+    candidate join at all. With a micro-batch-sized probe frame the
+    semi-join broadcasts — strictly cheaper than the corpus-grain df
+    filter it replaces. The int form stays for callers that want a
+    hard cost cap at a measured recall risk (containment_probe_audit
+    monitors it)."""
     if corpus_postings is None:
         corpus_postings = corpus_shingles.select(
             "doc_id", F.explode("sh").alias("s")
@@ -836,8 +847,13 @@ def screen_containment_against_corpus(
     scored = new_post.join(corpus_freq, "s", "left").withColumn(
         "df", F.coalesce(F.col("df"), F.lit(0))
     )
+    probe_capped = (
+        F.lit(False)
+        if max_bucket is None
+        else F.col("df") > max_bucket
+    )
     probes = (
-        scored.withColumn("probe_capped", F.col("df") > max_bucket)
+        scored.withColumn("probe_capped", probe_capped)
         .withColumn(
             "rn",
             F.row_number().over(
@@ -857,9 +873,18 @@ def screen_containment_against_corpus(
     )
     if broadcast_probe:
         probes = F.broadcast(probes)
-    capped = corpus_postings.join(
-        corpus_freq.filter(F.col("df") <= max_bucket).select("s"), "s"
-    ).select(F.col("doc_id").alias("corpus_doc"), "s")
+    if max_bucket is None:
+        keep_s = probes.select("s").distinct()
+        if broadcast_probe:
+            keep_s = F.broadcast(keep_s)
+        capped = corpus_postings.join(keep_s, "s").select(
+            F.col("doc_id").alias("corpus_doc"), "s"
+        )
+    else:
+        capped = corpus_postings.join(
+            corpus_freq.filter(F.col("df") <= max_bucket).select("s"),
+            "s",
+        ).select(F.col("doc_id").alias("corpus_doc"), "s")
     cand = (
         probes.join(capped, "s")
         .filter(F.col("new_doc") != F.col("corpus_doc"))

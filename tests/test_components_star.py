@@ -101,3 +101,29 @@ def test_matches_components_bounded_on_fixture_graph(spark):
         for r in components_bounded(None, edges=edges).collect()
     }
     assert star == flood and len(star) > 100
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=0, max_value=40),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(EDGES)
+def test_star_components_law_matches_union_find(spark, raw_edges):
+    """Hypothesis law: on ANY generated graph (self-loops dropped,
+    duplicates/parallel edges allowed) the star alternation labels
+    every vertex with its component minimum — the union-find
+    invariant, independent of round count or edge orientation."""
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        return
+    _check(spark, edges)

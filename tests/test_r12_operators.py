@@ -212,3 +212,58 @@ def test_adaptive_pairs_subset_of_brute_force(spark):
     assert set(lsh) <= set(exact)
     for k, v in lsh.items():
         assert exact[k] == v
+
+
+def test_screen_exact_mode_recovers_cap_lost_pairs(spark):
+    """max_bucket=None (r12 exact mode): the posting side is
+    semi-joined on the probe shingles, so a new doc whose every probe
+    is 'boilerplate' (df above any static cap) still finds its corpus
+    container — the capped mode provably loses exactly this pair."""
+    from kafka_overwatch_spark.pipelines.dedup import (
+        screen_containment_against_corpus,
+        shingle_docs,
+    )
+
+    boiler = "alpha beta gamma delta epsilon zeta"
+    corpus = spark.createDataFrame(
+        [(100 + i, "en", "web", boiler + f" tail{i}") for i in range(5)],
+        DOC_SCHEMA,
+    )
+    # new doc = pure boilerplate: contained in every corpus doc; all
+    # its shingles have corpus df >= 4 (well above the tight cap)
+    new = _docs(spark, [boiler])
+    cs = shingle_docs(corpus)
+    ns = shingle_docs(new)
+    capped = screen_containment_against_corpus(ns, cs, max_bucket=2)
+    exact = screen_containment_against_corpus(ns, cs, max_bucket=None)
+    assert capped.count() == 0  # the documented cap recall risk
+    got = {(r.new_doc, r.corpus_doc) for r in exact.collect()}
+    assert len(got) == 5 and all(a == 0 for a, _b in got)
+
+
+def test_screen_exact_mode_matches_capped_when_cap_unbinding(spark):
+    from kafka_overwatch_spark.pipelines.dedup import (
+        screen_containment_against_corpus,
+        shingle_docs,
+    )
+
+    corpus = _docs(
+        spark,
+        ["one two three four five six seven",
+         "totally different corpus text entry here"],
+    )
+    new = _docs(spark, ["one two three four five six seven and more",
+                        "unrelated new arrival document text"])
+    cs = shingle_docs(corpus)
+    ns = shingle_docs(new)
+    a = sorted(
+        (r.new_doc, r.corpus_doc, r.containment)
+        for r in screen_containment_against_corpus(ns, cs).collect()
+    )
+    b = sorted(
+        (r.new_doc, r.corpus_doc, r.containment)
+        for r in screen_containment_against_corpus(
+            ns, cs, max_bucket=None
+        ).collect()
+    )
+    assert a == b
