@@ -495,6 +495,38 @@ JOIN e ea ON c.vec_a = ea.vec_id
 JOIN e eb ON c.vec_b = eb.vec_id
 WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= {COSINE_THRESHOLD}"""
 
+    # r12: semantic split leakage — the adaptive pair graph with the
+    # deterministic-split tag (same bucket math as sampling_split,
+    # vec_id == doc_id is the fixture convention)
+    from .pipelines.sampling import DEFAULT_WEIGHTS, SPLIT_BUCKETS
+
+    _tr_end = int(DEFAULT_WEIGHTS["train"] * SPLIT_BUCKETS)
+    _val_end = _tr_end + int(DEFAULT_WEIGHTS["val"] * SPLIT_BUCKETS)
+    q["emb_split_leakage"] = f"""
+WITH pairs AS MATERIALIZED (SELECT * FROM ({q["dedup_embedding_cosine"]}) p),
+esp AS (
+  SELECT vec_id,
+    CASE WHEN bucket < {_tr_end} THEN 'train'
+         WHEN bucket < {_val_end} THEN 'val'
+         ELSE 'test' END AS split
+  FROM (
+    SELECT vec_id,
+      CAST(concat('0x', substr(md5('split:' || CAST(vec_id AS VARCHAR)),
+        1, 15)) AS BIGINT) % {SPLIT_BUCKETS} AS bucket
+    FROM embeddings
+  )
+)
+SELECT
+  CASE WHEN sa.split = 'train' THEN p.vec_b ELSE p.vec_a END AS eval_vec,
+  CASE WHEN sa.split = 'train' THEN sb.split ELSE sa.split END
+    AS eval_split,
+  CASE WHEN sa.split = 'train' THEN p.vec_a ELSE p.vec_b END AS train_vec,
+  p.cosine
+FROM pairs p
+JOIN esp sa ON p.vec_a = sa.vec_id
+JOIN esp sb ON p.vec_b = sb.vec_id
+WHERE (sa.split = 'train') <> (sb.split = 'train')"""
+
     # --- similarity search ---
     q["ann_cosine_topk"] = """
 WITH e AS (

@@ -564,6 +564,68 @@ def choose_neardup_bits(
     return int(rows[0]["bits"]) if rows else min(ladder)
 
 
+def semantic_split_leakage(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    bits: int | None = None,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """SEMANTIC train/eval split-leakage audit — the embedding twin of
+    curation.split_leakage_audit: near-dup VECTOR pairs that cross the
+    deterministic split boundary (an eval vector cosine-≥-threshold
+    close to a train vector). N-gram contamination checks miss
+    paraphrases; this is the eval-integrity check over the embedding
+    modality, run before trusting any benchmark number.
+
+    Composition of the engine's own primitives: the density-adaptive
+    multi-table LSH pair graph (embedding_neardup_pairs_lsh at
+    choose_neardup_bits' width — pass ``pairs``/``bits`` when holding
+    the memoized artifacts) + sampling.hash_bucket/split_expr on
+    vec_id (doc_id == vec_id is the fixture convention). Candidate
+    recall is the pair graph's — reported by ann_neardup_frontier /
+    lsh_recall_audit, never silently assumed. Scale shape: the split
+    tag is a narrow md5 projection; two keyed joins attach it to the
+    pair frame (pairs ≪ corpus). Output: eval_vec, eval_split,
+    train_vec, cosine."""
+    from .sampling import hash_bucket, split_expr
+
+    if pairs is None:
+        if bits is None:
+            bits = choose_neardup_bits(embeddings)
+        pairs = embedding_neardup_pairs_lsh(
+            embeddings, threshold, bits=bits
+        )
+    sp = embeddings.select(
+        "vec_id",
+        split_expr(hash_bucket(F.col("vec_id"), "split")).alias("split"),
+    )
+    sa = sp.select(
+        F.col("vec_id").alias("vec_a"), F.col("split").alias("split_a")
+    )
+    sb = sp.select(
+        F.col("vec_id").alias("vec_b"), F.col("split").alias("split_b")
+    )
+    a_train = F.col("split_a") == "train"
+    b_train = F.col("split_b") == "train"
+    return (
+        pairs.join(sa, "vec_a")
+        .join(sb, "vec_b")
+        .filter(a_train != b_train)
+        .select(
+            F.when(a_train, F.col("vec_b"))
+            .otherwise(F.col("vec_a"))
+            .alias("eval_vec"),
+            F.when(a_train, F.col("split_b"))
+            .otherwise(F.col("split_a"))
+            .alias("eval_split"),
+            F.when(a_train, F.col("vec_a"))
+            .otherwise(F.col("vec_b"))
+            .alias("train_vec"),
+            "cosine",
+        )
+    )
+
+
 def embedding_neardup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float,

@@ -754,6 +754,14 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             raw(s, d, "embeddings")
         )
     )
+    # r12: semantic split-leakage — the embedding twin of
+    # split_leakage (paraphrase contamination the n-gram check misses);
+    # composes the adaptive pair graph with the deterministic split
+    q["emb_split_leakage"] = (
+        lambda s, d: similarity.semantic_split_leakage(
+            raw(s, d, "embeddings"), bits=get_neardup_bits(s, d)
+        )
+    )
     q["ann_cosine_topk"] = lambda s, d: similarity.brute_force_topk_vectorized(
         raw(s, d, "embeddings")
     )
@@ -1890,6 +1898,7 @@ _PROMOTED = [
     "graph_modularity",
     "emb_knn_label_audit",
     "graph_components_star",
+    "emb_split_leakage",
     # -- the full r11-verdict stale tail: every oracle-backed query
     # last driver-witnessed ≤ r6 (37 rows; the three the r11 NOTES
     # misclaimed lead). snapshot_* names here OVERRIDE the usual

@@ -267,3 +267,41 @@ def test_screen_exact_mode_matches_capped_when_cap_unbinding(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_semantic_split_leakage_planted_pairs(spark):
+    """Plant identical vectors on opposite sides of the deterministic
+    split: every train↔eval near-dup pair must surface with the eval
+    side in eval_vec, and train↔train / eval↔eval pairs must not."""
+    import hashlib
+
+    from kafka_overwatch_spark.pipelines.similarity import (
+        semantic_split_leakage,
+    )
+
+    def split_of(vec_id: int) -> str:
+        b = int(
+            hashlib.md5(f"split:{vec_id}".encode()).hexdigest()[:15], 16
+        ) % 10_000
+        return "train" if b < 9000 else ("val" if b < 9500 else "test")
+
+    train_ids = [i for i in range(400) if split_of(i) == "train"][:3]
+    eval_ids = [i for i in range(400) if split_of(i) != "train"][:3]
+    # three identical clusters, each holding one train and one eval
+    # vector (guaranteed same LSH bucket at every width), plus noise
+    rows = []
+    for k, (t, e) in enumerate(zip(train_ids, eval_ids)):
+        v = _unit(k)
+        rows += [(t, v), (e, v)]
+    rows += [(1000 + i, _unit(20 + i)) for i in range(4)]  # singletons
+    df = spark.createDataFrame(rows, EMB_SCHEMA)
+    out = semantic_split_leakage(df, bits=8)
+    got = {
+        (r.eval_vec, r.eval_split, r.train_vec, r.cosine)
+        for r in out.collect()
+    }
+    want = {
+        (e, split_of(e), t, 1.0)
+        for t, e in zip(train_ids, eval_ids)
+    }
+    assert got == want
