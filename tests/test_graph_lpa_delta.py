@@ -186,3 +186,26 @@ def test_assortativity_matches_python(spark):
     )
     r = graph.assortativity(edges).collect()[0]
     assert r["assortativity"] == want
+
+
+def test_modularity_shared_labels_equals_recompute(spark):
+    """The r12 label-frame memo (registry.get_lpa_labels): modularity
+    scored on a precomputed (v, label) frame must equal the
+    self-computed form bit-for-bit — the sharing is a cost move, never
+    a semantics one."""
+    from kafka_overwatch_spark.operators.graph import (
+        copurchase_edges,
+        lpa_graph_state,
+        lpa_labels_delta,
+        modularity_lpa,
+    )
+
+    lineitem = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    )
+    edges = copurchase_edges(lineitem).localCheckpoint(eager=True)
+    state = lpa_graph_state(edges)
+    labels = lpa_labels_delta(None, graph_state=state)
+    a = modularity_lpa(edges, state, labels=labels).collect()
+    b = modularity_lpa(edges, state).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
