@@ -32,6 +32,7 @@ from .pipelines.dedup import (
     SIMHASH_BITS,
     SIMHASH_CHUNK_BITS,
     SIMHASH_MAX_HAMMING,
+    threshold_rational as dedup_threshold_rational,
 )
 
 # --- shared text CTE fragments (duckdb dialect) ---
@@ -255,12 +256,11 @@ WHERE containment >= 0.8"""
 
     # r7: capped-probe recall audit (ADVICE r6 observability). The
     # oracle re-derives the capped-last probe selection relationally.
-    # The probe budget is floor((1.0-0.8)·n_sh)+1 where Spark computes
-    # 1.0-0.8 in IEEE doubles (= 0.19999999999999996); DuckDB's
-    # DECIMAL literal arithmetic would give an exact 0.2 and disagree
-    # on every doc whose shingle count is a multiple of 5, so the
-    # exact double is spelled out.
-    budget_eps = repr(1.0 - 0.8)
+    # The probe budget is n_sh − ⌈t·n_sh⌉ + 1 in EXACT integer
+    # ceiling-division (ADVICE r12: the earlier IEEE-double form
+    # floor((1.0-0.8)·n_sh)+1 under-budgeted every doc whose shingle
+    # count is a multiple of 5) — mirrors dedup._probe_budget.
+    _bn, _bd = dedup_threshold_rational(0.8)
     q["dedup_containment_audit"] = f"""
 WITH {SHINGLE_CTE},
 postings AS (
@@ -277,7 +277,7 @@ ranked AS (
 ),
 probes AS (
   SELECT * FROM ranked
-  WHERE rn <= floor({budget_eps}::DOUBLE * n_sh) + 1
+  WHERE rn <= n_sh - (({_bn} * n_sh + {_bd - 1}) // {_bd}) + 1
 )
 SELECT
   (SELECT count(DISTINCT doc_id) FROM docs) AS docs_total,

@@ -418,6 +418,41 @@ def containment_pairs(
     )
 
 
+def threshold_rational(threshold: float) -> tuple[int, int]:
+    """Exact rational (num, den) of a containment threshold, read from
+    its shortest decimal form (0.8 → 4/5) rather than the IEEE double
+    it parses to (ADVICE r12): every pigeonhole probe budget and PPJoin
+    length bound in this family is then computed in INTEGER column
+    arithmetic, so exact-threshold boundary cases — a doc whose shingle
+    count is a multiple of the denominator (floor((1.0-0.8)*5) = 0 in
+    doubles, 1 exactly) or a pair with |B| = t·|A| exactly (0.8*5 > 4
+    in doubles) — survive the candidate stage in both engines instead
+    of becoming data-dependent oracle-parity failures."""
+    from fractions import Fraction
+
+    fr = Fraction(str(threshold))
+    return fr.numerator, fr.denominator
+
+
+def _probe_budget(threshold: float, n_sh: str = "n_sh"):
+    """Pigeonhole probe budget as an exact-integer Column:
+    n − ⌈t·n⌉ + 1 (≡ ⌊(1−t)·n⌋ + 1 over the reals, but computed with
+    integer ceiling-division so t·n integral doesn't lose a probe to
+    the 1.0−t double)."""
+    num, den = threshold_rational(threshold)
+    return F.expr(
+        f"{n_sh} - (({num} * {n_sh} + {den - 1}) div {den}) + 1"
+    )
+
+
+def _length_ok(threshold: float, n_b: str = "n_b", n_a: str = "n_a"):
+    """PPJoin length filter |B| ≥ t·|A| as an exact-integer Column
+    (den·|B| ≥ num·|A|): keeps the true boundary pair |B| = t·|A|
+    that the double comparison 0.8·5 > 4 drops."""
+    num, den = threshold_rational(threshold)
+    return F.col(n_b) * F.lit(den) >= F.col(n_a) * F.lit(num)
+
+
 def _containment_probes(
     docs: DataFrame, threshold: float, max_bucket: int
 ) -> DataFrame:
@@ -449,10 +484,7 @@ def _containment_probes(
             ),
         )
         .join(doc_sizes, "doc_id")
-        .filter(
-            F.col("rn")
-            <= F.floor(F.lit(1.0 - threshold) * F.col("n_sh")) + 1
-        )
+        .filter(F.col("rn") <= _probe_budget(threshold))
         .select("doc_id", "s", "probe_capped", "n_sh")
     )
     return probes
@@ -566,7 +598,7 @@ def containment_pairs_prefix(
         ranked.join(capped, "s")
         .filter(
             (F.col("doc_a") != F.col("doc_b"))
-            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+            & _length_ok(threshold)
         )
         .select("doc_a", "doc_b")
         .distinct()
@@ -671,10 +703,7 @@ def containment_probes_rarest(
             ),
         )
         .join(doc_sizes, "doc_id")
-        .filter(
-            F.col("rn")
-            <= F.floor(F.lit(1.0 - threshold) * F.col("n_sh")) + 1
-        )
+        .filter(F.col("rn") <= _probe_budget(threshold))
         .select("doc_id", "s", "df", "n_sh")
     )
 
@@ -754,7 +783,7 @@ def containment_pairs_adaptive(
         capped_postings.join(ranked, "s")
         .filter(
             (F.col("doc_a") != F.col("doc_b"))
-            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+            & _length_ok(threshold)
         )
         .select("doc_a", "doc_b")
         .distinct()
@@ -865,10 +894,7 @@ def screen_containment_against_corpus(
             ),
         )
         .join(sizes, "doc_id")
-        .filter(
-            F.col("rn")
-            <= F.floor(F.lit(1.0 - threshold) * F.col("n_sh")) + 1
-        )
+        .filter(F.col("rn") <= _probe_budget(threshold))
         .select(F.col("doc_id").alias("new_doc"), "s")
     )
     if broadcast_probe:

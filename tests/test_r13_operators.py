@@ -1,0 +1,102 @@
+"""Round-13 regression tests.
+
+ADVICE r12 (medium): the containment family's pigeonhole probe budget
+and PPJoin length filter were computed in IEEE doubles —
+floor((1.0-0.8)*n_sh)+1 under-budgets every doc whose shingle count is
+a multiple of 5, and n_b >= 0.8*n_a drops the exact-boundary pair
+|B| = t*|A|.  Both bounds are now exact integer arithmetic
+(dedup._probe_budget / dedup._length_ok); these tests plant the precise
+boundary corpus the double forms provably lose.
+"""
+from __future__ import annotations
+
+import pytest
+
+
+def _boundary_docs(spark):
+    """doc 1: 7 tokens -> 5 shingles; doc 2: its last 6 tokens ->
+    4 shingles, all contained in doc 1.  containment(1->2) = 4/5 = 0.8
+    EXACTLY, and |B| = 4 = 0.8*5 exactly — the pair sits on both the
+    probe-budget boundary (floor(0.19999…*5)=0 vs exact 1) and the
+    length-filter boundary (4 < 0.8000…444*5 in doubles)."""
+    a = "t1 t2 t3 t4 t5 t6 t7"
+    b = "t2 t3 t4 t5 t6 t7"
+    return spark.createDataFrame(
+        [(1, a, "en"), (2, b, "en")],
+        "doc_id long, text string, lang string",
+    )
+
+
+def test_probe_budget_exact_at_multiple_of_denominator(spark):
+    """A 5-shingle doc must get TWO probes at t=0.8 (n − ⌈t·n⌉ + 1),
+    not the one probe the double floor(0.19999…*5)+1 allowed."""
+    from pyspark.sql import functions as F
+
+    from kafka_overwatch_spark.pipelines.dedup import (
+        containment_probes_rarest,
+        shingle_docs,
+    )
+
+    docs = shingle_docs(_boundary_docs(spark))
+    per_doc = (
+        containment_probes_rarest(docs)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_probes"))
+        .collect()
+    )
+    got = {r.doc_id: r.n_probes for r in per_doc}
+    assert got[1] == 2  # n_sh=5: 5 - ceil(4) + 1 = 2
+    assert got[2] == 1  # n_sh=4: 4 - ceil(3.2) + 1 = 1
+
+
+def test_containment_boundary_pair_survives_prefix_and_adaptive(spark):
+    """containment exactly 0.8 with |B| = t*|A| must be found by BOTH
+    registered candidate routes and agree with the brute-force
+    verifier (the DuckDB oracle's shape)."""
+    from kafka_overwatch_spark.pipelines.dedup import (
+        containment_pairs,
+        containment_pairs_adaptive,
+        containment_pairs_prefix,
+    )
+
+    docs = _boundary_docs(spark)
+    brute = sorted(tuple(r) for r in containment_pairs(docs).collect())
+    assert ("en", 1, 2, 0.8) in brute  # the planted boundary pair
+    prefix = sorted(
+        tuple(r) for r in containment_pairs_prefix(docs).collect()
+    )
+    adaptive = sorted(
+        tuple(r) for r in containment_pairs_adaptive(docs).collect()
+    )
+    assert prefix == brute
+    assert adaptive == brute
+
+
+def test_containment_screen_boundary_pair_both_modes(spark):
+    """The ingest screen inherits the same exact bounds: a new doc
+    contained at exactly t in a corpus doc must hit, in the capped
+    AND the exact (max_bucket=None) modes."""
+    from kafka_overwatch_spark.pipelines.dedup import (
+        screen_containment_against_corpus,
+        shingle_docs,
+    )
+
+    docs = _boundary_docs(spark)
+    new = shingle_docs(docs.filter("doc_id = 1"))
+    corpus = shingle_docs(docs.filter("doc_id = 2"))
+    for max_bucket in (10_000, None):
+        hits = {
+            (r.new_doc, r.corpus_doc): r.containment
+            for r in screen_containment_against_corpus(
+                new, corpus, max_bucket=max_bucket
+            ).collect()
+        }
+        assert hits.get((1, 2)) == 0.8, f"max_bucket={max_bucket}"
+
+
+def test_threshold_rational_is_decimal_exact():
+    from kafka_overwatch_spark.pipelines.dedup import threshold_rational
+
+    assert threshold_rational(0.8) == (4, 5)
+    assert threshold_rational(0.35) == (7, 20)
+    assert threshold_rational(0.5) == (1, 2)
