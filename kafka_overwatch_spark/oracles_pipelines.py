@@ -6419,6 +6419,58 @@ SELECT part, round(score / (SELECT l1 FROM l1), 6) AS score FROM x8"""
 SELECT p AS part, CAST(lbl AS BIGINT) AS component FROM l10"""
     )
 
+    # bounded large-star/small-star components (r13, VERDICT r12 next
+    # #2): 8 alternation rounds unrolled — a round over a converged
+    # star forest is the identity, so early convergence is exact;
+    # Spark raises if round 8 still changed the oriented set. Every
+    # CTE consumed twice is MATERIALIZED (the eigencentrality lesson).
+    _cs_parts = [
+        "baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM "
+        "lineitem)",
+        "pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS "
+        "part_b FROM baskets a JOIN baskets b ON a.l_orderkey = "
+        "b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2)",
+        "verts AS MATERIALIZED (SELECT DISTINCT p FROM (SELECT "
+        "part_a AS p FROM pairs UNION ALL SELECT part_b FROM pairs))",
+        "e0 AS MATERIALIZED (SELECT DISTINCT greatest(part_a, part_b)"
+        " AS big, least(part_a, part_b) AS small FROM pairs "
+        "WHERE part_a <> part_b)",
+    ]
+    for _i in range(8):
+        _cs_parts.append(
+            f"b{_i} AS MATERIALIZED (SELECT big AS ctr, small AS nb "
+            f"FROM e{_i} UNION ALL SELECT small AS ctr, big AS nb "
+            f"FROM e{_i})"
+        )
+        _cs_parts.append(
+            f"m{_i} AS MATERIALIZED (SELECT ctr, "
+            f"min(least(nb, ctr)) AS m FROM b{_i} GROUP BY ctr)"
+        )
+        _cs_parts.append(
+            f"lg{_i} AS MATERIALIZED (SELECT DISTINCT nb AS big, "
+            f"m AS small FROM b{_i} JOIN m{_i} USING (ctr) "
+            f"WHERE nb > ctr AND nb <> m)"
+        )
+        _cs_parts.append(
+            f"sm{_i} AS MATERIALIZED (SELECT big, min(small) AS m "
+            f"FROM lg{_i} GROUP BY big)"
+        )
+        _cs_parts.append(
+            f"e{_i + 1} AS MATERIALIZED (SELECT DISTINCT big, small "
+            f"FROM (SELECT greatest(l.small, s.m) AS big, "
+            f"least(l.small, s.m) AS small FROM lg{_i} l "
+            f"JOIN sm{_i} s USING (big) WHERE l.small <> s.m "
+            f"UNION ALL SELECT big, m AS small FROM sm{_i}) "
+            f"WHERE big <> small)"
+        )
+    q["graph_components_star_bounded"] = (
+        "WITH "
+        + ",\n".join(_cs_parts)
+        + """
+SELECT v.p AS part, CAST(coalesce(c.small, v.p) AS BIGINT) AS component
+FROM verts v LEFT JOIN e8 c ON v.p = c.big"""
+    )
+
     # hard-negative mining: exact top-k cosine restricted to
     # different-label candidates (the ann_cosine_topk oracle plus the
     # label mask; NULL labels drop from both sides)

@@ -1753,6 +1753,16 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
         )
     )
+    # r13: the production components shape, HASH-GATED (VERDICT r12
+    # next #2): 8 unrolled large/small-star rounds with the
+    # RAISE-on-non-convergence contract — the fixture graphs converge
+    # in 3 (a 200-vertex pure path in 9), so the oracle's identity
+    # tail absorbs the margin
+    q["graph_components_star_bounded"] = (
+        lambda s, d: graph.components_star_bounded(
+            raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
+        )
+    )
     # r11 wave 8: Hill tail index of the degree distribution (the
     # hubbiness exponent behind the family's skew decisions)
     q["graph_degree_tail"] = lambda s, d: graph.degree_tail_index(
@@ -1897,7 +1907,10 @@ _PROMOTED = [
     "graph_label_propagation",
     "graph_modularity",
     "emb_knn_label_audit",
-    "graph_components_star",
+    # r13: the rows-only star form was a permanent no_oracle row in the
+    # hash window (the r11 graph_kcore precedent) — the bounded,
+    # oracle-backed form replaces it
+    "graph_components_star_bounded",
     "emb_split_leakage",
     # -- the full r11-verdict stale tail: every oracle-backed query
     # last driver-witnessed ≤ r6 (37 rows; the three the r11 NOTES

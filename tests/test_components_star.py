@@ -127,3 +127,51 @@ def test_star_components_law_matches_union_find(spark, raw_edges):
     if not edges:
         return
     _check(spark, edges)
+
+
+def test_bounded_matches_star_and_raises_on_tight_budget(spark):
+    """components_star_bounded (r13, the hash-gated surface): with the
+    default budget it must equal the fixpoint form; with a budget of 1
+    on a 41-vertex path (measured: 7 alternation rounds) it must RAISE
+    (the components_bounded deviation contract), never return a
+    partial rewrite."""
+    from kafka_overwatch_spark.operators.graph import (
+        components_star,
+        components_star_bounded,
+    )
+
+    edges = [(i, i + 1) for i in range(40)]  # path: needs >1 round
+    df = spark.createDataFrame(edges, EDGE_SCHEMA)
+    bounded = {
+        r["part"]: r["component"]
+        for r in components_star_bounded(None, edges=df).collect()
+    }
+    fixpoint = {
+        r["part"]: r["component"]
+        for r in components_star(None, edges=df).collect()
+    }
+    assert bounded == fixpoint
+    assert set(bounded.values()) == {0}
+    with pytest.raises(RuntimeError, match="still rewriting"):
+        components_star_bounded(None, rounds=1, edges=df).collect()
+
+
+def test_bounded_early_convergence_is_exact(spark):
+    """A round over a converged star forest must be the identity, so a
+    generous budget changes nothing — the property the unrolled oracle
+    depends on."""
+    from kafka_overwatch_spark.operators.graph import (
+        components_star_bounded,
+    )
+
+    edges = [(1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(edges, EDGE_SCHEMA)
+    tight = {
+        r["part"]: r["component"]
+        for r in components_star_bounded(None, rounds=2, edges=df).collect()
+    }
+    loose = {
+        r["part"]: r["component"]
+        for r in components_star_bounded(None, rounds=12, edges=df).collect()
+    }
+    assert tight == loose == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
