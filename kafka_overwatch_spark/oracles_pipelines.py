@@ -204,8 +204,11 @@ SELECT lang, doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.35"""
     # appears here). r12: the shingle width K is density-adaptive
     # (dedup.choose_containment_k) — the oracle mirrors the measured
     # escalation rule, then brute-forces at the chosen width. At
-    # K=SHINGLE_K this reduces exactly to the pre-r12 oracle.
-    _k0, _k1 = CONTAINMENT_K_LADDER
+    # K=SHINGLE_K this reduces exactly to the pre-r12 oracle. r13:
+    # three-rung ladder (3,5,7) — smallest K whose measured mass fits
+    # the budget, priced against the NARROW frame's doc count; the
+    # mid-rung mass is the cascading second test (VERDICT r12 next #5).
+    _k0, _k1, _k2 = CONTAINMENT_K_LADDER
 
     def _shingled_k(k: int, name: str) -> str:
         return f"""{name} AS (
@@ -231,16 +234,30 @@ cmass AS (
     ) GROUP BY s
   )
 ),
-ck AS (
-  SELECT CASE WHEN (SELECT mass FROM cmass)
-      <= {CONTAINMENT_MASS_BUDGET} * (SELECT count(*) FROM cdocs_narrow)
-    THEN {_k0} ELSE {_k1} END AS k
+{_shingled_k(_k1, "cdocs_mid")},
+cmass_mid AS (
+  SELECT coalesce(sum((df * (df - 1)) // 2), 0) AS mass FROM (
+    SELECT count(*) AS df FROM (
+      SELECT doc_id, unnest(sh) AS s FROM cdocs_mid
+    ) GROUP BY s
+  )
 ),
-{_shingled_k(_k1, "cdocs_wide")},
+ck AS (
+  SELECT CASE
+    WHEN (SELECT mass FROM cmass)
+      <= {CONTAINMENT_MASS_BUDGET} * (SELECT count(*) FROM cdocs_narrow)
+    THEN {_k0}
+    WHEN (SELECT mass FROM cmass_mid)
+      <= {CONTAINMENT_MASS_BUDGET} * (SELECT count(*) FROM cdocs_narrow)
+    THEN {_k1} ELSE {_k2} END AS k
+),
+{_shingled_k(_k2, "cdocs_wide")},
 cdocs AS (
   SELECT * FROM cdocs_narrow WHERE (SELECT k FROM ck) = {_k0}
   UNION ALL
-  SELECT * FROM cdocs_wide WHERE (SELECT k FROM ck) = {_k1}
+  SELECT * FROM cdocs_mid WHERE (SELECT k FROM ck) = {_k1}
+  UNION ALL
+  SELECT * FROM cdocs_wide WHERE (SELECT k FROM ck) = {_k2}
 )"""
     q["dedup_containment"] = f"""
 WITH {_containment_docs_cte},

@@ -636,7 +636,7 @@ def containment_pairs_prefix(
     )
 
 
-CONTAINMENT_K_LADDER = (SHINGLE_K, 5)
+CONTAINMENT_K_LADDER = (SHINGLE_K, 5, 7)
 CONTAINMENT_MASS_BUDGET = 1000  # shingle collision mass per doc
 
 
@@ -663,7 +663,8 @@ def containment_mass(docs: DataFrame) -> tuple[int, int]:
 
 def choose_containment_k(
     docs: DataFrame,
-    ladder: tuple[int, int] = CONTAINMENT_K_LADDER,
+    documents: DataFrame | None = None,
+    ladder: tuple[int, ...] = CONTAINMENT_K_LADDER,
     budget_per_doc: int = CONTAINMENT_MASS_BUDGET,
 ) -> int:
     """Density-adaptive shingle width for the containment family
@@ -672,11 +673,31 @@ def choose_containment_k(
     in docs and the prefix filter is cheap; on a dense closed-vocab
     corpus (the r11 probe: mass grew 145× per 10× docs) every posting
     list is long and the EXACT lever is growing the shingle space
-    exponentially — escalate to the ladder's wide K when the measured
-    mass exceeds ``budget_per_doc`` per doc. Deterministic from the
-    data, mirrored in the DuckDB oracle."""
+    exponentially. The rung is the SMALLEST ladder K whose MEASURED
+    mass fits ``budget_per_doc`` per doc (VERDICT r12 next #5: the
+    hardcoded two-rung (3,5) left no rung for the next density decade
+    — gen10 ran 6.56× per 10× with K=5 already engaged); each wider
+    mass is measured only when the previous rung overflows, so the
+    open-vocab common case still pays exactly one pre-pass. The LAST
+    rung is unconditional — a corpus dense at every rung gets the
+    widest shingles and the posting cap bounds the residual.
+    Deterministic from the data, mirrored in the DuckDB oracle.
+
+    ``documents``: the raw frame, needed to re-shingle at the wider
+    rungs; without it the function degrades to the pre-r13 two-rung
+    behavior (one escalation, no re-measure). ``n_docs`` from the
+    narrow frame prices the budget at every rung — the corpus size,
+    not the shrinking count of wide-shingleable docs."""
     n_docs, mass = containment_mass(docs)
-    return ladder[0] if mass <= budget_per_doc * n_docs else ladder[1]
+    if mass <= budget_per_doc * n_docs:
+        return ladder[0]
+    for k in ladder[1:-1]:
+        if documents is None:
+            return k
+        _, mass_k = containment_mass(shingle_docs(documents, k))
+        if mass_k <= budget_per_doc * n_docs:
+            return k
+    return ladder[-1]
 
 
 def containment_probes_rarest(
@@ -768,7 +789,7 @@ def containment_pairs_adaptive(
     if docs is None:
         docs = shingle_docs(documents).localCheckpoint(eager=False)
     if probes is None or capped_postings is None:
-        k = choose_containment_k(docs)
+        k = choose_containment_k(docs, documents)
         if k != CONTAINMENT_K_LADDER[0]:
             docs = shingle_docs(documents, k).localCheckpoint(
                 eager=False

@@ -354,7 +354,8 @@ def get_containment_k(spark: SparkSession, sf_dir: str) -> int:
     key = (id(spark), sf_dir)
     if key not in _CONTAINMENT_K_CACHE:
         _CONTAINMENT_K_CACHE[key] = dedup.choose_containment_k(
-            get_shingle_docs(spark, sf_dir)
+            get_shingle_docs(spark, sf_dir),
+            get_raw_tables(spark, sf_dir)["documents"],
         )
     return _CONTAINMENT_K_CACHE[key]
 

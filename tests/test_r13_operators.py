@@ -100,3 +100,89 @@ def test_threshold_rational_is_decimal_exact():
     assert threshold_rational(0.8) == (4, 5)
     assert threshold_rational(0.35) == (7, 20)
     assert threshold_rational(0.5) == (1, 2)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )
+
+
+def test_containment_k_third_rung_on_ultra_dense_corpus(spark):
+    """VERDICT r12 next #5: a corpus whose collision mass blows the
+    budget at K=3 AND at K=5 must escalate to the third rung (K=7);
+    the rung is the smallest MEASURED-fit, so the r12 dense fixture
+    (3-word vocab, fits at 5) still stops at 5."""
+    import random
+
+    from kafka_overwatch_spark.pipelines.dedup import (
+        CONTAINMENT_K_LADDER,
+        choose_containment_k,
+        shingle_docs,
+    )
+
+    assert CONTAINMENT_K_LADDER == (3, 5, 7)
+    rng = random.Random(13)
+    ultra = _docs(
+        spark,
+        [" ".join(rng.choice("a b".split()) for _ in range(30))
+         for _ in range(300)],
+    )
+    assert (
+        choose_containment_k(shingle_docs(ultra), ultra)
+        == CONTAINMENT_K_LADDER[2]
+    )
+    rng = random.Random(7)
+    dense = _docs(
+        spark,
+        [" ".join(rng.choice("a b c".split()) for _ in range(30))
+         for _ in range(300)],
+    )
+    assert (
+        choose_containment_k(shingle_docs(dense), dense)
+        == CONTAINMENT_K_LADDER[1]
+    )
+
+
+def test_containment_adaptive_matches_brute_force_at_k7(spark):
+    """When density forces the widest rung, the adaptive path must
+    equal brute-force containment over K=7 shingles (recall 1.0 by
+    construction at every rung)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kafka_overwatch_spark.pipelines.dedup import (
+        containment_pairs_adaptive,
+        shingle_docs,
+    )
+
+    rng = random.Random(13)
+    texts = [" ".join(rng.choice("a b".split()) for _ in range(25))
+             for _ in range(300)]
+    texts[1] = texts[0]  # plant an exact clone pair
+    docs_tbl = _docs(spark, texts)
+    got = sorted(
+        (r.doc_a, r.doc_b, r.containment)
+        for r in containment_pairs_adaptive(docs_tbl).collect()
+    )
+    wide = shingle_docs(docs_tbl, 7)
+    a, b = wide.alias("a"), wide.alias("b")
+    want = sorted(
+        (r.doc_a, r.doc_b, r.containment)
+        for r in a.join(b, F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                / F.size("a.sh"),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.8)
+        .collect()
+    )
+    assert got == want
+    assert any(x[0] == 0 and x[1] == 1 for x in got)
