@@ -1049,42 +1049,56 @@ def modularity_lpa(
     so modularity scores the frame graph_label_propagation just
     computed instead of re-running the full ``rounds``-round power
     iteration — at 100 TB that re-run is an entire extra iterative job
-    per report (VERDICT r11 next #4)."""
+    per report (VERDICT r11 next #4).
+
+    Scoring plan (r13, VERDICT r12 next #1): the edge frame is read
+    ONCE — the label join rides graph_state's directed frame on its
+    existing ``u`` partitioning (the eigencentrality large-path
+    pattern: only the vertex-dim label frame moves), then everything
+    collapses to vertex grain BEFORE any further join: per-vertex
+    neighbor-label counts c(v, l) = |{u ∈ N(v) : label(u) = l}| come
+    out of one map-side-combining aggregate, and both exact integers
+    derive from that frame joined once with the vertex's own label —
+    2·intra = Σ c(v, label(v)) (each undirected intra edge counted
+    from both endpoints), deg_c = Σ_{v: label(v)=c} Σ_l c(v, l). The
+    pre-r13 form joined the 2M-row label frame onto the full edge
+    list twice at exactly the broadcast boundary — 19.4× per 10×,
+    46.5 s at gen10 (119.6M edges)."""
     if labels is None:
         labels = lpa_labels_delta(
             None, rounds=rounds, graph_state=graph_state
         )
-    small = graph_state[2] <= 2_000_000
+    both, _, n_vertices, n_both = graph_state
+    small = n_vertices <= 2_000_000
 
-    def _maybe_b(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if small else df
-
-    und = edges.select("part_a", "part_b")
-    la = labels.select(
-        F.col("v").alias("part_a"), F.col("label").alias("label_a")
+    lab_u = labels.select(F.col("v").alias("u"), F.col("label").alias("lbl"))
+    lab_v = labels.select("v", F.col("label").alias("label_v"))
+    if small:
+        lab_u, lab_v = F.broadcast(lab_u), F.broadcast(lab_v)
+    else:
+        # vertex-dim frames shuffle to the big side's partitioning;
+        # never a forced 10⁸-vertex broadcast
+        lab_u = lab_u.hint("shuffle_hash")
+        lab_v = lab_v.hint("shuffle_hash")
+    # (v, neighbor-label) counts: the ONLY edge-frame pass; groupBy
+    # partial-aggregates map-side so the shuffle carries ≤ one row per
+    # (vertex, adjacent community), not one per directed edge
+    per_vertex = (
+        both.join(lab_u, "u")
+        .groupBy("v", "lbl")
+        .agg(F.count("*").alias("c"))
+        .join(lab_v, "v")
+        .localCheckpoint(eager=False)
     )
-    lb = labels.select(
-        F.col("v").alias("part_b"), F.col("label").alias("label_b")
+    # consumed twice (intra scalar + community degree mass) — the
+    # checkpoint pins the single edge pass
+    intra = per_vertex.agg(
+        F.sum(
+            F.when(F.col("lbl") == F.col("label_v"), F.col("c"))
+            .otherwise(F.lit(0))
+        ).alias("intra2"),
     )
-    intra = (
-        und.join(_maybe_b(la), "part_a")
-        .join(_maybe_b(lb), "part_b")
-        .agg(
-            F.count("*").alias("n_edges"),
-            F.sum(
-                (F.col("label_a") == F.col("label_b")).cast("long")
-            ).alias("intra_edges"),
-        )
-    )
-    deg_c = (
-        edge_degrees(und)
-        .join(
-            _maybe_b(labels.select(F.col("v").alias("part"), "label")),
-            "part",
-        )
-        .groupBy("label")
-        .agg(F.sum("d").alias("deg_c"))
-    )
+    deg_c = per_vertex.groupBy("label_v").agg(F.sum("c").alias("deg_c"))
     # decimal BEFORE the square: community degree mass reaches 2m, so
     # the long×long product overflows exactly where the docstring
     # claims exactness
@@ -1093,13 +1107,14 @@ def modularity_lpa(
         F.count("*").alias("n_communities"),
         F.sum(dc * dc).alias("degsq"),
     )
-    m = F.col("n_edges").cast("double")
+    n_edges = n_both // 2
+    m = F.lit(n_edges).cast("double")
     return intra.crossJoin(F.broadcast(degsq)).select(
         F.col("n_communities").cast("long").alias("n_communities"),
-        F.col("n_edges").cast("long").alias("n_edges"),
-        F.col("intra_edges").cast("long").alias("intra_edges"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.expr("intra2 div 2").cast("long").alias("intra_edges"),
         F.round(
-            F.col("intra_edges").cast("double") / m
+            F.expr("intra2 div 2").cast("double") / m
             - F.col("degsq").cast("double") / (4.0 * m * m),
             6,
         ).alias("modularity"),

@@ -455,6 +455,64 @@ def get_dsir_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _DSIR_BUCKETED_CACHE[key]
 
 
+#: The memoized ALGORITHMIC artifacts (derived index tables, trained
+#: state, iterative-loop outputs, density decisions) — everything a
+#: scale probe must be able to drop so a timed row measures the query's
+#: own cost instead of whichever sibling warmed the memo (VERDICT r12
+#: next #7: the r12 probe's LPA row read as free because modularity had
+#: already paid the iteration). Raw-parquet and snapshot caches stay:
+#: they are shared I/O plumbing, identical for every query.
+_ALGO_CACHES: dict[str, dict] = {
+    "shingle": _SHINGLE_CACHE,
+    "bands": _BANDS_CACHE,
+    "simhash": _SIMHASH_CACHE,
+    "phash": _PHASH_CACHE,
+    "edges": _EDGES_CACHE,
+    "lpa_graph": _LPA_CACHE,
+    "lpa_labels": _LPA_LABELS_CACHE,
+    "triangles": _TRI_CACHE,
+    "ivf": _IVF_CACHE,
+    "pq": _PQ_CACHE,
+    "whiten": _WHITEN_CACHE,
+    "winnow": _WINNOW_CACHE,
+    "containment_k": _CONTAINMENT_K_CACHE,
+    "containment_docs": _CONTAINMENT_DOCS_CACHE,
+    "containment_probes": _CONTAINMENT_PROBES_CACHE,
+    "containment_capped": _CONTAINMENT_CAPPED_CACHE,
+    "neardup_bits": _NEARDUP_BITS_CACHE,
+    "dsir_bucketed": _DSIR_BUCKETED_CACHE,
+}
+
+
+def clear_session_memos(
+    spark: SparkSession, sf_dir: str | None = None
+) -> list[str]:
+    """Evict every algorithmic memo for this session (optionally only
+    for one sf_dir) and unpersist any cached frames inside. Returns the
+    names of the caches that actually held something — the probe stamps
+    these on its rows so cold/warm timings are distinguishable."""
+    cleared: list[str] = []
+    for name, cache in _ALGO_CACHES.items():
+        keys = [
+            k
+            for k in list(cache)
+            if k[0] == id(spark)
+            and (sf_dir is None or sf_dir in k[1:])
+        ]
+        for key in keys:
+            val = cache.pop(key)
+            items = val if isinstance(val, tuple) else (val,)
+            for item in items:
+                if hasattr(item, "unpersist"):
+                    try:
+                        item.unpersist()
+                    except Exception:  # noqa: BLE001 — best-effort evict
+                        pass
+        if keys:
+            cleared.append(name)
+    return cleared
+
+
 def _cluster_statistics_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cluster_statistics for every cluster in the snapshot: the
     per-cluster report loop (`overwatch.py:92-120`) as a driver-side loop

@@ -45,9 +45,24 @@ _SUMMARY_HELP = {
     ),
 }
 
+_COUNTER_FAMILIES = (
+    (
+        "kafka_collector_retries_total",
+        "retries",
+        "Collector control-plane call retries under the backoff"
+        " envelope",
+    ),
+    (
+        "kafka_collector_client_replacements_total",
+        "replacements",
+        "Kafka client rebuilds after retry exhaustion"
+        " (check_replace_kafka_clients)",
+    ),
+)
+
 
 def render_exposition(
-    metrics: DataFrame, summaries=None
+    metrics: DataFrame, summaries=None, collectors=None
 ) -> str:
     """Prometheus text exposition format (v0.0.4) from the long-format
     (metric, cluster, group_id, topic, value) frame. Deterministic: metric
@@ -55,7 +70,12 @@ def render_exposition(
     operators.metrics.ScanLatencySummaries, or a DataFrame in its
     SUMMARY_SCHEMA) appends the reference's scan-latency Summary
     families (`monitoring/prometheus.py:17-28`) as ``_count``/``_sum``
-    series — prometheus summary semantics without quantile streams."""
+    series — prometheus summary semantics without quantile streams.
+    ``collectors`` (a mapping cluster → ResilientClusterClient, or
+    anything exposing ``retries``/``replacements`` ints) appends the
+    collector resilience counters next to the Summaries they explain
+    (VERDICT r12 next #8) — a latency spike with a nonzero retry
+    counter is a broker problem, not a plan regression."""
     rows = metrics.collect()
     by_metric: dict[str, list] = {}
     for r in rows:
@@ -100,6 +120,16 @@ def render_exposition(
                 lbl = f'cluster="{_escape_label(str(cluster))}"'
                 out.append(f"{metric}_count{{{lbl}}} {count}")
                 out.append(f"{metric}_sum{{{lbl}}} {sum_s}")
+    if collectors:
+        for metric, attr, help_text in _COUNTER_FAMILIES:
+            out.append(f"# HELP {metric} {help_text}")
+            out.append(f"# TYPE {metric} counter")
+            for cluster in sorted(collectors):
+                lbl = f'cluster="{_escape_label(str(cluster))}"'
+                out.append(
+                    f"{metric}{{{lbl}}} "
+                    f"{int(getattr(collectors[cluster], attr))}"
+                )
     return "\n".join(out) + "\n"
 
 

@@ -93,3 +93,46 @@ def test_pushgateway_put_roundtrip(spark, snaps):
         assert received["body"] == body
     finally:
         srv.shutdown()
+
+
+def test_collector_resilience_counters_in_exposition(spark, snaps):
+    """VERDICT r12 next #8: the ResilientClusterClient retry/replace
+    counters must render as counter families next to the scan-latency
+    Summaries, one series per cluster, sorted and deterministic."""
+    from kafka_overwatch_spark.operators.metrics import (
+        ScanLatencySummaries,
+    )
+    from kafka_overwatch_spark.sinks.prometheus import render_exposition
+
+    class _FakeResilient:
+        def __init__(self, retries, replacements):
+            self.retries = retries
+            self.replacements = replacements
+
+    summaries = ScanLatencySummaries(clock=iter([0.0, 1.5]).__next__)
+    with summaries.time("topics_describe_latency", "prod"):
+        pass
+    body = render_exposition(
+        _metrics(spark, snaps),
+        summaries=summaries,
+        collectors={
+            "prod": _FakeResilient(3, 1),
+            "staging": _FakeResilient(0, 0),
+        },
+    )
+    lines = body.splitlines()
+    assert "# TYPE kafka_collector_retries_total counter" in lines
+    assert (
+        "# TYPE kafka_collector_client_replacements_total counter"
+        in lines
+    )
+    assert 'kafka_collector_retries_total{cluster="prod"} 3' in lines
+    assert 'kafka_collector_retries_total{cluster="staging"} 0' in lines
+    assert (
+        'kafka_collector_client_replacements_total{cluster="prod"} 1'
+        in lines
+    )
+    # counters come after the summary families they annotate
+    assert lines.index(
+        "# TYPE kafka_collector_retries_total counter"
+    ) > lines.index("# TYPE topics_describe_latency summary")
