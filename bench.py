@@ -284,6 +284,11 @@ EXTRA = [
     "graph_eigencentrality",
     "graph_components_bounded",
     "emb_hard_negatives",
+    # round 12
+    "ann_neardup_frontier",
+    "emb_split_leakage",
+    # round 13
+    "graph_components_star_bounded",
 ]
 
 

@@ -644,10 +644,25 @@ def run_dsir_screen(
 
 
 def init_containment_index(
-    spark: SparkSession, corpus_shingles: DataFrame, base_path: str
+    spark: SparkSession,
+    corpus_shingles: DataFrame,
+    base_path: str,
+    shingle_k: int | None = None,
 ) -> None:
     """Seed the containment index with the pre-existing corpus
-    (batch_id=-1, ordered before every stream batch)."""
+    (batch_id=-1, ordered before every stream batch).
+
+    ``shingle_k`` records the shingle width the corpus frame was built
+    with (r13): on a dense closed-vocab corpus the batch family
+    escalates K via the measured collision mass
+    (dedup.choose_containment_k), and the SCREEN must shingle its
+    batches at the SAME width or its candidate join explodes — the
+    gen10 probe measured the static-K=3 screen spilling >80 GB on the
+    100x generator corpus while the wide-K index stays flat. The width
+    is persisted in the index (``meta``) so every later screen process
+    reads it instead of trusting call-site discipline."""
+    from ..pipelines.dedup import SHINGLE_K
+
     postings = corpus_shingles.select("doc_id", F.explode("sh").alias("s"))
     for frame, name in (
         (corpus_shingles, "shingles"),
@@ -660,6 +675,10 @@ def init_containment_index(
             .partitionBy("batch_id")
             .parquet(f"{base_path}/{name}")
         )
+    spark.createDataFrame(
+        [(int(shingle_k if shingle_k is not None else SHINGLE_K),)],
+        "shingle_k int",
+    ).write.mode("overwrite").parquet(f"{base_path}/meta")
 
 
 class GrowingContainmentScreen:
@@ -684,11 +703,30 @@ class GrowingContainmentScreen:
         out_dir: str,
         threshold: float = 0.8,
         max_bucket: int = 10_000,
+        shingle_k: int | None = None,
     ) -> None:
         self.base = base_path
         self.out_dir = out_dir
         self.threshold = threshold
         self.max_bucket = max_bucket
+        # None → read the width the index was seeded with (meta); the
+        # batch MUST shingle at the index's K or containment values are
+        # meaningless and the candidate join explodes on dense corpora
+        self.shingle_k = shingle_k
+
+    def _index_k(self, spark: SparkSession) -> int:
+        if self.shingle_k is None:
+            from ..pipelines.dedup import SHINGLE_K
+
+            try:
+                self.shingle_k = int(
+                    spark.read.parquet(f"{self.base}/meta").collect()[0][
+                        "shingle_k"
+                    ]
+                )
+            except Exception:  # noqa: BLE001 — pre-r13 index, no meta
+                self.shingle_k = SHINGLE_K
+        return self.shingle_k
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from ..pipelines.dedup import (
@@ -698,7 +736,9 @@ class GrowingContainmentScreen:
         )
 
         spark = batch_df.sparkSession
-        sh_new = shingle_docs(batch_df).localCheckpoint(eager=True)
+        sh_new = shingle_docs(
+            batch_df, self._index_k(spark)
+        ).localCheckpoint(eager=True)
         corpus_sh = (
             spark.read.parquet(f"{self.base}/shingles")
             .filter(F.col("batch_id") < batch_id)

@@ -186,3 +186,53 @@ def test_containment_adaptive_matches_brute_force_at_k7(spark):
     )
     assert got == want
     assert any(x[0] == 0 and x[1] == 1 for x in got)
+
+
+def test_containment_screen_reads_index_shingle_width(spark, tmp_path):
+    """r13: the growing containment screen must shingle batches at the
+    width the index was seeded with (persisted in the index meta) — a
+    wide-K index screened with K=3 batches would never match. Seed at
+    K=5 with a dense corpus, stream a batch containing an exact clone
+    of a corpus doc, and require the clone caught with containment 1.0
+    while the fresh doc survives."""
+    from kafka_overwatch_spark.pipelines.dedup import shingle_docs
+    from kafka_overwatch_spark.streaming.documents_stream import (
+        GrowingContainmentScreen,
+        init_containment_index,
+    )
+
+    corpus_texts = [
+        " ".join(f"w{j} x{j} y{j}" for j in range(10, 20)),
+        " ".join(f"a{j} b{j} c{j}" for j in range(10, 20)),
+    ]
+    corpus = _docs(spark, corpus_texts)
+    base = str(tmp_path / "index")
+    init_containment_index(
+        spark, shingle_docs(corpus, 5), base, shingle_k=5
+    )
+    # meta roundtrip: a screen built WITHOUT an explicit width reads 5
+    screen = GrowingContainmentScreen(base, str(tmp_path / "out"))
+    assert screen._index_k(spark) == 5
+    batch = spark.createDataFrame(
+        [
+            (100, corpus_texts[0], "en"),  # exact clone → contained
+            (101, " ".join(f"q{j} r{j} s{j}" for j in range(30)), "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    screen(batch, 0)
+    rejected = {
+        r.doc_id: r.reason
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert rejected.get(100) == "contained_in_corpus"
+    assert 101 not in rejected
+    # the survivor's shingles were appended AT THE INDEX WIDTH
+    appended = (
+        spark.read.parquet(f"{base}/shingles")
+        .filter("batch_id = 0")
+        .collect()
+    )
+    assert {r.doc_id for r in appended} == {101}
+    shingle_len = len(appended[0].sh[0].split(" "))
+    assert shingle_len == 5
