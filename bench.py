@@ -289,6 +289,7 @@ EXTRA = [
     "emb_split_leakage",
     # round 13
     "graph_components_star_bounded",
+    "graph_ktruss_bounded",
 ]
 
 

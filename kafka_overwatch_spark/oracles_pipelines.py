@@ -4276,6 +4276,61 @@ SELECT part, CAST(count(*) AS BIGINT) AS core_degree FROM (
 ) GROUP BY part"""
     )
 
+    # r13: bounded k-truss (graph.ktruss_bounded) — 8 support-peel
+    # rounds unrolled; a peel round over the converged truss removes
+    # nothing, so early convergence is exact (Spark raises if round 8
+    # still peeled). Triangles enumerate once each via id-ordering
+    # (x<y<z): (x,y)⋈(x,z) with y<z closed by (y,z); every credit pair
+    # is already ascending, so support groups directly on the oriented
+    # edge key. Final support is recomputed ON the fixpoint set —
+    # identical to the converged round's support in Spark.
+    _kt_need = 12 - 2
+
+    def _kt_round(i: int) -> list[str]:
+        return [
+            f"t{i} AS MATERIALIZED (SELECT ab.part_a AS x, "
+            f"ab.part_b AS y, ac.part_b AS z FROM te{i} ab "
+            f"JOIN te{i} ac ON ab.part_a = ac.part_a "
+            f"AND ab.part_b < ac.part_b "
+            f"JOIN te{i} yz ON yz.part_a = ab.part_b "
+            f"AND yz.part_b = ac.part_b)",
+            f"s{i} AS MATERIALIZED (SELECT part_a, part_b, "
+            f"count(*) AS sup FROM ("
+            f"SELECT x AS part_a, y AS part_b FROM t{i} "
+            f"UNION ALL SELECT x AS part_a, z AS part_b FROM t{i} "
+            f"UNION ALL SELECT y AS part_a, z AS part_b FROM t{i}"
+            f") GROUP BY 1, 2)",
+            f"te{i + 1} AS MATERIALIZED (SELECT e.part_a, e.part_b "
+            f"FROM te{i} e JOIN s{i} s USING (part_a, part_b) "
+            f"WHERE s.sup >= {_kt_need})",
+        ]
+
+    _kt_parts = [
+        "baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM "
+        "lineitem)",
+        "te0 AS MATERIALIZED (SELECT a.l_partkey AS part_a, "
+        "b.l_partkey AS part_b FROM baskets a JOIN baskets b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        "GROUP BY 1, 2)",
+    ]
+    for _i in range(8):
+        _kt_parts.extend(_kt_round(_i))
+    q["graph_ktruss_bounded"] = (
+        "WITH "
+        + ",\n".join(_kt_parts)
+        + f""",
+tf AS MATERIALIZED (SELECT ab.part_a AS x, ab.part_b AS y,
+  ac.part_b AS z FROM te8 ab
+  JOIN te8 ac ON ab.part_a = ac.part_a AND ab.part_b < ac.part_b
+  JOIN te8 yz ON yz.part_a = ab.part_b AND yz.part_b = ac.part_b),
+sf AS (SELECT part_a, part_b, count(*) AS sup FROM (
+  SELECT x AS part_a, y AS part_b FROM tf
+  UNION ALL SELECT x AS part_a, z AS part_b FROM tf
+  UNION ALL SELECT y AS part_a, z AS part_b FROM tf) GROUP BY 1, 2)
+SELECT e.part_a, e.part_b, CAST(s.sup AS BIGINT) AS support
+FROM te8 e JOIN sf s USING (part_a, part_b)"""
+    )
+
     # r9: Hill tail index over the top-(k+1) document lengths —
     # deterministic rank (n_chars desc, doc_id asc), exact-integer
     # order statistics, identical ln-ratio doubles

@@ -236,3 +236,66 @@ def test_containment_screen_reads_index_shingle_width(spark, tmp_path):
     assert {r.doc_id for r in appended} == {101}
     shingle_len = len(appended[0].sh[0].split(" "))
     assert shingle_len == 5
+
+
+EDGE_SCHEMA_KT = "part_a long, part_b long"
+
+
+def _python_ktruss(edges, k):
+    """Reference peel: per round, per-edge triangle support within the
+    current set; drop < k-2; repeat to fixpoint."""
+    cur = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        adj = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {
+            (a, b): len(adj[a] & adj[b]) for a, b in cur
+        }
+        nxt = {e for e in cur if sup[e] >= k - 2}
+        if nxt == cur:
+            return {e: sup[e] for e in cur}
+        cur = nxt
+
+
+def test_ktruss_bounded_matches_python_reference(spark):
+    """k=5 on K5 + a lone triangle + a pendant: the clique's 10 edges
+    (support 3 each) survive, everything else peels — checked against
+    a python reference peel."""
+    import itertools
+
+    from kafka_overwatch_spark.operators.graph import ktruss_bounded
+
+    k5 = list(itertools.combinations(range(1, 6), 2))
+    extra = [(10, 11), (11, 12), (10, 12), (5, 20)]
+    edges = k5 + extra
+    df = spark.createDataFrame(edges, EDGE_SCHEMA_KT)
+    got = {
+        (r.part_a, r.part_b): r.support
+        for r in ktruss_bounded(None, k=5, edges=df).collect()
+    }
+    want = _python_ktruss(edges, 5)
+    assert got == want
+    assert set(got) == set(k5) and all(v == 3 for v in got.values())
+
+
+def test_ktruss_bounded_cascade_and_budget_raise(spark):
+    """A 5-triangle strip erodes from both ends under k=4 — several
+    cascade rounds to an EMPTY truss; a 1-round budget must RAISE, the
+    default budget must converge and agree with the python peel."""
+    import pytest as _pytest
+
+    from kafka_overwatch_spark.operators.graph import ktruss_bounded
+
+    edges = [(i, i + 1) for i in range(6)] + [(i, i + 2) for i in range(5)]
+    df = spark.createDataFrame(edges, EDGE_SCHEMA_KT)
+    want = _python_ktruss(edges, 4)
+    got = {
+        (r.part_a, r.part_b): r.support
+        for r in ktruss_bounded(None, k=4, edges=df).collect()
+    }
+    assert got == want == {}
+    with _pytest.raises(RuntimeError, match="still peeling"):
+        ktruss_bounded(None, k=4, rounds=1, edges=df).collect()
+
