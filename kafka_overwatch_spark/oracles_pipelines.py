@@ -14,6 +14,12 @@ Parity rules (same as oracles.py) plus:
 
 from __future__ import annotations
 
+from .operators.graph import (
+    KCORE_K,
+    KCORE_ROUNDS,
+    KTRUSS_ROUNDS,
+    STAR_ROUNDS,
+)
 from .pipelines.similarity import (
     NEARDUP_BITS_LADDER,
     NEARDUP_CANDIDATE_BUDGET,
@@ -4251,7 +4257,9 @@ SELECT part, round(rank, 6) AS rank FROM r10"""
         "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
         "GROUP BY 1, 2)",
     ]
-    for _i in range(1, 9):
+    # round count + peel threshold come from operators.graph (ADVICE
+    # r13 #4: shared constants, never hardcoded on one side)
+    for _i in range(1, KCORE_ROUNDS + 1):
         _kcb_parts.append(
             f"d{_i} AS MATERIALIZED (SELECT p, count(*) AS d FROM "
             f"(SELECT part_a AS p FROM e{_i - 1} UNION ALL "
@@ -4259,7 +4267,7 @@ SELECT part, round(rank, 6) AS rank FROM r10"""
         )
         _kcb_parts.append(
             f"low{_i} AS MATERIALIZED (SELECT p FROM d{_i} "
-            f"WHERE d < 80)"
+            f"WHERE d < {KCORE_K})"
         )
         _kcb_parts.append(
             f"e{_i} AS MATERIALIZED (SELECT part_a, part_b FROM "
@@ -4269,23 +4277,28 @@ SELECT part, round(rank, 6) AS rank FROM r10"""
     q["graph_kcore_bounded"] = (
         "WITH "
         + ",\n".join(_kcb_parts)
-        + """
+        + f"""
 SELECT part, CAST(count(*) AS BIGINT) AS core_degree FROM (
-  SELECT part_a AS part FROM e8
-  UNION ALL SELECT part_b AS part FROM e8
+  SELECT part_a AS part FROM e{KCORE_ROUNDS}
+  UNION ALL SELECT part_b AS part FROM e{KCORE_ROUNDS}
 ) GROUP BY part"""
     )
 
-    # r13: bounded k-truss (graph.ktruss_bounded) — 8 support-peel
-    # rounds unrolled; a peel round over the converged truss removes
-    # nothing, so early convergence is exact (Spark raises if round 8
-    # still peeled). Triangles enumerate once each via id-ordering
-    # (x<y<z): (x,y)⋈(x,z) with y<z closed by (y,z); every credit pair
-    # is already ascending, so support groups directly on the oriented
-    # edge key. Final support is recomputed ON the fixpoint set —
-    # identical to the converged round's support in Spark.
-    _kt_need = 12 - 2
-
+    # r13/r14: bounded k-truss (graph.ktruss_bounded) — KTRUSS_ROUNDS
+    # support-peel rounds unrolled (shared constant, ADVICE r13 #4); a
+    # peel round over the converged truss removes nothing, so early
+    # convergence is exact (Spark raises if the last round still
+    # peeled). Triangles enumerate once each via id-ordering (x<y<z):
+    # (x,y)⋈(x,z) with y<z closed by (y,z); every credit pair is
+    # already ascending, so support groups directly on the oriented
+    # edge key. r14: every round LEFT-joins the support frame with
+    # coalesce(sup, 0) — support ≥ need for ALL k (ADVICE r13 #1) —
+    # and the peel threshold is DERIVED, not fixture-pinned: need =
+    # lower-median of the round-0 per-edge support (zeros included),
+    # the rank statistic rn = (n+1)//2 over sup ascending, mirroring
+    # ktruss_bounded's k=None histogram derivation. Final support is
+    # recomputed ON the fixpoint set — identical to the converged
+    # round's support in Spark.
     def _kt_round(i: int) -> list[str]:
         return [
             f"t{i} AS MATERIALIZED (SELECT ab.part_a AS x, "
@@ -4300,9 +4313,21 @@ SELECT part, CAST(count(*) AS BIGINT) AS core_degree FROM (
             f"UNION ALL SELECT x AS part_a, z AS part_b FROM t{i} "
             f"UNION ALL SELECT y AS part_a, z AS part_b FROM t{i}"
             f") GROUP BY 1, 2)",
-            f"te{i + 1} AS MATERIALIZED (SELECT e.part_a, e.part_b "
-            f"FROM te{i} e JOIN s{i} s USING (part_a, part_b) "
-            f"WHERE s.sup >= {_kt_need})",
+            f"sz{i} AS MATERIALIZED (SELECT e.part_a, e.part_b, "
+            f"coalesce(s.sup, 0) AS sup FROM te{i} e "
+            f"LEFT JOIN s{i} s USING (part_a, part_b))",
+        ] + (
+            [
+                "kneed AS MATERIALIZED (SELECT sup AS need FROM ("
+                "SELECT sup, row_number() OVER (ORDER BY sup) AS rn, "
+                "count(*) OVER () AS n FROM sz0) "
+                "WHERE rn = (n + 1) // 2)"
+            ]
+            if i == 0
+            else []
+        ) + [
+            f"te{i + 1} AS MATERIALIZED (SELECT part_a, part_b "
+            f"FROM sz{i} WHERE sup >= (SELECT need FROM kneed))",
         ]
 
     _kt_parts = [
@@ -4313,22 +4338,23 @@ SELECT part, CAST(count(*) AS BIGINT) AS core_degree FROM (
         "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
         "GROUP BY 1, 2)",
     ]
-    for _i in range(8):
+    for _i in range(KTRUSS_ROUNDS):
         _kt_parts.extend(_kt_round(_i))
+    _kt_n = KTRUSS_ROUNDS
     q["graph_ktruss_bounded"] = (
         "WITH "
         + ",\n".join(_kt_parts)
         + f""",
 tf AS MATERIALIZED (SELECT ab.part_a AS x, ab.part_b AS y,
-  ac.part_b AS z FROM te8 ab
-  JOIN te8 ac ON ab.part_a = ac.part_a AND ab.part_b < ac.part_b
-  JOIN te8 yz ON yz.part_a = ab.part_b AND yz.part_b = ac.part_b),
+  ac.part_b AS z FROM te{_kt_n} ab
+  JOIN te{_kt_n} ac ON ab.part_a = ac.part_a AND ab.part_b < ac.part_b
+  JOIN te{_kt_n} yz ON yz.part_a = ab.part_b AND yz.part_b = ac.part_b),
 sf AS (SELECT part_a, part_b, count(*) AS sup FROM (
   SELECT x AS part_a, y AS part_b FROM tf
   UNION ALL SELECT x AS part_a, z AS part_b FROM tf
   UNION ALL SELECT y AS part_a, z AS part_b FROM tf) GROUP BY 1, 2)
-SELECT e.part_a, e.part_b, CAST(s.sup AS BIGINT) AS support
-FROM te8 e JOIN sf s USING (part_a, part_b)"""
+SELECT e.part_a, e.part_b, CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+FROM te{_kt_n} e LEFT JOIN sf s USING (part_a, part_b)"""
     )
 
     # r9: Hill tail index over the top-(k+1) document lengths —
@@ -6492,10 +6518,11 @@ SELECT p AS part, CAST(lbl AS BIGINT) AS component FROM l10"""
     )
 
     # bounded large-star/small-star components (r13, VERDICT r12 next
-    # #2): 8 alternation rounds unrolled — a round over a converged
-    # star forest is the identity, so early convergence is exact;
-    # Spark raises if round 8 still changed the oriented set. Every
-    # CTE consumed twice is MATERIALIZED (the eigencentrality lesson).
+    # #2): STAR_ROUNDS alternation rounds unrolled (shared constant,
+    # ADVICE r13 #4) — a round over a converged star forest is the
+    # identity, so early convergence is exact; Spark raises if the
+    # last round still changed the oriented set. Every CTE consumed
+    # twice is MATERIALIZED (the eigencentrality lesson).
     _cs_parts = [
         "baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM "
         "lineitem)",
@@ -6508,7 +6535,7 @@ SELECT p AS part, CAST(lbl AS BIGINT) AS component FROM l10"""
         " AS big, least(part_a, part_b) AS small FROM pairs "
         "WHERE part_a <> part_b)",
     ]
-    for _i in range(8):
+    for _i in range(STAR_ROUNDS):
         _cs_parts.append(
             f"b{_i} AS MATERIALIZED (SELECT big AS ctr, small AS nb "
             f"FROM e{_i} UNION ALL SELECT small AS ctr, big AS nb "
@@ -6538,9 +6565,9 @@ SELECT p AS part, CAST(lbl AS BIGINT) AS component FROM l10"""
     q["graph_components_star_bounded"] = (
         "WITH "
         + ",\n".join(_cs_parts)
-        + """
+        + f"""
 SELECT v.p AS part, CAST(coalesce(c.small, v.p) AS BIGINT) AS component
-FROM verts v LEFT JOIN e8 c ON v.p = c.big"""
+FROM verts v LEFT JOIN e{STAR_ROUNDS} c ON v.p = c.big"""
     )
 
     # hard-negative mining: exact top-k cosine restricted to

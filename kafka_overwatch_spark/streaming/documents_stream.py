@@ -716,6 +716,8 @@ class GrowingContainmentScreen:
 
     def _index_k(self, spark: SparkSession) -> int:
         if self.shingle_k is None:
+            from pyspark.errors import AnalysisException
+
             from ..pipelines.dedup import SHINGLE_K
 
             try:
@@ -724,7 +726,16 @@ class GrowingContainmentScreen:
                         "shingle_k"
                     ]
                 )
-            except Exception:  # noqa: BLE001 — pre-r13 index, no meta
+            except AnalysisException as exc:
+                # ONLY the missing-meta case is the legacy (pre-r13,
+                # K=SHINGLE_K) index; any other failure — transient IO,
+                # permissions, a corrupt file — must propagate (ADVICE
+                # r13 #2: silently defaulting to K=3 against a wide-K
+                # index is exactly the width mismatch the meta file was
+                # added to prevent: meaningless containment values and
+                # an exploding candidate join).
+                if "PATH_NOT_FOUND" not in str(exc):
+                    raise
                 self.shingle_k = SHINGLE_K
         return self.shingle_k
 

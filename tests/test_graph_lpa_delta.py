@@ -107,7 +107,7 @@ def test_modularity_two_cliques_exact(spark):
     pairs = [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9)]
     edges = _edges_df(spark, pairs).localCheckpoint(eager=True)
     state = graph.lpa_graph_state(edges)
-    r = graph.modularity_lpa(edges, state).collect()[0]
+    r = graph.modularity_lpa(state).collect()[0]
     assert (r["n_communities"], r["n_edges"], r["intra_edges"]) == (
         2, 6, 6,
     )
@@ -138,7 +138,7 @@ def test_modularity_matches_python(spark):
     want = round(
         intra / m - sum(x * x for x in deg_c.values()) / (4.0 * m * m), 6
     )
-    r = graph.modularity_lpa(edges, state).collect()[0]
+    r = graph.modularity_lpa(state).collect()[0]
     assert r["modularity"] == want
     assert r["n_communities"] == len(set(labels.values()))
 
@@ -206,6 +206,6 @@ def test_modularity_shared_labels_equals_recompute(spark):
     edges = copurchase_edges(lineitem).localCheckpoint(eager=True)
     state = lpa_graph_state(edges)
     labels = lpa_labels_delta(None, graph_state=state)
-    a = modularity_lpa(edges, state, labels=labels).collect()
-    b = modularity_lpa(edges, state).collect()
+    a = modularity_lpa(state, labels=labels).collect()
+    b = modularity_lpa(state).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
