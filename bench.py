@@ -290,6 +290,9 @@ EXTRA = [
     # round 13
     "graph_components_star_bounded",
     "graph_ktruss_bounded",
+    # round 14
+    "graph_rich_club",
+    "events_cliffs_delta",
 ]
 
 

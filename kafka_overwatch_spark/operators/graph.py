@@ -105,6 +105,107 @@ def part_degree(
     )
 
 
+def rich_club(
+    lineitem: DataFrame | None,
+    edges: DataFrame | None = None,
+    deg: DataFrame | None = None,
+) -> DataFrame:
+    """Rich-club coefficient of the co-purchase graph (r14): for each
+    degree threshold k, φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k is the
+    number of vertices with degree > k and E_k the number of edges
+    BETWEEN them (Zhou & Mondragón 2004) — "do the hubs preferentially
+    trade with each other", the hub-interconnection audit next to
+    assortativity's global correlation and degree_tail's exponent.
+
+    The k ladder is DERIVED, not fixture-pinned (the ktruss-need /
+    containment-K discipline): the nine degree deciles — the value at
+    rank ⌈q·n/10⌉ (1-indexed, ascending) for q = 1..9 over the vertex
+    degree multiset, deduplicated — computed from a tiny degree
+    histogram collect; the DuckDB mirror computes the identical rank
+    statistic ((q·n + 9) // 10).
+
+    Scale shape: one vertex-grain degree aggregate, one edge⋈degree
+    join per endpoint (vertex-dim side broadcasts below the pagerank
+    2M limit, keyed above), then BOTH counts come off tiny histograms
+    (distinct degree values), so the ladder join costs nothing — no
+    per-k pass over the edge list. Output: k, n_nodes, n_edges, phi
+    (round 6; NULL below 2 member vertices)."""
+    if edges is None:
+        edges = copurchase_edges(lineitem)
+    if deg is None:
+        deg = part_degree(None, edges=edges)
+    deg = deg.select("part", "degree").localCheckpoint(eager=False)
+    dhist = (
+        deg.groupBy("degree").agg(F.count("*").alias("nodes"))
+        .localCheckpoint(eager=False)
+    )
+    hist = sorted(
+        (r["degree"], r["nodes"]) for r in dhist.collect()
+    )
+    n_vertices = sum(c for _, c in hist)
+    ladder: list[int] = []
+    for q in range(1, 10):
+        target = (q * n_vertices + 9) // 10  # ceil(q·n/10), 1-indexed
+        seen = 0
+        for d_val, cnt in hist:
+            seen += cnt
+            if seen >= target:
+                if d_val not in ladder:
+                    ladder.append(int(d_val))
+                break
+    spark = edges.sparkSession
+    ladder_df = F.broadcast(
+        spark.createDataFrame([(k,) for k in ladder], "k long")
+    )
+    small = n_vertices <= 2_000_000
+    da = deg.select(
+        F.col("part").alias("part_a"), F.col("degree").alias("d_a")
+    )
+    db = deg.select(
+        F.col("part").alias("part_b"), F.col("degree").alias("d_b")
+    )
+    if small:
+        da, db = F.broadcast(da), F.broadcast(db)
+    mhist = (
+        edges.select("part_a", "part_b")
+        .join(da, "part_a")
+        .join(db, "part_b")
+        .select(F.least("d_a", "d_b").alias("mdeg"))
+        .groupBy("mdeg")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    nodes_k = (
+        ladder_df.join(dhist, dhist["degree"] > F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("nodes").alias("n_nodes"))
+    )
+    edges_k = (
+        ladder_df.join(mhist, mhist["mdeg"] > F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("n_edges").alias("n_edges"))
+    )
+    nn = F.coalesce(F.col("n_nodes"), F.lit(0)).cast("long")
+    ne = F.coalesce(F.col("n_edges"), F.lit(0)).cast("long")
+    return (
+        ladder_df.join(nodes_k, "k", "left")
+        .join(edges_k, "k", "left")
+        .select(
+            "k",
+            nn.alias("n_nodes"),
+            ne.alias("n_edges"),
+            F.round(
+                F.when(
+                    nn >= 2,
+                    2.0
+                    * ne.cast("double")
+                    / (nn.cast("double") * (nn.cast("double") - 1.0)),
+                ),
+                6,
+            ).alias("phi"),
+        )
+    )
+
+
 def pagerank(
     lineitem: DataFrame,
     damping: float = 0.85,

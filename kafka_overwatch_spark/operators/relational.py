@@ -5260,6 +5260,67 @@ def mann_whitney_values(events: DataFrame) -> DataFrame:
     )
 
 
+def cliffs_delta_values(events: DataFrame) -> DataFrame:
+    """Cliff's delta between every pair of event types' value
+    distributions — the nonparametric EFFECT SIZE companion to
+    :func:`mann_whitney_values` (r14): MW's z says whether the
+    distributions differ; δ = P(x > y) − P(x < y) ∈ [−1, 1] says by
+    how much, robust to ties and outliers where Cohen's d is not
+    (Cliff 1993). |δ| < .147 is conventionally negligible, ≥ .474
+    large — the "is this A/B lift practically meaningful" gate next
+    to the significance tests.
+
+    Exactness: GT = Σ_v cnt_a(v)·#{b < v} and LT = Σ_v cnt_a(v)·
+    #{b > v} accumulate as exact integer products over the pooled
+    distinct-value grain (DECIMAL(38,0) before the multiply — the
+    mann_whitney convention); δ divides once at the end (round 6).
+
+    Scale shape: identical to mann_whitney_values — the shared
+    _pooled_pair_counts frame, one per-pair prefix-sum window on the
+    pooled DISTINCT-value grain, never the row grain. The GT/LT pair
+    counts stay DECIMAL internally and are not output columns — at
+    100 TB n_a·n_b overflows int64 (the same reason mann_whitney
+    emits ra as a double, not two_ra). Output: type_a, type_b, n_a,
+    n_b, cliffs_delta."""
+    from pyspark.sql.window import Window
+
+    pooled = _pooled_pair_counts(events)
+    w = (
+        Window.partitionBy("type_a", "type_b")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("type_a", "type_b")
+    ranked = pooled.withColumn(
+        "cum_b_before", F.coalesce(F.sum("cnt_b").over(w), F.lit(0))
+    ).withColumn("tot_b", F.sum("cnt_b").over(w_all))
+    ca_d = F.col("cnt_a").cast("decimal(38,0)")
+    below = F.col("cum_b_before").cast("decimal(38,0)")
+    above = (
+        F.col("tot_b") - F.col("cum_b_before") - F.col("cnt_b")
+    ).cast("decimal(38,0)")
+    agg = ranked.groupBy("type_a", "type_b").agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum("cnt_b").cast("long").alias("n_b"),
+        F.sum(ca_d * below).alias("gt"),
+        F.sum(ca_d * above).alias("lt"),
+    )
+    prod = F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    return agg.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        F.round(
+            F.when(
+                prod > 0,
+                (F.col("gt") - F.col("lt")).cast("double") / prod,
+            ),
+            6,
+        ).alias("cliffs_delta"),
+    )
+
+
 def runs_test_daily(events: DataFrame) -> DataFrame:
     """Wald–Wolfowitz runs test per event type: is the daily-count
     series' above/below-median sign sequence random, or does it

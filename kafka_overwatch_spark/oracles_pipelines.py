@@ -4284,6 +4284,51 @@ SELECT part, CAST(count(*) AS BIGINT) AS core_degree FROM (
 ) GROUP BY part"""
     )
 
+    # r14: rich-club coefficient — the k ladder is the nine degree
+    # deciles via the exact rank statistic (q·n + 9) // 10 (1-indexed
+    # ascending, deduplicated), mirroring rich_club's histogram
+    # derivation; both counts come off the degree / edge-min-degree
+    # histograms
+    q["graph_rich_club"] = """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+rc_e AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM baskets a JOIN baskets b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+rc_deg AS MATERIALIZED (
+  SELECT p, count(*) AS d FROM (
+    SELECT part_a AS p FROM rc_e UNION ALL SELECT part_b FROM rc_e
+  ) GROUP BY p
+),
+rc_n AS (SELECT count(*) AS n FROM rc_deg),
+rc_ranked AS (
+  SELECT d, row_number() OVER (ORDER BY d) AS rn FROM rc_deg
+),
+rc_ladder AS MATERIALIZED (
+  SELECT DISTINCT r.d AS k
+  FROM (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS q) qs
+  CROSS JOIN rc_n
+  JOIN rc_ranked r ON r.rn = (qs.q * rc_n.n + 9) // 10
+),
+rc_m AS MATERIALIZED (
+  SELECT least(da.d, db.d) AS mdeg FROM rc_e e
+  JOIN rc_deg da ON e.part_a = da.p
+  JOIN rc_deg db ON e.part_b = db.p
+)
+SELECT l.k,
+  CAST((SELECT count(*) FROM rc_deg WHERE d > l.k) AS BIGINT)
+    AS n_nodes,
+  CAST((SELECT count(*) FROM rc_m WHERE mdeg > l.k) AS BIGINT)
+    AS n_edges,
+  round(CASE WHEN (SELECT count(*) FROM rc_deg WHERE d > l.k) >= 2
+    THEN 2.0 * (SELECT count(*) FROM rc_m WHERE mdeg > l.k)
+      / (CAST((SELECT count(*) FROM rc_deg WHERE d > l.k) AS DOUBLE)
+        * ((SELECT count(*) FROM rc_deg WHERE d > l.k) - 1.0))
+    END, 6) AS phi
+FROM rc_ladder l"""
+
     # r13/r14: bounded k-truss (graph.ktruss_bounded) — KTRUSS_ROUNDS
     # support-peel rounds unrolled (shared constant, ADVICE r13 #4); a
     # peel round over the converged truss removes nothing, so early
@@ -5845,6 +5890,55 @@ SELECT type_a, type_b, CAST(n_days AS BIGINT) AS n_days,
     THEN CAST(concordant - discordant AS DOUBLE)
       / sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE)) END, 6) AS tau_b
 FROM kt_agg"""
+
+    # r14: Cliff's delta — exact integer GT/LT pair masses off the
+    # same pooled distinct-value prefix sums as mann_whitney (HUGEINT
+    # products mirror Spark's DECIMAL(38,0)); δ divides once (round 6)
+    q["events_cliffs_delta"] = """
+WITH cd_vals AS (
+  SELECT event_type, value, count(*) AS cnt FROM events
+  WHERE value IS NOT NULL GROUP BY 1, 2
+),
+cd_types AS (SELECT DISTINCT event_type FROM cd_vals),
+cd_pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM cd_types a JOIN cd_types b ON a.event_type < b.event_type
+),
+cd_pooled AS (
+  SELECT type_a, type_b, value,
+    sum(cnt_a) AS cnt_a, sum(cnt_b) AS cnt_b
+  FROM (
+    SELECT p.type_a, p.type_b, v.value, v.cnt AS cnt_a, 0 AS cnt_b
+    FROM cd_pairs p JOIN cd_vals v ON v.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, v.value, 0 AS cnt_a, v.cnt AS cnt_b
+    FROM cd_pairs p JOIN cd_vals v ON v.event_type = p.type_b
+  ) GROUP BY 1, 2, 3
+),
+cd_ranked AS (
+  SELECT *,
+    coalesce(sum(cnt_b) OVER (PARTITION BY type_a, type_b
+      ORDER BY value
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS cum_b_before,
+    sum(cnt_b) OVER (PARTITION BY type_a, type_b) AS tot_b
+  FROM cd_pooled
+),
+cd_agg AS (
+  SELECT type_a, type_b,
+    CAST(sum(cnt_a) AS BIGINT) AS n_a,
+    CAST(sum(cnt_b) AS BIGINT) AS n_b,
+    sum(CAST(cnt_a AS HUGEINT) * CAST(cum_b_before AS HUGEINT)) AS gt,
+    sum(CAST(cnt_a AS HUGEINT)
+      * CAST(tot_b - cum_b_before - cnt_b AS HUGEINT)) AS lt
+  FROM cd_ranked GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_a, n_b,
+  round(CASE WHEN n_a > 0 AND n_b > 0
+    THEN CAST(gt - lt AS DOUBLE)
+      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END, 6)
+    AS cliffs_delta
+FROM cd_agg"""
 
     q["events_mann_whitney"] = """
 WITH mw_vals AS (

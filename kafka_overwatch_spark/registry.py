@@ -1381,6 +1381,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_mann_whitney"] = (
         lambda s, d: relational.mann_whitney_values(raw(s, d, "events"))
     )
+    # r14: Cliff's delta — the nonparametric effect size on the same
+    # pooled distinct-value grain (MW says significant; δ says how big)
+    q["events_cliffs_delta"] = (
+        lambda s, d: relational.cliffs_delta_values(raw(s, d, "events"))
+    )
     q["events_runs_test"] = lambda s, d: relational.runs_test_daily(
         raw(s, d, "events")
     )
@@ -1805,6 +1810,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["graph_assortativity"] = lambda s, d: graph.assortativity(
         get_copurchase_edges(s, d)
     )
+    # r14: rich-club coefficient over the nine DERIVED degree deciles
+    # (do hubs preferentially connect to each other)
+    q["graph_rich_club"] = lambda s, d: graph.rich_club(
+        None, edges=get_copurchase_edges(s, d)
+    )
     # r11 wave 4: eigenvector centrality (8 unrolled power-iteration
     # rounds, L1-normalized — the teleport-free prestige measure next
     # to pagerank; round-6 is the oracle-compare grain, applied here
@@ -1968,69 +1978,68 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # lowest information — still swept by tests/test_oracle_parity.py) sink
 # to the END. Everything else keeps its registration order.
 _PROMOTED = [
-    # r12 rotation (VERDICT r11 next #2: oldest-witness-first). The
-    # full oracle sweep still runs every session via
+    # r14 rotation (VERDICT r13 next #1: the full 47-query r7-vintage
+    # cohort, oldest-witness-first — after this window no registered
+    # query's latest driver witness is older than r8). The full oracle
+    # sweep still runs every session via
     # tests/test_oracle_parity.py::test_parity_all.
-    # -- new in r12 / plan or arithmetic changed in r12:
-    "ann_neardup_frontier",
-    "dedup_embedding_cosine",
-    "dedup_containment",
-    "emb_density_cores_lsh",
-    "dedup_semantic_components",
-    "curation_semantic",
-    "events_kruskal_wallis",
-    "graph_components_bounded",
-    "graph_label_propagation",
-    "graph_modularity",
-    "emb_knn_label_audit",
-    # r13: the rows-only star form was a permanent no_oracle row in the
-    # hash window (the r11 graph_kcore precedent) — the bounded,
-    # oracle-backed form replaces it
-    "graph_components_star_bounded",
-    # r13 new operator (takes the slot of snapshot_upsert_topics,
-    # re-witnessed r12 — the window stays exactly 50)
+    # -- lead: its oracle mirror changed in r13 (the exact-rational
+    # boundary fix touched the audit path) but its last driver witness
+    # was r7 — the exact case the rotation policy exists for:
+    "dedup_containment_audit",
+    # -- semantics changed THIS round (derived-k rule, left-join peel;
+    # output identical at sf0.01 but the derivation is new):
     "graph_ktruss_bounded",
-    "emb_split_leakage",
-    # -- the full r11-verdict stale tail: every oracle-backed query
-    # last driver-witnessed ≤ r6 (37 rows; the three the r11 NOTES
-    # misclaimed lead). snapshot_* names here OVERRIDE the usual
-    # end-of-list demotion — their witness is r4/r5 vintage.
-    "text_line_dedup",
-    "text_contamination",
-    "media_header_meta",
-    "events_winsorized_stats",
-    "fuzzy_name_pairs",
-    "sampling_source_mix",
-    "sampling_temperature_weights",
-    "sampling_upsample_plan",
-    "sampling_user_cap",
-    "sampling_user_cap_summary",
-    "text_bigram_logprob",
-    "text_bm25",
-    "text_gopher_flags",
-    "text_unigram_logprob",
-    "text_zipf_fit",
-    "topic_throughput_trend",
-    "tpch_brand_supplier_stats",
-    "tpch_customer_distribution",
-    "tpch_fulfillment_latency",
-    "tpch_idle_rich_customers",
-    "tpch_important_parts",
-    "tpch_large_quantity_orders",
-    "tpch_local_supplier_volume",
-    "tpch_order_priority",
-    "tpch_return_rate_control",
-    "tpch_small_quantity_revenue",
-    "tpch_supplier_hhi",
-    "validation_report",
-    "snapshot_consumer_groups",
-    "snapshot_group_offsets",
-    "snapshot_partition_offsets",
-    "snapshot_schemas",
-    "snapshot_subject_versions",
-    "snapshot_subjects",
-    "snapshot_topic_configs",
-    "snapshot_topics",
+    # -- the rest of the r7 cohort, in r7 witness order:
+    "dedup_simhash_pairs",
+    "media_phash_pairs",
+    "events_cohort_retention",
+    "split_leakage",
+    "events_sessionize",
+    "events_time_weighted_avg",
+    "events_daily_locf",
+    "text_tfidf",
+    "text_repetition",
+    "tpch_shipping_priority",
+    "tpch_top_supplier",
+    "sampling_split",
+    "emb_quantize_int8",
+    "events_k_anonymity",
+    "events_session_window_dynamic",
+    "events_ab_test",
+    "text_fingerprints",
+    "text_ngram_freq",
+    "text_redact_pii",
+    "text_typicality",
+    "text_length_histogram",
+    "text_vocab_stats",
+    "source_quality_summary",
+    "sampling_stratified",
+    "doc_chunks",
+    "tpch_pricing_summary",
+    "tpch_big_order_revenue",
+    "events_daily_rollup",
+    "events_top_users",
+    "events_top_users_salted",
+    "events_pseudonymized",
+    "events_bot_scores",
+    "events_retention",
+    "events_funnel",
+    "events_anomalous_days",
+    "events_user_reach",
+    "events_value_quantiles",
+    "tpch_promo_share",
+    "tpch_forecast_revenue",
+    "tpch_product_profit",
+    "tpch_returned_items",
+    "tpch_disjunctive_revenue",
+    "events_set_ops",
+    "events_type_transitions",
+    "events_mad_anomalies",
+    "emb_split_centroid_drift",
+    # -- r14 new operators (fill the window to exactly 50):
+    "graph_rich_club",
+    "events_cliffs_delta",
 ]
 
 

@@ -102,3 +102,78 @@ def test_containment_index_meta_error_propagates(spark, tmp_path):
     with pytest.raises(Exception) as exc_info:
         bad._index_k(spark)
     assert "PATH_NOT_FOUND" not in str(exc_info.value)
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, 1) for a, b in pairs],
+        "part_a long, part_b long, weight long",
+    )
+
+
+def test_rich_club_matches_python(spark):
+    """φ(k) on a clique-plus-pendants graph must equal the hand
+    formula at every derived decile k, including the histogram-rank
+    ladder derivation itself."""
+    import itertools
+
+    from kafka_overwatch_spark.operators.graph import rich_club
+
+    k6 = list(itertools.combinations(range(1, 7), 2))
+    pendants = [(i, 100 + i) for i in range(1, 7)]
+    pairs = k6 + pendants
+    deg: dict = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    n = len(deg)
+    sdeg = sorted(deg.values())
+    ladder = []
+    for q in range(1, 10):
+        v = sdeg[(q * n + 9) // 10 - 1]
+        if v not in ladder:
+            ladder.append(v)
+    rows = rich_club(None, edges=_edges_df(spark, pairs)).collect()
+    got = {r["k"]: (r["n_nodes"], r["n_edges"], r["phi"]) for r in rows}
+    assert sorted(got) == sorted(ladder)
+    for k in ladder:
+        rich = {v for v, d in deg.items() if d > k}
+        e_k = sum(1 for a, b in pairs if a in rich and b in rich)
+        phi = (
+            round(2.0 * e_k / (len(rich) * (len(rich) - 1)), 6)
+            if len(rich) >= 2
+            else None
+        )
+        assert got[k] == (len(rich), e_k, phi), k
+
+
+def test_cliffs_delta_matches_brute_force(spark):
+    """δ against the O(n²) definition on a small two-type frame with
+    ties across and within groups."""
+    from kafka_overwatch_spark.operators.relational import (
+        cliffs_delta_values,
+    )
+
+    a_vals = [1.0, 2.0, 2.0, 3.0, 7.0]
+    b_vals = [2.0, 4.0, 4.0, 5.0]
+    rows = [
+        (i, "2024-01-01 00:00:00", 1, "aa", v, "{}")
+        for i, v in enumerate(a_vals)
+    ] + [
+        (100 + i, "2024-01-01 00:00:00", 2, "bb", v, "{}")
+        for i, v in enumerate(b_vals)
+    ]
+    df = spark.createDataFrame(
+        [(e, __import__("datetime").datetime(2024, 1, 1), u, t, v, p)
+         for e, _, u, t, v, p in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    gt = sum(1 for x in a_vals for y in b_vals if x > y)
+    lt = sum(1 for x in a_vals for y in b_vals if x < y)
+    want = round((gt - lt) / (len(a_vals) * len(b_vals)), 6)
+    r = cliffs_delta_values(df).collect()
+    assert len(r) == 1
+    assert (r[0]["type_a"], r[0]["type_b"]) == ("aa", "bb")
+    assert (r[0]["n_a"], r[0]["n_b"]) == (5, 4)
+    assert r[0]["cliffs_delta"] == want
