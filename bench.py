@@ -342,6 +342,104 @@ def settle_host(threshold: float = 0.25, max_wait: float = 120.0) -> dict:
     return probe
 
 
+def run_anchor_protocol(sf_dir: str) -> dict:
+    """Self-anchoring bench (VERDICT r13 next #5): the r13 A/B
+    worktree protocol proved single-run benches on this host drift
+    ±25% across hours — only ALTERNATING passes in the same session
+    are comparable round over round. So every BENCH_rN carries its own
+    anchor: the previous round's HEAD (the last driver `round N:`
+    commit) checked out into a worktree, and 2× interleaved
+    (anchor pass, head pass) subprocess rounds — four JVMs, identical
+    setup, same host minute. The comparison table generates itself:
+    per-query min over each tree's two passes on the COMMON query set,
+    plus the total ratio. Failures never cost the BENCH artifact
+    (returns {"error": ...}); set SPARK_GRAFT_ANCHOR=0 to skip when
+    iterating locally."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    if os.environ.get("SPARK_GRAFT_ANCHOR", "1") == "0":
+        return {"skipped": "SPARK_GRAFT_ANCHOR=0"}
+    try:
+        sha = subprocess.run(
+            ["git", "log", "--format=%H", "-n1",
+             "--grep", "^round [0-9]*:"],
+            cwd=here, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        if not sha:
+            return {"skipped": "no previous round commit found"}
+        ref_line = subprocess.run(
+            ["git", "log", "--format=%h %s", "-n1", sha],
+            cwd=here, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        wt = f"/tmp/bench_anchor_{sha[:12]}"
+        if not os.path.isdir(wt):
+            r = subprocess.run(
+                ["git", "worktree", "add", "--detach", wt, sha],
+                cwd=here, capture_output=True, text=True, timeout=120,
+            )
+            if r.returncode != 0:
+                return {"error": f"worktree add: {r.stderr[:300]}"}
+        qnames = json.dumps(HEADLINE + HEADLINE2)
+        runner = os.path.join(here, "scripts", "bench_anchor_runner.py")
+        passes: dict[str, list[dict]] = {"anchor": [], "head": []}
+        try:
+            for _ in range(2):
+                for label, tree in (("anchor", wt), ("head", here)):
+                    load = settle_host()
+                    r = subprocess.run(
+                        [sys.executable, runner, tree, sf_dir, qnames],
+                        capture_output=True, text=True, timeout=1800,
+                        cwd=here,
+                    )
+                    if r.returncode != 0:
+                        return {
+                            "error": f"{label} pass: {r.stderr[-300:]}"
+                        }
+                    rec = json.loads(r.stdout.strip().splitlines()[-1])
+                    rec["host_load"] = load
+                    passes[label].append(rec)
+                    print(
+                        f"  anchor protocol {label} pass: "
+                        f"{round(sum(rec['per_query'].values()), 2)}s",
+                        file=sys.stderr,
+                    )
+        finally:
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", wt],
+                cwd=here, capture_output=True, timeout=60,
+            )
+        common = set.intersection(
+            *(set(p["per_query"]) for ps in passes.values() for p in ps)
+        )
+        mins = {
+            label: {
+                q: min(p["per_query"][q] for p in ps) for q in common
+            }
+            for label, ps in passes.items()
+        }
+        anchor_total = round(sum(mins["anchor"].values()), 3)
+        head_total = round(sum(mins["head"].values()), 3)
+        deltas = {
+            q: round(mins["head"][q] - mins["anchor"][q], 3)
+            for q in common
+        }
+        worst = sorted(deltas, key=lambda q: -abs(deltas[q]))[:5]
+        return {
+            "anchor_ref": ref_line,
+            "n_common": len(common),
+            "anchor_total_min": anchor_total,
+            "head_total_min": head_total,
+            "head_vs_anchor": round(head_total / anchor_total, 4)
+            if anchor_total
+            else None,
+            "largest_deltas": {q: deltas[q] for q in worst},
+            "passes": passes,
+        }
+    except Exception as exc:  # noqa: BLE001 — never cost the artifact
+        return {"error": f"{type(exc).__name__}: {exc}"[:400]}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -555,6 +653,14 @@ def main() -> None:
         "index_rows_before_batch": s_index_rows,
     }
 
+    # self-anchoring protocol (VERDICT r13 next #5): interleaved
+    # subprocess passes of the previous round's HEAD vs this tree —
+    # the only round-over-round comparison this host supports
+    anchor = run_anchor_protocol(sf_dir)
+    anchor_summary = {
+        k: v for k, v in anchor.items() if k != "passes"
+    }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # throughput context: total input rows of the tables the headline
     # queries scan (lineitem dominates), per steady-state second
@@ -576,6 +682,7 @@ def main() -> None:
         "growing_dedup": growing_dedup,
         "growing_semantic": growing_semantic,
         "headline2": headline2,
+        "anchor": anchor,
         "stat": "p50_of_3",
         "sf": float(sf),
     }
@@ -604,6 +711,7 @@ def main() -> None:
                 "pass_loads": pass_loads,
                 "growing_dedup": growing_dedup,
                 "growing_semantic": growing_semantic,
+                "anchor": anchor_summary,
                 "stat": "p50_of_3",
                 "sf": float(sf),
                 "n_queries": len(per_query),

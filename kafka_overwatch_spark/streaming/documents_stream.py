@@ -702,12 +702,19 @@ class GrowingContainmentScreen:
         base_path: str,
         out_dir: str,
         threshold: float = 0.8,
-        max_bucket: int = 10_000,
+        max_bucket: int | None = None,
         shingle_k: int | None = None,
     ) -> None:
         self.base = base_path
         self.out_dir = out_dir
         self.threshold = threshold
+        # None (default since r14, VERDICT r13 next #3) = EXACT mode:
+        # the posting side is semi-joined against the batch's probe
+        # shingles, so never-probed boilerplate buckets never enter
+        # the candidate join and recall is 1.0 by construction — the
+        # batch path's containment_adaptive_cap argument applied to
+        # the screen. Pass an int for a hard cost cap at a measured
+        # recall risk (the pre-r14 behavior).
         self.max_bucket = max_bucket
         # None → read the width the index was seeded with (meta); the
         # batch MUST shingle at the index's K or containment values are
@@ -760,9 +767,21 @@ class GrowingContainmentScreen:
             .filter(F.col("batch_id") < batch_id)
             .select("doc_id", "s")
         )
+        # r14 (VERDICT r13 next #3, the batch family's levers applied
+        # to the screen): the probe ordering only ever reads df for the
+        # BATCH's own shingles, so the per-batch-growing full-vocabulary
+        # aggregate is semi-joined down to the micro-batch's shingle
+        # set BEFORE the groupBy — identical df values for every
+        # shingle the screen can touch (a posting for a never-probed
+        # shingle cannot match any probe), at batch-grain shuffle cost
+        # instead of corpus-grain.
+        batch_s = F.broadcast(
+            sh_new.select(F.explode("sh").alias("s")).distinct()
+        )
         corpus_freq = (
             spark.read.parquet(f"{self.base}/freq")
             .filter(F.col("batch_id") < batch_id)
+            .join(batch_s, "s")
             .groupBy("s")
             .agg(F.sum("df").alias("df"))
         )
@@ -841,7 +860,7 @@ def run_growing_containment(
     out_dir: str,
     checkpoint: str,
     threshold: float = 0.8,
-    max_bucket: int = 10_000,
+    max_bucket: int | None = None,
 ):
     """Drain the document feed through the growing containment screen
     (availableNow, one file per trigger = arrival order is file order)."""
