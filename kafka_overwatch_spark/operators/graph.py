@@ -684,6 +684,7 @@ def ktruss_bounded(
     k: int | None = None,
     rounds: int = KTRUSS_ROUNDS,
     edges: DataFrame | None = None,
+    wedge_budget: int | None = None,
 ) -> DataFrame:
     """k-truss of the co-purchase graph with a DECLARED round budget —
     the EDGE-grain cohesion sibling of :func:`kcore_bounded` (Cohen
@@ -727,8 +728,19 @@ def ktruss_bounded(
     ``support ≥ k−2`` for ALL k — with k ≤ 2 a zero-triangle edge
     legitimately survives (a 2-truss is the whole graph), where the
     old inner join silently dropped it and the peel never converged.
-    Output: part_a, part_b, support (fixpoint triangle count per
-    surviving edge)."""
+
+    ``wedge_budget`` (r14, the MAX_BASKET discipline at operator
+    grain): the round-0 support pass shuffles exactly the oriented
+    wedge-candidate mass Σ_v C(outdeg v, 2) — measured LINEAR per
+    decade on the generator corpus (411M at 12M edges → 4.11B at
+    119.6M edges, 10.0× per 10×; SCALE.md r14) but the gen10 constant
+    exceeds a single box's spill disk (>76 GB observed before the
+    probe was killed). When set, the mass is pre-computed from the
+    degree histogram (two cheap aggregates) and the operator RAISES
+    with the measured number instead of dying by disk-full mid-
+    shuffle; a 1000-executor cluster amortizes the same mass to
+    ~MBs/task, so the production default stays None. Output: part_a,
+    part_b, support (fixpoint triangle count per surviving edge)."""
     if edges is None:
         edges = copurchase_edges(lineitem)
     cur = (
@@ -742,6 +754,22 @@ def ktruss_bounded(
     )
     need = None if k is None else k - 2
     prev_cnt = cur.count()
+    if wedge_budget is not None:
+        od = oriented_edges(cur).groupBy("src").agg(
+            F.count("*").alias("od")
+        )
+        mass = od.agg(
+            F.coalesce(
+                F.sum(F.expr("od * (od - 1) div 2")), F.lit(0)
+            ).alias("m")
+        ).collect()[0]["m"]
+        if mass > wedge_budget:
+            raise RuntimeError(
+                f"ktruss_bounded round-0 wedge candidates {mass:,} "
+                f"exceed wedge_budget {wedge_budget:,} — the support "
+                "pass would shuffle that many rows; run on a cluster "
+                "sized for it or raise the budget"
+            )
     result = None
     for _ in range(rounds):
         tri = triangles(None, edges=cur)

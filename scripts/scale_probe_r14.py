@@ -54,18 +54,81 @@ def tier_setup(spark, registry, sf_dir: str) -> float:
 
 
 def probe_ktruss(spark, registry, bench, tiers) -> None:
+    """The graph-family 100× protocol, density-aware: every tier
+    records the MEASURED oriented wedge-candidate mass (two histogram
+    aggregates — the exact row count the round-0 support pass
+    shuffles) next to the wall time, and tiers whose mass exceeds the
+    local spill budget run the ktruss under the wedge_budget guard so
+    the row is a loud measured RAISE instead of a disk-fill (the first
+    r14 attempt spilled >76 GB at gen10 and was killed — candidates
+    are 4.11B there, linear per decade but past one box's disk)."""
+    from pyspark.sql import functions as F
+
+    from kafka_overwatch_spark.operators import graph
+
+    # one box's spill headroom: past this the support shuffle dies by
+    # disk, so the guard converts it to a measured raise
+    LOCAL_WEDGE_BUDGET = 1_500_000_000
+
     queries = registry.spark_queries()
     for tier in tiers:
         sf_dir = str(REPO / "scaledata" / tier)
         load = bench.settle_host()
         setup = tier_setup(spark, registry, sf_dir)
         rows: dict = {"setup_sec": setup, "host_load": load}
+        edges = registry.get_copurchase_edges(spark, sf_dir)
+        deg = (
+            edges.select(F.col("part_a").alias("p"))
+            .unionAll(edges.select(F.col("part_b").alias("p")))
+            .groupBy("p")
+            .agg(F.count("*").alias("d"))
+        )
+        od = graph.oriented_edges(edges).groupBy("src").agg(
+            F.count("*").alias("od")
+        )
+        rows["n_edges"] = edges.count()
+        rows["wedge_candidates"] = int(
+            od.agg(
+                F.coalesce(
+                    F.sum(F.expr("od * (od - 1) div 2")), F.lit(0)
+                )
+            ).collect()[0][0]
+        )
+        rows["n_vertices"] = deg.count()
+        print(
+            f"  {tier} edges={rows['n_edges']:,} "
+            f"wedge_candidates={rows['wedge_candidates']:,}",
+            file=sys.stderr,
+        )
+        # triangle count: the per-round credit mass is 3T — the other
+        # half of the round-cost model (only where candidates fit)
+        if rows["wedge_candidates"] <= LOCAL_WEDGE_BUDGET:
+            registry.clear_session_memos(spark, keep={"edges"})
+            t0 = time.time()
+            rows["n_triangles"] = graph.triangles(
+                None, edges=edges
+            ).count()
+            rows["triangles_sec"] = round(time.time() - t0, 3)
+            print(
+                f"  {tier} triangles={rows['n_triangles']:,} in "
+                f"{rows['triangles_sec']}s",
+                file=sys.stderr,
+            )
         for name in ("graph_ktruss_bounded", "graph_rich_club"):
             registry.clear_session_memos(spark, keep={"edges"})
             force(registry.get_copurchase_edges(spark, sf_dir))
             t0 = time.time()
             try:
-                df = queries[name](spark, sf_dir)
+                if name == "graph_ktruss_bounded":
+                    df = graph.ktruss_bounded(
+                        None,
+                        edges=registry.get_copurchase_edges(
+                            spark, sf_dir
+                        ),
+                        wedge_budget=LOCAL_WEDGE_BUDGET,
+                    )
+                else:
+                    df = queries[name](spark, sf_dir)
                 n = df.count()
                 rows[name] = {
                     "cold": round(time.time() - t0, 3),
