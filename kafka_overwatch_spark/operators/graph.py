@@ -470,6 +470,7 @@ def triangles(
     lineitem: DataFrame,
     edges: DataFrame | None = None,
     deg: DataFrame | None = None,
+    packed_closure: bool = False,
 ) -> DataFrame:
     """Every triangle of the co-purchase graph, exactly once, as one
     (a, b, c) row — the shared input of the global AND per-node
@@ -483,7 +484,22 @@ def triangles(
     more keyed join against the oriented edge list — two triangle-scale
     joins total, candidate volume bounded by arboricity·|E| instead of
     Σ deg² (hub-skew safe). Vertex columns are the triangle's members;
-    no rank order is implied between a/b/c."""
+    no rank order is implied between a/b/c.
+
+    ``packed_closure`` (r14): ONE logical plan, two physical closure
+    strategies. Default: join the (u, v, w) wedge frame on the
+    two-column key — fine until the candidate mass dwarfs spill disk
+    (gen10: 4.11B candidates; the 3-long struct exchange + sort-merge
+    spilled >76 GB and filled one box, SCALE.md r14; broadcasting the
+    closing side instead is dead on arrival — 119.6M edges build an
+    11.2 GiB relation, over Spark's hard 8 GiB cap). Packed: the
+    closing key (v, w) packs into ONE long (shiftleft(v,32)|w — loud
+    per-row raise_error if any id ≥ 2³², the packing precondition),
+    candidates shuffle as TWO-long rows (u, vw) with the closing side
+    shuffle_hash-hinted so nothing ever sorts 4.11B rows, and v/w
+    unpack after the join. Bit-identical output; ~2.5× fewer exchange
+    bytes and no sort spill — the same never-sort-wide-rows lesson as
+    the containment verify joins."""
     if edges is None:
         edges = copurchase_edges(lineitem)
     # lazy checkpoint: the oriented frame is referenced three times
@@ -492,6 +508,26 @@ def triangles(
     # exchange reuse, and it is edge-sized — the same linear-memory
     # class as the registry's edge memo itself
     oriented = oriented_edges(edges, deg=deg).localCheckpoint(eager=False)
+    if packed_closure:
+        pack = (
+            "CASE WHEN {a} >= 4294967296 OR {b} >= 4294967296 "
+            "OR {a} < 0 OR {b} < 0 "
+            "THEN raise_error('packed_closure requires ids in [0, 2^32)') "
+            "ELSE shiftleft({a}, 32) | {b} END"
+        )
+        closing = oriented.select(
+            F.expr(pack.format(a="src", b="dst")).alias("vw")
+        ).hint("shuffle_hash")
+        return (
+            wedge_candidates(oriented)
+            .select("u", F.expr(pack.format(a="v", b="w")).alias("vw"))
+            .join(closing, "vw")
+            .select(
+                F.col("u").alias("a"),
+                F.expr("shiftright(vw, 32)").alias("b"),
+                F.expr("vw & 4294967295").alias("c"),
+            )
+        )
     closing = oriented.select(
         F.col("src").alias("v"), F.col("dst").alias("w")
     )
@@ -679,12 +715,127 @@ def kcore_bounded(
     return kcore(lineitem, k=k, edges=edges, max_iterations=rounds)
 
 
+def _credit_support(tri: DataFrame) -> DataFrame:
+    """(edge → triangle count) off one triangle frame: each (a,b,c)
+    credits its three edges, keys normalized ascending."""
+    credits = None
+    for x, y in (("a", "b"), ("a", "c"), ("b", "c")):
+        c = tri.select(
+            F.least(x, y).alias("part_a"),
+            F.greatest(x, y).alias("part_b"),
+        )
+        credits = c if credits is None else credits.unionAll(c)
+    return credits.groupBy("part_a", "part_b").agg(
+        F.count("*").alias("support")
+    )
+
+
+def _edge_support(
+    cur: DataFrame,
+    wedge_budget: int | None = None,
+    packed_closure: bool = False,
+) -> DataFrame:
+    """Per-edge triangle support of the CURRENT edge set, decomposed
+    into root-bucket sub-jobs when the measured wedge-candidate mass
+    exceeds ``wedge_budget`` (see ktruss_bounded docstring — support
+    is additive over wedge roots, so the partition is exact). Each
+    sub-job materializes a ≤|E|-row partial frame eagerly and drops
+    its lineage so the ContextCleaner releases the sub-job's shuffle
+    files before the next one spills (the r13 probe lesson)."""
+    splits = 1
+    if wedge_budget is not None:
+        od = oriented_edges(cur).groupBy("src").agg(
+            F.count("*").alias("od")
+        )
+        mass = int(
+            od.agg(
+                F.coalesce(
+                    F.sum(F.expr("od * (od - 1) div 2")), F.lit(0)
+                ).alias("m")
+            ).collect()[0]["m"]
+        )
+        splits = max(1, -(-mass // wedge_budget))
+        if splits > 64:
+            raise RuntimeError(
+                f"edge support needs {splits} sub-jobs for "
+                f"{mass:,} wedge candidates at budget "
+                f"{wedge_budget:,} — raise the budget or run on a "
+                "cluster sized for the mass"
+            )
+    if splits == 1:
+        return _credit_support(
+            triangles(None, edges=cur, packed_closure=packed_closure)
+        )
+    # Decomposed mode is block-manager-independent by design: the
+    # oriented frame and every partial go to TEMP PARQUET, so the
+    # aggressive shuffle release between sub-jobs (lineage drop +
+    # System.gc → ContextCleaner) can never clean a broadcast or
+    # checkpoint block a later stage still needs — the first
+    # checkpoint-based cut died exactly that way ("Block broadcast_48
+    # does not exist" at gen10, SCALE.md r14). The partials are
+    # edge-grain (~GBs at 119.6M edges); the sub-job shuffles they
+    # release are tens of GB each.
+    import shutil
+    import tempfile
+
+    spark = cur.sparkSession
+    tmp = tempfile.mkdtemp(prefix="ktruss_support_")
+    try:
+        oriented_edges(cur).write.mode("overwrite").parquet(
+            f"{tmp}/oriented"
+        )
+        oriented = spark.read.parquet(f"{tmp}/oriented")
+        pack = (
+            "CASE WHEN {a} >= 4294967296 OR {b} >= 4294967296 "
+            "OR {a} < 0 OR {b} < 0 "
+            "THEN raise_error('packed_closure requires ids in "
+            "[0, 2^32)') "
+            "ELSE shiftleft({a}, 32) | {b} END"
+        )
+        closing = oriented.select(
+            F.expr(pack.format(a="src", b="dst")).alias("vw")
+        ).hint("shuffle_hash")
+        for i in range(splits):
+            o_i = oriented.filter(
+                F.pmod(F.xxhash64("src"), F.lit(splits)) == i
+            )
+            tri_i = (
+                wedge_candidates(o_i)
+                .select(
+                    "u",
+                    F.expr(pack.format(a="v", b="w")).alias("vw"),
+                )
+                .join(closing, "vw")
+                .select(
+                    F.col("u").alias("a"),
+                    F.expr("shiftright(vw, 32)").alias("b"),
+                    F.expr("vw & 4294967295").alias("c"),
+                )
+            )
+            _credit_support(tri_i).write.mode("overwrite").parquet(
+                f"{tmp}/part={i}"
+            )
+            # release the sub-job's shuffle files before the next
+            # spills; safe now — nothing downstream reads its blocks
+            spark.sparkContext._jvm.System.gc()
+        support = (
+            spark.read.parquet(*[f"{tmp}/part={i}" for i in range(splits)])
+            .groupBy("part_a", "part_b")
+            .agg(F.sum("support").alias("support"))
+            .localCheckpoint(eager=True)
+        )
+        return support
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def ktruss_bounded(
     lineitem: DataFrame | None,
     k: int | None = None,
     rounds: int = KTRUSS_ROUNDS,
     edges: DataFrame | None = None,
     wedge_budget: int | None = None,
+    packed_closure: bool = False,
 ) -> DataFrame:
     """k-truss of the co-purchase graph with a DECLARED round budget —
     the EDGE-grain cohesion sibling of :func:`kcore_bounded` (Cohen
@@ -729,18 +880,28 @@ def ktruss_bounded(
     legitimately survives (a 2-truss is the whole graph), where the
     old inner join silently dropped it and the peel never converged.
 
-    ``wedge_budget`` (r14, the MAX_BASKET discipline at operator
-    grain): the round-0 support pass shuffles exactly the oriented
-    wedge-candidate mass Σ_v C(outdeg v, 2) — measured LINEAR per
-    decade on the generator corpus (411M at 12M edges → 4.11B at
-    119.6M edges, 10.0× per 10×; SCALE.md r14) but the gen10 constant
-    exceeds a single box's spill disk (>76 GB observed before the
-    probe was killed). When set, the mass is pre-computed from the
-    degree histogram (two cheap aggregates) and the operator RAISES
-    with the measured number instead of dying by disk-full mid-
-    shuffle; a 1000-executor cluster amortizes the same mass to
-    ~MBs/task, so the production default stays None. Output: part_a,
-    part_b, support (fixpoint triangle count per surviving edge)."""
+    ``wedge_budget`` (r14): each round's support pass shuffles exactly
+    the oriented wedge-candidate mass Σ_v C(outdeg v, 2) — measured
+    LINEAR per decade on the generator corpus (411M at 12M edges →
+    4.11B at 119.6M, 10.0× per 10×; SCALE.md r14) but the gen10
+    constant exceeds a single box's spill disk (default plan spilled
+    >76 GB; the packed-key variant >65 GB; broadcasting the closing
+    side is over Spark's hard 8 GiB cap at 11.2 GiB). When set, every
+    round pre-measures its candidate mass from the out-degree
+    histogram (two cheap aggregates off the already-pinned oriented
+    frame) and, when the mass exceeds the budget, DECOMPOSES the pass
+    into ⌈mass/budget⌉ sequential root-bucket sub-jobs: support is
+    ADDITIVE over wedge roots (every candidate has exactly one root
+    u, so bucketing pmod(xxhash64(u), splits) partitions the credit
+    mass), each sub-job materializes a partial (edge → count) frame
+    ≤ |E| rows and releases its shuffle files before the next starts,
+    and the partials sum to the exact per-edge support. One budget,
+    two deployments: a 1000-executor cluster sets None (4.11B rows ≈
+    MBs/task) while local[32] sets its spill headroom and pays
+    sequential sub-jobs instead of a disk-full crash. Sub-jobs force
+    the packed one-long closure key (never sort, never shuffle
+    3-long rows). Output: part_a, part_b, support (fixpoint triangle
+    count per surviving edge)."""
     if edges is None:
         edges = copurchase_edges(lineitem)
     cur = (
@@ -754,34 +915,12 @@ def ktruss_bounded(
     )
     need = None if k is None else k - 2
     prev_cnt = cur.count()
-    if wedge_budget is not None:
-        od = oriented_edges(cur).groupBy("src").agg(
-            F.count("*").alias("od")
-        )
-        mass = od.agg(
-            F.coalesce(
-                F.sum(F.expr("od * (od - 1) div 2")), F.lit(0)
-            ).alias("m")
-        ).collect()[0]["m"]
-        if mass > wedge_budget:
-            raise RuntimeError(
-                f"ktruss_bounded round-0 wedge candidates {mass:,} "
-                f"exceed wedge_budget {wedge_budget:,} — the support "
-                "pass would shuffle that many rows; run on a cluster "
-                "sized for it or raise the budget"
-            )
     result = None
     for _ in range(rounds):
-        tri = triangles(None, edges=cur)
-        credits = None
-        for x, y in (("a", "b"), ("a", "c"), ("b", "c")):
-            c = tri.select(
-                F.least(x, y).alias("part_a"),
-                F.greatest(x, y).alias("part_b"),
-            )
-            credits = c if credits is None else credits.unionAll(c)
-        support = credits.groupBy("part_a", "part_b").agg(
-            F.count("*").alias("support")
+        support = _edge_support(
+            cur,
+            wedge_budget=wedge_budget,
+            packed_closure=packed_closure,
         )
         # LEFT join + coalesce: zero-triangle edges carry support 0 so
         # the filter is literally support ≥ k−2 at every k (ADVICE r13

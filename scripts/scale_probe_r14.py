@@ -114,18 +114,30 @@ def probe_ktruss(spark, registry, bench, tiers) -> None:
                 f"{rows['triangles_sec']}s",
                 file=sys.stderr,
             )
-        for name in ("graph_ktruss_bounded", "graph_rich_club"):
+        # ktruss under the local spill budget: rounds whose measured
+        # candidate mass exceeds it decompose into sequential
+        # root-bucket sub-jobs (additive support) — the timed row IS
+        # the decomposed execution at gen10 and the plain single-pass
+        # at gen1
+        runs = [
+            (
+                "graph_ktruss_bounded",
+                dict(wedge_budget=LOCAL_WEDGE_BUDGET),
+            ),
+            ("graph_rich_club", None),
+        ]
+        for name, kt_kwargs in runs:
             registry.clear_session_memos(spark, keep={"edges"})
             force(registry.get_copurchase_edges(spark, sf_dir))
             t0 = time.time()
             try:
-                if name == "graph_ktruss_bounded":
+                if kt_kwargs is not None:
                     df = graph.ktruss_bounded(
                         None,
                         edges=registry.get_copurchase_edges(
                             spark, sf_dir
                         ),
-                        wedge_budget=LOCAL_WEDGE_BUDGET,
+                        **kt_kwargs,
                     )
                 else:
                     df = queries[name](spark, sf_dir)

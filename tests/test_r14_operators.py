@@ -177,3 +177,82 @@ def test_cliffs_delta_matches_brute_force(spark):
     assert (r[0]["type_a"], r[0]["type_b"]) == ("aa", "bb")
     assert (r[0]["n_a"], r[0]["n_b"]) == (5, 4)
     assert r[0]["cliffs_delta"] == want
+
+
+def test_ktruss_packed_closure_identical(spark):
+    """packed_closure is a PHYSICAL strategy switch (one-long closure
+    key, shuffle_hash, no candidate sort) — the output must be
+    bit-identical to the two-column-key form."""
+    import itertools
+
+    from kafka_overwatch_spark.operators.graph import ktruss_bounded
+
+    k5 = list(itertools.combinations(range(1, 6), 2))
+    edges = k5 + [(10, 11), (11, 12), (10, 12), (5, 20)]
+    df = spark.createDataFrame(edges, EDGE_SCHEMA_KT)
+    a = {
+        (r.part_a, r.part_b): r.support
+        for r in ktruss_bounded(None, k=5, edges=df).collect()
+    }
+    b = {
+        (r.part_a, r.part_b): r.support
+        for r in ktruss_bounded(
+            None, k=5, edges=df, packed_closure=True
+        ).collect()
+    }
+    assert a == b and set(a) == set(k5)
+
+
+def test_ktruss_wedge_budget_guard(spark):
+    """A budget implying more than 64 sub-jobs raises BEFORE any
+    triangle work with the measured mass in the message; a generous
+    budget is a plain single-pass no-op."""
+    import itertools
+
+    import pytest as _pytest
+
+    from kafka_overwatch_spark.operators.graph import ktruss_bounded
+
+    k10 = list(itertools.combinations(range(1, 11), 2))  # 120 wedges
+    df10 = spark.createDataFrame(k10, EDGE_SCHEMA_KT)
+    with _pytest.raises(RuntimeError, match="sub-jobs"):
+        ktruss_bounded(None, k=5, edges=df10, wedge_budget=1).collect()
+    k5 = list(itertools.combinations(range(1, 6), 2))
+    df = spark.createDataFrame(k5, EDGE_SCHEMA_KT)
+    ok = ktruss_bounded(
+        None, k=5, edges=df, wedge_budget=10_000
+    ).count()
+    assert ok == 10
+
+
+def test_ktruss_root_split_support_exact(spark):
+    """Budget-decomposed support (root-bucket sub-jobs) must equal the
+    single-pass computation exactly, and ktruss under a tiny budget
+    must match the python peel — the decomposition is a physical
+    execution choice, never a semantics one."""
+    import itertools
+
+    from kafka_overwatch_spark.operators.graph import (
+        _edge_support,
+        ktruss_bounded,
+    )
+
+    k5 = list(itertools.combinations(range(1, 6), 2))
+    edges = k5 + [(10, 11), (11, 12), (10, 12), (5, 20), (2, 20)]
+    df = spark.createDataFrame(edges, EDGE_SCHEMA_KT)
+    base = {
+        (r.part_a, r.part_b): r.support
+        for r in _edge_support(df).collect()
+    }
+    split = {
+        (r.part_a, r.part_b): r.support
+        for r in _edge_support(df, wedge_budget=2).collect()
+    }
+    assert base == split and len(base) > 0
+    got = {
+        (r.part_a, r.part_b): r.support
+        for r in ktruss_bounded(
+            None, k=5, edges=df, wedge_budget=2
+        ).collect()
+    }
+    assert got == _python_ktruss(edges, 5)
