@@ -848,6 +848,7 @@ def screen_containment_against_corpus(
     corpus_postings: DataFrame | None = None,
     corpus_freq: DataFrame | None = None,
     broadcast_probe: bool = True,
+    posting_verify: bool = False,
 ) -> DataFrame:
     """Directional containment screen over pre-shingled frames: which
     NEW docs are largely contained (containment(new→corpus) ≥ t) in any
@@ -938,6 +939,49 @@ def screen_containment_against_corpus(
         .select("new_doc", "corpus_doc")
         .distinct()
     )
+    if posting_verify:
+        # r14 (the identified next lever): |A∩B| counted over corpus
+        # POSTING rows instead of array_intersect over corpus shingle
+        # ARRAYS — the shingle sets are array_distinct by
+        # construction, so postings are distinct per (doc, s) and the
+        # count IS the exact intersection. Plan: candidates (micro-
+        # batch-sized, broadcast) fan out by corpus doc over the
+        # narrow 2-column posting table (Σ_cand |B| rows — never the
+        # collision mass: the fan-out happens AFTER the candidate
+        # prefilter), then a second broadcast semi against the
+        # batch's own (doc, s) postings keeps exactly the shared
+        # shingles. The corpus shingle-ARRAY column is never scanned.
+        cand_b = F.broadcast(cand) if broadcast_probe else cand
+        pairs_s = cand_b.join(
+            corpus_postings.select(
+                F.col("doc_id").alias("corpus_doc"), "s"
+            ),
+            "corpus_doc",
+        )
+        np_keys = new_post.select(
+            F.col("doc_id").alias("new_doc"), "s"
+        )
+        if broadcast_probe:
+            np_keys = F.broadcast(np_keys)
+        inter = pairs_s.join(np_keys, ["new_doc", "s"]).groupBy(
+            "new_doc", "corpus_doc"
+        ).agg(F.count("*").alias("inter"))
+        nsz = sizes.select(F.col("doc_id").alias("new_doc"), "n_sh")
+        if broadcast_probe:
+            nsz = F.broadcast(nsz)
+        return (
+            inter.join(nsz, "new_doc")
+            .select(
+                "new_doc",
+                "corpus_doc",
+                F.round(
+                    F.col("inter").cast("double")
+                    / F.col("n_sh").cast("double"),
+                    6,
+                ).alias("containment"),
+            )
+            .filter(F.col("containment") >= threshold)
+        )
     sh_new = new_shingles.select(
         F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_new")
     )

@@ -704,10 +704,15 @@ class GrowingContainmentScreen:
         threshold: float = 0.8,
         max_bucket: int | None = None,
         shingle_k: int | None = None,
+        posting_verify: bool = False,
     ) -> None:
         self.base = base_path
         self.out_dir = out_dir
         self.threshold = threshold
+        # r14 A/B lever: verify |A∩B| by counting corpus POSTING rows
+        # (never scanning the corpus shingle-ARRAY column) — measured
+        # before default-flipping; see SCALE.md r14
+        self.posting_verify = posting_verify
         # None (default since r14, VERDICT r13 next #3) = EXACT mode:
         # the posting side is semi-joined against the batch's probe
         # shingles, so never-probed boilerplate buckets never enter
@@ -792,6 +797,7 @@ class GrowingContainmentScreen:
             max_bucket=self.max_bucket,
             corpus_postings=corpus_postings,
             corpus_freq=corpus_freq,
+            posting_verify=self.posting_verify,
         )
         contained = hits.select(
             F.col("new_doc").alias("doc_id")
@@ -805,6 +811,7 @@ class GrowingContainmentScreen:
             survivors,
             threshold=self.threshold,
             max_bucket=self.max_bucket,
+            posting_verify=self.posting_verify,
         )
         edges = self_hits.select(
             F.least("new_doc", "corpus_doc").alias("vec_a"),

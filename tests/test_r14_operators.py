@@ -256,3 +256,34 @@ def test_ktruss_root_split_support_exact(spark):
         ).collect()
     }
     assert got == _python_ktruss(edges, 5)
+
+
+def test_posting_verify_equals_array_verify(spark):
+    """The postings-count verify must emit EXACTLY the array_intersect
+    verify's rows (same pairs, same round-6 containment) on a real
+    corpus slice in both cap modes — it is a physical verify strategy,
+    not a semantics change."""
+    from pyspark.sql import functions as F
+
+    from kafka_overwatch_spark.pipelines.dedup import (
+        screen_containment_against_corpus,
+        shingle_docs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = shingle_docs(docs.filter(F.col("doc_id") < 300))
+    batch = shingle_docs(docs.filter(F.col("doc_id") >= 300))
+
+    def rows(**kw):
+        return sorted(
+            (r.new_doc, r.corpus_doc, r.containment)
+            for r in screen_containment_against_corpus(
+                batch, corpus, threshold=0.5, **kw
+            ).collect()
+        )
+
+    for cap in (None, 10_000):
+        a = rows(max_bucket=cap)
+        b = rows(max_bucket=cap, posting_verify=True)
+        assert a == b, (cap, len(a), len(b))
+    assert len(rows(max_bucket=None)) > 0  # the fixture actually hits
