@@ -829,6 +829,52 @@ def _edge_support(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_EDGE_PACK = (
+    "CASE WHEN {a} >= 4294967296 OR {b} >= 4294967296 "
+    "OR {a} < 0 OR {b} < 0 "
+    "THEN raise_error('triangle reuse requires ids in [0, 2^32)') "
+    "ELSE shiftleft(least({a}, {b}), 32) | greatest({a}, {b}) END"
+)
+
+#: dropped-edge frames up to this many rows broadcast into the
+#: triangle-incidence anti-joins (a few MB of packed longs on the
+#: executors); larger drops fall back to keyed anti-joins
+_TRI_REUSE_BROADCAST_DROPPED = 5_000_000
+
+
+def _packed_tri_edges(cur: DataFrame, packed_closure: bool = False) -> DataFrame:
+    """Round-0 triangle frame with each triangle's three normalized
+    edge keys packed into one long apiece: (e1, e2, e3). This is the
+    INCIDENCE form of the triangle set — a triangle of an edge-subgraph
+    S ⊆ cur is exactly a triangle of cur whose three edges all survive
+    in S, so a monotone peel can maintain this frame with anti-joins
+    against the dropped edges instead of re-enumerating wedges every
+    round (guide §2.4: the wedge self-join + closure join were the two
+    big exchanges of every round after the first)."""
+    tri = triangles(None, edges=cur, packed_closure=packed_closure)
+    return tri.select(
+        F.expr(_EDGE_PACK.format(a="a", b="b")).alias("e1"),
+        F.expr(_EDGE_PACK.format(a="a", b="c")).alias("e2"),
+        F.expr(_EDGE_PACK.format(a="b", b="c")).alias("e3"),
+    )
+
+
+def _support_from_tri_edges(tri_e: DataFrame) -> DataFrame:
+    """(part_a, part_b, support) off the incidence frame: one explode +
+    one keyed count — the same credit aggregation as
+    :func:`_credit_support`, minus the wedge re-enumeration."""
+    return (
+        tri_e.select(F.explode(F.array("e1", "e2", "e3")).alias("e"))
+        .groupBy("e")
+        .agg(F.count("*").alias("support"))
+        .select(
+            F.expr("shiftright(e, 32)").alias("part_a"),
+            F.expr("e & 4294967295").alias("part_b"),
+            "support",
+        )
+    )
+
+
 def ktruss_bounded(
     lineitem: DataFrame | None,
     k: int | None = None,
@@ -913,15 +959,34 @@ def ktruss_bounded(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Triangle-incidence reuse (r14 opt): when no wedge budget caps
+    # per-round memory, enumerate triangles ONCE on the round-0 edge
+    # set and maintain the incidence frame across the peel — support
+    # of every later round is one explode + one keyed count over the
+    # shrinking triangle frame, and each peel subtracts the dropped
+    # edges' triangles with three (usually broadcast) anti-joins.
+    # Exact because triangles of an edge-subgraph are precisely the
+    # round-0 triangles whose three edges all survive. The budgeted
+    # single-box path keeps per-round re-enumeration: materializing
+    # the full triangle frame is what that mode exists to avoid.
+    use_tri_reuse = wedge_budget is None
+    tri_e = None
     need = None if k is None else k - 2
     prev_cnt = cur.count()
     result = None
     for _ in range(rounds):
-        support = _edge_support(
-            cur,
-            wedge_budget=wedge_budget,
-            packed_closure=packed_closure,
-        )
+        if use_tri_reuse:
+            if tri_e is None:
+                tri_e = _packed_tri_edges(
+                    cur, packed_closure=packed_closure
+                ).localCheckpoint(eager=True)
+            support = _support_from_tri_edges(tri_e)
+        else:
+            support = _edge_support(
+                cur,
+                wedge_budget=wedge_budget,
+                packed_closure=packed_closure,
+            )
         # LEFT join + coalesce: zero-triangle edges carry support 0 so
         # the filter is literally support ≥ k−2 at every k (ADVICE r13
         # #1 — the inner join was only correct for k ≥ 3)
@@ -954,6 +1019,19 @@ def ktruss_bounded(
         if cnt == prev_cnt:
             result = nxt
             break
+        if use_tri_reuse:
+            dropped = scored.filter(F.col("support") < need).select(
+                F.expr(
+                    _EDGE_PACK.format(a="part_a", b="part_b")
+                ).alias("de")
+            )
+            if prev_cnt - cnt <= _TRI_REUSE_BROADCAST_DROPPED:
+                dropped = F.broadcast(dropped)
+            for col in ("e1", "e2", "e3"):
+                tri_e = tri_e.join(
+                    dropped, tri_e[col] == dropped["de"], "left_anti"
+                )
+            tri_e = tri_e.localCheckpoint(eager=True)
         cur = nxt.select("part_a", "part_b")
         prev_cnt = cnt
     if result is None:
