@@ -842,7 +842,11 @@ _EDGE_PACK = (
 _TRI_REUSE_BROADCAST_DROPPED = 5_000_000
 
 
-def _packed_tri_edges(cur: DataFrame, packed_closure: bool = False) -> DataFrame:
+def _packed_tri_edges(
+    cur: DataFrame,
+    packed_closure: bool = False,
+    tri: DataFrame | None = None,
+) -> DataFrame:
     """Round-0 triangle frame with each triangle's three normalized
     edge keys packed into one long apiece: (e1, e2, e3). This is the
     INCIDENCE form of the triangle set — a triangle of an edge-subgraph
@@ -850,8 +854,15 @@ def _packed_tri_edges(cur: DataFrame, packed_closure: bool = False) -> DataFrame
     in S, so a monotone peel can maintain this frame with anti-joins
     against the dropped edges instead of re-enumerating wedges every
     round (guide §2.4: the wedge self-join + closure join were the two
-    big exchanges of every round after the first)."""
-    tri = triangles(None, edges=cur, packed_closure=packed_closure)
+    big exchanges of every round after the first).
+
+    ``tri``: a pre-enumerated (a, b, c) triangle frame OF EXACTLY the
+    ``cur`` edge set (the registry's session-memoized get_triangles —
+    shared with the clustering queries, so one enumeration per scan
+    serves all triangle consumers). Caller contract: the frame must be
+    the triangle set of ``cur``; only pack + checkpoint are paid here."""
+    if tri is None:
+        tri = triangles(None, edges=cur, packed_closure=packed_closure)
     return tri.select(
         F.expr(_EDGE_PACK.format(a="a", b="b")).alias("e1"),
         F.expr(_EDGE_PACK.format(a="a", b="c")).alias("e2"),
@@ -882,6 +893,7 @@ def ktruss_bounded(
     edges: DataFrame | None = None,
     wedge_budget: int | None = None,
     packed_closure: bool = False,
+    tri: DataFrame | None = None,
 ) -> DataFrame:
     """k-truss of the co-purchase graph with a DECLARED round budget —
     the EDGE-grain cohesion sibling of :func:`kcore_bounded` (Cohen
@@ -977,8 +989,15 @@ def ktruss_bounded(
     for _ in range(rounds):
         if use_tri_reuse:
             if tri_e is None:
+                # `tri` (optional): a pre-enumerated triangle frame of
+                # exactly this edge set — the registry's session memo,
+                # shared with the clustering queries. Normalizing an
+                # already-normalized a<b distinct edge list is the
+                # identity, so the memoized frame IS triangles(cur) for
+                # the registered copurchase graph; enumeration is paid
+                # once per scan instead of once per query.
                 tri_e = _packed_tri_edges(
-                    cur, packed_closure=packed_closure
+                    cur, packed_closure=packed_closure, tri=tri
                 ).localCheckpoint(eager=True)
             support = _support_from_tri_edges(tri_e)
         else:

@@ -1785,8 +1785,15 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # support + 2 (VERDICT r13 what's-wrong #2 — the old k=12 was
     # fixture-pinned; at sf0.01 the median IS 10 so the registered
     # output is unchanged: the same 1127-edge backbone)
+    # r14 opt: the peel's round-0 triangle enumeration rides the same
+    # session-memoized frame as the clustering queries (get_triangles)
+    # — exact because copurchase edges are already a<b distinct, so
+    # ktruss's normalization is the identity and the memo IS the
+    # triangle set of its round-0 edges
     q["graph_ktruss_bounded"] = lambda s, d: graph.ktruss_bounded(
-        raw(s, d, "lineitem"), edges=get_copurchase_edges(s, d)
+        raw(s, d, "lineitem"),
+        edges=get_copurchase_edges(s, d),
+        tri=get_triangles(s, d),
     )
     # r10: neighborhood link prediction (common-neighbors / Jaccard /
     # Adamic-Adar over hub-capped wedges, adjacency anti-joined away)

@@ -287,3 +287,30 @@ def test_posting_verify_equals_array_verify(spark):
         b = rows(max_bucket=cap, posting_verify=True)
         assert a == b, (cap, len(a), len(b))
     assert len(rows(max_bucket=None)) > 0  # the fixture actually hits
+
+
+def test_ktruss_pre_enumerated_tri_identical(spark):
+    """r14 opt: passing a pre-enumerated triangle frame (the registry's
+    get_triangles memo) must be output-identical to in-query
+    enumeration — the memo IS triangles(cur) when the edge list is
+    already a<b distinct (the copurchase invariant)."""
+    import itertools
+
+    from kafka_overwatch_spark.operators.graph import (
+        ktruss_bounded,
+        triangles,
+    )
+
+    k5 = list(itertools.combinations(range(1, 6), 2))
+    edges = k5 + [(10, 11), (11, 12), (10, 12), (5, 20), (12, 21)]
+    df = spark.createDataFrame(edges, EDGE_SCHEMA_KT)
+    tri = triangles(None, edges=df)
+    base = sorted(
+        (r.part_a, r.part_b, r.support)
+        for r in ktruss_bounded(None, edges=df).collect()
+    )
+    with_tri = sorted(
+        (r.part_a, r.part_b, r.support)
+        for r in ktruss_bounded(None, edges=df, tri=tri).collect()
+    )
+    assert with_tri == base
