@@ -1963,12 +1963,18 @@ def _star_round(e: DataFrame, n_edges: int) -> DataFrame:
         F.min(F.least("nb", "ctr")).alias("m")
     )
     # (nb, m): nb > ctr ≥ m, so the pair is already (big, small)
+    # NOT distinct (r14 opt): both downstream consumers tolerate
+    # duplicates — smins is a min aggregate (duplicate-insensitive)
+    # and the rewritten pairs pass through the round's final distinct
+    # — so the old per-round (big, small) dedup exchange bought
+    # nothing (multi-path duplicates are re-deduped one operator
+    # later anyway; guide §2.4 "distinct on data that is already
+    # unique(-enough)")
     large = (
         both.join(mins, "ctr")
         .filter(F.col("nb") > F.col("ctr"))
         .select(F.col("nb").alias("big"), F.col("m").alias("small"))
         .filter(F.col("big") != F.col("small"))
-        .distinct()
     )
     # ---- small-star over large-star's OUTPUT (the paper's
     # alternation): center u over its ≤-neighbors N(u) (exactly the
