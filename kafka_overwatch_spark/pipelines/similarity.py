@@ -1916,6 +1916,11 @@ def kcenter_select(embeddings: DataFrame, k: int = 16) -> DataFrame:
         # (their min-distance is 0) and dropping them makes a
         # duplicate pick structurally impossible even on a degenerate
         # all-identical corpus
+        # LAZY checkpoint (r14 opt): the argmax action below is the
+        # round's only consumer, so materializing the state inside it
+        # (instead of a separate eager job) halves the loop's job
+        # count — 1 driver-paced action per pick instead of 2; later
+        # rounds still read the cached blocks, lineage stays 1 deep
         state = (
             state.filter(F.col("vec_id") != picks[-1][1])
             .select(
@@ -1923,7 +1928,7 @@ def kcenter_select(embeddings: DataFrame, k: int = 16) -> DataFrame:
                 "emb",
                 F.least(F.coalesce("mind", d), d).alias("mind"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         far_rows = (
             state.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
