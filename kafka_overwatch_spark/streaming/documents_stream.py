@@ -243,7 +243,11 @@ class GrowingDedupScreen:
         )
 
         spark = batch_df.sparkSession
-        sh_new = shingle_docs(batch_df).localCheckpoint(eager=True)
+        # LAZY checkpoint (r14 opt): the band checkpoint below is the
+        # first consumer, so the shingle pass materializes inside that
+        # job — one driver-paced job for (shingle + minhash) instead
+        # of two; later consumers still read the pinned blocks
+        sh_new = shingle_docs(batch_df).localCheckpoint(eager=False)
         # one minhash pass per batch (r9, VERDICT r8 next #6): band
         # values are per-doc, so the batch band frame derived here
         # serves the corpus screen's probe side, BOTH sides of the
@@ -339,7 +343,11 @@ class GrowingDedupScreen:
                 >= JACCARD_THRESHOLD
             )
             .select("new_doc", "corpus_doc", "is_self")
-            .localCheckpoint(eager=True)
+            # lazy: materializes inside the component probe's first
+            # action (together with the survivor anti-join below) —
+            # verify join, anti-join and edge derivation fold into one
+            # driver-paced job instead of three
+            .localCheckpoint(eager=False)
         )
         dup_vs_corpus = (
             hits.filter(~F.col("is_self"))
@@ -348,7 +356,7 @@ class GrowingDedupScreen:
         )
         survivors = sh_new.join(
             dup_vs_corpus, "doc_id", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         surv_ids = survivors.select("doc_id")
         edges = (
             hits.filter(F.col("is_self"))
@@ -1016,10 +1024,14 @@ class GrowingSemanticScreen:
         from ..pipelines.similarity import multi_table_assignments
 
         spark = batch_df.sparkSession
+        # LAZY checkpoint (r14 opt): the assignment checkpoint below is
+        # the first consumer, so the encode GEMM materializes inside
+        # that job — one driver-paced job for (encode + assign) instead
+        # of two; every later consumer still reads the pinned blocks
         emb_new = (
             encode_documents(batch_df)
             .select(F.col("doc_id").alias("vec_id"), "embedding")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # batch assignments derived ONCE (checkpointed) — the corpus
         # probe, the self screen (both sides), and the index append all
@@ -1062,7 +1074,8 @@ class GrowingSemanticScreen:
             )
             .groupBy("new_doc", "corpus_doc")
             .agg(F.min("cell").alias("cell"))
-            .localCheckpoint(eager=True)
+            # lazy: the cell collect right below materializes it
+            .localCheckpoint(eager=False)
         )
         cand_cells = [
             r["cell"] for r in cand.select("cell").distinct().collect()
@@ -1122,7 +1135,11 @@ class GrowingSemanticScreen:
                 >= self.threshold
             )
             .select("new_doc", "corpus_doc", "is_self")
-            .localCheckpoint(eager=True)
+            # lazy: materializes inside the component probe's first
+            # action (together with the survivor anti-join below) —
+            # the verify join, the anti-join and the edge derivation
+            # fold into one driver-paced job instead of three
+            .localCheckpoint(eager=False)
         )
         dup_vs_corpus = (
             hits.filter(~F.col("is_self"))
@@ -1131,7 +1148,7 @@ class GrowingSemanticScreen:
         )
         survivors = emb_new.join(
             dup_vs_corpus, "vec_id", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         surv_ids = survivors.select("vec_id")
         edges = (
             hits.filter(F.col("is_self"))
