@@ -659,7 +659,16 @@ def kcore(
             .groupBy("p")
             .agg(F.count("*").alias("d"))
         )
-        low = deg.filter(F.col("d") < k).select("p")
+        # LAZY checkpoint (r14 opt, guide §2.4): the convergence probe
+        # below is low's first consumer, so the degree aggregate
+        # materializes once inside that job; both anti-join branches of
+        # the peel then read the pinned blocks instead of each
+        # recomputing the union+groupBy (3 degree passes/round → 1)
+        low = (
+            deg.filter(F.col("d") < k)
+            .select("p")
+            .localCheckpoint(eager=False)
+        )
         if low.limit(1).count() == 0:
             converged = True
             break
@@ -1108,10 +1117,20 @@ def link_prediction(
     ).unionAll(
         und.select(F.col("part_b").alias("z"), F.col("part_a").alias("p"))
     )
-    deg = both.groupBy("z").agg(F.count("*").alias("d"))
+    # LAZY checkpoints (r14 opt, guide §2.4): deg feeds three plan
+    # sites (the hub filter, deg_a, deg_b) and centers feeds both
+    # sides of the wedge join — without the pins each site recomputes
+    # the union+aggregate (deg) or the degree join (centers) inside
+    # the one action. First consumer materializes; the rest read the
+    # pinned blocks.
+    deg = (
+        both.groupBy("z")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)
+    )
     centers = both.join(
         deg.filter(F.col("d") <= max_hub_degree), "z"
-    )
+    ).localCheckpoint(eager=False)
     probe = centers
     if probe_max_part is not None:
         probe = centers.filter(F.col("p") < probe_max_part)

@@ -2825,9 +2825,14 @@ def density_cores_lsh(
     runs on the full corpus. Defaults follow the dedup family
     (threshold 0.4, 8×8-bit tables). Output: vec_id,
     n_neighbors_lsh, is_core."""
+    # LAZY checkpoint (r14 opt, guide §2.4): the union below reads the
+    # pair frame TWICE (vec_a side + vec_b side), which would run the
+    # whole LSH bucket+verify pipeline — including the Arrow assign
+    # pass — twice per action. First consumer materializes the pairs
+    # once; the second side reads the pinned blocks.
     pairs = embedding_neardup_pairs_lsh(
         embeddings, threshold, bits=bits, tables=tables
-    )
+    ).localCheckpoint(eager=False)
     both = pairs.select(F.col("vec_a").alias("vec_id")).unionAll(
         pairs.select(F.col("vec_b").alias("vec_id"))
     )

@@ -442,11 +442,20 @@ def contamination_hits(
     corpus) and the streaming ingest screen (probes static). Self-matches
     are excluded; only contaminated documents are returned."""
     toks = _norm_tokens()
-    shingled = spread(documents).select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(_full_grams(toks, CONTAMINATION_NGRAM))
-        ).alias("gram"),
+    # LAZY checkpoint (r14 opt, guide §2.4): hits and totals both
+    # consume the tokenize+explode subtree, which Spark would otherwise
+    # compute twice per action (two Generate spans in the plan). The
+    # first consumer materializes the gram frame inside its own job;
+    # the second reads the pinned blocks — one tokenization pass.
+    shingled = (
+        spread(documents)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(_full_grams(toks, CONTAMINATION_NGRAM))
+            ).alias("gram"),
+        )
+        .localCheckpoint(eager=False)
     )
     hits = (
         shingled.join(F.broadcast(probes), "gram")
@@ -535,11 +544,17 @@ def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     desc, then token asc.
     """
     toks = _norm_tokens()
+    # LAZY checkpoint (r14 opt, guide §2.4): the df aggregate and the
+    # scored join both consume the explode+count subtree, which the
+    # plan otherwise computes twice (no exchange reuse across the two
+    # sites — verified in plans/r14/text_tfidf_before.txt). First
+    # consumer materializes; the second reads the pinned blocks.
     terms = (
         spread(documents)
         .select("doc_id", F.explode(toks).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     n_docs = documents.select(
         F.countDistinct("doc_id").alias("n_docs")
@@ -606,8 +621,15 @@ def line_dedup(
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     seg_re = r"\S+( \S+){0,%d}" % (line_tokens - 1)
     lines = F.regexp_extract_all(norm, F.lit(seg_re), F.lit(0))
-    exploded = spread(documents).select(
-        "doc_id", F.posexplode(lines).alias("pos", "line")
+    # LAZY checkpoint (r14 opt, guide §2.4): the corpus-frequency
+    # aggregate and the join-back both consume the regexp+posexplode
+    # subtree, which Spark would otherwise compute twice per action.
+    # The first consumer materializes the line frame inside its own
+    # job; the second reads the pinned blocks — one regexp pass.
+    exploded = (
+        spread(documents)
+        .select("doc_id", F.posexplode(lines).alias("pos", "line"))
+        .localCheckpoint(eager=False)
     )
     line_docs = exploded.groupBy("line").agg(
         F.countDistinct("doc_id").alias("line_doc_freq")
@@ -1333,10 +1355,13 @@ def ngram_novelty(documents: DataFrame, n: int = 5) -> DataFrame:
     count, one doc-grain left join. Measured 7.3 → ~3.5 s at sf0.1
     vs the join-back form. Output: doc_id, n_grams, novel_grams,
     novelty."""
+    # lazy since r14: the explode materializes inside the first
+    # consumer's stage (both aggregates run under the query's single
+    # action anyway) — same one-pass guarantee, one fewer driver job
     grams = (
         documents.filter(F.col("text").isNotNull())
         .select("doc_id", F.explode(gram_hash_set(n)).alias("g"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     per_doc_n = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     gd = grams.groupBy("g").agg(
