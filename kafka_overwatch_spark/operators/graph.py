@@ -1989,11 +1989,18 @@ def _star_round(e: DataFrame, n_edges: int) -> DataFrame:
     # nothing (multi-path duplicates are re-deduped one operator
     # later anyway; guide §2.4 "distinct on data that is already
     # unique(-enough)")
+    # LAZY checkpoint (r14 opt, guide §2.4): the small-star phase reads
+    # large twice (the smins aggregate and the join back), each site
+    # re-running the both⋈mins rewrite — no exchange reuse between a
+    # partial-aggregated and a raw shuffle of the same frame. The pin
+    # computes the large-star rewrite once per round; both consumers
+    # shuffle the pinned blocks by `big`.
     large = (
         both.join(mins, "ctr")
         .filter(F.col("nb") > F.col("ctr"))
         .select(F.col("nb").alias("big"), F.col("m").alias("small"))
         .filter(F.col("big") != F.col("small"))
+        .localCheckpoint(eager=False)
     )
     # ---- small-star over large-star's OUTPUT (the paper's
     # alternation): center u over its ≤-neighbors N(u) (exactly the
