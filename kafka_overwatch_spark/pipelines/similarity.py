@@ -2402,6 +2402,12 @@ def lsh_recall_audit(
                 "cosine"
             ),
         )
+        # LAZY checkpoint (r14 opt, guide §2.4): three consumers (the
+        # exact-ranking window, the bucket-restricted window, and the
+        # candidate count) would otherwise each re-run the corpus scan
+        # + broadcast cosine scoring — the pin makes the docstring's
+        # "one corpus scan" claim structural
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
@@ -2554,7 +2560,16 @@ def ann_tune(
     avg_recall, meets_target, chosen."""
     fams = _families(configs)
     bks = _family_bucket_frame(embeddings, fams)
-    tagged = embeddings.select("vec_id", "embedding").join(bks, "vec_id")
+    # LAZY checkpoint (r14 opt, guide §2.4/§4): the query-side filter
+    # and the scored cross join both consume tagged, and the vec_id
+    # filter cannot push through the MapInPandas barrier — so without
+    # the pin the full sign GEMM runs twice per action. The pin makes
+    # the docstring's "ONE sign GEMM" claim structural.
+    tagged = (
+        embeddings.select("vec_id", "embedding")
+        .join(bks, "vec_id")
+        .localCheckpoint(eager=False)
+    )
     fam_cols = [f"bk{b}" for b in sorted(fams)]
     queries = tagged.filter(F.col("vec_id").isin(*query_ids)).select(
         F.col("vec_id").alias("query_id"),
