@@ -1662,7 +1662,14 @@ def assortativity(edges: DataFrame) -> DataFrame:
     da = deg.select(F.col("part").alias("part_a"), F.col("d").alias("da"))
     db = deg.select(F.col("part").alias("part_b"), F.col("d").alias("db"))
     und = edges.select("part_a", "part_b")
-    j = und.join(da, "part_a").join(db, "part_b")
+    # LAZY checkpoint (r14 opt, guide §2.4): the symmetrizing union
+    # below reads j twice — without the pin each side re-runs both
+    # degree joins over the edge list inside the one action.
+    j = (
+        und.join(da, "part_a")
+        .join(db, "part_b")
+        .localCheckpoint(eager=False)
+    )
     # symmetrize: each undirected edge contributes (da,db) and (db,da)
     pairs = j.select(
         F.col("da").alias("x"), F.col("db").alias("y")

@@ -329,7 +329,14 @@ def shared_passage_spans(
     b = capped.select(
         F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "gram_hash"
     )
-    spans = a.join(b, "gram_hash").filter(F.col("doc_a") < F.col("doc_b"))
+    # LAZY checkpoint (r14 opt, guide §2.4): the qualification
+    # aggregate and the final semi-join both read spans — without the
+    # pin the capped gram-keyed self-join runs twice per action.
+    spans = (
+        a.join(b, "gram_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .localCheckpoint(eager=False)
+    )
     qualified = (
         spans.groupBy("doc_a", "doc_b")
         .agg(F.count_distinct("gram_hash").alias("shared_fps"))
