@@ -279,9 +279,12 @@ def pagerank(
         # build, but re-running ONE un-checkpointed step is cheaper
         # than the eager materialization it replaces (measured 5.6 s →
         # 3.8 s at sf0.1); deeper gaps grow the replayed prefix
-        # geometrically
+        # geometrically. LAZY (r15, VERDICT r14 next #4, the kcore
+        # fold): the next step's broadcast/shuffle build is the pinned
+        # frame's only consumer, so materialize inside that job
+        # instead of a dedicated per-checkpoint driver job
         if it % 2 == 1 or it == iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     # full precision out (r9 advisor MEDIUM fix): at the documented
     # 100 TB regime (10⁸–10⁹ vertices) ranks average 1e-8–1e-9, so a
     # fixed round-6 here would collapse every rank to 0.0. The round-6
@@ -524,7 +527,11 @@ def triangles(
             .join(closing, "vw")
             .select(
                 F.col("u").alias("a"),
-                F.expr("shiftright(vw, 32)").alias("b"),
+                # unsigned shift (ADVICE r14 #1): the pack guard admits
+                # ids up to 2^32, and for a high part in [2^31, 2^32)
+                # the packed long is negative — an arithmetic shift
+                # would sign-extend and unpack a negative id
+                F.expr("shiftrightunsigned(vw, 32)").alias("b"),
                 F.expr("vw & 4294967295").alias("c"),
             )
         )
@@ -739,6 +746,34 @@ def _credit_support(tri: DataFrame) -> DataFrame:
     )
 
 
+#: single-box wedge-candidate headroom for the AUTO budget mode: the
+#: r14 scale probe measured gen10's 4.11B-candidate round-0 exchange
+#: spilling >76 GB (disk-full) in every single-pass form, while
+#: 1.5B-candidate sub-jobs plateau at ~25 GB of released spill
+#: (SCALE.md r14). Overridable per deployment via
+#: $SPARK_GRAFT_WEDGE_BUDGET; a cluster passes wedge_budget=None to
+#: disable decomposition outright.
+_DEFAULT_WEDGE_BUDGET = 1_500_000_000
+
+
+def _wedge_mass(cur: DataFrame) -> int:
+    """Σ_v C(outdeg v, 2) of the degree-oriented graph — the exact row
+    count of the wedge-candidate exchange, measured from two cheap
+    degree aggregates BEFORE any heavy plan runs (r14 lesson 14: a
+    linear-per-decade mass can still be single-box-impossible; measure
+    it from histograms, not by running the plan into a full disk)."""
+    od = oriented_edges(cur).groupBy("src").agg(
+        F.count("*").alias("od")
+    )
+    return int(
+        od.agg(
+            F.coalesce(
+                F.sum(F.expr("od * (od - 1) div 2")), F.lit(0)
+            ).alias("m")
+        ).collect()[0]["m"]
+    )
+
+
 def _edge_support(
     cur: DataFrame,
     wedge_budget: int | None = None,
@@ -753,16 +788,7 @@ def _edge_support(
     files before the next one spills (the r13 probe lesson)."""
     splits = 1
     if wedge_budget is not None:
-        od = oriented_edges(cur).groupBy("src").agg(
-            F.count("*").alias("od")
-        )
-        mass = int(
-            od.agg(
-                F.coalesce(
-                    F.sum(F.expr("od * (od - 1) div 2")), F.lit(0)
-                ).alias("m")
-            ).collect()[0]["m"]
-        )
+        mass = _wedge_mass(cur)
         splits = max(1, -(-mass // wedge_budget))
         if splits > 64:
             raise RuntimeError(
@@ -817,7 +843,8 @@ def _edge_support(
                 .join(closing, "vw")
                 .select(
                     F.col("u").alias("a"),
-                    F.expr("shiftright(vw, 32)").alias("b"),
+                    # unsigned shift — see the packed_closure unpack
+                    F.expr("shiftrightunsigned(vw, 32)").alias("b"),
                     F.expr("vw & 4294967295").alias("c"),
                 )
             )
@@ -846,9 +873,12 @@ _EDGE_PACK = (
 )
 
 #: dropped-edge frames up to this many rows broadcast into the
-#: triangle-incidence anti-joins (a few MB of packed longs on the
-#: executors); larger drops fall back to keyed anti-joins
-_TRI_REUSE_BROADCAST_DROPPED = 5_000_000
+#: triangle-incidence joins. 1M packed longs ≈ 8 MB of payload and a
+#: small multiple of that as the driver-built hash relation — inside a
+#: default-sized driver (ADVICE r14 #2: the old 5M constant was ≥40 MB
+#: of payload, disagreeing with its own "few MB" budget); larger drops
+#: fall back to keyed joins
+_TRI_REUSE_BROADCAST_DROPPED = 1_000_000
 
 
 def _packed_tri_edges(
@@ -888,7 +918,13 @@ def _support_from_tri_edges(tri_e: DataFrame) -> DataFrame:
         .groupBy("e")
         .agg(F.count("*").alias("support"))
         .select(
-            F.expr("shiftright(e, 32)").alias("part_a"),
+            # unsigned shift (ADVICE r14 #1): a least-endpoint id in
+            # [2^31, 2^32) packs to a negative long; the arithmetic
+            # shift unpacked a negative part_a, the support row failed
+            # to join back to cur, and the edge was silently peeled
+            # with support 0 — wrong results inside the range the
+            # _EDGE_PACK guard admits
+            F.expr("shiftrightunsigned(e, 32)").alias("part_a"),
             F.expr("e & 4294967295").alias("part_b"),
             "support",
         )
@@ -900,7 +936,7 @@ def ktruss_bounded(
     k: int | None = None,
     rounds: int = KTRUSS_ROUNDS,
     edges: DataFrame | None = None,
-    wedge_budget: int | None = None,
+    wedge_budget: int | None | str = "auto",
     packed_closure: bool = False,
     tri: DataFrame | None = None,
 ) -> DataFrame:
@@ -967,8 +1003,14 @@ def ktruss_bounded(
     MBs/task) while local[32] sets its spill headroom and pays
     sequential sub-jobs instead of a disk-full crash. Sub-jobs force
     the packed one-long closure key (never sort, never shuffle
-    3-long rows). Output: part_a, part_b, support (fixpoint triangle
-    count per surviving edge)."""
+    3-long rows). The DEFAULT is ``"auto"`` (r15, VERDICT r14 next
+    #6): measure the round-0 mass up front (two tiny aggregates) and
+    choose — triangle-reuse under the $SPARK_GRAFT_WEDGE_BUDGET
+    headroom (default 1.5B candidates, the measured r14 spill
+    plateau), budget-decomposed above it — so a fresh session at any
+    scale picks the survivable plan without a manual override; both
+    modes are bit-equal. Output: part_a, part_b, support (fixpoint
+    triangle count per surviving edge)."""
     if edges is None:
         edges = copurchase_edges(lineitem)
     cur = (
@@ -980,22 +1022,50 @@ def ktruss_bounded(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # AUTO budget (r15, VERDICT r14 next #6): the registered default
+    # MEASURES the round-0 wedge-candidate mass (two cheap degree
+    # aggregates) and picks the mode itself — under the single-box
+    # headroom it takes the fast triangle-reuse path (identical plan
+    # to the old None default), over it the budget-decomposed path
+    # engages automatically, so a gen10-scale cold session decomposes
+    # instead of spilling the disk full. The headroom is
+    # $SPARK_GRAFT_WEDGE_BUDGET (default _DEFAULT_WEDGE_BUDGET, the
+    # measured r14 plateau); both modes are bit-equal (tested), so
+    # this is a plan choice, never a semantic one.
+    if wedge_budget == "auto":
+        import os as _os
+
+        headroom = int(
+            _os.environ.get(
+                "SPARK_GRAFT_WEDGE_BUDGET", str(_DEFAULT_WEDGE_BUDGET)
+            )
+        )
+        wedge_budget = (
+            None if _wedge_mass(cur) <= headroom else headroom
+        )
     # Triangle-incidence reuse (r14 opt): when no wedge budget caps
     # per-round memory, enumerate triangles ONCE on the round-0 edge
     # set and maintain the incidence frame across the peel — support
-    # of every later round is one explode + one keyed count over the
-    # shrinking triangle frame, and each peel subtracts the dropped
-    # edges' triangles with three (usually broadcast) anti-joins.
-    # Exact because triangles of an edge-subgraph are precisely the
-    # round-0 triangles whose three edges all survive. The budgeted
-    # single-box path keeps per-round re-enumeration: materializing
-    # the full triangle frame is what that mode exists to avoid.
+    # of every later round is an incrementally-maintained per-edge
+    # frame (see the peel step), and each peel marks the dropped
+    # edges' triangles with three (usually broadcast) joins. Exact
+    # because triangles of an edge-subgraph are precisely the round-0
+    # triangles whose three edges all survive. Residency trade
+    # (ADVICE r14 #4): this path materializes the full packed
+    # incidence frame (triangle-scale, can exceed |E| on dense
+    # graphs), with the previous and current round's frames resident
+    # together transiently until the ContextCleaner reclaims the
+    # dropped one; the budgeted single-box path keeps per-round
+    # re-enumeration precisely because materializing that frame is
+    # what it exists to avoid.
     use_tri_reuse = wedge_budget is None
     tri_e = None
+    scored = None
     need = None if k is None else k - 2
     prev_cnt = cur.count()
     result = None
     for _ in range(rounds):
+        support = None
         if use_tri_reuse:
             if tri_e is None:
                 # `tri` (optional): a pre-enumerated triangle frame of
@@ -1008,23 +1078,27 @@ def ktruss_bounded(
                 tri_e = _packed_tri_edges(
                     cur, packed_closure=packed_closure, tri=tri
                 ).localCheckpoint(eager=True)
-            support = _support_from_tri_edges(tri_e)
+                support = _support_from_tri_edges(tri_e)
+            # later rounds: `scored` is maintained incrementally by the
+            # peel step below — no per-round full re-aggregate
         else:
             support = _edge_support(
                 cur,
                 wedge_budget=wedge_budget,
                 packed_closure=packed_closure,
             )
-        # LEFT join + coalesce: zero-triangle edges carry support 0 so
-        # the filter is literally support ≥ k−2 at every k (ADVICE r13
-        # #1 — the inner join was only correct for k ≥ 3)
-        scored = (
-            cur.join(support, ["part_a", "part_b"], "left")
-            .withColumn(
-                "support", F.coalesce(F.col("support"), F.lit(0))
+        if support is not None:
+            # LEFT join + coalesce: zero-triangle edges carry support 0
+            # so the filter is literally support ≥ k−2 at every k
+            # (ADVICE r13 #1 — the inner join was only correct for
+            # k ≥ 3)
+            scored = (
+                cur.join(support, ["part_a", "part_b"], "left")
+                .withColumn(
+                    "support", F.coalesce(F.col("support"), F.lit(0))
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
         if need is None:
             # derived-k pre-pass: the support histogram is tiny
             # (distinct support values), the frame is already pinned
@@ -1055,12 +1129,70 @@ def ktruss_bounded(
             )
             if prev_cnt - cnt <= _TRI_REUSE_BROADCAST_DROPPED:
                 dropped = F.broadcast(dropped)
+            # Incremental support maintenance (r15, VERDICT r14 next
+            # #3): mark each triangle against the dropped-edge keys
+            # ONCE (three joins — the same three probes the old
+            # anti-join chain paid), then (a) the unmarked survivors
+            # become the next incidence frame and (b) the MARKED
+            # (dropped) triangles' exploded edge credits are
+            # SUBTRACTED from the maintained per-edge support, instead
+            # of re-exploding the full surviving frame every round.
+            # Exact because tri_{t+1} is precisely tri_t minus the
+            # marked triangles, so for every surviving edge
+            # support_{t+1}(e) = support_t(e) − |{T marked : e ∈ T}|.
+            # The per-round aggregate shrinks from 3·|tri_t| rows to
+            # 3·|Δtri| rows (the peel tail drops far fewer triangles
+            # than survive).
+            marked = tri_e
             for col in ("e1", "e2", "e3"):
-                tri_e = tri_e.join(
-                    dropped, tri_e[col] == dropped["de"], "left_anti"
+                marked = marked.join(
+                    dropped.withColumnRenamed("de", f"d_{col}"),
+                    marked[col] == F.col(f"d_{col}"),
+                    "left",
                 )
-            tri_e = tri_e.localCheckpoint(eager=True)
-        cur = nxt.select("part_a", "part_b")
+            # lazy pin: the delta aggregate (inside the next scored
+            # frame's materialization) and the survivor frame both
+            # read ONE execution of the three-probe pass
+            marked = marked.localCheckpoint(eager=False)
+            hit = (
+                F.col("d_e1").isNotNull()
+                | F.col("d_e2").isNotNull()
+                | F.col("d_e3").isNotNull()
+            )
+            delta = (
+                marked.filter(hit)
+                .select(F.explode(F.array("e1", "e2", "e3")).alias("e"))
+                .groupBy("e")
+                .agg(F.count("*").alias("lost"))
+            )
+            scored = (
+                nxt.withColumn(
+                    "ek",
+                    F.expr(_EDGE_PACK.format(a="part_a", b="part_b")),
+                )
+                .join(delta, F.col("ek") == delta["e"], "left")
+                .select(
+                    "part_a",
+                    "part_b",
+                    (
+                        F.col("support")
+                        - F.coalesce(F.col("lost"), F.lit(0))
+                    ).alias("support"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            # rebind AFTER the new frames materialize; the previous
+            # round's tri_e/scored blocks are released by the
+            # ContextCleaner once the dropped references are GC'd
+            # (transient two-frame residency — ADVICE r14 #4 documents
+            # the trade on the default path)
+            tri_e = (
+                marked.filter(~hit)
+                .select("e1", "e2", "e3")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            cur = nxt.select("part_a", "part_b")
         prev_cnt = cnt
     if result is None:
         raise RuntimeError(
@@ -1768,9 +1900,12 @@ def eigencentrality(
             .select(F.col("dst").alias("part"), "score")
         )
         # pagerank's cadence: checkpoint every SECOND round — re-running
-        # one un-checkpointed step is cheaper than eager materialization
+        # one un-checkpointed step is cheaper than eager
+        # materialization; LAZY like pagerank (r15): the next round's
+        # broadcast build (or the final L1 action) is the only
+        # consumer, so the pin rides that job
         if it % 2 == 1 or it == rounds - 1:
-            scores = scores.localCheckpoint(eager=True)
+            scores = scores.localCheckpoint(eager=False)
     tot = scores.agg(F.sum("score").alias("l1"))
     return scores.crossJoin(F.broadcast(tot)).select(
         "part", (F.col("score") / F.col("l1")).alias("score")
