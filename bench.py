@@ -528,6 +528,14 @@ def main() -> None:
         for name, vals in extra_samples.items()
         if vals
     }
+    # cold column (r15, VERDICT r14 next #5): pass-0 carries the
+    # first-touch cost of the session memos (triangle enumeration, LPA
+    # labels, IVF/PQ training) that the warm-min statistic hides —
+    # reported so memo-backed rows are honest about both numbers, with
+    # NO change to the warm-min methodology
+    extra_queries_cold = {
+        name: vals[0] for name, vals in extra_samples.items() if vals
+    }
     for name, err in extra_errors.items():
         extra_queries[name] = f"ERROR {err}"
 
@@ -677,6 +685,7 @@ def main() -> None:
         "setup_sec": setup_sec,
         "input_rows": input_rows,
         "extra_queries": extra_queries,
+        "extra_queries_cold": extra_queries_cold,
         "extras_stat": "warm_min_of_2",
         "incremental": incremental,
         "growing_dedup": growing_dedup,
