@@ -952,8 +952,18 @@ def screen_containment_against_corpus(
         # batch's own (doc, s) postings keeps exactly the shared
         # shingles. The corpus shingle-ARRAY column is never scanned.
         cand_b = F.broadcast(cand) if broadcast_probe else cand
+        # probe-side postings pruning (r15, VERDICT r14 next #7): only
+        # shingles the BATCH itself carries can contribute to |A∩B|
+        # (the count below semi-joins on the batch's (doc, s) keys),
+        # so drop every other corpus posting row BEFORE the
+        # corpus_doc fan-out — the fan-out shrinks from Σ_cand |B| to
+        # Σ_cand |B ∩ batch vocabulary|, exactly the rows the final
+        # intersection can keep. Semantics-free by construction.
+        batch_vocab = new_post.select("s").distinct()
+        if broadcast_probe:
+            batch_vocab = F.broadcast(batch_vocab)
         pairs_s = cand_b.join(
-            corpus_postings.select(
+            corpus_postings.join(batch_vocab, "s").select(
                 F.col("doc_id").alias("corpus_doc"), "s"
             ),
             "corpus_doc",

@@ -712,14 +712,17 @@ class GrowingContainmentScreen:
         threshold: float = 0.8,
         max_bucket: int | None = None,
         shingle_k: int | None = None,
-        posting_verify: bool = False,
+        posting_verify: bool = True,
     ) -> None:
         self.base = base_path
         self.out_dir = out_dir
         self.threshold = threshold
-        # r14 A/B lever: verify |A∩B| by counting corpus POSTING rows
-        # (never scanning the corpus shingle-ARRAY column) — measured
-        # before default-flipping; see SCALE.md r14
+        # default ON since r15 (VERDICT r14 next #7): verify |A∩B| by
+        # counting corpus POSTING rows — never scanning the corpus
+        # shingle-ARRAY column — measured ~12% faster at gen10 in r14
+        # (SCALE.md), bit-equal to the array verify in both cap modes
+        # (tests), and the r15 probe-side vocabulary pruning shrinks
+        # its fan-out further. Pass False for the array verify.
         self.posting_verify = posting_verify
         # None (default since r14, VERDICT r13 next #3) = EXACT mode:
         # the posting side is semi-joined against the batch's probe

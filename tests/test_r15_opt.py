@@ -88,6 +88,116 @@ def test_ktruss_incremental_support_matches_reenumeration(spark):
     assert set(incremental) == set(k6)
 
 
+def test_screen_lazy_frames_materialize_within_batch(spark):
+    """ADVICE r14 #3 made structural: the growing screens' lazy
+    localCheckpoints are only safe because every pinned frame is
+    consumed by an action before the batch returns. Drive one batch of
+    each screen from a TEMP parquet, DELETE the input after __call__,
+    then read every output fully and account for every batch doc — a
+    frame that escaped materialization would have to recompute from
+    the deleted input (or a deferred write would leave docs missing),
+    failing the accounting."""
+    import shutil
+    import tempfile
+
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    from kafka_overwatch_spark.pipelines.dedup import shingle_docs
+    from kafka_overwatch_spark.streaming.documents_stream import (
+        GrowingContainmentScreen,
+        GrowingDedupScreen,
+        GrowingSemanticScreen,
+        init_containment_index,
+        init_growing_index,
+        init_semantic_index,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    seed = docs.filter(F.col("doc_id") % 5 == 0)
+    batch_src = docs.filter(F.col("doc_id") % 5 == 1)
+
+    def run(label, init_fn, init_arg, screen_factory, read_kept):
+        tmp = tempfile.mkdtemp(prefix=f"r15_inv_{label}_")
+        try:
+            init_fn(spark, init_arg, f"{tmp}/index")
+            batch_src.write.mode("overwrite").parquet(f"{tmp}/in")
+            batch = spark.read.parquet(f"{tmp}/in")
+            expected = {
+                r.doc_id
+                for r in shingle_docs(batch).select("doc_id").collect()
+            } if label != "semantic" else {
+                r.doc_id for r in batch.select("doc_id").collect()
+            }
+            screen = screen_factory(f"{tmp}/index", f"{tmp}/out")
+            screen(batch, 0)
+            shutil.rmtree(f"{tmp}/in")  # sever the batch input
+            kept = read_kept(tmp)
+            try:
+                rejected = {
+                    r.doc_id
+                    for r in spark.read.parquet(f"{tmp}/out")
+                    .filter(F.col("batch_id") == 0)
+                    .collect()
+                } if label != "dedup" else {
+                    r.doc_id
+                    for r in spark.read.parquet(f"{tmp}/index/store")
+                    .filter(
+                        (F.col("kind") == "rejected")
+                        & (F.col("batch_id") == 0)
+                    )
+                    .collect()
+                }
+            except AnalysisException:
+                # an all-survivors batch writes an EMPTY verdict frame
+                # (no part files → schema can't infer): nothing rejected
+                rejected = set()
+            assert kept | rejected == expected, label
+            assert not (kept & rejected), label
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    run(
+        "dedup",
+        init_growing_index,
+        shingle_docs(seed),
+        GrowingDedupScreen,
+        lambda tmp: {
+            r.doc_id
+            for r in spark.read.parquet(f"{tmp}/index/store")
+            .filter(
+                (F.col("kind") == "shingles") & (F.col("batch_id") == 0)
+            )
+            .collect()
+        },
+    )
+    run(
+        "semantic",
+        init_semantic_index,
+        seed,
+        GrowingSemanticScreen,
+        lambda tmp: {
+            r.vec_id
+            for r in spark.read.parquet(f"{tmp}/index/embeddings")
+            .filter(F.col("batch_id") == 0)
+            .collect()
+        },
+    )
+    run(
+        "containment",
+        init_containment_index,
+        shingle_docs(seed),
+        GrowingContainmentScreen,
+        lambda tmp: {
+            r.doc_id
+            for r in spark.read.parquet(f"{tmp}/index/shingles")
+            .filter(F.col("batch_id") == 0)
+            .collect()
+        },
+    )
+
+
 def test_ktruss_wedge_budget_auto(spark, monkeypatch):
     """The default budget mode is 'auto': measure the round-0 wedge
     mass and choose. Under a tiny $SPARK_GRAFT_WEDGE_BUDGET the
