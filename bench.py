@@ -687,6 +687,20 @@ def main() -> None:
         "extra_queries": extra_queries,
         "extra_queries_cold": extra_queries_cold,
         "extras_stat": "warm_min_of_2",
+        # pinned variance attributions (r15, VERDICT r14 next #2):
+        # queries whose cross-run swings are measured host artifacts,
+        # not plan behavior — so round-over-round comparisons stop
+        # re-litigating them. Evidence: OPTIMIZATION_r15.md item 2.
+        "variance_notes": {
+            "dedup_minhash_lsh": (
+                "11-36s swings are hypervisor CPU steal amplified by "
+                "32-way compute-bound parallelism: executorRunTime for "
+                "identical work measured 17-44s at 32c vs 1.1-4.5s at "
+                "8c, shuffle bytes flat, no spill, no skew, GC minor "
+                "(minhash_probe_r15). Envelope at sf0.1: wall "
+                "0.8-5s; not a plan defect."
+            ),
+        },
         "incremental": incremental,
         "growing_dedup": growing_dedup,
         "growing_semantic": growing_semantic,

@@ -951,19 +951,17 @@ def screen_containment_against_corpus(
         # prefilter), then a second broadcast semi against the
         # batch's own (doc, s) postings keeps exactly the shared
         # shingles. The corpus shingle-ARRAY column is never scanned.
+        # NOTE (r15): pre-pruning this fan-out by the batch's shingle
+        # vocabulary (broadcast semi-join on s before the corpus_doc
+        # join) was built and MEASURED A REGRESSION at gen10 — the
+        # batch vocabulary is ~10^6 distinct multi-word shingle
+        # strings (tens of MB broadcast, built per batch), which costs
+        # more than the fan-out rows it removes; interleaved screen
+        # A/B read 37-41 s/batch pruned vs 25-32 s/batch unpruned.
+        # Reverted; OPTIMIZATION_r15.md item 7 carries the numbers.
         cand_b = F.broadcast(cand) if broadcast_probe else cand
-        # probe-side postings pruning (r15, VERDICT r14 next #7): only
-        # shingles the BATCH itself carries can contribute to |A∩B|
-        # (the count below semi-joins on the batch's (doc, s) keys),
-        # so drop every other corpus posting row BEFORE the
-        # corpus_doc fan-out — the fan-out shrinks from Σ_cand |B| to
-        # Σ_cand |B ∩ batch vocabulary|, exactly the rows the final
-        # intersection can keep. Semantics-free by construction.
-        batch_vocab = new_post.select("s").distinct()
-        if broadcast_probe:
-            batch_vocab = F.broadcast(batch_vocab)
         pairs_s = cand_b.join(
-            corpus_postings.join(batch_vocab, "s").select(
+            corpus_postings.select(
                 F.col("doc_id").alias("corpus_doc"), "s"
             ),
             "corpus_doc",

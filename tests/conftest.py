@@ -9,6 +9,32 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+# Fast tier (r15, VERDICT r14 next #1): nodeid prefixes marked `slow`
+# and deselected by the pyproject default `-m 'not slow'` so the
+# driver's `pytest tests/ -x -q` completes inside its verify window.
+# Membership = the measured long tail of a full `--durations=0` run at
+# r15 HEAD (the unrolled-oracle sweeps, streaming replays, and
+# iterative-graph parity families). Full lane: `pytest tests/ -m ""`.
+SLOW_NODE_PREFIXES = (
+    "tests/test_oracle_parity.py::test_parity_all",
+    "tests/test_streaming_growing_dedup.py",
+    "tests/test_streaming_semantic.py",
+    "tests/test_streaming_containment.py",
+    "tests/test_streaming_dsir.py",
+    "tests/test_streaming_weighted_sample.py",
+    "tests/test_streaming_pipeline.py",
+    "tests/test_streaming.py",
+    "tests/test_streaming_upsert.py",
+    "tests/test_events_stream.py",
+    "tests/test_r15_opt.py::test_screen_lazy_frames_materialize_within_batch",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.nodeid.startswith(SLOW_NODE_PREFIXES):
+            item.add_marker(pytest.mark.slow)
+
 SF_DIR = "/root/testdata/sf0.001"
 SF01_DIR = "/root/testdata/sf0.01"
 RAW_TABLES = (
