@@ -106,11 +106,22 @@ def exact_dedup_keep(documents: DataFrame) -> DataFrame:
     return keep.select("doc_id", "fingerprint")
 
 
-def _shingles(k: int = SHINGLE_K) -> F.Column:
+def _shingles(
+    k: int = SHINGLE_K, toks: F.Column | None = None
+) -> F.Column:
     """Distinct k-token shingles of the normalized text (default
     SHINGLE_K; the adaptive containment path escalates k on dense
-    corpora — see choose_containment_k)."""
-    toks = F.split(_norm_text(), " ")
+    corpora — see choose_containment_k).
+
+    ``toks``: pass the PROJECTED token-array column (r15, guide §4.1):
+    an expression captured inside the slice lambda is re-evaluated on
+    EVERY lambda invocation, so the default split+regexp chain runs
+    once per shingle slot — O(tokens²) token work per doc. Callers
+    ``.select(F.split(_norm_text(), " ").alias("__toks"))`` first and
+    pass ``F.col("__toks")``; CollapseProject keeps the alias
+    un-inlined (referenced more than once, non-cheap)."""
+    if toks is None:
+        toks = F.split(_norm_text(), " ")
     return F.array_distinct(
         F.transform(
             F.sequence(
@@ -132,7 +143,8 @@ def shingle_docs(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     registry.get_shingle_docs); at 100 TB it is a written table."""
     return (
         spread(documents)
-        .select("doc_id", _shingles(k).alias("sh"))
+        .select("doc_id", F.split(_norm_text(), " ").alias("__toks"))
+        .select("doc_id", _shingles(k, F.col("__toks")).alias("sh"))
         .filter(F.size("sh") > 0)
     )
 
@@ -359,9 +371,14 @@ def ngram_jaccard_pairs(
     raises above ``max_rows`` input rows instead of silently running
     all-pairs on a real corpus."""
     _guard_quadratic(documents, "ngram_jaccard_pairs", max_rows)
-    docs = spread(documents).select(
-        "doc_id", "lang", _shingles().alias("sh")
-    ).filter(F.size("sh") > 0)
+    docs = (
+        spread(documents)
+        .select(
+            "doc_id", "lang", F.split(_norm_text(), " ").alias("__toks")
+        )
+        .select("doc_id", "lang", _shingles(toks=F.col("__toks")).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
     a = docs.select(
         F.col("lang"), F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
     )
@@ -392,9 +409,14 @@ def containment_pairs(
     inside a long one has high containment but low Jaccard). Quadratic
     verifier baseline; ``containment_pairs_prefix`` is the scale path."""
     _guard_quadratic(documents, "containment_pairs", max_rows)
-    docs = spread(documents).select(
-        "doc_id", "lang", _shingles().alias("sh")
-    ).filter(F.size("sh") > 0)
+    docs = (
+        spread(documents)
+        .select(
+            "doc_id", "lang", F.split(_norm_text(), " ").alias("__toks")
+        )
+        .select("doc_id", "lang", _shingles(toks=F.col("__toks")).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
     a = docs.select(
         F.col("lang"), F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
     )

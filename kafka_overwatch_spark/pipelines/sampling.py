@@ -99,7 +99,10 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("require 0 <= overlap < chunk_tokens")
     step = chunk_tokens - overlap
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # token array projected once per row (r15, guide §4.1 — see
+    # text.repetition_stats: a captured expression inside the slice
+    # lambda is re-evaluated per chunk slot)
+    toks = F.col("__toks")
     n = F.size(toks)
     n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
         F.ceil((n - chunk_tokens) / F.lit(step)).cast("long") + 1
@@ -117,6 +120,10 @@ def chunk_documents(
     )
     return (
         spread(documents)
+        .select(
+            "doc_id",
+            F.split(F.trim(F.col("text")), r"\s+").alias("__toks"),
+        )
         .select("doc_id", chunk.alias("c"))
         .select(
             "doc_id",

@@ -139,14 +139,16 @@ def ngram_frequencies(
     """Corpus n-gram frequency table per language (explode → count —
     the vocabulary/statistics pass of a training-data pipeline).
     Threshold instead of top-k keeps the result order-insensitive."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    toks = F.split(norm, " ")
+    # token array projected once per row (r15, guide §4.1 — see
+    # repetition_stats)
+    toks = F.col("__toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
     return (
         spread(documents)
+        .select("lang", _norm_tokens().alias("__toks"))
         .select("lang", F.explode(grams).alias("ngram"))
         .groupBy("lang", "ngram")
         .agg(F.count("*").alias("occurrences"))
@@ -162,19 +164,31 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     - ``rolling_min_hash``: lexicographic min over md5s of 5-token shingles
       (a 1-permutation minhash; the scale path to MinHash-LSH in dedup.py)
     """
+    # normalized text and token array projected once per row (r15,
+    # guide §4.1 — see repetition_stats: a captured expression inside
+    # the shingle lambda re-ran the split+regexp chain per shingle slot)
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    toks = F.split(norm, " ")
+    toks = F.col("__toks")
     shingles = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - 5, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, 5), " "),
     )
-    return spread(documents).select(
-        "doc_id",
-        F.md5(norm).alias("content_md5"),
-        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
-            "bag_fingerprint"
-        ),
-        F.array_min(F.transform(shingles, F.md5)).alias("rolling_min_hash"),
+    return (
+        spread(documents)
+        .select("doc_id", norm.alias("__norm"))
+        .select(
+            "doc_id", "__norm", F.split(F.col("__norm"), " ").alias("__toks")
+        )
+        .select(
+            "doc_id",
+            F.md5(F.col("__norm")).alias("content_md5"),
+            F.md5(
+                F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+            ).alias("bag_fingerprint"),
+            F.array_min(F.transform(shingles, F.md5)).alias(
+                "rolling_min_hash"
+            ),
+        )
     )
 
 
@@ -213,7 +227,10 @@ def winnow_fingerprints(
     Docs shorter than w grams winnow their single truncated window
     (every doc with ≥ k tokens yields ≥ 1 fingerprint); docs with
     < k tokens emit nothing, same as the oracle."""
-    toks = _norm_tokens()
+    # token array projected once per row (r15, guide §4.1 — see
+    # repetition_stats: a captured expression inside the gram lambda
+    # re-ran the split+regexp chain per gram slot)
+    toks = F.col("__toks")
     grams = _full_grams(toks, k)
     hashes = F.transform(
         grams,
@@ -229,6 +246,7 @@ def winnow_fingerprints(
     # with the selection window
     exploded = (
         spread(documents)
+        .select("doc_id", _norm_tokens().alias("__toks"))
         .select("doc_id", F.posexplode(hashes).alias("pos0", "h"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
     )
@@ -372,7 +390,14 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     longest single document — the standard 100 TB quality-filter plan.
     Docs with <2 tokens emit no grams and drop out (same in the oracle).
     """
-    toks = _norm_tokens()
+    # r15 (guide §4.1/§2.3): the token array is PROJECTED once per row
+    # before the gram transform — an outer expression captured inside a
+    # higher-order-function lambda is re-evaluated on EVERY lambda
+    # invocation, so the split+regexp chain ran once per gram slot
+    # (O(tokens²) token work per doc; measured 3-51 s → 2-7 s at
+    # sf0.1). CollapseProject keeps the alias un-inlined because it is
+    # referenced more than once and is non-cheap.
+    toks = F.col("__toks")
 
     def _tagged(n: int) -> F.Column:
         # NB: a `lambda g, n=n` default-arg lambda has 2 params, which
@@ -383,9 +408,14 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         )
 
     tagged = F.concat(_tagged(2), _tagged(3))
-    exploded = spread(documents).select(
-        "doc_id", F.explode(tagged).alias("g")
-    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    exploded = (
+        spread(documents)
+        .select("doc_id", _norm_tokens().alias("__toks"))
+        .select("doc_id", F.explode(tagged).alias("g"))
+        .select(
+            "doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+        )
+    )
     counts = exploded.groupBy("doc_id", "n", "gram").agg(
         F.count("*").alias("c")
     )
@@ -429,13 +459,20 @@ CONTAMINATION_NGRAM = 3
 def probe_shingles(documents: DataFrame) -> DataFrame:
     """The benchmark-probe shingle set: distinct 3-grams of every doc
     whose id ≡ 0 (mod CONTAMINATION_PROBE_MOD), as (probe_id, gram)."""
-    toks = _norm_tokens()
+    # token array projected once per row (r15, guide §4.1 — see
+    # repetition_stats)
     return (
         documents.filter(F.col("doc_id") % CONTAMINATION_PROBE_MOD == 0)
         .select(
             F.col("doc_id").alias("probe_id"),
+            _norm_tokens().alias("__toks"),
+        )
+        .select(
+            "probe_id",
             F.explode(
-                F.array_distinct(_full_grams(toks, CONTAMINATION_NGRAM))
+                F.array_distinct(
+                    _full_grams(F.col("__toks"), CONTAMINATION_NGRAM)
+                )
             ).alias("gram"),
         )
     )
@@ -448,18 +485,22 @@ def contamination_hits(
     (probe_id, gram) — shared by the batch query (probes derived from the
     corpus) and the streaming ingest screen (probes static). Self-matches
     are excluded; only contaminated documents are returned."""
-    toks = _norm_tokens()
     # LAZY checkpoint (r14 opt, guide §2.4): hits and totals both
     # consume the tokenize+explode subtree, which Spark would otherwise
     # compute twice per action (two Generate spans in the plan). The
     # first consumer materializes the gram frame inside its own job;
     # the second reads the pinned blocks — one tokenization pass.
+    # Token array projected once per row (r15, guide §4.1 — see
+    # repetition_stats).
     shingled = (
         spread(documents)
+        .select("doc_id", _norm_tokens().alias("__toks"))
         .select(
             "doc_id",
             F.explode(
-                F.array_distinct(_full_grams(toks, CONTAMINATION_NGRAM))
+                F.array_distinct(
+                    _full_grams(F.col("__toks"), CONTAMINATION_NGRAM)
+                )
             ).alias("gram"),
         )
         .localCheckpoint(eager=False)
@@ -778,9 +819,15 @@ def typicality_scores(documents: DataFrame) -> DataFrame:
     list are both keyed by the gram string — one shuffle each side of an
     equi-join, then a doc-keyed mean; no broadcast assumption (the gram
     vocabulary is corpus-sized)."""
-    toks = _norm_tokens()
-    grams = spread(documents).select(
-        "doc_id", F.explode(_full_grams(toks, 2)).alias("gram")
+    # token array projected once per row (r15, guide §4.1 — see
+    # repetition_stats)
+    grams = (
+        spread(documents)
+        .select("doc_id", _norm_tokens().alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(_full_grams(F.col("__toks"), 2)).alias("gram"),
+        )
     )
     freq = grams.groupBy("gram").agg(F.count("*").alias("n"))
     return (
@@ -1318,12 +1365,21 @@ def hill_tail_index(documents: DataFrame, k: int = 100) -> DataFrame:
     )
 
 
-def gram_hash_set(n: int = 5) -> F.Column:
+def gram_hash_set(
+    n: int = 5, toks: F.Column | None = None
+) -> F.Column:
     """DISTINCT 60-bit hashes of a document's word n-grams (normalized
     tokens, hashed at birth — the narrow-shuffle-row convention shared
     by ngram_novelty and the streaming novelty monitor). Empty array
-    for docs shorter than n tokens."""
-    toks = _norm_tokens()
+    for docs shorter than n tokens.
+
+    ``toks``: pass the PROJECTED token-array column (r15, guide §4.1 —
+    see repetition_stats: the default expression captured inside the
+    gram lambda re-runs the split+regexp chain once per gram slot;
+    callers should ``.select(_norm_tokens().alias("__toks"))`` first
+    and pass ``F.col("__toks")``)."""
+    if toks is None:
+        toks = _norm_tokens()
     gram_hashes = F.transform(
         F.sequence(F.lit(1), F.size(toks) - n + 1),
         lambda i: F.conv(
@@ -1367,7 +1423,11 @@ def ngram_novelty(documents: DataFrame, n: int = 5) -> DataFrame:
     # action anyway) — same one-pass guarantee, one fewer driver job
     grams = (
         documents.filter(F.col("text").isNotNull())
-        .select("doc_id", F.explode(gram_hash_set(n)).alias("g"))
+        .select("doc_id", _norm_tokens().alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(gram_hash_set(n, F.col("__toks"))).alias("g"),
+        )
         .localCheckpoint(eager=False)
     )
     per_doc_n = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))

@@ -1396,11 +1396,14 @@ def init_novelty_index(
     """Seed the gram index for the streaming novelty monitor: the
     DISTINCT 60-bit 5-gram hashes of the seed corpus, batch_id = -1
     (same replay-idempotency layout as the dedup/semantic indexes)."""
-    from ..pipelines.text import gram_hash_set
+    from ..pipelines.text import _norm_tokens, gram_hash_set
 
     (
         documents.filter(F.col("text").isNotNull())
-        .select(F.explode(gram_hash_set()).alias("g"))
+        # token array projected once per row (r15, guide §4.1 — see
+        # text.repetition_stats)
+        .select(_norm_tokens().alias("__toks"))
+        .select(F.explode(gram_hash_set(toks=F.col("__toks"))).alias("g"))
         .distinct()
         .withColumn("batch_id", F.lit(-1))
         .write.mode("overwrite")
@@ -1442,12 +1445,16 @@ class NoveltyMonitor:
         self.out_dir = out_dir
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        from ..pipelines.text import gram_hash_set
+        from ..pipelines.text import _norm_tokens, gram_hash_set
 
         spark = batch_df.sparkSession
         docs = batch_df.filter(F.col("text").isNotNull())
         grams = (
-            docs.select(F.explode(gram_hash_set()).alias("g"))
+            # token array projected once per row (r15, guide §4.1)
+            docs.select(_norm_tokens().alias("__toks"))
+            .select(
+                F.explode(gram_hash_set(toks=F.col("__toks"))).alias("g")
+            )
             .distinct()
             .localCheckpoint(eager=True)
         )

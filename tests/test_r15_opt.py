@@ -224,3 +224,31 @@ def test_ktruss_wedge_budget_auto(spark, monkeypatch):
         for r in ktruss_bounded(None, k=5, edges=df10).collect()
     }
     assert got_split == got_reuse == _python_ktruss(k10, 5)
+
+
+def test_gram_lambdas_slice_projected_tokens(spark):
+    """r15 guide §4.1 sweep: an outer expression captured inside a
+    higher-order-function lambda is re-evaluated on EVERY lambda
+    invocation, so `slice(split(regexp_replace(text)), i, n)` re-ran
+    the whole tokenize chain once per gram slot — O(tokens²) token
+    work per document (text_repetition measured 3–51 s at sf0.1;
+    2–7 s with the token array projected first). Pin the fix
+    structurally: in every gram/shingle query plan the slice must read
+    the PROJECTED token attribute, never an inline split chain."""
+    from tests.conftest import SF_DIR
+
+    from kafka_overwatch_spark import registry
+
+    sq = registry.spark_queries()
+    for qname in (
+        "text_repetition",
+        "text_typicality",
+        "text_ngram_freq",
+        "text_fingerprints",
+        "doc_chunks",
+    ):
+        plan = sq[qname](spark, SF_DIR)._jdf.queryExecution().toString()
+        assert "slice(split(" not in plan, (
+            f"{qname}: a gram lambda captures the un-projected token "
+            "expression (re-evaluated per gram slot — guide §4.1)"
+        )
